@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transitive closure of an edge relation — the engine for SPARQL
+  * zero-or-more property paths (`rdfs:subClassOf*`), which the reference
+  * delegates to oxigraph (reference: mortar-parquet-client/client.py:121,
+  * 134,136).
+  *
+  * Two execution strategies, chosen by edge count:
+  *
+  *   - Small relation (ontology hierarchies — Brick is ≤ a few 10⁴ edges):
+  *     collect to the driver, run an exact BFS closure in Scala, return a
+  *     (broadcastable) DataFrame. One job, no iterative shuffles.
+  *   - Large relation: distributed semi-naive fixpoint — each iteration
+  *     joins the frontier with the edge set, unions, distincts, and
+  *     `localCheckpoint`s to sever the growing lineage. AQE handles the
+  *     shrinking frontier. Iterations = graph diameter (Brick ≤ ~10).
+  *
+  * Both return the REFLEXIVE-transitive closure when `includeIdentity` nodes
+  * are supplied: SPARQL `p*` includes the zero-length path, so every term in
+  * the queried position matches itself (SURVEY.md §7.4 pitfall #2).
+  */
+object Closure {
+
+  val DriverSideLimit = 200000L
+
+  /** Closure of `edges` (columns `src`, `dst`). Output columns `src`,`dst`,
+    * distinct. Does NOT include zero-length pairs — see `withIdentity`. */
+  def transitive(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("string"), col("dst").cast("string")).distinct()
+    val edgeCount = e.count()
+    if (edgeCount == 0) e
+    else if (edgeCount <= DriverSideLimit) driverSide(spark, e)
+    else distributed(e, maxIter)
+  }
+
+  private def driverSide(spark: SparkSession, e: DataFrame): DataFrame = {
+    import spark.implicits._
+    val adj = e.as[(String, String)].collect()
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).toSet) }
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (start <- adj.keys) {
+      val seen = scala.collection.mutable.Set[String]()
+      var frontier = adj(start)
+      while (frontier.nonEmpty) {
+        val next = frontier.diff(seen)
+        seen ++= next
+        frontier = next.flatMap(adj.getOrElse(_, Set.empty[String]))
+      }
+      seen.foreach(d => out += ((start, d)))
+    }
+    spark.createDataFrame(out.toSeq).toDF("src", "dst")
+  }
+
+  private def distributed(e: DataFrame, maxIter: Int): DataFrame = {
+    var closure = e.localCheckpoint()
+    var frontier = closure
+    var iter = 0
+    var growing = true
+    while (growing && iter < maxIter) {
+      iter += 1
+      val step = frontier.as("f")
+        .join(e.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+      val fresh = step.join(closure, Seq("src", "dst"), "left_anti").localCheckpoint()
+      if (fresh.isEmpty) growing = false
+      else {
+        closure = closure.union(fresh).localCheckpoint()
+        frontier = fresh
+      }
+    }
+    closure
+  }
+
+  /** Reflexive closure: union zero-length pairs for every node in `nodes`
+    * (single column). */
+  def withIdentity(closure: DataFrame, nodes: DataFrame): DataFrame = {
+    val id = nodes.select(col(nodes.columns.head).cast("string").as("src"))
+      .distinct()
+      .withColumn("dst", col("src"))
+    closure.select("src", "dst").union(id).distinct()
+  }
+}

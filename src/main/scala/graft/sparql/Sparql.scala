@@ -1,0 +1,243 @@
+package graft.sparql
+
+import graft.Model
+
+import scala.collection.mutable.ArrayBuffer
+
+/** AST + parser for the SPARQL subset the reference exercises
+  * (reference: mortar-parquet-client/client.py:116-140 and
+  * mortar-parquet-client/README.md:22-33; inventory in SURVEY.md §2.8):
+  *
+  *   - `PREFIX` declarations
+  *   - `SELECT *` / `SELECT ?a ?b` (+ DISTINCT for good measure)
+  *   - basic graph patterns: triple patterns with `;` predicate-object
+  *     lists, `,` object lists, `a` for rdf:type
+  *   - property paths: sequence `p1/p2` and zero-or-more `p*`
+  *   - inline blank nodes `[ p ?v ]` (anonymous join variables)
+  *
+  * Anything outside this subset (OPTIONAL, FILTER, UNION, aggregates, …) is
+  * dead surface for the reference's usage and rejected with a clear error.
+  */
+object Sparql {
+
+  sealed trait Term
+  final case class V(name: String) extends Term // ?var
+  final case class I(iri: String) extends Term // <iri> / prefixed, expanded
+  final case class L(lex: String) extends Term // literal, lexical value
+
+  /** One path element: an IRI, optionally with `*` (zero-or-more). */
+  final case class Step(iri: String, star: Boolean)
+
+  /** Triple pattern whose predicate is a path of ≥1 steps. */
+  final case class TriplePattern(s: Term, path: List[Step], o: Term)
+
+  /** Parsed query. `projection` empty = SELECT *. `userVars` is every named
+    * variable in order of first appearance (for SELECT *, mirroring
+    * rdflib's `res.vars` ordering, client.py:45-46). */
+  final case class Query(
+      projection: List[String],
+      distinct: Boolean,
+      patterns: List[TriplePattern],
+      userVars: List[String]) {
+    def selected: List[String] = if (projection.nonEmpty) projection else userVars
+  }
+
+  def parse(text: String): Query = new Parser(text).parseQuery()
+
+  // ---------------------------------------------------------------------
+  private final class Parser(in: String) {
+    private var pos = 0
+    private val n = in.length
+    private val prefixes = scala.collection.mutable.Map[String, String]()
+    private var anonCounter = 0
+    private val order = ArrayBuffer[String]() // named vars, first-appearance
+
+    private def err(msg: String): Nothing = {
+      val ctx = in.substring(math.max(0, pos - 40), math.min(n, pos + 40))
+      throw new IllegalArgumentException(s"SPARQL parse error at $pos: $msg near ...$ctx...")
+    }
+
+    private def skipWs(): Unit = {
+      while (pos < n) {
+        val c = in.charAt(pos)
+        if (c == '#') { while (pos < n && in.charAt(pos) != '\n') pos += 1 }
+        else if (c.isWhitespace) pos += 1
+        else return
+      }
+    }
+
+    private def peek: Char = if (pos < n) in.charAt(pos) else ' '
+
+    private def kw(word: String): Boolean = {
+      skipWs()
+      if (in.regionMatches(true, pos, word, 0, word.length)) {
+        val after = pos + word.length
+        if (after >= n || !in.charAt(after).isLetterOrDigit) { pos = after; return true }
+      }
+      false
+    }
+
+    private def parseIriRef(): String = {
+      if (peek != '<') err("expected IRIREF")
+      val end = in.indexOf('>', pos + 1)
+      if (end < 0) err("unterminated IRIREF")
+      val raw = in.substring(pos + 1, end)
+      pos = end + 1
+      raw
+    }
+
+    private def nameChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '-' || c == '.'
+
+    private def parsePName(): String = {
+      val start = pos
+      while (pos < n && (nameChar(in.charAt(pos)) || in.charAt(pos) == ':')) pos += 1
+      var tok = in.substring(start, pos)
+      while (tok.nonEmpty && tok.last == '.') { tok = tok.dropRight(1); pos -= 1 }
+      val i = tok.indexOf(':')
+      if (i < 0) err(s"expected prefixed name, got '$tok'")
+      prefixes.get(tok.substring(0, i)) match {
+        case Some(ns) => ns + tok.substring(i + 1)
+        case None => err(s"unknown prefix '${tok.substring(0, i)}:'")
+      }
+    }
+
+    private def parseVar(): String = {
+      pos += 1 // '?' or '$'
+      val start = pos
+      while (pos < n && (in.charAt(pos).isLetterOrDigit || in.charAt(pos) == '_')) pos += 1
+      val name = in.substring(start, pos)
+      if (name.isEmpty) err("empty variable name")
+      if (!order.contains(name)) order += name
+      name
+    }
+
+    private def parseLiteral(): String = {
+      val quote = peek
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < n && in.charAt(pos) != quote) {
+        val c = in.charAt(pos)
+        if (c == '\\' && pos + 1 < n) {
+          val e = in.charAt(pos + 1)
+          sb.append(e match {
+            case 't' => '\t'; case 'n' => '\n'; case 'r' => '\r'
+            case other => other
+          })
+          pos += 2
+        } else { sb.append(c); pos += 1 }
+      }
+      pos += 1
+      // drop optional @lang / ^^type, as in the quads encoding
+      if (peek == '@') { pos += 1; while (pos < n && (in.charAt(pos).isLetterOrDigit || in.charAt(pos) == '-')) pos += 1 }
+      else if (in.startsWith("^^", pos)) { pos += 2; skipWs(); if (peek == '<') parseIriRef() else parsePName() }
+      sb.toString
+    }
+
+    def parseQuery(): Query = {
+      while (kw("PREFIX")) {
+        skipWs()
+        val colon = in.indexOf(':', pos)
+        if (colon < 0) err("bad PREFIX")
+        val name = in.substring(pos, colon).trim
+        pos = colon + 1
+        skipWs()
+        prefixes(name) = parseIriRef()
+      }
+      if (!kw("SELECT")) err("expected SELECT")
+      val distinct = kw("DISTINCT")
+      skipWs()
+      val projection = ArrayBuffer[String]()
+      if (peek == '*') pos += 1
+      else {
+        while ({ skipWs(); peek == '?' || peek == '$' }) projection += parseVar()
+        if (projection.isEmpty) err("SELECT needs * or variables")
+      }
+      if (!kw("WHERE")) err("expected WHERE")
+      skipWs()
+      if (peek != '{') err("expected '{'")
+      pos += 1
+      val patterns = ArrayBuffer[TriplePattern]()
+      skipWs()
+      while (peek != '}') {
+        parseTriplesSameSubject(patterns)
+        skipWs()
+        if (peek == '.') { pos += 1; skipWs() }
+      }
+      pos += 1
+      Query(projection.toList, distinct, patterns.toList, order.toList)
+    }
+
+    private def freshAnon(): Term = { anonCounter += 1; V(s"_anon$anonCounter") }
+
+    private def parseTermNode(patterns: ArrayBuffer[TriplePattern]): Term = {
+      skipWs()
+      peek match {
+        case '?' | '$' => V(parseVar())
+        case '<' => I(parseIriRef())
+        case '"' | '\'' => L(parseLiteral())
+        case '[' =>
+          pos += 1
+          val v = freshAnon()
+          skipWs()
+          if (peek != ']') parsePredicateObjectList(v, patterns)
+          skipWs()
+          if (peek != ']') err("expected ']'")
+          pos += 1
+          v
+        case c if c.isDigit => // numeric literal
+          val start = pos
+          while (pos < n && (in.charAt(pos).isDigit || in.charAt(pos) == '.')) pos += 1
+          var tok = in.substring(start, pos)
+          if (tok.endsWith(".")) { tok = tok.dropRight(1); pos -= 1 }
+          L(tok)
+        case _ => I(parsePName())
+      }
+    }
+
+    private def parsePath(): List[Step] = {
+      skipWs()
+      if (peek == 'a' && pos + 1 < n && !nameChar(in.charAt(pos + 1)) && in.charAt(pos + 1) != ':') {
+        pos += 1
+        return List(Step(Model.RdfType, star = false))
+      }
+      val steps = ArrayBuffer[Step]()
+      var more = true
+      while (more) {
+        skipWs()
+        val iri = if (peek == '<') parseIriRef() else parsePName()
+        val star = peek == '*'
+        if (star) pos += 1
+        steps += Step(iri, star)
+        skipWs()
+        if (peek == '/') pos += 1 else more = false
+      }
+      steps.toList
+    }
+
+    private def parsePredicateObjectList(subject: Term, patterns: ArrayBuffer[TriplePattern]): Unit = {
+      var more = true
+      while (more) {
+        val path = parsePath()
+        var moreObjects = true
+        while (moreObjects) {
+          val o = parseTermNode(patterns)
+          patterns += TriplePattern(subject, path, o)
+          skipWs()
+          if (peek == ',') { pos += 1 } else moreObjects = false
+        }
+        skipWs()
+        if (peek == ';') {
+          while (peek == ';') { pos += 1; skipWs() }
+          more = peek != '.' && peek != '}' && peek != ']'
+        } else more = false
+      }
+    }
+
+    private def parseTriplesSameSubject(patterns: ArrayBuffer[TriplePattern]): Unit = {
+      val s = parseTermNode(patterns)
+      skipWs()
+      if (peek == '.' || peek == '}') return // bare blank-node statement
+      parsePredicateObjectList(s, patterns)
+    }
+  }
+}

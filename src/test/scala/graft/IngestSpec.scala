@@ -1,0 +1,123 @@
+package graft
+
+import graft.sources.{Ingest, StatsIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Ingest round-trip + stats index, mirroring the reference pipeline
+  * (reference: transform.py + make-metadata.py, verified numbers SURVEY.md §5
+  * re-derived on generated fixtures). */
+class IngestSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  val uuid1 = "a0dd74ce-05ee-5fee-8335-2d9856bd52be"
+  val uuid2 = "f3b61918-afa9-596d-bef5-40fe1e96454f"
+
+  /** One reading per minute from 2016-11-30T00:00Z, n rows, written shuffled
+    * (ingest must sort). */
+  private def writeCsv(dir: Path, uuid: String, label: String, n: Int): Unit = {
+    val base = java.time.Instant.parse("2016-11-30T00:00:00Z")
+    val rows = (0 until n).map { i =>
+      val t = base.plusSeconds(60L * i)
+      s"${t.toString.replace("Z", "+00:00").replace("T", " ")},${0.5 + i * 0.001}"
+    }
+    val shuffled = new scala.util.Random(42).shuffle(rows)
+    Files.write(dir.resolve(s"$uuid.csv"), (s"datetime,$label" +: shuffled).mkString("\n").getBytes)
+  }
+
+  lazy val (csvDir, destDir) = {
+    val csv = Files.createTempDirectory("graft-csv")
+    val dest = Files.createTempDirectory("graft-fact").resolve("data")
+    writeCsv(csv, uuid1, "/delta/m5/c12", 2880) // 2 days @ 1/min
+    writeCsv(csv, uuid2, "/delta/m5/sp", 1440)
+    Files.write(csv.resolve("not-a-uuid.csv"), "datetime,x\n2016-01-01 00:00:00+00:00,1.0".getBytes)
+    Ingest.transform(spark, "bldg1", csv.toString, dest.toString)
+    (csv, dest)
+  }
+
+  test("schema matches the reference fact table (transform.py:36,39)") {
+    val df = spark.read.parquet(destDir.toString)
+    val fields = df.schema.fields.map(f => (f.name, f.dataType.typeName)).toMap
+    assert(fields("time") == "timestamp")
+    assert(fields("value") == "double")
+    assert(fields("label") == "string")
+    assert(fields("uri") == "string")
+    // hive partition keys resolve as columns
+    assert(df.columns.contains("collection") && df.columns.contains("uuid"))
+  }
+
+  test("row counts per stream; non-UUID file skipped (transform.py:11-16)") {
+    val df = spark.read.parquet(destDir.toString)
+    val counts = df.groupBy("uuid").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map(uuid1 -> 2880L, uuid2 -> 1440L))
+  }
+
+  test("derived columns: label, uri = urn:{collection}/{label} (transform.py:33-34)") {
+    val df = spark.read.parquet(destDir.toString)
+    val r = df.filter(col("uuid") === uuid1).select("label", "uri", "collection").head()
+    assert(r.getString(0) == "/delta/m5/c12")
+    assert(r.getString(1) == "urn:bldg1//delta/m5/c12")
+    assert(r.getString(2) == "bldg1")
+  }
+
+  test("partition layout collection=<c>/uuid=<u>, rows time-sorted within files") {
+    val part = destDir.resolve(s"collection=bldg1/uuid=$uuid1")
+    assert(Files.isDirectory(part))
+    val df = spark.read.parquet(part.toString)
+    val times = df.select("time").collect().map(_.getTimestamp(0).getTime)
+    assert(times.length == 2880 && times.sameElements(times.sorted))
+  }
+
+  test("time-range pushdown filter count (fixture analogue of the 1 272-row golden)") {
+    // 1 reading/min: [2016-12-01T00:00, 2016-12-01T12:00] inclusive = 721
+    val df = spark.read.parquet(destDir.toString)
+      .filter(col("uuid") === uuid1 &&
+        col("time") >= to_timestamp(lit("2016-12-01T00:00:00Z")) &&
+        col("time") <= to_timestamp(lit("2016-12-01T12:00:00Z")))
+    assert(df.count() == 721)
+    // and the plan pushes both predicates to the scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("time"))
+  }
+
+  test("stats index build + validate reopen (make-metadata.py:8-22)") {
+    val statsPath = Files.createTempDirectory("graft-stats").resolve("stats").toString
+    val stats = StatsIndex.build(spark, destDir.toString, statsPath)
+    assert(StatsIndex.validate(spark, statsPath))
+    val r = stats.filter(col("uuid") === uuid2).head()
+    assert(r.getAs[Long]("num_rows") == 1440L)
+    // min/max time bracket the generated range
+    assert(r.getAs[java.sql.Timestamp]("min_time").toInstant.toString == "2016-11-30T00:00:00Z")
+    // window pruning helper finds only overlapping streams
+    val pruned = StatsIndex.streamsInWindow(stats, "2016-12-01T00:00:00Z", "2016-12-02T00:00:00Z")
+    assert(pruned.collect().map(_.getString(1)).toSet == Set(uuid1)) // uuid2 ends 2016-11-30
+  }
+
+  test("end-to-end: engine dataSparql over ingested fixture (client.py:95-109 shape)") {
+    val s = spark
+    import s.implicits._
+    val quads = graft.sources.Turtle.parse(
+      """@prefix brick: <https://brickschema.org/schema/Brick#> .
+        |@prefix ns: <urn:fix#> .
+        |ns:sen1 a brick:Zone_Air_Temperature_Sensor ;
+        |    brick:timeseries [ brick:hasTimeseriesId "a0dd74ce-05ee-5fee-8335-2d9856bd52be" ] .
+        |""".stripMargin, "bldg1")
+      .map { case (su, p, o) => Model.Quad("urn:bldg1#", su, p, o) }.toDF()
+    val engine = new Engine(spark, quads, spark.read.parquet(destDir.toString))
+    val df = engine.dataSparql(
+      """PREFIX brick: <https://brickschema.org/schema/Brick#>
+        |SELECT ?id WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }""".stripMargin,
+      start = "2016-12-01T00:00:00Z", end = "2016-12-01T12:00:00Z")
+    assert(df.count() == 721)
+    assert(df.select("uuid").distinct().head().getString(0) == uuid1)
+    // exact limit (conscious delta from the reference's overshoot, SURVEY §7.4)
+    assert(engine.dataSparql(
+      """PREFIX brick: <https://brickschema.org/schema/Brick#>
+        |SELECT ?id WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }""".stripMargin,
+      limit = 100).count() == 100)
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import graft.Model.Quad
+import graft.sources.Turtle
+import graft.sparql.{BgpPlanner, Sparql}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BGP + property-path evaluation against the micro Brick graph fixture
+  * (FIXTURES.md §A4), with the reference's flagship query
+  * (reference: mortar-parquet-client/client.py:129-140). */
+class SparqlSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  val fixtureTtl: String =
+    """@prefix brick: <https://brickschema.org/schema/Brick#> .
+      |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+      |@prefix ns: <urn:fix#> .
+      |
+      |brick:Zone_Air_Temperature_Sensor rdfs:subClassOf brick:Temperature_Sensor .
+      |brick:Temperature_Sensor rdfs:subClassOf brick:Sensor .
+      |brick:Sensor rdfs:subClassOf brick:Point .
+      |brick:Zone_Air_Temperature_Setpoint rdfs:subClassOf brick:Temperature_Setpoint .
+      |brick:Temperature_Setpoint rdfs:subClassOf brick:Point .
+      |
+      |ns:vav1 a brick:VAV ;
+      |    brick:hasPoint ns:sen1, ns:sp1 .
+      |ns:sen1 a brick:Zone_Air_Temperature_Sensor ;
+      |    brick:timeseries [ brick:hasTimeseriesId "a0dd74ce-05ee-5fee-8335-2d9856bd52be" ] .
+      |ns:sp1 a brick:Zone_Air_Temperature_Setpoint ;
+      |    brick:timeseries [ brick:hasTimeseriesId "f3b61918-afa9-596d-bef5-40fe1e96454f" ] .
+      |""".stripMargin
+
+  lazy val quads = {
+    val s = spark
+    import s.implicits._
+    Turtle.parse(fixtureTtl, "bldg1")
+      .map { case (su, p, o) => Quad("urn:bldg1#", su, p, o) }
+      .toDF()
+  }
+
+  val prefix =
+    """PREFIX brick: <https://brickschema.org/schema/Brick#>
+      |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+      |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |""".stripMargin
+
+  test("flagship sensor/setpoint/VAV query — one row, exact bindings (client.py:129-140)") {
+    val q = Sparql.parse(prefix +
+      """SELECT ?vav ?sen ?sp WHERE {
+        |  ?sen_point rdf:type/rdfs:subClassOf* brick:Temperature_Sensor ;
+        |      brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+        |  ?sp_point rdf:type/rdfs:subClassOf* brick:Temperature_Setpoint ;
+        |      brick:timeseries [ brick:hasTimeseriesId ?sp ] .
+        |  ?vav a brick:VAV .
+        |  ?vav brick:hasPoint ?sen_point, ?sp_point .
+        |}""".stripMargin)
+    val rows = BgpPlanner.evaluate(quads, q).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "urn:fix#vav1")
+    assert(r.getString(1) == "a0dd74ce-05ee-5fee-8335-2d9856bd52be")
+    assert(r.getString(2) == "f3b61918-afa9-596d-bef5-40fe1e96454f")
+  }
+
+  test("subClassOf* includes the zero-length path (all_points query, client.py:116-123)") {
+    val q = Sparql.parse(prefix +
+      """SELECT * WHERE {
+        |  ?point rdf:type/rdfs:subClassOf* brick:Point .
+        |  ?point rdf:type ?type .
+        |  ?point brick:timeseries [ brick:hasTimeseriesId ?id ] .
+        |}""".stripMargin)
+    val rows = BgpPlanner.evaluate(quads, q).collect()
+    // sen1 (3 hops to Point) and sp1 (2 hops) both match; vav1 does not
+    assert(rows.length == 2)
+    val points = rows.map(_.getString(0)).toSet
+    assert(points == Set("urn:fix#sen1", "urn:fix#sp1"))
+    // SELECT * column order = first appearance: point, type, id
+    val q2cols = BgpPlanner.evaluate(quads, q).columns.toSeq
+    assert(q2cols == Seq("point", "type", "id"))
+  }
+
+  test("zero-length star matches a node typed directly as the target class") {
+    val s = spark
+    import s.implicits._
+    val direct = Seq(
+      Quad("urn:g#", "urn:x#n1", Model.RdfType, "https://brickschema.org/schema/Brick#Point")).toDF()
+    val q = Sparql.parse(prefix +
+      "SELECT ?p WHERE { ?p rdf:type/rdfs:subClassOf* brick:Point . }")
+    val rows = BgpPlanner.evaluate(direct, q).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:x#n1"))
+  }
+
+  test("named-graph scoping filters by site; union spans all") {
+    val s = spark
+    import s.implicits._
+    val twoSites = Seq(
+      Quad("urn:a#", "urn:a#x", "urn:p#t", "1"),
+      Quad("urn:b#", "urn:b#y", "urn:p#t", "2")).toDF()
+    val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?s ?v WHERE { ?s p:t ?v . }")
+    assert(BgpPlanner.evaluate(twoSites, q, Some("urn:a#")).collect().map(_.getString(0)).toSeq == Seq("urn:a#x"))
+    assert(BgpPlanner.evaluate(twoSites, q, None).count() == 2)
+  }
+
+  test("union semantics dedup triples replicated across graphs (ontology merge, setup-graphs.py:22)") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq(
+      Quad("urn:a#", "urn:x#c1", Model.RdfsSubClassOf, "urn:x#c2"),
+      Quad("urn:b#", "urn:x#c1", Model.RdfsSubClassOf, "urn:x#c2")).toDF()
+    val q = Sparql.parse("PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> SELECT ?a ?b WHERE { ?a rdfs:subClassOf ?b . }")
+    assert(BgpPlanner.evaluate(dup, q, None).count() == 1)
+  }
+
+  test("object lists / predicate-object lists are self-joins on the subject") {
+    val q = Sparql.parse(prefix +
+      "SELECT ?v WHERE { ?v brick:hasPoint ?a, ?b . ?a a brick:Zone_Air_Temperature_Sensor . ?b a brick:Zone_Air_Temperature_Setpoint . }")
+    val rows = BgpPlanner.evaluate(quads, q).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("urn:fix#vav1"))
+  }
+
+  test("SELECT DISTINCT dedups projected bindings") {
+    val q = Sparql.parse(prefix + "SELECT DISTINCT ?v WHERE { ?v brick:hasPoint ?p . }")
+    assert(BgpPlanner.evaluate(quads, q).count() == 1)
+    val q2 = Sparql.parse(prefix + "SELECT ?v WHERE { ?v brick:hasPoint ?p . }")
+    assert(BgpPlanner.evaluate(quads, q2).count() == 2) // projection keeps dups
+  }
+}
