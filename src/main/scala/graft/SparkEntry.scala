@@ -1,13 +1,526 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Dedup, Events, Multimodal, Similarity, TextOps}
+import graft.sparql.{BgpPlanner, Sparql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract: one query per implemented operator (SURVEY.md §2 +
+  * the LLM-pipeline extensions), each with a DuckDB oracle.
+  *
+  * Conventions for engine-portable results (hash-compared against DuckDB):
+  * exact arithmetic only in comparable outputs — decimal sums cast to
+  * double, integer basis-points instead of float ratios where possible,
+  * row_number ranks cast to long, deterministic total ORDER BY everywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+    // TimestampType (µs) refuses outright. Read nanos as long and floor to
+    // µs — exactly DuckDB's coercion of ns → its µs TIMESTAMP.
+    if (name == "events") {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else raw
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Decimal-exact sum surfaced as double (identical in Spark and DuckDB). */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** TPC-H-derived RDF quads in one named graph: customer --p1--> nation
+    * --p2--> region. With distinct predicates this is the BGP corpus; with
+    * one shared predicate it exercises the `p*` closure path. */
+  private def tpchQuads(s: SparkSession, dir: String,
+      custPred: String, natPred: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      concat(lit("urn:c#"), col("c_custkey")).as("s"),
+      lit(s"urn:p#$custPred").as("p"),
+      concat(lit("urn:n#"), col("c_nationkey")).as("o"))
+    val n = t(s, dir, "nation").select(
+      concat(lit("urn:n#"), col("n_nationkey")).as("s"),
+      lit(s"urn:p#$natPred").as("p"),
+      concat(lit("urn:r#"), col("n_regionkey")).as("o"))
+    c.union(n).withColumn("graph", lit("urn:tpch#"))
+      .select("graph", "s", "p", "o")
+  }
+
+  /** Flagship on sf0.001: the full two-level mortar flow on in-memory
+    * fixtures — Turtle → SPARQL (path star) → uuid set → pruned scan —
+    * plus a real read of the driver's parquet. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val ttl =
+      """@prefix brick: <https://brickschema.org/schema/Brick#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |@prefix ns: <urn:fix#> .
+        |brick:Zone_Air_Temperature_Sensor rdfs:subClassOf brick:Temperature_Sensor .
+        |brick:Temperature_Sensor rdfs:subClassOf brick:Sensor .
+        |brick:Sensor rdfs:subClassOf brick:Point .
+        |ns:sen1 a brick:Zone_Air_Temperature_Sensor ;
+        |  brick:timeseries [ brick:hasTimeseriesId "42" ] .
+        |""".stripMargin
+    val quads = graft.sources.Turtle.parse(ttl, "b1")
+      .map { case (su, p, o) => Model.Quad("urn:b1#", su, p, o) }.toDF()
+    val fact = t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("ts").as("time"), col("value"),
+        col("user_id").cast("string").as("uuid"))
+    val engine = new Engine(spark, quads, fact)
+    engine.dataSparql(
+      """PREFIX brick: <https://brickschema.org/schema/Brick#>
+        |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+        |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        |SELECT ?id WHERE {
+        |  ?p rdf:type/rdfs:subClassOf* brick:Point .
+        |  ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+        |}""".stripMargin)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-parity operators (SURVEY §2) over the driver corpus ----
+    "q01_pushdown_scan" -> ((s, dir) => {
+      // P5+P6+P7+S2: id-set ∧ time-range conjunctive pushdown (client.py:70)
+      t(s, dir, "events")
+        .filter(col("user_id").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L) &&
+          col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") <= lit("2024-01-20 00:00:00").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+    "q02_stats_index" -> ((s, dir) => {
+      // A3/S5: per-stream min/max/count stats table (make-metadata.py)
+      t(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("user_id")
+    }),
+    "q03_distinct" -> ((s, dir) => {
+      // A1: DISTINCT id extraction (client.py:69)
+      t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select("user_id").distinct().orderBy("user_id")
+    }),
+    "q04_limit" -> ((s, dir) => {
+      // L1: exact limit (vs reference batch-granular overshoot)
+      t(s, dir, "events").select("event_id", "ts", "user_id")
+        .orderBy("event_id").limit(100)
+    }),
+    "q05_union_sites" -> ((s, dir) => {
+      // U1: per-site frames tagged + concatenated (client.py:57-63)
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "purchase")
+        .select(lit("purchases").as("site"), col("event_id"), col("value"))
+        .unionByName(e.filter(col("event_type") === "signup")
+          .select(lit("signups").as("site"), col("event_id"), col("value")))
+        .orderBy("site", "event_id")
+    }),
+    "q06_string_cast" -> ((s, dir) => {
+      // P8: stringification of every result column (client.py:43,53)
+      t(s, dir, "nation")
+        .select(col("n_nationkey").cast("string").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("string").as("n_regionkey"))
+        .orderBy("n_name")
+    }),
+    "q07_uri_concat" -> ((s, dir) => {
+      // F1/P3: uri synthesis urn:{collection}/{label} (transform.py:34)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          concat(lit("urn:"), col("event_type"), lit("/"),
+            col("user_id").cast("string")).as("uri"))
+        .orderBy("event_id")
+    }),
+    "q08_semi_join" -> ((s, dir) => {
+      // J1: id-set semi-join driving a fact scan (client.py:69-71)
+      val ids = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"))
+      t(s, dir, "lineitem").join(broadcast(ids), Seq("l_orderkey"), "left_semi")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q09_star_join" -> ((s, dir) => {
+      // J2-shape: multi-hop joins (BGP analogue); dims broadcast
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("gross"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q10_window_topn" -> ((s, dir) => {
+      // top-k per group via ranking window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q11_agg_pricing" -> ((s, dir) => {
+      // TPC-H Q1 shape: wide hash aggregation with exact decimal sums
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q12_sparql_bgp" -> ((s, dir) => {
+      // §2.8 BGP: our SPARQL engine over TPC-H-derived quads, checked
+      // against the equivalent relational join in DuckDB
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n ?r WHERE { ?c p:inNation ?n . ?n p:inRegion ?r . }")
+      BgpPlanner.evaluate(tpchQuads(s, dir, "inNation", "inRegion"), q)
+        .orderBy("c", "n", "r")
+    }),
+    "q13_sparql_path" -> ((s, dir) => {
+      // §2.8 property path p* : zero-or-more closure, constant object
+      val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?x WHERE { ?x p:partOf* <urn:r#2> . }")
+      BgpPlanner.evaluate(tpchQuads(s, dir, "partOf", "partOf"), q).orderBy("x")
+    }),
+    "q14_closure" -> ((s, dir) => {
+      // J4: distributed semi-naive fixpoint on a 3-level hierarchy
+      val edges = t(s, dir, "orders")
+        .select(concat(lit("urn:o#"), col("o_orderkey")).as("src"),
+          concat(lit("urn:c#"), col("o_custkey")).as("dst"))
+        .union(tpchQuads(s, dir, "x", "x")
+          .select(col("s").as("src"), col("o").as("dst")))
+      graft.plans.Closure.transitive(edges, driverSideLimit = 0)
+        .orderBy("src", "dst")
+    }),
+    "q15_time_bucket" -> ((s, dir) => {
+      // §2.9 batch form: event-time bucketed aggregation
+      Events.timeBucketStats(t(s, dir, "events"))
+        .withColumn("sum_value", col("sum_value").cast("double"))
+        .orderBy("bucket", "event_type")
+    }),
+    "q16_sessionize" -> ((s, dir) => {
+      Events.sessionStats(t(s, dir, "events"), gapSeconds = 1800)
+        .orderBy("user_id", "session_id")
+    }),
+    "q17_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      Events.asOfJoin(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "signup"),
+        "user_id", "ts", "value")
+        .filter(col("asof_ts").isNotNull)
+        .select("event_id", "user_id", "ts", "asof_value", "asof_ts")
+        .orderBy("event_id")
+    }),
+    // ---- LLM-pipeline extensions ----
+    "q18_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("text_key")
+    }),
+    "q19_minhash_lsh" -> ((s, dir) => {
+      // MinHash → LSH bands → candidate pairs → exact 3-gram Jaccard
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccard(
+        Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
+        docs, "text", "doc_id", shingleN = 3)
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
+        .orderBy("id_a", "id_b")
+    }),
+    "q20_token_jaccard" -> ((s, dir) => {
+      // exact token-set Jaccard inside (lang, source) blocks
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"), col("lang"), col("source"))
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
+        .orderBy("id_a", "id_b")
+    }),
+    "q21_simhash" -> ((s, dir) => {
+      Dedup.simhashes(t(s, dir, "documents"), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("sim").as("simhash"))
+        .orderBy("doc_id")
+    }),
+    "q22_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
+    "q23_embed_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        centroidMod = 37, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
+    "q24_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.langId(col("text")).as("guessed"))
+        .orderBy("doc_id")
+    }),
+    "q25_text_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cols = TextOps.qualityColumns(col("text"))
+        .filterNot(_._1 == "n_chars_m")
+        .map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +:
+        cols :+
+        TextOps.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens") :+
+        TextOps.md5Fingerprint(col("text")).as("fingerprint")): _*)
+        .orderBy("doc_id")
+    }),
+    "q26_multimodal" -> ((s, dir) => {
+      // binary-column plumbing: pack → (stub) decode → typed features
+      Multimodal.extractFeatures(
+        Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select("media_id", "kind", "n_bytes", "content_hash", "magic")
+        .orderBy("media_id")
+    }),
+    "q27_frame_sample" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text"), stride = 8)
+        .orderBy("media_id", "frame_index")
+    }),
+    "q28_ingest_roundtrip" -> ((s, dir) => {
+      // S4+S2: partitioned write + hive-discovery read-back
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+      t(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(out)
+      s.read.parquet(out).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pushdown_scan" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE user_id IN (1,2,3,5,8,13,21,34)
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "q02_stats_index" ->
+      """SELECT user_id, count(*) AS n, min(ts) AS min_ts, max(ts) AS max_ts,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q03_distinct" ->
+      "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id",
+    "q04_limit" ->
+      "SELECT event_id, ts, user_id FROM events ORDER BY event_id LIMIT 100",
+    "q05_union_sites" ->
+      """SELECT * FROM (
+        |  SELECT 'purchases' AS site, event_id, value FROM events WHERE event_type='purchase'
+        |  UNION ALL
+        |  SELECT 'signups' AS site, event_id, value FROM events WHERE event_type='signup')
+        |ORDER BY site, event_id""".stripMargin,
+    "q06_string_cast" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY n_name""".stripMargin,
+    "q07_uri_concat" ->
+      """SELECT event_id, 'urn:' || event_type || '/' || CAST(user_id AS VARCHAR) AS uri
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q09_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q10_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q11_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_sparql_bgp" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(n_nationkey AS VARCHAR) AS n,
+        |  'urn:r#' || CAST(r_regionkey AS VARCHAR) AS r
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c, n, r""".stripMargin,
+    "q13_sparql_path" ->
+      """SELECT x FROM (
+        |  SELECT 'urn:r#2' AS x
+        |  UNION ALL
+        |  SELECT 'urn:n#' || CAST(n_nationkey AS VARCHAR) FROM nation WHERE n_regionkey = 2
+        |  UNION ALL
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey WHERE n_regionkey = 2)
+        |ORDER BY x""".stripMargin,
+    "q14_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'urn:o#' || CAST(o_orderkey AS VARCHAR) AS src,
+        |         'urn:c#' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+        |  UNION ALL
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR),
+        |         'urn:n#' || CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'urn:n#' || CAST(n_nationkey AS VARCHAR),
+        |         'urn:r#' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |closure AS (
+        |  SELECT DISTINCT src, dst FROM edges
+        |  UNION
+        |  SELECT c.src, e.dst FROM closure c JOIN edges e ON c.dst = e.src)
+        |SELECT src, dst FROM closure ORDER BY src, dst""".stripMargin,
+    "q15_time_bucket" ->
+      """SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q16_sessionize" ->
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS nf
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(nf) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q17_asof_join" ->
+      """SELECT p.event_id AS event_id, p.user_id AS user_id, p.ts AS ts,
+        |  s.value AS asof_value, s.sts AS asof_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT user_id AS su, ts AS sts, value FROM events
+        |           WHERE event_type = 'signup') s
+        |  ON p.user_id = s.su AND p.ts >= s.sts
+        |ORDER BY event_id""".stripMargin,
+    "q18_dedup_exact" ->
+      """SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_token_jaccard" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS n_inter,
+        |  CAST(len(list_distinct(a.toks || b.toks)) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(a.toks, b.toks)) * 10000
+        |    // len(list_distinct(a.toks || b.toks)) AS BIGINT) AS jaccard_bp
+        |FROM tk a JOIN tk b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q22_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qvec::DOUBLE[]) AS score
+        |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+        |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+        |  SELECT qid, nid, score,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q23_embed_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 0),
+        |corpus_assign AS (
+        |  SELECT nid, cid FROM (
+        |    SELECT e.vec_id AS nid, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cid) AS cr
+        |    FROM embeddings e, cents c) WHERE cr <= 1),
+        |query_probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT e.vec_id AS qid, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cid) AS cr
+        |    FROM embeddings e, cents c WHERE e.vec_id < 8) WHERE cr <= 2),
+        |scored AS (
+        |  SELECT p.qid, a.nid,
+        |    list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS score
+        |  FROM query_probe p
+        |  JOIN corpus_assign a ON p.cid = a.cid
+        |  JOIN embeddings eq ON eq.vec_id = p.qid
+        |  JOIN embeddings en ON en.vec_id = a.nid
+        |  WHERE a.nid <> p.qid)
+        |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+        |  SELECT qid, nid, score,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q24_lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['der','die','das','und','ist','nicht','mit','ein','zu','auf'], t))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['el','la','de','que','y','en','un','es','se','no'], t))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['le','la','de','et','un','que','pour','dans','ce','une'], t))) AS s_fr,
+        |    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> list_contains(['的','是','不','了','在','人','有','我','他','这'], t))) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS guessed
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q25_text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS DOUBLE)
+        |    / len(toks), 4) AS avg_token_len,
+        |  round(CAST(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)
+        |    / len(text), 4) AS punct_ratio,
+        |  round(CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / len(text), 4) AS digit_ratio,
+        |  round(CAST(len(list_filter(toks,
+        |    t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS DOUBLE)
+        |    / len(toks), 4) AS stopword_ratio,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
+        |  md5(array_to_string(toks, ' ')) AS fingerprint
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "q28_ingest_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+  // q19 (xxhash64 MinHash), q21 (SimHash), q26/q27 (stubbed media decode):
+  // engine-specific hashes — driver records rows-only checks for these.
 }

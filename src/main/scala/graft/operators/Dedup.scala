@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its 100 TB shuffle shape:
+  *
+  *   - exact: one hash-groupBy (map-side combinable) on a 128-bit key;
+  *   - MinHash + LSH: signatures are PURE MAP work (no explode-shuffle —
+  *     higher-order functions over the shingle array), then the only
+  *     shuffle is the band-bucket self-join whose input is b rows per doc;
+  *   - SimHash: 64-bit fingerprint as pure map work; near-dup candidates
+  *     via pigeonholed 16-bit chunks (hamming ≤ 3 ⇒ some chunk equal);
+  *   - n-gram Jaccard: exact verification on candidate pairs only, never
+  *     all-pairs;
+  *   - embedding cosine: random-hyperplane LSH buckets, exact cosine inside
+  *     buckets only.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by normalized-text hash: (key, kept doc id,
+    * group size). `keep` = smallest id (deterministic). */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** `df` minus exact duplicates (keeps the smallest id per text). */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keys = exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(keys, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signatures as a DataFrame op: (id, sig array<long> of k
+    * minima of independently-salted hashes over word-`shingleN`-gram
+    * shingle hashes).
+    *
+    * Implementation note (measured, not theoretical): building the
+    * signature as nested higher-order functions is a trap — Spark's HOFs
+    * (`transform`/`aggregate`) are interpreted, not codegen'd, and an outer
+    * transform re-evaluates its argument subtree (tokenize → shingles →
+    * O(n²) array_distinct) on EVERY lambda iteration: k=64 arms took 780 s
+    * for 500 docs. The idiomatic scalable shape is explode → k codegen'd
+    * `min` aggregates with map-side partial aggregation: the shingle chain
+    * runs once per doc, the shuffle carries only (id, shingle-hash) pairs,
+    * and everything stays in whole-stage codegen. */
+  def minhashSignatures(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val hashed = df.select(
+      col(idCol).as("id"),
+      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
+    hashed.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys for a materialized minhash signature column: `bands`
+    * hashes, each over `rows = k/bands` consecutive signature entries. */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { j =>
+      xxhash64(slice(sig, j * rows + 1, rows), lit(j))
+    }: _*)
+
+  /** Candidate near-duplicate pairs (idA < idB) that share ≥1 LSH band.
+    * The join input is `bands` rows per doc, not all-pairs. */
+  def minhashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sig = minhashSignatures(df, textCol, idCol, k, shingleN)
+      .select(col("id"), bandKeys(col("sig"), bands, rows).as("bk"))
+    val exploded = sig.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs.
+    * `pairs` has (id_a, id_b); output adds intersection/union sizes and
+    * `jaccard_bp` (basis points, exact integer — engine-portable). */
+  def ngramJaccard(
+      pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_bp", expr("n_inter * 10000 DIV n_union"))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Bit masks 2^0..2^63 as one foldable array literal. */
+  private val bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+
+  /** 64-bit SimHash fingerprint over token hashes. Pure map work, and a
+    * SINGLE pass over the token array: one aggregate carries all 64 bit
+    * counters (vs 64 separate aggregates, which would re-evaluate the
+    * tokenize chain per bit — see minhashSignature note). */
+  def simhash(textCol: Column): Column = {
+    val hs = transform(array_distinct(TextOps.tokens(textCol)), t => xxhash64(t))
+    val counters = aggregate(
+      hs,
+      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      (acc, h) => zip_with(acc, bitMasks,
+        (a, mask) => a + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counters, bitMasks, (c, mask) => when(c > 0, mask).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
+  /** SimHash fingerprints as a DataFrame op: explode token hashes → 64
+    * codegen'd conditional-sum aggregates (same scalable shape as
+    * minhashSignatures — map-side combinable, no interpreted HOF loops). */
+  def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"_b$j")
+    }
+    hashed.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j => when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance ≤ `maxDist` (< 16).
+    * Pigeonhole on four 16-bit chunks: distance ≤ 3 ⇒ at least one chunk
+    * identical, so candidate generation is a 4-rows-per-doc equi-join. */
+  def simhashCandidates(
+      df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    val withSim = simhashes(df, textCol, idCol)
+    val chunks = withSim.select(col("id"), col("sim"),
+      posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "ckey")))
+    val a = chunks.as("a")
+    val b = chunks.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold`, bucketed by
+    * random-hyperplane signs (`planes` deterministic from `seed`), exact
+    * cosine computed only within buckets. */
+  def embeddingCandidates(
+      df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, nPlanes: Int = 12, threshold: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val v = transform(col(vecCol), x => x.cast("double"))
+    // one expression, planes as a single array<array<double>> literal:
+    // hyperplane signs accumulate into the bucket id in one pass
+    val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
+    val masks = array((0 until nPlanes).map(j => lit(1L << j)): _*)
+    val bucket = aggregate(
+      zip_with(planesLit, masks, (plane, mask) => {
+        val d = aggregate(zip_with(v, plane, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+        when(d > 0, mask).otherwise(lit(0L))
+      }),
+      lit(0L), (a, x) => a + x)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      bucket.as("bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

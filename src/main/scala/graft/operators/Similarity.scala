@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — query side broadcast, scoring is
+  * pure map work (higher-order functions, codegen'd, float→double exact),
+  * top-k via a window partitioned by query. Scale path: IVF — a coarse
+  * centroid quantizer prunes the scan to `nProbe` inverted lists, so the
+  * exact scoring touches a fraction of the corpus; at 100 TB the corpus
+  * side stays partitioned by centroid and only candidate buckets are read.
+  */
+object Similarity {
+
+  /** Dot product of two numeric arrays (computed in double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(transform(a, x => x.cast("double")), transform(b, x => x.cast("double")), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity (double; sequential left-to-right accumulation). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of each query vector.
+    * Output: (qid, vec_id, score) with rank ≤ k per query; ties broken by
+    * neighbor id (deterministic). Self-matches excluded when ids collide. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", cosine(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("score"), 4).as("score"))
+  }
+
+  /** IVF (inverted-file) approximate top-k.
+    *
+    * Deterministic coarse quantizer: corpus vectors whose id satisfies
+    * `id % centroidMod == 0` serve as centroids (a stand-in for k-means —
+    * same plan shape, reproducible). Every corpus vector is assigned to its
+    * nearest centroid (one broadcast join, map-side argmax); each query
+    * probes its `nProbe` nearest centroids and scores only those lists. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidMod: Int = 37, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col(vec), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cvec", "csim", "crank")
+    }
+
+    val corpusAssigned = assign(
+      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec", 1)
+    val queryProbes = assign(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec", nProbe)
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    queryProbes.join(corpusAssigned, "cid")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), round(col("score"), 4).as("score"))
+  }
+}

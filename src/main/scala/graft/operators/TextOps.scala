@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language identification, fingerprinting.
+  *
+  * Everything here is pure narrow column expressions (codegen'd, no UDFs,
+  * no shuffles) — at 100 TB these run at scan speed inside whole-stage
+  * codegen, and any aggregation downstream gets map-side partials.
+  */
+object TextOps {
+
+  /** Whitespace tokens of lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b","b c"]). Documents shorter
+    * than n tokens yield one shingle of the whole text. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the usual
+    * pre-tokenizer regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Language → very common words (public knowledge stopword lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "auf"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "une"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Stopword hits for one language over a token array. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(lit(stopwords(lang).toArray), t)))
+
+  /** N-gram/stopword-heuristic language id: the language with the most
+    * stopword hits, ties broken alphabetically (deterministic). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => l -> stopwordHits(toks, l)).toMap
+    // alphabetical cascade: first language whose score >= all others wins
+    langs.dropRight(1).foldRight(lit(langs.last)) { (l, elseCol) =>
+      val geAll = langs.filter(_ != l).map(o => scores(l) >= scores(o)).reduce(_ && _)
+      when(geAll, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-signal columns for a text column (length, token stats,
+    * punctuation/digit/stopword ratios). */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "n_chars_m" -> length(text).cast("long"),
+      "avg_token_len" -> round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks), 4),
+      "punct_ratio" -> round(
+        length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).cast("double") / nChars, 4),
+      "digit_ratio" -> round(
+        length(regexp_replace(text, "[^0-9]", "")).cast("double") / nChars, 4),
+      "stopword_ratio" -> round(
+        stopwordHits(toks, "en").cast("double") / size(toks), 4))
+  }
+
+  /** Deterministic 64-bit rolling-hash fingerprint of the normalized token
+    * stream (order-sensitive, Rabin-Karp style over xxhash64'd tokens). */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => xxhash64(t)),
+      lit(0L),
+      (acc, h) => acc * lit(1000003L) + h)
+
+  /** Content-defined fingerprint usable cross-engine: md5 of the normalized
+    * (lower, single-spaced) text. */
+  def md5Fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+}

@@ -27,13 +27,16 @@ object Closure {
   val DriverSideLimit = 200000L
 
   /** Closure of `edges` (columns `src`, `dst`). Output columns `src`,`dst`,
-    * distinct. Does NOT include zero-length pairs — see `withIdentity`. */
-  def transitive(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    * distinct. Does NOT include zero-length pairs — see `withIdentity`.
+    * `driverSideLimit` tunes the strategy cutover (0 forces the
+    * distributed fixpoint). */
+  def transitive(edges: DataFrame, maxIter: Int = 50,
+      driverSideLimit: Long = DriverSideLimit): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("string"), col("dst").cast("string")).distinct()
     val edgeCount = e.count()
     if (edgeCount == 0) e
-    else if (edgeCount <= DriverSideLimit) driverSide(spark, e)
+    else if (edgeCount <= driverSideLimit) driverSide(spark, e)
     else distributed(e, maxIter)
   }
 

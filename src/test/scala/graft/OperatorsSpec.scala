@@ -1,0 +1,185 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import java.sql.Timestamp
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asOfJoin picks latest right row at-or-before left ts, per key") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (2L, ts("2024-01-01 09:00:00"), "p3")) // before any right row
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 200.0),
+      (1L, ts("2024-01-01 12:00:00"), 300.0), // equal ts → inclusive
+      (2L, ts("2024-01-01 10:00:00"), 400.0))
+      .toDF("user_id", "ts", "value")
+    val out = Events.asOfJoin(left, right, "user_id", "ts", "value")
+      .select("tag", "asof_value").collect().map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(out("p1") == Some(100.0))
+    assert(out("p2") == Some(300.0)) // equal-ts right row wins (inclusive)
+    assert(out("p3") == None) // no prior right row
+  }
+
+  test("sessionize splits on gap, 0-based ids, stats exact") {
+    val s = spark; import s.implicits._
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // same session (10 min)
+      (1L, ts("2024-01-01 11:30:00")), // 80 min gap → new session
+      (2L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val stats = Events.sessionStats(e, gapSeconds = 1800)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(stats((1L, 0L)) == (2L, 600000000L)) // 2 events, 10 min span in µs
+    assert(stats((1L, 1L)) == (1L, 0L))
+    assert(stats((2L, 0L)) == (1L, 0L))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "different doc"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 2)
+    val hw = g.find(_.getLong(2) == 2L).get
+    assert(hw.getLong(1) == 1L) // keeps smallest id
+    assert(Dedup.dropExactDuplicates(docs, "text", "doc_id").count() == 2)
+  }
+
+  test("minhash LSH finds crafted near-duplicates, jaccard exact") {
+    val s = spark; import s.implicits._
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"token$i").mkString(" ") + " extra1 extra2"
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    val j = Dedup.ngramJaccard(cands, docs, "text", "doc_id", shingleN = 1)
+      .filter(col("id_a") === 1 && col("id_b") === 2).head()
+    // token sets: |inter|=38, |union|=42
+    assert(j.getAs[Long]("n_inter") == 38L && j.getAs[Long]("n_union") == 42L)
+    assert(j.getAs[Long]("jaccard_bp") == 38L * 10000L / 42L)
+  }
+
+  test("simhash: near-identical docs within small hamming distance, candidates found") {
+    val s = spark; import s.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"tok$i").mkString(" ") + " tok61"
+    val other = (200 to 260).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(2L)) < hamming(sims(1L), sims(3L)))
+    val cands = Dedup.simhashCandidates(docs, "text", "doc_id", maxDist = hamming(sims(1L), sims(2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("cosine + brute-force top-k on known vectors") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2), (3L, 3))) // by descending cosine
+    val c = vecs.filter(col("vec_id") === 0)
+      .select(Similarity.cosine(col("embedding"), array(lit(1.0), lit(0.0)))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("IVF top-k recalls the exact neighbor when query and neighbor share a bucket") {
+    val s = spark; import s.implicits._
+    // 40 vectors on a ring; centroidMod 10 → 4 centroids
+    val vecs = (0 until 40).map { i =>
+      val a = 2 * math.Pi * i / 40.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 1), k = 2,
+      centroidMod = 10, nProbe = 2)
+    val ids = res.collect().map(_.getLong(1)).toSet
+    assert(ids.subsetOf(Set(0L, 2L, 3L))) // true neighbors of #1 on the ring
+    assert(ids.size == 2)
+  }
+
+  test("language id picks the language with most stopword hits, alphabetical ties") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist auf"),
+      (3L, "el gato y la casa que es"),
+      (4L, "xyzzy plugh")) // no hits anywhere → tie → 'de' (alphabetical)
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextOps.langId(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "de"))
+  }
+
+  test("quality columns: exact ratios on a crafted doc") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "the fox! jumps 42 high")).toDF("doc_id", "text")
+    val cols = TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+    val r = docs.select(cols: _*).head()
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    assert(r.getAs[Double]("punct_ratio") == math.rint(1.0 / 22.0 * 10000) / 10000)
+    assert(r.getAs[Double]("digit_ratio") == math.rint(2.0 / 22.0 * 10000) / 10000)
+    assert(r.getAs[Double]("stopword_ratio") == 0.2) // "the" of 5
+  }
+
+  test("multimodal: pack → stub decode → features + frame sampling") {
+    val s = spark; import s.implicits._
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.packFromText(docs, "doc_id", "text")
+    assert(media.select("kind").distinct().count() == 3)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 4)
+    val f0 = feats.find(_.media_id == 0L).get
+    assert(f0.n_bytes == 5L && f0.magic == "616c7068") // "alph" hex
+    assert(f0.feature.length == 8)
+    // determinism: same payload → same hash
+    val again = Multimodal.extractFeatures(media).collect().find(_.media_id == 0L).get
+    assert(again.content_hash == f0.content_hash)
+    val frames = Multimodal.sampleFrames(media, stride = 8)
+    assert(frames.filter(col("media_id") === 2L).count() > 0) // id 2 → video
+    assert(frames.select("media_id").distinct().count() >= 1)
+  }
+
+  test("structured streaming: windowed counts over parquet match batch") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-in").toString
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:25:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0))
+      .toDF("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.StreamingOps.readEvents(s, dir, batch.schema)
+    // complete mode: append would hold windows back until the watermark
+    // passes them, which never happens with a single micro-batch
+    graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.windowedCounts(stream), "stream_out",
+      outputMode = "complete")
+    val got = s.sql("SELECT event_type, n FROM stream_out ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("click", 2L), ("view", 1L)))
+  }
+}
