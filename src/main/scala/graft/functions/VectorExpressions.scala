@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst kernels for embedding math.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) are interpreted —
+  * a cosine via HOFs costs ~4 boxed lambda evaluations per element per
+  * pair, which dominates ANN scoring (measured: the IVF assignment's
+  * 675k-pair × 64-dim scoring spent seconds in `ArrayTransform.eval`).
+  * These expressions generate a tight primitive loop inside whole-stage
+  * codegen (with an equally tight interpreted fallback), reading float or
+  * double arrays directly.
+  *
+  * Accumulation order is sequential left-to-right, matching both the HOF
+  * formulation and DuckDB's `list_cosine_similarity` on DOUBLE[] — results
+  * are bit-identical to the oracle's within one rounding step.
+  */
+object VectorExpressions {
+
+  private def elemGetter(et: DataType, arr: String, i: String): String = et match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case _ => throw new IllegalArgumentException(s"unsupported element type $et")
+  }
+
+  private def elemAt(et: DataType, arr: ArrayData, i: Int): Double = et match {
+    case FloatType => arr.getFloat(i).toDouble
+    case DoubleType => arr.getDouble(i)
+    case _ => throw new IllegalArgumentException(s"unsupported element type $et")
+  }
+
+  abstract class VectorBinary extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if Seq(l, r).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+    protected def leftElem: DataType =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    protected def rightElem: DataType =
+      right.dataType.asInstanceOf[ArrayType].elementType
+  }
+
+  /** dot(a, b): Σ a_i·b_i over min(len) elements. */
+  case class DotProduct(left: Expression, right: Expression) extends VectorBinary {
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += elemAt(leftElem, x, i) * elemAt(rightElem, y, i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ${elemGetter(leftElem, a, i)} * ${elemGetter(rightElem, b, i)};
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cosine(a, b) = dot / (sqrt(Σa²)·sqrt(Σb²)), fused single pass. */
+  case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinary {
+    override def prettyName: String = "vec_cosine"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = elemAt(leftElem, x, i); val yv = elemAt(rightElem, y, i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = ${elemGetter(leftElem, a, i)};
+           |  double $yv = ${elemGetter(rightElem, b, i)};
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def vec_cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+}

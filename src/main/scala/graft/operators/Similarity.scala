@@ -14,17 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric arrays (computed in double). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(transform(a, x => x.cast("double")), transform(b, x => x.cast("double")), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two numeric arrays (double; native codegen'd kernel —
+    * see graft.functions.VectorExpressions for why not zip_with/aggregate). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity (double; sequential left-to-right accumulation). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity (double; sequential accumulation, fused one-pass
+    * kernel — numerically identical to dot/(√Σa²·√Σb²) via HOFs and to
+    * DuckDB's list_cosine_similarity over DOUBLE[]). */
+  def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_cosine(a, b)
 
   /** Brute-force top-k cosine neighbors of each query vector.
     * Output: (qid, vec_id, score) with rank ≤ k per query; ties broken by
@@ -60,19 +59,26 @@ object Similarity {
     val cents = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
 
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col(vec), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cvec", "csim", "crank")
-    }
+    // Corpus assignment is the 100 TB side: argmax as a map-side-combinable
+    // max_by aggregate (ties → smallest cid), NOT a ranking window — a
+    // window would shuffle corpus×centroids scored rows by vector id.
+    val corpusAssigned = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("nvec"), col("cvec")))
+      .groupBy(col("nid"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"),
+        first(col("nvec")).as("nvec"))
 
-    val corpusAssigned = assign(
-      corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")), "nid", "nvec", 1)
-    val queryProbes = assign(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")), "qid", "qvec", nProbe)
+    // Query side is small; a ranking window gives the nProbe nearest lists.
+    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val queryProbes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= nProbe)
+      .drop("cvec", "csim", "crank")
 
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
     queryProbes.join(corpusAssigned, "cid")
