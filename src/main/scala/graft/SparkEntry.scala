@@ -63,7 +63,7 @@ object SparkEntry {
         |brick:Temperature_Sensor rdfs:subClassOf brick:Sensor .
         |brick:Sensor rdfs:subClassOf brick:Point .
         |ns:sen1 a brick:Zone_Air_Temperature_Sensor ;
-        |  brick:timeseries [ brick:hasTimeseriesId "42" ] .
+        |  brick:timeseries [ brick:hasTimeseriesId "7" ] .
         |""".stripMargin
     val quads = graft.sources.Turtle.parse(ttl, "b1")
       .map { case (su, p, o) => Model.Quad("urn:b1#", su, p, o) }.toDF()
@@ -295,8 +295,10 @@ object SparkEntry {
         .orderBy("media_id", "frame_index")
     }),
     "q28_ingest_roundtrip" -> ((s, dir) => {
-      // S4+S2: partitioned write + hive-discovery read-back
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+      // S4+S2: partitioned write + hive-discovery read-back (unique dir:
+      // a run-to-run shared path would leave a prior invocation's cached
+      // file index pointing at overwritten part files)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_${java.util.UUID.randomUUID()}"
       t(s, dir, "events").write.mode("overwrite")
         .partitionBy("event_type").parquet(out)
       s.read.parquet(out).groupBy("event_type")

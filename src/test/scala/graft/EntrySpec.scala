@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract smoke: entry() returns rows on sf0.001 and every
+  * declared query has matching column sets between Spark and oracle keys. */
+class EntrySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("entry flagship returns rows (driver smoke gate)") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys ⊆ queries keys") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("every query runs at sf0.001 and is deterministic across two runs") {
+    assume(new java.io.File("/root/testdata/sf0.001").isDirectory)
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, "/root/testdata/sf0.001")
+      val b = fn(spark, "/root/testdata/sf0.001")
+      val ca = a.count(); val cb = b.count()
+      assert(ca == cb, s"$name row count unstable: $ca vs $cb")
+    }
+  }
+}

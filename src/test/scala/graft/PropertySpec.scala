@@ -1,0 +1,98 @@
+package graft
+
+import graft.plans.Closure
+import graft.sources.Ingest
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5): closure = reachability; ingest
+  * round-trips sorted input; minhash similarity tracks Jaccard.
+  * (scalacheck generators sampled with fixed seeds — the scalatest
+  * bridge artifact isn't in the offline dependency set). */
+class PropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  /** Deterministic samples from a generator. */
+  def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  val edgeGen: Gen[List[(String, String)]] = for {
+    n <- Gen.choose(2, 12)
+    m <- Gen.choose(1, 25)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+    } yield (s"n$a", s"n$b"))
+  } yield edges
+
+  def reachability(edges: List[(String, String)]): Set[(String, String)] = {
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    nodes.flatMap { start =>
+      var seen = Set.empty[String]
+      var frontier = adj.getOrElse(start, Set.empty)
+      while (frontier.nonEmpty) {
+        val fresh = frontier.diff(seen)
+        seen ++= fresh
+        frontier = fresh.flatMap(adj.getOrElse(_, Set.empty))
+      }
+      seen.map(start -> _)
+    }
+  }
+
+  test("closure (driver BFS and distributed fixpoint) == BFS reachability, incl. cycles") {
+    val s = spark; import s.implicits._
+    samples(edgeGen, 8).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val expect = reachability(edges)
+      val driver = Closure.transitive(df).as[(String, String)].collect().toSet
+      assert(driver == expect, s"driver-side closure wrong for $edges")
+      val dist = Closure.transitive(df, driverSideLimit = 0).as[(String, String)].collect().toSet
+      assert(dist == expect, s"distributed closure wrong for $edges")
+    }
+  }
+
+  test("ingest round-trip: parquet content == time-sorted CSV input") {
+    val s = spark; import s.implicits._
+    val cases = samples(Gen.zip(Gen.choose(5, 200), Gen.choose(0L, 1000000L)), 4)
+    cases.foreach { case (n, offset) =>
+      val csv = java.nio.file.Files.createTempDirectory("prop-csv")
+      val dest = java.nio.file.Files.createTempDirectory("prop-fact").resolve("d").toString
+      val uuid = java.util.UUID.nameUUIDFromBytes(s"$n-$offset".getBytes).toString
+      val base = java.time.Instant.parse("2020-01-01T00:00:00Z").plusSeconds(offset)
+      val rows = (0 until n).map(i =>
+        (base.plusSeconds(37L * i), math.sin(i) * 100))
+      val shuffled = new scala.util.Random(n).shuffle(rows)
+      java.nio.file.Files.write(csv.resolve(s"$uuid.csv"),
+        (s"datetime,lbl" +: shuffled.map { case (t, v) =>
+          s"${t.toString.replace("T", " ").replace("Z", "+00:00")},$v"
+        }).mkString("\n").getBytes)
+      Ingest.transform(spark, "c1", csv.toString, dest)
+      val got = spark.read.parquet(dest)
+        .select("time", "value").collect()
+        .map(r => (r.getTimestamp(0).toInstant, r.getDouble(1)))
+      assert(got.length == n)
+      assert(got.map(_._1).toSeq == rows.map(_._1).toSeq) // time-sorted
+      assert(got.toSet == rows.toSet)
+    }
+  }
+
+  test("minhash signature agreement approximates Jaccard similarity ordering") {
+    val s = spark; import s.implicits._
+    // doc pairs with decreasing overlap → signature agreement must decrease
+    val docs = Seq(
+      (0L, (1 to 50).map("t" + _).mkString(" ")),
+      (1L, (1 to 45).map("t" + _).mkString(" ") + " x1 x2 x3 x4 x5"), // J≈0.82
+      (2L, (1 to 25).map("t" + _).mkString(" ") + " " + (1 to 25).map("y" + _).mkString(" ")), // J≈0.33
+      (3L, (1 to 50).map("z" + _).mkString(" "))) // J=0
+      .toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "text", "doc_id", k = 64, shingleN = 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Long, b: Long) = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    assert(agree(0L, 1L) > agree(0L, 2L))
+    assert(agree(0L, 2L) > agree(0L, 3L))
+    assert(agree(0L, 3L) <= 3) // J=0 → near-zero agreement
+  }
+}
