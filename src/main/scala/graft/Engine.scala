@@ -120,10 +120,27 @@ object Engine {
   val DefaultEnd = "2100-01-01T00:00:00Z"
 
   /** Build an engine from a directory of `.ttl` site graphs and the root of
-    * the partitioned fact table (reference: Client.__init__, client.py:15-31). */
+    * the partitioned fact table (reference: Client.__init__, client.py:15-31).
+    * The quads table is cached: the metadata graph is small relative to the
+    * fact table and every query replans over it (the reference keeps it in
+    * an on-disk store for the same reason). */
   def apply(spark: SparkSession, ttlDir: String, factRoot: String): Engine = {
-    val quads = Turtle.loadGraphs(spark, ttlDir)
+    val quads = Turtle.loadGraphs(spark, ttlDir).cache()
     val fact = spark.read.parquet(factRoot)
     new Engine(spark, quads, fact)
+  }
+
+  /** Point the session's Hadoop S3A client at a custom endpoint before
+    * reading an `s3a://` fact root — parity with the reference's
+    * `endpoint_override`/region S3FileSystem setup (client.py:26). */
+  def configureS3(
+      spark: SparkSession,
+      endpoint: Option[String] = None,
+      region: Option[String] = None,
+      pathStyleAccess: Boolean = true): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    endpoint.foreach(conf.set("fs.s3a.endpoint", _))
+    region.foreach(conf.set("fs.s3a.endpoint.region", _))
+    conf.set("fs.s3a.path.style.access", pathStyleAccess.toString)
   }
 }

@@ -294,6 +294,18 @@ object SparkEntry {
         Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text"), stride = 8)
         .orderBy("media_id", "frame_index")
     }),
+    "q29_embed_neardup" -> ((s, dir) => {
+      // exact label-blocked cosine near-dup pairs (engine-portable)
+      Dedup.blockedCosinePairs(t(s, dir, "embeddings"), "embedding", "vec_id",
+        "label", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+    "q30_embed_lsh_neardup" -> ((s, dir) => {
+      // hyperplane-LSH bucketed near-dup (scale path; planes from seed 42)
+      Dedup.embeddingCandidates(t(s, dir, "embeddings"), "embedding", "vec_id",
+        dim = 64, nPlanes = 12, threshold = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
     "q28_ingest_roundtrip" -> ((s, dir) => {
       // S4+S2: partitioned write + hive-discovery read-back (unique dir:
       // a run-to-run shared path would leave a prior invocation's cached
@@ -519,6 +531,13 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens,
         |  md5(array_to_string(toks, ' ')) AS fingerprint
         |FROM base ORDER BY doc_id""".stripMargin,
+    "q29_embed_neardup" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
     "q28_ingest_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

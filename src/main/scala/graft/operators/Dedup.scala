@@ -46,11 +46,41 @@ object Dedup {
     * and everything stays in whole-stage codegen. */
   def minhashSignatures(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 64, shingleN: Int = 3): DataFrame = {
-    val hashed = df.select(
-      col(idCol).as("id"),
-      explode(array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+      k: Int = 64, shingleN: Int = 3): DataFrame =
+    minAggSignatures(shingleHashes(df, textCol, idCol, shingleN), k)
+
+  /** (id, h) shingle-hash pairs, fully codegen'd: posexplode the token
+    * array hashing each token immediately (the window shuffle then carries
+    * longs, not strings), form n-gram identities as hash-of-consecutive-
+    * token-hashes with `lead` windows. The window and the downstream
+    * per-doc min-aggregation share partitioning — ONE shuffle total, and
+    * no dedup pass: `min` is idempotent to duplicate shingles, so MinHash
+    * over the multiset equals MinHash over the set. Avoids per-row
+    * interpreted `array_distinct` (O(n²) UTF8 comparisons) and HOF
+    * slice/concat loops entirely. */
+  private[operators] def shingleHashes(
+      df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNexts = (1 until shingleN).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"h$j", lead(col("h0"), j).over(w))
+    }
+    val hashCols = (0 until shingleN).map(j => col(s"h$j"))
+    // full n-grams, plus the pos-0 row for docs shorter than n tokens
+    // (null-lead hashes coalesce to 0 → whole-short-doc shingle identity)
+    withNexts
+      .filter(col(s"h${shingleN - 1}").isNotNull || col("pos") === 0)
+      .select(col("id"),
+        xxhash64(hashCols.map(c => coalesce(c, lit(0L))): _*).as("h"))
+  }
+
+  private def minAggSignatures(hashed: DataFrame, k: Int): DataFrame = {
+    // k independent permutations by re-salting the base hash (an affine
+    // wrap-around family would be cheaper, but Spark 4's default ANSI mode
+    // turns the deliberate long overflow into a runtime error)
     val aggs = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
     hashed.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -87,8 +117,13 @@ object Dedup {
   def ngramJaccard(
       pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3): DataFrame = {
+    // shingle sets only for docs that appear in a candidate pair — at scale
+    // the candidate set is orders of magnitude smaller than the corpus
+    val needed = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
     val sets = df.select(col(idCol).as("id"),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
+      .join(needed, Seq("id"), "left_semi")
     pairs
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -153,6 +188,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact near-duplicate pairs by embedding cosine within equality blocks
+    * (e.g. a label/cluster column): all in-block pairs scored with the
+    * native cosine kernel. The blocking column bounds the quadratic term —
+    * the engine-portable (oracle-able) counterpart of the hyperplane-LSH
+    * variant below. */
+  def blockedCosinePairs(
+      df: DataFrame, vecCol: String, idCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, bucketed by
     * random-hyperplane signs (`planes` deterministic from `seed`), exact
     * cosine computed only within buckets. */
@@ -162,17 +213,12 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    val v = transform(col(vecCol), x => x.cast("double"))
-    // one expression, planes as a single array<array<double>> literal:
-    // hyperplane signs accumulate into the bucket id in one pass
-    val planesLit = array(planes.map(p => array(p.map(lit): _*)): _*)
-    val masks = array((0 until nPlanes).map(j => lit(1L << j)): _*)
-    val bucket = aggregate(
-      zip_with(planesLit, masks, (plane, mask) => {
-        val d = aggregate(zip_with(v, plane, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
-        when(d > 0, mask).otherwise(lit(0L))
-      }),
-      lit(0L), (a, x) => a + x)
+    // hyperplane signs via the native dot kernel against foldable plane
+    // literals — nPlanes codegen'd loops per row, no interpreted lambdas
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val d = Similarity.dot(col(vecCol), array(p.map(lit): _*))
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       bucket.as("bucket"))
     val a = bucketed.as("a")

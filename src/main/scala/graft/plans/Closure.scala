@@ -33,7 +33,11 @@ object Closure {
   def transitive(edges: DataFrame, maxIter: Int = 50,
       driverSideLimit: Long = DriverSideLimit): DataFrame = {
     val spark = edges.sparkSession
-    val e = edges.select(col("src").cast("string"), col("dst").cast("string")).distinct()
+    // materialize ONCE: the strategy-choice count, the BFS collect or every
+    // fixpoint round all reuse `e` — without the checkpoint each reuse
+    // would re-derive the whole upstream plan (scans included)
+    val e = edges.select(col("src").cast("string"), col("dst").cast("string"))
+      .distinct().localCheckpoint()
     val edgeCount = e.count()
     if (edgeCount == 0) e
     else if (edgeCount <= driverSideLimit) driverSide(spark, e)
@@ -59,8 +63,15 @@ object Closure {
   }
 
   private def distributed(e: DataFrame, maxIter: Int): DataFrame = {
-    var closure = e.localCheckpoint()
-    var frontier = closure
+    // Semi-naive: each round extends only the FRESH frontier. Frontiers are
+    // pairwise disjoint by construction (each is anti-joined against the
+    // union of all previous), so the final result is a plain union — no
+    // closing distinct, and no re-checkpointing of the whole closure per
+    // round (only the new frontier is checkpointed; lineage stays bounded
+    // by the graph diameter).
+    //
+    val frontiers = scala.collection.mutable.ArrayBuffer(e)
+    var frontier = e
     var iter = 0
     var growing = true
     while (growing && iter < maxIter) {
@@ -69,14 +80,15 @@ object Closure {
         .join(e.as("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-      val fresh = step.join(closure, Seq("src", "dst"), "left_anti").localCheckpoint()
+      val seen = frontiers.reduce(_ union _)
+      val fresh = step.join(seen, Seq("src", "dst"), "left_anti").localCheckpoint()
       if (fresh.isEmpty) growing = false
       else {
-        closure = closure.union(fresh).localCheckpoint()
+        frontiers += fresh
         frontier = fresh
       }
     }
-    closure
+    frontiers.reduce(_ union _)
   }
 
   /** Reflexive closure: union zero-length pairs for every node in `nodes`
