@@ -38,9 +38,14 @@ final class Engine(
     *
     * Every result column is a string — the reference stringifies every RDF
     * term (client.py:43,53). */
+  /** Union-of-graphs triples, deduped once and cached: every BGP atom of
+    * every un-scoped query re-reads this relation. */
+  private lazy val unionTriples: DataFrame =
+    quads.select("s", "p", "o").distinct().cache()
+
   def sparql(query: String, sites: Seq[String] = Nil): DataFrame = {
     val q = Sparql.parse(query)
-    if (sites.isEmpty) BgpPlanner.evaluate(quads, q, None)
+    if (sites.isEmpty) BgpPlanner.evaluateTriples(unionTriples, q)
     else sites.map { site =>
       BgpPlanner.evaluate(quads, q, Some(s"urn:$site#"))
         .withColumn("site", lit(site))

@@ -37,10 +37,6 @@ object BgpPlanner {
   /** Evaluate `q` over `quads` ((graph,s,p,o) strings). `graph`=None means
     * default-union semantics (reference: setup-graphs.py:14). */
   def evaluate(quads: DataFrame, q: Query, graph: Option[String] = None): DataFrame = {
-    val spark = quads.sparkSession
-    var pathCounter = 0
-    def freshPathVar(): Term = { pathCounter += 1; V(s"_path$pathCounter") }
-
     // Graph scoping. Under union, the same triple may live in several named
     // graphs (the reference merges the ontology into EVERY graph,
     // setup-graphs.py:22) — union semantics are set semantics, so dedup.
@@ -48,6 +44,17 @@ object BgpPlanner {
       case Some(g) => quads.filter(col("graph") === g).select("s", "p", "o")
       case None => quads.select("s", "p", "o").distinct()
     }
+    evaluateTriples(scoped, q)
+  }
+
+  /** Evaluate over an already graph-scoped, deduplicated (s,p,o) relation.
+    * Callers issuing many queries should cache that relation once (see
+    * Engine) — every triple pattern re-reads it, and re-running the
+    * scope+distinct per atom is the planner's only repeated subtree. */
+  def evaluateTriples(scoped: DataFrame, q: Query): DataFrame = {
+    val spark = scoped.sparkSession
+    var pathCounter = 0
+    def freshPathVar(): Term = { pathCounter += 1; V(s"_path$pathCounter") }
 
     // Expand property paths into single-step atoms with fresh join vars.
     val atoms: List[Atom] = q.patterns.flatMap { tp =>

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured-Streaming surface of the engine.
@@ -33,6 +33,47 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Minimal event shape for stateful sessionization. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  /** One closed session: count + span. */
+  final case class ClosedSession(
+      user_id: Long, n_events: Long, start: java.sql.Timestamp, end: java.sql.Timestamp)
+
+
+  /** Custom streaming state: per-user sessionization via
+    * flatMapGroupsWithState. A session closes when a gap > `gapSeconds`
+    * appears in a user's event-time sequence (batch-order approximation on
+    * sorted micro-batch input; the batch counterpart is
+    * [[graft.operators.Events.sessionize]]). */
+  def sessionizeStream(
+      events: Dataset[SessionEvent], gapSeconds: Long = 1800): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val stEnc = Encoders.product[graft.streaming.SessionState]
+    implicit val longEnc = Encoders.scalaLong
+    val gapUs = gapSeconds * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            st match {
+              case null => st = SessionState(1, us, us)
+              case s if us - s.lastUs > gapUs =>
+                closed += ClosedSession(user, s.n,
+                  new java.sql.Timestamp(s.startUs / 1000), new java.sql.Timestamp(s.lastUs / 1000))
+                st = SessionState(1, us, us)
+              case s => st = SessionState(s.n + 1, s.startUs, us)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.iterator
+        })
+  }
+
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
@@ -46,3 +87,7 @@ object StreamingOps {
     q
   }
 }
+
+/** Per-user open-session state (top-level: Catalyst's state encoder
+  * generates code that needs a public constructor). */
+final case class SessionState(n: Long, startUs: Long, lastUs: Long)

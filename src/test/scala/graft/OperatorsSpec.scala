@@ -182,4 +182,25 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("click", 2L), ("view", 1L)))
   }
+
+  test("stateful streaming sessionization closes sessions on gaps") {
+    val s = spark; import s.implicits._
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("sess-in").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 12:00:00")), // gap > 30 min -> closes first session
+      (2L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts").write.mode("overwrite").parquet(dir)
+    val in = s.readStream
+      .schema("user_id LONG, ts TIMESTAMP").parquet(dir)
+      .as[StreamingOps.SessionEvent]
+    StreamingOps.runToMemory(StreamingOps.sessionizeStream(in, 1800).toDF(), "sess_out")
+    val got = s.sql("SELECT user_id, n_events FROM sess_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only user 1's FIRST session closed within the batch (2 events);
+    // open sessions remain in state
+    assert(got == Set((1L, 2L)))
+  }
 }
