@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration: makes the engine's native
+  * expressions callable from SQL text.
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+  *   spark.sql("SELECT vec_cosine(a.embedding, b.embedding) ...")
+  *
+  * (For an existing session, use [[GraftExtensions.register]].)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftExtensions.vecDot)
+    e.injectFunction(GraftExtensions.vecCosine)
+  }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private[graft] val vecDot =
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1)))
+
+  private[graft] val vecCosine =
+    (FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
+
+  /** Register the functions on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", args => DotProduct(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cosine", args => CosineSimilarity(args(0), args(1)), "built-in")
+  }
+}
