@@ -91,7 +91,7 @@ final class Engine(
       .map(_.getString(0))
       .toSeq
     val df = data(ids, start, end)
-    if (limit >= 0) df.limit(limit.toInt) else df
+    if (limit >= 0) df.limit(math.min(limit, Int.MaxValue.toLong).toInt) else df
   }
 
   /** Stream query results into CSV files under `path`, header-free append —

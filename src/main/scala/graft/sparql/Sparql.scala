@@ -159,12 +159,28 @@ object Sparql {
       val patterns = ArrayBuffer[TriplePattern]()
       skipWs()
       while (peek != '}') {
+        rejectUnsupported()
         parseTriplesSameSubject(patterns)
         skipWs()
         if (peek == '.') { pos += 1; skipWs() }
       }
       pos += 1
       Query(projection.toList, distinct, patterns.toList, order.toList)
+    }
+
+    /** Name the gap explicitly: these SPARQL 1.1 constructs are dead
+      * surface for the reference's usage (SURVEY.md §2.8) and rejected
+      * with a clear message rather than a confusing parse error. */
+    private def rejectUnsupported(): Unit = {
+      val unsupported = Seq("FILTER", "OPTIONAL", "UNION", "MINUS", "GRAPH",
+        "BIND", "VALUES", "SERVICE")
+      unsupported.foreach { kw =>
+        if (in.regionMatches(true, pos, kw, 0, kw.length) &&
+            (pos + kw.length >= n || !in.charAt(pos + kw.length).isLetterOrDigit))
+          err(s"$kw is outside the supported SPARQL subset " +
+            "(basic graph patterns, sequence/zero-or-more property paths, " +
+            "blank nodes; see SURVEY.md §2.8)")
+      }
     }
 
     private def freshAnon(): Term = { anonCounter += 1; V(s"_anon$anonCounter") }

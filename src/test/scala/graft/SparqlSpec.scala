@@ -125,4 +125,13 @@ class SparqlSpec extends AnyFunSuite {
     val q2 = Sparql.parse(prefix + "SELECT ?v WHERE { ?v brick:hasPoint ?p . }")
     assert(BgpPlanner.evaluate(quads, q2).count() == 2) // projection keeps dups
   }
+
+  test("unsupported SPARQL constructs rejected with a named error") {
+    Seq("FILTER(?x > 3)", "OPTIONAL { ?a ?b ?c }", "BIND(1 AS ?x)").foreach { frag =>
+      val e = intercept[IllegalArgumentException] {
+        Sparql.parse(s"SELECT ?s WHERE { ?s <urn:p> <urn:o> . $frag }")
+      }
+      assert(e.getMessage.contains("outside the supported SPARQL subset"), e.getMessage)
+    }
+  }
 }
