@@ -117,20 +117,33 @@ object Dedup {
   def ngramJaccard(
       pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3): DataFrame = {
-    // shingle sets only for docs that appear in a candidate pair — at scale
-    // the candidate set is orders of magnitude smaller than the corpus
-    val needed = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id"))).distinct()
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("sh"))
-      .join(needed, Seq("id"), "left_semi")
-    pairs
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("n_union", size(array_union(col("sh_a"), col("sh_b"))).cast("long"))
+    // Shingle sets only for docs that appear in a candidate pair — at scale
+    // the candidate set is orders of magnitude smaller than the corpus —
+    // and set algebra as codegen'd joins over (id, shingle-hash) rows
+    // rather than interpreted per-row array_intersect/array_union:
+    // |A∩B| by equi-join on the hash, |A∪B| = |A|+|B|−|A∩B|.
+    // materialize the candidate pairs once: they are referenced three times
+    // below, and `pairs` is typically itself a multi-stage LSH pipeline
+    val p = pairs.localCheckpoint()
+    val needed = p.select(col("id_a").as("id"))
+      .union(p.select(col("id_b").as("id"))).distinct()
+    val sets = shingleHashes(df.join(needed.withColumnRenamed("id", idCol),
+        Seq(idCol), "left_semi"), textCol, idCol, shingleN)
+      .dropDuplicates("id", "h")
+      .localCheckpoint() // reused 3×: two join sides + the size table
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = p
+      .join(sets.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    p
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("_sza")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("_szb")), "id_b")
+      .withColumn("n_union", col("_sza") + col("_szb") - col("n_inter"))
       .withColumn("jaccard_bp", expr("n_inter * 10000 DIV n_union"))
-      .drop("sh_a", "sh_b")
+      .drop("_sza", "_szb")
   }
 
   /** Bit masks 2^0..2^63 as one foldable array literal. */
