@@ -1,0 +1,128 @@
+package graft
+
+import graft.Model.Quad
+import graft.sparql.{BgpPlanner, Sparql}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential property test: the DataFrame BGP planner vs a naive
+  * in-memory evaluator, over random micro-graphs and random queries
+  * (including zero-or-more path steps). Distinct solution sets over the
+  * named variables must agree exactly. */
+class BgpPropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  import Sparql._
+
+  val nodes = (0 until 6).map(i => s"urn:n$i")
+  val preds = (0 until 3).map(i => s"urn:p$i")
+
+  val graphGen: Gen[Set[(String, String, String)]] =
+    Gen.listOfN(14, for {
+      s <- Gen.oneOf(nodes); p <- Gen.oneOf(preds); o <- Gen.oneOf(nodes)
+    } yield (s, p, o)).map(_.toSet)
+
+  def termGen(vars: Seq[String]): Gen[Term] = Gen.frequency(
+    3 -> Gen.oneOf(vars).map(V),
+    1 -> Gen.oneOf(nodes).map(I))
+
+  def patternGen(vars: Seq[String]): Gen[TriplePattern] = for {
+    s <- termGen(vars)
+    o <- termGen(vars)
+    p1 <- Gen.oneOf(preds)
+    star <- Gen.oneOf(true, false)
+    twoStep <- Gen.oneOf(true, false)
+    p2 <- Gen.oneOf(preds)
+  } yield {
+    val path =
+      if (twoStep) List(Step(p1, star = false), Step(p2, star))
+      else List(Step(p1, star))
+    TriplePattern(s, path, o)
+  }
+
+  val queryGen: Gen[Query] = for {
+    nPat <- Gen.choose(1, 3)
+    pats <- Gen.listOfN(nPat, patternGen(Seq("a", "b", "c")))
+  } yield {
+    val named = pats.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }.distinct
+    Query(Nil, distinct = false, pats, named.toList)
+  }
+
+  // ---- naive evaluator -------------------------------------------------
+  def reach(ts: Set[(String, String, String)], p: String): Set[(String, String)] = {
+    val edges = ts.collect { case (s, q, o) if q == p => (s, o) }
+    val terms = ts.flatMap(t => Seq(t._1, t._3))
+    var closure = edges
+    var grew = true
+    while (grew) {
+      val next = for ((a, b) <- closure; (c, d) <- edges if b == c) yield (a, d)
+      val merged = closure ++ next
+      grew = merged.size > closure.size
+      closure = merged
+    }
+    closure ++ terms.map(t => (t, t))
+  }
+
+  def naive(ts: Set[(String, String, String)], q: Query): Set[List[String]] = {
+    // expand paths into atoms with fresh internal vars
+    var ctr = 0
+    val atoms = q.patterns.flatMap { tp =>
+      var subj = tp.s
+      tp.path.zipWithIndex.map { case (st, i) =>
+        val obj = if (i == tp.path.length - 1) tp.o else { ctr += 1; V(s"_i$ctr") }
+        val a = (subj, st, obj); subj = obj; a
+      }
+    }
+    def rel(st: Step): Set[(String, String)] =
+      if (st.star) reach(ts, st.iri)
+      else ts.collect { case (s, p, o) if p == st.iri => (s, o) }
+    var sols: Set[Map[String, String]] = Set(Map.empty)
+    atoms.foreach { case (s, st, o) =>
+      val r = rel(st)
+      // bind sequentially so a variable repeated within ONE atom
+      // (e.g. `?c p ?c`) constrains both positions
+      def bind(m: Map[String, String], t: Term, v: String): Option[Map[String, String]] =
+        t match {
+          case V(n) => m.get(n) match {
+            case Some(b) => if (b == v) Some(m) else None
+            case None => Some(m + (n -> v))
+          }
+          case I(i) => if (i == v) Some(m) else None
+          case L(l) => if (l == v) Some(m) else None
+        }
+      sols = for {
+        m <- sols
+        (x, y) <- r
+        m1 <- bind(m, s, x)
+        m2 <- bind(m1, o, y)
+      } yield m2
+    }
+    sols.map(m => q.selected.map(m.getOrElse(_, null)))
+  }
+
+  test("planner solutions == naive BGP evaluation on random graphs/queries") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 12).flatMap { i =>
+      for {
+        g <- graphGen(Gen.Parameters.default, Seed(i.toLong))
+        q <- queryGen(Gen.Parameters.default, Seed(1000L + i))
+      } yield (g, q)
+    }
+    assert(cases.nonEmpty)
+    cases.foreach { case (g, q) =>
+      // skip degenerate queries with no named vars (planner requires ≥1)
+      if (q.selected.nonEmpty) {
+        val quads = g.toSeq.map { case (su, p, o) => Quad("urn:g#", su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naive(g, q)
+        assert(got == want,
+          s"mismatch for query ${q.patterns} over ${g.size} triples: " +
+            s"planner=${got.size} naive=${want.size}")
+      }
+    }
+  }
+}

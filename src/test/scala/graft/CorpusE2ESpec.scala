@@ -1,0 +1,84 @@
+package graft
+
+import graft.sources.{Ingest, Turtle}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end over the REAL 45-graph corpus: the reference's flagship
+  * sensor/setpoint/VAV query (client.py:129-140) with a micro Brick
+  * ontology injected (offline stand-in for the nightly Brick.ttl the
+  * reference merges into every graph, setup-graphs.py:22), driving a
+  * pruned scan over an ingested fact table for the discovered uuids. */
+class CorpusE2ESpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  val graphsDir = "/root/reference/mortar-parquet-client/graphs"
+
+  val query1: String =
+    """PREFIX brick: <https://brickschema.org/schema/Brick#>
+      |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+      |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |SELECT ?vav ?sen ?sp WHERE {
+      |  ?sen_point rdf:type/rdfs:subClassOf* brick:Temperature_Sensor ;
+      |      brick:timeseries [ brick:hasTimeseriesId ?sen ] .
+      |  ?sp_point rdf:type/rdfs:subClassOf* brick:Temperature_Setpoint ;
+      |      brick:timeseries [ brick:hasTimeseriesId ?sp ] .
+      |  ?vav a brick:VAV .
+      |  ?vav brick:hasPoint ?sen_point, ?sp_point .
+      |}""".stripMargin
+
+  test("flagship query over real graphs + micro ontology → uuids → pruned scan") {
+    assume(new java.io.File(graphsDir).isDirectory)
+    val s = spark
+    import s.implicits._
+
+    // micro ontology: just the subclass edges the flagship query traverses,
+    // merged into EVERY named graph exactly as the reference does with the
+    // full Brick ontology (setup-graphs.py:22 — site-scoped queries must
+    // see the hierarchy inside their own graph)
+    val edges = Seq(
+      ("https://brickschema.org/schema/Brick#Zone_Air_Temperature_Sensor",
+        "https://brickschema.org/schema/Brick#Air_Temperature_Sensor"),
+      ("https://brickschema.org/schema/Brick#Air_Temperature_Sensor",
+        "https://brickschema.org/schema/Brick#Temperature_Sensor"),
+      ("https://brickschema.org/schema/Brick#Zone_Air_Temperature_Setpoint",
+        "https://brickschema.org/schema/Brick#Air_Temperature_Setpoint"),
+      ("https://brickschema.org/schema/Brick#Air_Temperature_Setpoint",
+        "https://brickschema.org/schema/Brick#Temperature_Setpoint"))
+    val siteQuads = Turtle.loadGraphs(spark, graphsDir)
+    val graphNames = siteQuads.select("graph").distinct().as[String].collect()
+    val ontology = graphNames.toSeq.flatMap(g =>
+      edges.map { case (a, b) => Model.Quad(g, a, Model.RdfsSubClassOf, b) }).toDF()
+    val quads = siteQuads.unionByName(ontology)
+    val engine = new Engine(spark, quads, spark.range(0).toDF())
+
+    val bindings = engine.sparql(query1, sites = Seq("bldg1", "bldg2"))
+    val rows = bindings.collect()
+    assert(rows.nonEmpty, "flagship query should bind on real graphs with the hierarchy present")
+    // bldg1 types its zone sensors directly; verify a known VAV shows up
+    assert(rows.exists(_.getString(0).contains("bldg1")))
+    val sensorIds = rows.map(_.getString(1)).distinct
+    assert(sensorIds.forall(_.matches("[0-9a-f-]{36}")))
+
+    // ingest a fact table for two of the discovered streams and run the
+    // full two-level flow (uuid IN (...) AND time range)
+    val csv = Files.createTempDirectory("corpus-csv")
+    val base = java.time.Instant.parse("2016-01-01T00:00:00Z")
+    sensorIds.take(2).foreach { id =>
+      val lines = (0 until 500).map(i =>
+        s"${base.plusSeconds(600L * i).toString.replace("T", " ").replace("Z", "+00:00")},${20 + (i % 7) * 0.5}")
+      Files.write(csv.resolve(s"$id.csv"), (s"datetime,sensor" +: lines).mkString("\n").getBytes)
+    }
+    val factDir = Files.createTempDirectory("corpus-fact").resolve("d").toString
+    Ingest.transform(spark, "bldg1", csv.toString, factDir)
+    val engine2 = new Engine(spark, quads, spark.read.parquet(factDir))
+    val data = engine2.dataSparql(query1, sites = Seq("bldg1", "bldg2"),
+      start = "2016-01-01T00:00:00Z", end = "2016-01-02T00:00:00Z")
+    // 500 readings/stream at 10-min cadence → 145 rows in the first day
+    assert(data.count() == 2 * 145)
+    assert(data.select("uuid").distinct().count() == 2)
+  }
+}
