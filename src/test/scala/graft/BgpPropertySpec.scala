@@ -105,7 +105,7 @@ class BgpPropertySpec extends AnyFunSuite {
   test("planner solutions == naive BGP evaluation on random graphs/queries") {
     val s = spark
     import s.implicits._
-    val cases = (1 to 12).flatMap { i =>
+    val cases = (1 to 20).flatMap { i =>
       for {
         g <- graphGen(Gen.Parameters.default, Seed(i.toLong))
         q <- queryGen(Gen.Parameters.default, Seed(1000L + i))
