@@ -306,6 +306,18 @@ object SparkEntry {
         dim = 64, nPlanes = 12, threshold = 0.2)
         .orderBy("id_a", "id_b")
     }),
+    "q31_sample_per_group" -> ((s, dir) => {
+      // deterministic content-addressed downsampling: n docs per language
+      operators.Sampling.perGroup(t(s, dir, "documents"), "lang", "doc_id", n = 20)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    }),
+    "q32_normalize" -> ((s, dir) => {
+      // cleaning normalization (lower, strip punct, collapse whitespace)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("normalized"))
+        .orderBy("doc_id")
+    }),
     "q28_ingest_roundtrip" -> ((s, dir) => {
       // S4+S2: partitioned write + hive-discovery read-back (unique dir:
       // a run-to-run shared path would leave a prior invocation's cached
@@ -538,6 +550,17 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+    "q31_sample_per_group" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "q32_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS normalized
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q28_ingest_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -83,4 +83,9 @@ object TextOps {
     * (lower, single-spaced) text. */
   def md5Fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
+
+  /** Cleaning normalization for training text: lower-case, strip
+    * non-alphanumerics to spaces, collapse runs, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
 }
