@@ -91,6 +91,51 @@ object Closure {
     frontiers.reduce(_ union _)
   }
 
+  /** Nodes reachable from `start` via 1+ edges (forward), or that reach
+    * `start` (reverse). Frontier BFS — driver-side under the limit,
+    * distributed loop otherwise. Used by the SPARQL planner to evaluate
+    * `p*` atoms with a constant endpoint without materializing the full
+    * pairwise closure. */
+  def reachableFrom(
+      edges: DataFrame, start: String, reverse: Boolean = false,
+      maxIter: Int = 50, driverSideLimit: Long = DriverSideLimit): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.sql.functions.{col => c}
+    val e0 = edges.select(c("src").cast("string"), c("dst").cast("string")).distinct()
+    val e = (if (reverse) e0.select(c("dst").as("src"), c("src").as("dst")) else e0)
+      .localCheckpoint()
+    if (e.count() <= driverSideLimit) {
+      import spark.implicits._
+      val adj = e.as[(String, String)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val seen = scala.collection.mutable.Set[String]()
+      var frontier = adj.getOrElse(start, Set.empty[String])
+      while (frontier.nonEmpty) {
+        val fresh = frontier.diff(seen)
+        seen ++= fresh
+        frontier = fresh.flatMap(adj.getOrElse(_, Set.empty[String]))
+      }
+      seen.toSeq.toDF("node")
+    } else {
+      // seed with start's direct successors (NOT start itself — start only
+      // belongs in the result if a cycle brings it back)
+      var seen = e.filter(c("src") === start).select(c("dst").as("node"))
+        .distinct().localCheckpoint()
+      var frontier = seen
+      var iter = 0
+      var growing = !frontier.isEmpty
+      while (growing && iter < maxIter) {
+        iter += 1
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node")).distinct()
+          .join(seen, Seq("node"), "left_anti").localCheckpoint()
+        if (next.isEmpty) growing = false
+        else { seen = seen.union(next).localCheckpoint(); frontier = next }
+      }
+      seen
+    }
+  }
+
   /** Reflexive closure: union zero-length pairs for every node in `nodes`
     * (single column). */
   def withIdentity(closure: DataFrame, nodes: DataFrame): DataFrame = {

@@ -81,9 +81,32 @@ object BgpPlanner {
       Closure.withIdentity(Closure.transitive(edges), allTerms)
     })
 
+    /** Star atom with a constant endpoint: targeted BFS from the constant
+      * instead of the full pairwise closure — the selective form a query
+      * like `?x subClassOf* brick:Point` actually needs. */
+    def targetedStar(p: String, const: String, constIsObject: Boolean): DataFrame = {
+      val edges = scoped.filter(col("p") === p)
+        .select(col("s").as("src"), col("o").as("dst"))
+      val reached = graft.plans.Closure.reachableFrom(edges, const, reverse = constIsObject)
+      val spark2 = scoped.sparkSession
+      import spark2.implicits._
+      val withSelf = reached.select(col("node"))
+        .union(Seq(const).toDF("node")).distinct() // zero-length path
+      if (constIsObject)
+        withSelf.select(col("node").as("as"), lit(const).as("ao"))
+      else
+        withSelf.select(lit(const).as("as"), col("node").as("ao"))
+    }
+
     def atomDF(a: Atom): Option[DataFrame] = {
       val rel =
-        if (a.star) closureFor(a.p).toDF("as", "ao")
+        if (a.star) (a.s, a.o) match {
+          case (V(_), I(c)) => targetedStar(a.p, c, constIsObject = true)
+          case (V(_), L(c)) => targetedStar(a.p, c, constIsObject = true)
+          case (I(c), _) => targetedStar(a.p, c, constIsObject = false)
+          case (L(c), _) => targetedStar(a.p, c, constIsObject = false)
+          case _ => closureFor(a.p).toDF("as", "ao")
+        }
         else scoped.filter(col("p") === a.p).select(col("s").as("as"), col("o").as("ao"))
       val filtered = (a.s, a.o) match {
         case (V(x), V(y)) if x == y => rel.filter(col("as") === col("ao"))
