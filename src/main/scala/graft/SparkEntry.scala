@@ -318,6 +318,20 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.normalize(col("text")).as("normalized"))
         .orderBy("doc_id")
     }),
+    "q33_distinct_agg" -> ((s, dir) => {
+      // distinct-aggregate shape (exact)
+      t(s, dir, "events").groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    }),
+    "q34_rollup" -> ((s, dir) => {
+      // grouping sets: ROLLUP subtotals over returnflag/linestatus
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
     "q28_ingest_roundtrip" -> ((s, dir) => {
       // S4+S2: partitioned write + hive-discovery read-back (unique dir:
       // a run-to-run shared path would leave a prior invocation's cached
@@ -561,6 +575,14 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
         |    ' +', ' ', 'g')) AS normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q34_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q28_ingest_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
