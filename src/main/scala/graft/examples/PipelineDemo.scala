@@ -1,0 +1,61 @@
+package graft.examples
+
+import graft.operators._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Runnable training-data curation pipeline over the driver corpus:
+  * normalize → exact dedup → near-dup candidates (MinHash LSH + SimHash) →
+  * quality/language filtering → deterministic per-language sampling →
+  * embedding near-dup + ANN search. Prints stage row counts — the "hello
+  * world" of the LLM-pipeline operator surface. */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[pipeline] input docs: ${docs.count()}")
+
+    val normalized = docs.withColumn("text", TextOps.normalize(col("text")))
+    val deduped = Dedup.dropExactDuplicates(normalized, "text", "doc_id")
+    println(s"[pipeline] after exact dedup: ${deduped.count()}")
+
+    val minhashPairs = Dedup.ngramJaccard(
+      Dedup.minhashCandidates(deduped, "text", "doc_id"), deduped, "text", "doc_id")
+      .filter(col("jaccard_bp") >= 3000)
+    println(s"[pipeline] minhash near-dup pairs (J>=0.3): ${minhashPairs.count()}")
+    val simhashPairs = Dedup.simhashCandidates(deduped, "text", "doc_id", maxDist = 3)
+    println(s"[pipeline] simhash near-dup pairs (hamming<=3): ${simhashPairs.count()}")
+
+    // drop the larger id of each near-dup pair
+    val dropIds = minhashPairs.select(col("id_b").as("doc_id")).distinct()
+    val nearDeduped = deduped.join(dropIds, Seq("doc_id"), "left_anti")
+    println(s"[pipeline] after near-dedup: ${nearDeduped.count()}")
+
+    val quality = nearDeduped.select(
+      (col("doc_id") +: col("lang") +: col("text") +:
+        TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }): _*)
+      .withColumn("guessed_lang", TextOps.langId(col("text")))
+      .filter(col("n_tokens") >= 10 && col("punct_ratio") <= 0.3)
+    println(s"[pipeline] after quality filter: ${quality.count()}")
+
+    val sampled = Sampling.perGroup(quality, "lang", "doc_id", n = 25)
+    println(s"[pipeline] per-language sample (25/lang): ${sampled.count()}")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nearDupVecs = Dedup.blockedCosinePairs(emb, "embedding", "vec_id", "label", 0.3)
+    println(s"[pipeline] embedding near-dup pairs (label-blocked, cos>=0.3): ${nearDupVecs.count()}")
+    val topk = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), k = 3)
+    println("[pipeline] IVF top-3 neighbors of first 4 vectors:")
+    topk.show(12, truncate = false)
+    spark.stop()
+  }
+}

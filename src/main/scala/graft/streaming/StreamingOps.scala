@@ -33,6 +33,14 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sum_value"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact-dedup: drop events whose `idCols` were already seen,
+    * with state bounded by the watermark (late duplicates beyond it age
+    * out — the streaming counterpart of Dedup.dropExactDuplicates). */
+  def dedupStream(events: DataFrame, watermarkCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    events.withWatermark(watermarkCol, watermark)
+      .dropDuplicates(idCols :+ watermarkCol)
+
   /** Minimal event shape for stateful sessionization. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
 

@@ -203,4 +203,19 @@ class OperatorsSpec extends AnyFunSuite {
     // open sessions remain in state
     assert(got == Set((1L, 2L)))
   }
+
+  test("streaming dedup drops duplicate ids within the watermark") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dedup-in").toString
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 10:00:00"), 5.0), // exact duplicate row
+      (2L, ts("2024-01-01 10:01:00"), 6.0))
+      .toDF("event_id", "ts", "value").write.mode("overwrite").parquet(dir)
+    val in = s.readStream.schema("event_id LONG, ts TIMESTAMP, value DOUBLE").parquet(dir)
+    graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.dedupStream(in, "ts", "1 hour", Seq("event_id")),
+      "dedup_out")
+    assert(s.sql("SELECT * FROM dedup_out").count() == 2)
+  }
 }
