@@ -117,6 +117,25 @@ final class Engine(
       start: String = Engine.DefaultStart,
       end: String = Engine.DefaultEnd): Unit =
     dataSparql(query, sites, start, end).write.mode("append").parquet(path)
+
+  /** DuckDB sink parity (reference: data_sparql_to_duckdb, client.py:82-93):
+    * the reference stages every batch as parquet and issues
+    * `CREATE TABLE ... AS SELECT * FROM parquet_scan(...)`. We write the
+    * parquet once and emit the same DDL alongside it (`<path>/load.sql`) —
+    * point `duckdb` at it to materialize the table without a JDBC bridge. */
+  def dataSparqlToDuckDb(
+      query: String,
+      path: String,
+      table: String,
+      sites: Seq[String] = Nil,
+      start: String = Engine.DefaultStart,
+      end: String = Engine.DefaultEnd): Unit = {
+    dataSparqlToParquet(query, path + "/data", sites, start, end)
+    val ddl =
+      s"CREATE TABLE IF NOT EXISTS $table AS SELECT * FROM parquet_scan('$path/data/*.parquet');\n"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "load.sql"), ddl.getBytes)
+  }
 }
 
 object Engine {

@@ -47,7 +47,8 @@ object Ingest {
       collection: String,
       csvPath: String,
       dest: String,
-      timeCol: String = "datetime"): DataFrame = {
+      timeCol: String = "datetime",
+      maxRecordsPerFile: Long = 0L): DataFrame = {
 
     val raw = spark.read.text(csvPath)
       .withColumn("_file", input_file_name())
@@ -76,13 +77,18 @@ object Ingest {
     // One partition per (collection,uuid) hash bucket; time-sorted within,
     // so every written file is time-ordered and carries tight min/max
     // footer stats (reference: README.md:25,56).
-    data
+    // maxRecordsPerFile caps leaf-file size for very long streams — the
+    // reference's "partitioned by size but ordered by time" (README.md:25):
+    // files split on row count, each still internally time-sorted.
+    val writer = data
       .repartition(col("collection"), col("uuid"))
       .sortWithinPartitions("uuid", "time")
       .write
       .mode("append")
       .partitionBy("collection", "uuid")
-      .parquet(dest)
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(dest)
 
     spark.read.parquet(dest)
   }

@@ -120,4 +120,42 @@ class IngestSpec extends AnyFunSuite {
         |SELECT ?id WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }""".stripMargin,
       limit = 100).count() == 100)
   }
+
+  test("duckdb sink: parquet staging + generated parquet_scan DDL (client.py:82-93)") {
+    val s = spark
+    import s.implicits._
+    val quads = graft.sources.Turtle.parse(
+      """@prefix brick: <https://brickschema.org/schema/Brick#> .
+        |@prefix ns: <urn:fix#> .
+        |ns:sen1 a brick:Zone_Air_Temperature_Sensor ;
+        |    brick:timeseries [ brick:hasTimeseriesId "a0dd74ce-05ee-5fee-8335-2d9856bd52be" ] .
+        |""".stripMargin, "bldg1")
+      .map { case (su, p, o) => Model.Quad("urn:bldg1#", su, p, o) }.toDF()
+    val engine = new Engine(spark, quads, spark.read.parquet(destDir.toString))
+    val out = java.nio.file.Files.createTempDirectory("duck").toString
+    engine.dataSparqlToDuckDb(
+      """PREFIX brick: <https://brickschema.org/schema/Brick#>
+        |SELECT ?id WHERE { ?p brick:timeseries [ brick:hasTimeseriesId ?id ] . }""".stripMargin,
+      out, "readings",
+      start = "2016-12-01T00:00:00Z", end = "2016-12-01T12:00:00Z")
+    val ddl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "load.sql")))
+    assert(ddl.contains("CREATE TABLE IF NOT EXISTS readings"))
+    assert(ddl.contains("parquet_scan"))
+    assert(spark.read.parquet(out + "/data").count() == 721)
+  }
+
+  test("ingest maxRecordsPerFile splits long streams into time-sorted leaf files") {
+    val csv = java.nio.file.Files.createTempDirectory("split-csv")
+    val dest = java.nio.file.Files.createTempDirectory("split-fact").resolve("d").toString
+    writeCsv(csv, uuid1, "lbl", 1000)
+    graft.sources.Ingest.transform(spark, "c2", csv.toString, dest, maxRecordsPerFile = 300)
+    val part = java.nio.file.Paths.get(dest, "collection=c2", s"uuid=$uuid1")
+    val files = java.nio.file.Files.list(part).toArray.map(_.toString).filter(_.endsWith(".parquet"))
+    assert(files.length == 4, s"expected 4 leaf files, got ${files.length}") // 300*3 + 100
+    files.foreach { f =>
+      val times = spark.read.parquet(f).select("time").collect().map(_.getTimestamp(0).getTime)
+      assert(times.sameElements(times.sorted), s"file $f not time-sorted")
+    }
+  }
 }
