@@ -318,6 +318,22 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.normalize(col("text")).as("normalized"))
         .orderBy("doc_id")
     }),
+    "q35_dedup_clusters" -> ((s, dir) => {
+      // candidate pairs (token Jaccard ≥ 0.5 inside (lang,source) blocks)
+      // → connected components → one keeper per duplicate group
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"), col("lang"), col("source"))
+      val blockPairs = keyed.as("a").join(keyed.as("b"),
+          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val nearDups = Dedup.ngramJaccard(blockPairs, docs, "text", "doc_id", shingleN = 1)
+        .filter(col("jaccard_bp") >= 5000)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs, "doc_id", nearDups)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
     "q33_distinct_agg" -> ((s, dir) => {
       // distinct-aggregate shape (exact)
       t(s, dir, "events").groupBy("event_type")
@@ -575,6 +591,28 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
         |    ' +', ' ', 'g')) AS normalized
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents),
+        |near AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tk a JOIN tk b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 10000
+        |    // len(list_distinct(a.toks || b.toks)) >= 5000),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM near
+        |  UNION ALL SELECT id_b, id_a FROM near),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS component
+        |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q33_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

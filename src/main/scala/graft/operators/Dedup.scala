@@ -201,6 +201,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-duplicate pair graph: the step that
+    * turns candidate PAIRS into dedup GROUPS (keep one doc per component).
+    * Distributed min-label propagation — each round every node adopts the
+    * smallest label among itself and its neighbors; converges in graph-
+    * diameter rounds (checkpointed per round, same shape as the closure
+    * fixpoint). Returns (id, component) where component = smallest id
+    * reachable from `id` (isolated nodes map to themselves). */
+  def connectedComponents(
+      nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val neighborLabels = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(neighborLabels)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("l"), Seq("id"))
+        .filter(col("n.component") =!= col("l.component")).limit(1)
+      converged = changed.isEmpty
+      labels = next
+    }
+    labels
+  }
+
   /** Exact near-duplicate pairs by embedding cosine within equality blocks
     * (e.g. a label/cluster column): all in-block pairs scored with the
     * native cosine kernel. The blocking column bounds the quadratic term —

@@ -218,4 +218,14 @@ class OperatorsSpec extends AnyFunSuite {
       "dedup_out")
     assert(s.sql("SELECT * FROM dedup_out").count() == 2)
   }
+
+  test("connected components: pairs -> dedup groups, min-label semantics") {
+    val s = spark; import s.implicits._
+    val nodes = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} via 1-2, 2-3; {5,6}; isolated 4, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->5L, 7L->7L))
+  }
 }
