@@ -228,4 +228,17 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->5L, 7L->7L))
   }
+
+  test("embedding hyperplane-LSH candidates find near-identical vectors") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val vecs = ((0L, base) +: (1L, near) +:
+      (2L to 30L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))).toDF("vec_id", "embedding")
+    val cands = Dedup.embeddingCandidates(vecs, "embedding", "vec_id",
+      dim = 16, nPlanes = 8, threshold = 0.99)
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L))) // only the crafted near-duplicate
+  }
 }
