@@ -216,6 +216,15 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
       .localCheckpoint()
+    // convergence via an order-insensitive label-set signature (one narrow
+    // aggregate per round instead of a self-join): labels only ever
+    // decrease, so an unchanged signature ⇒ unchanged assignment
+    def signature(df: DataFrame): String =
+      // decimal accumulator: ANSI mode would reject the long wrap-around
+      String.valueOf(df.select(
+        sum(xxhash64(col("id"), col("component")).cast("decimal(38,0)")).as("sig"))
+        .head().getDecimal(0))
+    var sig = signature(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -226,9 +235,9 @@ object Dedup {
         .union(neighborLabels)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("l"), Seq("id"))
-        .filter(col("n.component") =!= col("l.component")).limit(1)
-      converged = changed.isEmpty
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
       labels = next
     }
     labels
