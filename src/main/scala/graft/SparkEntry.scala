@@ -348,6 +348,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
+    "q38_tfidf" -> ((s, dir) => {
+      // TF-IDF scoring + top-3 terms per document
+      val scored = TextOps.tfIdf(t(s, dir, "documents"), "text", "doc_id")
+      val w = Window.partitionBy("id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("id").as("doc_id"), col("term"), col("rank"), col("score"))
+        .orderBy("doc_id", "rank")
+    }),
     "q36_percentiles" -> ((s, dir) => {
       // sort-based aggregate: exact interpolated percentiles per group
       t(s, dir, "events").groupBy("event_type")
@@ -638,6 +647,21 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q38_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, round(tf * ln((n.n + 1.0) / (dfc + 1.0)), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, rank, score FROM (
+        |  SELECT doc_id, term, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q36_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
         |  round(quantile_cont(value, 0.9), 4) AS p90, count(*) AS n

@@ -84,6 +84,24 @@ object TextOps {
   def md5Fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
+  /** TF-IDF table: (id, term, tf, df, score) with
+    * score = round(tf · ln((N+1)/(df+1)), 4). Classic two-aggregation
+    * shape: term frequencies per doc (map-side combinable) joined with
+    * document frequencies per term; N collected once (a count, not data).
+    * Scores are rounded before any downstream ranking so orderings are
+    * engine-portable. */
+  def tfIdf(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(n + 1.0) / (col("df") + lit(1.0))), 4))
+      .select("id", "term", "tf", "df", "score")
+  }
+
   /** Cleaning normalization for training text: lower-case, strip
     * non-alphanumerics to spaces, collapse runs, trim. */
   def normalize(text: Column): Column =
