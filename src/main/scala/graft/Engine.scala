@@ -95,16 +95,39 @@ final class Engine(
   }
 
   /** Stream query results into CSV files under `path`, header-free append —
-    * reference: `data_sparql_to_csv` (client.py:74-80). Returns row count. */
+    * reference: `data_sparql_to_csv` (client.py:74-80). Returns THIS call's
+    * row count (the reference counts per call, client.py:78-80 — counting
+    * by re-reading the directory would include pre-existing rows when the
+    * path already holds prior output). */
   def dataSparqlToCsv(
       query: String,
       path: String,
       sites: Seq[String] = Nil,
       start: String = Engine.DefaultStart,
       end: String = Engine.DefaultEnd): Long = {
-    val df = dataSparql(query, sites, start, end)
-    df.write.mode("append").option("header", "false").csv(path)
-    spark.read.schema(df.schema).csv(path).count()
+    val df = dataSparql(query, sites, start, end).persist()
+    try {
+      val n = df.count()
+      df.write.mode("append").option("header", "false").csv(path)
+      n
+    } finally df.unpersist()
+  }
+
+  /** Incremental batch delivery — parity with the reference's `to_batches`
+    * generator (client.py:65-72), which yields Arrow record batches one at
+    * a time instead of materializing the result. Partitions are fetched to
+    * the driver ONE AT A TIME (`toLocalIterator`), so driver memory is
+    * bounded by a single partition regardless of total result size; the
+    * cluster-side plan is identical to `dataSparql`. */
+  def dataSparqlBatches(
+      query: String,
+      sites: Seq[String] = Nil,
+      start: String = Engine.DefaultStart,
+      end: String = Engine.DefaultEnd,
+      batchRows: Int = 10000): Iterator[Seq[org.apache.spark.sql.Row]] = {
+    import scala.jdk.CollectionConverters._
+    dataSparql(query, sites, start, end)
+      .toLocalIterator().asScala.grouped(batchRows)
   }
 
   /** Parquet sink for query results — the analogue of the reference's
@@ -147,9 +170,14 @@ object Engine {
     * the partitioned fact table (reference: Client.__init__, client.py:15-31).
     * The quads table is cached: the metadata graph is small relative to the
     * fact table and every query replans over it (the reference keeps it in
-    * an on-disk store for the same reason). */
-  def apply(spark: SparkSession, ttlDir: String, factRoot: String): Engine = {
-    val quads = Turtle.loadGraphs(spark, ttlDir).cache()
+    * an on-disk store for the same reason).
+    *
+    * `ontology`: path to an ontology `.ttl` merged into every named graph
+    * (reference: setup-graphs.py:22 — without it, site-scoped
+    * `subClassOf*` queries can't see the class hierarchy). */
+  def apply(spark: SparkSession, ttlDir: String, factRoot: String,
+      ontology: Option[String] = None): Engine = {
+    val quads = Turtle.loadGraphs(spark, ttlDir, ontology).cache()
     val fact = spark.read.parquet(factRoot)
     new Engine(spark, quads, fact)
   }

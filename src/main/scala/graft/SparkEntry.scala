@@ -227,22 +227,25 @@ object SparkEntry {
         .orderBy("text_key")
     }),
     "q19_minhash_lsh" -> ((s, dir) => {
-      // MinHash → LSH bands → candidate pairs → exact 3-gram Jaccard
+      // MinHash → LSH bands → candidate pairs → exact 3-gram Jaccard,
+      // thresholded — a RECALL gate: the oracle computes the true pair set
+      // (all pairs with 3-gram Jaccard ≥ 0.5) exhaustively, so the hash
+      // matches iff LSH candidates ⊇ truth. 32 bands × 2 rows: detection
+      // probability at J=0.8 (the data's weakest true pair) is
+      // 1-(1-0.8²)³² ≈ 1-6e-15.
       val docs = t(s, dir, "documents")
       Dedup.ngramJaccard(
-        Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
+        Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 32),
         docs, "text", "doc_id", shingleN = 3)
+        .filter(col("jaccard_bp") >= 5000)
         .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
         .orderBy("id_a", "id_b")
     }),
     "q20_token_jaccard" -> ((s, dir) => {
-      // exact token-set Jaccard inside (lang, source) blocks
+      // exact token-set Jaccard inside (lang, source) blocks — the guarded
+      // block-pair generator fails loudly on a cartesian-bomb block
       val docs = t(s, dir, "documents")
-      val keyed = docs.select(col("doc_id"), col("lang"), col("source"))
-      val pairs = keyed.as("a").join(keyed.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val pairs = Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id")
       Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
         .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
         .orderBy("id_a", "id_b")
@@ -282,14 +285,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q26_multimodal" -> ((s, dir) => {
-      // binary-column plumbing: pack → (stub) decode → typed features
-      Multimodal.extractFeatures(
-        Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text"))
+      // binary columns in REAL container formats: build PNG/JPEG/WAV/AVI
+      // payloads (dims derived from doc_id), then byte-parse them back —
+      // the oracle checks construct∘parse = identity from the arithmetic
+      Multimodal.sniff(
+        Multimodal.packSynthetic(t(s, dir, "documents"), "doc_id", "text").toDF())
         .toDF()
-        .select("media_id", "kind", "n_bytes", "content_hash", "magic")
+        .select("media_id", "kind", "format", "width", "height",
+          "sample_rate", "channels", "n_frames", "n_bytes")
         .orderBy("media_id")
     }),
     "q27_frame_sample" -> ((s, dir) => {
+      // uniform frame sampling with an engine-portable fingerprint
       Multimodal.sampleFrames(
         Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text"), stride = 8)
         .orderBy("media_id", "frame_index")
@@ -301,9 +308,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q30_embed_lsh_neardup" -> ((s, dir) => {
-      // hyperplane-LSH bucketed near-dup (scale path; planes from seed 42)
-      Dedup.embeddingCandidates(t(s, dir, "embeddings"), "embedding", "vec_id",
-        dim = 64, nPlanes = 12, threshold = 0.2)
+      // planted-near-duplicate RECALL gate for hyperplane LSH: the corpus
+      // has no high-cosine pairs (max ≈ 0.66, a smooth tail — no LSH can
+      // separate cosine 0.5 from bulk at 0.45), so plant deterministic
+      // near-copies (per-dimension scaling, cosine ≈ 0.999) derived from
+      // the input; the oracle recomputes the same derivation and the TRUE
+      // pair set ≥ 0.9 exhaustively. 20 tables × 10 planes: detection
+      // at cosine 0.999 is 1-(1-0.99¹⁰)²⁰ ≈ 1-4e-22; bulk pairs land in a
+      // shared bucket < 4% of the time.
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      val planted = base.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("vec"), (x, i) =>
+            x * (lit(1.0) + (i % 7 - 3).cast("double") * lit(0.02))).as("vec"))
+      Dedup.embeddingCandidatesBanded(base.unionByName(planted), "vec", "vec_id",
+        dim = 64, nTables = 20, planesPerTable = 10, threshold = 0.9)
         .orderBy("id_a", "id_b")
     }),
     "q31_sample_per_group" -> ((s, dir) => {
@@ -322,16 +342,37 @@ object SparkEntry {
       // candidate pairs (token Jaccard ≥ 0.5 inside (lang,source) blocks)
       // → connected components → one keeper per duplicate group
       val docs = t(s, dir, "documents")
-      val keyed = docs.select(col("doc_id"), col("lang"), col("source"))
-      val blockPairs = keyed.as("a").join(keyed.as("b"),
-          col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val nearDups = Dedup.ngramJaccard(blockPairs, docs, "text", "doc_id", shingleN = 1)
+      val pairs = Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id")
+      val nearDups = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
         .filter(col("jaccard_bp") >= 5000)
         .select("id_a", "id_b")
       Dedup.connectedComponents(docs, "doc_id", nearDups)
         .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+    "q40_dedup_clusters_lsh" -> ((s, dir) => {
+      // the SCALE-SAFE dedup-cluster path: candidates from MinHash LSH
+      // (no all-pairs block join anywhere) → exact 3-gram Jaccard ≥ 0.5
+      // → connected components; the oracle recomputes the TRUE pair graph
+      // exhaustively, so this is simultaneously a recall gate on LSH and
+      // a correctness gate on the component propagation
+      val docs = t(s, dir, "documents")
+      val nearDups = Dedup.ngramJaccard(
+          Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 32),
+          docs, "text", "doc_id", shingleN = 3)
+        .filter(col("jaccard_bp") >= 5000)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(docs, "doc_id", nearDups)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+    "q39_rolling_fp" -> ((s, dir) => {
+      // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
+      // md5-60-bit token hashes) + the content-addressed md5 fingerprint
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.rollingFingerprint(col("text")).as("rolling_fp"),
+          TextOps.md5Fingerprint(col("text")).as("md5_fp"))
         .orderBy("doc_id")
     }),
     "q33_distinct_agg" -> ((s, dir) => {
@@ -386,7 +427,113 @@ object SparkEntry {
         .orderBy("event_type")
     }))
 
+  /** DuckDB CTE fragments shared by the dedup oracles: distinct 3-gram
+    * word shingles per document (short docs → one whole-text shingle —
+    * mirrors Dedup.shingleHashes) and exact pair stats via an
+    * inverted-index join (never per-row list_intersect over all pairs). */
+  private val shingleStatsCte: String =
+    """tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+      |  FROM tk),
+      |sh AS (SELECT doc_id, unnest(list_distinct(sh0.sh)) AS g FROM sh0),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT id_a, id_b, n_inter, sa.sz + sb.sz - n_inter AS n_union,
+      |    n_inter * 10000 // (sa.sz + sb.sz - n_inter) AS jaccard_bp
+      |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)""".stripMargin
+
+  /** q21 oracle, generated: SimHash re-expressed in DuckDB bit ops over
+    * the same portable md5-60-bit token hashes (Dedup.SimBits conditional
+    * sums, one per bit). */
+  private def simhashOracle: String = {
+    val bits = (0 until Dedup.SimBits).map(j =>
+      s"CASE WHEN sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString("\n    + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS t
+       |  FROM documents),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok)
+       |SELECT doc_id,
+       |    $bits AS simhash
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q19_minhash_lsh" ->
+      s"""WITH $shingleStatsCte
+         |SELECT id_a, id_b, n_inter, n_union, jaccard_bp
+         |FROM stats WHERE jaccard_bp >= 5000 ORDER BY id_a, id_b""".stripMargin,
+    "q21_simhash" -> simhashOracle,
+    "q39_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
+        |    (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp,
+        |  md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS md5_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q40_dedup_clusters_lsh" ->
+      s"""WITH RECURSIVE $shingleStatsCte,
+         |near AS (SELECT id_a, id_b FROM stats WHERE jaccard_bp >= 5000),
+         |edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM near
+         |  UNION ALL SELECT id_b, id_a FROM near),
+         |reach(s, t) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a)
+         |SELECT d.doc_id,
+         |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS component
+         |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q26_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 'png'
+        |       WHEN doc_id % 3 = 0 THEN 'jpeg'
+        |       WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'avi' END AS format,
+        |  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(16 + doc_id % 160 AS INTEGER) END AS width,
+        |  CASE WHEN doc_id % 3 IN (0, 2) THEN CAST(16 + doc_id % 90 AS INTEGER) END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 * (1 + doc_id % 5) AS INTEGER) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 1 THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 48 + 2 AS INTEGER) END AS n_frames,
+        |  CAST(octet_length(encode(text)) + CASE
+        |    WHEN doc_id % 3 = 0 AND doc_id % 2 = 0 THEN 45
+        |    WHEN doc_id % 3 = 0 THEN 35
+        |    WHEN doc_id % 3 = 1 THEN 44 ELSE 88 END AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "q27_frame_sample" ->
+      """WITH media AS (
+        |  SELECT doc_id AS media_id, upper(hex(encode(text))) AS ph,
+        |    doc_id % 48 + 2 AS declared
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, ph, unnest(generate_series(0, declared - 1, 8)) AS frame_index
+        |  FROM media)
+        |SELECT media_id, CAST(frame_index AS INTEGER) AS frame_index,
+        |  md5(ph || '#' || frame_index) AS frame_fp
+        |FROM fr ORDER BY media_id, frame_index""".stripMargin,
+    "q30_embed_lsh_neardup" ->
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |planted AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(range(0, 64), i -> vec[CAST(i + 1 AS INTEGER)]
+        |      * (1 + (i % 7 - 3) * 0.02::DOUBLE)) AS vec
+        |  FROM base WHERE vec_id % 17 = 0),
+        |al AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cosine
+        |FROM al a JOIN al b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)
@@ -678,6 +825,10 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
-  // q19 (xxhash64 MinHash), q21 (SimHash), q26/q27 (stubbed media decode):
-  // engine-specific hashes — driver records rows-only checks for these.
+  // Every query is oracled. The LSH queries (q19, q30, q40) are RECALL
+  // gates: the oracle computes the exhaustive true pair set above the
+  // threshold, so a hash match proves candidates ⊇ truth (and the exact
+  // verification step proves ⊆). q21/q39 use engine-portable md5-derived
+  // hashes re-expressed in DuckDB bit ops; q26/q27 verify the container
+  // parsers against the deterministic construction arithmetic.
 }

@@ -111,6 +111,36 @@ object Dedup {
       .distinct()
   }
 
+  /** All in-block pairs (id_a < id_b) for equality blocking columns — the
+    * oracle-able counterpart of LSH candidate generation, O(Σ blockᵢ²).
+    *
+    * The quadratic term is bounded by an explicit guard: if any block
+    * exceeds `maxBlock` rows the job FAILS with the offending block sizes
+    * instead of silently materializing a cartesian bomb (a single hot block
+    * at 100 TB — one dominant (lang, source) — would otherwise produce
+    * O(n²) join output; the scale-safe path is LSH candidates, see
+    * `minhashCandidates`). The guard is one tiny aggregate over the
+    * blocking columns — negligible next to the pair join it protects. */
+  def blockPairs(
+      df: DataFrame, blockCols: Seq[String], idCol: String,
+      maxBlock: Long = 100000L): DataFrame = {
+    val keys = blockCols.map(col)
+    val oversize = df.groupBy(keys: _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxBlock)
+      .limit(5).collect()
+    if (oversize.nonEmpty)
+      throw new IllegalStateException(
+        s"blockPairs: block(s) over maxBlock=$maxBlock rows: " +
+          oversize.map(_.toSeq.mkString("(", ",", ")")).mkString(", ") +
+          " — use an LSH candidate generator (minhashCandidates/" +
+          "simhashCandidates/embeddingCandidates) for blocks this size")
+    val keyed = df.select((col(idCol) +: keys): _*)
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    keyed.as("a").join(keyed.as("b"), joinCond)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs.
     * `pairs` has (id_a, id_b); output adds intersection/union sizes and
     * `jaccard_bp` (basis points, exact integer — engine-portable). */
@@ -146,18 +176,24 @@ object Dedup {
       .drop("_sza", "_szb")
   }
 
-  /** Bit masks 2^0..2^63 as one foldable array literal. */
-  private val bitMasks: Column = array((0 until 64).map(i => lit(1L << i)): _*)
+  /** SimHash width: 60 bits — the fingerprint is built over the portable
+    * md5-derived 60-bit token hash (TextOps.portableHash60) so any engine
+    * with md5 reproduces it bit-for-bit (the DuckDB oracle recomputes it
+    * with `&`/`>>` bit ops over the same hashes). */
+  val SimBits = 60
 
-  /** 64-bit SimHash fingerprint over token hashes. Pure map work, and a
-    * SINGLE pass over the token array: one aggregate carries all 64 bit
-    * counters (vs 64 separate aggregates, which would re-evaluate the
+  /** Bit masks 2^0..2^59 as one foldable array literal. */
+  private val bitMasks: Column = array((0 until SimBits).map(i => lit(1L << i)): _*)
+
+  /** SimHash fingerprint over token hashes. Pure map work, and a
+    * SINGLE pass over the token array: one aggregate carries all 60 bit
+    * counters (vs 60 separate aggregates, which would re-evaluate the
     * tokenize chain per bit — see minhashSignature note). */
   def simhash(textCol: Column): Column = {
-    val hs = transform(array_distinct(TextOps.tokens(textCol)), t => xxhash64(t))
+    val hs = transform(array_distinct(TextOps.tokens(textCol)), t => TextOps.portableHash60(t))
     val counters = aggregate(
       hs,
-      transform(sequence(lit(0), lit(63)), _ => lit(0)),
+      transform(sequence(lit(0), lit(SimBits - 1)), _ => lit(0)),
       (acc, h) => zip_with(acc, bitMasks,
         (a, mask) => a + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1)))
     aggregate(
@@ -165,32 +201,39 @@ object Dedup {
       lit(0L), (a, x) => a + x)
   }
 
-  /** SimHash fingerprints as a DataFrame op: explode token hashes → 64
+  /** SimHash fingerprints as a DataFrame op: explode token hashes → 60
     * codegen'd conditional-sum aggregates (same scalable shape as
     * minhashSignatures — map-side combinable, no interpreted HOF loops). */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val aggs = (0 until 64).map { j =>
+      .select(col("id"), TextOps.portableHash60(col("t")).as("h"))
+    val aggs = (0 until SimBits).map { j =>
       sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"_b$j")
     }
     hashed.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
-        (0 until 64).map(j => when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        (0 until SimBits).map(j => when(col(s"_b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
   }
 
-  /** Near-duplicate pairs by SimHash hamming distance ≤ `maxDist` (< 16).
-    * Pigeonhole on four 16-bit chunks: distance ≤ 3 ⇒ at least one chunk
-    * identical, so candidate generation is a 4-rows-per-doc equi-join. */
+  /** Near-duplicate pairs by SimHash hamming distance ≤ `maxDist`.
+    * Pigeonhole on `maxDist + 1` chunks: hamming ≤ d means at most d chunks
+    * can differ, so at least one of d+1 chunks is identical — candidate
+    * generation is a (maxDist+1)-rows-per-doc equi-join, never all-pairs.
+    * (Chunk count is DERIVED from maxDist; a fixed 4-chunk split would
+    * silently lose valid pairs for any maxDist > 3.) */
   def simhashCandidates(
       df: DataFrame, textCol: String, idCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < SimBits, s"maxDist must be in [0, $SimBits)")
+    val nChunks = maxDist + 1
+    val width = (SimBits + nChunks - 1) / nChunks
+    val mask = (1L << width) - 1
     val withSim = simhashes(df, textCol, idCol)
     val chunks = withSim.select(col("id"), col("sim"),
-      posexplode(array((0 until 4).map(j =>
-        shiftrightunsigned(col("sim"), j * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "ckey")))
+      posexplode(array((0 until nChunks).map(j =>
+        shiftrightunsigned(col("sim"), j * width).bitwiseAND(lit(mask))): _*)).as(Seq("chunk", "ckey")))
     val a = chunks.as("a")
     val b = chunks.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey") &&
@@ -259,9 +302,56 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Near-duplicate pairs by embedding cosine ≥ `threshold` with
+    * MULTI-TABLE random-hyperplane LSH — the banding construction (same
+    * recall/precision lever as MinHash bands): `nTables` independent hash
+    * tables of `planesPerTable` hyperplanes each; a pair is a candidate if
+    * it shares a bucket in ANY table; exact cosine (rounded to 4 dp) is
+    * computed on candidates only and filtered at `threshold`.
+    *
+    * Tuning: detection probability for angle θ is 1-(1-p^r)^T with
+    * p = 1-θ/π, r = planesPerTable, T = nTables — r controls precision
+    * (bucket width), T controls recall. The single-table variant below
+    * cannot reach high recall at any useful precision.
+    *
+    * Scale shape: the bucket table is (id, table, bucket) longs — vectors
+    * are NOT carried through the candidate join; they are re-joined only
+    * for the surviving distinct pairs. */
+  def embeddingCandidatesBanded(
+      df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, nTables: Int = 20, planesPerTable: Int = 10,
+      threshold: Double = 0.9, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val bucketCols = (0 until nTables).map { _ =>
+      (0 until planesPerTable).map { j =>
+        val p = Array.fill(dim)(rnd.nextGaussian())
+        val d = Similarity.dot(col("vec"), array(p.map(lit): _*))
+        when(d > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint() // reused: bucket build + two pair-side re-joins
+    val buckets = vecs
+      .select(col("id"), posexplode(array(bucketCols.map(c => c.cast("long")): _*))
+        .as(Seq("tbl", "bkt")))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    val pairs = a.join(b, col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("_va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("_vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("_va"), col("_vb")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, bucketed by
     * random-hyperplane signs (`planes` deterministic from `seed`), exact
-    * cosine computed only within buckets. */
+    * cosine computed only within buckets. Single-table: cheap but low
+    * recall — prefer `embeddingCandidatesBanded` when recall matters. */
   def embeddingCandidates(
       df: DataFrame, vecCol: String, idCol: String,
       dim: Int, nPlanes: Int = 12, threshold: Double = 0.95,

@@ -6,12 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, processed in partition-sized batches.
   *
-  * The Spark-side machinery — schema, partitioning, batch iteration, typed
-  * output — is real and tested. The actual media DECODE step is a
-  * deterministic STUB (`decodeStub`): the image/audio codecs aren't in this
-  * container, so it derives fake-but-stable "features" from the bytes.
-  * Swapping in a real decoder means replacing only `decodeStub`'s body; the
-  * distributed plumbing is unchanged.
+  * Two layers, honestly separated:
+  *
+  *   - REAL: container-format construction and header parsing. `packSynthetic`
+  *     builds deterministic payloads in genuine container formats (PNG
+  *     signature+IHDR, JPEG/JFIF marker segments, RIFF WAVE fmt chunk, RIFF
+  *     AVI avih header — all public specs), and `sniff` parses them back
+  *     byte-by-byte: magic detection, big-endian PNG dims, JPEG SOF segment
+  *     walk, little-endian RIFF chunk walk. Construct ∘ parse = identity is
+  *     oracle-checkable (the dims/rates derive from the row id).
+  *   - STUB: pixel/sample DECODE (`decodeStub`): the image/audio codecs
+  *     aren't in this container, so "features" are a deterministic function
+  *     of the raw bytes. Swapping in a real decoder replaces only
+  *     `decodeStub`'s body; the distributed plumbing is unchanged.
   */
 object Multimodal {
 
@@ -22,6 +29,18 @@ object Multimodal {
       payload: Array[Byte],
       declared_frames: Int)
 
+  /** Sniffed container metadata (None where the format has no such field). */
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      format: String, // "png" | "jpeg" | "wav" | "avi" | "unknown"
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
+      channels: Option[Int],
+      n_frames: Option[Int],
+      n_bytes: Long)
+
   /** Extracted features per asset (shape of a real decode output). */
   final case class MediaFeatures(
       media_id: Long,
@@ -30,9 +49,6 @@ object Multimodal {
       content_hash: Long,
       magic: String, // first bytes, hex — format sniffing
       feature: Array[Float]) // stub "embedding" of the payload
-
-  /** Sampled frame reference (video path). */
-  final case class FrameSample(media_id: Long, frame_index: Int, frame_hash: Long)
 
   /** Build a media table from any table with an id + string column: payload
     * = UTF-8 bytes (stand-in for real image/audio bytes), kind assigned
@@ -46,10 +62,172 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       (pmod(col(idCol), lit(48)) + 2).cast("int").as("declared_frames"))
 
+  // --- deterministic metadata derivation (mirrored by the DuckDB oracle) ---
+  private def widthOf(id: Long): Int = (16 + id % 160).toInt
+  private def heightOf(id: Long): Int = (16 + id % 90).toInt
+  private def rateOf(id: Long): Int = (8000 * (1 + id % 5)).toInt
+  private def channelsOf(id: Long): Int = (1 + id % 2).toInt
+  private def framesOf(id: Long): Int = (id % 48 + 2).toInt
+
+  /** Synthetic media assets in REAL container formats, derived
+    * deterministically from an id + text column: image ids get PNG (even)
+    * or JPEG/JFIF (odd), audio ids RIFF/WAVE, video ids RIFF/AVI; the text
+    * bytes ride along as the (uncompressed) payload body. Headers are
+    * spec-correct enough for any magic-byte sniffer to parse dimensions /
+    * sample rate / frame counts; CRCs and entropy-coded bodies are zeroed
+    * (building THOSE needs the codecs this container lacks). */
+  def packSynthetic(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    implicit val encIn = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val body = text.getBytes("UTF-8")
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val payload = kind match {
+          case "image" =>
+            if (id % 2 == 0) png(widthOf(id), heightOf(id), body)
+            else jpeg(widthOf(id), heightOf(id), body)
+          case "audio" => wav(rateOf(id), channelsOf(id), body)
+          case _ => avi(widthOf(id), heightOf(id), framesOf(id), body)
+        }
+        MediaRow(id, kind, payload, framesOf(id))
+      }
+  }
+
+  // --- byte builders (public container specs) ---
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** PNG: 8-byte signature, IHDR chunk (13-byte data: width/height BE32,
+    * bit depth 8, color type 6), body, IEND. 45 header/trailer bytes. */
+  private def png(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ ascii("IHDR") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0) ++ be32(0) /* CRC zeroed */ ++
+      body ++ be32(0) ++ ascii("IEND") ++ be32(0)
+
+  /** JPEG/JFIF: SOI, APP0 (JFIF), SOF0 carrying height/width BE16, body,
+    * EOI. 35 header/trailer bytes. */
+  private def jpeg(w: Int, h: Int, body: Array[Byte]): Array[Byte] =
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++ ascii("JFIF") ++
+      Array[Byte](0, 1, 2, 0, 0, 1, 0, 1, 0, 0) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](1, 1, 0x11, 0) ++
+      body ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+
+  /** RIFF/WAVE: RIFF header, 16-byte PCM fmt chunk (channels LE16, sample
+    * rate LE32), data chunk. 44 header bytes. */
+  private def wav(rate: Int, nch: Int, body: Array[Byte]): Array[Byte] = {
+    val blockAlign = nch * 2
+    ascii("RIFF") ++ le32(36 + body.length) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(nch) ++ le32(rate) ++
+      le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      ascii("data") ++ le32(body.length) ++ body
+  }
+
+  /** RIFF/AVI: RIFF header, LIST/hdrl with a 56-byte avih main header
+    * (µs-per-frame LE32 at 0, total frames at 16, width at 32, height at
+    * 36). 88 header bytes. */
+  private def avi(w: Int, h: Int, frames: Int, body: Array[Byte]): Array[Byte] = {
+    val avihData =
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    ascii("RIFF") ++ le32(4 + 12 + 8 + 56 + body.length) ++ ascii("AVI ") ++
+      ascii("LIST") ++ le32(4 + 8 + 56) ++ ascii("hdrl") ++
+      ascii("avih") ++ le32(56) ++ avihData ++ body
+  }
+
+  // --- sniffers (real byte-level parsers) ---
+  private def rdBe32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def rdBe16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def rdLe32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def rdLe16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def fourcc(b: Array[Byte], i: Int, tag: String): Boolean =
+    i + 4 <= b.length && tag.indices.forall(j => b(i + j) == tag.charAt(j).toByte)
+
+  /** Parse one payload's container header. Pure function over public
+    * format specs; returns format="unknown" (all-None fields) for
+    * unrecognized magic rather than throwing — at 100 TB a corrupt file
+    * must not kill the stage. */
+  def sniffBytes(id: Long, kind: String, b: Array[Byte]): MediaMeta = {
+    val none = MediaMeta(id, kind, "unknown", None, None, None, None, None, b.length.toLong)
+    if (b.length >= 24 && (b(0) & 0xff) == 0x89 && fourcc(b, 1, "PNG")) {
+      // PNG: IHDR is mandated first chunk; width/height at fixed offsets
+      if (fourcc(b, 12, "IHDR"))
+        none.copy(format = "png",
+          width = Some(rdBe32(b, 16)), height = Some(rdBe32(b, 20)))
+      else none
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      // JPEG: walk marker segments until a SOF marker carries the dims
+      var i = 2
+      var out = none.copy(format = "jpeg")
+      var found = false
+      while (!found && i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val marker = b(i + 1) & 0xff
+        val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          out = out.copy(height = Some(rdBe16(b, i + 5)), width = Some(rdBe16(b, i + 7)))
+          found = true
+        } else i += 2 + rdBe16(b, i + 2)
+      }
+      out
+    } else if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE")) {
+      // RIFF/WAVE: chunk-walk to "fmt " (channels LE16 @+2, rate LE32 @+4)
+      var i = 12
+      var out = none.copy(format = "wav")
+      var found = false
+      while (!found && i + 8 <= b.length) {
+        val sz = rdLe32(b, i + 4)
+        if (fourcc(b, i, "fmt ") && i + 16 <= b.length) {
+          out = out.copy(channels = Some(rdLe16(b, i + 10)), sample_rate = Some(rdLe32(b, i + 12)))
+          found = true
+        } else i += 8 + sz + (sz & 1)
+      }
+      out
+    } else if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "AVI ")) {
+      // RIFF/AVI: find the avih main header (frames @+16, w @+32, h @+36
+      // within its data)
+      var i = 12
+      var out = none.copy(format = "avi")
+      var found = false
+      while (!found && i + 8 <= b.length) {
+        if (fourcc(b, i, "avih") && i + 8 + 56 <= b.length) {
+          out = out.copy(n_frames = Some(rdLe32(b, i + 8 + 16)),
+            width = Some(rdLe32(b, i + 8 + 32)), height = Some(rdLe32(b, i + 8 + 36)))
+          found = true
+        } else if (fourcc(b, i, "LIST")) i += 12 // descend into the list
+        else i += 8 + rdLe32(b, i + 4)
+      }
+      out
+    } else none
+  }
+
+  /** Sniff every asset's container header, batch-wise per partition. */
+  def sniff(media: DataFrame): Dataset[MediaMeta] = {
+    implicit val enc = Encoders.product[MediaMeta]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(_.map(r => sniffBytes(r.media_id, r.kind, r.payload)))
+  }
+
   /** ??? REAL DECODER GOES HERE ??? — deterministic stand-in: a real
-    * implementation would parse the codec, decode pixels/samples and run a
-    * feature extractor. This stub derives stable pseudo-features from the
-    * raw bytes so the distributed pipeline is fully exercisable. */
+    * implementation would decode pixels/samples (the container metadata is
+    * already genuinely parsed by `sniff`) and run a feature extractor.
+    * This stub derives stable pseudo-features from the raw bytes so the
+    * distributed pipeline is fully exercisable. */
   private def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.payload
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
@@ -72,12 +250,15 @@ object Multimodal {
   }
 
   /** Uniform frame sampling for video assets: every `stride`-th declared
-    * frame, as (media_id, frame_index, frame_hash) — generated with a
-    * distributed explode, no driver loops. */
+    * frame, as (media_id, frame_index, frame_fp) — generated with a
+    * distributed explode, no driver loops. The fingerprint is
+    * md5(hex(payload) || '#' || index): engine-portable (any engine with
+    * md5+hex reproduces it), unlike xxhash64. */
   def sampleFrames(media: DataFrame, stride: Int = 8): DataFrame =
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("payload"),
         explode(sequence(lit(0), col("declared_frames") - 1, lit(stride))).as("frame_index"))
       .select(col("media_id"), col("frame_index"),
-        xxhash64(col("payload"), col("frame_index")).as("frame_hash"))
+        md5(concat(upper(hex(col("payload"))), lit("#"),
+          col("frame_index").cast("string"))).as("frame_fp"))
 }

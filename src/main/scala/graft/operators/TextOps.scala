@@ -71,13 +71,31 @@ object TextOps {
         stopwordHits(toks, "en").cast("double") / size(toks), 4))
   }
 
-  /** Deterministic 64-bit rolling-hash fingerprint of the normalized token
-    * stream (order-sensitive, Rabin-Karp style over xxhash64'd tokens). */
+  /** Engine-portable 60-bit token hash: the first 15 hex digits of md5,
+    * parsed as an integer. Fits a signed long (< 2^60), and any engine with
+    * md5 + hex parsing computes the identical value (DuckDB:
+    * `('0x'||substr(md5(t),1,15))::BIGINT`) — unlike xxhash64, whose seed
+    * and finalization are Spark-specific. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Rabin-Karp rolling-fingerprint parameters: Mersenne prime 2^31-1 and a
+    * base coprime to it. With acc < 2^31 and base < 2^20 every intermediate
+    * stays below 2^51 — exact under Spark 4's default ANSI mode (the naive
+    * `acc*B + h` chain overflows long on the second token of any real text
+    * and throws ARITHMETIC_OVERFLOW). */
+  val RollingP = 2147483647L
+  val RollingB = 1000003L
+
+  /** Deterministic rolling-hash fingerprint of the normalized token stream
+    * (order-sensitive, Rabin-Karp over portable 60-bit token hashes, mod
+    * 2^31-1). Engine-portable: DuckDB reproduces the chain with
+    * `list_reduce` over the same md5-derived token hashes. */
   def rollingFingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), t => xxhash64(t)),
+      transform(tokens(text), t => portableHash60(t) % RollingP),
       lit(0L),
-      (acc, h) => acc * lit(1000003L) + h)
+      (acc, h) => (acc * lit(RollingB) + h) % RollingP)
 
   /** Content-defined fingerprint usable cross-engine: md5 of the normalized
     * (lower, single-spaced) text. */

@@ -26,12 +26,23 @@ object Closure {
 
   val DriverSideLimit = 200000L
 
+  /** Hard cap on CLOSURE rows the driver-side strategy may materialize.
+    * Edge count alone is the wrong cutover variable: a 200k-edge chain
+    * graph has an O(V²) closure that would OOM the driver even though the
+    * edge relation is tiny. The BFS below counts its output as it goes and
+    * abandons the driver path the moment it exceeds this, falling back to
+    * the distributed fixpoint (which never materializes the closure in one
+    * JVM). */
+  val ClosureRowLimit = 2000000L
+
   /** Closure of `edges` (columns `src`, `dst`). Output columns `src`,`dst`,
     * distinct. Does NOT include zero-length pairs — see `withIdentity`.
     * `driverSideLimit` tunes the strategy cutover (0 forces the
-    * distributed fixpoint). */
+    * distributed fixpoint); `closureRowLimit` bounds the driver-side
+    * RESULT size, the variable that actually OOMs the driver. */
   def transitive(edges: DataFrame, maxIter: Int = 50,
-      driverSideLimit: Long = DriverSideLimit): DataFrame = {
+      driverSideLimit: Long = DriverSideLimit,
+      closureRowLimit: Long = ClosureRowLimit): DataFrame = {
     val spark = edges.sparkSession
     // materialize ONCE: the strategy-choice count, the BFS collect or every
     // fixpoint round all reuse `e` — without the checkpoint each reuse
@@ -40,11 +51,15 @@ object Closure {
       .distinct().localCheckpoint()
     val edgeCount = e.count()
     if (edgeCount == 0) e
-    else if (edgeCount <= driverSideLimit) driverSide(spark, e)
+    else if (edgeCount <= driverSideLimit)
+      driverSide(spark, e, closureRowLimit).getOrElse(distributed(e, maxIter))
     else distributed(e, maxIter)
   }
 
-  private def driverSide(spark: SparkSession, e: DataFrame): DataFrame = {
+  /** Exact BFS closure on the driver; None if the closure grows past
+    * `rowLimit` (caller falls back to the distributed fixpoint). */
+  private def driverSide(
+      spark: SparkSession, e: DataFrame, rowLimit: Long): Option[DataFrame] = {
     import spark.implicits._
     val adj = e.as[(String, String)].collect()
       .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).toSet) }
@@ -57,9 +72,10 @@ object Closure {
         seen ++= next
         frontier = next.flatMap(adj.getOrElse(_, Set.empty[String]))
       }
+      if (out.length + seen.size > rowLimit) return None
       seen.foreach(d => out += ((start, d)))
     }
-    spark.createDataFrame(out.toSeq).toDF("src", "dst")
+    Some(spark.createDataFrame(out.toSeq).toDF("src", "dst"))
   }
 
   private def distributed(e: DataFrame, maxIter: Int): DataFrame = {
