@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,14 +19,28 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").count()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Deterministic execution order (a Map reshuffles iteration order
+    // whenever an entry is added, silently moving residual warm-up cost
+    // onto different queries round-over-round) + median over `passes`
+    // timed runs per query so one JIT/GC hiccup can't masquerade as a
+    // regression. Flagship flow appended after the driver-table queries.
+    val all: Seq[(String, SparkSession => Long)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> ((s: SparkSession) => fn(s, sfDir).count())
+      } ++ Flagship.benchEntries(spark, sfDir)
+    val results = all.map { case (name, fn) =>
+      val times = (1 to math.max(1, passes)).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark) } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      // lower median: pass 1 absorbs per-query codegen warm-up, so for the
+      // default 2 passes this reports the steady-state (second) run
+      name -> times((times.length - 1) / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

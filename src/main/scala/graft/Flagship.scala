@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Flagship-layout benchmark: the reference's actual end-to-end workload
+  * (reference: mortar-parquet-client/client.py:95-109) at bench scale.
+  *
+  * Setup (once, timed as `flagship_ingest`): the events table is written
+  * into the reference's partitioned store layout
+  * `collection=<c>/uuid=<u>/...parquet` (reference: transform.py:39), and
+  * site metadata graphs + a class-hierarchy ontology are emitted as `.ttl`
+  * files (reference: setup-graphs.py).
+  *
+  * Timed flow (`flagship_sparql_scan`): Turtle → SPARQL
+  * (`rdf:type/rdfs:subClassOf*` star over the merged ontology) → uuid set →
+  * pruned scan with a time-range conjunct. The uuid IN-list lands on the
+  * `uuid` PARTITION column, so Spark statically prunes to the matching
+  * stream directories without listing the rest — the property that makes
+  * this pattern survive a 100 TB store (see PLANS.md for the excerpt).
+  */
+object Flagship {
+
+  def uuidOf(uid: Long): String = f"00000000-0000-0000-0000-$uid%012d"
+
+  /** Sensors with uid % 5 == 0 are typed as Zone_Air_Temperature_Sensor —
+    * the SPARQL star selects exactly these (20% of streams). */
+  def isTemp(uid: Long): Boolean = uid % 5 == 0
+
+  val Query: String =
+    """PREFIX brick: <https://brickschema.org/schema/Brick#>
+      |PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+      |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |SELECT ?id WHERE {
+      |  ?p rdf:type/rdfs:subClassOf* brick:Temperature_Sensor .
+      |  ?p brick:timeseries [ brick:hasTimeseriesId ?id ] .
+      |}""".stripMargin
+
+  private val Ontology: String =
+    """@prefix brick: <https://brickschema.org/schema/Brick#> .
+      |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+      |brick:Zone_Air_Temperature_Sensor rdfs:subClassOf brick:Temperature_Sensor .
+      |brick:Temperature_Sensor rdfs:subClassOf brick:Sensor .
+      |brick:Generic_Status_Sensor rdfs:subClassOf brick:Status_Sensor .
+      |brick:Status_Sensor rdfs:subClassOf brick:Sensor .
+      |brick:Sensor rdfs:subClassOf brick:Point .
+      |""".stripMargin
+
+  /** Read the driver's events table (TIMESTAMP(NANOS) → µs, as in
+    * SparkEntry.t) shaped as the reference's fact columns. */
+  private def factSource(spark: SparkSession, sfDir: String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val e =
+      if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      else raw
+    e.select(col("ts").as("time"), col("value"),
+      col("event_type").as("label"),
+      concat(lit("urn:bench/"), col("event_type")).as("uri"),
+      lit("bench").as("collection"),
+      format_string("00000000-0000-0000-0000-%012d", col("user_id")).as("uuid"))
+  }
+
+  /** Write the partitioned fact layout: one shuffle keyed by the partition
+    * columns so each stream lands in few time-sorted files (tight footer
+    * stats), not a small-file explosion. */
+  def ingest(spark: SparkSession, sfDir: String, factRoot: String): Long = {
+    val fact = factSource(spark, sfDir)
+    fact.repartition(col("collection"), col("uuid"))
+      .sortWithinPartitions("uuid", "time")
+      .write.mode("overwrite").partitionBy("collection", "uuid")
+      .parquet(factRoot)
+    spark.read.parquet(factRoot).count()
+  }
+
+  /** Emit 3 site graphs (streams striped by uid % 3) + the ontology. */
+  def writeGraphs(spark: SparkSession, sfDir: String, ttlDir: String): String = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(ttlDir))
+    val uids = factSource(spark, sfDir).select("uuid").distinct()
+      .collect().map(_.getString(0)).sorted // small: one row per stream
+    (0 until 3).foreach { site =>
+      val sb = new StringBuilder
+      sb ++= "@prefix brick: <https://brickschema.org/schema/Brick#> .\n"
+      sb ++= s"@prefix ns: <urn:site$site#> .\n"
+      uids.zipWithIndex.filter(_._2 % 3 == site).foreach { case (u, i) =>
+        val cls = if (isTemp(i.toLong)) "Zone_Air_Temperature_Sensor"
+                  else "Generic_Status_Sensor"
+        sb ++= s"""ns:sen$i a brick:$cls ;\n  brick:timeseries [ brick:hasTimeseriesId "$u" ] .\n"""
+      }
+      Files.write(Paths.get(ttlDir, s"site$site.ttl"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    val ont = Paths.get(ttlDir, "_ontology", "brick.ttl")
+    Files.createDirectories(ont.getParent)
+    Files.write(ont, Ontology.getBytes("UTF-8"))
+    ont.toString
+  }
+
+  /** The two bench entries; setup state is shared lazily so the ingest
+    * entry (run first) feeds the query entry. */
+  def benchEntries(
+      spark: SparkSession, sfDir: String): Seq[(String, SparkSession => Long)] = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_flagship_${java.util.UUID.randomUUID()}"
+    val factRoot = s"$root/store"
+    val ttlDir = s"$root/graphs"
+    lazy val engine: Engine = {
+      val ont = writeGraphs(spark, sfDir, ttlDir)
+      Engine(spark, ttlDir, factRoot, ontology = Some(ont))
+    }
+    Seq(
+      "flagship_ingest" -> ((s: SparkSession) => ingest(s, sfDir, factRoot)),
+      "flagship_sparql_scan" -> ((s: SparkSession) =>
+        engine.dataSparql(Query,
+          start = "2024-01-05T00:00:00Z", end = "2024-01-20T00:00:00Z").count()))
+  }
+}

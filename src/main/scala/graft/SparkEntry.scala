@@ -230,12 +230,16 @@ object SparkEntry {
       // MinHash → LSH bands → candidate pairs → exact 3-gram Jaccard,
       // thresholded — a RECALL gate: the oracle computes the true pair set
       // (all pairs with 3-gram Jaccard ≥ 0.5) exhaustively, so the hash
-      // matches iff LSH candidates ⊇ truth. 32 bands × 2 rows: detection
-      // probability at J=0.8 (the data's weakest true pair) is
-      // 1-(1-0.8²)³² ≈ 1-6e-15.
+      // matches iff LSH candidates ⊇ truth. 16 bands × 4 rows: the S-curve
+      // midpoint (1/16)^(1/4) ≈ 0.5 MATCHES the verification threshold
+      // (b=32/r=2 put it at 0.18 — candidates fired on pairs 3× below the
+      // gate and the false-positive flood dominated the exact-verify cost);
+      // detection at J=0.8 (the data's weakest true pair) is
+      // 1-(1-0.8⁴)¹⁶ ≈ 0.9998, and the pipeline is deterministic (salted
+      // xxhash64), so the recall oracle stays exact, not probabilistic.
       val docs = t(s, dir, "documents")
       Dedup.ngramJaccard(
-        Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 32),
+        Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
         docs, "text", "doc_id", shingleN = 3)
         .filter(col("jaccard_bp") >= 5000)
         .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
@@ -356,9 +360,10 @@ object SparkEntry {
       // → connected components; the oracle recomputes the TRUE pair graph
       // exhaustively, so this is simultaneously a recall gate on LSH and
       // a correctness gate on the component propagation
+      // (banding b=16/r=4 tuned to the J≥0.5 gate — see q19)
       val docs = t(s, dir, "documents")
       val nearDups = Dedup.ngramJaccard(
-          Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 32),
+          Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
           docs, "text", "doc_id", shingleN = 3)
         .filter(col("jaccard_bp") >= 5000)
         .select("id_a", "id_b")

@@ -120,8 +120,83 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Multi-table random-hyperplane LSH buckets, fused: `planes` is ONE
+    * foldable 2-D literal (array<array<double>>, nTables·planesPerTable
+    * rows) and the whole signature — every dot product, every sign bit,
+    * every table's bucket — is computed in a single tight loop per input
+    * vector. Output: array<long> of nPlanes/planesPerTable bucket values.
+    *
+    * Replaces building nTables·planesPerTable separate `vec_dot(vec,
+    * array(lit...))` expressions: at 20×10×64 dims that was ~200 inline
+    * literal arrays — a plan tree large enough that Spark truncated its
+    * string form, and planning/codegen dominated the query cost. One
+    * literal + one kernel keeps the plan O(1) in the table count. */
+  case class HyperplaneBuckets(left: Expression, right: Expression, planesPerTable: Int)
+      extends BinaryExpression {
+    override def prettyName: String = "vec_lsh_buckets"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(ArrayType(DoubleType, _), _))
+          if (l == FloatType || l == DoubleType) && planesPerTable > 0 && planesPerTable <= 64 =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, array<array<double>>) and " +
+          s"0 < planesPerTable <= 64, got ${left.dataType.simpleString}, " +
+          s"${right.dataType.simpleString}, $planesPerTable")
+    }
+
+    private def leftElem: DataType = left.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val vec = a.asInstanceOf[ArrayData]
+      val planes = b.asInstanceOf[ArrayData]
+      val nPlanes = planes.numElements()
+      val buckets = new Array[Long](nPlanes / planesPerTable)
+      var p = 0
+      while (p < buckets.length * planesPerTable) {
+        val row = planes.getArray(p)
+        val n = math.min(vec.numElements(), row.numElements())
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += row.getDouble(i) * elemAt(leftElem, vec, i); i += 1 }
+        if (d > 0) buckets(p / planesPerTable) |= 1L << (p % planesPerTable)
+        p += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(buckets)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nP = ctx.freshName("nPlanes"); val bk = ctx.freshName("buckets")
+        val p = ctx.freshName("p"); val row = ctx.freshName("row")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
+        val r = planesPerTable
+        s"""
+           |int $nP = $b.numElements();
+           |long[] $bk = new long[$nP / $r];
+           |for (int $p = 0; $p < ($nP / $r) * $r; $p++) {
+           |  org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($p);
+           |  int $n = java.lang.Math.min($a.numElements(), $row.numElements());
+           |  double $d = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $d += $row.getDouble($i) * ${elemGetter(leftElem, a, i)};
+           |  }
+           |  if ($d > 0.0) $bk[$p / $r] |= 1L << ($p % $r);
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bk);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def vec_cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  def vec_lsh_buckets(vec: Column, planes: Column, planesPerTable: Int): Column =
+    Bridge.column(HyperplaneBuckets(
+      Bridge.expression(vec), Bridge.expression(planes), planesPerTable))
 }

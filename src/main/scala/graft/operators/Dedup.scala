@@ -283,6 +283,16 @@ object Dedup {
       sig = nextSig
       labels = next
     }
+    // Fail loudly (same philosophy as the blockPairs guard): an unconverged
+    // exit means some component's min-label hasn't finished propagating —
+    // silently returning those labels would be a WRONG grouping, and the
+    // caller has no way to tell. Diameter > maxIter is a pathological
+    // duplicate chain; raise maxIter deliberately, don't mask it.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter iterations — " +
+          "a component has min-label propagation distance > maxIter; " +
+          "raise maxIter for graphs with very long duplicate chains")
     labels
   }
 
@@ -321,18 +331,20 @@ object Dedup {
       df: DataFrame, vecCol: String, idCol: String,
       dim: Int, nTables: Int = 20, planesPerTable: Int = 10,
       threshold: Double = 0.9, seed: Long = 42L): DataFrame = {
+    // ALL nTables·planesPerTable hyperplanes as ONE foldable 2-D literal
+    // fed to the fused vec_lsh_buckets kernel — one expression, one pass
+    // per vector. (Building a separate vec_dot-vs-literal expression per
+    // plane made the plan tree itself the bottleneck: 200 inline 64-dim
+    // array literals truncated the plan string and planning/codegen cost
+    // dominated the query.)
     val rnd = new scala.util.Random(seed)
-    val bucketCols = (0 until nTables).map { _ =>
-      (0 until planesPerTable).map { j =>
-        val p = Array.fill(dim)(rnd.nextGaussian())
-        val d = Similarity.dot(col("vec"), array(p.map(lit): _*))
-        when(d > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    val planeMatrix: Seq[Seq[Double]] =
+      Seq.fill(nTables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .localCheckpoint() // reused: bucket build + two pair-side re-joins
     val buckets = vecs
-      .select(col("id"), posexplode(array(bucketCols.map(c => c.cast("long")): _*))
+      .select(col("id"), posexplode(graft.functions.VectorExpressions
+        .vec_lsh_buckets(col("vec"), typedLit(planeMatrix), planesPerTable))
         .as(Seq("tbl", "bkt")))
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -357,13 +369,12 @@ object Dedup {
       dim: Int, nPlanes: Int = 12, threshold: Double = 0.95,
       seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
-    // hyperplane signs via the native dot kernel against foldable plane
-    // literals — nPlanes codegen'd loops per row, no interpreted lambdas
-    val bucket = planes.zipWithIndex.map { case (p, j) =>
-      val d = Similarity.dot(col(vecCol), array(p.map(lit): _*))
-      when(d > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val planeMatrix: Seq[Seq[Double]] =
+      Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+    // one fused kernel over one plane-matrix literal (single table ⇒ one
+    // bucket: planesPerTable = nPlanes), no interpreted lambdas
+    val bucket = element_at(graft.functions.VectorExpressions
+      .vec_lsh_buckets(col(vecCol), typedLit(planeMatrix), nPlanes), 1)
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       bucket.as("bucket"))
     val a = bucketed.as("a")

@@ -171,46 +171,62 @@ object Multimodal {
           width = Some(rdBe32(b, 16)), height = Some(rdBe32(b, 20)))
       else none
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
-      // JPEG: walk marker segments until a SOF marker carries the dims
+      // JPEG: walk marker segments until a SOF marker carries the dims.
+      // Standalone markers (SOI/EOI/RST0-7/TEM) and 0xFF fill bytes carry
+      // NO length field — advancing by 2+len over them would misread
+      // entropy-coded bytes as a length and walk off into garbage.
       var i = 2
       var out = none.copy(format = "jpeg")
       var found = false
-      while (!found && i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+      var ok = true
+      while (!found && ok && i + 1 < b.length && (b(i) & 0xff) == 0xff) {
         val marker = b(i + 1) & 0xff
         val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
           marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        if (isSof) {
-          out = out.copy(height = Some(rdBe16(b, i + 5)), width = Some(rdBe16(b, i + 7)))
-          found = true
-        } else i += 2 + rdBe16(b, i + 2)
+        if (marker == 0xff) i += 1 // fill byte: resync on the next 0xFF
+        else if (isSof) {
+          if (i + 9 < b.length) {
+            out = out.copy(height = Some(rdBe16(b, i + 5)), width = Some(rdBe16(b, i + 7)))
+            found = true
+          } else ok = false
+        } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+          i += 2 // standalone: TEM, RST0-7, SOI, EOI — no length segment
+        } else if (i + 3 < b.length) {
+          val len = rdBe16(b, i + 2)
+          if (len < 2) ok = false else i += 2 + len // len includes itself
+        } else ok = false
       }
       out
     } else if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE")) {
-      // RIFF/WAVE: chunk-walk to "fmt " (channels LE16 @+2, rate LE32 @+4)
-      var i = 12
+      // RIFF/WAVE: chunk-walk to "fmt " (channels LE16 @+2, rate LE32 @+4).
+      // Chunk sizes are UNSIGNED le32: a corrupt size like 0xFFFFFFF8 read
+      // signed (-8) would advance the cursor by zero or backwards — an
+      // infinite executor loop. Mask to long and require strict advance;
+      // a failed walk returns the format-only meta (never kills the stage).
+      var i = 12L
       var out = none.copy(format = "wav")
       var found = false
       while (!found && i + 8 <= b.length) {
-        val sz = rdLe32(b, i + 4)
-        if (fourcc(b, i, "fmt ") && i + 16 <= b.length) {
-          out = out.copy(channels = Some(rdLe16(b, i + 10)), sample_rate = Some(rdLe32(b, i + 12)))
+        val sz = rdLe32(b, i.toInt + 4) & 0xFFFFFFFFL
+        if (fourcc(b, i.toInt, "fmt ") && i + 16 <= b.length) {
+          out = out.copy(channels = Some(rdLe16(b, i.toInt + 10)), sample_rate = Some(rdLe32(b, i.toInt + 12)))
           found = true
         } else i += 8 + sz + (sz & 1)
       }
       out
     } else if (fourcc(b, 0, "RIFF") && fourcc(b, 8, "AVI ")) {
       // RIFF/AVI: find the avih main header (frames @+16, w @+32, h @+36
-      // within its data)
-      var i = 12
+      // within its data); unsigned sizes + strict advance, as for WAVE
+      var i = 12L
       var out = none.copy(format = "avi")
       var found = false
       while (!found && i + 8 <= b.length) {
-        if (fourcc(b, i, "avih") && i + 8 + 56 <= b.length) {
-          out = out.copy(n_frames = Some(rdLe32(b, i + 8 + 16)),
-            width = Some(rdLe32(b, i + 8 + 32)), height = Some(rdLe32(b, i + 8 + 36)))
+        if (fourcc(b, i.toInt, "avih") && i + 8 + 56 <= b.length) {
+          out = out.copy(n_frames = Some(rdLe32(b, i.toInt + 8 + 16)),
+            width = Some(rdLe32(b, i.toInt + 8 + 32)), height = Some(rdLe32(b, i.toInt + 8 + 36)))
           found = true
-        } else if (fourcc(b, i, "LIST")) i += 12 // descend into the list
-        else i += 8 + rdLe32(b, i + 4)
+        } else if (fourcc(b, i.toInt, "LIST")) i += 12 // descend into the list
+        else i += 8 + (rdLe32(b, i.toInt + 4) & 0xFFFFFFFFL)
       }
       out
     } else none
