@@ -266,9 +266,12 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
     "q23_embed_ivf" -> ((s, dir) => {
+      // real Lloyd's k-means quantizer (mod-37 seeded, 2 exact-arithmetic
+      // rounds — the oracle recomputes the identical centroids), then the
+      // IVF probe/score path
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-        centroidMod = 37, nProbe = 2)
+      val cents = Similarity.kmeansCentroids(emb, dim = 64, centroidMod = 37, iters = 2)
+      Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 8), cents, k = 5, nProbe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
@@ -371,6 +374,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
+    "q41_wav_decode" -> ((s, dir) => {
+      // REAL audio decode: construct RIFF/WAVE payloads (PCM16, body = the
+      // UTF-8 text bytes), then decode the sample stream back and aggregate
+      // integer-exact stats — the oracle re-derives every sample from the
+      // same bytes with hex arithmetic, so this checks the full chunk-walk
+      // + s16le decode, not just the header parse
+      Multimodal.wavFeatures(
+        Multimodal.packSynthetic(t(s, dir, "documents"), "doc_id", "text").toDF())
+        .toDF()
+        .select("media_id", "sample_rate", "channels", "n_samples",
+          "sum_samples", "sum_squares", "peak_abs")
+        .orderBy("media_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -471,6 +487,55 @@ object SparkEntry {
        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q23 oracle, generated: the SAME deterministic k-means — mod-seeded
+    * centroids, `iters` unrolled assign/update rounds with the exact
+    * integer-space mean (floor(x·10⁶) summed, then two IEEE divisions) —
+    * followed by the IVF probe/score. Bit-identical to
+    * Similarity.kmeansCentroids because every step is order-independent. */
+  private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2, mod: Int = 37,
+      nProbe: Int = 2, k: Int = 5): String = {
+    def meanList = (0 until dim).map(i =>
+      s"(sum(floor(nvec[${i + 1}] * 1000000))::DOUBLE / count(*)) / 1000000.0")
+      .mkString("[", ", ", "]")
+    def assign(prev: String, step: Int): String =
+      s"""a$step AS (
+         |  SELECT nid, cid, nvec FROM (
+         |    SELECT e.vec_id AS nid, c.cid, e.embedding::DOUBLE[] AS nvec,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
+         |    FROM embeddings e, $prev c) WHERE cr = 1),
+         |c$step AS (SELECT cid, $meanList AS cvec FROM a$step GROUP BY cid)""".stripMargin
+    val rounds = (1 to iters).map(s => assign(s"c${s - 1}", s)).mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id % $mod = 0),
+       |$rounds,
+       |corpus_assign AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT e.vec_id AS nid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
+       |    FROM embeddings e, c$iters c) WHERE cr <= 1),
+       |query_probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
+       |    FROM embeddings e, c$iters c WHERE e.vec_id < 8) WHERE cr <= $nProbe),
+       |scored AS (
+       |  SELECT p.qid, a.nid,
+       |    list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS score
+       |  FROM query_probe p
+       |  JOIN corpus_assign a ON p.cid = a.cid
+       |  JOIN embeddings eq ON eq.vec_id = p.qid
+       |  JOIN embeddings en ON en.vec_id = a.nid
+       |  WHERE a.nid <> p.qid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q19_minhash_lsh" ->
       s"""WITH $shingleStatsCte
@@ -539,6 +604,34 @@ object SparkEntry {
         |FROM al a JOIN al b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.vec, b.vec), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q41_wav_decode" ->
+      """WITH audio AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8000 * (1 + doc_id % 5) AS INTEGER) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |    hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |samp AS (
+        |  SELECT media_id, unnest(list_transform(range(0, nb // 2), k ->
+        |    CASE WHEN ('0x' || substr(hx, CAST(4*k+3 AS INTEGER), 2)
+        |                     || substr(hx, CAST(4*k+1 AS INTEGER), 2))::INTEGER >= 32768
+        |         THEN ('0x' || substr(hx, CAST(4*k+3 AS INTEGER), 2)
+        |                    || substr(hx, CAST(4*k+1 AS INTEGER), 2))::INTEGER - 65536
+        |         ELSE ('0x' || substr(hx, CAST(4*k+3 AS INTEGER), 2)
+        |                    || substr(hx, CAST(4*k+1 AS INTEGER), 2))::INTEGER END)) AS s
+        |  FROM audio),
+        |agg AS (
+        |  SELECT media_id, count(*) AS n, sum(s) AS sums,
+        |    sum(s::BIGINT * s) AS ss, max(abs(s)) AS pk
+        |  FROM samp GROUP BY media_id)
+        |SELECT a.media_id, a.sample_rate, a.channels,
+        |  CAST(coalesce(g.n, 0) AS BIGINT) AS n_samples,
+        |  CAST(coalesce(g.sums, 0) AS BIGINT) AS sum_samples,
+        |  CAST(coalesce(g.ss, 0) AS BIGINT) AS sum_squares,
+        |  CAST(coalesce(g.pk, 0) AS INTEGER) AS peak_abs
+        |FROM audio a LEFT JOIN agg g USING (media_id)
+        |ORDER BY media_id""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)
@@ -683,33 +776,7 @@ object SparkEntry {
         |  SELECT qid, nid, score,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
         |  FROM scored) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-    "q23_embed_ivf" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % 37 = 0),
-        |corpus_assign AS (
-        |  SELECT nid, cid FROM (
-        |    SELECT e.vec_id AS nid, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cid) AS cr
-        |    FROM embeddings e, cents c) WHERE cr <= 1),
-        |query_probe AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT e.vec_id AS qid, c.cid,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec::DOUBLE[]) DESC, c.cid) AS cr
-        |    FROM embeddings e, cents c WHERE e.vec_id < 8) WHERE cr <= 2),
-        |scored AS (
-        |  SELECT p.qid, a.nid,
-        |    list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS score
-        |  FROM query_probe p
-        |  JOIN corpus_assign a ON p.cid = a.cid
-        |  JOIN embeddings eq ON eq.vec_id = p.qid
-        |  JOIN embeddings en ON en.vec_id = a.nid
-        |  WHERE a.nid <> p.qid)
-        |SELECT qid, nid, rank, round(score, 4) AS score FROM (
-        |  SELECT qid, nid, score,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
-        |  FROM scored) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "q23_embed_ivf" -> ivfKmeansOracle(),
     "q24_lang_id" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

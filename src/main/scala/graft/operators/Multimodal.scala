@@ -239,11 +239,72 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.map(r => sniffBytes(r.media_id, r.kind, r.payload)))
   }
 
-  /** ??? REAL DECODER GOES HERE ??? — deterministic stand-in: a real
-    * implementation would decode pixels/samples (the container metadata is
-    * already genuinely parsed by `sniff`) and run a feature extractor.
-    * This stub derives stable pseudo-features from the raw bytes so the
-    * distributed pipeline is fully exercisable. */
+  /** Per-asset integer-exact PCM sample statistics — the decode output
+    * shape for the audio path. All-integer so any engine reproduces the
+    * values bit-for-bit (no float accumulation order to worry about). */
+  final case class WavFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      n_samples: Long, // total s16 samples across channels
+      sum_samples: Long, // Σ s          (DC offset · n)
+      sum_squares: Long, // Σ s²         (energy; RMS = √(ss/n))
+      peak_abs: Int) // max |s|
+
+  /** REAL audio decode: RIFF/WAVE → signed 16-bit little-endian PCM
+    * samples → integer-exact stats. Walks the chunk list (unsigned sizes,
+    * strict advance — same corrupt-input contract as `sniffBytes`) to the
+    * `fmt ` chunk (PCM format 1, 16-bit) and the `data` chunk, then decodes
+    * every sample: pure arithmetic over the bytes, no codec library.
+    * Returns None for non-WAV, non-PCM16, or corrupt payloads — a corrupt
+    * file must not kill the stage. */
+  def decodeWav(id: Long, b: Array[Byte]): Option[WavFeatures] = {
+    if (!(fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE"))) return None
+    var i = 12L
+    var rate = -1; var nch = -1; var bits = -1; var fmtCode = -1
+    var dataOff = -1L; var dataLen = -1L
+    while ((dataOff < 0 || rate < 0) && i + 8 <= b.length) {
+      val sz = rdLe32(b, i.toInt + 4) & 0xFFFFFFFFL
+      if (fourcc(b, i.toInt, "fmt ") && i + 8 + 16 <= b.length) {
+        fmtCode = rdLe16(b, i.toInt + 8)
+        nch = rdLe16(b, i.toInt + 10)
+        rate = rdLe32(b, i.toInt + 12)
+        bits = rdLe16(b, i.toInt + 22)
+      } else if (fourcc(b, i.toInt, "data")) {
+        dataOff = i + 8
+        dataLen = math.min(sz, b.length.toLong - dataOff) max 0L
+      }
+      i += 8 + sz + (sz & 1)
+    }
+    if (rate <= 0 || nch <= 0 || fmtCode != 1 || bits != 16 || dataOff < 0) return None
+    val off = dataOff.toInt
+    val n = (dataLen / 2).toInt
+    var sum = 0L; var ss = 0L; var peak = 0
+    var k = 0
+    while (k < n) {
+      val s = (((b(off + 2 * k + 1) & 0xff) << 8) | (b(off + 2 * k) & 0xff)).toShort.toInt
+      sum += s; ss += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      k += 1
+    }
+    Some(WavFeatures(id, rate, nch, n.toLong, sum, ss, peak))
+  }
+
+  /** Decode every WAV asset's PCM stream, batch-wise per partition;
+    * non-audio / undecodable payloads are dropped (flatMap). */
+  def wavFeatures(media: DataFrame): Dataset[WavFeatures] = {
+    implicit val enc = Encoders.product[WavFeatures]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(_.flatMap(r => decodeWav(r.media_id, r.payload)))
+  }
+
+  /** Deterministic stand-in for the image/video pixel decode (the audio
+    * path has a REAL decoder above — `decodeWav`; the PNG/JPEG/AVI pixel
+    * codecs aren't in this container). The container metadata is already
+    * genuinely parsed by `sniff`; this stub derives stable pseudo-features
+    * from the raw bytes so the distributed pipeline is fully exercisable —
+    * swapping in a real image codec replaces only this body. */
   private def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.payload
     var h = 1125899906842597L // FNV-ish rolling hash of the payload

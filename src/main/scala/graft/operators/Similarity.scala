@@ -44,20 +44,72 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("score"), 4).as("score"))
   }
 
-  /** IVF (inverted-file) approximate top-k.
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
     *
-    * Deterministic coarse quantizer: corpus vectors whose id satisfies
-    * `id % centroidMod == 0` serve as centroids (a stand-in for k-means —
-    * same plan shape, reproducible). Every corpus vector is assigned to its
-    * nearest centroid (one broadcast join, map-side argmax); each query
-    * probes its `nProbe` nearest centroids and scores only those lists. */
+    * Seeding: corpus vectors with `id % centroidMod == 0` (deterministic,
+    * engine-portable). Each of `iters` rounds:
+    *
+    *   1. ASSIGN — every corpus vector to its max-cosine centroid (ties →
+    *      smallest cid), as a broadcast cross join + one map-side-combinable
+    *      `max_by` aggregate (never a ranking window over the corpus);
+    *   2. UPDATE — per-dimension centroid means in EXACT integer space:
+    *      each element is scaled by 10⁶ and floored to a long, the longs are
+    *      summed (exact, order-independent — a double mean's low bits would
+    *      depend on partition order), and mean = (sum⟶double / n) / 10⁶,
+    *      two IEEE ops any engine reproduces bit-for-bit. The DuckDB oracle
+    *      mirrors the same arithmetic, so assignments never drift.
+    *
+    * The update is `dim` codegen'd sum aggregates over the assignment — one
+    * shuffle per round keyed by cid, map-side partials, no collect; empty
+    * clusters drop out (standard Lloyd's behavior). Centroids stay a tiny
+    * relation (one row per cluster) checkpointed per round. */
+  def kmeansCentroids(
+      corpus: DataFrame, dim: Int, centroidMod: Int = 37, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+    for (_ <- 1 to iters) {
+      val assigned = corpus
+        .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("nvec"), col("cvec")))
+        .groupBy(col("nid"))
+        .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("nvec")).as("nvec"))
+      val sumCols = (0 until dim).map(i =>
+        sum(floor(element_at(col("nvec"), i + 1) * lit(1e6)).cast("long")).as(s"_s$i"))
+      cents = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("_n"), sumCols: _*)
+        .select(col("cid"), array((0 until dim).map(i =>
+          col(s"_s$i").cast("double") / col("_n") / lit(1e6)): _*).as("cvec"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) approximate top-k with mod-seeded centroids —
+    * fixed-seed quantizer, same plan shape as the k-means path; prefer
+    * `ivfTopKWith(kmeansCentroids(...), ...)` for data-dependent lists. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       centroidMod: Int = 37, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    ivfTopKWith(corpus, queries, cents, k, nProbe, idCol, vecCol)
+  }
+
+  /** IVF approximate top-k over an explicit centroid table (cid, cvec).
+    * Every corpus vector is assigned to its nearest centroid (one broadcast
+    * join, map-side argmax); each query probes its `nProbe` nearest
+    * centroids and scores only those lists. */
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids.select(col("cid"), col("cvec"))
 
     // Corpus assignment is the 100 TB side: argmax as a map-side-combinable
     // max_by aggregate (ties → smallest cid), NOT a ranking window — a
