@@ -28,10 +28,18 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> ((s: SparkSession) => fn(s, sfDir).count())
       } ++ Flagship.benchEntries(spark, sfDir)
+    // A query that throws must NOT be recorded as a fast success (that would
+    // flatter the headline total): record the error message per query and a
+    // nonzero `errors` count in the summary line instead.
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = all.map { case (name, fn) =>
       val times = (1 to math.max(1, passes)).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark) } catch { case _: Throwable => () }
+        try { fn(spark) } catch {
+          case e: Throwable =>
+            errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       // lower median: pass 1 absorbs per-query codegen warm-up, so for the
@@ -40,8 +48,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -387,6 +387,20 @@ object SparkEntry {
           "sum_samples", "sum_squares", "peak_abs")
         .orderBy("media_id")
     }),
+    "q42_png_decode" -> ((s, dir) => {
+      // REAL image decode: construct spec-compliant PNGs (RGBA8, pixel
+      // bytes a deterministic function of the id, all five scanline filter
+      // types, zlib IDAT, valid CRCs), then decode them back — inflate +
+      // un-filter + integer-exact pixel stats. The oracle recomputes the
+      // stats from the same pixel formula, so a hash match proves the
+      // whole inflate/unfilter path reconstructs every byte exactly.
+      Multimodal.pngFeatures(
+        Multimodal.packPng(t(s, dir, "documents"), "doc_id").toDF())
+        .toDF()
+        .select("media_id", "width", "height", "n_bytes", "sum_bytes",
+          "sum_squares", "max_r", "max_g", "max_b", "max_a")
+        .orderBy("media_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -631,6 +645,35 @@ object SparkEntry {
         |  CAST(coalesce(g.ss, 0) AS BIGINT) AS sum_squares,
         |  CAST(coalesce(g.pk, 0) AS INTEGER) AS peak_abs
         |FROM audio a LEFT JOIN agg g USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+    "q42_png_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 160 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 90 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT media_id, w, h, unnest(generate_series(0, w*h*4 - 1)) AS k
+        |  FROM imgs),
+        |v AS (
+        |  SELECT media_id, k % (w*4) AS x,
+        |    (media_id + 7*(k // (w*4)) + 13*(k % (w*4))) % 251 AS val
+        |  FROM px),
+        |agg AS (
+        |  SELECT media_id, sum(val) AS sb, sum(val*val) AS ss,
+        |    max(val) FILTER (x % 4 = 0) AS mr,
+        |    max(val) FILTER (x % 4 = 1) AS mg,
+        |    max(val) FILTER (x % 4 = 2) AS mb,
+        |    max(val) FILTER (x % 4 = 3) AS ma
+        |  FROM v GROUP BY media_id)
+        |SELECT i.media_id, CAST(i.w AS INTEGER) AS width,
+        |  CAST(i.h AS INTEGER) AS height,
+        |  CAST(i.w * i.h * 4 AS BIGINT) AS n_bytes,
+        |  CAST(a.sb AS BIGINT) AS sum_bytes,
+        |  CAST(a.ss AS BIGINT) AS sum_squares,
+        |  CAST(a.mr AS INTEGER) AS max_r, CAST(a.mg AS INTEGER) AS max_g,
+        |  CAST(a.mb AS INTEGER) AS max_b, CAST(a.ma AS INTEGER) AS max_a
+        |FROM imgs i JOIN agg a USING (media_id)
         |ORDER BY media_id""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events

@@ -299,12 +299,193 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.flatMap(r => decodeWav(r.media_id, r.payload)))
   }
 
-  /** Deterministic stand-in for the image/video pixel decode (the audio
-    * path has a REAL decoder above — `decodeWav`; the PNG/JPEG/AVI pixel
-    * codecs aren't in this container). The container metadata is already
-    * genuinely parsed by `sniff`; this stub derives stable pseudo-features
-    * from the raw bytes so the distributed pipeline is fully exercisable —
-    * swapping in a real image codec replaces only this body. */
+  /** Per-asset integer-exact pixel statistics — the decode output shape
+    * for the image path (mirror of `WavFeatures` for audio). All-integer
+    * so any engine reproduces the values bit-for-bit. */
+  final case class PngFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_bytes: Long, // decoded pixel bytes = width·height·4 (RGBA8)
+      sum_bytes: Long, // Σ v      over all pixel bytes (0..255)
+      sum_squares: Long, // Σ v²
+      max_r: Int, // per-channel peak byte value
+      max_g: Int,
+      max_b: Int,
+      max_a: Int)
+
+  private def crc32(parts: Array[Byte]*): Array[Byte] = {
+    val c = new java.util.zip.CRC32()
+    parts.foreach(c.update(_))
+    be32(c.getValue.toInt)
+  }
+
+  /** PNG Paeth predictor (PNG spec §9, filter type 4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Build a REAL spec-compliant PNG (decodable by any viewer): RGBA8,
+    * deterministic pixel bytes v(y,x) = (id + 7y + 13x) mod 251, each
+    * scanline filtered with type y mod 5 (so all five PNG filters are
+    * exercised), zlib-deflated IDAT, correct CRC32 on every chunk. The
+    * pixel formula is trivially recomputable by any SQL engine, which is
+    * what makes the DECODE (inflate + unfilter) oracle-checkable. */
+  def pngEncode(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = w * 4
+    val raw = Array.tabulate(h, stride)((y, x) =>
+      (((id + 7L * y + 13L * x) % 251L).toInt & 0xff).toByte)
+    val filtered = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      val ft = y % 5
+      filtered(y * (1 + stride)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = raw(y)(x) & 0xff
+        val left = if (x >= 4) raw(y)(x - 4) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(x) & 0xff else 0
+        val ul = if (x >= 4 && y > 0) raw(y - 1)(x - 4) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        filtered(y * (1 + stride) + 1 + x) = ((cur - pred) & 0xff).toByte
+        x += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val buf = new Array[Byte](filtered.length + 64)
+    val out = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val idat = out.toByteArray
+    val ihdrData = be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0)
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ ascii("IHDR") ++ ihdrData ++ crc32(ascii("IHDR"), ihdrData) ++
+      be32(idat.length) ++ ascii("IDAT") ++ idat ++ crc32(ascii("IDAT"), idat) ++
+      be32(0) ++ ascii("IEND") ++ crc32(ascii("IEND"))
+  }
+
+  /** REAL image decode: PNG → inflate IDAT (`java.util.zip.Inflater`) →
+    * un-apply the five PNG filter types → integer-exact RGBA pixel stats.
+    * CRCs are verified chunk by chunk. Returns None for non-PNG, non-RGBA8,
+    * interlaced, or corrupt payloads (bad CRC, truncated chunk, short or
+    * malformed IDAT stream) — a corrupt file must not kill the stage. */
+  def decodePng(id: Long, b: Array[Byte]): Option[PngFeatures] = {
+    if (b.length < 8 || (b(0) & 0xff) != 0x89 || !fourcc(b, 1, "PNG")) return None
+    var i = 8
+    var w = -1; var h = -1
+    var ok = true; var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (ok && !done && i + 8 <= b.length) {
+      val len = rdBe32(b, i).toLong & 0xFFFFFFFFL
+      if (i + 12 + len > b.length) ok = false
+      else {
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        val data = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len.toInt)
+        val crcStored = rdBe32(b, i + 8 + len.toInt)
+        val c = new java.util.zip.CRC32()
+        c.update(b, i + 4, 4 + len.toInt)
+        if (c.getValue.toInt != crcStored) ok = false
+        else typ match {
+          case "IHDR" =>
+            if (len != 13) ok = false
+            else {
+              w = rdBe32(data, 0); h = rdBe32(data, 4)
+              // bit depth 8, color type 6 (RGBA), no interlace only
+              if (data(8) != 8 || data(9) != 6 || data(12) != 0 ||
+                w <= 0 || h <= 0 || w.toLong * h * 4 > Int.MaxValue / 2) ok = false
+            }
+          case "IDAT" => idat.write(data)
+          case "IEND" => done = true
+          case _ => () // ancillary chunk: skip
+        }
+        i += 12 + len.toInt
+      }
+    }
+    if (!ok || !done || w <= 0) return None
+    val stride = w * 4
+    val expect = h * (1 + stride)
+    val inflated = new Array[Byte](expect)
+    try {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < expect && !inf.finished()) {
+        val n = inf.inflate(inflated, got, expect - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      inf.end()
+      if (got != expect) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    // un-filter scanline by scanline, accumulating stats as we go
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var sum = 0L; var ss = 0L
+    val maxCh = new Array[Int](4)
+    var y = 0
+    while (y < h) {
+      val ft = inflated(y * (1 + stride)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = inflated(y * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= 4) cur(x - 4) else 0
+        val up = prior(x)
+        val ul = if (x >= 4) prior(x - 4) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        val v = (f + pred) & 0xff
+        cur(x) = v
+        sum += v; ss += v.toLong * v
+        val ch = x & 3
+        if (v > maxCh(ch)) maxCh(ch) = v
+        x += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    Some(PngFeatures(id, w, h, h.toLong * stride, sum, ss,
+      maxCh(0), maxCh(1), maxCh(2), maxCh(3)))
+  }
+
+  /** Build one real PNG asset per row (dims derived from the id as in
+    * `packSynthetic`), batch-wise per partition. */
+  def packPng(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    implicit val encIn = Encoders.scalaLong
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, "image", pngEncode(id, widthOf(id), heightOf(id)), framesOf(id))
+    })
+  }
+
+  /** Decode every PNG asset's pixel stream, batch-wise per partition;
+    * non-PNG / undecodable payloads are dropped (flatMap). */
+  def pngFeatures(media: DataFrame): Dataset[PngFeatures] = {
+    implicit val enc = Encoders.product[PngFeatures]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(_.flatMap(r => decodePng(r.media_id, r.payload)))
+  }
+
+  /** Deterministic stand-in for the remaining entropy-coded decode paths
+    * (PNG has a REAL decoder above — `decodePng`; audio has `decodeWav`;
+    * the JPEG/AVI codecs aren't in this container). The container metadata
+    * is already genuinely parsed by `sniff`; this stub derives stable
+    * pseudo-features from the raw bytes so the distributed pipeline is
+    * fully exercisable — swapping in a real codec replaces only this body. */
   private def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.payload
     var h = 1125899906842597L // FNV-ish rolling hash of the payload

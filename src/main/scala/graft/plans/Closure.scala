@@ -79,32 +79,45 @@ object Closure {
   }
 
   private def distributed(e: DataFrame, maxIter: Int): DataFrame = {
-    // Semi-naive: each round extends only the FRESH frontier. Frontiers are
-    // pairwise disjoint by construction (each is anti-joined against the
-    // union of all previous), so the final result is a plain union — no
-    // closing distinct, and no re-checkpointing of the whole closure per
-    // round (only the new frontier is checkpointed; lineage stays bounded
-    // by the graph diameter).
+    // Semi-naive: each round extends only the FRESH frontier. `seen` is
+    // maintained as ONE checkpointed DataFrame (not a re-unioned list of
+    // frontiers) so every round's plan has the IDENTICAL shape —
+    // LogicalRDD ⋈ LogicalRDD → distinct → anti-join LogicalRDD — and
+    // whole-stage codegen compiles each shape once for the whole fixpoint
+    // instead of once per round (the growing union defeated the codegen
+    // cache and made round N's planning cost O(N)).
     //
-    val frontiers = scala.collection.mutable.ArrayBuffer(e)
-    var frontier = e
+    // Partitioning is pre-aligned with the joins so the per-round shuffles
+    // touch only the (shrinking) frontier side:
+    //   - `ej` is hash-partitioned by `src`, the probe key of the extend
+    //     join — localCheckpoint preserves outputPartitioning, so only the
+    //     frontier side exchanges each round;
+    //   - `seen` is re-checkpointed per round partitioned by (src,dst),
+    //     matching both the anti-join keys and distinct()'s output
+    //     partitioning, so the anti-join runs exchange-free.
+    // Re-materializing `seen` each round costs one narrow write of the
+    // closure-so-far; lineage stays one LogicalRDD deep regardless of
+    // iteration count.
+    val ej = e.repartition(col("src")).localCheckpoint()
+    var seen = e.repartition(col("src"), col("dst")).localCheckpoint()
+    var frontier = seen
     var iter = 0
     var growing = true
     while (growing && iter < maxIter) {
       iter += 1
       val step = frontier.as("f")
-        .join(e.as("e"), col("f.dst") === col("e.src"))
+        .join(ej.as("e"), col("f.dst") === col("e.src"))
         .select(col("f.src").as("src"), col("e.dst").as("dst"))
         .distinct()
-      val seen = frontiers.reduce(_ union _)
       val fresh = step.join(seen, Seq("src", "dst"), "left_anti").localCheckpoint()
       if (fresh.isEmpty) growing = false
       else {
-        frontiers += fresh
+        seen = seen.union(fresh).repartition(col("src"), col("dst"))
+          .localCheckpoint()
         frontier = fresh
       }
     }
-    frontiers.reduce(_ union _)
+    seen
   }
 
   /** Nodes reachable from `start` via 1+ edges (forward), or that reach
