@@ -98,25 +98,46 @@ object Closure {
     // Re-materializing `seen` each round costs one narrow write of the
     // closure-so-far; lineage stays one LogicalRDD deep regardless of
     // iteration count.
-    val ej = e.repartition(col("src")).localCheckpoint()
-    var seen = e.repartition(col("src"), col("dst")).localCheckpoint()
-    var frontier = seen
+    // Rounds DOUBLE the covered path length (new paths = seen ∘ seen, the
+    // "smart" TC recursion) rather than extending by one edge: a
+    // single-edge extension silently TRUNCATES any graph with diameter >
+    // maxIter (an 80-node chain at maxIter=50 returned exactly the
+    // pairs of path length ≤ 51 — caught by RobustnessSpec), while
+    // doubling covers diameter 2^maxIter and still converges in 2-3
+    // rounds for the shallow hierarchies this engine actually queries.
+    // Completeness without joining the WHOLE closure with itself each
+    // round: compose only the FRESH pairs with seen. A shortest path of
+    // length n ∈ (2^k, 2^(k+1)] splits at its 2^k-th node into a prefix
+    // that is itself shortest of length exactly 2^k (else the whole path
+    // would be shorter) — i.e. a member of round k's fresh set — and a
+    // suffix of length ≤ 2^k already in seen. So fresh ∘ seen finds every
+    // next-round pair while the left join side keeps shrinking.
+    // seen is kept hash-partitioned by `src`: that is the build key of the
+    // compose join (reused as-is every round, no exchange on the big side)
+    // and a PREFIX of the anti-join keys (src,dst), so it satisfies that
+    // join's clustering requirement too — rows with equal (src,dst) are
+    // co-located by src alone.
+    var seen = e.repartition(col("src")).localCheckpoint()
+    var fresh = seen
     var iter = 0
     var growing = true
     while (growing && iter < maxIter) {
       iter += 1
-      val step = frontier.as("f")
-        .join(ej.as("e"), col("f.dst") === col("e.src"))
-        .select(col("f.src").as("src"), col("e.dst").as("dst"))
+      val step = fresh.as("f")
+        .join(seen.as("s"), col("f.dst") === col("s.src"))
+        .select(col("f.src").as("src"), col("s.dst").as("dst"))
         .distinct()
-      val fresh = step.join(seen, Seq("src", "dst"), "left_anti").localCheckpoint()
-      if (fresh.isEmpty) growing = false
+      val next = step.join(seen, Seq("src", "dst"), "left_anti").localCheckpoint()
+      if (next.isEmpty) growing = false
       else {
-        seen = seen.union(fresh).repartition(col("src"), col("dst"))
-          .localCheckpoint()
-        frontier = fresh
+        seen = seen.union(next).repartition(col("src")).localCheckpoint()
+        fresh = next
       }
     }
+    // Unconverged exit would mean a silently partial closure — impossible
+    // in practice (2^maxIter path length), so fail loudly if it happens.
+    if (growing) throw new IllegalStateException(
+      s"transitive closure not converged after $maxIter doubling rounds")
     seen
   }
 
@@ -161,6 +182,12 @@ object Closure {
         if (next.isEmpty) growing = false
         else { seen = seen.union(next).localCheckpoint(); frontier = next }
       }
+      // one edge per round here (vertex-level BFS): a diameter > maxIter
+      // graph would silently return a partial reachable set — fail loudly
+      // instead (raise maxIter deliberately for pathological chains)
+      if (growing) throw new IllegalStateException(
+        s"reachableFrom not converged after $maxIter rounds — " +
+          "graph diameter exceeds maxIter")
       seen
     }
   }

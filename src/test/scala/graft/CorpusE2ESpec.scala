@@ -36,23 +36,21 @@ class CorpusE2ESpec extends AnyFunSuite {
     import s.implicits._
 
     // micro ontology: just the subclass edges the flagship query traverses,
-    // merged into EVERY named graph exactly as the reference does with the
-    // full Brick ontology (setup-graphs.py:22 — site-scoped queries must
-    // see the hierarchy inside their own graph)
-    val edges = Seq(
-      ("https://brickschema.org/schema/Brick#Zone_Air_Temperature_Sensor",
-        "https://brickschema.org/schema/Brick#Air_Temperature_Sensor"),
-      ("https://brickschema.org/schema/Brick#Air_Temperature_Sensor",
-        "https://brickschema.org/schema/Brick#Temperature_Sensor"),
-      ("https://brickschema.org/schema/Brick#Zone_Air_Temperature_Setpoint",
-        "https://brickschema.org/schema/Brick#Air_Temperature_Setpoint"),
-      ("https://brickschema.org/schema/Brick#Air_Temperature_Setpoint",
-        "https://brickschema.org/schema/Brick#Temperature_Setpoint"))
-    val siteQuads = Turtle.loadGraphs(spark, graphsDir)
-    val graphNames = siteQuads.select("graph").distinct().as[String].collect()
-    val ontology = graphNames.toSeq.flatMap(g =>
-      edges.map { case (a, b) => Model.Quad(g, a, Model.RdfsSubClassOf, b) }).toDF()
-    val quads = siteQuads.unionByName(ontology)
+    // written as a real `.ttl` file and merged into EVERY named graph by the
+    // LOADER itself — the same path the reference takes with the full Brick
+    // ontology (setup-graphs.py:22 — site-scoped queries must see the
+    // hierarchy inside their own graph)
+    val ontTtl =
+      """@prefix brick: <https://brickschema.org/schema/Brick#> .
+        |@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+        |brick:Zone_Air_Temperature_Sensor rdfs:subClassOf brick:Air_Temperature_Sensor .
+        |brick:Air_Temperature_Sensor rdfs:subClassOf brick:Temperature_Sensor .
+        |brick:Zone_Air_Temperature_Setpoint rdfs:subClassOf brick:Air_Temperature_Setpoint .
+        |brick:Air_Temperature_Setpoint rdfs:subClassOf brick:Temperature_Setpoint .
+        |""".stripMargin
+    val ontPath = Files.createTempDirectory("corpus-ont").resolve("brick.ttl")
+    Files.write(ontPath, ontTtl.getBytes("UTF-8"))
+    val quads = Turtle.loadGraphs(spark, graphsDir, Some(ontPath.toString))
     val engine = new Engine(spark, quads, spark.range(0).toDF())
 
     val bindings = engine.sparql(query1, sites = Seq("bldg1", "bldg2"))

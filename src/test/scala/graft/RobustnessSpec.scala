@@ -1,0 +1,263 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.plans.Closure
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the fail-loud / fallback / corrupt-input branches that the
+  * driver queries never reach: the closure row-limit fallback, the
+  * blockPairs guard trip, connected-components non-convergence, corrupt
+  * media payloads (the 0xFFFFFFF8 RIFF size, truncated WAV/PNG, non-PCM
+  * formats, JPEG standalone markers), vec_lsh_buckets interpreted/codegen
+  * parity, k-means determinism across partitionings, and the PNG
+  * encode→decode round trip. */
+class RobustnessSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  // --- Closure: driver-side row-limit fallback -----------------------------
+
+  test("transitive closure falls back to the distributed fixpoint when the " +
+      "driver-side closure exceeds closureRowLimit") {
+    val s = spark; import s.implicits._
+    // 80-node chain: 79 edges, closure = 79·80/2 = 3160 pairs — the edge
+    // count passes the driver-side cutover but the RESULT trips the cap
+    val edges = (1 until 80).map(i => (s"n$i", s"n${i + 1}")).toDF("src", "dst")
+    val viaFallback = Closure.transitive(edges, closureRowLimit = 100)
+    assert(viaFallback.count() == 3160)
+    // and it must agree exactly with the unconstrained driver-side BFS
+    val viaDriver = Closure.transitive(edges)
+    assert(viaFallback.except(viaDriver).isEmpty && viaDriver.except(viaFallback).isEmpty)
+    // spot-check the longest path
+    assert(viaFallback.filter(col("src") === "n1" && col("dst") === "n80").count() == 1)
+  }
+
+  // --- Dedup: blockPairs guard + CC non-convergence ------------------------
+
+  test("blockPairs fails loudly when a block exceeds maxBlock") {
+    val s = spark; import s.implicits._
+    val docs = (1 to 20).map(i => (i.toLong, "same", "src")).toDF("doc_id", "lang", "source")
+    val e = intercept[IllegalStateException] {
+      Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id", maxBlock = 10).count()
+    }
+    assert(e.getMessage.contains("maxBlock=10"))
+    assert(e.getMessage.contains("minhashCandidates"))
+    // under the cap the same input yields all 190 in-block pairs
+    assert(Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id", maxBlock = 100)
+      .count() == 190)
+  }
+
+  test("connectedComponents throws on non-convergence instead of returning " +
+      "wrong labels") {
+    val s = spark; import s.implicits._
+    // a 12-node chain needs ~11 propagation rounds; maxIter=3 cannot finish
+    val nodes = (0L to 11L).map(Tuple1(_)).toDF("id")
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, "id", pairs, maxIter = 3)
+    }
+    assert(e.getMessage.contains("not converged"))
+    // with enough rounds the same chain collapses to a single component
+    val labels = Dedup.connectedComponents(nodes, "id", pairs)
+      .select("component").distinct().as[Long].collect()
+    assert(labels.toSeq == Seq(0L))
+  }
+
+  // --- Multimodal: corrupt-input bailouts ----------------------------------
+
+  private def le32(v: Long): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+  private def ascii(t: String): Array[Byte] = t.getBytes("US-ASCII")
+
+  /** A minimal valid PCM16 WAV with the given fmt-code/bit-depth knobs. */
+  private def wavBytes(
+      rate: Int, nch: Int, body: Array[Byte],
+      fmtCode: Int = 1, bits: Int = 16): Array[Byte] = {
+    val ba = nch * 2
+    ascii("RIFF") ++ le32(36L + body.length) ++ ascii("WAVE") ++
+      ascii("fmt ") ++ le32(16) ++ le16(fmtCode) ++ le16(nch) ++ le32(rate) ++
+      le32(rate.toLong * ba) ++ le16(ba) ++ le16(bits) ++
+      ascii("data") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("decodeWav: valid PCM16 round-trips; corrupt/truncated/non-PCM16 " +
+      "payloads return None") {
+    val body = Array[Byte](0x10, 0x00, 0xf0.toByte, 0xff.toByte) // +16, -16
+    val good = Multimodal.decodeWav(1L, wavBytes(8000, 1, body))
+    assert(good.contains(Multimodal.WavFeatures(1L, 8000, 1, 2L, 0L, 512L, 16)))
+    // non-WAV magic
+    assert(Multimodal.decodeWav(1L, Array.fill[Byte](64)(0x42)).isEmpty)
+    // truncated mid-header (fmt chunk cut off)
+    assert(Multimodal.decodeWav(1L, wavBytes(8000, 1, body).take(20)).isEmpty)
+    // IEEE-float fmt code (3) and 8-bit depth are not PCM16
+    assert(Multimodal.decodeWav(1L, wavBytes(8000, 1, body, fmtCode = 3)).isEmpty)
+    assert(Multimodal.decodeWav(1L, wavBytes(8000, 1, body, bits = 8)).isEmpty)
+  }
+
+  test("decodeWav and sniffBytes terminate on a corrupt 0xFFFFFFF8 RIFF " +
+      "chunk size") {
+    // RIFF/WAVE whose first chunk declares size 0xFFFFFFF8 — read signed
+    // that is -8 and the walk would loop forever at offset 12
+    val corrupt = ascii("RIFF") ++ le32(100) ++ ascii("WAVE") ++
+      ascii("junk") ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](32)(0)
+    assert(Multimodal.decodeWav(7L, corrupt).isEmpty)
+    val meta = Multimodal.sniffBytes(7L, "audio", corrupt)
+    assert(meta.format == "wav" && meta.sample_rate.isEmpty && meta.channels.isEmpty)
+    // same for the AVI walker
+    val corruptAvi = ascii("RIFF") ++ le32(100) ++ ascii("AVI ") ++
+      ascii("xxxx") ++ le32(0xFFFFFFF8L) ++ Array.fill[Byte](32)(0)
+    val aviMeta = Multimodal.sniffBytes(8L, "video", corruptAvi)
+    assert(aviMeta.format == "avi" && aviMeta.n_frames.isEmpty)
+  }
+
+  test("JPEG sniffer skips fill bytes and standalone markers before SOF") {
+    def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++ // SOI
+      Array[Byte](0xff.toByte, 0xff.toByte) ++ // fill byte, then resync
+      Array[Byte](0xff.toByte, 0xd0.toByte) ++ // RST0: standalone, no length
+      Array[Byte](0xff.toByte, 0x01.toByte) ++ // TEM: standalone, no length
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ // SOF0
+      Array[Byte](8) ++ be16(77) ++ be16(33) ++ Array[Byte](1, 1, 0x11, 0)
+    val meta = Multimodal.sniffBytes(9L, "image", jpeg)
+    assert(meta.format == "jpeg")
+    assert(meta.width.contains(33) && meta.height.contains(77))
+  }
+
+  // --- PNG: encode → decode round trip + corruption ------------------------
+
+  test("decodePng reconstructs the exact pixel stats pngEncode wrote " +
+      "(all five filter types)") {
+    val (id, w, h) = (7L, 21, 13) // h ≥ 5 ⇒ every filter type appears
+    val feats = Multimodal.decodePng(id, Multimodal.pngEncode(id, w, h))
+    // recompute the expected stats straight from the pixel formula
+    var sum = 0L; var ss = 0L
+    val maxCh = new Array[Int](4)
+    for (y <- 0 until h; x <- 0 until w * 4) {
+      val v = ((id + 7L * y + 13L * x) % 251L).toInt
+      sum += v; ss += v.toLong * v
+      if (v > maxCh(x % 4)) maxCh(x % 4) = v
+    }
+    assert(feats.contains(Multimodal.PngFeatures(
+      id, w, h, w.toLong * h * 4, sum, ss, maxCh(0), maxCh(1), maxCh(2), maxCh(3))))
+  }
+
+  test("decodePng returns None for corrupt payloads (flipped IDAT byte, " +
+      "truncation, wrong magic)") {
+    val good = Multimodal.pngEncode(3L, 16, 16)
+    assert(Multimodal.decodePng(3L, good).isDefined)
+    // flip one byte inside the IDAT data → CRC mismatch
+    val flipped = good.clone()
+    flipped(70) = (flipped(70) ^ 0x5a).toByte
+    assert(Multimodal.decodePng(3L, flipped).isEmpty)
+    // truncate mid-chunk
+    assert(Multimodal.decodePng(3L, good.take(good.length - 10)).isEmpty)
+    // wrong magic
+    val badMagic = good.clone(); badMagic(0) = 0x42
+    assert(Multimodal.decodePng(3L, badMagic).isEmpty)
+  }
+
+  // --- vec_lsh_buckets: interpreted eval == codegen eval -------------------
+
+  test("vec_lsh_buckets interpreted eval matches the codegen'd DataFrame " +
+      "result and a plain Scala reference") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    val vec = Seq(0.3, -1.2, 0.7, 2.5)
+    val planes = Seq( // 4 planes, planesPerTable=2 → 2 tables
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, -1.0, 0.0, 0.0),
+      Seq(-1.0, 0.0, 0.0, 1.0), Seq(0.5, 0.5, 0.5, 0.5))
+    // plain Scala reference
+    val expected = planes.map(p => p.zip(vec).map { case (a, b) => a * b }.sum)
+      .grouped(2).map(_.zipWithIndex.map { case (d, j) =>
+        if (d > 0) 1L << j else 0L }.sum).toSeq
+    // interpreted path: eval the expression directly on literals
+    val expr = graft.functions.VectorExpressions.HyperplaneBuckets(
+      Literal.create(vec, ArrayType(DoubleType)),
+      Literal.create(planes, ArrayType(ArrayType(DoubleType))), 2)
+    val interp = expr.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(interp == expected)
+    // codegen path: the same computation through a DataFrame projection
+    val fromDf = Seq(Tuple1(vec)).toDF("vec")
+      .select(graft.functions.VectorExpressions
+        .vec_lsh_buckets(col("vec"), typedLit(planes), 2).as("b"))
+      .as[Seq[Long]].head()
+    assert(fromDf == expected)
+    // and float input must agree with double input (widening, not drift)
+    val fromFloat = Seq(Tuple1(vec.map(_.toFloat))).toDF("vec")
+      .select(graft.functions.VectorExpressions
+        .vec_lsh_buckets(col("vec"), typedLit(planes), 2).as("b"))
+      .as[Seq[Long]].head()
+    assert(fromFloat == expected)
+  }
+
+  // --- k-means: deterministic across partitionings -------------------------
+
+  test("kmeansCentroids is bit-identical across partition counts") {
+    val s = spark; import s.implicits._
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 13 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(parts: Int): Seq[(Long, Seq[Double])] =
+      Similarity.kmeansCentroids(corpus.repartition(parts), dim = 4,
+          centroidMod = 10, iters = 2)
+        .orderBy("cid").as[(Long, Seq[Double])].collect().toSeq
+    val one = run(1)
+    val seven = run(7)
+    assert(one.map(_._1) == seven.map(_._1))
+    // exact equality: the integer-space accumulation makes the means
+    // independent of partition/accumulation order
+    one.zip(seven).foreach { case ((_, a), (_, b)) => assert(a == b) }
+  }
+
+  // --- Engine.dataSparqlBatches --------------------------------------------
+
+  test("dataSparqlBatches yields bounded batches covering the full result") {
+    val s = spark; import s.implicits._
+    val quads = Seq(
+      Model.Quad("urn:g#", "urn:g#p1", "urn:ts", "u1"),
+      Model.Quad("urn:g#", "urn:g#p2", "urn:ts", "u2")).toDF()
+    val base = java.time.Instant.parse("2020-06-01T00:00:00Z")
+    val fact = (0 until 15).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds(60L * i)),
+        i * 1.0, if (i < 10) "u1" else "u2")
+    }.toDF("time", "value", "uuid")
+    val engine = new Engine(spark, quads, fact)
+    val batches = engine.dataSparqlBatches(
+      "SELECT ?id WHERE { ?p <urn:ts> ?id . }", batchRows = 4).toSeq
+    assert(batches.map(_.size).sum == 15)
+    assert(batches.forall(_.size <= 4))
+    assert(batches.flatten.map(_.getAs[String]("uuid")).toSet == Set("u1", "u2"))
+  }
+
+  // --- Turtle.loadGraphs: ontology merged into every named graph -----------
+
+  test("loadGraphs merges the ontology file's triples into every named " +
+      "graph without creating a graph of its own") {
+    val dir = java.nio.file.Files.createTempDirectory("ttl-merge")
+    java.nio.file.Files.write(dir.resolve("siteA.ttl"),
+      "<urn:a#s1> <urn:p#has> <urn:a#o1> .\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("siteB.ttl"),
+      "<urn:b#s1> <urn:p#has> <urn:b#o1> .\n".getBytes("UTF-8"))
+    val ontDir = java.nio.file.Files.createDirectories(dir.resolve("_ontology"))
+    val ont = ontDir.resolve("ont.ttl")
+    java.nio.file.Files.write(ont,
+      ("@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n" +
+        "<urn:cls#A> rdfs:subClassOf <urn:cls#B> .\n").getBytes("UTF-8"))
+    val quads = graft.sources.Turtle.loadGraphs(spark, dir.toString, Some(ont.toString))
+    val s = spark; import s.implicits._
+    val graphs = quads.select("graph").distinct().as[String].collect().toSet
+    assert(graphs == Set("urn:siteA#", "urn:siteB#"), s"graphs were $graphs")
+    // the subClassOf edge appears ONCE PER GRAPH (reference merges the
+    // ontology into each site store: setup-graphs.py:22)
+    val ontRows = quads.filter(col("p") === Model.RdfsSubClassOf)
+    assert(ontRows.select("graph").distinct().count() == 2)
+    assert(ontRows.count() == 2)
+    // site triples stay scoped to their own graph
+    assert(quads.filter(col("s") === "urn:a#s1").select("graph")
+      .distinct().as[String].head() == "urn:siteA#")
+  }
+}
