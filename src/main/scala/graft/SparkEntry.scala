@@ -401,6 +401,18 @@ object SparkEntry {
           "sum_squares", "max_r", "max_g", "max_b", "max_a")
         .orderBy("media_id")
     }),
+    "q43_avi_decode" -> ((s, dir) => {
+      // REAL (uncompressed) video decode: construct RIFF/AVI containers
+      // with LIST-movi '00db' raw-BGR frame chunks, then walk the chunk
+      // list back and decode every frame's bytes into per-frame
+      // integer-exact stats — one output row per frame, executor-side
+      Multimodal.aviFrameFeatures(
+        Multimodal.packAvi(t(s, dir, "documents"), "doc_id").toDF())
+        .toDF()
+        .select("media_id", "frame_index", "n_bytes", "sum_bytes",
+          "sum_squares", "peak")
+        .orderBy("media_id", "frame_index")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -675,6 +687,29 @@ object SparkEntry {
         |  CAST(a.mb AS INTEGER) AS max_b, CAST(a.ma AS INTEGER) AS max_a
         |FROM imgs i JOIN agg a USING (media_id)
         |ORDER BY media_id""".stripMargin,
+    "q43_avi_decode" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 48 + 2 AS BIGINT) AS nf,
+        |    CAST(8 + doc_id % 8 AS BIGINT) AS fw,
+        |    CAST(6 + doc_id % 6 AS BIGINT) AS fh
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, fw*fh*3 AS nb, unnest(generate_series(0, nf - 1)) AS f
+        |  FROM vids),
+        |px AS (
+        |  SELECT media_id, f, nb, unnest(generate_series(0, nb - 1)) AS k
+        |  FROM fr),
+        |v AS (
+        |  SELECT media_id, f, nb, (media_id + 11*f + 5*k) % 241 AS val
+        |  FROM px)
+        |SELECT media_id, CAST(f AS INTEGER) AS frame_index,
+        |  CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(sum(val) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(val*val) AS BIGINT) AS sum_squares,
+        |  CAST(max(val) AS INTEGER) AS peak
+        |FROM v GROUP BY media_id, f, nb
+        |ORDER BY media_id, frame_index""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

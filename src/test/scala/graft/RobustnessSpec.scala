@@ -158,6 +158,43 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(3L, badMagic).isEmpty)
   }
 
+  // --- AVI: encode → frame decode round trip + corruption ------------------
+
+  test("decodeAviFrames reconstructs every frame's exact pixel stats from " +
+      "aviEncode output") {
+    val id = 11L // 13 frames of 11×({6..11}) BGR — odd frame size ⇒ pad byte
+    val frames = Multimodal.decodeAviFrames(id, Multimodal.aviEncode(id))
+    val nf = (id % 48 + 2).toInt
+    val nb = (8 + id % 8).toInt * (6 + id % 6).toInt * 3
+    assert(frames.size == nf)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      var sum = 0L; var ss = 0L; var peak = 0
+      for (k <- 0 until nb) {
+        val v = ((id + 11L * f + 5L * k) % 241L).toInt
+        sum += v; ss += v.toLong * v; if (v > peak) peak = v
+      }
+      assert(fr == Multimodal.AviFrameFeatures(id, f, nb.toLong, sum, ss, peak))
+    }
+    // the container is also a well-formed AVI for the header sniffer
+    val meta = Multimodal.sniffBytes(id, "video", Multimodal.aviEncode(id))
+    assert(meta.format == "avi" && meta.n_frames.contains(nf))
+  }
+
+  test("decodeAviFrames tolerates corrupt containers (wrong magic, " +
+      "corrupt chunk size, truncation)") {
+    val good = Multimodal.aviEncode(5L)
+    assert(Multimodal.decodeAviFrames(5L, good).size == 7)
+    // wrong magic → nothing
+    assert(Multimodal.decodeAviFrames(5L, Array.fill[Byte](64)(0x33)).isEmpty)
+    // corrupt first-chunk size 0xFFFFFFF8 → walk terminates, no frames
+    val corrupt = ascii("RIFF") ++ le32(100) ++ ascii("AVI ") ++
+      ascii("LIST") ++ le32(0xFFFFFFF8L) ++ ascii("movi") ++ Array.fill[Byte](16)(0)
+    assert(Multimodal.decodeAviFrames(5L, corrupt).isEmpty)
+    // truncation mid-frame: decodes the intact prefix, never throws
+    val truncated = Multimodal.decodeAviFrames(5L, good.take(good.length / 2))
+    assert(truncated.size < 7)
+  }
+
   // --- vec_lsh_buckets: interpreted eval == codegen eval -------------------
 
   test("vec_lsh_buckets interpreted eval matches the codegen'd DataFrame " +
