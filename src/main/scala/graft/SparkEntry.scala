@@ -413,6 +413,21 @@ object SparkEntry {
           "sum_squares", "peak")
         .orderBy("media_id", "frame_index")
     }),
+    "q44_jpeg_decode" -> ((s, dir) => {
+      // REAL entropy-coded image decode: construct baseline JPEGs (FDCT,
+      // quantization, zig-zag, DC prediction, canonical Huffman, byte
+      // stuffing — a full T.81 baseline codec, grayscale), decode them
+      // back through Huffman → dequant → IDCT, and aggregate pixel stats.
+      // Block-constant pixels make the lossy pipeline bit-exact (only the
+      // DC coefficient survives), so the oracle recomputes the decoded
+      // stats from the block formula.
+      Multimodal.jpegFeatures(
+        Multimodal.packJpeg(t(s, dir, "documents"), "doc_id").toDF())
+        .toDF()
+        .select("media_id", "width", "height", "n_pixels", "sum_bytes",
+          "sum_squares", "max_px", "min_px")
+        .orderBy("media_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -710,6 +725,29 @@ object SparkEntry {
         |  CAST(max(val) AS INTEGER) AS peak
         |FROM v GROUP BY media_id, f, nb
         |ORDER BY media_id, frame_index""".stripMargin,
+    "q44_jpeg_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(8*(2 + doc_id % 6) AS BIGINT) AS w,
+        |    CAST(8*(2 + doc_id % 4) AS BIGINT) AS h
+        |  FROM documents),
+        |bxs AS (
+        |  SELECT media_id, w, h, unnest(generate_series(0, w//8 - 1)) AS bx
+        |  FROM imgs),
+        |blk AS (
+        |  SELECT media_id, w, h, bx, unnest(generate_series(0, h//8 - 1)) AS byy
+        |  FROM bxs),
+        |v AS (
+        |  SELECT media_id, w, h, (media_id + 3*bx + 5*byy) % 256 AS c
+        |  FROM blk)
+        |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w*h AS BIGINT) AS n_pixels,
+        |  CAST(sum(64*c) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(64*c*c) AS BIGINT) AS sum_squares,
+        |  CAST(max(c) AS INTEGER) AS max_px,
+        |  CAST(min(c) AS INTEGER) AS min_px
+        |FROM v GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

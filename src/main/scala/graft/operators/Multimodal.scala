@@ -588,13 +588,66 @@ object Multimodal {
     media.as[MediaRow].mapPartitions(_.flatMap(r => decodeAviFrames(r.media_id, r.payload)))
   }
 
-  /** Deterministic stand-in for the remaining entropy-coded decode paths
-    * (PNG has a REAL decoder above — `decodePng`; audio has `decodeWav`;
-    * uncompressed video has `decodeAviFrames`; the JPEG/MJPEG entropy
-    * codecs aren't in this container). The container metadata is already
-    * genuinely parsed by `sniff`; this stub derives stable pseudo-features
-    * from the raw bytes so the distributed pipeline is fully exercisable —
-    * swapping in a real codec replaces only this body. */
+  /** Per-asset integer-exact grayscale pixel statistics — the decode
+    * output shape for the JPEG path. */
+  final case class JpegFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      sum_bytes: Long, // Σ v over decoded pixels (0..255)
+      sum_squares: Long, // Σ v²
+      max_px: Int,
+      min_px: Int)
+
+  private def jpegWidthOf(id: Long): Int = 8 * (2 + (id % 6).toInt)
+  private def jpegHeightOf(id: Long): Int = 8 * (2 + (id % 4).toInt)
+
+  /** Build one REAL baseline JPEG per row: grayscale, 8×8-BLOCK-CONSTANT
+    * pixels c(bx,by) = (id + 3bx + 5by) mod 256 — the construction for
+    * which the full entropy pipeline (FDCT → unit quant → Huffman) is
+    * bit-exact on decode (see `Jpeg` scaladoc), making the decoded stats
+    * recomputable by the SQL oracle. */
+  def packJpeg(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    implicit val encIn = Encoders.scalaLong
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val w = jpegWidthOf(id); val h = jpegHeightOf(id)
+      val px = Array.tabulate(w * h) { i =>
+        val bx = (i % w) / 8; val by = (i / w) / 8
+        ((id + 3L * bx + 5L * by) % 256L).toInt
+      }
+      MediaRow(id, "image", Jpeg.encode(px, w, h), framesOf(id))
+    })
+  }
+
+  /** Decode every baseline-JPEG asset through the real entropy pipeline
+    * (Huffman → dequant → IDCT), batch-wise; undecodable payloads are
+    * dropped (flatMap). */
+  def jpegFeatures(media: DataFrame): Dataset[JpegFeatures] = {
+    implicit val enc = Encoders.product[JpegFeatures]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      Jpeg.decode(r.payload).map { img =>
+        var sum = 0L; var ss = 0L; var mx = 0; var mn = 255
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = img.pixels(i)
+          sum += v; ss += v.toLong * v
+          if (v > mx) mx = v
+          if (v < mn) mn = v
+          i += 1
+        }
+        JpegFeatures(r.media_id, img.width, img.height,
+          img.pixels.length.toLong, sum, ss, mx, mn)
+      }
+    })
+  }
+
+  /** Deterministic stand-in kept ONLY as the generic any-format feature
+    * shape (every modality now has a real decoder: `decodePng`,
+    * `decodeWav`, `decodeAviFrames`, `Jpeg.decode`); the stub hashes raw
+    * bytes so arbitrary unknown formats still flow through the pipeline. */
   private def decodeStub(row: MediaRow): MediaFeatures = {
     val bytes = row.payload
     var h = 1125899906842597L // FNV-ish rolling hash of the payload

@@ -195,6 +195,49 @@ class RobustnessSpec extends AnyFunSuite {
     assert(truncated.size < 7)
   }
 
+  // --- JPEG: real baseline codec ------------------------------------------
+
+  test("JPEG codec: block-constant images round-trip BIT-EXACTLY through " +
+      "the full entropy pipeline") {
+    val (w, h) = (32, 24)
+    val id = 9L
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      ((id + 3L * bx + 5L * by) % 256L).toInt
+    }
+    val decoded = operators.Jpeg.decode(operators.Jpeg.encode(px, w, h))
+    assert(decoded.isDefined)
+    assert(decoded.get.width == w && decoded.get.height == h)
+    assert(decoded.get.pixels.sameElements(px),
+      "constant blocks + unit quant must reproduce every pixel exactly")
+  }
+
+  test("JPEG codec: arbitrary images round-trip within ±1 at unit " +
+      "quantization (float DCT rounding only)") {
+    val (w, h) = (24, 16)
+    val rnd = new scala.util.Random(7)
+    val px = Array.fill(w * h)(rnd.nextInt(256))
+    val decoded = operators.Jpeg.decode(operators.Jpeg.encode(px, w, h))
+    assert(decoded.isDefined)
+    val maxErr = decoded.get.pixels.zip(px).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 1, s"max per-pixel error $maxErr exceeds unit-quant bound")
+  }
+
+  test("JPEG codec: corrupt/unsupported inputs return None") {
+    val good = operators.Jpeg.encode(Array.fill(64)(128), 8, 8)
+    assert(operators.Jpeg.decode(good).isDefined)
+    // not a JPEG
+    assert(operators.Jpeg.decode(Array.fill[Byte](32)(0x11)).isEmpty)
+    // truncated mid-entropy-stream
+    assert(operators.Jpeg.decode(good.take(good.length - 4)).isEmpty)
+    // progressive SOF (0xC2) is not baseline → unsupported
+    val progressive = good.clone()
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    progressive(sofAt + 1) = 0xc2.toByte
+    assert(operators.Jpeg.decode(progressive).isEmpty)
+  }
+
   // --- vec_lsh_buckets: interpreted eval == codegen eval -------------------
 
   test("vec_lsh_buckets interpreted eval matches the codegen'd DataFrame " +
