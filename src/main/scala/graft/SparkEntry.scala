@@ -428,6 +428,18 @@ object SparkEntry {
           "sum_squares", "max_px", "min_px")
         .orderBy("media_id")
     }),
+    "q45_mjpeg_decode" -> ((s, dir) => {
+      // REAL compressed video decode: Motion-JPEG AVIs (each movi chunk a
+      // genuine baseline JPEG) decoded frame-by-frame through the full
+      // Huffman → dequant → IDCT pipeline; block-constant frames make the
+      // lossy path bit-exact, so the oracle recomputes per-frame stats
+      Multimodal.mjpegFrameFeatures(
+        Multimodal.packMjpeg(t(s, dir, "documents"), "doc_id").toDF())
+        .toDF()
+        .select("media_id", "frame_index", "width", "height", "n_pixels",
+          "sum_bytes", "sum_squares", "peak")
+        .orderBy("media_id", "frame_index")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -748,6 +760,33 @@ object SparkEntry {
         |  CAST(min(c) AS INTEGER) AS min_px
         |FROM v GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
+    "q45_mjpeg_decode" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 48 + 2 AS BIGINT) AS nf,
+        |    CAST(8*(2 + doc_id % 3) AS BIGINT) AS fw,
+        |    CAST(8*(2 + doc_id % 2) AS BIGINT) AS fh
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, fw, fh, unnest(generate_series(0, nf - 1)) AS f
+        |  FROM vids),
+        |bxs AS (
+        |  SELECT media_id, fw, fh, f, unnest(generate_series(0, fw//8 - 1)) AS bx
+        |  FROM fr),
+        |blk AS (
+        |  SELECT media_id, fw, fh, f, bx, unnest(generate_series(0, fh//8 - 1)) AS byy
+        |  FROM bxs),
+        |v AS (
+        |  SELECT media_id, fw, fh, f, (media_id + 7*f + 3*bx + 5*byy) % 256 AS c
+        |  FROM blk)
+        |SELECT media_id, CAST(f AS INTEGER) AS frame_index,
+        |  CAST(fw AS INTEGER) AS width, CAST(fh AS INTEGER) AS height,
+        |  CAST(fw*fh AS BIGINT) AS n_pixels,
+        |  CAST(sum(64*c) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(64*c*c) AS BIGINT) AS sum_squares,
+        |  CAST(max(c) AS INTEGER) AS peak
+        |FROM v GROUP BY media_id, f, fw, fh
+        |ORDER BY media_id, frame_index""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

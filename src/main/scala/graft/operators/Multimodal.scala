@@ -571,6 +571,109 @@ object Multimodal {
     frames.toSeq
   }
 
+  /** Per-FRAME decoded-pixel statistics for MOTION-JPEG video. */
+  final case class MjpegFrameFeatures(
+      media_id: Long,
+      frame_index: Int,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      sum_bytes: Long,
+      sum_squares: Long,
+      peak: Int)
+
+  private def mjpegWidthOf(id: Long): Int = 8 * (2 + (id % 3).toInt)
+  private def mjpegHeightOf(id: Long): Int = 8 * (2 + (id % 2).toInt)
+
+  /** Build a REAL Motion-JPEG AVI: the same RIFF/LIST-movi container as
+    * `aviEncode`, but each frame chunk ('00dc', "compressed DIB") holds a
+    * genuine baseline JPEG produced by the `Jpeg` encoder. Frame pixels
+    * are 8×8-block-constant c(f,bx,by) = (id + 7f + 3bx + 5by) mod 256 —
+    * the construction for which the lossy pipeline is bit-exact on decode
+    * (see `Jpeg` scaladoc), so per-frame decoded stats are SQL-oracle-able. */
+  def mjpegEncode(id: Long): Array[Byte] = {
+    val nf = framesOf(id)
+    val fw = mjpegWidthOf(id); val fh = mjpegHeightOf(id)
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until nf).foreach { f =>
+      val px = Array.tabulate(fw * fh) { i =>
+        val bx = (i % fw) / 8; val by = (i / fw) / 8
+        ((id + 7L * f + 3L * bx + 5L * by) % 256L).toInt
+      }
+      val jpg = Jpeg.encode(px, fw, fh)
+      out.write(ascii("00dc")); out.write(le32(jpg.length), 0, 4)
+      out.write(jpg)
+      if ((jpg.length & 1) == 1) out.write(0)
+    }
+    val movi = out.toByteArray
+    val avihData =
+      le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nf) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(fw) ++ le32(fh) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = ascii("LIST") ++ le32(4 + 8 + 56) ++ ascii("hdrl") ++
+      ascii("avih") ++ le32(56) ++ avihData
+    val moviList = ascii("LIST") ++ le32(4 + movi.length) ++ ascii("movi") ++ movi
+    ascii("RIFF") ++ le32(4 + hdrl.length + moviList.length) ++ ascii("AVI ") ++
+      hdrl ++ moviList
+  }
+
+  /** REAL Motion-JPEG decode: walk the movi list (same corrupt-safe
+    * contract as `decodeAviFrames`), feed every frame chunk through the
+    * baseline JPEG decoder, emit per-frame decoded-pixel stats. Frames
+    * that fail to decode are skipped (frame_index still counts container
+    * chunks, so survivors keep their true position). */
+  def decodeMjpegFrames(id: Long, b: Array[Byte]): Seq[MjpegFrameFeatures] = {
+    if (!(fourcc(b, 0, "RIFF") && fourcc(b, 8, "AVI "))) return Seq.empty
+    val frames = scala.collection.mutable.ArrayBuffer[MjpegFrameFeatures]()
+    var i = 12L
+    var moviEnd = -1L
+    var frameIdx = 0
+    while (i + 8 <= b.length) {
+      val sz = rdLe32(b, i.toInt + 4) & 0xFFFFFFFFL
+      if (fourcc(b, i.toInt, "LIST") && i + 12 <= b.length &&
+          fourcc(b, i.toInt + 8, "movi")) {
+        moviEnd = math.min(i + 8 + sz, b.length.toLong)
+        i += 12
+      } else if (moviEnd >= 0 && i < moviEnd &&
+          (fourcc(b, i.toInt, "00dc") || fourcc(b, i.toInt, "00db"))) {
+        val dataOff = (i + 8).toInt
+        val dataLen = math.min(sz, b.length.toLong - dataOff).max(0L).toInt
+        Jpeg.decode(java.util.Arrays.copyOfRange(b, dataOff, dataOff + dataLen))
+          .foreach { img =>
+            var sum = 0L; var ss = 0L; var peak = 0
+            var k = 0
+            while (k < img.pixels.length) {
+              val v = img.pixels(k)
+              sum += v; ss += v.toLong * v
+              if (v > peak) peak = v
+              k += 1
+            }
+            frames += MjpegFrameFeatures(id, frameIdx, img.width, img.height,
+              img.pixels.length.toLong, sum, ss, peak)
+          }
+        frameIdx += 1
+        i += 8 + sz + (sz & 1)
+      } else i += 8 + sz + (sz & 1)
+    }
+    frames.toSeq
+  }
+
+  /** Build one real Motion-JPEG AVI asset per row, batch-wise. */
+  def packMjpeg(df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    implicit val encIn = Encoders.scalaLong
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      MediaRow(id, "video", mjpegEncode(id), framesOf(id))
+    })
+  }
+
+  /** Decode every Motion-JPEG asset's frames — one row per decoded frame. */
+  def mjpegFrameFeatures(media: DataFrame): Dataset[MjpegFrameFeatures] = {
+    implicit val enc = Encoders.product[MjpegFrameFeatures]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(_.flatMap(r => decodeMjpegFrames(r.media_id, r.payload)))
+  }
+
   /** Build one real uncompressed-AVI asset per row, batch-wise. */
   def packAvi(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]

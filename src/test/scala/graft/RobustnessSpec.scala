@@ -238,6 +238,28 @@ class RobustnessSpec extends AnyFunSuite {
     assert(operators.Jpeg.decode(progressive).isEmpty)
   }
 
+  test("MJPEG: per-frame decode through the real JPEG pipeline is exact " +
+      "for block-constant frames; corrupt frames are skipped") {
+    val id = 4L
+    val frames = Multimodal.decodeMjpegFrames(id, Multimodal.mjpegEncode(id))
+    val nf = (id % 48 + 2).toInt
+    val fw = 8 * (2 + (id % 3).toInt); val fh = 8 * (2 + (id % 2).toInt)
+    assert(frames.size == nf)
+    frames.zipWithIndex.foreach { case (fr, f) =>
+      var sum = 0L; var ss = 0L; var peak = 0
+      for (by <- 0 until fh / 8; bx <- 0 until fw / 8) {
+        val c = ((id + 7L * f + 3L * bx + 5L * by) % 256L).toInt
+        sum += 64L * c; ss += 64L * c * c; if (c > peak) peak = c
+      }
+      assert(fr == Multimodal.MjpegFrameFeatures(
+        id, f, fw, fh, fw.toLong * fh, sum, ss, peak))
+    }
+    // non-AVI and truncation: no exception, partial/no frames
+    assert(Multimodal.decodeMjpegFrames(id, Array.fill[Byte](32)(0x21)).isEmpty)
+    val bytes = Multimodal.mjpegEncode(id)
+    assert(Multimodal.decodeMjpegFrames(id, bytes.take(bytes.length / 2)).size < nf)
+  }
+
   // --- vec_lsh_buckets: interpreted eval == codegen eval -------------------
 
   test("vec_lsh_buckets interpreted eval matches the codegen'd DataFrame " +
