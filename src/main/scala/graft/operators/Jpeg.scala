@@ -214,12 +214,19 @@ object Jpeg {
     val block = new Array[Int](64)
     for (by <- 0 until h / 8; bx <- 0 until w / 8) {
       var i = 0
+      var const = true
       while (i < 64) {
         block(i) = pixels((by * 8 + i / 8) * w + bx * 8 + i % 8) - 128
+        if (block(i) != block(0)) const = false
         i += 1
       }
-      val coefs = fdct(block)
-      val q = ZigZag.map(z => math.round(coefs(z)).toInt) // unit quant
+      // Flat-block fast path (the special case every production encoder
+      // has): a constant block's DCT is DC = 8·s, all ACs zero — exact,
+      // and identical to what the float FDCT rounds to (8S·(1+2ε) rounds
+      // to 8S). Skips the O(64²) transform on flat content.
+      val q =
+        if (const) { val z = new Array[Int](64); z(0) = 8 * block(0); z }
+        else { val coefs = fdct(block); ZigZag.map(z => math.round(coefs(z)).toInt) }
       // DC: category + offset bits of the prediction difference
       val diff = q(0) - prevDc
       prevDc = q(0)
@@ -367,6 +374,7 @@ object Jpeg {
       coefs(ZigZag(0)) = prevDc * qt(0)
       var k = 1
       var eob = false
+      var anyAc = false
       while (k < 64 && !eob) {
         val rs = acT.decode(br)
         if (rs < 0) return None
@@ -379,11 +387,18 @@ object Jpeg {
           k += run
           if (k > 63) return None
           coefs(ZigZag(k)) = extend(br.bits(sz), sz) * qt(k)
+          anyAc = true
           k += 1
         }
       }
       if (br.bad) return None
-      val block = idct(coefs)
+      // DC-only fast path (mirror of the encoder's flat-block case): the
+      // IDCT of a DC-only block is the constant round(DC/8) — exact, and
+      // identical to the float IDCT's rounding (including the half-way
+      // F00 ≡ 4 mod 8 case, which rounds up on both paths).
+      val block =
+        if (!anyAc) Array.fill(64)(math.round(coefs(0) / 8.0).toInt)
+        else idct(coefs)
       var j = 0
       while (j < 64) {
         val v = block(j) + 128

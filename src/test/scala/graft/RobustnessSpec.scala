@@ -216,11 +216,21 @@ class RobustnessSpec extends AnyFunSuite {
       "quantization (float DCT rounding only)") {
     val (w, h) = (24, 16)
     val rnd = new scala.util.Random(7)
-    val px = Array.fill(w * h)(rnd.nextInt(256))
+    // alternate flat and random blocks so one entropy stream exercises
+    // BOTH the flat/DC-only fast paths and the general DCT path
+    val px = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      if ((bx + by) % 2 == 0) 37 + 11 * bx + 5 * by else rnd.nextInt(256)
+    }
     val decoded = operators.Jpeg.decode(operators.Jpeg.encode(px, w, h))
     assert(decoded.isDefined)
     val maxErr = decoded.get.pixels.zip(px).map { case (a, b) => math.abs(a - b) }.max
     assert(maxErr <= 1, s"max per-pixel error $maxErr exceeds unit-quant bound")
+    // the flat blocks must round-trip exactly even inside a mixed stream
+    for (i <- 0 until w * h) {
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      if ((bx + by) % 2 == 0) assert(decoded.get.pixels(i) == px(i))
+    }
   }
 
   test("JPEG codec: corrupt/unsupported inputs return None") {
