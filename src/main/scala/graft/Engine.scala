@@ -142,10 +142,13 @@ final class Engine(
     dataSparql(query, sites, start, end).write.mode("append").parquet(path)
 
   /** DuckDB sink parity (reference: data_sparql_to_duckdb, client.py:82-93):
-    * the reference stages every batch as parquet and issues
-    * `CREATE TABLE ... AS SELECT * FROM parquet_scan(...)`. We write the
-    * parquet once and emit the same DDL alongside it (`<path>/load.sql`) —
-    * point `duckdb` at it to materialize the table without a JDBC bridge. */
+    * the reference stages every batch as parquet and issues per-batch
+    * `INSERT INTO` over a live connection, so after N calls the table holds
+    * all N results. We stage parquet the same way (mode=append) and emit
+    * idempotent DDL alongside it (`<path>/load.sql`): `CREATE OR REPLACE
+    * ... AS parquet_scan(dir)` rebuilds the table from ALL staged batches —
+    * re-running load.sql after further appends reflects them (a plain
+    * `CREATE IF NOT EXISTS` would silently no-op and lose later batches). */
   def dataSparqlToDuckDb(
       query: String,
       path: String,
@@ -155,7 +158,7 @@ final class Engine(
       end: String = Engine.DefaultEnd): Unit = {
     dataSparqlToParquet(query, path + "/data", sites, start, end)
     val ddl =
-      s"CREATE TABLE IF NOT EXISTS $table AS SELECT * FROM parquet_scan('$path/data/*.parquet');\n"
+      s"CREATE OR REPLACE TABLE $table AS SELECT * FROM parquet_scan('$path/data/*.parquet');\n"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(path, "load.sql"), ddl.getBytes)
   }

@@ -140,7 +140,11 @@ class IngestSpec extends AnyFunSuite {
       start = "2016-12-01T00:00:00Z", end = "2016-12-01T12:00:00Z")
     val ddl = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(out, "load.sql")))
-    assert(ddl.contains("CREATE TABLE IF NOT EXISTS readings"))
+    // CREATE OR REPLACE: re-running load.sql after further appended
+    // batches rebuilds the table over ALL staged parquet (IF NOT EXISTS
+    // would silently no-op and lose later batches — reference parity is
+    // per-batch INSERT over a live connection, client.py:82-93)
+    assert(ddl.contains("CREATE OR REPLACE TABLE readings"))
     assert(ddl.contains("parquet_scan"))
     assert(spark.read.parquet(out + "/data").count() == 721)
   }

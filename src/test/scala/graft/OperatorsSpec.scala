@@ -219,6 +219,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(s.sql("SELECT * FROM dedup_out").count() == 2)
   }
 
+  test("streaming media decode equals batch decode over the same files") {
+    val s = spark; import s.implicits._
+    // the same decode operators run the 100 TB backfill (batch) and the
+    // live tail (readStream) — prove parity on a real decoder (WAV PCM16)
+    val docs = (0L until 24L).map(i => (i, s"payload text for doc $i " * (1 + (i % 3)).toInt))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("media-stream").toString
+    graft.operators.Multimodal.packSynthetic(docs, "doc_id", "text")
+      .toDF().write.mode("overwrite").parquet(dir)
+    val batch = graft.operators.Multimodal.wavFeatures(s.read.parquet(dir))
+      .toDF().collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    val in = s.readStream
+      .schema("media_id LONG, kind STRING, payload BINARY, declared_frames INT")
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+    graft.streaming.StreamingOps.runToMemory(
+      graft.operators.Multimodal.wavFeatures(in).toDF(), "wav_stream_out")
+    val streamed = s.sql("SELECT * FROM wav_stream_out").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("connected components: pairs -> dedup groups, min-label semantics") {
     val s = spark; import s.implicits._
     val nodes = (1L to 7L).toDF("doc_id")
