@@ -440,6 +440,14 @@ object SparkEntry {
           "sum_bytes", "sum_squares", "peak")
         .orderBy("media_id", "frame_index")
     }),
+    "q46_dup_spans" -> ((s, dir) => {
+      // cross-document duplicate n-gram spans: verbatim repeated passages
+      // between doc pairs as maximal (start,end) token ranges — the
+      // repeated-substring primitive of corpus dedup; the oracle rebuilds
+      // the same match matrix + diagonal-islands merge in SQL
+      Dedup.duplicateNgramSpans(t(s, dir, "documents"), "text", "doc_id", n = 5)
+        .orderBy("id_a", "id_b", "a_start", "b_start")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -787,6 +795,32 @@ object SparkEntry {
         |  CAST(max(c) AS INTEGER) AS peak
         |FROM v GROUP BY media_id, f, fw, fh
         |ORDER BY media_id, frame_index""".stripMargin,
+    "q46_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS p
+        |  FROM tk),
+        |gr AS (
+        |  SELECT doc_id, p - 1 AS pos, array_to_string(toks[p:p+4], ' ') AS gram
+        |  FROM g),
+        |m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.pos AS pos_a, a.pos - b.pos AS diag
+        |  FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |i AS (
+        |  SELECT id_a, id_b, diag, pos_a,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS grp
+        |  FROM m)
+        |SELECT id_a, id_b,
+        |  CAST(min(pos_a) AS BIGINT) AS a_start,
+        |  CAST(max(pos_a) + 4 AS BIGINT) AS a_end,
+        |  CAST(min(pos_a) - diag AS BIGINT) AS b_start,
+        |  CAST(max(pos_a) - diag + 4 AS BIGINT) AS b_end,
+        |  CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS n_tokens
+        |FROM i GROUP BY id_a, id_b, diag, grp
+        |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

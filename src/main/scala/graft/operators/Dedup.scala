@@ -296,6 +296,69 @@ object Dedup {
     labels
   }
 
+  /** Cross-document duplicate n-gram SPANS — the "repeated substring"
+    * primitive of training-data dedup pipelines (find the maximal runs of
+    * tokens shared verbatim between document pairs, e.g. boilerplate,
+    * licenses, quoted passages; exact-duplicate docs surface as one
+    * full-length span).
+    *
+    * Shape: token n-grams with their POSITIONS (posexplode + window leads
+    * over token hashes, same one-shuffle construction as
+    * `shingleHashes`), equi-joined on the gram hash across doc pairs, then
+    * matching occurrences merged into maximal spans with the classic
+    * diagonal-islands trick: matches on one diagonal (pos_a − pos_b) with
+    * consecutive pos_a form one span; islands fall out of one
+    * `pos_a − row_number()` window.
+    *
+    * Output: (id_a, id_b, a_start, a_end, b_start, b_end, n_tokens),
+    * token positions 0-based inclusive, id_a < id_b.
+    *
+    * Scale guard: a gram occurring k times joins k² ways — one
+    * pathological common gram ("lorem ipsum…" boilerplate at 100 TB)
+    * floods the join. `maxOccurrences > 0` drops grams seen more than
+    * that many times corpus-wide first (one extra hash-agg + semi-join;
+    * the standard "too common to be interesting" cutoff). */
+  def duplicateNgramSpans(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 5,
+      maxOccurrences: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"h$j", lead(col("h0"), j).over(w))
+    }
+    val grams0 = withNexts.filter(col(s"h${n - 1}").isNotNull)
+      .select(col("id"), col("pos"),
+        xxhash64((0 until n).map(j => col(s"h$j")): _*).as("gh"))
+    val grams =
+      if (maxOccurrences <= 0) grams0
+      else {
+        val rare = grams0.groupBy(col("gh"))
+          .agg(count(lit(1)).as("_k")).filter(col("_k") <= maxOccurrences)
+          .select("gh")
+        grams0.join(rare, Seq("gh"), "left_semi")
+      }
+    val matches = grams.as("a")
+      .join(grams.as("b"), col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w2 = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    matches
+      .withColumn("grp", col("pos_a") - row_number().over(w2))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("grp"))
+      .agg(min(col("pos_a")).as("a_start"), max(col("pos_a")).as("a_last"))
+      .select(col("id_a"), col("id_b"),
+        col("a_start").cast("long").as("a_start"),
+        (col("a_last") + n - 1).cast("long").as("a_end"),
+        (col("a_start") - col("diag")).cast("long").as("b_start"),
+        (col("a_last") - col("diag") + n - 1).cast("long").as("b_end"),
+        (col("a_last") - col("a_start") + n).cast("long").as("n_tokens"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine within equality blocks
     * (e.g. a label/cluster column): all in-block pairs scored with the
     * native cosine kernel. The blocking column bounds the quadratic term —

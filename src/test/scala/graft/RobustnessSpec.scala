@@ -306,6 +306,37 @@ class RobustnessSpec extends AnyFunSuite {
     assert(fromFloat == expected)
   }
 
+  // --- duplicate n-gram spans ----------------------------------------------
+
+  test("duplicateNgramSpans finds maximal shared token runs with exact " +
+      "positions; hot-gram cap prunes flooding grams") {
+    val s = spark; import s.implicits._
+    val shared = "one two three four five six seven" // 7 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"), // shared run at positions 2..8
+      (2L, s"$shared delta epsilon zeta"), // shared run at positions 0..6
+      (3L, "unrelated words only here nothing repeats at all")).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup
+      .duplicateNgramSpans(docs, "text", "doc_id", n = 5).collect()
+    // exactly one maximal span between docs 1 and 2: 7 tokens
+    assert(spans.length == 1)
+    val r = spans.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert((r.getLong(2), r.getLong(3)) == (2L, 8L)) // a_start..a_end
+    assert((r.getLong(4), r.getLong(5)) == (0L, 6L)) // b_start..b_end
+    assert(r.getLong(6) == 7L)
+    // a gram shared by MANY docs floods k² — the cap drops it
+    val flood = (10L to 29L).map(i => (i, s"common common common common common tail$i"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.operators.Dedup
+      .duplicateNgramSpans(flood, "text", "doc_id", n = 5).count()
+    assert(uncapped == 20L * 19 / 2) // all pairs match on the common gram
+    val capped = graft.operators.Dedup
+      .duplicateNgramSpans(flood, "text", "doc_id", n = 5, maxOccurrences = 5)
+      .count()
+    assert(capped == 0L)
+  }
+
   // --- k-means: deterministic across partitionings -------------------------
 
   test("kmeansCentroids is bit-identical across partition counts") {
