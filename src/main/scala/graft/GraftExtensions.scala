@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct}
+import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct, HyperplaneBuckets}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.vecDot)
     e.injectFunction(GraftExtensions.vecCosine)
+    e.injectFunction(GraftExtensions.vecLshBuckets)
   }
 }
 
@@ -34,11 +35,33 @@ object GraftExtensions {
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)))
 
+  /** The table width is part of the function IDENTITY (it shapes the
+    * output), so SQL callers pass it as a literal third argument. */
+  private def lshFromArgs(args: Seq[Expression]): Expression = {
+    require(args.length == 3 && args(2).foldable,
+      "vec_lsh_buckets(vec, planes, planesPerTable) needs a literal third arg")
+    val r = args(2).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"planesPerTable must be an integer literal, got $other")
+    }
+    HyperplaneBuckets(args(0), args(1), r)
+  }
+
+  private[graft] val vecLshBuckets =
+    (FunctionIdentifier("vec_lsh_buckets"),
+      info("vec_lsh_buckets",
+        "vec_lsh_buckets(vec, planes, planesPerTable) - multi-table random-hyperplane LSH bucket ids"),
+      (args: Seq[Expression]) => lshFromArgs(args))
+
   /** Register the functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", args => DotProduct(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", args => CosineSimilarity(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_lsh_buckets", lshFromArgs, "built-in")
   }
 }

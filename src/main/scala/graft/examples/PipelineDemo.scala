@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Runnable training-data curation pipeline over the driver corpus:
   * normalize → exact dedup → near-dup candidates (MinHash LSH + SimHash) →
-  * quality/language filtering → deterministic per-language sampling →
-  * embedding near-dup + ANN search. Prints stage row counts — the "hello
-  * world" of the LLM-pipeline operator surface. */
+  * duplicate-span scan → quality/language filtering → deterministic
+  * per-language sampling → embedding near-dup + ANN search → multimodal
+  * decode (real PNG/WAV/JPEG/AVI codecs). Prints stage row counts — the
+  * "hello world" of the LLM-pipeline operator surface. */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -56,6 +57,23 @@ object PipelineDemo {
     val topk = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), k = 3)
     println("[pipeline] IVF top-3 neighbors of first 4 vectors:")
     topk.show(12, truncate = false)
+
+    // repeated-substring scan: verbatim shared passages between doc pairs
+    val spans = Dedup.duplicateNgramSpans(docs, "text", "doc_id", n = 5,
+      maxOccurrences = 10000)
+    println(s"[pipeline] duplicate n-gram spans (n=5): ${spans.count()}")
+
+    // multimodal: real decoders end-to-end (PNG pixels, WAV samples,
+    // JPEG entropy pipeline, MJPEG frames)
+    val png = Multimodal.pngFeatures(Multimodal.packPng(docs, "doc_id").toDF())
+    println(s"[pipeline] PNG decode: ${png.count()} images, " +
+      s"Σbytes=${png.agg(sum("sum_bytes")).head().getLong(0)}")
+    val wav = Multimodal.wavFeatures(
+      Multimodal.packSynthetic(docs, "doc_id", "text").toDF())
+    println(s"[pipeline] WAV decode: ${wav.count()} streams")
+    val mjpeg = Multimodal.mjpegFrameFeatures(
+      Multimodal.packMjpeg(docs.limit(100), "doc_id").toDF())
+    println(s"[pipeline] MJPEG decode: ${mjpeg.count()} frames")
     spark.stop()
   }
 }

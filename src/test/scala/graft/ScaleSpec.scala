@@ -54,5 +54,12 @@ class ScaleSpec extends AnyFunSuite {
     val r = s.sql("SELECT vec_dot(a, b) AS d, vec_cosine(a, a) AS c FROM vv").head()
     assert(r.getDouble(0) == 11.0)
     assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // the fused LSH kernel is SQL-callable too; planes as an inline array
+    // literal, planesPerTable a literal third arg (part of the output shape)
+    val lsh = s.sql(
+      """SELECT vec_lsh_buckets(a,
+        |  array(array(1.0D, 0.0D), array(0.0D, -1.0D)), 1) AS b FROM vv""".stripMargin)
+      .head().getSeq[Long](0)
+    assert(lsh == Seq(1L, 0L)) // a=(1,2): dot>0 -> bit set; -2<0 -> clear
   }
 }
