@@ -448,6 +448,17 @@ object SparkEntry {
       Dedup.duplicateNgramSpans(t(s, dir, "documents"), "text", "doc_id", n = 5)
         .orderBy("id_a", "id_b", "a_start", "b_start")
     }),
+    "q47_decontaminate" -> ((s, dir) => {
+      // test-set decontamination: docs with doc_id % 10 == 0 play the eval
+      // set; every other doc reports what fraction of its 5-grams appears
+      // verbatim in it (exact integer basis points)
+      val docs = t(s, dir, "documents")
+      Dedup.crossCorpusContamination(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -821,6 +832,25 @@ object SparkEntry {
         |  CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS n_tokens
         |FROM i GROUP BY id_a, id_b, diag, grp
         |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
+    "q47_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 4)) AS p
+        |  FROM tk),
+        |gr AS (
+        |  SELECT doc_id, array_to_string(toks[p:p+4], ' ') AS gram
+        |  FROM g),
+        |ref AS (SELECT DISTINCT gram FROM gr WHERE doc_id % 10 = 0),
+        |corp AS (SELECT doc_id, gram FROM gr WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(r.gram) AS BIGINT) AS n_dirty,
+        |  CAST(count(r.gram) * 10000 // count(*) AS BIGINT) AS contamination_bp
+        |FROM corp c LEFT JOIN ref r ON c.gram = r.gram
+        |GROUP BY c.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

@@ -318,9 +318,11 @@ object Dedup {
     * floods the join. `maxOccurrences > 0` drops grams seen more than
     * that many times corpus-wide first (one extra hash-agg + semi-join;
     * the standard "too common to be interesting" cutoff). */
-  def duplicateNgramSpans(
-      df: DataFrame, textCol: String, idCol: String, n: Int = 5,
-      maxOccurrences: Long = 0L): DataFrame = {
+  /** (id, pos, gh) — hash of the token n-gram starting at position `pos`,
+    * built with the one-shuffle posexplode + window-lead construction
+    * (see `shingleHashes`); docs shorter than n tokens yield no rows. */
+  private[operators] def positionalGramHashes(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -329,9 +331,16 @@ object Dedup {
     val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>
       acc.withColumn(s"h$j", lead(col("h0"), j).over(w))
     }
-    val grams0 = withNexts.filter(col(s"h${n - 1}").isNotNull)
+    withNexts.filter(col(s"h${n - 1}").isNotNull)
       .select(col("id"), col("pos"),
         xxhash64((0 until n).map(j => col(s"h$j")): _*).as("gh"))
+  }
+
+  def duplicateNgramSpans(
+      df: DataFrame, textCol: String, idCol: String, n: Int = 5,
+      maxOccurrences: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams0 = positionalGramHashes(df, textCol, idCol, n)
     val grams =
       if (maxOccurrences <= 0) grams0
       else {
@@ -357,6 +366,36 @@ object Dedup {
         (col("a_start") - col("diag")).cast("long").as("b_start"),
         (col("a_last") - col("diag") + n - 1).cast("long").as("b_end"),
         (col("a_last") - col("a_start") + n).cast("long").as("n_tokens"))
+  }
+
+  /** Test-set DECONTAMINATION: per corpus document, how much of it appears
+    * verbatim in a reference corpus (the eval/benchmark set), measured as
+    * the fraction of its token n-grams found anywhere in the reference —
+    * the overlap metric training pipelines use to drop contaminated
+    * training documents before an eval.
+    *
+    * Output: (idCol, n_grams, n_dirty, contamination_bp) for every corpus
+    * doc with ≥ 1 n-gram (docs shorter than n tokens have no measurable
+    * grams and are omitted). `contamination_bp` is exact integer basis
+    * points (engine-portable).
+    *
+    * Scale shape: the reference side reduces to a DISTINCT gram-hash set
+    * (one hash-agg); the corpus side left-semi-joins against it, keyed by
+    * the hash — when the reference is eval-set-sized, AQE turns that into
+    * a broadcast join and the 100 TB corpus side never shuffles. */
+  def crossCorpusContamination(
+      corpus: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val cg = positionalGramHashes(corpus, textCol, idCol, n)
+    val rg = positionalGramHashes(reference, textCol, idCol, n)
+      .select("gh").distinct()
+    val dirty = cg.join(rg, Seq("gh"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dirty"))
+    cg.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+      .join(dirty, Seq("id"), "left")
+      .na.fill(0L, Seq("n_dirty"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_dirty"),
+        expr("n_dirty * 10000 DIV n_grams").as("contamination_bp"))
   }
 
   /** Exact near-duplicate pairs by embedding cosine within equality blocks

@@ -306,6 +306,45 @@ class RobustnessSpec extends AnyFunSuite {
     assert(fromFloat == expected)
   }
 
+  // --- fuzz: no byte parser may throw on arbitrary input -------------------
+
+  test("media parsers never throw on random or mutated payloads " +
+      "(corrupt input must not kill a stage)") {
+    val rnd = new scala.util.Random(42)
+    val valids: Seq[Array[Byte]] = Seq(
+      Multimodal.pngEncode(3L, 16, 16),
+      Multimodal.aviEncode(5L),
+      Multimodal.mjpegEncode(4L),
+      operators.Jpeg.encode(Array.fill(64)(128), 8, 8))
+    val cases: Seq[Array[Byte]] =
+      // pure noise of assorted sizes (including empty and tiny)
+      Seq(0, 1, 3, 7, 12, 64, 256, 4096).map(n => Array.fill[Byte](n)(rnd.nextInt().toByte)) ++
+      // valid payloads with random single-byte mutations (headers stay
+      // recognizable, inner structure breaks in arbitrary ways)
+      (1 to 40).map { _ =>
+        val base = valids(rnd.nextInt(valids.length)).clone()
+        (0 until 3).foreach { _ =>
+          base(rnd.nextInt(base.length)) = rnd.nextInt().toByte
+        }
+        base
+      } ++
+      // random truncations of valid payloads
+      (1 to 20).map { _ =>
+        val base = valids(rnd.nextInt(valids.length))
+        base.take(rnd.nextInt(base.length))
+      }
+    cases.foreach { bytes =>
+      // every parser must return, not throw
+      Multimodal.sniffBytes(1L, "image", bytes)
+      Multimodal.decodeWav(1L, bytes)
+      Multimodal.decodePng(1L, bytes)
+      Multimodal.decodeAviFrames(1L, bytes)
+      Multimodal.decodeMjpegFrames(1L, bytes)
+      operators.Jpeg.decode(bytes)
+    }
+    succeed
+  }
+
   // --- duplicate n-gram spans ----------------------------------------------
 
   test("duplicateNgramSpans finds maximal shared token runs with exact " +
@@ -335,6 +374,21 @@ class RobustnessSpec extends AnyFunSuite {
       .duplicateNgramSpans(flood, "text", "doc_id", n = 5, maxOccurrences = 5)
       .count()
     assert(capped == 0L)
+  }
+
+  test("crossCorpusContamination reports exact dirty-gram basis points") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "x1 x2 one two three four five y1"), // 4 grams, 1 in reference
+      (2L, "completely clean text with no overlap at all"), // 4 grams, 0 dirty
+      (3L, "tiny doc")).toDF("doc_id", "text") // < 5 tokens → omitted
+    val reference = Seq(
+      (100L, "one two three four five tail tokens here")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .crossCorpusContamination(corpus, reference, "text", "doc_id", n = 5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 4L, 1L, 2500L), (2L, 4L, 0L, 0L)))
   }
 
   // --- k-means: deterministic across partitionings -------------------------
