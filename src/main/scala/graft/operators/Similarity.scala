@@ -25,23 +25,32 @@ object Similarity {
     * DuckDB's list_cosine_similarity over DOUBLE[]). */
   def cosine(a: Column, b: Column): Column = graft.functions.VectorExpressions.vec_cosine(a, b)
 
+  /** Rank the (qid, nid, score) relation to each query's top k — as a
+    * k-bounded heap AGGREGATE (graft.functions.TopK), not a ranking
+    * window: the window would shuffle-and-sort every scored row, while
+    * the aggregate's map-side partials put at most k rows per query per
+    * input partition on the wire. Ties broken by ascending id, identical
+    * to `ORDER BY score DESC, nid`. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col("nid").cast("long"), col("score"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("qid"), col("e.nid").as("nid"), (col("r") + 1).as("rank"),
+        round(col("e.score"), 4).as("score"))
+
   /** Brute-force top-k cosine neighbors of each query vector.
     * Output: (qid, vec_id, score) with rank ≤ k per query; ties broken by
     * neighbor id (deterministic). Self-matches excluded when ids collide. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("score"), 4).as("score"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
@@ -132,12 +141,9 @@ object Similarity {
       .filter(col("crank") <= nProbe)
       .drop("cvec", "csim", "crank")
 
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
-    queryProbes.join(corpusAssigned, "cid")
+    val scored = queryProbes.join(corpusAssigned, "cid")
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"), round(col("score"), 4).as("score"))
+    rankTopK(scored, k)
   }
 }

@@ -410,6 +410,37 @@ class RobustnessSpec extends AnyFunSuite {
     one.zip(seven).foreach { case ((_, a), (_, b)) => assert(a == b) }
   }
 
+  // --- top-k aggregate vs ranking window -----------------------------------
+
+  test("top_k_by_score aggregate equals the ranking-window top-k " +
+      "(ties included) and plans with map-side partial aggregation") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // 3 groups × 200 rows with deliberate score ties (quantized scores)
+    val scored = (0 until 600).map { i =>
+      (i % 3L, i.toLong, (rnd.nextInt(40) / 10.0))
+    }.toDF("qid", "nid", "score").repartition(7)
+    val viaAgg = graft.functions.TopK.top_k_by_score(col("nid"), col("score"), 5)
+    val aggRows = scored.groupBy("qid").agg(viaAgg.as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "e")))
+      .select(col("qid"), col("e.nid"), (col("r") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+    val winRows = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "nid", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(aggRows == winRows)
+    // the scale property: partial (map-side) aggregation before the
+    // exchange — the shuffle carries ≤ k rows per group per partition
+    val plan = scored.groupBy("qid").agg(viaAgg.as("top"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("(?s)partial_top_k_by_score.*Exchange".r.findFirstIn(plan).isDefined,
+      s"expected a partial aggregate below the exchange:\n$plan")
+  }
+
   // --- Engine.dataSparqlBatches --------------------------------------------
 
   test("dataSparqlBatches yields bounded batches covering the full result") {
