@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TopK.TopKByScore
 import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct, HyperplaneBuckets}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -18,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecDot)
     e.injectFunction(GraftExtensions.vecCosine)
     e.injectFunction(GraftExtensions.vecLshBuckets)
+    e.injectFunction(GraftExtensions.topKByScore)
   }
 }
 
@@ -55,6 +57,24 @@ object GraftExtensions {
         "vec_lsh_buckets(vec, planes, planesPerTable) - multi-table random-hyperplane LSH bucket ids"),
       (args: Seq[Expression]) => lshFromArgs(args))
 
+  private def topKFromArgs(args: Seq[Expression]): Expression = {
+    require(args.length == 3 && args(2).foldable,
+      "top_k_by_score(id, score, k) needs a literal k")
+    val k = args(2).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"k must be an integer literal, got $other")
+    }
+    TopKByScore(args(0), args(1), k).toAggregateExpression()
+  }
+
+  private[graft] val topKByScore =
+    (FunctionIdentifier("top_k_by_score"),
+      info("top_k_by_score",
+        "top_k_by_score(id, score, k) - k best (score desc, id asc) entries of the group as array<struct>"),
+      (args: Seq[Expression]) => topKFromArgs(args))
+
   /** Register the functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -63,5 +83,7 @@ object GraftExtensions {
       "vec_cosine", args => CosineSimilarity(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_lsh_buckets", lshFromArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_by_score", topKFromArgs, "built-in")
   }
 }

@@ -61,5 +61,11 @@ class ScaleSpec extends AnyFunSuite {
         |  array(array(1.0D, 0.0D), array(0.0D, -1.0D)), 1) AS b FROM vv""".stripMargin)
       .head().getSeq[Long](0)
     assert(lsh == Seq(1L, 0L)) // a=(1,2): dot>0 -> bit set; -2<0 -> clear
+    // the top-k heap aggregate is SQL-callable with a literal k
+    val tk = s.sql(
+      """SELECT top_k_by_score(id, sc, 2) AS t FROM VALUES
+        |  (1L, 0.5D), (2L, 0.9D), (3L, 0.9D), (4L, 0.1D) AS v(id, sc)""".stripMargin)
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getLong(0), r.getDouble(1))) == Seq((2L, 0.9), (3L, 0.9)))
   }
 }
