@@ -79,6 +79,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccard == plain-Scala shingle-set math on random corpora") {
+    val s = spark; import s.implicits._
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docGen = for {
+      len <- Gen.choose(1, 20)
+      ws <- Gen.listOfN(len, wordGen)
+    } yield ws.mkString(" ")
+    val texts = samples(docGen, 12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val docs = texts.toDF("doc_id", "text")
+    val allPairs = for {
+      (ia, _) <- texts; (ib, _) <- texts if ia < ib
+    } yield (ia, ib)
+    val got = graft.operators.Dedup
+      .ngramJaccard(allPairs.toDF("id_a", "id_b"), docs, "text", "doc_id", shingleN = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"), r.getAs[Long]("jaccard_bp")))
+      .toMap
+    // plain-Scala reference: 2-gram shingle SETS over the same tokenization
+    // (docs shorter than n yield one whole-doc shingle — Dedup's pos-0 rule)
+    def shingleSet(t: String): Set[Seq[String]] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < 2) Set(toks) else toks.sliding(2).map(_.toSeq).toSet
+    }
+    val byId = texts.toMap
+    allPairs.foreach { case (ia, ib) =>
+      val (sa, sb) = (shingleSet(byId(ia)), shingleSet(byId(ib)))
+      val inter = sa.intersect(sb).size.toLong
+      val union = sa.union(sb).size.toLong
+      val (gi, gu, gbp) = got((ia, ib))
+      assert(gi == inter && gu == union,
+        s"pair ($ia,$ib): got ($gi,$gu) want ($inter,$union)")
+      assert(gbp == inter * 10000 / union)
+    }
+  }
+
   test("minhash signature agreement approximates Jaccard similarity ordering") {
     val s = spark; import s.implicits._
     // doc pairs with decreasing overlap → signature agreement must decrease
