@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Events, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Events, Multimodal, Packing, Similarity, TextOps}
 import graft.sparql.{BgpPlanner, Sparql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -459,6 +459,15 @@ object SparkEntry {
           "text", "doc_id", n = 5)
         .orderBy("doc_id")
     }),
+    "q48_pack_sequences" -> ((s, dir) => {
+      // sequence packing: docs → fixed-capacity training sequences by
+      // global token offset, computed as a DISTRIBUTED prefix sum (the
+      // naive unpartitioned window would run on one task); the oracle IS
+      // that naive window — same numbers, scalable plan
+      Packing.packSequences(t(s, dir, "documents"), "text", "doc_id",
+          capacity = 2048)
+        .orderBy("doc_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -851,6 +860,19 @@ object SparkEntry {
         |FROM corp c LEFT JOIN ref r ON c.gram = r.gram
         |GROUP BY c.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q48_pack_sequences" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tk)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

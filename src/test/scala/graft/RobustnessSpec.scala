@@ -441,6 +441,26 @@ class RobustnessSpec extends AnyFunSuite {
       s"expected a partial aggregate below the exchange:\n$plan")
   }
 
+  // --- distributed prefix sum / sequence packing ---------------------------
+
+  test("distributed prefix sum equals the single-partition window cumsum " +
+      "at every partition count") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(100).toLong + 1))
+    val df = rows.toDF("id", "v")
+    val expected = df
+      .withColumn("cum", sum("v").over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 3, 16)) {
+      val got = graft.operators.Packing.prefixSum(df, "id", "v", parts)
+        .select("id", "cum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"prefix sum diverged at $parts partitions")
+    }
+  }
+
   // --- Engine.dataSparqlBatches --------------------------------------------
 
   test("dataSparqlBatches yields bounded batches covering the full result") {
