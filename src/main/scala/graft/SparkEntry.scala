@@ -468,6 +468,25 @@ object SparkEntry {
           capacity = 2048)
         .orderBy("doc_id")
     }),
+    "q49_range_join" -> ((s, dir) => {
+      // point-in-interval range join via the bucketed equi-join shape
+      // (never a nested-loop): 20 deterministic 12-hour windows spaced
+      // 36 hours from the first event day, events aggregated per window
+      val e = t(s, dir, "events")
+      val base = e.agg(unix_timestamp(date_trunc("DAY", min(col("ts")))).as("s0"))
+      val intervals = base
+        .select(col("s0"), explode(sequence(lit(0L), lit(19L))).as("interval_id"))
+        .select(col("interval_id"),
+          timestamp_seconds(col("s0") + col("interval_id") * 129600L).as("w_start"),
+          timestamp_seconds(col("s0") + col("interval_id") * 129600L + 43200L).as("w_end"))
+      Events.rangeJoinBucketed(e, "ts", intervals, "w_start", "w_end",
+          bucketWidth = 43200L)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("interval_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -873,6 +892,25 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id,
         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS seq_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q49_range_join" ->
+      """WITH s0 AS (
+        |  SELECT CAST(epoch_us(date_trunc('day', min(ts))) // 1000000 AS BIGINT) AS s0
+        |  FROM events),
+        |iv AS (
+        |  SELECT i AS interval_id, s0.s0 + i*129600 AS ws,
+        |    s0.s0 + i*129600 + 43200 AS we
+        |  FROM s0, range(20) t(i)),
+        |m AS (
+        |  SELECT iv.interval_id, e.user_id, e.value
+        |  FROM events e JOIN iv
+        |    ON epoch_us(e.ts) // 1000000 >= iv.ws
+        |   AND epoch_us(e.ts) // 1000000 < iv.we)
+        |SELECT interval_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM m GROUP BY interval_id
+        |ORDER BY interval_id""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

@@ -76,4 +76,31 @@ object Events {
       .filter(col("_side") === 1)
       .drop("_side", "_rv", "_rts")
   }
+
+  /** Range (point-in-interval) join: every point row paired with each
+    * interval containing its timestamp (`start <= t < end`).
+    *
+    * Spark plans a raw inequality join as BroadcastNestedLoopJoin (fine
+    * only while one side broadcasts) or a cartesian product — at millions
+    * of intervals both die. This is the bucketed EQUI-join shape instead:
+    * time is cut into `bucketWidth`-second buckets; each point carries its
+    * one bucket, each interval is exploded to the buckets it overlaps, and
+    * the join is a plain hash equi-join on the bucket id refined by the
+    * exact containment predicate. A point's bucket equals exactly one of a
+    * containing interval's buckets, so no post-join dedup is needed.
+    * Choose `bucketWidth` near the typical interval length: explode factor
+    * = interval span / width + 1. */
+  def rangeJoinBucketed(
+      points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long = 3600L): DataFrame = {
+    val pB = points.withColumn("_bkt",
+      floor(unix_timestamp(col(tsCol)) / bucketWidth))
+    val iB = intervals.withColumn("_bkt",
+      explode(sequence(floor(unix_timestamp(col(startCol)) / bucketWidth),
+        floor((unix_timestamp(col(endCol)) - 1) / bucketWidth))))
+    pB.join(iB, Seq("_bkt"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("_bkt")
+  }
 }

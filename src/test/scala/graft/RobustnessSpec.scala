@@ -441,6 +441,37 @@ class RobustnessSpec extends AnyFunSuite {
       s"expected a partial aggregate below the exchange:\n$plan")
   }
 
+  // --- bucketed range join -------------------------------------------------
+
+  test("rangeJoinBucketed equals the naive inequality join and plans as a " +
+      "hash equi-join (no nested loop)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val points = (0 until 400).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(rnd.nextInt(200000).toLong)))
+    }.toDF("pid", "ts")
+    val intervals = (0 until 30).map { i =>
+      val st = rnd.nextInt(150000).toLong
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(st)),
+        java.sql.Timestamp.from(base.plusSeconds(st + 1000 + rnd.nextInt(40000))))
+    }.toDF("iid", "w_start", "w_end")
+    val bucketed = graft.operators.Events
+      .rangeJoinBucketed(points, "ts", intervals, "w_start", "w_end", bucketWidth = 7200L)
+      .select("pid", "iid")
+    val naive = points.join(intervals,
+        col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "iid")
+    val bSet = bucketed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nSet = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bSet == nSet && bSet.nonEmpty)
+    // no multi-bucket duplicates
+    assert(bucketed.count() == bSet.size)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected a bucketed equi-join plan:\n$plan")
+  }
+
   // --- distributed prefix sum / sequence packing ---------------------------
 
   test("distributed prefix sum equals the single-partition window cumsum " +
