@@ -487,6 +487,12 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy("interval_id")
     }),
+    "q50_repetition" -> ((s, dir) => {
+      // intra-doc repetition ratio (duplicate 3-gram fraction) — the
+      // repetitiousness quality filter of large-corpus pipelines
+      TextOps.repetitionStats(t(s, dir, "documents"), "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -911,6 +917,22 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM m GROUP BY interval_id
         |ORDER BY interval_id""".stripMargin,
+    "q50_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p
+        |  FROM tk),
+        |gr AS (
+        |  SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS gram
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+        |  CAST((count(*) - count(DISTINCT gram)) * 10000 // count(*) AS BIGINT) AS dup_gram_bp
+        |FROM gr GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)

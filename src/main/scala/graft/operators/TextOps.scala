@@ -124,4 +124,20 @@ object TextOps {
     * non-alphanumerics to spaces, collapse runs, trim. */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Intra-document repetition: the fraction of a document's token
+    * n-grams that are duplicates of an earlier gram in the SAME document
+    * — the classic repetitiousness quality signal (boilerplate, keyword
+    * stuffing, degenerate generations score high). Output per doc with
+    * ≥ 1 gram: (idCol, n_grams, n_distinct, dup_gram_bp) with exact
+    * integer basis points. One hash-aggregate over the positional-gram
+    * relation — same one-shuffle construction as MinHash/spans. */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame =
+    Dedup.positionalGramHashes(df, textCol, idCol, n)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("gh")).as("n_distinct"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_distinct"),
+        expr("(n_grams - n_distinct) * 10000 DIV n_grams").as("dup_gram_bp"))
 }

@@ -391,6 +391,17 @@ class RobustnessSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 4L, 1L, 2500L), (2L, 4L, 0L, 0L)))
   }
 
+  test("repetitionStats: duplicate-gram basis points are exact") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a b"), // 3-grams: abc bca cab abc bca cab → 6 grams, 3 distinct
+      (2L, "all tokens unique here now")).toDF("doc_id", "text") // 3 grams, 3 distinct
+    val got = graft.operators.TextOps.repetitionStats(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 6L, 3L, 5000L), (2L, 3L, 3L, 0L)))
+  }
+
   // --- k-means: deterministic across partitionings -------------------------
 
   test("kmeansCentroids is bit-identical across partition counts") {
