@@ -7,15 +7,21 @@ import org.apache.spark.sql.functions._
   * around its 100 TB shuffle shape:
   *
   *   - exact: one hash-groupBy (map-side combinable) on a 128-bit key;
-  *   - MinHash + LSH: signatures are PURE MAP work (no explode-shuffle —
-  *     higher-order functions over the shingle array), then the only
-  *     shuffle is the band-bucket self-join whose input is b rows per doc;
-  *   - SimHash: 64-bit fingerprint as pure map work; near-dup candidates
-  *     via pigeonholed 16-bit chunks (hamming ≤ 3 ⇒ some chunk equal);
+  *   - MinHash + LSH: signatures via posexplode → window leads → k
+  *     codegen'd map-side-combinable `min` aggregates (one shuffle of
+  *     (id, hash) longs — NOT interpreted HOF loops, see the
+  *     minhashSignatures note), then the band-bucket self-join whose
+  *     input is b rows per doc;
+  *   - SimHash: 60-bit portable fingerprint as conditional-sum aggregates;
+  *     near-dup candidates via pigeonholed chunks (maxDist+1 chunks ⇒
+  *     hamming ≤ maxDist implies some chunk equal);
   *   - n-gram Jaccard: exact verification on candidate pairs only, never
   *     all-pairs;
   *   - embedding cosine: random-hyperplane LSH buckets, exact cosine inside
-  *     buckets only.
+  *     buckets only;
+  *   - duplicate SPANS and cross-corpus contamination over the shared
+  *     positional-gram relation;
+  *   - connected components to turn verified pairs into dedup groups.
   */
 object Dedup {
 
