@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural audit of EVERY driver query's physical plan — the
+  * regression net for the scale properties the per-operator specs assert
+  * individually: no accidental cartesian products, and nested-loop joins
+  * only where a tiny side is DELIBERATELY broadcast (the ANN scoring
+  * cross-joins, where corpus × broadcast-queries is the intended shape).
+  * A new query that trips this either needs a better join shape or an
+  * explicit entry in the allow-list below with a reason. */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Queries whose BroadcastNestedLoopJoin is the intended plan: a
+    * broadcast-small-side cross-score (ANN brute force / k-means assign /
+    * planted-pair construction), never data×data. */
+  val bnljAllowed: Set[String] = Set(
+    "q22_embed_topk", // corpus × broadcast(8 query vectors)
+    "q23_embed_ivf", // k-means assign: corpus × broadcast(centroids)
+    "q29_embed_neardup", // planted-pair corpus construction
+    "q30_embed_lsh_neardup") // same construction feeding the LSH path
+
+  test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
+      "is deliberately broadcast") {
+    assume(new java.io.File(sfDir).isDirectory)
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
