@@ -493,6 +493,30 @@ object SparkEntry {
       TextOps.repetitionStats(t(s, dir, "documents"), "text", "doc_id", n = 3)
         .orderBy("doc_id")
     }),
+    "q51_paragraph_dedup" -> ((s, dir) => {
+      // sub-document (paragraph-level) exact dedup, CCNet-style: split on
+      // sentence boundaries, hash each normalized paragraph, report every
+      // hash shared by 2+ paragraphs with its canonical keeper. Boilerplate
+      // sentences are appended to every doc (the oracle mirrors them) so
+      // the duplicate-group path is actually exercised — the synthetic
+      // corpus has no naturally shared paragraphs at small SF.
+      val paras = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(
+            concat(col("text"), lit(". all rights reserved. terms apply")),
+            "\\. ")).as(Seq("para_idx", "para")))
+        .filter(length(trim(col("para"))) > 0)
+        .select(col("doc_id"), col("para_idx"),
+          md5(trim(lower(col("para")))).as("ph"))
+      paras.groupBy("ph")
+        .agg(count(lit(1)).as("n_copies"),
+          min(struct(col("doc_id"), col("para_idx"))).as("keep"))
+        .filter(col("n_copies") >= 2)
+        .select(col("ph"), col("n_copies"),
+          col("keep.doc_id").as("keep_doc_id"),
+          col("keep.para_idx").cast("long").as("keep_para_idx"))
+        .orderBy("ph")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -933,6 +957,27 @@ object SparkEntry {
         |  CAST((count(*) - count(DISTINCT gram)) * 10000 // count(*) AS BIGINT) AS dup_gram_bp
         |FROM gr GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q51_paragraph_dedup" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, text || '. all rights reserved. terms apply' AS text
+        |  FROM documents),
+        |p0 AS (
+        |  SELECT doc_id,
+        |    unnest(str_split(text, '. ')) AS para,
+        |    unnest(range(len(str_split(text, '. ')))) AS para_idx
+        |  FROM t2),
+        |p AS (
+        |  SELECT doc_id, para_idx, md5(trim(lower(para))) AS ph
+        |  FROM p0 WHERE len(trim(para)) > 0)
+        |SELECT ph, n_copies, keep_doc_id, keep_para_idx FROM (
+        |  SELECT ph,
+        |    CAST(count(*) OVER (PARTITION BY ph) AS BIGINT) AS n_copies,
+        |    row_number() OVER (PARTITION BY ph ORDER BY doc_id, para_idx) AS rn,
+        |    doc_id AS keep_doc_id,
+        |    CAST(para_idx AS BIGINT) AS keep_para_idx
+        |  FROM p)
+        |WHERE rn = 1 AND n_copies >= 2
+        |ORDER BY ph""".stripMargin,
     "q01_pushdown_scan" ->
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |WHERE user_id IN (1,2,3,5,8,13,21,34)
