@@ -517,6 +517,89 @@ object SparkEntry {
           col("keep.para_idx").cast("long").as("keep_para_idx"))
         .orderBy("ph")
     }),
+    "q52_semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster-then-prune SEMANTIC dedup): deterministic k-means
+      // clusters (the q23 quantizer) + within-cluster smaller-id pruning at
+      // cosine ≥ 0.95. Corpus = embeddings plus planted near-copies (the
+      // q30 derivation, cosine ≈ 0.999 to their originals) so the drop path
+      // is actually exercised — the raw corpus has no pairs above 0.95.
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.filter(col("vec_id") % 17 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0) + (i % 7 - 3).cast("double") * lit(0.02))).as("embedding"))
+      val cents = Similarity.kmeansCentroids(base, dim = 64, centroidMod = 37, iters = 2)
+      Dedup.semanticDedup(base.unionByName(planted), cents, "embedding", "vec_id",
+        threshold = 0.95)
+        .orderBy("vec_id")
+    }),
+    "q53_pii_redact" -> ((s, dir) => {
+      // PII detection + redaction (emails / phones / IPv4) in the RE2∩Java
+      // regex subset so both engines see identical match sets. Deterministic
+      // synthetic PII derived from doc_id is appended to every document
+      // (mirrored by the oracle) so every pattern actually fires.
+      val d = t(s, dir, "documents")
+      val txt = concat(lower(col("text")),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com or 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), (col("doc_id") % 250).cast("string"))
+      val counts = TextOps.piiCounts(txt).map { case (n, c) => c.as(n) }
+      d.select((col("doc_id") +: counts :+
+        md5(TextOps.redactPii(txt)).as("redacted_fp")): _*)
+        .orderBy("doc_id")
+    }),
+    "q54_bpe_pairs" -> ((s, dir) => {
+      // BPE vocabulary-learning step: corpus-wide adjacent character-pair
+      // frequencies inside words; the top pair is the next merge rule
+      TextOps.bpePairStats(t(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("pair")).limit(50)
+    }),
+    "q55_audio_frames" -> ((s, dir) => {
+      // frame-level audio features over REAL decoded PCM: 256-sample
+      // frames with energy (Σs, Σs²), peak, and zero-crossing counts —
+      // the oracle re-derives every sample with hex arithmetic (as q41)
+      // and re-aggregates per frame
+      Multimodal.wavFrameFeatures(
+        Multimodal.packSynthetic(t(s, dir, "documents"), "doc_id", "text").toDF(),
+        frameLen = 256)
+        .toDF()
+        .select("media_id", "frame_index", "n_samples", "sum_samples",
+          "sum_squares", "peak_abs", "n_crossings")
+        .orderBy("media_id", "frame_index")
+    }),
+    "q56_image_resize" -> ((s, dir) => {
+      // multimodal transform: nearest-neighbor 2× downsample on REAL
+      // decoded PNG pixels (inflate + unfilter + sample), integer-exact
+      // stats of the resized RGBA bytes
+      Multimodal.pngResizeFeatures(
+        Multimodal.packPng(t(s, dir, "documents"), "doc_id").toDF(), factor = 2)
+        .toDF()
+        .select("media_id", "src_w", "src_h", "width", "height", "n_bytes",
+          "sum_bytes", "sum_squares", "max_px")
+        .orderBy("media_id")
+    }),
+    "q57_mix_weights" -> ((s, dir) => {
+      // temperature-scaled source mixing (α=0.5) with exact integer
+      // largest-remainder apportionment of a 100k-doc sampling budget
+      operators.Sampling.temperatureMixture(t(s, dir, "documents"), "source",
+          budget = 100000L)
+        .orderBy("source")
+    }),
+    "q58_shard_stats" -> ((s, dir) => {
+      // deterministic training-shard assignment (portable hash mod 64) +
+      // per-shard manifest (docs/tokens/chars/id-range)
+      Packing.shardStats(t(s, dir, "documents"), "text", "doc_id", nShards = 64)
+        .orderBy("shard")
+    }),
+    "q59_bigram_lm" -> ((s, dir) => {
+      // corpus-conditional bigram LM quality score in exact basis points
+      TextOps.bigramLmScores(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -622,8 +705,11 @@ object SparkEntry {
     * integer-space mean (floor(x·10⁶) summed, then two IEEE divisions) —
     * followed by the IVF probe/score. Bit-identical to
     * Similarity.kmeansCentroids because every step is order-independent. */
-  private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2, mod: Int = 37,
-      nProbe: Int = 2, k: Int = 5): String = {
+  /** WITH-clause fragment computing the deterministic Lloyd's centroids
+    * c0 … c`iters` over the embeddings table — shared by the q23 IVF and
+    * q52 SemDeDup oracles (identical arithmetic to
+    * `Similarity.kmeansCentroids`). */
+  private def kmeansRoundsSql(dim: Int, iters: Int, mod: Int): String = {
     def meanList = (0 until dim).map(i =>
       s"(sum(floor(nvec[${i + 1}] * 1000000))::DOUBLE / count(*)) / 1000000.0")
       .mkString("[", ", ", "]")
@@ -636,10 +722,15 @@ object SparkEntry {
          |    FROM embeddings e, $prev c) WHERE cr = 1),
          |c$step AS (SELECT cid, $meanList AS cvec FROM a$step GROUP BY cid)""".stripMargin
     val rounds = (1 to iters).map(s => assign(s"c${s - 1}", s)).mkString(",\n")
-    s"""WITH c0 AS (
+    s"""c0 AS (
        |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
        |  FROM embeddings WHERE vec_id % $mod = 0),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2, mod: Int = 37,
+      nProbe: Int = 2, k: Int = 5): String = {
+    s"""WITH ${kmeansRoundsSql(dim, iters, mod)},
        |corpus_assign AS (
        |  SELECT nid, cid FROM (
        |    SELECT e.vec_id AS nid, c.cid,
@@ -666,7 +757,175 @@ object SparkEntry {
        |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q52 oracle, generated: the SAME deterministic k-means (shared rounds
+    * fragment), then base+planted assignment and the smaller-id in-cluster
+    * cosine prune re-derived exhaustively. */
+  private def semdedupOracle(dim: Int = 64, iters: Int = 2, mod: Int = 37,
+      threshold: Double = 0.95): String =
+    s"""WITH ${kmeansRoundsSql(dim, iters, mod)},
+       |base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |planted AS (
+       |  SELECT vec_id + 1000000 AS vec_id,
+       |    list_transform(range(0, $dim), i -> vec[CAST(i + 1 AS INTEGER)]
+       |      * (1 + (i % 7 - 3) * 0.02::DOUBLE)) AS vec
+       |  FROM base WHERE vec_id % 17 = 0),
+       |al AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+       |asg AS (
+       |  SELECT vec_id, cid, vec FROM (
+       |    SELECT al.vec_id, c.cid, al.vec,
+       |      row_number() OVER (PARTITION BY al.vec_id ORDER BY
+       |        list_cosine_similarity(al.vec, c.cvec) DESC, c.cid) AS cr
+       |    FROM al, c$iters c) WHERE cr = 1),
+       |drp AS (
+       |  SELECT DISTINCT a.vec_id FROM asg a JOIN asg b
+       |    ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |   AND round(list_cosine_similarity(a.vec, b.vec), 4) >= $threshold)
+       |SELECT a.vec_id, a.cid AS cluster,
+       |  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
+       |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
+  /** s16le sample `k` (an int expression) re-derived from the hex dump of
+    * the WAV body — the q41 arithmetic, parameterized so the frame oracle
+    * can reference sample k and k+1 in one row. */
+  private def wavSampleSql(k: String): String = {
+    // ONE line: this fragment is interpolated into a stripMargin string,
+    // and a line starting with `||` would lose a pipe to the outer margin
+    val u = s"('0x' || substr(hx, CAST(4*($k)+3 AS INTEGER), 2) || substr(hx, CAST(4*($k)+1 AS INTEGER), 2))::INTEGER"
+    s"CASE WHEN $u >= 32768 THEN $u - 65536 ELSE $u END"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q52_semdedup" -> semdedupOracle(),
+    "q53_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    lower(text) || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex' ||
+         |    CAST(doc_id % 7 AS VARCHAR) || '.com or 555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |    CAST((doc_id * 7) % 256 AS VARCHAR) || '.' ||
+         |    CAST(doc_id % 250 AS VARCHAR) AS txt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(txt, '${operators.TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(txt, '${operators.TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(txt, '${operators.TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(txt,
+         |    '${operators.TextOps.EmailRe}', '<EMAIL>', 'g'),
+         |    '${operators.TextOps.Ipv4Re}', '<IP>', 'g'),
+         |    '${operators.TextOps.PhoneRe}', '<PHONE>', 'g')) AS redacted_fp
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q54_bpe_pairs" ->
+      """WITH nrm AS (
+        |  SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |w AS (SELECT unnest(str_split(nt, ' ')) AS w FROM nrm),
+        |w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+        |  FROM (SELECT w, unnest(generate_series(1, length(w) - 1)) AS i FROM w2))
+        |SELECT pair, count(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "q55_audio_frames" ->
+      s"""WITH audio AS (
+         |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) // 2 AS n
+         |  FROM documents WHERE doc_id % 3 = 1),
+         |ks AS (
+         |  SELECT media_id, hx, n, unnest(generate_series(0, n - 1)) AS k
+         |  FROM audio),
+         |samp AS (
+         |  SELECT media_id, k // 256 AS fi,
+         |    ${wavSampleSql("k")} AS s,
+         |    CASE WHEN (k % 256) <> 255 AND k + 1 < n
+         |      THEN ${wavSampleSql("k+1")} END AS s2
+         |  FROM ks)
+         |SELECT media_id, CAST(fi AS INTEGER) AS frame_index,
+         |  count(*) AS n_samples,
+         |  CAST(sum(s) AS BIGINT) AS sum_samples,
+         |  CAST(sum(s::BIGINT * s) AS BIGINT) AS sum_squares,
+         |  CAST(max(abs(s)) AS INTEGER) AS peak_abs,
+         |  CAST(sum(CASE WHEN s2 IS NOT NULL AND ((s < 0) <> (s2 < 0))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings
+         |FROM samp GROUP BY media_id, fi
+         |ORDER BY media_id, frame_index""".stripMargin,
+    "q56_image_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(16 + doc_id % 160 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 90 AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT media_id, w, h, (w + 1) // 2 AS rw, (h + 1) // 2 AS rh
+        |  FROM imgs),
+        |py AS (SELECT media_id, w, h, rw, rh,
+        |  unnest(generate_series(0, rh - 1)) AS ry FROM r),
+        |px AS (SELECT media_id, w, h, rw, rh, ry,
+        |  unnest(generate_series(0, rw - 1)) AS rx FROM py),
+        |ch AS (SELECT media_id, w, h, rw, rh, ry, rx,
+        |  unnest(generate_series(0, 3)) AS c FROM px),
+        |v AS (
+        |  SELECT media_id, w, h, rw, rh,
+        |    (media_id + 7*(2*ry) + 13*(4*(2*rx) + c)) % 251 AS val
+        |  FROM ch)
+        |SELECT media_id, CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+        |  CAST(rw AS INTEGER) AS width, CAST(rh AS INTEGER) AS height,
+        |  CAST(rw*rh*4 AS BIGINT) AS n_bytes,
+        |  CAST(sum(val) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(val*val) AS BIGINT) AS sum_squares,
+        |  CAST(max(val) AS INTEGER) AS max_px
+        |FROM v GROUP BY media_id, w, h, rw, rh
+        |ORDER BY media_id""".stripMargin,
+    "q57_mix_weights" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(floor(sqrt(count(*)) * 1000000) AS BIGINT) AS weight
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM c),
+        |s AS (
+        |  SELECT source, n_docs, weight,
+        |    100000 * weight // t.tw AS base,
+        |    (100000 * weight) % t.tw AS rem
+        |  FROM c, t),
+        |lo AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS lo FROM s)
+        |SELECT source, n_docs, weight,
+        |  CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= lo.lo
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM s, lo ORDER BY source""".stripMargin,
+    "q58_shard_stats" ->
+      """WITH d AS (
+        |  SELECT ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 64 AS shard,
+        |    doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS tok,
+        |    CAST(length(text) AS BIGINT) AS nch
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nch) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+    "q59_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[p] AS t, toks[p+1] AS t2
+        |  FROM (SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS p FROM tk)),
+        |c2 AS (SELECT t, t2, count(*) AS c2 FROM bg GROUP BY t, t2),
+        |c1 AS (SELECT t, count(*) AS c1 FROM bg GROUP BY t),
+        |sc AS (
+        |  SELECT bg.doc_id, c2.c2 * 10000 // c1.c1 AS bp
+        |  FROM bg JOIN c2 ON bg.t = c2.t AND bg.t2 = c2.t2
+        |  JOIN c1 ON bg.t = c1.t)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(bp) AS BIGINT) AS sum_prob_bp,
+        |  CAST(CAST(sum(bp) AS BIGINT) // count(*) AS BIGINT) AS avg_prob_bp,
+        |  CAST(min(bp) AS BIGINT) AS min_prob_bp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q19_minhash_lsh" ->
       s"""WITH $shingleStatsCte
          |SELECT id_a, id_b, n_inter, n_union, jaccard_bp

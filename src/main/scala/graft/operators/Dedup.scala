@@ -263,7 +263,13 @@ object Dedup {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    // Iterate ONLY over nodes that appear in an edge: an isolated node is
+    // its own component with zero propagation, so the fixpoint's working
+    // set is the duplicate SUBGRAPH (at 100 TB: ~1% of the corpus), not
+    // the corpus — every round's join/agg/signature scales with |edges|.
+    // Isolated nodes are merged back with one join at the end.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
       .localCheckpoint()
     // convergence via an order-insensitive label-set signature (one narrow
     // aggregate per round instead of a self-join): labels only ever
@@ -299,7 +305,10 @@ object Dedup {
         s"connectedComponents: not converged after $maxIter iterations — " +
           "a component has min-label propagation distance > maxIter; " +
           "raise maxIter for graphs with very long duplicate chains")
-    labels
+    // corpus side touched exactly once: isolated nodes label themselves
+    nodes.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("component", "_c"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_c"), col("id")).as("component"))
   }
 
   /** Cross-document duplicate n-gram SPANS — the "repeated substring"
@@ -466,6 +475,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(Similarity.cosine(col("_va"), col("_vb")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup-style SEMANTIC deduplication (public method: Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space with the deterministic
+    * k-means quantizer (`Similarity.kmeansCentroids`), then inside each
+    * cluster DROP every point that has a higher-priority (smaller-id)
+    * cluster-mate within the cosine threshold — semantic near-copies
+    * collapse to one representative even when their text n-grams share
+    * nothing.
+    *
+    * Scale shape — the cluster bound IS the method: the all-pairs check
+    * never crosses cluster boundaries, so after one broadcast-centroid
+    * assignment (map-side `max_by` argmax, same as IVF) the self-join is
+    * keyed by cluster id and each task's work is O(cluster²), not
+    * O(corpus²). Deterministic end-to-end: mod-seeded exact-arithmetic
+    * centroids, ties broken by id, cosine rounded to 4 dp before the
+    * threshold so any engine reproduces the same keep/drop set.
+    *
+    * Output: (idCol, cluster, dropped 0/1), one row per corpus vector. */
+  def semanticDedup(
+      corpus: DataFrame, centroids: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val cents = centroids.select(col("cid"), col("cvec"))
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", Similarity.cosine(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"),
+        first(col("vec")).as("vec"))
+      .localCheckpoint() // reused: both self-join sides + the final output
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("b.id") < col("a.id") &&
+          round(Similarity.cosine(col("a.vec"), col("b.vec")), 4) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+      .withColumn("_d", lit(1))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id").as(idCol), col("cid").as("cluster"),
+        coalesce(col("_d"), lit(0)).cast("int").as("dropped"))
   }
 
   /** Near-duplicate pairs by embedding cosine ≥ `threshold`, bucketed by

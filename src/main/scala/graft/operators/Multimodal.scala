@@ -258,7 +258,11 @@ object Multimodal {
     * every sample: pure arithmetic over the bytes, no codec library.
     * Returns None for non-WAV, non-PCM16, or corrupt payloads — a corrupt
     * file must not kill the stage. */
-  def decodeWav(id: Long, b: Array[Byte]): Option[WavFeatures] = {
+  /** Locate the PCM16 payload of a RIFF/WAVE stream: (sample_rate,
+    * channels, data byte offset, sample count). The chunk walk (unsigned
+    * sizes, strict advance) shared by the whole-stream and per-frame
+    * decoders; None for non-WAV / non-PCM16 / corrupt payloads. */
+  private def wavPcm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (!(fourcc(b, 0, "RIFF") && fourcc(b, 8, "WAVE"))) return None
     var i = 12L
     var rate = -1; var nch = -1; var bits = -1; var fmtCode = -1
@@ -276,19 +280,81 @@ object Multimodal {
       }
       i += 8 + sz + (sz & 1)
     }
-    if (rate <= 0 || nch <= 0 || fmtCode != 1 || bits != 16 || dataOff < 0) return None
-    val off = dataOff.toInt
-    val n = (dataLen / 2).toInt
-    var sum = 0L; var ss = 0L; var peak = 0
-    var k = 0
-    while (k < n) {
-      val s = (((b(off + 2 * k + 1) & 0xff) << 8) | (b(off + 2 * k) & 0xff)).toShort.toInt
-      sum += s; ss += s.toLong * s
-      val a = math.abs(s)
-      if (a > peak) peak = a
-      k += 1
+    if (rate <= 0 || nch <= 0 || fmtCode != 1 || bits != 16 || dataOff < 0) None
+    else Some((rate, nch, dataOff.toInt, (dataLen / 2).toInt))
+  }
+
+  /** Signed 16-bit little-endian sample `k` of a located PCM payload. */
+  @inline private def pcm16(b: Array[Byte], off: Int, k: Int): Int =
+    (((b(off + 2 * k + 1) & 0xff) << 8) | (b(off + 2 * k) & 0xff)).toShort.toInt
+
+  def decodeWav(id: Long, b: Array[Byte]): Option[WavFeatures] =
+    wavPcm(b).map { case (rate, nch, off, n) =>
+      var sum = 0L; var ss = 0L; var peak = 0
+      var k = 0
+      while (k < n) {
+        val s = pcm16(b, off, k)
+        sum += s; ss += s.toLong * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        k += 1
+      }
+      WavFeatures(id, rate, nch, n.toLong, sum, ss, peak)
     }
-    Some(WavFeatures(id, rate, nch, n.toLong, sum, ss, peak))
+
+  /** Per-frame audio features — one row per fixed-length analysis frame:
+    * energy inputs (Σs, Σs²; RMS = √(Σs²/n)), peak amplitude, and the
+    * ZERO-CROSSING count (sign changes between consecutive samples inside
+    * the frame — the classic voiced/unvoiced/noise discriminator).
+    * All-integer so any engine recomputes the values bit-for-bit. */
+  final case class WavFrameFeatures(
+      media_id: Long,
+      frame_index: Int,
+      n_samples: Long,
+      sum_samples: Long,
+      sum_squares: Long,
+      peak_abs: Int,
+      n_crossings: Long)
+
+  /** Frame-level decode of a RIFF/WAVE payload: the PCM stream cut into
+    * `frameLen`-sample frames (last frame ragged). Same corrupt-input
+    * contract as `decodeWav` (empty result, never a throw). */
+  def decodeWavFrames(
+      id: Long, b: Array[Byte], frameLen: Int = 256): Seq[WavFrameFeatures] =
+    wavPcm(b) match {
+      case None => Seq.empty
+      case Some((_, _, off, n)) =>
+        val out = Seq.newBuilder[WavFrameFeatures]
+        var f = 0
+        while (f.toLong * frameLen < n) {
+          val s0 = f * frameLen
+          val end = math.min(s0 + frameLen, n)
+          var sum = 0L; var ss = 0L; var peak = 0; var cross = 0L
+          var prev = 0
+          var k = s0
+          while (k < end) {
+            val s = pcm16(b, off, k)
+            sum += s; ss += s.toLong * s
+            val a = math.abs(s)
+            if (a > peak) peak = a
+            if (k > s0 && ((prev < 0) != (s < 0))) cross += 1
+            prev = s
+            k += 1
+          }
+          out += WavFrameFeatures(id, f, (end - s0).toLong, sum, ss, peak, cross)
+          f += 1
+        }
+        out.result()
+    }
+
+  /** Frame-level features for every WAV asset (flatMap — non-audio rows
+    * contribute nothing), batch-wise per partition. */
+  def wavFrameFeatures(
+      media: DataFrame, frameLen: Int = 256): Dataset[WavFrameFeatures] = {
+    implicit val enc = Encoders.product[WavFrameFeatures]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(
+      _.flatMap(r => decodeWavFrames(r.media_id, r.payload, frameLen)))
   }
 
   /** Decode every WAV asset's PCM stream, batch-wise per partition;
@@ -381,7 +447,11 @@ object Multimodal {
     * CRCs are verified chunk by chunk. Returns None for non-PNG, non-RGBA8,
     * interlaced, or corrupt payloads (bad CRC, truncated chunk, short or
     * malformed IDAT stream) — a corrupt file must not kill the stage. */
-  def decodePng(id: Long, b: Array[Byte]): Option[PngFeatures] = {
+  /** Inflate + un-filter a PNG into its raw RGBA8 byte grid:
+    * (width, height, pixels) with byte (y,x,ch) at pixels(y·4w + 4x + ch).
+    * Shared by the stats decoder and the resize transform. Returns None
+    * for non-PNG, non-RGBA8, interlaced, or corrupt payloads. */
+  private def pngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (b.length < 8 || (b(0) & 0xff) != 0x89 || !fourcc(b, 1, "PNG")) return None
     var i = 8
     var w = -1; var h = -1
@@ -429,11 +499,8 @@ object Multimodal {
       inf.end()
       if (got != expect) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
-    // un-filter scanline by scanline, accumulating stats as we go
-    val prior = new Array[Int](stride)
-    val cur = new Array[Int](stride)
-    var sum = 0L; var ss = 0L
-    val maxCh = new Array[Int](4)
+    // un-filter scanline by scanline into the pixel grid
+    val pixels = new Array[Byte](h * stride)
     var y = 0
     while (y < h) {
       val ft = inflated(y * (1 + stride)) & 0xff
@@ -441,9 +508,9 @@ object Multimodal {
       var x = 0
       while (x < stride) {
         val f = inflated(y * (1 + stride) + 1 + x) & 0xff
-        val left = if (x >= 4) cur(x - 4) else 0
-        val up = prior(x)
-        val ul = if (x >= 4) prior(x - 4) else 0
+        val left = if (x >= 4) pixels(y * stride + x - 4) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= 4 && y > 0) pixels((y - 1) * stride + x - 4) & 0xff else 0
         val pred = ft match {
           case 0 => 0
           case 1 => left
@@ -451,18 +518,77 @@ object Multimodal {
           case 3 => (left + up) / 2
           case _ => paeth(left, up, ul)
         }
-        val v = (f + pred) & 0xff
-        cur(x) = v
-        sum += v; ss += v.toLong * v
-        val ch = x & 3
-        if (v > maxCh(ch)) maxCh(ch) = v
+        pixels(y * stride + x) = ((f + pred) & 0xff).toByte
         x += 1
       }
-      System.arraycopy(cur, 0, prior, 0, stride)
       y += 1
     }
-    Some(PngFeatures(id, w, h, h.toLong * stride, sum, ss,
-      maxCh(0), maxCh(1), maxCh(2), maxCh(3)))
+    Some((w, h, pixels))
+  }
+
+  def decodePng(id: Long, b: Array[Byte]): Option[PngFeatures] =
+    pngPixels(b).map { case (w, h, px) =>
+      var sum = 0L; var ss = 0L
+      val maxCh = new Array[Int](4)
+      var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        sum += v; ss += v.toLong * v
+        val ch = i & 3
+        if (v > maxCh(ch)) maxCh(ch) = v
+        i += 1
+      }
+      PngFeatures(id, w, h, px.length.toLong, sum, ss,
+        maxCh(0), maxCh(1), maxCh(2), maxCh(3))
+    }
+
+  /** Integer-exact stats of a nearest-neighbor DOWNSAMPLED image — the
+    * resize transform of a multimodal pipeline, run on the real decoded
+    * pixels: resized pixel (ry, rx) = source pixel (factor·ry, factor·rx),
+    * output dims ⌈w/factor⌉ × ⌈h/factor⌉. */
+  final case class ResizeFeatures(
+      media_id: Long,
+      src_w: Int,
+      src_h: Int,
+      width: Int,
+      height: Int,
+      n_bytes: Long,
+      sum_bytes: Long,
+      sum_squares: Long,
+      max_px: Int)
+
+  def resizePngStats(id: Long, b: Array[Byte], factor: Int): Option[ResizeFeatures] =
+    pngPixels(b).map { case (w, h, px) =>
+      val rw = (w + factor - 1) / factor
+      val rh = (h + factor - 1) / factor
+      var sum = 0L; var ss = 0L; var mx = 0
+      var ry = 0
+      while (ry < rh) {
+        val rowOff = (ry * factor) * w * 4
+        var rx = 0
+        while (rx < rw) {
+          val pOff = rowOff + rx * factor * 4
+          var ch = 0
+          while (ch < 4) {
+            val v = px(pOff + ch) & 0xff
+            sum += v; ss += v.toLong * v
+            if (v > mx) mx = v
+            ch += 1
+          }
+          rx += 1
+        }
+        ry += 1
+      }
+      ResizeFeatures(id, w, h, rw, rh, rh.toLong * rw * 4, sum, ss, mx)
+    }
+
+  /** Resize every PNG asset (nearest-neighbor, integer factor), batch-wise
+    * per partition; non-PNG / corrupt payloads are dropped. */
+  def pngResizeFeatures(media: DataFrame, factor: Int = 2): Dataset[ResizeFeatures] = {
+    implicit val enc = Encoders.product[ResizeFeatures]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(
+      _.flatMap(r => resizePngStats(r.media_id, r.payload, factor)))
   }
 
   /** Build one real PNG asset per row (dims derived from the id as in

@@ -49,6 +49,31 @@ object Packing {
       ((col("cum") - col("n_tokens")) % capacity).as("seq_offset"))
   }
 
+  /** Deterministic training-SHARD assignment + per-shard manifest — the
+    * "global shuffle then write N shards" step at the end of a curation
+    * pipeline, without any actual global sort: each document's shard is a
+    * pure function of its id (portable md5-derived hash mod `nShards`), so
+    * the assignment is reproducible across engines, retries and partition
+    * layouts, and the physical write is one hash-partitioned shuffle
+    * (`repartition(nShards, shard)`) that any number of executors perform
+    * in parallel. The manifest below is the correctness artifact: per-shard
+    * document/token/byte totals and id range.
+    *
+    * Output: (shard, n_docs, n_tokens, n_chars, min_doc_id, max_doc_id). */
+  def shardStats(
+      df: DataFrame, textCol: String, idCol: String, nShards: Int): DataFrame =
+    df.select(
+        pmod(TextOps.portableHash60(
+          concat(lit("shard#"), col(idCol).cast("string"))), lit(nShards.toLong))
+          .as("shard"),
+        col(idCol).cast("long").as("id"),
+        TextOps.bpeishTokenCount(col(textCol)).cast("long").as("_tok"),
+        length(col(textCol)).cast("long").as("_nch"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_tok")).as("n_tokens"),
+        sum(col("_nch")).as("n_chars"), min(col("id")).as("min_doc_id"),
+        max(col("id")).as("max_doc_id"))
+
   /** Exact global running sum of `valCol` ordered by `ordCol` (inclusive),
     * as a distributed prefix sum: adds a `cum` column. */
   def prefixSum(

@@ -33,4 +33,39 @@ object Sampling {
     val cut = (fraction * 65536).toInt
     df.filter(conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("long") < cut)
   }
+
+  /** Temperature-scaled source MIXING: apportion a sampling budget across
+    * data sources with α = 0.5 up-weighting of small sources
+    * (weight ∝ √count — the standard temperature trick that keeps a
+    * dominant crawl from drowning curated sources), then round the real-
+    * valued shares to integers with LARGEST-REMAINDER apportionment so the
+    * allocations sum to the budget exactly.
+    *
+    * Engine-portable by construction: √ is the one non-trivial operation
+    * IEEE 754 requires to be correctly rounded (identical bits on every
+    * engine), weights are floored into integer space immediately, and all
+    * apportionment beyond that is integer division/modulo — no float
+    * comparisons anywhere near a tie-break.
+    *
+    * Scale shape: one map-side-combinable count aggregate over the corpus;
+    * everything after runs on the per-source relation, whose cardinality
+    * is the number of SOURCES (thousands at most) — the global
+    * largest-remainder window is deliberate and safe there.
+    *
+    * Output: (groupCol, n_docs, weight, alloc) with Σ alloc = budget. */
+  def temperatureMixture(
+      df: DataFrame, groupCol: String, budget: Long): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs")) * lit(1e6)).cast("long"))
+    val tot = counts.agg(sum(col("weight")).as("_tw"))
+    val shares = counts.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$budget * weight DIV _tw"))
+      .withColumn("rem", expr(s"($budget * weight) % _tw"))
+    val leftover = shares.agg((lit(budget) - sum(col("base"))).as("_lo"))
+    val w = Window.orderBy(col("rem").desc, col(groupCol))
+    shares.crossJoin(broadcast(leftover))
+      .withColumn("_rk", row_number().over(w))
+      .select(col(groupCol), col("n_docs"), col("weight"),
+        (col("base") + when(col("_rk") <= col("_lo"), 1L).otherwise(0L)).as("alloc"))
+  }
 }

@@ -125,6 +125,82 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
 
+  /** PII patterns for redaction — deliberately restricted to the regex
+    * subset with identical semantics in Java's engine and RE2 (DuckDB):
+    * character classes, bounded quantifiers and `\b` word boundaries only —
+    * no backreferences or lookaround, so match sets agree byte-for-byte
+    * cross-engine. Greedy matching is leftmost-longest-prefix in both. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{3,4}\\b" // the reserved fictional NANP block
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII hit counts over (lower-cased) text: emails, phone numbers, IPv4
+    * addresses. Pure codegen'd regexp column work — scan-speed at 100 TB. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"),
+    "n_ips" -> size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"))
+
+  /** Redact PII in place (emails, then IPv4, then phones — a fixed order so
+    * every engine produces the identical redacted byte stream). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** BPE vocabulary-learning statistics: corpus-wide frequencies of
+    * adjacent character pairs inside words — the quantity one BPE merge
+    * step maximizes (the highest-count pair becomes the next merge rule).
+    * Shape: explode words → explode in-word positions → ONE map-side-
+    * combinable hash aggregate on the pair string; the candidate relation
+    * never leaves whole-stage codegen (`substr` with a column offset, no
+    * interpreted HOF lambdas). Output: (pair, n) for every pair. */
+  def bpePairStats(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(normalize(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+
+  /** Corpus-conditional bigram language-model score per document — the
+    * n-gram-LM quality signal of CCNet/Gopher-style pipelines, in
+    * engine-portable EXACT integer arithmetic: each in-document bigram
+    * (t1,t2) scores its corpus conditional probability
+    * P(t2|t1) = count(t1 t2)/count(t1 ·) in integer basis points
+    * (a log-space perplexity would hinge on cross-engine `ln` bit
+    * equality, which no engine pair guarantees). Documents dominated by
+    * corpus-rare continuations score low; boilerplate scores high.
+    *
+    * Shape: positional tokens → `lead` bigrams (one window shuffle keyed
+    * by doc), two vocabulary-sized hash aggregates (bigram + history
+    * counts, map-side combinable), then hash joins keyed by the term
+    * strings — the tfIdf shape, nothing corpus-quadratic.
+    *
+    * Output per doc with ≥ 1 bigram: (idCol, n_bigrams, sum_prob_bp,
+    * avg_prob_bp, min_prob_bp). */
+  def bigramLmScores(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val big = toks.withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("id"), col("t"), col("t2"))
+      .localCheckpoint() // reused: doc-side scoring + both count aggregates
+    val c2 = big.groupBy(col("t"), col("t2")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("t")).agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("t", "t2")).join(c1, Seq("t"))
+      .select(col("id"), expr("c2 * 10000 DIV c1").as("bp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bp")).as("sum_prob_bp"),
+        min(col("bp")).as("min_prob_bp"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("sum_prob_bp"),
+        expr("sum_prob_bp DIV n_bigrams").as("avg_prob_bp"), col("min_prob_bp"))
+  }
+
   /** Intra-document repetition: the fraction of a document's token
     * n-grams that are duplicates of an earlier gram in the SAME document
     * — the classic repetitiousness quality signal (boilerplate, keyword

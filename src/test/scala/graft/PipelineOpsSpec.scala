@@ -1,0 +1,248 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 pipeline operators: semantic dedup, PII redaction, BPE pair
+  * stats, bigram-LM scoring, mixture apportionment, shard manifests,
+  * frame-level audio features, image resize. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  // ---- semantic dedup -------------------------------------------------
+
+  test("semanticDedup drops larger-id near-copies within a cluster only") {
+    val s = spark; import s.implicits._
+    // two well-separated directions; ids 1,2 near-identical (cos ≈ 1),
+    // id 3 the same direction as 1/2 but in the OTHER cluster seed's
+    // direction it would never land; id 4 alone in cluster B
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0, 0.0, 0.01)),
+      (2L, Array(1.0, 0.0, 0.0, 0.02)), // near-copy of 1 (cos ≈ 1) → dropped
+      (3L, Array(0.8, 0.6, 0.0, 0.0)), // same cluster, cos ≈ 0.80 < thr → kept
+      (4L, Array(0.0, 1.0, 0.0, 0.0))) // other cluster, isolated → kept
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (20L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val out = Dedup.semanticDedup(vecs, cents, "embedding", "vec_id", 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out(1L) == (10L, 0))
+    assert(out(2L) == (10L, 1)) // only the larger id of the near pair drops
+    assert(out(3L) == (10L, 0))
+    assert(out(4L) == (20L, 0))
+  }
+
+  test("semanticDedup never compares across clusters") {
+    val s = spark; import s.implicits._
+    // identical vectors forced into different clusters by proximity to
+    // different centroids → neither drops
+    val vecs = Seq(
+      (1L, Array(1.0, 0.9, 0.0, 0.0)),
+      (2L, Array(0.9, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (20L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cvec")
+    val out = Dedup.semanticDedup(vecs, cents, "embedding", "vec_id", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out == Map(1L -> 0, 2L -> 0))
+  }
+
+  // ---- PII ------------------------------------------------------------
+
+  test("piiCounts and redactPii find and replace emails, phones, IPs") {
+    val s = spark; import s.implicits._
+    val df = Seq("mail bob.smith@corp.example.com or 555-0199 at 192.168.1.77 end")
+      .toDF("text")
+    val row = df.select(
+      TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) } :+
+        TextOps.redactPii(col("text")).as("red"): _*).head()
+    assert(row.getLong(0) == 1L) // email
+    assert(row.getLong(1) == 1L) // phone
+    assert(row.getLong(2) == 1L) // ip
+    assert(row.getString(3) == "mail <EMAIL> or <PHONE> at <IP> end")
+  }
+
+  test("piiCounts: no false hits on clean text; multiple hits counted") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("no pii here, just words and 42 numbers", 0L, 0L, 0L),
+      ("a@b.io c@d.net", 2L, 0L, 0L),
+      ("555-123 555-4567", 0L, 2L, 0L),
+      ("1.2.3.4 and 10.0.0.1", 0L, 0L, 2L))
+      .toDF("text", "e", "p", "i")
+    val bad = df.select(
+      (TextOps.piiCounts(col("text")).map { case (n, c) => c.as(n) } ++
+        Seq(col("e"), col("p"), col("i"))): _*)
+      .filter(col("n_emails") =!= col("e") || col("n_phones") =!= col("p") ||
+        col("n_ips") =!= col("i"))
+    assert(bad.count() == 0)
+  }
+
+  // ---- BPE pair stats -------------------------------------------------
+
+  test("bpePairStats counts in-word adjacent character pairs") {
+    val s = spark; import s.implicits._
+    // "abab cd" → words abab, cd → pairs ab, ba, ab, cd
+    val out = TextOps.bpePairStats(Seq("abab cd").toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 2L, "ba" -> 1L, "cd" -> 1L))
+  }
+
+  test("bpePairStats normalizes case/punctuation and skips 1-char words") {
+    val s = spark; import s.implicits._
+    // "A-B" normalizes to "a b": two 1-char words, no pairs; "xyz." → xyz
+    val out = TextOps.bpePairStats(Seq("A-B xyz.").toDF("text"), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("xy" -> 1L, "yz" -> 1L))
+  }
+
+  // ---- bigram LM ------------------------------------------------------
+
+  test("bigramLmScores computes exact conditional-probability basis points") {
+    val s = spark; import s.implicits._
+    // corpus bigrams: doc1: (a b) (b a) (a b); doc2: (a c)
+    // counts: c2(a,b)=2 c2(b,a)=1 c2(a,c)=1 ; c1(a)=3 c1(b)=1
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScores(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc1: bp(a,b)=2*10000/3=6666, bp(b,a)=1*10000/1=10000, bp(a,b)=6666
+    assert(out(1L) == ((3L, 23332L, 7777L, 6666L)))
+    // doc2: bp(a,c)=1*10000/3=3333
+    assert(out(2L) == ((1L, 3333L, 3333L, 3333L)))
+  }
+
+  // ---- temperature mixture --------------------------------------------
+
+  test("temperatureMixture apportions the budget exactly, √-weighted") {
+    val s = spark; import s.implicits._
+    // sources with 1, 4, 9 docs → weights 1e6, 2e6, 3e6
+    val df = (Seq.fill(1)("s1") ++ Seq.fill(4)("s2") ++ Seq.fill(9)("s3"))
+      .toDF("source")
+    val out = Sampling.temperatureMixture(df, "source", budget = 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val m = out.map(r => r._1 -> r).toMap
+    assert(m("s1")._3 == 1000000L && m("s2")._3 == 2000000L && m("s3")._3 == 3000000L)
+    // shares 100/6·(1,2,3) → base 16,33,50 rem 4,2,0 → leftover 1 → s1 +1
+    assert(m("s1")._4 == 17L && m("s2")._4 == 33L && m("s3")._4 == 50L)
+    assert(out.map(_._4).sum == 100L)
+  }
+
+  test("temperatureMixture allocation always sums to the budget") {
+    val s = spark; import s.implicits._
+    val df = (Seq.fill(7)("a") ++ Seq.fill(13)("b") ++ Seq.fill(2)("c") ++
+      Seq.fill(29)("d")).toDF("source")
+    for (budget <- Seq(1L, 10L, 997L)) {
+      val total = Sampling.temperatureMixture(df, "source", budget)
+        .agg(sum(col("alloc"))).head().getLong(0)
+      assert(total == budget, s"budget $budget")
+    }
+  }
+
+  // ---- shard stats ----------------------------------------------------
+
+  test("shardStats partitions the corpus completely and deterministically") {
+    val s = spark; import s.implicits._
+    val df = (0L until 200L).map(i => (i, s"doc $i text with words")).toDF("doc_id", "text")
+    val out = Packing.shardStats(df, "text", "doc_id", nShards = 8)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(1)).sum == 200L) // every doc in exactly one shard
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+    // deterministic: a second run is identical
+    val again = Packing.shardStats(df, "text", "doc_id", nShards = 8).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
+  // ---- audio frames ---------------------------------------------------
+
+  /** Minimal valid PCM16 WAV around the given samples. */
+  private def wavBytes(samples: Seq[Int]): Array[Byte] = {
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val data = samples.flatMap(v => le16(v & 0xFFFF)).toArray
+    "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+      le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+  }
+
+  test("decodeWavFrames: frame boundaries, ragged tail, zero crossings") {
+    // 5 frames of 2 samples + 1 ragged: signs + - + + - - +
+    val samples = Seq(100, -200, 300, 400, -500, -600, 700)
+    val frames = Multimodal.decodeWavFrames(1L, wavBytes(samples), frameLen = 2)
+    assert(frames.map(_.frame_index) == Seq(0, 1, 2, 3))
+    assert(frames.map(_.n_samples) == Seq(2L, 2L, 2L, 1L))
+    // crossings WITHIN frames only: (100,-200)=1, (300,400)=0, (-500,-600)=0
+    assert(frames.map(_.n_crossings) == Seq(1L, 0L, 0L, 0L))
+    assert(frames.map(_.sum_samples) == Seq(-100L, 700L, -1100L, 700L))
+    assert(frames(0).sum_squares == 100L * 100 + 200L * 200)
+    assert(frames(0).peak_abs == 200)
+  }
+
+  test("decodeWavFrames totals equal decodeWav whole-stream stats") {
+    val samples = Seq.tabulate(1000)(i => (i * 37 % 4001) - 2000)
+    val b = wavBytes(samples)
+    val whole = Multimodal.decodeWav(7L, b).get
+    val frames = Multimodal.decodeWavFrames(7L, b, frameLen = 256)
+    assert(frames.map(_.n_samples).sum == whole.n_samples)
+    assert(frames.map(_.sum_samples).sum == whole.sum_samples)
+    assert(frames.map(_.sum_squares).sum == whole.sum_squares)
+    assert(frames.map(_.peak_abs).max == whole.peak_abs)
+  }
+
+  test("decodeWavFrames on corrupt payload returns empty, never throws") {
+    assert(Multimodal.decodeWavFrames(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeWavFrames(1L, "RIFFxxxxWAVE".getBytes).isEmpty)
+  }
+
+  // ---- image resize ---------------------------------------------------
+
+  test("resizePngStats matches the pixel formula on a real encoded PNG") {
+    val (id, w, h) = (5L, 10, 7)
+    val png = Multimodal.pngEncode(id, w, h)
+    val out = Multimodal.resizePngStats(id, png, factor = 2).get
+    assert(out.src_w == w && out.src_h == h)
+    assert(out.width == 5 && out.height == 4)
+    // brute-force from v(y, xByte) = (id + 7y + 13·xByte) mod 251
+    var sum = 0L; var ss = 0L; var mx = 0
+    for (ry <- 0 until 4; rx <- 0 until 5; ch <- 0 until 4) {
+      val v = ((id + 7L * (2 * ry) + 13L * (4 * (2 * rx) + ch)) % 251L).toInt
+      sum += v; ss += v.toLong * v; mx = math.max(mx, v)
+    }
+    assert(out.n_bytes == 4L * 5 * 4)
+    assert(out.sum_bytes == sum && out.sum_squares == ss && out.max_px == mx)
+  }
+
+  test("resizePngStats factor=1 reproduces decodePng whole-image stats") {
+    val png = Multimodal.pngEncode(9L, 16, 16)
+    val full = Multimodal.decodePng(9L, png).get
+    val r1 = Multimodal.resizePngStats(9L, png, factor = 1).get
+    assert(r1.width == 16 && r1.height == 16)
+    assert(r1.sum_bytes == full.sum_bytes && r1.sum_squares == full.sum_squares)
+    assert(r1.max_px == Seq(full.max_r, full.max_g, full.max_b, full.max_a).max)
+  }
+
+  // ---- connected components on the subgraph ---------------------------
+
+  test("connectedComponents labels isolated nodes without iterating over them") {
+    val s = spark; import s.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connectedComponents with no pairs at all maps every node to itself") {
+    val s = spark; import s.implicits._
+    val nodes = (1L to 4L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(nodes, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+}

@@ -22,7 +22,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "q22_embed_topk", // corpus × broadcast(8 query vectors)
     "q23_embed_ivf", // k-means assign: corpus × broadcast(centroids)
     "q29_embed_neardup", // planted-pair corpus construction
-    "q30_embed_lsh_neardup") // same construction feeding the LSH path
+    "q30_embed_lsh_neardup", // same construction feeding the LSH path
+    "q52_semdedup", // k-means assign: corpus × broadcast(centroids)
+    "q57_mix_weights") // per-source shares × broadcast(1-row Σweight/leftover)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
       "is deliberately broadcast") {
