@@ -245,4 +245,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
+
+  test("connectedComponents driver union-find equals the distributed fixpoint") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val nodes = (0L until 60L).toDF("id")
+    // random sparse graph incl. a chain, a triangle, and isolated nodes
+    val edges = ((0L until 10L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L)) ++
+      Seq.fill(15)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(nodes, "id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = Dedup.connectedComponents(nodes, "id", pairs, driverSideLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == dist)
+  }
 }

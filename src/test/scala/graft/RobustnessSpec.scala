@@ -55,7 +55,9 @@ class RobustnessSpec extends AnyFunSuite {
     val nodes = (0L to 11L).map(Tuple1(_)).toDF("id")
     val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, "id", pairs, maxIter = 3)
+      // driverSideLimit = 0 forces the distributed fixpoint (the driver
+      // union-find fast path would solve any chain in one pass)
+      Dedup.connectedComponents(nodes, "id", pairs, maxIter = 3, driverSideLimit = 0)
     }
     assert(e.getMessage.contains("not converged"))
     // with enough rounds the same chain collapses to a single component
