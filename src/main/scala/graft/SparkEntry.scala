@@ -600,6 +600,24 @@ object SparkEntry {
       TextOps.bigramLmScores(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "q60_quality_filter" -> ((s, dir) => {
+      // composite Gopher/C4-style rule filter with a reason bitmask —
+      // every rule in cross-multiplied integer form (no float ratios)
+      TextOps.qualityFilter(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q61_quantize" -> ((s, dir) => {
+      // symmetric int8 embedding quantization + fixed-point error report
+      Similarity.quantizeInt8Stats(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy("vec_id")
+    }),
+    "q62_chunking" -> ((s, dir) => {
+      // fixed-size token-window chunking with overlap (64-token windows
+      // every 48) — doc → training/retrieval-window spans + fingerprints
+      TextOps.chunkSpans(t(s, dir, "documents"), "text", "doc_id",
+          chunkLen = 64, stride = 48)
+        .orderBy("doc_id", "chunk_index")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -796,6 +814,79 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q60_quality_filter" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(toks, t -> len(t)), 'sum') AS BIGINT) AS sum_token_len,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+        |    CAST(len(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS BIGINT) AS punct_chars,
+        |    CAST(len(list_filter(toks,
+        |      t -> list_contains(['the','and','of','to','a','in','is','that','it','for'], t))) AS BIGINT) AS stop_hits
+        |  FROM tk),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |gr AS (SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
+        |rep AS (
+        |  SELECT doc_id,
+        |    CAST((count(*) - count(DISTINCT gram)) * 10000 // count(*) AS BIGINT) AS dup_bp
+        |  FROM gr GROUP BY doc_id),
+        |sel AS (
+        |  SELECT b.doc_id, b.n_tokens,
+        |    CASE WHEN n_tokens < 50 THEN 1 ELSE 0 END +
+        |    CASE WHEN sum_token_len < n_tokens*3 OR sum_token_len > n_tokens*10 THEN 2 ELSE 0 END +
+        |    CASE WHEN digit_chars*10000 > n_chars*2000 THEN 4 ELSE 0 END +
+        |    CASE WHEN punct_chars*10000 > n_chars*2000 THEN 8 ELSE 0 END +
+        |    CASE WHEN stop_hits*10000 < n_tokens*200 THEN 16 ELSE 0 END +
+        |    CASE WHEN coalesce(rep.dup_bp, 0) > 2000 THEN 32 ELSE 0 END AS reasons
+        |  FROM b LEFT JOIN rep ON b.doc_id = rep.doc_id)
+        |SELECT doc_id, n_tokens, CAST(reasons AS BIGINT) AS reasons,
+        |  CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS INTEGER) AS passes
+        |FROM sel ORDER BY doc_id""".stripMargin,
+    "q61_quantize" ->
+      """WITH el AS (
+        |  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x FROM embeddings),
+        |am AS (SELECT vec_id, max(abs(x)) AS amax FROM el GROUP BY vec_id),
+        |r AS (
+        |  SELECT el.vec_id, el.x, am.amax,
+        |    CASE WHEN am.amax = 0 THEN 0
+        |      ELSE CAST(floor(el.x * 127 / am.amax + 0.5) AS BIGINT) END AS q
+        |  FROM el JOIN am ON el.vec_id = am.vec_id),
+        |r2 AS (
+        |  SELECT vec_id, amax, q, x,
+        |    CASE WHEN amax = 0 THEN 0 ELSE q * amax / 127 END AS recon
+        |  FROM r)
+        |SELECT vec_id, round(max(amax), 4) AS amax,
+        |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_sat,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(sum(q*q) AS BIGINT) AS sum_q2,
+        |  CAST(sum(CAST(floor(abs(x - recon) * 1000000000) AS BIGINT)) AS BIGINT) AS err_e9,
+        |  CAST(sum(CAST(floor(abs(x) * 1000000000) AS BIGINT)) AS BIGINT) AS mass_e9,
+        |  CAST(CASE WHEN sum(CAST(floor(abs(x) * 1000000000) AS BIGINT)) = 0 THEN 0
+        |    ELSE sum(CAST(floor(abs(x - recon) * 1000000000) AS BIGINT)) * 10000
+        |      // sum(CAST(floor(abs(x) * 1000000000) AS BIGINT)) END AS BIGINT) AS err_bp
+        |FROM r2 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q62_chunking" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM tk),
+        |c AS (
+        |  SELECT doc_id, toks, nt,
+        |    unnest(generate_series(0, CASE WHEN nt <= 64 THEN 0
+        |      ELSE CAST(ceil((nt - 64)::DOUBLE / 48) AS BIGINT) END)) AS chunk_index
+        |  FROM n)
+        |SELECT doc_id, CAST(chunk_index AS BIGINT) AS chunk_index,
+        |  CAST(chunk_index * 48 AS BIGINT) AS start,
+        |  CAST(least(chunk_index * 48 + 64, nt) AS BIGINT) AS "end",
+        |  CAST(least(chunk_index * 48 + 64, nt) - chunk_index * 48 AS BIGINT) AS n_tokens_chunk,
+        |  md5(array_to_string(
+        |    toks[CAST(chunk_index*48 + 1 AS INTEGER):CAST(least(chunk_index*48 + 64, nt) AS INTEGER)],
+        |    ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
     "q52_semdedup" -> semdedupOracle(),
     "q53_pii_redact" ->
       s"""WITH p AS (

@@ -97,6 +97,44 @@ object Similarity {
     cents
   }
 
+  /** Per-vector symmetric INT8 quantization statistics — the embedding
+    * compression step of a large-scale ANN/storage pipeline (scale =
+    * max|x|/127, q_i = round(x_i/scale)), reported entirely in
+    * engine-portable arithmetic: the quantized codes are integers
+    * (`floor(x·127/amax + 0.5)` — IEEE ops any engine reproduces
+    * bit-for-bit), and the reconstruction error is accumulated in
+    * FIXED-POINT (floor(|x − q·amax/127|·10⁹) summed as longs) because a
+    * float sum's low bits would depend on partition order.
+    *
+    * Output: (idCol, amax, n_sat, sum_q, sum_q2, err_e9, mass_e9, err_bp)
+    * — n_sat = saturated codes (|q| = 127), err_bp = quantization error
+    * mass in basis points of the absolute vector mass.
+    *
+    * Shape: posexplode → per-vector max aggregate → broadcast-back join →
+    * one codegen'd aggregate; two narrow shuffles keyed by vector id. */
+  def quantizeInt8Stats(
+      df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val el = df.select(col(idCol).as("id"),
+      explode(col(vecCol).cast("array<double>")).as("x"))
+    val amax = el.groupBy(col("id")).agg(max(abs(col("x"))).as("amax"))
+    el.join(amax, "id")
+      .withColumn("q", when(col("amax") === 0d, lit(0L))
+        .otherwise(floor(col("x") * 127 / col("amax") + 0.5).cast("long")))
+      .withColumn("recon", when(col("amax") === 0d, lit(0d))
+        .otherwise(col("q") * col("amax") / 127))
+      .groupBy(col("id"))
+      .agg(first(col("amax")).as("amax"),
+        sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"),
+        sum(floor(abs(col("x") - col("recon")) * 1e9).cast("long")).as("err_e9"),
+        sum(floor(abs(col("x")) * 1e9).cast("long")).as("mass_e9"))
+      .select(col("id").as(idCol), round(col("amax"), 4).as("amax"),
+        col("n_sat"), col("sum_q"), col("sum_q2"), col("err_e9"), col("mass_e9"),
+        when(col("mass_e9") === 0, lit(0L))
+          .otherwise(expr("err_e9 * 10000 DIV mass_e9")).as("err_bp"))
+  }
+
   /** IVF (inverted-file) approximate top-k with mod-seeded centroids —
     * fixed-seed quantizer, same plan shape as the k-means path; prefer
     * `ivfTopKWith(kmeansCentroids(...), ...)` for data-dependent lists. */

@@ -201,6 +201,78 @@ object TextOps {
         expr("sum_prob_bp DIV n_bigrams").as("avg_prob_bp"), col("min_prob_bp"))
   }
 
+  /** Composite Gopher/C4-style QUALITY FILTER with reason codes — the
+    * rule-based pre-filter of large-corpus pipelines, with every rule in
+    * CROSS-MULTIPLIED integer form (`digits·10⁴ > 2000·chars`, never a
+    * float ratio) so the pass/fail decision is bit-identical on any
+    * engine. Output per doc: (idCol, n_tokens, reasons, passes) where
+    * `reasons` is a bitmask of violated rules:
+    *
+    *   1  too short (< 50 tokens)
+    *   2  mean token length outside [3, 10]
+    *   4  digit ratio > 0.2
+    *   8  punctuation ratio > 0.2
+    *   16 English stopword ratio < 0.02 (non-English/templated text)
+    *   32 duplicate 3-gram ratio > 0.2 (repetition rule)
+    *
+    * Shape: one narrow map pass for the per-doc counters + the q50
+    * repetition aggregate left-joined back — scan-speed at 100 TB. */
+  def qualityFilter(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol).as("id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("sum_token_len"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      length(regexp_replace(col(textCol), "[^0-9]", "")).cast("long").as("digit_chars"),
+      length(regexp_replace(lower(col(textCol)), "[a-z0-9\\s]", "")).cast("long").as("punct_chars"),
+      stopwordHits(toks, "en").cast("long").as("stop_hits"))
+    val rep = repetitionStats(df, textCol, idCol, n)
+      .select(col(idCol).as("id"), col("dup_gram_bp"))
+    def bit(cond: Column, v: Long): Column = when(cond, lit(v)).otherwise(lit(0L))
+    base.join(rep, Seq("id"), "left")
+      .na.fill(0L, Seq("dup_gram_bp"))
+      .withColumn("reasons",
+        bit(col("n_tokens") < 50, 1L) +
+          bit(col("sum_token_len") < col("n_tokens") * 3 ||
+            col("sum_token_len") > col("n_tokens") * 10, 2L) +
+          bit(col("digit_chars") * 10000 > col("n_chars") * 2000, 4L) +
+          bit(col("punct_chars") * 10000 > col("n_chars") * 2000, 8L) +
+          bit(col("stop_hits") * 10000 < col("n_tokens") * 200, 16L) +
+          bit(col("dup_gram_bp") > 2000, 32L))
+      .select(col("id").as(idCol), col("n_tokens"), col("reasons"),
+        (col("reasons") === 0).cast("int").as("passes"))
+  }
+
+  /** Fixed-size token-window CHUNKING with overlap — the doc → training/
+    * retrieval-window step: windows of `size` tokens starting every
+    * `stride` tokens, last window ragged, short docs yield one whole-doc
+    * chunk. Output: (idCol, chunk_index, start, end, n_tokens_chunk,
+    * chunk_fp) with 0-based token offsets, `end` exclusive, and an md5
+    * fingerprint of the chunk's space-joined tokens (engine-portable).
+    * Pure narrow work: explode over a computed chunk count, `slice` on
+    * the token array — no shuffle at all. */
+  def chunkSpans(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      chunkLen: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkLen > 0 && stride > 0, "chunkLen and stride must be positive")
+    val nToks = size(tokens(col(textCol))).cast("long")
+    val nChunks = when(nToks <= chunkLen, lit(1L))
+      .otherwise(ceil((nToks - lit(chunkLen.toLong)).cast("double") / stride).cast("long") + 1L)
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_index"))
+      .withColumn("start", col("chunk_index") * stride)
+      .withColumn("end", least(col("chunk_index") * stride + chunkLen,
+        size(col("toks")).cast("long")))
+      .withColumn("n_tokens_chunk", col("end") - col("start"))
+      .withColumn("chunk_fp", md5(concat_ws(" ",
+        slice(col("toks"), (col("start") + 1).cast("int"),
+          col("n_tokens_chunk").cast("int")))))
+      .select(col("id").as(idCol), col("chunk_index"), col("start"),
+        col("end"), col("n_tokens_chunk"), col("chunk_fp"))
+  }
+
   /** Intra-document repetition: the fraction of a document's token
     * n-grams that are duplicates of an earlier gram in the SAME document
     * — the classic repetitiousness quality signal (boilerplate, keyword

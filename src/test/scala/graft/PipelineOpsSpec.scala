@@ -246,6 +246,65 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  // ---- quality filter -------------------------------------------------
+
+  test("qualityFilter sets the right reason bits") {
+    val s = spark; import s.implicits._
+    // distinct words, ~33% stopwords, avg token len ≈ 6, no repetition
+    val good = (1 to 30).map(i => s"the apple$i banana$i").mkString(" ")
+    val short = "the and of is it" // 5 tokens, mean len 2.4
+    val digits = "the 111 222 333 444 555 666 777 888 999 000 123 456 789 " * 5
+    val df = Seq((1L, good), (2L, short), (3L, digits)).toDF("doc_id", "text")
+    val out = TextOps.qualityFilter(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(out(1L) == ((0L, 1))) // clean doc passes every rule
+    assert(out(2L)._1 == (1L | 2L) && out(2L)._2 == 0) // short + tiny words
+    assert((out(3L)._1 & 4L) == 4L) // digit-heavy
+    assert((out(3L)._1 & 32L) == 32L) // and repetitious (5× same sentence)
+  }
+
+  // ---- int8 quantization ----------------------------------------------
+
+  test("quantizeInt8Stats: exact codes, saturation, zero-vector guard") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8Stats(df, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(7))).toMap
+    // vec 1: amax=1, codes (127, -127, 64, 0) — round-half-up of 63.5
+    assert(out(1L) == ((1.0, 2L, 64L, 127L * 127 * 2 + 64L * 64, out(1L)._5)))
+    // error mass: only the 0.5 → 64/127 code has reconstruction error
+    assert(out(1L)._5 > 0L)
+    assert(out(2L) == ((0.0, 0L, 0L, 0L, 0L))) // zero vector: all zero codes
+  }
+
+  // ---- chunking -------------------------------------------------------
+
+  test("chunkSpans: whole-doc chunk, overlap windows, ragged tail") {
+    val s = spark; import s.implicits._
+    val doc10 = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val doc3 = "a b c"
+    val df = Seq((1L, doc10), (2L, doc3)).toDF("doc_id", "text")
+    val out = TextOps.chunkSpans(df, "text", "doc_id", chunkLen = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc1: nChunks = ceil((10-4)/3)+1 = 3 → [0,4) [3,7) [6,10)
+    assert(out.filter(_._1 == 1L).map(t => (t._3, t._4, t._5)).toSeq ==
+      Seq((0L, 4L, 4L), (3L, 7L, 4L), (6L, 10L, 4L)))
+    // doc2 shorter than a chunk → one whole-doc chunk
+    assert(out.filter(_._1 == 2L).map(t => (t._3, t._4, t._5)).toSeq == Seq((0L, 3L, 3L)))
+  }
+
+  test("chunkSpans fingerprints identify identical windows across docs") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "x y z w"), (2L, "x y z w")).toDF("doc_id", "text")
+    val fps = TextOps.chunkSpans(df, "text", "doc_id", chunkLen = 4, stride = 4)
+      .collect().map(r => r.getString(5)).distinct
+    assert(fps.length == 1) // same tokens → same chunk_fp
+  }
+
   test("connectedComponents driver union-find equals the distributed fixpoint") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
