@@ -48,8 +48,28 @@ object PipelineDemo {
       .filter(col("n_tokens") >= 10 && col("punct_ratio") <= 0.3)
     println(s"[pipeline] after quality filter: ${quality.count()}")
 
-    val sampled = Sampling.perGroup(quality, "lang", "doc_id", n = 25)
+    // rule-based reject report (Gopher-style bitmask) + PII scrub
+    val rules = TextOps.qualityFilter(nearDeduped, "text", "doc_id")
+    println(s"[pipeline] rule-filter passes: " +
+      s"${rules.filter(col("passes") === 1).count()}/${rules.count()}")
+    val scrubbed = quality.withColumn("text", TextOps.redactPii(col("text")))
+    println(s"[pipeline] PII-scrubbed docs: ${scrubbed.count()}")
+
+    val sampled = Sampling.perGroup(scrubbed, "lang", "doc_id", n = 25)
     println(s"[pipeline] per-language sample (25/lang): ${sampled.count()}")
+
+    // chunk → pack → shard: the write-side of the curation flow
+    val chunks = TextOps.chunkSpans(sampled, "text", "doc_id",
+      chunkLen = 64, stride = 48)
+    println(s"[pipeline] 64-token chunks (stride 48): ${chunks.count()}")
+    val packed = Packing.packSequences(sampled, "text", "doc_id", capacity = 2048)
+    println(s"[pipeline] packed sequences: " +
+      s"${packed.agg(max(col("seq_id"))).head().getLong(0) + 1}")
+    val shards = Packing.shardStats(sampled, "text", "doc_id", nShards = 16)
+    println(s"[pipeline] shard manifest rows: ${shards.count()}")
+    val mix = Sampling.temperatureMixture(sampled, "lang", budget = 1000L)
+    println(s"[pipeline] mixture allocations: " +
+      mix.collect().map(r => s"${r.getString(0)}=${r.getLong(3)}").mkString(" "))
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nearDupVecs = Dedup.blockedCosinePairs(emb, "embedding", "vec_id", "label", 0.3)
@@ -57,6 +77,15 @@ object PipelineDemo {
     val topk = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 4), k = 3)
     println("[pipeline] IVF top-3 neighbors of first 4 vectors:")
     topk.show(12, truncate = false)
+
+    // semantic dedup + int8 compression over the embedding table
+    val cents = Similarity.kmeansCentroids(emb, dim = 64, centroidMod = 37, iters = 1)
+    val sem = Dedup.semanticDedup(emb, cents, "embedding", "vec_id", threshold = 0.6)
+    println(s"[pipeline] SemDeDup drops at cos>=0.6: " +
+      s"${sem.filter(col("dropped") === 1).count()}/${sem.count()}")
+    val quant = Similarity.quantizeInt8Stats(emb, "embedding", "vec_id")
+    println(s"[pipeline] int8 quantization: median err ≈ " +
+      s"${quant.agg(expr("percentile(err_bp, 0.5)")).head().get(0)} bp")
 
     // repeated-substring scan: verbatim shared passages between doc pairs
     val spans = Dedup.duplicateNgramSpans(docs, "text", "doc_id", n = 5,
