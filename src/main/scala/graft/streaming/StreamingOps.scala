@@ -82,6 +82,75 @@ object StreamingOps {
         })
   }
 
+  /** One document's membership in one LSH band bucket. */
+  final case class BandKey(doc_id: Long, band: Int, key: Long)
+
+  /** A streaming near-duplicate CANDIDATE: `doc_id` shares an LSH bucket
+    * with the earlier `dup_of` (band recorded for diagnostics). */
+  final case class DupCandidate(doc_id: Long, dup_of: Long, band: Int)
+
+  /** Per-doc MinHash LSH band keys in plain Scala — the streaming path
+    * cannot run the batch window-lead construction (non-time windows are
+    * unsupported on streams), so the signature is computed row-local with
+    * MurmurHash3 (Scala stdlib). Semantics mirror
+    * [[graft.operators.Dedup.minhashCandidates]] (k salted minima over
+    * 3-gram shingles, banded); hash values intentionally differ from the
+    * batch xxhash64 pipeline — candidates are verified downstream either
+    * way. */
+  def bandKeysOf(docId: Long, text: String, k: Int = 64, bands: Int = 16): Seq[BandKey] = {
+    import scala.util.hashing.MurmurHash3
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val shingles: Seq[String] =
+      if (toks.length < 3) Seq(toks.mkString(" "))
+      else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
+    val base = shingles.map(MurmurHash3.stringHash)
+    val rows = k / bands
+    val sig = Array.tabulate(k) { i =>
+      var m = Int.MaxValue
+      base.foreach { h =>
+        val s = MurmurHash3.mixLast(h, i * 0x9e3779b1) // salt permutation i
+        if (s < m) m = s
+      }
+      m
+    }
+    (0 until bands).map { b =>
+      var acc = b
+      var j = 0
+      while (j < rows) { acc = MurmurHash3.mix(acc, sig(b * rows + j)); j += 1 }
+      BandKey(docId, b, MurmurHash3.finalizeHash(acc, rows).toLong)
+    }
+  }
+
+  /** Streaming near-duplicate candidate stream — the ONLINE counterpart of
+    * batch `minhashCandidates`: every incoming document's band buckets are
+    * checked against bucket state; a bucket already claimed by an earlier
+    * document emits a candidate pair against the claimer. Emission is
+    * at-least-once (one pair per shared band) — downstream consumers
+    * dedupe and exact-verify, exactly as the batch pipeline does.
+    *
+    * Scale shape: state is ONE long per distinct bucket (the first
+    * claimant's id), partitioned by bucket key across executors; each
+    * micro-batch shuffles `bands` rows per doc. The same transform runs on
+    * a batch Dataset unchanged (flatMapGroupsWithState degenerates to one
+    * pass), so backfill and live tail share code. */
+  def nearDupCandidatesStream(
+      docs: Dataset[(Long, String)], k: Int = 64, bands: Int = 16): Dataset[DupCandidate] = {
+    implicit val bkEnc = Encoders.product[BandKey]
+    implicit val outEnc = Encoders.product[DupCandidate]
+    implicit val stEnc = Encoders.scalaLong
+    implicit val keyEnc = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    docs.flatMap { case (id, text) => bandKeysOf(id, text, k, bands) }
+      .groupByKey(bk => (bk.band, bk.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (bucket: (Int, Long), it: Iterator[BandKey], state: GroupState[Long]) => {
+          val arrived = it.map(_.doc_id).toSeq.sorted
+          val claimer = state.getOption.getOrElse(arrived.head)
+          if (!state.exists) state.update(claimer)
+          arrived.filter(_ != claimer)
+            .map(d => DupCandidate(d, claimer, bucket._1)).iterator
+        })
+  }
+
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

@@ -226,6 +226,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r1.max_px == Seq(full.max_r, full.max_g, full.max_b, full.max_a).max)
   }
 
+  // ---- streaming near-dup candidates ----------------------------------
+
+  test("streaming near-dup candidate stream flags bucket collisions") {
+    val s = spark; import s.implicits._
+    import graft.streaming.StreamingOps
+    val passage = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, passage),
+      (2L, passage), // near-copy of 1 → must collide in every band
+      (3L, "completely unrelated words about parquet footers and shuffles"))
+    val dir = java.nio.file.Files.createTempDirectory("neardup-stream").toString
+    docs.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(dir)
+    val in = s.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+      .as[(Long, String)]
+    StreamingOps.runToMemory(
+      StreamingOps.nearDupCandidatesStream(in).toDF(), "neardup_out")
+    val pairs = s.sql("SELECT DISTINCT doc_id, dup_of FROM neardup_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L))) // identical docs pair up; doc 3 is silent
+  }
+
+  test("nearDupCandidatesStream transform runs identically on a batch Dataset") {
+    val s = spark; import s.implicits._
+    import graft.streaming.StreamingOps
+    val passage = "one two three four five six seven eight nine ten eleven twelve"
+    val ds = Seq((10L, passage), (20L, passage),
+      (30L, "nothing in common with anything else at all here")).toDS()
+    val got = StreamingOps.nearDupCandidatesStream(ds)
+      .collect().map(c => (c.doc_id, c.dup_of)).toSet
+    assert(got == Set((20L, 10L)))
+  }
+
   // ---- connected components on the subgraph ---------------------------
 
   test("connectedComponents labels isolated nodes without iterating over them") {

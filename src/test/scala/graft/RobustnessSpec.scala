@@ -342,6 +342,8 @@ class RobustnessSpec extends AnyFunSuite {
       Multimodal.decodePng(1L, bytes)
       Multimodal.decodeAviFrames(1L, bytes)
       Multimodal.decodeMjpegFrames(1L, bytes)
+      Multimodal.decodeWavFrames(1L, bytes)
+      Multimodal.resizePngStats(1L, bytes, factor = 2)
       operators.Jpeg.decode(bytes)
     }
     succeed
