@@ -544,7 +544,7 @@ object Dedup {
     * Output: (idCol, cluster, dropped 0/1), one row per corpus vector. */
   def semanticDedup(
       corpus: DataFrame, centroids: DataFrame, vecCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCluster: Long = 200000L): DataFrame = {
     val cents = centroids.select(col("cid"), col("cvec"))
     val assigned = corpus
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
@@ -553,7 +553,18 @@ object Dedup {
       .groupBy(col("id"))
       .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"),
         first(col("vec")).as("vec"))
-      .localCheckpoint() // reused: both self-join sides + the final output
+      .localCheckpoint() // reused: guard + both self-join sides + the output
+    // same fail-loud contract as blockPairs: the within-cluster join is
+    // O(cluster²) per task — one degenerate cluster (collapsed centroids,
+    // an all-zeros embedding column) at 100 TB would otherwise cartesian-
+    // bomb; SemDeDup presumes a k-means balanced enough that clusters fit
+    val oversize = assigned.groupBy(col("cid")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > maxCluster).limit(5).collect()
+    if (oversize.nonEmpty)
+      throw new IllegalStateException(
+        s"semanticDedup: cluster(s) over maxCluster=$maxCluster vectors: " +
+          oversize.map(_.toSeq.mkString("(", ",", ")")).mkString(", ") +
+          " — raise the centroid count (smaller clusters) or maxCluster")
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cid") === col("b.cid") && col("b.id") < col("a.id") &&
           round(Similarity.cosine(col("a.vec"), col("b.vec")), 4) >= threshold)

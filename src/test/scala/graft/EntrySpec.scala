@@ -13,8 +13,12 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("oracleSql keys ⊆ queries keys") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  test("oracleSql keys == queries keys (every query is DuckDB-oracled)") {
+    // strengthened from ⊆ once the surface reached 100% oracled: a new
+    // query without an oracle would silently downgrade to rows-only
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"unoracled: ${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted}" +
+        s"; orphaned: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
   }
 
   test("every query runs at sf0.001 and is deterministic across two runs") {

@@ -35,6 +35,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(4L) == (20L, 0))
   }
 
+  test("semanticDedup fails loudly when a cluster exceeds maxCluster") {
+    val s = spark; import s.implicits._
+    val vecs = (1L to 10L).map(i => (i, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val cents = Seq((10L, Seq(1.0, 0.0))).toDF("cid", "cvec")
+    val e = intercept[IllegalStateException] {
+      Dedup.semanticDedup(vecs, cents, "embedding", "vec_id", 0.9, maxCluster = 5)
+    }
+    assert(e.getMessage.contains("maxCluster"))
+  }
+
   test("semanticDedup never compares across clusters") {
     val s = spark; import s.implicits._
     // identical vectors forced into different clusters by proximity to
