@@ -126,6 +126,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, 3333L, 3333L, 3333L)))
   }
 
+  test("bigramLmScores equals a plain-Scala reference on random corpora") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val docs = (1L to 25L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val bigs = docs.flatMap { case (id, t) =>
+      t.split(" ").sliding(2).filter(_.length == 2).map(p => (id, p(0), p(1)))
+    }
+    val c2 = bigs.groupBy(b => (b._2, b._3)).view.mapValues(_.size.toLong).toMap
+    val c1 = bigs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expected = bigs.groupBy(_._1).map { case (id, bs) =>
+      val bps = bs.map(b => c2((b._2, b._3)) * 10000L / c1(b._2))
+      id -> (bs.size.toLong, bps.sum, bps.sum / bs.size, bps.min)
+    }
+    val got = TextOps.bigramLmScores(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected)
+  }
+
+  test("chunkSpans covers every token exactly, with stride-spaced starts") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(9)
+    val docs = (1L to 15L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(200))("w").mkString(" ")))
+    val nToks = docs.toMap.view.mapValues(_.split(" ").length.toLong).toMap
+    val out = TextOps.chunkSpans(docs.toDF("doc_id", "text"), "text", "doc_id",
+        chunkLen = 16, stride = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    docs.foreach { case (id, _) =>
+      val chunks = out(id).sortBy(_._2)
+      val n = nToks(id)
+      assert(chunks.head._3 == 0L) // first chunk starts at 0
+      assert(chunks.last._4 == n) // last chunk ends at the doc end
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 == 12L) // stride-spaced starts
+          assert(a._4 > b._3) // consecutive chunks overlap
+        case _ => ()
+      }
+      chunks.foreach { c => assert(c._4 - c._3 == math.min(16L, n - c._3)) }
+    }
+  }
+
   // ---- temperature mixture --------------------------------------------
 
   test("temperatureMixture apportions the budget exactly, √-weighted") {
