@@ -618,6 +618,13 @@ object SparkEntry {
           chunkLen = 64, stride = 48)
         .orderBy("doc_id", "chunk_index")
     }),
+    "q63_ngram_counts" -> ((s, dir) => {
+      // LM count-table construction: corpus 3-gram frequencies, singleton
+      // tail pruned inside the aggregate, top-100 deterministic
+      TextOps.ngramCounts(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, minCount = 3)
+        .orderBy(col("n").desc, col("gram")).limit(100)
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -887,6 +894,15 @@ object SparkEntry {
         |    toks[CAST(chunk_index*48 + 1 AS INTEGER):CAST(least(chunk_index*48 + 64, nt) AS INTEGER)],
         |    ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
+    "q63_ngram_counts" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |gr AS (SELECT array_to_string(toks[p:p+2], ' ') AS gram FROM g)
+        |SELECT gram, count(*) AS n FROM gr GROUP BY gram
+        |HAVING count(*) >= 3
+        |ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "q52_semdedup" -> semdedupOracle(),
     "q53_pii_redact" ->
       s"""WITH p AS (

@@ -201,6 +201,32 @@ object TextOps {
         expr("sum_prob_bp DIV n_bigrams").as("avg_prob_bp"), col("min_prob_bp"))
   }
 
+  /** Corpus-wide N-GRAM COUNT TABLE — the LM count-table data product
+    * (KenLM-style estimation, n-gram lookup indexes): every distinct token
+    * n-gram with its corpus frequency, pruned at `minCount`. The prune is
+    * the scale-critical part: at 100 TB the singleton tail dominates the
+    * gram space, and `minCount` drops it INSIDE the one hash aggregate
+    * (map-side combinable) before anything is materialized.
+    *
+    * Shape: posexplode tokens → `lead` windows reassemble gram strings
+    * (n strings per row on the wire, never the whole token array) → one
+    * count aggregate keyed by the gram. */
+  def ngramCounts(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      n: Int, minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"t$j", lead(col("t0"), j).over(w))
+    }
+    withNexts.filter(col(s"t${n - 1}").isNotNull)
+      .select(concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   /** Composite Gopher/C4-style QUALITY FILTER with reason codes — the
     * rule-based pre-filter of large-corpus pipelines, with every rule in
     * CROSS-MULTIPLIED integer form (`digits·10⁴ > 2000·chars`, never a

@@ -172,6 +172,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramCounts builds the pruned count table") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a b c a b c"), (2L, "a b c d")).toDF("doc_id", "text")
+    // 3-grams: doc1: "a b c","b c a","c a b","a b c"; doc2: "a b c","b c d"
+    val all = TextOps.ngramCounts(df, "text", "doc_id", n = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all == Map("a b c" -> 3L, "b c a" -> 1L, "c a b" -> 1L, "b c d" -> 1L))
+    val pruned = TextOps.ngramCounts(df, "text", "doc_id", n = 3, minCount = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned == Map("a b c" -> 3L)) // singleton tail dropped
+  }
+
   // ---- temperature mixture --------------------------------------------
 
   test("temperatureMixture apportions the budget exactly, √-weighted") {
