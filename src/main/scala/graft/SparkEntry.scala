@@ -618,6 +618,23 @@ object SparkEntry {
           chunkLen = 64, stride = 48)
         .orderBy("doc_id", "chunk_index")
     }),
+    "q64_dedup_report" -> ((s, dir) => {
+      // per-(lang, source) curation report: exact-duplicate rate and token
+      // mass — the corpus-slice accounting every dedup run publishes.
+      // Two hash aggregates + one join keyed by the text hash.
+      val docs = t(s, dir, "documents")
+      val keyed = docs.select(col("doc_id"), col("lang"), col("source"),
+        md5(concat_ws(" ", TextOps.tokens(col("text")))).as("text_key"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      val keepers = keyed.groupBy("text_key").agg(min("doc_id").as("keep_id"))
+      keyed.join(keepers, "text_key")
+        .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"),
+          sum(col("n_toks")).as("n_tokens"))
+        .withColumn("dup_bp", expr("n_dups * 10000 DIV n_docs"))
+        .orderBy("lang", "source")
+    }),
     "q63_ngram_counts" -> ((s, dir) => {
       // LM count-table construction: corpus 3-gram frequencies, singleton
       // tail pruned inside the aggregate, top-100 deterministic
@@ -894,6 +911,21 @@ object SparkEntry {
         |    toks[CAST(chunk_index*48 + 1 AS INTEGER):CAST(least(chunk_index*48 + 64, nt) AS INTEGER)],
         |    ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
+    "q64_dedup_report" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |keepers AS (SELECT text_key, min(doc_id) AS keep_id FROM keyed GROUP BY text_key)
+        |SELECT lang, source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS dup_bp
+        |FROM keyed JOIN keepers USING (text_key)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q63_ngram_counts" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
