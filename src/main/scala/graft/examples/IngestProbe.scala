@@ -27,7 +27,7 @@ object IngestProbe {
       raw.select("user_id").distinct().count()))
     val root = s"${System.getProperty("java.io.tmpdir")}/ingest_probe_${java.util.UUID.randomUUID()}"
     time("ingest (shuffle+sort+write)") {
-      graft.Flagship.ingest(spark, sfDir, s"$root/a") // includes read-back count
+      graft.Flagship.ingest(spark, sfDir, s"$root/a") // source count + pruned spot-check
     }
     time("ingest 2nd (warm)") {
       graft.Flagship.ingest(spark, sfDir, s"$root/b")

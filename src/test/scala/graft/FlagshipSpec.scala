@@ -23,7 +23,7 @@ class FlagshipSpec extends AnyFunSuite {
     val root = java.nio.file.Files.createTempDirectory("flagship-spec").toString
     val factRoot = s"$root/store"
     val ttlDir = s"$root/graphs"
-    Flagship.ingest(spark, sfDir, factRoot)
+    Flagship.ingest(spark, sfDir, factRoot, fullValidate = true)
     val ont = Flagship.writeGraphs(spark, sfDir, ttlDir)
     val engine = Engine(spark, ttlDir, factRoot, ontology = Some(ont))
     val df = engine.dataSparql(Flagship.Query,
