@@ -642,6 +642,32 @@ object SparkEntry {
           n = 3, minCount = 3)
         .orderBy(col("n").desc, col("gram")).limit(100)
     }),
+    "q65_winnow_fp" -> ((s, dir) => {
+      // winnowing (MOSS) fingerprint index: distinct per-doc window-min
+      // gram hashes — any shared ≥6-token passage produces a shared fp
+      TextOps.winnowFingerprints(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, w = 4)
+        .orderBy("doc_id", "fp")
+    }),
+    "q66_split_report" -> ((s, dir) => {
+      // deterministic md5-bucket train/val/test split + per-(lang, source)
+      // balance report in exact basis points
+      Sampling.splitReport(t(s, dir, "documents"), "doc_id",
+          Seq("lang", "source"), trainPct = 80, valPct = 10)
+        .orderBy("lang", "source", "split")
+    }),
+    "q67_dim_stats" -> ((s, dir) => {
+      // per-dimension embedding corpus stats (fixed-point exact):
+      // normalization / dead-axis / scale-skew report
+      Similarity.dimStats(t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim")
+    }),
+    "q68_vocab_coverage" -> ((s, dir) => {
+      // corpus-head vocabulary coverage per doc — the corpus-driven
+      // stopword-coverage quality filter
+      TextOps.vocabCoverage(t(s, dir, "documents"), "text", "doc_id", k = 10)
+        .orderBy("doc_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint

@@ -34,6 +34,42 @@ object Sampling {
     df.filter(conv(substring(hashKey(col(idCol)), 1, 4), 16, 10).cast("long") < cut)
   }
 
+  /** Deterministic train/val/test split + balance report: every row is
+    * assigned a split by its md5 bucket (`('0x'||md5(id)[0:15]) % 100` —
+    * content-addressed, so the assignment is stable across engines,
+    * retries, repartitions and future re-runs over a grown corpus, which
+    * `rand()`-based splitting is not), then the report aggregates how the
+    * split lands inside each stratum: (strata…, split, n_docs, share_bp)
+    * with share_bp the exact integer share of the stratum. The report is
+    * how a curation run PROVES its eval split is not confounded with
+    * language or source.
+    *
+    * Shape: the bucket is a narrow codegen'd expression; one
+    * map-side-combinable aggregate to (strata, split); per-stratum totals
+    * are a second tiny aggregate broadcast back. Nothing touches the
+    * corpus twice. */
+  def splitReport(
+      df: DataFrame, idCol: String, strataCols: Seq[String],
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "split percentages must partition [0, 100]")
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    val assigned = df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+    val cells = assigned
+      .groupBy((strataCols.map(col) :+ col("split")): _*)
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy(strataCols.map(col): _*)
+      .agg(sum(col("n_docs")).as("_stratum_n"))
+    cells.join(broadcast(totals), strataCols)
+      .select((strataCols.map(col) :+ col("split") :+ col("n_docs") :+
+        expr("n_docs * 10000 DIV _stratum_n").as("share_bp")): _*)
+  }
+
   /** Temperature-scaled source MIXING: apportion a sampling budget across
     * data sources with α = 0.5 up-weighting of small sources
     * (weight ∝ √count — the standard temperature trick that keeps a

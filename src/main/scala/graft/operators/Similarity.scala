@@ -184,4 +184,29 @@ object Similarity {
       .withColumn("score", cosine(col("qvec"), col("nvec")))
     rankTopK(scored, k)
   }
+
+  /** Per-dimension corpus statistics of an embedding column — the
+    * normalization/whitening prep every embedding pipeline runs before
+    * quantization or indexing (detects dead dimensions, scale skew,
+    * un-centered axes). Output per dimension: count, Σ value (1e-6
+    * fixed point), min/max (1e-6), and Σ value² (1e-3 fixed point, so
+    * squares stay far from long overflow at any corpus size) — mean and
+    * variance are exact integer arithmetic on these downstream.
+    *
+    * All values are floored into integer space BEFORE aggregation:
+    * float summation order is partition-dependent, integer sums are
+    * exact and associative, so the result is bit-stable across partition
+    * layouts and engines. Shape: posexplode → ONE map-side-combinable
+    * aggregate keyed by dimension (64 groups); no windows, no joins. */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v") * 1e6).cast("long").as("fp6"),
+        floor(col("v") * 1e3).cast("long").as("fp3"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("fp6")).as("sum_fp6"),
+        min(col("fp6")).as("min_fp6"),
+        max(col("fp6")).as("max_fp6"),
+        sum(col("fp3") * col("fp3")).as("ssq_fp3"))
 }

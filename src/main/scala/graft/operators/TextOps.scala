@@ -314,4 +314,70 @@ object TextOps {
       .agg(count(lit(1)).as("n_grams"), countDistinct(col("gh")).as("n_distinct"))
       .select(col("id").as(idCol), col("n_grams"), col("n_distinct"),
         expr("(n_grams - n_distinct) * 10000 DIV n_grams").as("dup_gram_bp"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the MOSS
+    * local fingerprinting scheme): hash every token k-gram, slide a
+    * window of `w` consecutive gram hashes, and keep the minimum of each
+    * window — guaranteeing any shared substring of length ≥ k + w - 1
+    * tokens contributes at least one IDENTICAL fingerprint to both
+    * documents, while storing only ~2/(w+1) of the grams. The selected
+    * set is position-independent, so the output is the distinct
+    * (document, fingerprint) relation — the index you'd join on to find
+    * plagiarized / near-verbatim passages without comparing full texts.
+    *
+    * Hashes are engine-portable (md5-60-bit of the gram string mod
+    * 2^31-1, the q39 convention), NOT xxhash64, because the fingerprint
+    * VALUES are the output here. Shape: posexplode + window leads
+    * (grams) + a rows-window min — all partitioned by document id, so
+    * the single shuffle is per-doc and the window state is w values;
+    * the final distinct gets map-side partial aggregation. */
+  def winnowFingerprints(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int = 3, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val withNexts = (1 until k).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"t$j", lead(col("t"), j).over(byDoc))
+    }
+    val gramCols = col("t") +: (1 until k).map(j => col(s"t$j"))
+    val grams = withNexts.filter(col(s"t${math.max(k - 1, 0)}").isNotNull)
+      .select(col("id"), col("pos"),
+        (portableHash60(concat_ws(" ", gramCols: _*)) % RollingP).as("gh"))
+    val winMin = byDoc.rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("gh")).over(winMin))
+      .withColumn("_full", lead(col("gh"), w - 1).over(byDoc))
+      .filter(col("_full").isNotNull)
+      .select(col("id").as(idCol), col("fp")).distinct()
+  }
+
+  /** Corpus-vocabulary coverage: the fraction of each document's tokens
+    * that fall in the corpus's top-`k` most frequent tokens — the
+    * corpus-driven generalization of a stopword-coverage filter (C4 /
+    * Gopher use fixed lists; on unlabeled multilingual data the corpus
+    * head IS the list). Natural text sits high; code, tables and
+    * gibberish sit low.
+    *
+    * Shape: one map-side-combinable token-count aggregate, a fused
+    * TakeOrdered for the top-k head (count desc, token asc — fully
+    * deterministic at the boundary), broadcast of the k-row vocabulary
+    * back onto the token stream, one final per-doc aggregate. No
+    * corpus-side window anywhere. */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int = 10): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(k)
+      .select(col("t"), lit(1L).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .select(col("id").as(idCol), col("n_toks"), col("n_in_vocab"),
+        expr("n_in_vocab * 10000 DIV n_toks").as("coverage_bp"))
+  }
 }
