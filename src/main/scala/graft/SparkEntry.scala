@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Events, Multimodal, Packing, Similarity, TextOps}
+import graft.operators.{Dedup, Events, Multimodal, Packing, Sampling, Similarity, TextOps}
 import graft.sparql.{BgpPlanner, Sparql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1666,7 +1666,70 @@ object SparkEntry {
     "q28_ingest_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q65_winnow_fp" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |gh AS (
+        |  SELECT doc_id, p,
+        |    ('0x' || substr(md5(array_to_string(toks[p:p+2], ' ')), 1, 15))::BIGINT
+        |      % 2147483647 AS gh
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(gh) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        |    lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY p) AS full_w
+        |  FROM gh)
+        |SELECT DISTINCT doc_id, fp FROM wm WHERE full_w IS NOT NULL
+        |ORDER BY doc_id, fp""".stripMargin,
+    "q66_split_report" ->
+      """WITH a AS (
+        |  SELECT lang, source,
+        |    CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+        |           THEN 'train'
+        |         WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |cells AS (
+        |  SELECT lang, source, split, count(*) AS n_docs
+        |  FROM a GROUP BY lang, source, split),
+        |tot AS (SELECT lang, source, sum(n_docs) AS sn FROM cells GROUP BY lang, source)
+        |SELECT lang, source, split, n_docs,
+        |  CAST(n_docs * 10000 // sn AS BIGINT) AS share_bp
+        |FROM cells JOIN tot USING (lang, source)
+        |ORDER BY lang, source, split""".stripMargin,
+    "q67_dim_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT v, unnest(generate_series(0, len(v) - 1)) AS dim FROM e),
+        |x AS (
+        |  SELECT CAST(dim AS BIGINT) AS dim,
+        |    CAST(floor(v[CAST(dim + 1 AS INTEGER)] * 1000000) AS BIGINT) AS fp6,
+        |    CAST(floor(v[CAST(dim + 1 AS INTEGER)] * 1000) AS BIGINT) AS fp3
+        |  FROM d)
+        |SELECT dim, count(*) AS n,
+        |  CAST(sum(fp6) AS BIGINT) AS sum_fp6,
+        |  min(fp6) AS min_fp6,
+        |  max(fp6) AS max_fp6,
+        |  CAST(sum(fp3 * fp3) AS BIGINT) AS ssq_fp3
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+    "q68_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT t, 1 AS in_vocab FROM (
+        |    SELECT t, count(*) AS cnt FROM tok GROUP BY t
+        |    ORDER BY cnt DESC, t LIMIT 10)),
+        |j AS (SELECT tok.doc_id, coalesce(vocab.in_vocab, 0) AS iv
+        |  FROM tok LEFT JOIN vocab USING (t))
+        |SELECT doc_id, count(*) AS n_toks,
+        |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
+        |  CAST(sum(iv) * 10000 // count(*) AS BIGINT) AS coverage_bp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   // Every query is oracled. The LSH queries (q19, q30, q40) are RECALL
   // gates: the oracle computes the exhaustive true pair set above the
   // threshold, so a hash match proves candidates ⊇ truth (and the exact
