@@ -422,4 +422,109 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast == dist)
   }
+
+  // ---- winnowing fingerprints -----------------------------------------
+
+  test("winnowFingerprints: shared >= k+w-1 token passage shares a fingerprint") {
+    val s = spark; import s.implicits._
+    // k=3, w=4 → any shared run of >= 6 tokens must yield a common fp
+    val shared = "the quick brown fox jumps over"
+    val df = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"one two three $shared"),
+      (3L, "completely different words here with no overlap at all"))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowFingerprints(df, "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("winnowFingerprints: short docs yield no rows; fps are window minima") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a b"),          // < k tokens → no grams
+      (2L, "a b c d"),      // 2 grams < w → no full window
+      (3L, "a b c d e f g")) // 5 grams, w=4 → 2 windows
+      .toDF("doc_id", "text")
+    val out = TextOps.winnowFingerprints(df, "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!out.exists(_._1 == 1L) && !out.exists(_._1 == 2L))
+    val d3 = out.filter(_._1 == 3L).map(_._2).toSet
+    assert(d3.nonEmpty && d3.size <= 2) // distinct minima of 2 overlapping windows
+  }
+
+  // ---- deterministic split report -------------------------------------
+
+  test("splitReport: per-stratum shares account for every doc and ~10000 bp") {
+    val s = spark; import s.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rows = Sampling.splitReport(df, "doc_id", Seq("lang"),
+      trainPct = 80, valPct = 10).collect()
+    val byLang = rows.groupBy(_.getString(0))
+    for ((_, rs) <- byLang) {
+      assert(rs.map(_.getLong(2)).sum == 200L) // n_docs covers the stratum
+      val bp = rs.map(_.getLong(3)).sum
+      assert(bp <= 10000L && bp > 10000L - rs.length) // floor rounding only
+    }
+    // deterministic: identical on re-run
+    val again = Sampling.splitReport(df, "doc_id", Seq("lang"),
+      trainPct = 80, valPct = 10).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("splitReport: train/val/test proportions track the requested pcts") {
+    val s = spark; import s.implicits._
+    val df = (1L to 2000L).map(i => (i, "all")).toDF("doc_id", "g")
+    val m = Sampling.splitReport(df, "doc_id", Seq("g"), trainPct = 80, valPct = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    // md5 buckets are uniform-ish; ±1000 bp tolerance on 2000 docs
+    assert(math.abs(m("train") - 8000L) < 1000L)
+    assert(math.abs(m("val") - 1000L) < 600L)
+    assert(math.abs(m("test") - 1000L) < 600L)
+  }
+
+  // ---- per-dimension embedding stats ----------------------------------
+
+  test("dimStats matches brute-force fixed-point stats") {
+    val s = spark; import s.implicits._
+    val vecs = Seq(
+      Array(0.5f, -0.25f, 0.0f),
+      Array(1.5f, 0.75f, -1.0f),
+      Array(-0.5f, 0.25f, 2.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dimStats(df, "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (d <- 0 until 3) {
+      val xs = vecs.map(v => v(d).toDouble)
+      val fp6 = xs.map(x => math.floor(x * 1e6).toLong)
+      val fp3 = xs.map(x => math.floor(x * 1e3).toLong)
+      assert(got(d.toLong) ==
+        ((3L, fp6.sum, fp6.min, fp6.max, fp3.map(x => x * x).sum)))
+    }
+  }
+
+  // ---- corpus-head vocabulary coverage --------------------------------
+
+  test("vocabCoverage: head-only docs score 10000 bp, tail-only score 0") {
+    val s = spark; import s.implicits._
+    // "the" and "and" dominate the corpus head (k=2); doc 3 is pure tail
+    val df = Seq(
+      (1L, "the and the and the"),
+      (2L, "the and zebra"),
+      (3L, "quux corge grault"),
+      (4L, "the the the and and xyzzy"))
+      .toDF("doc_id", "text")
+    val m = Similarity.let { _ => () } // no-op to keep import
+    val out = TextOps.vocabCoverage(df, "text", "doc_id", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((5L, 5L, 10000L)))
+    assert(out(2L) == ((3L, 2L, 6666L)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L)
+    assert(out(4L) == ((6L, 5L, 8333L)))
+  }
 }
