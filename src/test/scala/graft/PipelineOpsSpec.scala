@@ -519,7 +519,6 @@ class PipelineOpsSpec extends AnyFunSuite {
       (3L, "quux corge grault"),
       (4L, "the the the and and xyzzy"))
       .toDF("doc_id", "text")
-    val m = Similarity.let { _ => () } // no-op to keep import
     val out = TextOps.vocabCoverage(df, "text", "doc_id", k = 2)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(out(1L) == ((5L, 5L, 10000L)))
