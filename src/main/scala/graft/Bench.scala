@@ -46,12 +46,21 @@ object Bench {
       // default 2 passes this reports the steady-state (second) run
       name -> times((times.length - 1) / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The summary consumer keeps only the last ~2000 chars of output; a
+    // 70-entry map at full double precision overflows that and truncates the
+    // line mid-JSON. Compact: qNN-prefix keys (unique by construction) and
+    // millisecond precision keep the whole line comfortably under the cap.
+    def shortKey(name: String): String =
+      if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errJson = errs.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
+    val errJson = errs.take(5).map { case (k, v) =>
+      "\"" + shortKey(k) + "\":\"" + v.take(60) + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}"""
     spark.stop()
+    println(line)
   }
 }
