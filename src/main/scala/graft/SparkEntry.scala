@@ -668,6 +668,65 @@ object SparkEntry {
       TextOps.vocabCoverage(t(s, dir, "documents"), "text", "doc_id", k = 10)
         .orderBy("doc_id")
     }),
+    "q69_order_priority" -> ((s, dir) => {
+      // TPC-H Q3 shape: fact⋈fact shuffle join + broadcast dimension +
+      // top-k by revenue. The big sides (lineitem, orders) hash-join on
+      // the order key; the filtered customer dimension broadcasts.
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    }),
+    "q70_zorder_layout" -> ((s, dir) => {
+      // Z-order layout audit: Morton keys over (partkey, suppkey), then
+      // per-key-range locality stats — each zbucket covers a bounded
+      // rectangle of BOTH dimensions, which is what lets parquet footer
+      // stats prune range predicates on either column after a rewrite
+      // sorted by zkey. Pure foldable bit arithmetic, one hash agg.
+      val z = operators.Layout.zorderKey(col("l_partkey"), col("l_suppkey"), bits = 16)
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), z.as("zkey"))
+        .groupBy(shiftright(col("zkey"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("zbucket")
+    }),
+    "q71_source_overlap" -> ((s, dir) => {
+      // corpus-overlap matrix: exact distinct-shingle Jaccard between
+      // every source pair (inter-source duplication is invisible to
+      // per-doc dedup reports) — inverted-index join, never doc×doc
+      Dedup.sourceOverlap(t(s, dir, "documents"), "text", "source", shingleN = 3)
+        .orderBy("slice_a", "slice_b")
+    }),
+    "q72_compaction_plan" -> ((s, dir) => {
+      // small-file compaction planning over a per-file stats relation
+      // (one row per (stream, day) "file"): sequential offset-bucket
+      // bin-packing via one window cumsum — no driver loop
+      val stats = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      operators.Layout.compactionPlan(stats, "event_type", "day", "n_rows",
+          targetRows = 500L)
+        .orderBy("event_type", "day")
+    }),
+    "q73_heavy_hitters" -> ((s, dir) => {
+      // shuffle-key skew report: top keys by exact share (bp) + the salt
+      // factor that would level each one — measured BEFORE keying a big
+      // shuffle; one hash agg, sort over |distinct keys| only
+      operators.Skew.heavyHitterReport(t(s, dir, "events"), "user_id",
+        k = 20, targetShareBp = 100L)
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -1729,7 +1788,68 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_toks,
         |  CAST(sum(iv) AS BIGINT) AS n_in_vocab,
         |  CAST(sum(iv) * 10000 // count(*) AS BIGINT) AS coverage_bp
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q69_order_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q70_zorder_layout" -> {
+      // the same bit-interleave as Layout.zorderKey, unrolled into SQL
+      val terms = (0 until 16).flatMap { i =>
+        Seq(s"(((CAST(l_partkey AS BIGINT) >> $i) & 1) << ${2 * i})",
+          s"(((CAST(l_suppkey AS BIGINT) >> $i) & 1) << ${2 * i + 1})")
+      }.mkString(" + ")
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, $terms AS zkey FROM lineitem)
+         |SELECT CAST(zkey >> 12 AS BIGINT) AS zbucket, count(*) AS n,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    },
+    "q71_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT source, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |  FROM tk),
+        |g AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh0),
+        |sz AS (SELECT source, count(*) AS sz FROM g GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS slice_a, b.source AS slice_b, count(*) AS n_inter
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT slice_a, slice_b, n_inter,
+        |  sa.sz + sb.sz - n_inter AS n_union,
+        |  n_inter * 10000 // (sa.sz + sb.sz - n_inter) AS jaccard_bp
+        |FROM inter
+        |JOIN sz sa ON sa.source = slice_a
+        |JOIN sz sb ON sb.source = slice_b
+        |ORDER BY slice_a, slice_b""".stripMargin,
+    "q72_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_rows,
+        |  (CAST(sum(n_rows) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+        |    - n_rows) // 500 AS group_id
+        |FROM f ORDER BY event_type, day""".stripMargin,
+    "q73_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT user_id, n, n * 10000 // total AS share_bp,
+        |  CASE WHEN n * 10000 // total <= 100 THEN CAST(1 AS BIGINT)
+        |    ELSE (n * 10000 // total + 99) // 100 END AS salt_factor
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin)
   // Every query is oracled. The LSH queries (q19, q30, q40) are RECALL
   // gates: the oracle computes the exhaustive true pair set above the
   // threshold, so a hash match proves candidates ⊇ truth (and the exact

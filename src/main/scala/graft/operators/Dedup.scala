@@ -460,6 +460,39 @@ object Dedup {
         expr("n_dirty * 10000 DIV n_grams").as("contamination_bp"))
   }
 
+  /** Corpus-overlap matrix: exact distinct-shingle Jaccard between every
+    * pair of corpus slices (e.g. the `source` column) — the report that
+    * decides which sources to drop or down-weight before mixing a training
+    * corpus (inter-source duplication is invisible to per-doc dedup rates).
+    *
+    * Scale shape: the corpus collapses to its DISTINCT (slice, gram)
+    * relation first (one map-side-combinable hash agg — this is the only
+    * pass over the full text), and the pair counts come from an
+    * inverted-index self-join keyed by the gram. The join output is
+    * bounded by sum-over-grams of (slices sharing the gram choose 2) —
+    * with tens of slices that is tens of rows per shared gram, never a
+    * doc-level cross product. */
+  def sourceOverlap(
+      df: DataFrame, textCol: String, sliceCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val grams = df.select(col(sliceCol).as("slice"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("slice").agg(count(lit(1)).as("sz"))
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.slice") < col("b.slice"))
+      .groupBy(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("slice", "slice_a")
+        .withColumnRenamed("sz", "sz_a"), "slice_a")
+      .join(sizes.withColumnRenamed("slice", "slice_b")
+        .withColumnRenamed("sz", "sz_b"), "slice_b")
+      .select(col("slice_a"), col("slice_b"), col("n_inter"),
+        (col("sz_a") + col("sz_b") - col("n_inter")).as("n_union"),
+        expr("n_inter * 10000 DIV (sz_a + sz_b - n_inter)").as("jaccard_bp"))
+  }
+
   /** Exact near-duplicate pairs by embedding cosine within equality blocks
     * (e.g. a label/cluster column): all in-block pairs scored with the
     * native cosine kernel. The blocking column bounds the quadratic term —

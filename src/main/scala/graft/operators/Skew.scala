@@ -36,4 +36,27 @@ object Skew {
     df.withColumn("_salt", salt(col(saltOn), factor))
       .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("_partial"))
       .groupBy(col(key)).agg(sum(col("_partial")).as("n"))
+
+  /** Heavy-hitter report: the top-`k` keys by row count with their exact
+    * corpus share in basis points, plus the salt factor that would bring
+    * each key under `1/targetShareBp` of a reducer's fair load. This is the
+    * measurement that decides WHERE salting/AQE-skew-split is needed —
+    * run it before keying a 100 TB shuffle, not after it straggles.
+    *
+    * One map-side-combinable count per key + a total (computed from the
+    * same aggregate, no second scan) + a top-k sort over the key counts —
+    * the relation sorted is |distinct keys|, never |rows|. */
+  def heavyHitterReport(df: DataFrame, key: String, k: Int,
+      targetShareBp: Long = 100L): DataFrame = {
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("n * 10000 DIV total"))
+      .withColumn("salt_factor",
+        expr(s"CASE WHEN share_bp <= $targetShareBp THEN 1L " +
+          s"ELSE (share_bp + $targetShareBp - 1) DIV $targetShareBp END"))
+      .orderBy(col("n").desc, col(key))
+      .limit(k)
+      .select(col(key), col("n"), col("share_bp"), col("salt_factor"))
+  }
 }
