@@ -706,7 +706,8 @@ object SparkEntry {
       // corpus-overlap matrix: exact distinct-shingle Jaccard between
       // every source pair (inter-source duplication is invisible to
       // per-doc dedup reports) — inverted-index join, never doc×doc
-      Dedup.sourceOverlap(t(s, dir, "documents"), "text", "source", shingleN = 3)
+      Dedup.sourceOverlap(t(s, dir, "documents"), "text", "doc_id", "source",
+          shingleN = 3)
         .orderBy("slice_a", "slice_b")
     }),
     "q72_compaction_plan" -> ((s, dir) => {

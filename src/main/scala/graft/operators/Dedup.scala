@@ -465,22 +465,26 @@ object Dedup {
     * decides which sources to drop or down-weight before mixing a training
     * corpus (inter-source duplication is invisible to per-doc dedup rates).
     *
-    * Scale shape: the corpus collapses to its DISTINCT (slice, gram)
-    * relation first (one map-side-combinable hash agg — this is the only
-    * pass over the full text), and the pair counts come from an
-    * inverted-index self-join keyed by the gram. The join output is
-    * bounded by sum-over-grams of (slices sharing the gram choose 2) —
-    * with tens of slices that is tens of rows per shared gram, never a
-    * doc-level cross product. */
+    * Scale shape: shingles are formed as the codegen'd gram-hash relation
+    * ([[shingleHashes]] — longs through every shuffle, no interpreted HOF
+    * string building), the corpus collapses to its DISTINCT (slice, hash)
+    * relation (one map-side-combinable hash agg — the only pass over the
+    * full text), and pair counts come from an inverted-index self-join
+    * keyed by the 64-bit gram hash. The join output is bounded by
+    * sum-over-grams of (slices sharing the gram choose 2) — with tens of
+    * slices that is tens of rows per shared gram, never a doc-level cross
+    * product. Counts are exact up to 64-bit gram-hash collisions (the same
+    * basis as the MinHash/Jaccard verify path). */
   def sourceOverlap(
-      df: DataFrame, textCol: String, sliceCol: String,
+      df: DataFrame, textCol: String, idCol: String, sliceCol: String,
       shingleN: Int = 3): DataFrame = {
-    val grams = df.select(col(sliceCol).as("slice"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)).as("g"))
-      .distinct()
+    val docSlice = df.select(col(idCol).as("id"), col(sliceCol).as("slice"))
+    val grams = shingleHashes(df, textCol, idCol, shingleN)
+      .join(docSlice, "id")
+      .select(col("slice"), col("h")).distinct()
     val sizes = grams.groupBy("slice").agg(count(lit(1)).as("sz"))
     val inter = grams.as("a").join(grams.as("b"),
-        col("a.g") === col("b.g") && col("a.slice") < col("b.slice"))
+        col("a.h") === col("b.h") && col("a.slice") < col("b.slice"))
       .groupBy(col("a.slice").as("slice_a"), col("b.slice").as("slice_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -80,10 +80,10 @@ class LayoutSpec extends AnyFunSuite {
     // srcA: grams {a b c, b c d} ; srcB: {a b c} (duplicated doc → still
     // distinct per slice) ; srcC: {x y z} (no overlap → absent from output)
     val docs = Seq(
-      ("srcA", "a b c d"), ("srcB", "a b c"), ("srcB", "a b c"),
-      ("srcC", "x y z"))
-      .toDF("source", "text")
-    val out = Dedup.sourceOverlap(docs, "text", "source")
+      (1L, "srcA", "a b c d"), (2L, "srcB", "a b c"), (3L, "srcB", "a b c"),
+      (4L, "srcC", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "text", "doc_id", "source")
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     // inter(A,B) = {a b c} = 1; union = 2 + 1 - 1 = 2 → 5000 bp
