@@ -728,6 +728,18 @@ object SparkEntry {
       operators.Skew.heavyHitterReport(t(s, dir, "events"), "user_id",
         k = 20, targetShareBp = 100L)
     }),
+    "q74_embed_pq" -> ((s, dir) => {
+      // product-quantization ANN (ADC): corpus encoded once as m=8 codes,
+      // queries score against the codes relation only (32× smaller than
+      // the raw vectors) — exact fixed-point distances, oracle re-derives
+      // identical codes
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqCodebook(emb, m = 8, seedMod = 59)
+      Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 8), cb,
+          m = 8, dim = 64, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -912,6 +924,44 @@ object SparkEntry {
        |  CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS dropped
        |FROM asg a LEFT JOIN drp d ON a.vec_id = d.vec_id
        |ORDER BY a.vec_id""".stripMargin
+
+  /** q74 oracle, generated: product quantization re-derived end-to-end —
+    * the same fixed-point subvector L2² (floor(x·10⁶) longs), the same
+    * mod-seeded codebook, argmin encode with (dist, code) tie order, and
+    * ADC scoring as the sum of the query's table entries at each vector's
+    * codes. All-integer distances make the scores engine-exact. */
+  private def pqAdcOracle(dim: Int = 64, m: Int = 8, mod: Int = 59,
+      k: Int = 5, nQueries: Int = 8): String = {
+    val dsub = dim / m
+    s"""WITH fp AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fp WHERE vec_id % $mod = 0),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.vec_id AS nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM fp p, js, cb c),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |scored AS (
+       |  SELECT q.nid AS qid, codes.nid, CAST(-sum(q.dist) AS DOUBLE) AS score
+       |  FROM codes JOIN cd q ON q.j = codes.j AND q.code = codes.code
+       |    AND q.nid < $nQueries
+       |  WHERE codes.nid <> q.nid
+       |  GROUP BY q.nid, codes.nid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
 
   /** s16le sample `k` (an int expression) re-derived from the hex dump of
     * the WAV body — the q41 arithmetic, parameterized so the frame oracle
@@ -1850,7 +1900,8 @@ object SparkEntry {
         |SELECT user_id, n, n * 10000 // total AS share_bp,
         |  CASE WHEN n * 10000 // total <= 100 THEN CAST(1 AS BIGINT)
         |    ELSE (n * 10000 // total + 99) // 100 END AS salt_factor
-        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin)
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
+    "q74_embed_pq" -> pqAdcOracle())
   // Every query is oracled. The LSH queries (q19, q30, q40) are RECALL
   // gates: the oracle computes the exhaustive true pair set above the
   // threshold, so a hash match proves candidates ⊇ truth (and the exact

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -192,6 +192,76 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Fixed-point subvector squared-L2: Σ over i ∈ [start, start+len) of
+    * (floor(a_i·10⁶) − floor(b_i·10⁶))², as a LONG.
+    *
+    * The PQ encode/ADC primitive: both product-quantization steps compare
+    * the same subrange of two full vectors, so the kernel takes the parent
+    * arrays plus a start column — no per-subspace `slice()` copies, one
+    * tight loop in whole-stage codegen. Flooring into integer space BEFORE
+    * the arithmetic makes distances exact, associative, and bit-identical
+    * in any engine (a double accumulation's low bits depend on order).
+    * Elements past either array's end contribute nothing (clamped). */
+  case class SubvectorL2SqFp6(
+      first: Expression, second: Expression, third: Expression, len: Int)
+      extends TernaryExpression {
+    override def prettyName: String = "vec_subl2sq_fp6"
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(l, _), ArrayType(r, _),
+            ByteType | ShortType | IntegerType | LongType)
+            if Seq(l, r).forall(t => t == FloatType || t == DoubleType) && len > 0 =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float|double>, array<float|double>, " +
+            s"integral start) and len > 0, got ${first.dataType.simpleString}, " +
+            s"${second.dataType.simpleString}, ${third.dataType.simpleString}, $len")
+      }
+
+    private def aElem: DataType = first.dataType.asInstanceOf[ArrayType].elementType
+    private def bElem: DataType = second.dataType.asInstanceOf[ArrayType].elementType
+
+    override def nullSafeEval(a: Any, b: Any, s: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val start = s.asInstanceOf[Number].intValue()
+      val end = math.min(start + len, math.min(x.numElements(), y.numElements()))
+      var acc = 0L
+      var i = math.max(start, 0)
+      while (i < end) {
+        val d = math.floor(elemAt(aElem, x, i) * 1e6).toLong -
+          math.floor(elemAt(bElem, y, i) * 1e6).toLong
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b, s) => {
+        val st = ctx.freshName("start"); val end = ctx.freshName("end")
+        val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $st = (int) $s;
+           |int $end = java.lang.Math.min($st + $len,
+           |  java.lang.Math.min($a.numElements(), $b.numElements()));
+           |long $acc = 0L;
+           |for (int $i = java.lang.Math.max($st, 0); $i < $end; $i++) {
+           |  long $d = (long) java.lang.Math.floor(${elemGetter(aElem, a, i)} * 1e6)
+           |    - (long) java.lang.Math.floor(${elemGetter(bElem, b, i)} * 1e6);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        f: Expression, sec: Expression, t: Expression): Expression =
+      copy(first = f, second = sec, third = t)
+  }
+
   def vec_dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
   def vec_cosine(a: Column, b: Column): Column =
@@ -199,4 +269,7 @@ object VectorExpressions {
   def vec_lsh_buckets(vec: Column, planes: Column, planesPerTable: Int): Column =
     Bridge.column(HyperplaneBuckets(
       Bridge.expression(vec), Bridge.expression(planes), planesPerTable))
+  def vec_subl2sq_fp6(a: Column, b: Column, start: Column, len: Int): Column =
+    Bridge.column(SubvectorL2SqFp6(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(start), len))
 }

@@ -185,6 +185,71 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Seeded product-quantization codebook: one row per (subspace j, code),
+    * where the code entries are the corpus vectors with
+    * `id % seedMod == 0` (deterministic, engine-portable — the same seeding
+    * basis as the IVF quantizer). Each row carries the FULL seed vector;
+    * the subspace kernel reads only its own subrange, so no slicing copies
+    * are materialized. Swap in a learned codebook (same schema: j, code,
+    * cvec) for data-dependent cells. */
+  def pqCodebook(
+      corpus: DataFrame, m: Int, seedMod: Int = 59,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.filter(pmod(col(idCol), lit(seedMod)) === 0)
+      .select(col(idCol).cast("long").as("code"), col(vecCol).as("cvec"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+
+  /** Product-quantization approximate top-k (ADC — asymmetric distance
+    * computation). Each corpus vector is ENCODED once as `m` codebook codes
+    * (its per-subspace nearest cell); each query builds an `m × |codes|`
+    * distance table; the approximate distance of (query, vector) is the sum
+    * of the query's table entries at the vector's codes.
+    *
+    * All distances are fixed-point integer L2² ([[graft.functions
+    * .VectorExpressions.vec_subl2sq_fp6]]): exact, order-independent,
+    * reproducible in any engine — the DuckDB oracle re-derives identical
+    * codes and scores.
+    *
+    * Scale shape (the 100 TB story): the corpus is touched exactly once to
+    * compute codes — a broadcast of the tiny codebook, one codegen'd kernel
+    * per (vector, cell), and one map-side-combinable argmin aggregate keyed
+    * by (vector, subspace). Scoring never reads the raw corpus vectors
+    * again: it joins the m-codes-per-vector relation (32× smaller than
+    * 64-dim float data; 8 longs vs 256 bytes) against a broadcast query
+    * table and partially aggregates the per-subspace sums map-side. Ranking
+    * is the k-bounded heap aggregate, not a window. */
+  def pqTopKWith(
+      corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    val dsub = dim / m
+    val cb = broadcast(codebook.select(col("j"), col("code"), col("cvec")))
+    def subDist(vec: Column) = graft.functions.VectorExpressions
+      .vec_subl2sq_fp6(vec, col("cvec"), col("j") * dsub, dsub)
+
+    // encode: argmin cell per (vector, subspace); ties → smallest code
+    val corpusCodes = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(cb)
+      .withColumn("dist", subDist(col("nvec")))
+      .groupBy(col("nid"), col("j"))
+      .agg(max_by(col("code"),
+        struct((-col("dist")).as("nd"), (-col("code")).as("nc"))).as("code"))
+
+    // ADC table: every (query, subspace, cell) distance — small, broadcast
+    val qtab = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(cb)
+      .withColumn("qdist", subDist(col("qvec")))
+      .select(col("qid"), col("j"), col("code"), col("qdist"))
+
+    val scored = corpusCodes.join(broadcast(qtab), Seq("j", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qdist")).as("adist"))
+      .select(col("qid"), col("nid"), (-col("adist")).cast("double").as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Per-dimension corpus statistics of an embedding column — the
     * normalization/whitening prep every embedding pipeline runs before
     * quantization or indexing (detects dead dimensions, scale skew,

@@ -308,6 +308,81 @@ class RobustnessSpec extends AnyFunSuite {
     assert(fromFloat == expected)
   }
 
+  // --- vec_subl2sq_fp6: interpreted eval == codegen eval -------------------
+
+  test("vec_subl2sq_fp6 interpreted eval matches the codegen'd DataFrame " +
+      "result and a plain Scala reference, with float widening and clamping") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val a = Seq(0.31, -1.27, 0.74, 2.51, -0.08, 1.99)
+    val b = Seq(0.30, -1.20, 0.70, 2.50, -0.10, 2.00)
+    def ref(start: Int, len: Int): Long =
+      (start until math.min(start + len, a.length)).map { i =>
+        val d = math.floor(a(i) * 1e6).toLong - math.floor(b(i) * 1e6).toLong
+        d * d
+      }.sum
+    // interpreted path on literals (subrange [2, 5))
+    val expr = graft.functions.VectorExpressions.SubvectorL2SqFp6(
+      Literal.create(a, ArrayType(DoubleType)),
+      Literal.create(b, ArrayType(DoubleType)),
+      Literal(2), 3)
+    assert(expr.eval(null) == ref(2, 3))
+    // codegen path through a projection, double and float element types
+    val fromDf = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.VectorExpressions
+        .vec_subl2sq_fp6(col("a"), col("b"), lit(2), 3).as("d"))
+      .as[Long].head()
+    assert(fromDf == ref(2, 3))
+    // float input widens per element BEFORE the fixed-point floor — must
+    // match a reference computed over the widened values (floats are not
+    // exact decimals, so this differs from the double-input result)
+    val refFloat = (2 until 5).map { i =>
+      val d = math.floor(a(i).toFloat.toDouble * 1e6).toLong -
+        math.floor(b(i) * 1e6).toLong
+      d * d
+    }.sum
+    val fromFloat = Seq((a.map(_.toFloat), b)).toDF("a", "b")
+      .select(graft.functions.VectorExpressions
+        .vec_subl2sq_fp6(col("a"), col("b"), lit(2), 3).as("d"))
+      .as[Long].head()
+    assert(fromFloat == refFloat)
+    // a window running past the arrays clamps instead of throwing
+    val clamped = Seq((a, b)).toDF("a", "b")
+      .select(graft.functions.VectorExpressions
+        .vec_subl2sq_fp6(col("a"), col("b"), lit(4), 100).as("d"))
+      .as[Long].head()
+    assert(clamped == ref(4, 100))
+  }
+
+  // --- product quantization: encode + ADC semantics ------------------------
+
+  test("pqTopKWith ranks by summed per-subspace table distances and " +
+      "encodes each subspace independently") {
+    val s = spark; import s.implicits._
+    // dim=4, m=2 (dsub=2). Codebook from seeds (mod 2): ids 0 and 2.
+    // v0=[0,0,1,1], v2=[1,1,0,0]: subspace codes differ per half.
+    // v1=[0,0,0.9,0.9] encodes as (j0→0, j1→0); v2 and v3 both as
+    // (j0→2, j1→2) — so q=v0 ranks v1 first (ADC distance 0) and the
+    // v2/v3 tie (identical codes → identical ADC distance) breaks by id.
+    val emb = Seq(
+      (0L, Seq(0.0, 0.0, 1.0, 1.0)),
+      (1L, Seq(0.0, 0.0, 0.9, 0.9)),
+      (2L, Seq(1.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 1.0, 0.1, 0.1)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(emb, m = 2, seedMod = 2)
+    assert(cb.count() == 4) // 2 seeds × 2 subspaces
+    val top = Similarity.pqTopKWith(
+      emb, emb.filter(col("vec_id") === 0), cb, m = 2, dim = 4, k = 3)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    // ADC scores are exact integers in fixed-point space: -(sum of the
+    // query's table entries at each vector's codes). v1's codes are both
+    // 0 (cells [0,0] and [1,1]); q=v0 distance to cell0 j0 = 0, j1 = 0.
+    assert(top.head.getDouble(3) == 0.0) // q's own cell → distance 0
+  }
+
   // --- fuzz: no byte parser may throw on arbitrary input -------------------
 
   test("media parsers never throw on random or mutated payloads " +
