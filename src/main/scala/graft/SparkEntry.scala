@@ -740,6 +740,92 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    "q75_bm25" -> ((s, dir) => {
+      // BM25 relevance top-k against a seed term set — quality-targeted
+      // data selection. All-integer rational BM25 (k1=6/5, b=3/4, log-free
+      // idf ratio): exact, engine-portable, aggregation-order independent
+      TextOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          terms = Seq("dup", "spark", "hash"), k = 20)
+        .orderBy(col("bm25_m").desc, col("doc_id"))
+    }),
+    "q76_funnel" -> ((s, dir) => {
+      // ordered funnel view→click→purchase within 7 days of first view:
+      // per-stage hash aggs over a shrinking user-keyed relation
+      operators.Events.funnelReport(t(s, dir, "events"),
+          steps = Seq("view", "click", "purchase"),
+          windowSeconds = 7L * 86400L)
+        .orderBy("step_idx")
+    }),
+    "q77_retention" -> ((s, dir) => {
+      // weekly cohort retention triangle: cohort = week of first event
+      operators.Events.cohortRetention(t(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+    "q78_setjoin_exact" -> ((s, dir) => {
+      // EXACT Jaccard≥0.5 similarity self-join via prefix filtering —
+      // the lossless counterpart of the q19/q40 LSH path (oracle is the
+      // literal all-pairs join; prefix filtering must lose nothing)
+      Dedup.prefixJaccardJoin(t(s, dir, "documents"), "text", "doc_id",
+          shingleN = 3, thetaBp = 5000L)
+        .orderBy("id_a", "id_b")
+    }),
+    "q79_json_extract" -> ((s, dir) => {
+      // semi-structured pipeline: JSON path extraction from the raw props
+      // payload → typed column → per-type aggregate (map-side combinable)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+    "q80_transitions" -> ((s, dir) => {
+      // event-type Markov transition matrix per user timeline:
+      // one user-partitioned window + one hash agg
+      operators.Events.transitionMatrix(t(s, dir, "events"))
+        .orderBy("prev_type", "next_type")
+    }),
+    "q81_cdc_upsert" -> ((s, dir) => {
+      // CDC log compaction: latest state per key via one max_by hash agg
+      // (no sort, no window) — upsert semantics over an append-only log
+      operators.Events.latestState(t(s, dir, "events"))
+        .orderBy("user_id")
+    }),
+    "q82_bloom_decontaminate" -> ((s, dir) => {
+      // bloom-filter decontamination: reference grams → one 2^20-bit mask
+      // (mergeable custom aggregate) → broadcast → codegen'd bit probes on
+      // the corpus scan; false positives deterministic + oracle-replicated
+      val docs = t(s, dir, "documents")
+      Dedup.bloomContamination(docs,
+          docs.filter(col("source") === "src0"), "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    }),
+    "q83_moving_window" -> ((s, dir) => {
+      // trailing 7-row window sums over the per-(type, day) rollup —
+      // the window runs over |types|×|days| rows, never raw events
+      operators.Events.movingDailyStats(t(s, dir, "events"), windowDays = 7)
+        .orderBy("event_type", "day")
+    }),
+    "q84_hll_sketch" -> ((s, dir) => {
+      // mergeable distinct-count sketch: per-(type, register) max-ρ over
+      // the PORTABLE md5-60-bit hash — the registers ARE the artifact
+      // (merge = MAX across any split); estimation is client-side
+      operators.Sketches.hllRegisters(t(s, dir, "events"), "user_id",
+          Seq("event_type"))
+        .orderBy("event_type", "register")
+    }),
+    "q85_pagerank" -> ((s, dir) => {
+      // 3-iteration integer PageRank over the part↔supplier bipartite
+      // graph (undirected: both edge directions); exact milli-unit scores
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s")).distinct()
+      val edges = pairs
+        .select((col("p") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+        .unionByName(pairs
+          .select((col("s") * 2 + 1).as("src"), (col("p") * 2).as("dst")))
+      operators.Graph.pageRank(edges, iters = 3)
+        .orderBy(col("score_m").desc, col("node")).limit(30)
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -1901,7 +1987,174 @@ object SparkEntry {
         |  CASE WHEN n * 10000 // total <= 100 THEN CAST(1 AS BIGINT)
         |    ELSE (n * 10000 // total + 99) // 100 END AS salt_factor
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
-    "q74_embed_pq" -> pqAdcOracle())
+    "q74_embed_pq" -> pqAdcOracle(),
+    "q75_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+        |  WHERE tok IN ('dup', 'spark', 'hash') GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    (1000 * (2*n_docs - 2*df + 1) * 22 * tf * total_toks) //
+        |      ((2*df + 1) * (10*tf*total_toks + 3*total_toks + 9*dl.dl*n_docs)) AS score_m
+        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(score_m) AS BIGINT) AS bm25_m
+        |FROM sc GROUP BY 1 ORDER BY bm25_m DESC, doc_id LIMIT 20""".stripMargin,
+    "q76_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t_first FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_prev, min(s1.t_first) AS t_first
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_first
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t_first) + 604800000000
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_prev, min(s2.t_first) AS t_first
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_prev
+        |    AND epoch_us(e.ts) <= epoch_us(s2.t_first) + 604800000000
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY step_idx""".stripMargin,
+    "q77_retention" ->
+      """WITH wks AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM wks GROUP BY 1)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM wks w JOIN c ON w.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q78_setjoin_exact" ->
+      // the ORACLE is the literal all-pairs join — a hash match proves the
+      // prefix-filtered plan is exactly lossless at the threshold
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  n_inter * 10000 // (sa.sz + sb.sz - n_inter) AS jaccard_bp
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE n_inter * 10000 // (sa.sz + sb.sz - n_inter) >= 5000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q79_json_extract" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q80_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q81_cdc_upsert" ->
+      """SELECT user_id, event_type AS last_type, value AS last_value,
+        |  ts AS last_ts
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q82_bloom_decontaminate" ->
+      // rebuilds the EXACT bloom semantics: bit p set ⟺ p is one of the 4
+      // md5-slice positions of SOME reference gram — so "all 4 bits set"
+      // = all 4 positions in the distinct reference position set, false
+      // positives included (gram hitting 4 bits set by DIFFERENT grams)
+      """WITH tk AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
+        |refpos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(gram), 1 + 5*i, 5))::BIGINT AS pos
+        |  FROM (SELECT DISTINCT gram FROM sh WHERE source = 'src0') refg,
+        |       unnest([0, 1, 2, 3]) AS t(i)),
+        |hit AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(gram), 1, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      AND ('0x' || substr(md5(gram), 6, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      AND ('0x' || substr(md5(gram), 11, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      AND ('0x' || substr(md5(gram), 16, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      THEN 1 ELSE 0 END AS h
+        |  FROM sh)
+        |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
+        |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
+        |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q83_moving_window" ->
+      """WITH d AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS rev, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n, CAST(rev AS DOUBLE) AS day_value,
+        |  CAST(sum(rev) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS window_value,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS window_n
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "q84_hll_sketch" -> hllSketchOracle(),
+    "q85_pagerank" ->
+      """WITH eraw AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |edges AS (
+        |  SELECT 2*p AS src, 2*s + 1 AS dst FROM eraw
+        |  UNION ALL
+        |  SELECT 2*s + 1 AS src, 2*p AS dst FROM eraw),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |s0 AS (SELECT node, CAST(1000 AS BIGINT) AS score_m FROM nodes),
+        |i1 AS (SELECT e.dst AS node, sum(s.score_m // d.outdeg) AS in_m
+        |  FROM edges e JOIN s0 s ON e.src = s.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s1 AS (SELECT n.node, 150 + 8500 * COALESCE(i.in_m, 0) // 10000 AS score_m
+        |  FROM nodes n LEFT JOIN i1 i ON n.node = i.node),
+        |i2 AS (SELECT e.dst AS node, sum(s.score_m // d.outdeg) AS in_m
+        |  FROM edges e JOIN s1 s ON e.src = s.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s2 AS (SELECT n.node, 150 + 8500 * COALESCE(i.in_m, 0) // 10000 AS score_m
+        |  FROM nodes n LEFT JOIN i2 i ON n.node = i.node),
+        |i3 AS (SELECT e.dst AS node, sum(s.score_m // d.outdeg) AS in_m
+        |  FROM edges e JOIN s2 s ON e.src = s.node JOIN deg d ON e.src = d.src GROUP BY 1),
+        |s3 AS (SELECT n.node, 150 + 8500 * COALESCE(i.in_m, 0) // 10000 AS score_m
+        |  FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
+        |SELECT node, CAST(score_m AS BIGINT) AS score_m FROM s3
+        |ORDER BY score_m DESC, node LIMIT 30""".stripMargin)
+
+  /** q84's oracle: the 54-branch lowest-set-bit CASE is generated (CASE
+    * (b & −b) WHEN 2^i THEN i+1), mirroring [[operators.Sketches.rho]]. */
+  private def hllSketchOracle(): String = {
+    val branches = (0 until 54)
+      .map(i => s"WHEN ${1L << i} THEN ${i + 1}").mkString(" ")
+    s"""WITH x AS (
+       |  SELECT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h % 64 AS register,
+       |  (h // 64) & (-(h // 64)) AS lob FROM x),
+       |s AS (SELECT event_type, register,
+       |  CASE lob $branches ELSE 0 END AS rho FROM r)
+       |SELECT event_type, register, CAST(max(rho) AS BIGINT) AS max_rho
+       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
   // Every query is oracled. The LSH queries (q19, q30, q40) are RECALL
   // gates: the oracle computes the exhaustive true pair set above the
   // threshold, so a hash match proves candidates ⊇ truth (and the exact

@@ -182,6 +182,58 @@ object Dedup {
       .drop("_sza", "_szb")
   }
 
+  /** EXACT similarity self-join: every pair with shingle-set Jaccard
+    * ≥ `thetaBp` — no LSH recall loss, via prefix filtering (AllPairs /
+    * PPJoin family). Output (id_a, id_b, jaccard_bp), id_a < id_b.
+    *
+    * Sort each doc's shingles in one global canonical order — rarest
+    * corpus-wide first — and keep only the first p = s − ⌈θ·s⌉ + 1 as its
+    * "prefix". Any pair with J ≥ θ has intersection ≥ ⌈θ·max(sa,sb)⌉, and
+    * two sets with overlap ≥ t must collide within their (size − t + 1)
+    * prefixes under a shared total order (Bayardo et al., WWW'07) — so
+    * joining prefixes only is LOSSLESS, while candidate volume collapses:
+    * hot shingles land at the END of the order and never enter a prefix,
+    * killing exactly the hot-key blowup that plagues naive token joins.
+    * Verification then touches candidate pairs only.
+    *
+    * Scale shape: freq agg (hash) → rank window keyed by doc → prefix
+    * self equi-join on shingle hash → exact-intersection equi-join. The
+    * quadratic term is per-prefix-shingle, bounded by the rarest-first
+    * order; everything else is hash joins/aggs on (id) or (h). */
+  def prefixJaccardJoin(
+      df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, thetaBp: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleHashes(df, textCol, idCol, shingleN)
+      .dropDuplicates("id", "h")
+      .localCheckpoint() // reused 4×: freq, ranking, two verify sides
+    val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val freq = sets.groupBy(col("h")).agg(count(lit(1)).as("cf"))
+    val ranked = sets.join(freq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("cf"), col("h"))))
+    // p = s − ⌈θ·s⌉ + 1, all-integer: ⌈θ·s⌉ = (θbp·s + 9999) div 10000
+    val prefix = ranked.join(sizes, "id")
+      .filter(col("rnk") <=
+        col("sz") - expr(s"($thetaBp * sz + 9999) DIV 10000") + 1)
+      .select(col("id"), col("h"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val inter = cands
+      .join(sets.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("_sa")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("_sb")), "id_b")
+      .withColumn("jaccard_bp",
+        expr("n_inter * 10000 DIV (_sa + _sb - n_inter)"))
+      .filter(col("jaccard_bp") >= thetaBp)
+      .select(col("id_a"), col("id_b"), col("jaccard_bp"))
+  }
+
   /** SimHash width: 60 bits — the fingerprint is built over the portable
     * md5-derived 60-bit token hash (TextOps.portableHash60) so any engine
     * with md5 reproduces it bit-for-bit (the DuckDB oracle recomputes it
@@ -458,6 +510,74 @@ object Dedup {
       .na.fill(0L, Seq("n_dirty"))
       .select(col("id").as(idCol), col("n_grams"), col("n_dirty"),
         expr("n_dirty * 10000 DIV n_grams").as("contamination_bp"))
+  }
+
+  /** Distinct n-gram STRINGS per doc — the engine-portable gram identity
+    * (md5-able text, unlike the xxhash64 relations used internally). Same
+    * single-shuffle window shape as [[shingleHashes]]. */
+  private[operators] def gramStrings(
+      df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"t$j", lead(col("t0"), j).over(w))
+    }
+    withNexts.filter(col(s"t${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("gram"))
+      .distinct()
+  }
+
+  /** The 4 bloom bit positions of a gram: four disjoint 5-hex-char
+    * (20-bit) slices of ONE md5 of the gram text — one
+    * hash computation per gram, positions in [0, 2^20), reproducible on
+    * any engine with md5 (`('0x' || substr(md5(g), 1+5i, 5))::BIGINT`). */
+  private[operators] def bloomPositions(gram: Column): Seq[Column] =
+    (0 until 4).map(i =>
+      conv(substring(md5(gram), 1 + 5 * i, 5), 16, 10).cast("long"))
+
+  /** Bloom-filter DECONTAMINATION: [[crossCorpusContamination]]'s
+    * approximate counterpart — the reference gram set is collapsed into a
+    * 2^20-bit bloom mask (128 KB, built by the mergeable
+    * [[graft.functions.Bloom.BloomMaskAgg]] — map-side partial masks OR'd
+    * through one single-row shuffle), broadcast, and probed by a
+    * codegen'd bit test per corpus gram.
+    *
+    * vs the exact path: NO shuffle keyed by gram on the corpus side at
+    * all (the exact semi-join must co-partition corpus grams with the
+    * reference set unless AQE broadcasts it) — the corpus cost is a pure
+    * scan, at the price of false positives. Those are DETERMINISTIC:
+    * positions derive from md5 of the gram text ([[bloomPositions]]), so
+    * the DuckDB oracle rebuilds the identical mask and reports identical
+    * `n_maybe_dirty` — the driver hash-gate covers the false positives
+    * too, not just the true hits.
+    *
+    * Output: (idCol, n_grams, n_maybe_dirty, contamination_bp) per corpus
+    * doc with ≥ 1 n-gram; `n_maybe_dirty` counts distinct grams whose 4
+    * bits are ALL set in the reference mask. */
+  def bloomContamination(
+      corpus: DataFrame, reference: DataFrame,
+      textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    val mBits = 1 << 20
+    val refPos = gramStrings(reference, textCol, idCol, n)
+      .select(explode(array(bloomPositions(col("gram")): _*)).as("pos"))
+    val mask = refPos
+      .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"), mBits).as("mask"))
+      .withColumn("_j", lit(1))
+    val cg = gramStrings(corpus, textCol, idCol, n)
+    val hits = cg.withColumn("_j", lit(1))
+      .join(broadcast(mask), "_j")
+      .withColumn("_hit",
+        bloomPositions(col("gram"))
+          .map(p => graft.functions.Bloom.bloom_contains(col("mask"), p))
+          .reduce(_ && _))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_hit").cast("long")).as("n_maybe_dirty"))
+    hits.select(col("id").as(idCol), col("n_grams"), col("n_maybe_dirty"),
+      expr("n_maybe_dirty * 10000 DIV n_grams").as("contamination_bp"))
   }
 
   /** Corpus-overlap matrix: exact distinct-shingle Jaccard between every

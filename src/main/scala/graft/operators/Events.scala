@@ -77,6 +77,116 @@ object Events {
       .drop("_side", "_rv", "_rts")
   }
 
+  /** Trailing-window daily stats per event_type: each day's exact decimal
+    * value total + the trailing `windowDays`-row window sum (rows, not
+    * range: "the last N observed days", deterministic with or without
+    * calendar gaps — and mirrored as ROWS BETWEEN in SQL).
+    *
+    * The window runs over the DAILY aggregate (|types|×|days| rows), not
+    * raw events — the one shuffle that matters is the map-side-combinable
+    * daily rollup; the window pass is negligible at any scale. */
+  def movingDailyStats(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("_rev"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    daily.select(col("event_type"), col("day"), col("n"),
+      col("_rev").cast("double").as("day_value"),
+      sum(col("_rev")).over(w).cast("double").as("window_value"),
+      sum(col("n")).over(w).as("window_n"))
+  }
+
+  /** Funnel analysis: how many users completed step 1, steps 1-2, 1-2-3, …
+    * in ORDER, with every later step inside `windowSeconds` of the user's
+    * first step-1 event. Returns one row per funnel stage
+    * (step_idx, step, n_users).
+    *
+    * Shape: one hash agg per stage over a monotonically SHRINKING relation
+    * — stage k joins the raw events of type k against the (user, t_prev)
+    * survivors of stage k−1 (user-count rows, not event-count), so every
+    * stage after the first is a join keyed on `user_id` whose right side
+    * only shrinks. No window function, no per-user event collection — at
+    * 100 TB the state per stage is |users|, never |events|. */
+  def funnelReport(
+      events: DataFrame, steps: Seq[String],
+      windowSeconds: Long = 7L * 86400L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
+      .withColumn("t_first", col("t_prev"))
+    val stages = steps.drop(1).scanLeft(first) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev, "user_id")
+        .filter(col("ts") > col("t_prev") &&
+          unix_micros(col("ts")) <=
+            unix_micros(col("t_first")) + windowSeconds * 1000000L)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_prev"), min(col("t_first")).as("t_first"))
+    }
+    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: users grouped by the week of their first
+    * event; for each (cohort_week, week_offset), how many of that cohort
+    * were active. The classic growth-analytics triangle.
+    *
+    * Two hash aggs + one join, all keyed on `user_id` until the final
+    * (cohort, offset) agg — the distinct pass collapses events to
+    * (user, week) first, so the join input is bounded by users × weeks,
+    * not by raw event count. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    // week kept as TIMESTAMP (midnight Monday): engine-portable — DATE vs
+    // TIMESTAMP logical types round-trip differently through parquet
+    val weeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")).cast("long") / 7)
+          .cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Event-type transition matrix: counts of consecutive (prev → next)
+    * event-type pairs per user timeline (ordered by ts, tie-broken by
+    * event_id). The Markov-chain input for sequence modeling / anomaly
+    * baselines. ONE shuffle (partition by user, sort by time) + one
+    * map-side-combinable hash agg. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** CDC-style log compaction: the LATEST row per key (by ts, tie-broken
+    * by event_id) — upsert semantics over an append-only change log.
+    *
+    * Implemented as `max_by` over a struct ordering key: ONE hash
+    * aggregate with map-side combine, no sort and no window — at 100 TB
+    * the per-partition state is |keys|, and a `row_number() OVER (ORDER BY
+    * ts DESC)` window (the naive shape) would instead sort every
+    * partition's full event history. */
+  def latestState(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("_s"))
+      .select(col("user_id"), col("_s.event_type").as("last_type"),
+        col("_s.value").as("last_value"), col("_s.ts").as("last_ts"))
+
   /** Range (point-in-interval) join: every point row paired with each
     * interval containing its timestamp (`start <= t < end`).
     *

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality-sketch state with ENGINE-PORTABLE hashing.
+  *
+  * `approx_count_distinct` is the right tool inside one Spark job, but its
+  * registers hash with private seeds — two engines (or two clusters) can
+  * never merge or compare them. These registers derive from md5, so any
+  * engine reproduces them bit-for-bit: the sketch TABLE becomes the
+  * exchange format (ship 64 rows per group, merge with MAX — the
+  * fundamental HLL property), and the DuckDB oracle recomputes the exact
+  * same registers. The float estimate (harmonic mean over registers) is
+  * deliberately NOT computed here: estimation is a client-side display
+  * step; the mergeable state is the pipeline artifact.
+  */
+object Sketches {
+
+  /** Number of HLL registers (low bits of the hash pick the register). */
+  val Registers = 64
+
+  /** ρ(h) over the post-register bits: 1-based position of the lowest set
+    * bit of `h DIV 64` (0 when no bit set) — the classic HLL rank, via the
+    * isolate-lowest-bit trick `b & −b` and one foldable 54-branch CASE
+    * (the hash is 60 bits, so 54 remain after the register index). */
+  private def rho(b: Column): Column = {
+    val lob = b.bitwiseAND(-b)
+    (0 until 54).foldLeft(when(lit(false), lit(0L))) { (acc, i) =>
+      acc.when(lob === lit(1L << i), lit(i + 1L))
+    }.otherwise(lit(0L))
+  }
+
+  /** Per-(group, register) max-ρ table over the md5-60-bit hash of
+    * `keyCol` — 64 rows per group, mergeable with MAX across any split of
+    * the data. One map-side-combinable hash agg; duplicates of a key are
+    * free (max is idempotent), which is the whole point of the sketch. */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    val h = TextOps.portableHash60(col(keyCol).cast("string"))
+    df.select(groupCols.map(col) :+ h.as("_h"): _*)
+      .withColumn("register", pmod(col("_h"), lit(Registers.toLong)))
+      .withColumn("_rho", rho(expr(s"_h DIV $Registers")))
+      .groupBy(groupCols.map(col) :+ col("register"): _*)
+      .agg(max(col("_rho")).as("max_rho"))
+  }
+}

@@ -380,4 +380,48 @@ object TextOps {
       .select(col("id").as(idCol), col("n_toks"), col("n_in_vocab"),
         expr("n_in_vocab * 10000 DIV n_toks").as("coverage_bp"))
   }
+
+  /** BM25 relevance scoring of the corpus against a fixed term set — the
+    * retrieval primitive behind quality-targeted data selection (rank the
+    * corpus by relevance to a seed query, keep the head).
+    *
+    * Scores are EXACT integers ("milli-points"): BM25's reals are replaced
+    * by rational arithmetic — k1 = 6/5, b = 3/4, and the log-free idf
+    * ratio (N − df + ½)/(df + ½) — folded into one integer formula
+    *
+    *   score_m = (1000·(2N−2df+1)·22·tf·T) DIV ((2df+1)·(10·tf·T + 3·T + 9·dl·N))
+    *
+    * (T = total corpus tokens, so avgdl = T/N stays a ratio and never
+    * rounds). Any engine with 64-bit integers reproduces it bit-for-bit;
+    * magnitudes stay < 2^53 up to ~10⁹-token corpora per partition of the
+    * score, and the per-doc score is a SUM of integers — aggregation-order
+    * independent, unlike float BM25.
+    *
+    * Shape: token explode → per-doc length agg; term tf agg (the term
+    * filter prunes the explode FIRST, so the big agg only sees matching
+    * tokens); df and the 1-row corpus totals broadcast back; final per-doc
+    * sum + TakeOrdered top-k. No window, no all-terms scoring. */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int = 20): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col("id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+      .withColumn("_j", lit(1))
+    val tf = toks.filter(col("tok").isin(terms: _*))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "tok")
+      .join(dl, "id")
+      .withColumn("_j", lit(1))
+      .join(broadcast(totals), "_j")
+      .withColumn("score_m", expr(
+        "(1000 * (2*n_docs - 2*df + 1) * 22 * tf * total_toks) DIV " +
+          "((2*df + 1) * (10*tf*total_toks + 3*total_toks + 9*dl*n_docs))"))
+      .groupBy(col("id"))
+      .agg(sum(col("score_m")).as("bm25_m"))
+      .orderBy(col("bm25_m").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("bm25_m"))
+  }
 }

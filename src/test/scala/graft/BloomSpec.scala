@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.Bloom
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native bloom machinery: mergeable mask aggregate, codegen'd
+  * membership probe, and the decontamination operator's exact semantics
+  * (including deterministic false positives). */
+class BloomSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("bloom_mask_agg sets exactly the given bits; merge ORs partitions") {
+    val s = spark; import s.implicits._
+    // positions straddling byte/word boundaries, spread over 8 partitions
+    // so merge() must combine partial masks
+    val pos = Seq(0L, 7L, 8L, 63L, 64L, 1023L)
+    val mask = pos.toDF("pos").repartition(8)
+      .agg(Bloom.bloom_mask_agg(col("pos"), 1024).as("mask"))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(mask.length == 128)
+    val setBits = (0 until 1024).filter(p => (mask(p >> 3) & (1 << (p & 7))) != 0)
+    assert(setBits == pos.map(_.toInt).sorted)
+  }
+
+  test("bloom_contains probes the same layout the aggregate writes") {
+    val s = spark; import s.implicits._
+    val masked = Seq(5L, 300L).toDF("pos")
+      .agg(Bloom.bloom_mask_agg(col("pos"), 512).as("mask"))
+    val probes = Seq(5L, 6L, 300L, 299L).toDF("q")
+      .crossJoin(masked)
+      .select(col("q"), Bloom.bloom_contains(col("mask"), col("q")).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(probes == Map(5L -> true, 6L -> false, 300L -> true, 299L -> false))
+  }
+
+  test("bloom_mask_agg rejects out-of-range positions loudly") {
+    val s = spark; import s.implicits._
+    val e = intercept[Exception] {
+      Seq(1024L).toDF("pos")
+        .agg(Bloom.bloom_mask_agg(col("pos"), 1024).as("mask"))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("bloomContamination: superset of exact hits, self-reference fully dirty") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f", "ref"), // reference doc: all grams dirty
+      (2L, "a b c x y z", "other"), // shares gram "a b c" with the reference
+      (3L, "p q r s t u", "other")) // shares nothing (fp possible but
+      .toDF("doc_id", "text", "source") // deterministic — asserted below
+    val out = Dedup.bloomContamination(docs,
+        docs.filter(col("source") === "ref"), "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((4L, 4L))) // 4 grams, all in the mask
+    assert(out(2L)._1 == 4L)
+    assert(out(2L)._2 >= 1L) // "a b c" must hit; more only via bloom fp
+    // doc 3: no shared grams — with 16 set bits in 2^20 the fp chance per
+    // gram is ~(16/2^20)^4; any hit here would mean broken position math
+    assert(out(3L) == ((4L, 0L)))
+  }
+}

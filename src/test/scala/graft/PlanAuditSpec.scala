@@ -24,7 +24,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "q29_embed_neardup", // planted-pair corpus construction
     "q30_embed_lsh_neardup", // same construction feeding the LSH path
     "q52_semdedup", // k-means assign: corpus × broadcast(centroids)
-    "q57_mix_weights") // per-source shares × broadcast(1-row Σweight/leftover)
+    "q57_mix_weights", // per-source shares × broadcast(1-row Σweight/leftover)
+    "q73_heavy_hitters", // per-key counts × broadcast(1-row Σtotal)
+    "q74_embed_pq", // ADC scoring: code relation × broadcast(query vectors)
+    "q75_bm25", // per-(doc,term) tf × broadcast(1-row corpus totals)
+    "q82_bloom_decontaminate") // corpus grams × broadcast(1-row bloom mask)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
       "is deliberately broadcast") {
