@@ -826,6 +826,80 @@ object SparkEntry {
       operators.Graph.pageRank(edges, iters = 3)
         .orderBy(col("score_m").desc, col("node")).limit(30)
     }),
+    "q86_anomaly" -> ((s, dir) => {
+      // integer z-score outliers (|x−μ| > 3σ per event type) — one hash
+      // agg builds the moment table, broadcast back; no float boundary
+      operators.Events.anomalyReport(t(s, dir, "events"), k = 3)
+        .orderBy("event_id")
+    }),
+    "q87_editdist_neardup" -> ((s, dir) => {
+      // character-level near-dup: banded Levenshtein within (lang, source)
+      // blocks; length-band equi-join candidates are LOSSLESS (length
+      // diff lower-bounds edit distance), proven by the all-pairs oracle
+      Dedup.editDistanceNearDup(t(s, dir, "documents"), "text", "doc_id",
+          blockCols = Seq("lang", "source"), maxDist = 40, bandWidth = 64)
+        .orderBy("id_a", "id_b")
+    }),
+    "q88_char_diversity" -> ((s, dir) => {
+      // Simpson character-diversity quality signal in exact basis points
+      TextOps.charDiversity(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q89_phrase_search" -> ((s, dir) => {
+      // positional inverted index: exact consecutive-token phrase counts
+      TextOps.phraseMatches(t(s, dir, "documents"), "text", "doc_id",
+          phrase = Seq("key", "scan"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    "q90_regional_revenue" -> ((s, dir) => {
+      // TPC-H Q5 shape: the two facts hash-join on orderkey; supplier
+      // joins on (suppkey, nationkey) enforcing the local-supplier
+      // constraint; nation/region broadcast
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select("r_regionkey")
+      val n = t(s, dir, "nation").join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))
+      val c = t(s, dir, "customer").join(broadcast(n),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val l = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    "q91_value_histogram" -> ((s, dir) => {
+      // fixed-width distribution histogram per event type (25-unit bins)
+      operators.Events.valueHistogram(t(s, dir, "events"), widthM = 25000L)
+        .orderBy("event_type", "bucket")
+    }),
+    "q92_salted_agg" -> ((s, dir) => {
+      // skew-proof two-phase aggregation: salted partials → final combine.
+      // The oracle is the PLAIN group-by — a hash match proves the salted
+      // decomposition is algebraically lossless
+      operators.Skew.saltedCountByKey(t(s, dir, "events"), "user_id",
+          saltOn = "user_id", factor = 8)
+        .orderBy("user_id")
+    }),
+    "q93_cube" -> ((s, dir) => {
+      // CUBE lattice over (type, day-of-month): all four grouping sets in
+      // one pass — the multi-marginal profile a mixture report reads
+      t(s, dir, "events")
+        .select(col("event_type"), dayofmonth(col("ts")).cast("long").as("dom"),
+          floor(col("value") * 1000).cast("long").as("_v"))
+        .cube(col("event_type"), col("dom"))
+        .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_m"))
+        .orderBy(col("event_type").asc_nulls_first, col("dom").asc_nulls_first)
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -2137,7 +2211,77 @@ object SparkEntry {
         |s3 AS (SELECT n.node, 150 + 8500 * COALESCE(i.in_m, 0) // 10000 AS score_m
         |  FROM nodes n LEFT JOIN i3 i ON n.node = i.node)
         |SELECT node, CAST(score_m AS BIGINT) AS score_m FROM s3
-        |ORDER BY score_m DESC, node LIMIT 30""".stripMargin)
+        |ORDER BY score_m DESC, node LIMIT 30""".stripMargin,
+    "q86_anomaly" ->
+      // HUGEINT mirrors the Spark side's decimal(38,0): the σ test is
+      // exact integers on both engines, no float at the boundary
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CAST(floor(value*1000) AS BIGINT) AS v_m FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(v_m) AS HUGEINT) AS s, CAST(sum(v_m*v_m) AS HUGEINT) AS ss
+        |  FROM v GROUP BY 1)
+        |SELECT event_id, v.event_type, v_m
+        |FROM v JOIN st ON v.event_type = st.event_type
+        |WHERE (n*v_m - s)*(n*v_m - s) > 9*(n*ss - s*s)
+        |ORDER BY event_id""".stripMargin,
+    "q87_editdist_neardup" ->
+      // the ORACLE is the literal within-block all-pairs join — a hash
+      // match proves the length-band candidate join is exactly lossless
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.text, b.text) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  AND abs(length(a.text) - length(b.text)) <= 40
+        |WHERE levenshtein(a.text, b.text) <= 40
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q88_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, sum(k) AS n, sum(k*k) AS sum2 FROM cnt GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+        |  CAST(10000*(n*n - sum2) // (n*n) AS BIGINT) AS simpson_bp
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q89_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM tk),
+        |t AS (SELECT doc_id, p, toks[p] AS tok FROM g
+        |  WHERE toks[p] IN ('key', 'scan'))
+        |SELECT t1.doc_id, count(*) AS n_matches
+        |FROM t t1 JOIN t t2 ON t1.doc_id = t2.doc_id AND t2.p = t1.p + 1
+        |WHERE t1.tok = 'key' AND t2.tok = 'scan'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q90_regional_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q91_value_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value*1000) AS BIGINT) // 25000 AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_m
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q92_salted_agg" ->
+      // plain group-by: proves the salted two-phase decomposition exact
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q93_cube" ->
+      """SELECT event_type, CAST(day(ts) AS BIGINT) AS dom, count(*) AS n,
+        |  CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_m
+        |FROM events GROUP BY CUBE(event_type, dom)
+        |ORDER BY event_type NULLS FIRST, dom NULLS FIRST""".stripMargin)
 
   /** q84's oracle: the 54-branch lowest-set-bit CASE is generated (CASE
     * (b & −b) WHEN 2^i THEN i+1), mirroring [[operators.Sketches.rho]]. */

@@ -756,4 +756,43 @@ object Dedup {
         round(Similarity.cosine(col("a.vec"), col("b.vec")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Character-level near-duplicate pairs: Levenshtein distance ≤
+    * `maxDist` between documents agreeing on every `blockCols` value.
+    *
+    * Candidate generation is a LOSSLESS length-band equi-join, not
+    * all-pairs: |len(a)−len(b)| lower-bounds edit distance, so (given
+    * `bandWidth ≥ maxDist`) every qualifying pair lies in the same or an
+    * adjacent `bandWidth`-char length band. Each doc joins its own band
+    * against probes emitted at bands {lb, lb+1}; the cheap length filter
+    * then prunes before the O(len·maxDist) banded `levenshtein(_, _,
+    * threshold)` runs (it abandons early at the threshold — never the
+    * full O(len²) matrix). Pairs found via both orientations collapse in
+    * the final distinct; the expensive distance runs at most twice per
+    * candidate and candidates are band-bounded, never corpus-quadratic.
+    */
+  def editDistanceNearDup(
+      df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], maxDist: Int = 40,
+      bandWidth: Int = 64): DataFrame = {
+    require(bandWidth >= maxDist,
+      s"bandWidth=$bandWidth must be >= maxDist=$maxDist or adjacent-band " +
+        "pairing loses qualifying pairs")
+    val cols = Seq(col(idCol).as("_id"), col(textCol).as("_txt"),
+      length(col(textCol)).as("_len")) ++ blockCols.map(col)
+    val base = df.select(cols: _*)
+      .withColumn("_lb", expr(s"_len DIV $bandWidth"))
+    val probe = base.withColumn("_lb", explode(array(col("_lb"), col("_lb") + 1)))
+    val joinKeys = "_lb" +: blockCols
+    val paired = base.as("a").join(probe.as("b"),
+        joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
+          .reduce(_ && _) && col("a._id") =!= col("b._id"))
+      .filter(abs(col("a._len") - col("b._len")) <= maxDist)
+      .select(
+        least(col("a._id"), col("b._id")).as("id_a"),
+        greatest(col("a._id"), col("b._id")).as("id_b"),
+        levenshtein(col("a._txt"), col("b._txt"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // threshold form returns -1 above maxDist
+    paired.distinct()
+  }
 }

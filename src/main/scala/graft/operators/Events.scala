@@ -213,4 +213,48 @@ object Events {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_bkt")
   }
+
+  /** Statistical outlier report: events whose value deviates from their
+    * type's mean by more than `k` standard deviations, decided in EXACT
+    * integer arithmetic (engine-portable, no float epsilon at the
+    * boundary). With x the milli-unit value, n/S/SS the per-type count,
+    * sum and sum-of-squares, the float test |x−μ| > kσ is equivalent to
+    *
+    *   (n·x − S)² > k²·(n·SS − S²)
+    *
+    * — both sides integers, so the comparison has no rounding anywhere.
+    * Decimal widths are sized for v_m < 10^6 and n < 10^11 rows per type;
+    * intermediate magnitudes stay under 10^35 < decimal(38).
+    *
+    * Shape: ONE map-side-combinable hash agg builds the per-type moment
+    * table (|event types| rows), which broadcasts back onto the scan — the
+    * corpus is read once and never shuffled. */
+  def anomalyReport(events: DataFrame, k: Int = 3): DataFrame = {
+    val v = events.select(col("event_id"), col("event_type"),
+      floor(col("value") * 1000).cast("long").as("v_m"))
+    val x = col("v_m").cast("decimal(12,0)")
+    val st = v.groupBy("event_type").agg(
+      count(lit(1)).cast("decimal(11,0)").as("_n"),
+      sum(x).as("_s"),
+      sum(x * x).as("_ss"))
+    val d = col("_n") * x - col("_s")
+    val lhs = d * d
+    val rhs = lit(k.toLong * k).cast("decimal(3,0)") *
+      (col("_n") * col("_ss") - col("_s") * col("_s"))
+    v.join(broadcast(st), "event_type")
+      .filter(lhs > rhs)
+      .select(col("event_id"), col("event_type"), col("v_m"))
+  }
+
+  /** Fixed-width value histogram per event type: bucket = milli-unit
+    * value DIV `widthM`. The distribution-profiling primitive behind
+    * sizing decisions (salt factors, partition counts) — one map-side
+    * combinable hash agg over (type, bucket), output is |types|×|buckets|
+    * rows regardless of corpus size. */
+  def valueHistogram(events: DataFrame, widthM: Long = 25000L): DataFrame =
+    events
+      .select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("_v"))
+      .groupBy(col("event_type"), expr("_v DIV " + widthM).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_m"))
 }

@@ -424,4 +424,47 @@ object TextOps {
       .limit(k)
       .select(col("id").as(idCol), col("bm25_m"))
   }
+
+  /** Character-diversity quality signal: per-document Simpson index in
+    * exact basis points, 10000·(N² − Σcᵢ²) DIV N² over character counts
+    * cᵢ (0 = one repeated character, →10000 = uniformly diverse). The
+    * integer form is engine-portable where entropy's log is not.
+    * Boilerplate/gibberish detectors threshold on this next to the q25
+    * ratio columns. Shape: char explode → two map-side-combinable hash
+    * aggs ((id, char) then id) — state is bounded by |alphabet| per doc. */
+  def charDiversity(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("id"), explode(split(col(textCol), "")).as("c"))
+      .filter(length(col("c")) > 0) // Spark's limit=-1 split keeps a trailing ""
+      .groupBy(col("id"), col("c")).agg(count(lit(1)).as("k"))
+      .groupBy(col("id")).agg(sum(col("k")).as("n"),
+        sum(col("k") * col("k")).as("sum2"))
+      .select(col("id"), col("n").as("n_chars_counted"),
+        expr("10000 * (n*n - sum2) DIV (n*n)").as("simpson_bp"))
+
+  /** Exact phrase match counts: per document, how many token positions
+    * start the consecutive-token `phrase`. The positional-inverted-index
+    * primitive behind phrase search and snippet mining.
+    *
+    * Shape: posexplode → ONE filter to the phrase's token postings (the
+    * token predicate prunes before any shuffle — the relation joined is
+    * the postings of the phrase tokens, not the corpus) → k−1 equi-joins
+    * on (doc, aligned start position). */
+  def phraseMatches(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, phrase: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least 2 tokens")
+    val postings = df
+      .select(col(idCol).as("id"), posexplode(tokens(col(textCol))).as(Seq("p", "tok")))
+      .filter(col("tok").isin(phrase.distinct: _*))
+    val first = postings.filter(col("tok") === phrase.head)
+      .select(col("id"), col("p"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (w, i)) =>
+        acc.join(
+          postings.filter(col("tok") === w)
+            .select(col("id"), (col("p") - i).as("p")),
+          Seq("id", "p"))
+      }
+      .groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
+  }
 }

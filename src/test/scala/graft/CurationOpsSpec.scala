@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 batch 2: integer z-score anomalies, banded-Levenshtein
+  * near-dup (losslessness at the band boundary), Simpson char diversity,
+  * positional phrase search, value histograms, and the salted two-phase
+  * aggregation's algebraic equality with the plain group-by. */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  // ---- anomalyReport --------------------------------------------------
+
+  test("anomalyReport flags strictly-beyond-k-sigma values only") {
+    val s = spark; import s.implicits._
+    // type A: {0 ×20, 100} — the 100 sits at ~4.5σ even though it drags σ
+    // itself (n·x−S = 2e6, 9·(n·SS−S²) = 1.8e12 < 4e12); type B uniform
+    val rows =
+      (1L to 20L).map(i => (i, ts("2024-01-01 00:00:00"), i, "A", 0.0, "{}")) ++
+        Seq((21L, ts("2024-01-01 00:00:00"), 21L, "A", 100.0, "{}")) ++
+        (22L to 26L).map(i => (i, ts("2024-01-01 00:00:00"), i, "B", 5.0, "{}"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.anomalyReport(ev, k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(21L))
+    assert(out.head.getLong(2) == 100000L) // milli-units
+  }
+
+  test("anomalyReport boundary is strict: exactly k-sigma is NOT an outlier") {
+    val s = spark; import s.implicits._
+    // {0, 0, 6, 6}: mean 3, sigma 3 -> at k=1 every value sits EXACTLY at
+    // 1 sigma; the > comparison must flag none. (n*x-s)^2 = k^2(n*ss-s^2)
+    // holds with pure integers, so this is deterministic, not epsilon-luck.
+    val ev = Seq((1L, 0.0), (2L, 0.0), (3L, 6.0), (4L, 6.0))
+      .map { case (i, v) => (i, ts("2024-01-01 00:00:00"), i, "A", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(Events.anomalyReport(ev, k = 1).count() == 0L)
+  }
+
+  // ---- editDistanceNearDup --------------------------------------------
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark; import s.implicits._
+    rows.map { case (id, t) => (id, t, "en", "src0") }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("editDistanceNearDup catches pairs straddling a length-band boundary") {
+    // bandWidth=8: len 7 (band 0) vs len 9 (band 1) — only the
+    // adjacent-band probe can pair them; distance 2 (two inserts)
+    val docs = docsDf(Seq((1L, "abcdefg"), (2L, "abcdefgxy")))
+    val out = Dedup.editDistanceNearDup(docs, "text", "doc_id",
+      Seq("lang", "source"), maxDist = 8, bandWidth = 8).collect()
+    assert(out.length == 1)
+    assert((out.head.getLong(0), out.head.getLong(1), out.head.getInt(2)) ==
+      ((1L, 2L, 2)))
+  }
+
+  test("editDistanceNearDup excludes pairs beyond maxDist and across blocks") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaa", "en", "src0"),
+      (2L, "bbbbbbbb", "en", "src0"),   // dist 8 > maxDist 4
+      (3L, "aaaaaaab", "en", "src1"))   // dist 1 but different block
+      .toDF("doc_id", "text", "lang", "source")
+    assert(Dedup.editDistanceNearDup(docs, "text", "doc_id",
+      Seq("lang", "source"), maxDist = 4, bandWidth = 8).count() == 0L)
+  }
+
+  test("editDistanceNearDup emits each pair once despite dual-orientation probes") {
+    // same band both ways: the (a,b)/(b,a) matches must collapse to one row
+    val docs = docsDf(Seq((1L, "abcdefgh"), (2L, "abcdefgx"), (3L, "abcdefgy")))
+    val out = Dedup.editDistanceNearDup(docs, "text", "doc_id",
+      Seq("lang", "source"), maxDist = 8, bandWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("editDistanceNearDup refuses a band narrower than maxDist") {
+    val docs = docsDf(Seq((1L, "abc")))
+    intercept[IllegalArgumentException] {
+      Dedup.editDistanceNearDup(docs, "text", "doc_id", Seq("lang"),
+        maxDist = 16, bandWidth = 8)
+    }
+  }
+
+  // ---- charDiversity --------------------------------------------------
+
+  test("charDiversity: repeated char scores 0, known mix is exact") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "ab"), (3L, "aab"))
+      .toDF("doc_id", "text")
+    val out = TextOps.charDiversity(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // "aaaa": (16-16)/16 = 0; "ab": 10000*(4-2)/4 = 5000;
+    // "aab": 10000*(9-5)/9 = 4444 (floor)
+    assert(out.toSeq == Seq((1L, 4L, 0L), (2L, 2L, 5000L), (3L, 3L, 4444L)))
+  }
+
+  // ---- phraseMatches --------------------------------------------------
+
+  test("phraseMatches counts overlapping and repeated-token matches") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),     // "a a" starts at 0 and 1 -> 2 matches
+      (2L, "x y a a"),     // 1 match
+      (3L, "a b a"))       // 0 matches (never consecutive)
+      .toDF("doc_id", "text")
+    val out = TextOps.phraseMatches(docs, "text", "doc_id", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("phraseMatches handles 3-token phrases positionally") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "the quick fox jumps"),
+      (2L, "quick the fox"),          // right tokens, wrong order
+      (3L, "the quick quick fox"))    // gap breaks the phrase
+      .toDF("doc_id", "text")
+    val out = TextOps.phraseMatches(docs, "text", "doc_id",
+      Seq("the", "quick", "fox")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L)))
+  }
+
+  // ---- valueHistogram + salted agg ------------------------------------
+
+  test("valueHistogram buckets milli-units with exact sums") {
+    val s = spark; import s.implicits._
+    val ev = Seq((1L, "A", 10.0), (2L, "A", 30.0), (3L, "A", 49.999), (4L, "B", 0.0))
+      .map { case (i, tp, v) => (i, ts("2024-01-01 00:00:00"), i, tp, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.valueHistogram(ev, widthM = 25000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    assert(out.toSeq == Seq(
+      ("A", 0L, 1L, 10000L), ("A", 1L, 2L, 79999L), ("B", 0L, 1L, 0L)))
+  }
+
+  test("saltedCountByKey equals the plain group-by exactly") {
+    val s = spark; import s.implicits._
+    val df = (1L to 400L).map(i => (i % 7, i)).toDF("k", "x")
+    val salted = Skew.saltedCountByKey(df, "k", "k", factor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val plain = df.groupBy("k").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
