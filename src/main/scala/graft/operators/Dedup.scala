@@ -765,11 +765,12 @@ object Dedup {
     * `bandWidth ≥ maxDist`) every qualifying pair lies in the same or an
     * adjacent `bandWidth`-char length band. Each doc joins its own band
     * against probes emitted at bands {lb, lb+1}; the cheap length filter
-    * then prunes before the O(len·maxDist) banded `levenshtein(_, _,
-    * threshold)` runs (it abandons early at the threshold — never the
-    * full O(len²) matrix). Pairs found via both orientations collapse in
-    * the final distinct; the expensive distance runs at most twice per
-    * candidate and candidates are band-bounded, never corpus-quadratic.
+    * then prunes, and pairs found via both orientations are collapsed to
+    * ONE canonical row, all BEFORE the O(len·maxDist) banded
+    * `levenshtein(_, _, threshold)` runs (it abandons early at the
+    * threshold — never the full O(len²) matrix). The expensive distance
+    * runs exactly once per surviving candidate, and candidates are
+    * band-bounded, never corpus-quadratic.
     */
   def editDistanceNearDup(
       df: DataFrame, textCol: String, idCol: String,
@@ -784,15 +785,19 @@ object Dedup {
       .withColumn("_lb", expr(s"_len DIV $bandWidth"))
     val probe = base.withColumn("_lb", explode(array(col("_lb"), col("_lb") + 1)))
     val joinKeys = "_lb" +: blockCols
-    val paired = base.as("a").join(probe.as("b"),
+    val ordered = col("a._id") < col("b._id")
+    base.as("a").join(probe.as("b"),
         joinKeys.map(k => col(s"a.$k") === col(s"b.$k"))
           .reduce(_ && _) && col("a._id") =!= col("b._id"))
       .filter(abs(col("a._len") - col("b._len")) <= maxDist)
       .select(
         least(col("a._id"), col("b._id")).as("id_a"),
         greatest(col("a._id"), col("b._id")).as("id_b"),
-        levenshtein(col("a._txt"), col("b._txt"), maxDist).as("dist"))
+        when(ordered, col("a._txt")).otherwise(col("b._txt")).as("_ta"),
+        when(ordered, col("b._txt")).otherwise(col("a._txt")).as("_tb"))
+      .dropDuplicates("id_a", "id_b") // collapse dual orientations pre-distance
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
       .filter(col("dist") >= 0) // threshold form returns -1 above maxDist
-    paired.distinct()
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
