@@ -900,6 +900,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_m"))
         .orderBy(col("event_type").asc_nulls_first, col("dom").asc_nulls_first)
     }),
+    "q94_image_phash" -> ((s, dir) => {
+      // image near-dup fingerprint: perceptual average-hash over REAL
+      // decoded PNG pixels (8×8 block means vs global mean, exact integer
+      // cross-multiplication). The oracle recomputes the 64 bits from the
+      // generator's pixel formula, so a hash match proves decode +
+      // blocking + thresholding byte-exact end to end
+      Multimodal.pngPerceptualHashes(
+        Multimodal.packPng(t(s, dir, "documents"), "doc_id").toDF())
+        .toDF()
+        .select("media_id", "width", "height", "ahash_hi", "ahash_lo")
+        .orderBy("media_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -2281,7 +2293,35 @@ object SparkEntry {
       """SELECT event_type, CAST(day(ts) AS BIGINT) AS dom, count(*) AS n,
         |  CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_m
         |FROM events GROUP BY CUBE(event_type, dom)
-        |ORDER BY event_type NULLS FIRST, dom NULLS FIRST""".stripMargin)
+        |ORDER BY event_type NULLS FIRST, dom NULLS FIRST""".stripMargin,
+    "q94_image_phash" ->
+      // re-derives the aHash from the PNG generator's pixel formula
+      // v(y,xb) = (id + 7y + 13xb) mod 251 (xb = byte index: 4x+ch)
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id, CAST(16 + doc_id % 160 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 90 AS BIGINT) AS h
+        |  FROM documents),
+        |py AS (SELECT media_id, w, h, unnest(generate_series(0, h-1)) AS y FROM imgs),
+        |px AS (SELECT media_id, w, h, y, unnest(generate_series(0, w-1)) AS x FROM py),
+        |g AS (
+        |  SELECT media_id, w, h, 8*y // h AS by, 8*x // w AS bx,
+        |    (media_id + 7*y + 13*(4*x)) % 251
+        |      + (media_id + 7*y + 13*(4*x+1)) % 251
+        |      + (media_id + 7*y + 13*(4*x+2)) % 251 AS s
+        |  FROM px),
+        |blk AS (
+        |  SELECT media_id, w, h, by*8 + bx AS i, sum(s) AS bsum, count(*) AS bn
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT media_id, sum(bsum) AS tsum, sum(bn) AS tn FROM blk GROUP BY 1),
+        |bits AS (
+        |  SELECT b.media_id, b.w, b.h, b.i,
+        |    CASE WHEN b.bsum * t.tn > t.tsum * b.bn THEN 1 ELSE 0 END AS bit
+        |  FROM blk b JOIN tot t ON b.media_id = t.media_id)
+        |SELECT media_id, CAST(max(w) AS INTEGER) AS width,
+        |  CAST(max(h) AS INTEGER) AS height,
+        |  CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** q84's oracle: the 54-branch lowest-set-bit CASE is generated (CASE
     * (b & −b) WHEN 2^i THEN i+1), mirroring [[operators.Sketches.rho]]. */

@@ -63,8 +63,8 @@ object Multimodal {
       (pmod(col(idCol), lit(48)) + 2).cast("int").as("declared_frames"))
 
   // --- deterministic metadata derivation (mirrored by the DuckDB oracle) ---
-  private def widthOf(id: Long): Int = (16 + id % 160).toInt
-  private def heightOf(id: Long): Int = (16 + id % 90).toInt
+  private[graft] def widthOf(id: Long): Int = (16 + id % 160).toInt
+  private[graft] def heightOf(id: Long): Int = (16 + id % 90).toInt
   private def rateOf(id: Long): Int = (8000 * (1 + id % 5)).toInt
   private def channelsOf(id: Long): Int = (1 + id % 2).toInt
   private def framesOf(id: Long): Int = (id % 48 + 2).toInt
@@ -607,6 +607,65 @@ object Multimodal {
     implicit val enc = Encoders.product[PngFeatures]
     implicit val encIn = Encoders.product[MediaRow]
     media.as[MediaRow].mapPartitions(_.flatMap(r => decodePng(r.media_id, r.payload)))
+  }
+
+  /** Perceptual average-hash of a decoded image, split into two unsigned
+    * 32-bit halves (portable: no engine-specific 64-bit sign games). */
+  final case class PHashFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      ahash_hi: Long, // bits 32..63 of the 8×8 block-mean hash
+      ahash_lo: Long) // bits 0..31
+
+  /** Perceptual average-hash (aHash) over REAL decoded pixels: the image
+    * is cut into an 8×8 block grid (block of pixel (y,x) = (8y DIV h,
+    * 8x DIV w)), each block's grayscale sum (r+g+b, no division) is
+    * compared with the global mean — bit i=8·by+bx is set iff
+    * blockSum·totalPixels > totalSum·blockPixels, an EXACT integer
+    * cross-multiplication. Brightness-shifted or resized variants of an
+    * image keep (nearly) the same 64 bits, so hamming distance over the
+    * hash is the image near-dup signal — feed the halves to the same
+    * pigeonhole chunk join SimHash uses for text. Decode + hash run
+    * executor-side per partition; nothing but (id, dims, 2×32 bits) is
+    * ever shuffled. */
+  def decodePHash(id: Long, b: Array[Byte]): Option[PHashFeatures] =
+    pngPixels(b).map { case (w, h, px) =>
+      val bsum = new Array[Long](64)
+      val bn = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val by = 8 * y / h
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 4
+          val s = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+          val i = by * 8 + 8 * x / w
+          bsum(i) += s
+          bn(i) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val tsum = bsum.sum
+      val tn = w.toLong * h
+      var hi = 0L; var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (bsum(i) * tn > tsum * bn(i)) {
+          if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+        }
+        i += 1
+      }
+      PHashFeatures(id, w, h, hi, lo)
+    }
+
+  /** Perceptual-hash every PNG asset, batch-wise per partition;
+    * non-PNG / undecodable payloads are dropped (flatMap). */
+  def pngPerceptualHashes(media: DataFrame): Dataset[PHashFeatures] = {
+    implicit val enc = Encoders.product[PHashFeatures]
+    implicit val encIn = Encoders.product[MediaRow]
+    media.as[MediaRow].mapPartitions(_.flatMap(r => decodePHash(r.media_id, r.payload)))
   }
 
   /** Per-FRAME integer-exact pixel statistics — the decode output shape

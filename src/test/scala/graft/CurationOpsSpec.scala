@@ -142,6 +142,35 @@ class CurationOpsSpec extends AnyFunSuite {
       ("A", 0L, 1L, 10000L), ("A", 1L, 2L, 79999L), ("B", 0L, 1L, 0L)))
   }
 
+  // ---- perceptual hash ------------------------------------------------
+
+  test("decodePHash matches the hash derived straight from the pixel formula") {
+    // differential: decode(pngEncode(id)) -> aHash must equal the aHash
+    // computed from the generator formula without any PNG in between
+    for (id <- Seq(0L, 1L, 7L, 123L)) {
+      val w = Multimodal.widthOf(id); val h = Multimodal.heightOf(id)
+      val bsum = new Array[Long](64); val bn = new Array[Long](64)
+      for (y <- 0 until h; x <- 0 until w) {
+        val s = (0 until 3).map(ch => ((id + 7L * y + 13L * (4 * x + ch)) % 251L)).sum
+        val i = (8 * y / h) * 8 + 8 * x / w
+        bsum(i) += s; bn(i) += 1
+      }
+      val tsum = bsum.sum; val tn = w.toLong * h
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64 if bsum(i) * tn > tsum * bn(i))
+        if (i >= 32) hi |= 1L << (i - 32) else lo |= 1L << i
+      val got = Multimodal.decodePHash(id, Multimodal.pngEncode(id, w, h)).get
+      assert((got.width, got.height, got.ahash_hi, got.ahash_lo) == ((w, h, hi, lo)))
+    }
+  }
+
+  test("decodePHash returns None on corrupt or non-PNG payloads") {
+    assert(Multimodal.decodePHash(1L, Array[Byte](1, 2, 3)).isEmpty)
+    val png = Multimodal.pngEncode(1L, 16, 16)
+    png(20) = (png(20) ^ 0x55).toByte // corrupt IHDR data -> CRC mismatch
+    assert(Multimodal.decodePHash(1L, png).isEmpty)
+  }
+
   test("saltedCountByKey equals the plain group-by exactly") {
     val s = spark; import s.implicits._
     val df = (1L to 400L).map(i => (i % 7, i)).toDF("k", "x")
