@@ -912,6 +912,15 @@ object SparkEntry {
         .select("media_id", "width", "height", "ahash_hi", "ahash_lo")
         .orderBy("media_id")
     }),
+    "q95_profile" -> ((s, dir) => {
+      // table profiling: per-column completeness + exact cardinality in
+      // one aggregate pass (Expand under the hood); approx HLL variant is
+      // the 100 TB path, exact here because the oracle must hash-match
+      operators.Profiling.profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"))
+        .orderBy("column_name")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -2321,7 +2330,13 @@ object SparkEntry {
         |  CAST(max(h) AS INTEGER) AS height,
         |  CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i-32)) ELSE 0 END) AS BIGINT) AS ahash_hi,
         |  CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS ahash_lo
-        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_profile" -> Seq("o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .map(c => s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
 
   /** q84's oracle: the 54-branch lowest-set-bit CASE is generated (CASE
     * (b & −b) WHEN 2^i THEN i+1), mirroring [[operators.Sketches.rho]]. */

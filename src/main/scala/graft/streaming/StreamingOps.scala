@@ -151,6 +151,50 @@ object StreamingOps {
         })
   }
 
+  /** Minimal event shape for streaming anomaly detection. */
+  final case class ValueEvent(
+      event_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
+
+  /** One flagged outlier: the milli-unit value and how much state
+    * (events seen before it) backed the decision. */
+  final case class Anomaly(event_id: Long, event_type: String, v_m: Long, n_seen: Long)
+
+  /** Streaming outlier detection with per-type running moments: an event
+    * is flagged when its value deviates more than `k`σ from the moments
+    * accumulated BEFORE it (never its own batch's future), using the same
+    * exact integer test as the batch [[graft.operators.Events.anomalyReport]]
+    * — (n·x−S)² > k²·(n·SS−S²), compared in BigInt so no magnitude bound
+    * applies. Warm-up: nothing is flagged until `minCount` events of the
+    * type have been seen. State per key is three longs — constant, no
+    * timeout needed. Within a micro-batch, events apply in (ts, event_id)
+    * order, so a replay from the same batch boundaries is deterministic. */
+  def anomalyStream(
+      events: Dataset[ValueEvent], k: Int = 3,
+      minCount: Long = 10L): Dataset[Anomaly] = {
+    implicit val outEnc = Encoders.product[Anomaly]
+    implicit val stEnc = Encoders.product[graft.streaming.MomentState]
+    implicit val strEnc = Encoders.STRING
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (tp: String, it: Iterator[ValueEvent], state: GroupState[MomentState]) => {
+          val flagged = scala.collection.mutable.ArrayBuffer[Anomaly]()
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val v = math.floor(e.value * 1000).toLong
+            if (st.n >= minCount) {
+              val n = BigInt(st.n); val s = BigInt(st.s); val ss = BigInt(st.ss)
+              val d = n * v - s
+              if (d * d > BigInt(k.toLong * k) * (n * ss - s * s))
+                flagged += Anomaly(e.event_id, tp, v, st.n)
+            }
+            st = MomentState(st.n + 1, st.s + v, st.ss + v * v)
+          }
+          state.update(st)
+          flagged.iterator
+        })
+  }
+
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
@@ -168,3 +212,8 @@ object StreamingOps {
 /** Per-user open-session state (top-level: Catalyst's state encoder
   * generates code that needs a public constructor). */
 final case class SessionState(n: Long, startUs: Long, lastUs: Long)
+
+/** Per-type running moments for streaming anomaly detection: count, sum
+  * and sum-of-squares of the milli-unit values (top-level for the same
+  * state-encoder reason as [[SessionState]]). */
+final case class MomentState(n: Long, s: Long, ss: Long)

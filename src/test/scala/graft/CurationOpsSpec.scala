@@ -171,6 +171,80 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodePHash(1L, png).isEmpty)
   }
 
+  // ---- profiling --------------------------------------------------------
+
+  test("profile reports exact nulls and cardinality per column") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, None, Some(1.0)),
+      (3L, Some("a"), None),
+      (4L, Some("b"), Some(2.0)))
+      .toDF("id", "tag", "v")
+    val out = Profiling.profile(df, Seq("id", "tag", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("id", 4L, 0L, 4L), ("tag", 4L, 1L, 2L), ("v", 4L, 1L, 2L)))
+  }
+
+  test("profile approx variant keeps the same shape (counts close, not hashed)") {
+    val s = spark; import s.implicits._
+    val df = (1L to 100L).map(i => (i, i % 10)).toDF("id", "m")
+    val out = Profiling.profile(df, Seq("id", "m"), exact = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(100L, 100L))
+    assert(out.map(_._3).toSeq == Seq(0L, 0L))
+    // HLL estimates: within 10% of truth is all this asserts
+    assert(math.abs(out(0)._4 - 100L) <= 10 && math.abs(out(1)._4 - 10L) <= 2)
+  }
+
+  // ---- streaming anomaly ------------------------------------------------
+
+  test("anomalyStream flags outliers against pre-event state only") {
+    import graft.streaming.StreamingOps
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamingOps.ValueEvent]
+    // 12 calm values (5.0) then a spike; minCount=10 means the spike at
+    // position 13 is judged against 12 seen events -> flagged. The early
+    // values are never flagged (warm-up) even though the spike inflates
+    // nothing retroactively.
+    val base = (1 to 12).map(i => StreamingOps.ValueEvent(
+      i.toLong, "A", ts(f"2024-01-01 00:${i}%02d:00"), 5.0 + (i % 2) * 0.2))
+    in.addData(base :+ StreamingOps.ValueEvent(99L, "A", ts("2024-01-01 01:00:00"), 500.0): _*)
+    val q = StreamingOps.runToMemory(
+      StreamingOps.anomalyStream(in.toDS(), k = 3, minCount = 10L).toDF(), "anoms")
+    val out = s.sql("SELECT event_id, n_seen FROM anoms").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.toSeq == Seq((99L, 12L)))
+  }
+
+  test("anomalyStream carries moments across micro-batches") {
+    import graft.streaming.StreamingOps
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[StreamingOps.ValueEvent]
+    val stream = StreamingOps.anomalyStream(in.toDS(), k = 3, minCount = 10L).toDF()
+    val q = stream.writeStream.format("memory").queryName("anoms2")
+      .outputMode("append").start()
+    in.addData((1 to 11).map(i => StreamingOps.ValueEvent(
+      i.toLong, "A", ts(f"2024-01-01 00:${i}%02d:00"), 5.0)): _*)
+    q.processAllAvailable()
+    // second micro-batch: the spike must be judged against the 11 events
+    // from batch 1 (state carried), so it IS flagged with n_seen = 11
+    in.addData(StreamingOps.ValueEvent(99L, "A", ts("2024-01-01 02:00:00"), 500.0))
+    q.processAllAvailable()
+    val out = s.sql("SELECT event_id, n_seen FROM anoms2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.toSeq == Seq((99L, 11L)))
+  }
+
   test("saltedCountByKey equals the plain group-by exactly") {
     val s = spark; import s.implicits._
     val df = (1L to 400L).map(i => (i % 7, i)).toDF("k", "x")
