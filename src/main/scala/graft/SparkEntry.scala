@@ -921,6 +921,45 @@ object SparkEntry {
             "o_orderpriority"))
         .orderBy("column_name")
     }),
+    "q96_gap_fill" -> ((s, dir) => {
+      // time-series densification: complete (type, day) grid over the
+      // sparse high-value rollup, zero-filled + marked — the step a
+      // trailing window needs before its denominator means anything
+      operators.Events.gapFillDaily(
+          t(s, dir, "events").filter(col("value") >= 200))
+        .orderBy("event_type", "day")
+    }),
+    "q97_cm_sketch" -> ((s, dir) => {
+      // mergeable Count-Min frequency sketch: exact counters over salted
+      // portable hashes (merge = SUM by cell), the frequency-sketch
+      // counterpart of q84's HLL registers
+      operators.Sketches.cmSketch(t(s, dir, "events"), "user_id",
+          depth = 4, width = 256)
+        .orderBy("depth", "width_pos")
+    }),
+    "q98_rank_quartiles" -> ((s, dir) => {
+      // ranking-window coverage: dense_rank over tied lengths + ntile
+      // quartile assignment per language partition
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          dense_rank().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy("n_chars")).cast("long").as("dr"),
+          ntile(4).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy("n_chars", "doc_id"))
+            .cast("long").as("quartile"))
+        .orderBy("doc_id")
+    }),
+    "q99_vocab_setops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT coverage: slice vocabularies as sets — shared
+      // tokens and src0-only tokens in one labeled relation
+      val tk = t(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val v0 = tk.filter(col("source") === "src0").select("tok").distinct()
+      val v1 = tk.filter(col("source") === "src1").select("tok").distinct()
+      v0.intersect(v1).select(lit("shared").as("rel"), col("tok"))
+        .unionByName(v0.except(v1).select(lit("only_src0").as("rel"), col("tok")))
+        .orderBy("rel", "tok")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -2336,7 +2375,49 @@ object SparkEntry {
       .map(c => s"""SELECT '$c' AS column_name, count(*) AS n_rows,
            |  count(*) - count($c) AS n_null,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    "q96_gap_fill" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_m
+        |  FROM events WHERE value >= 200 GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        |grid AS (
+        |  SELECT t.event_type, g.day
+        |  FROM (SELECT DISTINCT event_type FROM d) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+        |              FROM bounds) g)
+        |SELECT grid.event_type, grid.day, COALESCE(d.n, 0) AS n,
+        |  COALESCE(d.sum_m, 0) AS sum_m,
+        |  CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS filled
+        |FROM grid LEFT JOIN d
+        |  ON grid.event_type = d.event_type AND grid.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
+    "q97_cm_sketch" ->
+      """WITH h AS (
+        |  SELECT d,
+        |    ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' ||
+        |       CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 256 AS width_pos
+        |  FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS d))
+        |SELECT CAST(d AS BIGINT) AS depth, width_pos, count(*) AS c
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q98_rank_quartiles" ->
+      """SELECT doc_id, lang,
+        |  CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS dr,
+        |  CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS quartile
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q99_vocab_setops" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |v0 AS (SELECT tok FROM tk WHERE source = 'src0'),
+        |v1 AS (SELECT tok FROM tk WHERE source = 'src1')
+        |SELECT 'shared' AS rel, tok FROM (SELECT tok FROM v0 INTERSECT SELECT tok FROM v1)
+        |UNION ALL
+        |SELECT 'only_src0' AS rel, tok FROM (SELECT tok FROM v0 EXCEPT SELECT tok FROM v1)
+        |ORDER BY rel, tok""".stripMargin)
 
   /** q84's oracle: the 54-branch lowest-set-bit CASE is generated (CASE
     * (b & −b) WHEN 2^i THEN i+1), mirroring [[operators.Sketches.rho]]. */

@@ -246,6 +246,32 @@ object Events {
       .select(col("event_id"), col("event_type"), col("v_m"))
   }
 
+  /** Gap-filled daily rollup: the complete (event_type, day) grid over the
+    * observed day range, absent cells zero-filled and marked `filled=1` —
+    * the densification step before any trailing-window or forecasting pass
+    * (a window over a rollup WITH HOLES silently averages over the wrong
+    * denominator).
+    *
+    * Shape: one hash agg builds the sparse rollup; the grid is
+    * |types|×|days| rows built from the rollup's own bounds (a 1-row agg
+    * + `sequence` explode — never a scan of the corpus), then one join
+    * back. All three relations after the first agg are dimension-sized. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    val d = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_m"))
+    val days = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val grid = d.select(col("event_type")).distinct().crossJoin(days)
+    grid.join(d, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_m"), lit(0L)).as("sum_m"),
+        when(col("n").isNull, lit(1L)).otherwise(lit(0L)).as("filled"))
+  }
+
   /** Fixed-width value histogram per event type: bucket = milli-unit
     * value DIV `widthM`. The distribution-profiling primitive behind
     * sizing decisions (salt factors, partition counts) — one map-side

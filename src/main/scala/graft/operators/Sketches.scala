@@ -43,4 +43,25 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col("register"): _*)
       .agg(max(col("_rho")).as("max_rho"))
   }
+
+  /** Count-Min sketch counter table over `keyCol`: `depth` independent
+    * rows (salted md5 hashes) × `width` counter positions, SPARSE — only
+    * nonzero cells emitted. Counters are exact sums, so the sketch merges
+    * with SUM by (depth, width_pos) across any split of the data, and the
+    * DuckDB oracle reproduces every cell bit-for-bit (same portable
+    * hashing as [[hllRegisters]]; the point estimate min_d(cell[d][h_d(x)])
+    * is a client-side read). One map-side-combinable hash agg over
+    * depth × |rows| exploded inputs; output ≤ depth·width per group. */
+  def cmSketch(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val salted = df
+      .select(col(keyCol).cast("string").as("_k"))
+      .withColumn("depth", explode(array((0 until depth).map(lit(_)): _*)))
+    val h = TextOps.portableHash60(
+      concat(col("depth").cast("string"), lit("|"), col("_k")))
+    salted
+      .withColumn("width_pos", pmod(h, lit(width.toLong)))
+      .groupBy(col("depth").cast("long").as("depth"), col("width_pos"))
+      .agg(count(lit(1)).as("c"))
+  }
 }

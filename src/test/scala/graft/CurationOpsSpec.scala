@@ -245,6 +245,47 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((99L, 11L)))
   }
 
+  test("gapFillDaily zero-fills and marks the missing grid cells") {
+    val s = spark; import s.implicits._
+    // type A has days 1 and 3 (day 2 missing); type B only day 1 — its
+    // day-2/day-3 cells must appear zero-filled too (full grid, not
+    // per-type spans)
+    val ev = Seq(
+      (1L, "A", "2024-01-01 10:00:00", 5.0),
+      (2L, "A", "2024-01-03 10:00:00", 7.0),
+      (3L, "B", "2024-01-01 10:00:00", 1.0))
+      .map { case (i, tp, t, v) => (i, ts(t), i, tp, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.gapFillDaily(ev)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(10),
+        r.getLong(2), r.getLong(4)))
+      .sorted
+    assert(out.toSeq == Seq(
+      ("A", "2024-01-01", 1L, 0L), ("A", "2024-01-02", 0L, 1L),
+      ("A", "2024-01-03", 1L, 0L),
+      ("B", "2024-01-01", 1L, 0L), ("B", "2024-01-02", 0L, 1L),
+      ("B", "2024-01-03", 0L, 1L)))
+  }
+
+  test("cmSketch counters merge with SUM across any data split") {
+    val s = spark; import s.implicits._
+    def evs(range: Seq[Long]) = range
+      .map(i => (i, ts("2024-01-01 00:00:00"), i % 5, "A", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val whole = Sketches.cmSketch(evs(1L to 40L), "user_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val p1 = Sketches.cmSketch(evs(1L to 17L), "user_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val p2 = Sketches.cmSketch(evs(18L to 40L), "user_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = (p1.keySet ++ p2.keySet)
+      .map(k => k -> (p1.getOrElse(k, 0L) + p2.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+    // every key hits exactly `depth` cells; total mass = depth * rows
+    assert(whole.values.sum == 4L * 40L)
+  }
+
   test("saltedCountByKey equals the plain group-by exactly") {
     val s = spark; import s.implicits._
     val df = (1L to 400L).map(i => (i % 7, i)).toDF("k", "x")
