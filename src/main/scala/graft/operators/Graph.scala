@@ -33,7 +33,10 @@ object Graph {
     * directions for an undirected graph. */
   def pageRank(edges: DataFrame, iters: Int, dampBp: Long = 8500L): DataFrame = {
     require(iters >= 1 && iters <= 20, s"iters=$iters outside [1, 20]")
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE: deg, ew and nodes all fan out from
+    // it, and an unmaterialized upstream (e.g. a distinct over a fact
+    // scan) would otherwise re-execute per consumer
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ew = e.join(deg, "src").localCheckpoint() // reused every iteration
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
