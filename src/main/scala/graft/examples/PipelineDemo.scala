@@ -103,6 +103,27 @@ object PipelineDemo {
     val mjpeg = Multimodal.mjpegFrameFeatures(
       Multimodal.packMjpeg(docs.limit(100), "doc_id").toDF())
     println(s"[pipeline] MJPEG decode: ${mjpeg.count()} frames")
+
+    // round-7 additions: profile the input, flag value outliers, rank
+    // character-level near-dups, fingerprint images perceptually
+    val prof = Profiling.profile(docs, Seq("text", "lang", "source"))
+    println("[pipeline] profile: " + prof.collect()
+      .map(r => s"${r.getString(0)}(null=${r.getLong(2)},distinct=${r.getLong(3)})")
+      .mkString(" "))
+    // the driver's events.ts is TIMESTAMP(NANOS): read nanos as long,
+    // floor to µs (same coercion as SparkEntry's loader)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val anomalies = Events.anomalyReport(events, k = 3)
+    println(s"[pipeline] value outliers (>3σ per type): ${anomalies.count()}")
+    val editPairs = Dedup.editDistanceNearDup(docs, "text", "doc_id",
+      Seq("lang", "source"), maxDist = 40, bandWidth = 64)
+    println(s"[pipeline] edit-distance near-dup pairs (d<=40): ${editPairs.count()}")
+    val phash = Multimodal.pngPerceptualHashes(
+      Multimodal.packPng(docs, "doc_id").toDF())
+    println(s"[pipeline] perceptual hashes: ${phash.count()} images, " +
+      s"distinct=${phash.toDF().select("ahash_hi", "ahash_lo").distinct().count()}")
     spark.stop()
   }
 }

@@ -28,7 +28,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q73_heavy_hitters", // per-key counts × broadcast(1-row Σtotal)
     "q74_embed_pq", // ADC scoring: code relation × broadcast(query vectors)
     "q75_bm25", // per-(doc,term) tf × broadcast(1-row corpus totals)
-    "q82_bloom_decontaminate") // corpus grams × broadcast(1-row bloom mask)
+    "q82_bloom_decontaminate", // corpus grams × broadcast(1-row bloom mask)
+    "q96_gap_fill") // grid build: |types| × broadcast(|days|), both dimension-sized
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
       "is deliberately broadcast") {
