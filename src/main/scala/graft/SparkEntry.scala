@@ -960,6 +960,29 @@ object SparkEntry {
         .unionByName(v0.except(v1).select(lit("only_src0").as("rel"), col("tok")))
         .orderBy("rel", "tok")
     }),
+    "q100_incremental_rollup" -> ((s, dir) => {
+      // incremental materialized-view maintenance: base and delta rollups
+      // merged by re-aggregation. The oracle is the FULL recompute — a
+      // hash match proves incremental == full, the property that lets a
+      // 100 TB rollup refresh from the delta alone
+      val ev = t(s, dir, "events")
+      val base = operators.Events.dailyRollup(ev.filter(col("event_id") % 2 === 0))
+      val delta = operators.Events.dailyRollup(ev.filter(col("event_id") % 2 === 1))
+      operators.Events.mergeRollups(base, delta)
+        .orderBy("event_type", "day")
+    }),
+    "q101_salted_join" -> ((s, dir) => {
+      // skew-proof salted join: small side replicated ×factor, large side
+      // salted by row hash — oracled against the PLAIN join, proving the
+      // replication+salt decomposition exact
+      val ev = t(s, dir, "events")
+      val dims = ev.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+      operators.Skew.saltedJoin(
+          ev.select("event_id", "user_id"), dims, "user_id",
+          saltOn = "event_id", factor = 4)
+        .select("event_id", "user_id", "user_n")
+        .orderBy("event_id")
+    }),
     "q39_rolling_fp" -> ((s, dir) => {
       // order-sensitive Rabin-Karp fingerprint (mod 2^31-1 over portable
       // md5-60-bit token hashes) + the content-addressed md5 fingerprint
@@ -2417,7 +2440,19 @@ object SparkEntry {
         |SELECT 'shared' AS rel, tok FROM (SELECT tok FROM v0 INTERSECT SELECT tok FROM v1)
         |UNION ALL
         |SELECT 'only_src0' AS rel, tok FROM (SELECT tok FROM v0 EXCEPT SELECT tok FROM v1)
-        |ORDER BY rel, tok""".stripMargin)
+        |ORDER BY rel, tok""".stripMargin,
+    "q100_incremental_rollup" ->
+      // the FULL recompute: hash match proves incremental merge == full
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS sum_m
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q101_salted_join" ->
+      // the PLAIN join: hash match proves the salted decomposition exact
+      """WITH dims AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY 1)
+        |SELECT event_id, events.user_id, user_n
+        |FROM events JOIN dims ON events.user_id = dims.user_id
+        |ORDER BY event_id""".stripMargin)
 
   /** q84's oracle: the 54-branch lowest-set-bit CASE is generated (CASE
     * (b & −b) WHEN 2^i THEN i+1), mirroring [[operators.Sketches.rho]]. */

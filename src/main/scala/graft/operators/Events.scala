@@ -246,6 +246,27 @@ object Events {
       .select(col("event_id"), col("event_type"), col("v_m"))
   }
 
+  /** Sparse daily rollup: exact integer counts + milli-unit sums per
+    * (event_type, day) — the mergeable building block for
+    * [[mergeRollups]] incremental maintenance. */
+  def dailyRollup(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1000).cast("long")).as("sum_m"))
+
+  /** Incremental materialized-rollup maintenance: merge an existing
+    * rollup with a delta batch's rollup — union + one re-aggregate by the
+    * same key, both measures algebraic (SUM), so
+    * `mergeRollups(rollup(base), rollup(delta)) == rollup(base ∪ delta)`
+    * EXACTLY. This is the 100 TB refresh shape: the nightly delta
+    * aggregates alone (delta-sized shuffle), and the merge touches only
+    * |keys| rows — the base corpus is never re-scanned. */
+  def mergeRollups(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_m")).as("sum_m"))
+
   /** Gap-filled daily rollup: the complete (event_type, day) grid over the
     * observed day range, absent cells zero-filled and marked `filled=1` —
     * the densification step before any trailing-window or forecasting pass

@@ -286,6 +286,69 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(whole.values.sum == 4L * 40L)
   }
 
+  test("editDistanceNearDup equals brute force on random corpora (banding lossless)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(4242)
+    def randDoc(): String = {
+      val n = 3 + rnd.nextInt(30)
+      Seq.fill(n)(('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    // Java-side reference Levenshtein
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j =>
+        if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (round <- 1 to 3) {
+      val docs = (1L to 40L).map(i => (i, randDoc(), "en", "src0"))
+      val expected = (for {
+        (ia, ta, _, _) <- docs; (ib, tb, _, _) <- docs if ia < ib
+        d = lev(ta, tb) if d <= 8
+      } yield (ia, ib, d)).sorted
+      val got = Dedup.editDistanceNearDup(
+          docs.toDF("doc_id", "text", "lang", "source"),
+          "text", "doc_id", Seq("lang", "source"), maxDist = 8, bandWidth = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+      assert(got.toSeq == expected, s"round $round")
+    }
+  }
+
+  test("phraseMatches equals naive sliding-window counts on random token streams") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(777)
+    val vocab = Array("a", "b", "c")
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(5 + rnd.nextInt(30))(vocab(rnd.nextInt(3))).mkString(" "))
+    }
+    val phrase = Seq("a", "b", "a")
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val n = toks.sliding(3).count(_.sameElements(phrase))
+      if (n > 0) Some((id, n.toLong)) else None
+    }.sorted
+    val got = TextOps.phraseMatches(docs.toDF("doc_id", "text"), "text", "doc_id", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("mergeRollups(base, delta) equals the full recompute") {
+    val s = spark; import s.implicits._
+    val ev = (1L to 60L).map(i => (i, ts(f"2024-01-${1 + (i % 9).toInt}%02d 05:00:00"),
+        i, if (i % 2 == 0) "A" else "B", i * 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1).toString, r.getLong(2), r.getLong(3))
+    val full = Events.dailyRollup(ev).collect().map(key).sorted
+    val merged = Events.mergeRollups(
+        Events.dailyRollup(ev.filter(col("event_id") % 3 === 0)),
+        Events.dailyRollup(ev.filter(col("event_id") % 3 =!= 0)))
+      .collect().map(key).sorted
+    assert(merged.toSeq == full.toSeq)
+  }
+
   test("saltedCountByKey equals the plain group-by exactly") {
     val s = spark; import s.implicits._
     val df = (1L to 400L).map(i => (i % 7, i)).toDF("k", "x")
