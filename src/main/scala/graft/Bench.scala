@@ -52,7 +52,10 @@ object Bench {
     // millisecond precision keep the whole line comfortably under the cap.
     def shortKey(name: String): String =
       if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would render 93.5 as "93,500" — invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errs.take(5).map { case (k, v) =>

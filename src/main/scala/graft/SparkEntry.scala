@@ -2198,8 +2198,11 @@ object SparkEntry {
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |  FROM documents),
-        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
+        |sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |  FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, unnest(sh0.sh) AS gram FROM sh0),
         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -2300,7 +2303,8 @@ object SparkEntry {
       // exact integers on both engines, no float at the boundary
       """WITH v AS (
         |  SELECT event_id, event_type,
-        |    CAST(floor(value*1000) AS BIGINT) AS v_m FROM events),
+        |    CAST(floor(value*1000) AS BIGINT) AS v_m FROM events
+        |  WHERE value IS NOT NULL),
         |st AS (
         |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
         |    CAST(sum(v_m) AS HUGEINT) AS s, CAST(sum(v_m*v_m) AS HUGEINT) AS ss

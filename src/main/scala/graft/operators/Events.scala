@@ -117,7 +117,11 @@ object Events {
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
       .withColumn("t_first", col("t_prev"))
-    val stages = steps.drop(1).scanLeft(first) { (prev, step) =>
+    // each stage is materialized (|users|-sized): the per-stage counts
+    // below are separate branches of one union, and without this every
+    // branch would re-execute its whole predecessor chain — O(steps²)
+    // scans of the events table
+    val stages = steps.drop(1).scanLeft(first.localCheckpoint()) { (prev, step) =>
       ev.filter(col("event_type") === step)
         .join(prev, "user_id")
         .filter(col("ts") > col("t_prev") &&
@@ -125,6 +129,7 @@ object Events {
             unix_micros(col("t_first")) + windowSeconds * 1000000L)
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("t_prev"), min(col("t_first")).as("t_first"))
+        .localCheckpoint()
     }
     stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
       df.agg(count(lit(1)).as("n_users"))
@@ -230,8 +235,11 @@ object Events {
     * table (|event types| rows), which broadcasts back onto the scan — the
     * corpus is read once and never shuffled. */
   def anomalyReport(events: DataFrame, k: Int = 3): DataFrame = {
-    val v = events.select(col("event_id"), col("event_type"),
-      floor(col("value") * 1000).cast("long").as("v_m"))
+    // null values would inflate n but not S/SS — exclude them so the
+    // moments describe exactly the rows being judged
+    val v = events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("v_m"))
     val x = col("v_m").cast("decimal(12,0)")
     val st = v.groupBy("event_type").agg(
       count(lit(1)).cast("decimal(11,0)").as("_n"),
@@ -302,6 +310,10 @@ object Events {
     events
       .select(col("event_type"),
         floor(col("value") * 1000).cast("long").as("_v"))
-      .groupBy(col("event_type"), expr("_v DIV " + widthM).as("bucket"))
+      // FLOOR division (DIV truncates toward zero): negative milli-values
+      // must land in bucket -1, not merge into bucket 0 — subtracting the
+      // nonnegative pmod first makes the DIV exact floor in pure longs
+      .groupBy(col("event_type"),
+        expr(s"(_v - pmod(_v, $widthM)) DIV $widthM").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_m"))
 }

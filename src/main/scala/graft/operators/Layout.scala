@@ -67,7 +67,10 @@ object Layout {
     import org.apache.spark.sql.expressions.Window
     val byKey = Window.partitionBy(keyCol).orderBy(fileCol)
     val prefixRows = sum(col(rowsCol)).over(byKey) - col(rowsCol)
-    statsDf.withColumn("group_id",
-      floor(prefixRows / lit(targetRows)).cast("long"))
+    // integer DIV, not floor(double /): prefix sums past 2^53 would round
+    // at group boundaries (values are nonnegative, so DIV == floor here)
+    statsDf.withColumn("_prefix", prefixRows)
+      .withColumn("group_id", expr(s"_prefix DIV $targetRows").cast("long"))
+      .drop("_prefix")
   }
 }

@@ -392,10 +392,13 @@ object TextOps {
     *   score_m = (1000·(2N−2df+1)·22·tf·T) DIV ((2df+1)·(10·tf·T + 3·T + 9·dl·N))
     *
     * (T = total corpus tokens, so avgdl = T/N stays a ratio and never
-    * rounds). Any engine with 64-bit integers reproduces it bit-for-bit;
-    * magnitudes stay < 2^53 up to ~10⁹-token corpora per partition of the
-    * score, and the per-doc score is a SUM of integers — aggregation-order
-    * independent, unlike float BM25.
+    * rounds). Any engine with 64-bit integers reproduces it bit-for-bit.
+    * Magnitude bound: the numerator ≈ 44000·N·tf·T must stay < 2⁶³, i.e.
+    * N·tf·T < ~2·10¹⁴ (fine for the per-slice corpora this targets; for a
+    * web-scale corpus cast the formula's operands to decimal(38,0) /
+    * HUGEINT on both engines — same rational, wider registers). The
+    * per-doc score is a SUM of integers — aggregation-order independent,
+    * unlike float BM25.
     *
     * Shape: token explode → per-doc length agg; term tf agg (the term
     * filter prunes the explode FIRST, so the big agg only sees matching

@@ -163,10 +163,13 @@ object StreamingOps {
     * is flagged when its value deviates more than `k`σ from the moments
     * accumulated BEFORE it (never its own batch's future), using the same
     * exact integer test as the batch [[graft.operators.Events.anomalyReport]]
-    * — (n·x−S)² > k²·(n·SS−S²), compared in BigInt so no magnitude bound
-    * applies. Warm-up: nothing is flagged until `minCount` events of the
-    * type have been seen. State per key is three longs — constant, no
-    * timeout needed. Within a micro-batch, events apply in (ts, event_id)
+    * — (n·x−S)² > k²·(n·SS−S²), compared in BigInt (the comparison has no
+    * magnitude bound). The accumulated state is three longs, so the
+    * sum-of-squares bounds the stream at n·v² < 2⁶³ per type (≈9·10⁶
+    * events at v_m = 10⁶); accumulation is `addExact`/`multiplyExact`, so
+    * crossing that bound throws instead of silently flagging garbage.
+    * Warm-up: nothing is flagged until `minCount` events of the type have
+    * been seen. Within a micro-batch, events apply in (ts, event_id)
     * order, so a replay from the same batch boundaries is deterministic. */
   def anomalyStream(
       events: Dataset[ValueEvent], k: Int = 3,
@@ -188,7 +191,8 @@ object StreamingOps {
               if (d * d > BigInt(k.toLong * k) * (n * ss - s * s))
                 flagged += Anomaly(e.event_id, tp, v, st.n)
             }
-            st = MomentState(st.n + 1, st.s + v, st.ss + v * v)
+            st = MomentState(st.n + 1, Math.addExact(st.s, v),
+              Math.addExact(st.ss, Math.multiplyExact(v, v)))
           }
           state.update(st)
           flagged.iterator

@@ -130,16 +130,20 @@ class CurationOpsSpec extends AnyFunSuite {
 
   // ---- valueHistogram + salted agg ------------------------------------
 
-  test("valueHistogram buckets milli-units with exact sums") {
+  test("valueHistogram buckets milli-units with exact sums; negatives floor to -1") {
     val s = spark; import s.implicits._
-    val ev = Seq((1L, "A", 10.0), (2L, "A", 30.0), (3L, "A", 49.999), (4L, "B", 0.0))
+    val ev = Seq((1L, "A", 10.0), (2L, "A", 30.0), (3L, "A", 49.999),
+        (4L, "B", 0.0), (5L, "B", -0.5))
       .map { case (i, tp, v) => (i, ts("2024-01-01 00:00:00"), i, tp, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = Events.valueHistogram(ev, widthM = 25000L)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sorted
+    // -0.5 -> v_m = -500 -> FLOOR bucket -1 (truncation would merge it
+    // into bucket 0, diverging from the oracle's // semantics)
     assert(out.toSeq == Seq(
-      ("A", 0L, 1L, 10000L), ("A", 1L, 2L, 79999L), ("B", 0L, 1L, 0L)))
+      ("A", 0L, 1L, 10000L), ("A", 1L, 2L, 79999L),
+      ("B", -1L, 1L, -500L), ("B", 0L, 1L, 0L)))
   }
 
   // ---- perceptual hash ------------------------------------------------
