@@ -199,6 +199,30 @@ object StreamingOps {
         })
   }
 
+  /** Stream-stream interval join: each left event pairs with the right
+    * events of the same `key` whose timestamp falls in
+    * (left.ts − boundSeconds, left.ts] — attribution ("which click led to
+    * this purchase") as a streaming primitive.
+    *
+    * Both sides are watermarked, and the time-bound join condition is
+    * what lets Spark's symmetric hash join EVICT state: without it each
+    * side would buffer forever waiting for arbitrarily-late matches. The
+    * same code shape runs the 100 TB backfill as an ordinary range join.
+    * Column names are prefixed (`l_`/`r_`) because stream-stream joins
+    * forbid ambiguous references. */
+  def intervalJoinStreams(
+      left: DataFrame, right: DataFrame, key: String, tsCol: String,
+      watermark: String = "1 hour", boundSeconds: Long = 3600L): DataFrame = {
+    val l = left.toDF(left.columns.map("l_" + _).toIndexedSeq: _*)
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.toDF(right.columns.map("r_" + _).toIndexedSeq: _*)
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col(s"r_$tsCol") > col(s"l_$tsCol") - expr(s"INTERVAL $boundSeconds SECONDS") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol"))
+  }
+
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {

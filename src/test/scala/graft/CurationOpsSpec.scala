@@ -353,6 +353,34 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(merged.toSeq == full.toSeq)
   }
 
+  test("intervalJoinStreams pairs events within the bound via symmetric hash join") {
+    import graft.streaming.StreamingOps
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = s.sqlContext
+    val clicks = MemoryStream[StreamingOps.ValueEvent]
+    val buys = MemoryStream[StreamingOps.ValueEvent]
+    // purchase 101 at 10:30 matches click 1 (10:00, within 1h) but not
+    // click 2 (09:00, outside); purchase 102 is another user entirely;
+    // purchase 103 PRECEDES its user's click -> no match
+    buys.addData(
+      StreamingOps.ValueEvent(101L, "u1", ts("2024-01-01 10:30:00"), 9.99),
+      StreamingOps.ValueEvent(102L, "u2", ts("2024-01-01 10:30:00"), 5.0),
+      StreamingOps.ValueEvent(103L, "u3", ts("2024-01-01 08:00:00"), 1.0))
+    clicks.addData(
+      StreamingOps.ValueEvent(1L, "u1", ts("2024-01-01 10:00:00"), 0.0),
+      StreamingOps.ValueEvent(2L, "u1", ts("2024-01-01 09:00:00"), 0.0),
+      StreamingOps.ValueEvent(3L, "u3", ts("2024-01-01 09:00:00"), 0.0))
+    val joined = StreamingOps.intervalJoinStreams(
+      buys.toDS().toDF(), clicks.toDS().toDF(),
+      key = "event_type", tsCol = "ts", boundSeconds = 3600L)
+    val q = StreamingOps.runToMemory(joined, "attrib")
+    val out = s.sql("SELECT l_event_id, r_event_id FROM attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    q.stop()
+    assert(out.toSeq == Seq((101L, 1L)))
+  }
+
   test("saltedCountByKey equals the plain group-by exactly") {
     val s = spark; import s.implicits._
     val df = (1L to 400L).map(i => (i % 7, i)).toDF("k", "x")
