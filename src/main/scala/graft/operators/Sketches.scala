@@ -64,4 +64,40 @@ object Sketches {
       .groupBy(col("depth").cast("long").as("depth"), col("width_pos"))
       .agg(count(lit(1)).as("c"))
   }
+
+  // --- client-side estimate readers (plain Scala: the sketches above are
+  // the DISTRIBUTED artifacts; estimation runs on their collected rows) ---
+
+  /** The md5-60-bit hash of [[TextOps.portableHash60]], computed locally —
+    * estimate readers must hash exactly like the sketch builders. */
+  private[graft] def localHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** HLL cardinality estimate from collected (register, max_rho) rows of
+    * ONE group — the standard harmonic mean with the small-range
+    * linear-counting correction. Registers absent from the sparse table
+    * count as zero. */
+  def hllEstimate(registers: Seq[(Long, Long)]): Double = {
+    val m = Registers
+    val rho = Array.fill(m)(0L)
+    registers.foreach { case (r, x) => rho(r.toInt) = x }
+    val alpha = 0.709 // α_64
+    val raw = alpha * m * m / rho.map(x => math.pow(2.0, -x.toDouble)).sum
+    val zeros = rho.count(_ == 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
+  /** Count-Min point estimate of `key`'s frequency from collected sparse
+    * (depth, width_pos, c) cells: min over rows of the key's cell —
+    * always an OVERestimate (collisions only add). */
+  def cmEstimate(cells: Seq[(Long, Long, Long)], key: String,
+      depth: Int = 4, width: Int = 256): Long = {
+    val m = cells.map { case (d, w, c) => (d, w) -> c }.toMap
+    (0 until depth).map { d =>
+      m.getOrElse((d.toLong, localHash60(s"$d|$key") % width), 0L)
+    }.min
+  }
 }

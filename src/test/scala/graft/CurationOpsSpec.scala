@@ -381,6 +381,32 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((101L, 1L)))
   }
 
+  test("sketch estimate readers: local hash matches the distributed one; estimates sane") {
+    val s = spark; import s.implicits._
+    // differential: localHash60 == portableHash60 on the same strings
+    val strs = Seq("0|42", "3|user-9", "plain", "")
+    val dist = strs.toDF("x")
+      .select(TextOps.portableHash60(col("x"))).collect().map(_.getLong(0))
+    assert(strs.map(Sketches.localHash60) == dist.toSeq)
+
+    def evs(uids: Seq[Long]) = uids.zipWithIndex
+      .map { case (u, i) => (i.toLong, ts("2024-01-01 00:00:00"), u, "A", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // CM: key 7 appears 12 times, key 3 twice; estimates are exact here
+    // (no collisions at this sparsity) and NEVER underestimates by design
+    val cm = Sketches.cmSketch(evs(Seq.fill(12)(7L) ++ Seq(3L, 3L)), "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(Sketches.cmEstimate(cm, "7") == 12L)
+    assert(Sketches.cmEstimate(cm, "3") == 2L)
+    assert(Sketches.cmEstimate(cm, "999") == 0L)
+
+    // HLL: 40 distinct users; the 64-register estimate lands within 25%
+    val regs = Sketches.hllRegisters(evs((1L to 40L) ++ (1L to 40L)), "user_id", Nil)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val est = Sketches.hllEstimate(regs)
+    assert(est > 30 && est < 50, s"estimate $est")
+  }
+
   test("saltedCountByKey equals the plain group-by exactly") {
     val s = spark; import s.implicits._
     val df = (1L to 400L).map(i => (i % 7, i)).toDF("k", "x")
