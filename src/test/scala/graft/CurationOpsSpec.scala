@@ -42,6 +42,55 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Events.anomalyReport(ev, k = 1).count() == 0L)
   }
 
+  test("anomalyReport equals a BigInt reference on random data incl. negatives") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260813)
+    // adversarial magnitudes: values spanning ±1e3 (v_m up to ±1e6) across
+    // uneven type sizes — the decimal-width arithmetic must agree with an
+    // unbounded BigInt reference on every row
+    val rows = (1L to 3000L).map { i =>
+      val tp = s"T${i % 7}"
+      // heavy tail: ~2% of rows spike 5x (a uniform body alone never
+      // exceeds 2sigma — max |v| < 2*stddev of U(-a, a))
+      val base = (rnd.nextDouble() - 0.5) * 2000.0
+      val v = if (rnd.nextInt(50) == 0) base * 5 else base
+      (i, ts("2024-01-01 00:00:00"), i, tp, v, "{}")
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.anomalyReport(ev, k = 2)
+      .collect().map(_.getLong(0)).sorted
+    // reference: same integer test in BigInt
+    val vm = rows.map { case (id, _, _, tp, v, _) => (id, tp, math.floor(v * 1000).toLong) }
+    val moments = vm.groupBy(_._2).map { case (tp, rs) =>
+      tp -> (BigInt(rs.size), rs.map(r => BigInt(r._3)).sum,
+        rs.map(r => BigInt(r._3) * BigInt(r._3)).sum)
+    }
+    val expected = vm.filter { case (_, tp, x) =>
+      val (n, sS, ss) = moments(tp)
+      val d = n * x - sS
+      d * d > BigInt(4) * (n * ss - sS * sS)
+    }.map(_._1).sorted
+    assert(got.toSeq == expected)
+    assert(expected.nonEmpty, "vacuous: no outliers drawn")
+  }
+
+  test("charDiversity equals a naive local computation on random unicode-ish text") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(99)
+    val alphabet = "abγδ∂ 日x"
+    val docs = (1L to 50L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val expected = docs.map { case (id, text) =>
+      val counts = text.groupBy(identity).map(_._2.length.toLong)
+      val n = counts.sum; val sum2 = counts.map(c => c * c).sum
+      (id, n, 10000L * (n * n - sum2) / (n * n))
+    }.sorted
+    val got = TextOps.charDiversity(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == expected)
+  }
+
   // ---- editDistanceNearDup --------------------------------------------
 
   private def docsDf(rows: Seq[(Long, String)]) = {
