@@ -740,6 +740,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    "q102_ivf_pq" -> ((s, dir) => {
+      // IVF-PQ, the production two-stage ANN: coarse inverted lists
+      // (q23's shape) restrict WHICH vectors each query scores; PQ codes
+      // (q74's shape) decide HOW — the raw corpus is never re-read after
+      // the two broadcast encode passes
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8, seedMod = 59)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), cents, cb,
+          m = 8, dim = 64, k = 5, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
     "q75_bm25" -> ((s, dir) => {
       // BM25 relevance top-k against a seed term set — quality-targeted
       // data selection. All-integer rational BM25 (k1=6/5, b=3/4, log-free
@@ -1200,6 +1214,59 @@ object SparkEntry {
        |    AND q.nid < $nQueries
        |  WHERE codes.nid <> q.nid
        |  GROUP BY q.nid, codes.nid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** q102 oracle, generated: IVF-PQ re-derived end-to-end — the q23-style
+    * cosine argmax assignment/probing over mod-seeded centroids composed
+    * with the q74 fixed-point PQ encode + ADC scoring, restricted to each
+    * query's probed inverted lists. */
+  private def ivfPqAdcOracle(dim: Int = 64, m: Int = 8, pqMod: Int = 59,
+      ivfMod: Int = 37, nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
+    val dsub = dim / m
+    s"""WITH fp AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fp WHERE vec_id % $pqMod = 0),
+       |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id % $ivfMod = 0),
+       |corpus_assign AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT e.vec_id AS nid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
+       |    FROM embeddings e, cents c) WHERE cr <= 1),
+       |query_probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
+       |    FROM embeddings e, cents c WHERE e.vec_id < $nQueries) WHERE cr <= $nProbe),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.vec_id AS nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM fp p, js, cb c),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |scored AS (
+       |  SELECT p.qid, codes.nid, CAST(-sum(q.dist) AS DOUBLE) AS score
+       |  FROM query_probe p
+       |  JOIN corpus_assign a ON a.cid = p.cid
+       |  JOIN codes ON codes.nid = a.nid
+       |  JOIN cd q ON q.j = codes.j AND q.code = codes.code AND q.nid = p.qid
+       |  WHERE codes.nid <> p.qid
+       |  GROUP BY p.qid, codes.nid)
        |SELECT qid, nid, rank, round(score, 4) AS score FROM (
        |  SELECT qid, nid, score,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
@@ -2145,6 +2212,7 @@ object SparkEntry {
         |    ELSE (n * 10000 // total + 99) // 100 END AS salt_factor
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     "q74_embed_pq" -> pqAdcOracle(),
+    "q102_ivf_pq" -> ivfPqAdcOracle(),
     "q75_bm25" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

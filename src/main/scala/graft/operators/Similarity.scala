@@ -218,6 +218,29 @@ object Similarity {
     * 64-dim float data; 8 longs vs 256 bytes) against a broadcast query
     * table and partially aggregates the per-subspace sums map-side. Ranking
     * is the k-bounded heap aggregate, not a window. */
+  private def subDistOn(vec: Column, dsub: Int): Column =
+    graft.functions.VectorExpressions
+      .vec_subl2sq_fp6(vec, col("cvec"), col("j") * dsub, dsub)
+
+  /** PQ encode: argmin cell per (vector, subspace); ties → smallest code.
+    * One broadcast of the codebook + one map-side-combinable aggregate. */
+  private def pqEncode(corpus: DataFrame, cb: DataFrame, dsub: Int,
+      idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(cb)
+      .withColumn("dist", subDistOn(col("nvec"), dsub))
+      .groupBy(col("nid"), col("j"))
+      .agg(max_by(col("code"),
+        struct((-col("dist")).as("nd"), (-col("code")).as("nc"))).as("code"))
+
+  /** ADC table: every (query, subspace, cell) distance — small, broadcast. */
+  private def pqQueryTable(queries: DataFrame, cb: DataFrame, dsub: Int,
+      idCol: String, vecCol: String): DataFrame =
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(cb)
+      .withColumn("qdist", subDistOn(col("qvec"), dsub))
+      .select(col("qid"), col("j"), col("code"), col("qdist"))
+
   def pqTopKWith(
       corpus: DataFrame, queries: DataFrame, codebook: DataFrame,
       m: Int, dim: Int, k: Int,
@@ -225,24 +248,59 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
     val dsub = dim / m
     val cb = broadcast(codebook.select(col("j"), col("code"), col("cvec")))
-    def subDist(vec: Column) = graft.functions.VectorExpressions
-      .vec_subl2sq_fp6(vec, col("cvec"), col("j") * dsub, dsub)
-
-    // encode: argmin cell per (vector, subspace); ties → smallest code
-    val corpusCodes = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .crossJoin(cb)
-      .withColumn("dist", subDist(col("nvec")))
-      .groupBy(col("nid"), col("j"))
-      .agg(max_by(col("code"),
-        struct((-col("dist")).as("nd"), (-col("code")).as("nc"))).as("code"))
-
-    // ADC table: every (query, subspace, cell) distance — small, broadcast
-    val qtab = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .crossJoin(cb)
-      .withColumn("qdist", subDist(col("qvec")))
-      .select(col("qid"), col("j"), col("code"), col("qdist"))
-
+    val corpusCodes = pqEncode(corpus, cb, dsub, idCol, vecCol)
+    val qtab = pqQueryTable(queries, cb, dsub, idCol, vecCol)
     val scored = corpusCodes.join(broadcast(qtab), Seq("j", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qdist")).as("adist"))
+      .select(col("qid"), col("nid"), (-col("adist")).cast("double").as("score"))
+    rankTopK(scored, k)
+  }
+
+  /** IVF-PQ (the production two-stage ANN): coarse inverted lists restrict
+    * WHICH vectors each query scores; PQ codes decide HOW they are scored
+    * — never touching the raw corpus vectors after the two encode passes.
+    *
+    * Scale shape: the corpus is read twice, each time against a broadcast
+    * (assign: argmax over `centroids`; encode: argmin per subspace over
+    * `codebook`) with map-side-combinable aggregates — no shuffle carries
+    * a raw vector. Scoring joins the m-codes relation to its cell
+    * assignment on `nid` (colocated), restricts by broadcast query probes
+    * on `cid`, sums the broadcast ADC table entries. At 100 TB the scored
+    * relation is (probed fraction) × (m longs per vector) — the raw
+    * corpus never re-enters. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, m: Int, dim: Int, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    import org.apache.spark.sql.expressions.Window
+    val dsub = dim / m
+    val cents = broadcast(centroids.select(col("cid"), col("cvec")))
+    val cb = broadcast(codebook.select(col("j"), col("code"), col("cvec")))
+
+    // coarse assignment: argmax cosine, ties → smallest cid (q23's shape)
+    val assign = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("nvec"), col("cvec")))
+      .groupBy(col("nid"))
+      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"))
+
+    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("cid"))
+
+    val corpusCodes = pqEncode(corpus, cb, dsub, idCol, vecCol)
+    val qtab = pqQueryTable(queries, cb, dsub, idCol, vecCol)
+
+    val scored = corpusCodes.join(assign, "nid")
+      .join(broadcast(probes), "cid")
+      .join(broadcast(qtab), Seq("qid", "j", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy(col("qid"), col("nid"))
       .agg(sum(col("qdist")).as("adist"))

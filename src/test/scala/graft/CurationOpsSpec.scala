@@ -224,6 +224,31 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(Multimodal.decodePHash(1L, png).isEmpty)
   }
 
+  test("ivfPqTopK with full probing degenerates to plain PQ ADC") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31337)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(8)(rnd.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val cents = emb.filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(emb, m = 2, seedMod = 13)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+    // probing EVERY list must reproduce the unrestricted PQ ranking
+    val full = rows(Similarity.ivfPqTopK(emb, queries, cents, cb,
+      m = 2, dim = 8, k = 4, nProbe = 100))
+    val plain = rows(Similarity.pqTopKWith(emb, queries, cb, m = 2, dim = 8, k = 4))
+    assert(full.toSeq == plain.toSeq)
+    // restricted probing returns a SUBSET of vectors, never new ones
+    val probed = rows(Similarity.ivfPqTopK(emb, queries, cents, cb,
+      m = 2, dim = 8, k = 4, nProbe = 1))
+    val probedPerQ = probed.groupBy(_._1)
+    assert(probed.nonEmpty && probedPerQ.values.forall(_.length <= 4))
+  }
+
   // ---- profiling --------------------------------------------------------
 
   test("profile reports exact nulls and cardinality per column") {

@@ -29,7 +29,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q74_embed_pq", // ADC scoring: code relation × broadcast(query vectors)
     "q75_bm25", // per-(doc,term) tf × broadcast(1-row corpus totals)
     "q82_bloom_decontaminate", // corpus grams × broadcast(1-row bloom mask)
-    "q96_gap_fill") // grid build: |types| × broadcast(|days|), both dimension-sized
+    "q96_gap_fill", // grid build: |types| × broadcast(|days|), both dimension-sized
+    "q102_ivf_pq") // IVF assign + PQ encode: corpus × broadcast(centroids/codebook)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
       "is deliberately broadcast") {
