@@ -754,6 +754,13 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    "q103_winsorize" -> ((s, dir) => {
+      // EXACT order-statistic winsorization: median and p99 as integer
+      // rank statistics (no interpolation, no float), capped sums — the
+      // outlier-capping report interpolated percentiles can't oracle
+      operators.Events.winsorizeReport(t(s, dir, "events"), capBp = 9900)
+        .orderBy("event_type")
+    }),
     "q75_bm25" -> ((s, dir) => {
       // BM25 relevance top-k against a seed term set — quality-targeted
       // data selection. All-integer rational BM25 (k1=6/5, b=3/4, log-free
@@ -2524,7 +2531,27 @@ object SparkEntry {
       """WITH dims AS (SELECT user_id, count(*) AS user_n FROM events GROUP BY 1)
         |SELECT event_id, events.user_id, user_n
         |FROM events JOIN dims ON events.user_id = dims.user_id
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q103_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(floor(value*1000) AS BIGINT) AS v_m
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, v_m,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v_m) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM v),
+        |th AS (
+        |  SELECT event_type, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v_m END) AS med_m,
+        |    max(CASE WHEN rn = (9900*n + 9999) // 10000 THEN v_m END) AS p99_m
+        |  FROM r GROUP BY 1)
+        |SELECT v.event_type, max(th.n) AS n, max(med_m) AS med_m,
+        |  max(p99_m) AS p99_m,
+        |  CAST(sum(least(v_m, p99_m)) AS BIGINT) AS capped_sum_m,
+        |  CAST(sum(CASE WHEN v_m > p99_m THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+        |FROM v JOIN th ON v.event_type = th.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** q84's oracle: the 54-branch lowest-set-bit CASE is generated (CASE
     * (b & −b) WHEN 2^i THEN i+1), mirroring [[operators.Sketches.rho]]. */

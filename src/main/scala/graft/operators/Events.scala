@@ -301,6 +301,38 @@ object Events {
         when(col("n").isNull, lit(1L)).otherwise(lit(0L)).as("filled"))
   }
 
+  /** Winsorization report with EXACT order statistics: per event type the
+    * (lower) median and p99 as integer milli-unit order statistics —
+    * value at rank ⌈0.99·n⌉, well-defined under ties, no interpolation,
+    * no float — plus the capped sum and how many rows the cap touched.
+    * The outlier-capping step of value cleaning, oracle-exact where
+    * interpolated percentiles never are.
+    *
+    * Shape: one shuffle sorts values WITHIN each type partition (the
+    * honest cost of an exact order statistic; the approximate path at
+    * extreme scale is the q91 histogram + cumulative scan), one tiny
+    * threshold table joined back broadcast. */
+  def winsorizeReport(events: DataFrame, capBp: Int = 9900): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = events.filter(col("value").isNotNull)
+      .select(col("event_type"), floor(col("value") * 1000).cast("long").as("v_m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v_m"))
+    val ranked = v
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val th = ranked.groupBy(col("event_type")).agg(
+      max(col("n")).as("n"),
+      max(when(col("rn") === expr("(n + 1) DIV 2"), col("v_m"))).as("med_m"),
+      max(when(col("rn") === expr(s"($capBp * n + 9999) DIV 10000"), col("v_m")))
+        .as("p99_m"))
+    v.join(broadcast(th), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("med_m")).as("med_m"),
+        max(col("p99_m")).as("p99_m"),
+        sum(least(col("v_m"), col("p99_m"))).as("capped_sum_m"),
+        sum(when(col("v_m") > col("p99_m"), 1L).otherwise(0L)).as("n_capped"))
+  }
+
   /** Fixed-width value histogram per event type: bucket = milli-unit
     * value DIV `widthM`. The distribution-profiling primitive behind
     * sizing decisions (salt factors, partition counts) — one map-side

@@ -323,6 +323,23 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((99L, 11L)))
   }
 
+  test("winsorizeReport: exact rank statistics and capped sums on a known set") {
+    val s = spark; import s.implicits._
+    // 10 values 1..9 + spike 100 (type A): n=10, lower median = rank 5 = 5,
+    // p99 rank = ceil(.99*10) = 10 -> 100?? no: (9900*10+9999) DIV 10000 = 10
+    // -> p99 = the max; use capBp 8000: rank (8000*10+9999)/10000 = 8 -> 8
+    val ev = ((1L to 9L).map(i => (i, "A", i.toDouble)) :+ (10L, "A", 100.0))
+      .map { case (i, tp, v) => (i, ts("2024-01-01 00:00:00"), i, tp, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.winsorizeReport(ev, capBp = 8000).collect().head
+    assert(out.getLong(1) == 10L)      // n
+    assert(out.getLong(2) == 5000L)    // median (lower) in milli-units
+    assert(out.getLong(3) == 8000L)    // p80 order statistic
+    // capped sum: 1..8 kept, 9 and 100 capped to 8 -> 36+8+8 = 52 units
+    assert(out.getLong(4) == 52000L)
+    assert(out.getLong(5) == 2L)       // rows the cap touched
+  }
+
   test("gapFillDaily zero-fills and marks the missing grid cells") {
     val s = spark; import s.implicits._
     // type A has days 1 and 3 (day 2 missing); type B only day 1 — its
