@@ -761,6 +761,22 @@ object SparkEntry {
       operators.Events.winsorizeReport(t(s, dir, "events"), capBp = 9900)
         .orderBy("event_type")
     }),
+    "q104_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+      // list (q75's scorer) and a dense embedding top-k list (q22's),
+      // fused in exact integer milli-points
+      val bm = TextOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+          terms = Seq("dup", "spark", "hash"), k = 50)
+        .select(col("doc_id").as("id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25_m").desc, col("doc_id"))).cast("long").as("rank"))
+      val emb = t(s, dir, "embeddings")
+      val nn = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("nid").as("id"), col("rank").cast("long").as("rank"))
+      Similarity.rrfFuse(Seq(bm, nn), kRrf = 60, k = 20)
+        .select(col("id").as("doc_id"), col("rrf_m"))
+    }),
     "q75_bm25" -> ((s, dir) => {
       // BM25 relevance top-k against a seed term set — quality-targeted
       // data selection. All-integer rational BM25 (k1=6/5, b=3/4, log-free
@@ -2532,6 +2548,36 @@ object SparkEntry {
         |SELECT event_id, events.user_id, user_n
         |FROM events JOIN dims ON events.user_id = dims.user_id
         |ORDER BY event_id""".stripMargin,
+    "q104_hybrid_rrf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tk GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk
+        |  WHERE tok IN ('dup', 'spark', 'hash') GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    (1000 * (2*n_docs - 2*df + 1) * 22 * tf * total_toks) //
+        |      ((2*df + 1) * (10*tf*total_toks + 3*total_toks + 9*dl.dl*n_docs)) AS score_m
+        |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id) CROSS JOIN tot),
+        |bmtop AS (
+        |  SELECT doc_id, CAST(sum(score_m) AS BIGINT) AS bm25_m
+        |  FROM sc GROUP BY 1 ORDER BY bm25_m DESC, doc_id LIMIT 50),
+        |bm AS (SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY bm25_m DESC, doc_id) AS rank FROM bmtop),
+        |nntop AS (
+        |  SELECT e.vec_id AS nid,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS score
+        |  FROM embeddings e, embeddings q
+        |  WHERE q.vec_id = 0 AND e.vec_id <> 0
+        |  ORDER BY score DESC, nid LIMIT 50),
+        |nn AS (SELECT nid AS id,
+        |  row_number() OVER (ORDER BY score DESC, nid) AS rank FROM nntop),
+        |u AS (SELECT * FROM bm UNION ALL SELECT * FROM nn)
+        |SELECT id AS doc_id, CAST(sum(10000 // (60 + rank)) AS BIGINT) AS rrf_m
+        |FROM u GROUP BY 1 ORDER BY rrf_m DESC, doc_id LIMIT 20""".stripMargin,
     "q103_winsorize" ->
       """WITH v AS (
         |  SELECT event_type, CAST(floor(value*1000) AS BIGINT) AS v_m

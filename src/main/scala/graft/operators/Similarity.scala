@@ -308,6 +308,22 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Reciprocal Rank Fusion of several retrieval rankings — the standard
+    * hybrid-retrieval combiner (lexical BM25 + dense embedding lists into
+    * one ranking). Each input is (id, rank); a document's fused score is
+    * Σ 10000 DIV (kRrf + rank) over the lists it appears in — integer
+    * milli-points, so the fusion is engine-exact where float RRF is not.
+    * Shape: union of k-bounded lists (tiny) → one hash agg → top-k. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60, k: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    rankings.map(_.select(col("id"), col("rank")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(sum(expr(s"10000 DIV ($kRrf + rank)")).as("rrf_m"))
+      .orderBy(col("rrf_m").desc, col("id"))
+      .limit(k)
+  }
+
   /** Per-dimension corpus statistics of an embedding column — the
     * normalization/whitening prep every embedding pipeline runs before
     * quantization or indexing (detects dead dimensions, scale skew,

@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q75_bm25", // per-(doc,term) tf × broadcast(1-row corpus totals)
     "q82_bloom_decontaminate", // corpus grams × broadcast(1-row bloom mask)
     "q96_gap_fill", // grid build: |types| × broadcast(|days|), both dimension-sized
-    "q102_ivf_pq") // IVF assign + PQ encode: corpus × broadcast(centroids/codebook)
+    "q102_ivf_pq", // IVF assign + PQ encode: corpus × broadcast(centroids/codebook)
+    "q104_hybrid_rrf") // dense list: corpus × broadcast(1 query vector), q22's shape
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
       "is deliberately broadcast") {
