@@ -2590,12 +2590,12 @@ object SparkEntry {
         |th AS (
         |  SELECT event_type, max(n) AS n,
         |    max(CASE WHEN rn = (n + 1) // 2 THEN v_m END) AS med_m,
-        |    max(CASE WHEN rn = (9900*n + 9999) // 10000 THEN v_m END) AS p99_m
+        |    max(CASE WHEN rn = (9900*n + 9999) // 10000 THEN v_m END) AS cap_m
         |  FROM r GROUP BY 1)
         |SELECT v.event_type, max(th.n) AS n, max(med_m) AS med_m,
-        |  max(p99_m) AS p99_m,
-        |  CAST(sum(least(v_m, p99_m)) AS BIGINT) AS capped_sum_m,
-        |  CAST(sum(CASE WHEN v_m > p99_m THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+        |  max(cap_m) AS cap_m,
+        |  CAST(sum(least(v_m, cap_m)) AS BIGINT) AS capped_sum_m,
+        |  CAST(sum(CASE WHEN v_m > cap_m THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
         |FROM v JOIN th ON v.event_type = th.event_type
         |GROUP BY 1 ORDER BY 1""".stripMargin)
 

@@ -302,9 +302,10 @@ object Events {
   }
 
   /** Winsorization report with EXACT order statistics: per event type the
-    * (lower) median and p99 as integer milli-unit order statistics —
-    * value at rank ⌈0.99·n⌉, well-defined under ties, no interpolation,
-    * no float — plus the capped sum and how many rows the cap touched.
+    * (lower) median and the cap threshold (`cap_m`, the value at rank
+    * ⌈capBp·n/10000⌉ — p99 at the default) as integer milli-unit order
+    * statistics — well-defined under ties, no interpolation, no float —
+    * plus the capped sum and how many rows the cap touched.
     * The outlier-capping step of value cleaning, oracle-exact where
     * interpolated percentiles never are.
     *
@@ -324,13 +325,13 @@ object Events {
       max(col("n")).as("n"),
       max(when(col("rn") === expr("(n + 1) DIV 2"), col("v_m"))).as("med_m"),
       max(when(col("rn") === expr(s"($capBp * n + 9999) DIV 10000"), col("v_m")))
-        .as("p99_m"))
+        .as("cap_m"))
     v.join(broadcast(th), "event_type")
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"), max(col("med_m")).as("med_m"),
-        max(col("p99_m")).as("p99_m"),
-        sum(least(col("v_m"), col("p99_m"))).as("capped_sum_m"),
-        sum(when(col("v_m") > col("p99_m"), 1L).otherwise(0L)).as("n_capped"))
+        max(col("cap_m")).as("cap_m"),
+        sum(least(col("v_m"), col("cap_m"))).as("capped_sum_m"),
+        sum(when(col("v_m") > col("cap_m"), 1L).otherwise(0L)).as("n_capped"))
   }
 
   /** Fixed-width value histogram per event type: bucket = milli-unit

@@ -151,35 +151,45 @@ object Similarity {
     * Every corpus vector is assigned to its nearest centroid (one broadcast
     * join, map-side argmax); each query probes its `nProbe` nearest
     * centroids and scores only those lists. */
-  def ivfTopKWith(
-      corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
-      nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = centroids.select(col("cid"), col("cvec"))
-
-    // Corpus assignment is the 100 TB side: argmax as a map-side-combinable
-    // max_by aggregate (ties → smallest cid), NOT a ranking window — a
-    // window would shuffle corpus×centroids scored rows by vector id.
-    val corpusAssigned = corpus
+  /** Coarse IVF assignment: (nid, cid[, nvec]) — the 100 TB side: argmax
+    * as a map-side-combinable max_by aggregate (ties → smallest cid), NOT
+    * a ranking window — a window would shuffle corpus×centroids scored
+    * rows by vector id. Shared by the raw-vector and PQ-scored paths. */
+  private def coarseAssign(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
+    val scored = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("nvec"), col("cvec")))
       .groupBy(col("nid"))
-      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"),
-        first(col("nvec")).as("nvec"))
+    val cid = max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid")
+    if (carryVec) scored.agg(cid, first(col("nvec")).as("nvec"))
+    else scored.agg(cid)
+  }
 
-    // Query side is small; a ranking window gives the nProbe nearest lists.
+  /** Each query's `nProbe` nearest inverted lists: (qid[, qvec], cid).
+    * Query side is small; a ranking window is fine here. */
+  private def queryProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val queryProbes = queries
+    queries
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("qvec"), col("cvec")))
       .withColumn("crank", row_number().over(qw))
       .filter(col("crank") <= nProbe)
       .drop("cvec", "csim", "crank")
+  }
 
-    val scored = queryProbes.join(corpusAssigned, "cid")
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col("cid"), col("cvec"))
+    val corpusAssigned = coarseAssign(corpus, cents, idCol, vecCol, carryVec = true)
+    val probes = queryProbes(queries, cents, nProbe, idCol, vecCol)
+    val scored = probes.join(corpusAssigned, "cid")
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
     rankTopK(scored, k)
@@ -275,24 +285,12 @@ object Similarity {
       codebook: DataFrame, m: Int, dim: Int, k: Int, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
-    import org.apache.spark.sql.expressions.Window
     val dsub = dim / m
-    val cents = broadcast(centroids.select(col("cid"), col("cvec")))
+    val cents = centroids.select(col("cid"), col("cvec"))
     val cb = broadcast(codebook.select(col("j"), col("code"), col("cvec")))
 
-    // coarse assignment: argmax cosine, ties → smallest cid (q23's shape)
-    val assign = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .crossJoin(cents)
-      .withColumn("csim", cosine(col("nvec"), col("cvec")))
-      .groupBy(col("nid"))
-      .agg(max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid"))
-
-    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
-    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .crossJoin(cents)
-      .withColumn("csim", cosine(col("qvec"), col("cvec")))
-      .withColumn("crank", row_number().over(qw))
-      .filter(col("crank") <= nProbe)
+    val assign = coarseAssign(corpus, cents, idCol, vecCol, carryVec = false)
+    val probes = queryProbes(queries, cents, nProbe, idCol, vecCol)
       .select(col("qid"), col("cid"))
 
     val corpusCodes = pqEncode(corpus, cb, dsub, idCol, vecCol)

@@ -83,7 +83,9 @@ object Sketches {
   def hllEstimate(registers: Seq[(Long, Long)]): Double = {
     val m = Registers
     val rho = Array.fill(m)(0L)
-    registers.foreach { case (r, x) => rho(r.toInt) = x }
+    // max, not overwrite: passing the concatenated rows of several sketch
+    // tables must behave as their merge (HLL's defining property)
+    registers.foreach { case (r, x) => rho(r.toInt) = math.max(rho(r.toInt), x) }
     val alpha = 0.709 // α_64
     val raw = alpha * m * m / rho.map(x => math.pow(2.0, -x.toDouble)).sum
     val zeros = rho.count(_ == 0L)

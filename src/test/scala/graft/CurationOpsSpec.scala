@@ -45,9 +45,10 @@ class CurationOpsSpec extends AnyFunSuite {
   test("anomalyReport equals a BigInt reference on random data incl. negatives") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(20260813)
-    // adversarial magnitudes: values spanning ±1e3 (v_m up to ±1e6) across
-    // uneven type sizes — the decimal-width arithmetic must agree with an
-    // unbounded BigInt reference on every row
+    // adversarial magnitudes: body ±1e3, spikes to ±5e3 (v_m to ±5e6 —
+    // past the operator's documented v_m<1e6 sizing, safe here because
+    // n≈430/type keeps decimal(38) intermediates ≤ ~1e21) — the
+    // decimal-width arithmetic must agree with unbounded BigInt per row
     val rows = (1L to 3000L).map { i =>
       val tp = s"T${i % 7}"
       // heavy tail: ~2% of rows spike 5x (a uniform body alone never
@@ -325,16 +326,15 @@ class CurationOpsSpec extends AnyFunSuite {
 
   test("winsorizeReport: exact rank statistics and capped sums on a known set") {
     val s = spark; import s.implicits._
-    // 10 values 1..9 + spike 100 (type A): n=10, lower median = rank 5 = 5,
-    // p99 rank = ceil(.99*10) = 10 -> 100?? no: (9900*10+9999) DIV 10000 = 10
-    // -> p99 = the max; use capBp 8000: rank (8000*10+9999)/10000 = 8 -> 8
+    // 10 values 1..9 + spike 100 (type A): n=10, lower median = rank 5 = 5;
+    // capBp 8000 -> cap rank (8000*10+9999) DIV 10000 = 8 -> cap_m = 8
     val ev = ((1L to 9L).map(i => (i, "A", i.toDouble)) :+ (10L, "A", 100.0))
       .map { case (i, tp, v) => (i, ts("2024-01-01 00:00:00"), i, tp, v, "{}") }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val out = Events.winsorizeReport(ev, capBp = 8000).collect().head
     assert(out.getLong(1) == 10L)      // n
     assert(out.getLong(2) == 5000L)    // median (lower) in milli-units
-    assert(out.getLong(3) == 8000L)    // p80 order statistic
+    assert(out.getLong(3) == 8000L)    // cap_m: the p80 order statistic
     // capped sum: 1..8 kept, 9 and 100 capped to 8 -> 36+8+8 = 52 units
     assert(out.getLong(4) == 52000L)
     assert(out.getLong(5) == 2L)       // rows the cap touched
