@@ -754,6 +754,37 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    "q106_canonical_keep" -> ((s, dir) => {
+      // the keep rule after dedup clustering: one surviving doc per
+      // component (best quality = longest, ties → smallest id) via a
+      // max_by hash agg — never a window over the corpus
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id")
+      val nearDups = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
+        .filter(col("jaccard_bp") >= 5000)
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(docs, "doc_id", nearDups)
+      Dedup.canonicalKeep(comp, docs, "doc_id", "n_chars")
+        .select(col("component"), col("group_size"), col("kept_id"),
+          col("kept_quality").cast("long").as("kept_quality"))
+        .orderBy("component")
+    }),
+    "q105_grouped_topk" -> ((s, dir) => {
+      // general grouped top-k via the k-bounded heap aggregate (q22's
+      // TopK machinery on a relational domain): partials put ≤ k rows per
+      // group per partition on the wire, where the window formulation
+      // would shuffle-and-sort every (type, user) row
+      val spend = t(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(sum(floor(col("value") * 1000).cast("long")).as("spend_m"))
+      spend.groupBy(col("event_type"))
+        .agg(graft.functions.TopK.top_k_by_score(
+          col("user_id"), col("spend_m").cast("double"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("r", "e")))
+        .select(col("event_type"), (col("r") + 1).cast("long").as("rank"),
+          col("e.nid").as("user_id"), col("e.score").cast("long").as("spend_m"))
+        .orderBy("event_type", "rank")
+    }),
     "q103_winsorize" -> ((s, dir) => {
       // EXACT order-statistic winsorization: median and p99 as integer
       // rank statistics (no interpolation, no float), capped sums — the
@@ -2548,6 +2579,49 @@ object SparkEntry {
         |SELECT event_id, events.user_id, user_n
         |FROM events JOIN dims ON events.user_id = dims.user_id
         |ORDER BY event_id""".stripMargin,
+    "q106_canonical_keep" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents),
+        |near AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tk a JOIN tk b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 10000
+        |    // len(list_distinct(a.toks || b.toks)) >= 5000),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM near
+        |  UNION ALL SELECT id_b, id_a FROM near),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS component
+        |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |  GROUP BY d.doc_id),
+        |ranked AS (
+        |  SELECT c.component, c.doc_id, d.n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.component) AS group_size
+        |  FROM comp c JOIN documents d USING (doc_id))
+        |SELECT component, CAST(group_size AS BIGINT) AS group_size,
+        |  doc_id AS kept_id, CAST(n_chars AS BIGINT) AS kept_quality
+        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
+    "q105_grouped_topk" ->
+      """WITH spend AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS spend_m
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, rank, user_id, spend_m FROM (
+        |  SELECT event_type, user_id, spend_m,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY event_type ORDER BY spend_m DESC, user_id) AS BIGINT) AS rank
+        |  FROM spend) WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
     "q104_hybrid_rrf" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

@@ -757,6 +757,21 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Canonical-document selection: the "which copy survives" step after
+    * clustering. For each component, keep the member maximizing
+    * `qualityCol` (ties → smallest id) — one map-side-combinable `max_by`
+    * hash agg over the (id, component) relation, no window over the
+    * corpus. Output: (component, group_size, kept_id, kept_quality). */
+  def canonicalKeep(
+      components: DataFrame, quality: DataFrame,
+      idCol: String, qualityCol: String): DataFrame =
+    components
+      .join(quality.select(col(idCol).as("id"), col(qualityCol).as("_q")), "id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"),
+        max_by(col("id"), struct(col("_q"), (-col("id")).as("_ni"))).as("kept_id"),
+        max(col("_q")).as("kept_quality"))
+
   /** Character-level near-duplicate pairs: Levenshtein distance ≤
     * `maxDist` between documents agreeing on every `blockCols` value.
     *

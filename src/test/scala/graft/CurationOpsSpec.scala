@@ -139,6 +139,19 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalKeep picks the best-quality member per component, ties to smallest id") {
+    val s = spark; import s.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "component")
+    val quality = Seq((1L, 50L), (2L, 80L), (3L, 80L), (9L, 10L))
+      .toDF("doc_id", "n_chars")
+    val out = Dedup.canonicalKeep(comp, quality, "doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted
+    // component 1: ids 2 and 3 tie at quality 80 -> keep 2 (smallest id)
+    assert(out.toSeq == Seq((1L, 3L, 2L, 80L), (9L, 1L, 9L, 10L)))
+  }
+
   // ---- charDiversity --------------------------------------------------
 
   test("charDiversity: repeated char scores 0, known mix is exact") {
