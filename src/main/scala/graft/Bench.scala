@@ -32,19 +32,29 @@ object Bench {
     // flatter the headline total): record the error message per query and a
     // nonzero `errors` count in the summary line instead.
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = all.map { case (name, fn) =>
-      val times = (1 to math.max(1, passes)).map { _ =>
+    // GC wall time across all collectors, in seconds. The per-pass GC delta
+    // distinguishes "this query allocates/collects heavily" from "the host
+    // was contended during this pass" — the recurring cross-round bench
+    // ghost (rounds 3/6/7: 3-11x on untouched code, never reproducible)
+    // needs the artifact itself to carry that evidence.
+    def gcSec(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    }
+    // results: name -> (per-pass wall seconds, per-pass GC-delta seconds)
+    val results: Seq[(String, (Seq[Double], Seq[Double]))] = all.map { case (name, fn) =>
+      val timed = (1 to math.max(1, passes)).map { _ =>
+        val g0 = gcSec()
         val t0 = System.nanoTime()
         try { fn(spark) } catch {
           case e: Throwable =>
             errs(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      // lower median: pass 1 absorbs per-query codegen warm-up, so for the
-      // default 2 passes this reports the steady-state (second) run
-      name -> times((times.length - 1) / 2)
+        ((System.nanoTime() - t0) / 1e9, gcSec() - g0)
+      }
+      name -> (timed.map(_._1), timed.map(_._2))
     }
     // The summary consumer keeps only the last ~2000 chars of output; a
     // 70-entry map at full double precision overflows that and truncates the
@@ -56,13 +66,51 @@ object Bench {
     // comma-decimal locale would render 93.5 as "93,500" — invalid JSON
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + shortKey(k) + "\":" + fmt(v) }
+    def arr(vs: Seq[Double]): String = vs.map(fmt).mkString("[", ",", "]")
+    // lower median: pass 1 absorbs per-query codegen warm-up, so for the
+    // default 2 passes this reports the steady-state (second) run
+    def med(vs: Seq[Double]): Double = {
+      val s = vs.sorted; s((s.length - 1) / 2)
+    }
+    // centisecond precision in the medians map: 10 ms resolution is noise-
+    // level for these 0.1-16 s queries and buys ~100 chars of line-cap
+    // margin; full-precision per-pass numbers live in the sidecar.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, (ts, _)) => "\"" + shortKey(k) + "\":" + fmt2(med(ts)) }
+      .mkString("{", ",", "}")
+    // Full per-pass evidence (every pass's wall time + GC delta per query)
+    // goes to a sidecar file — it does not fit the consumer's line cap.
+    // The summary line carries (a) the sidecar path, (b) per-pass TOTALS,
+    // (c) total GC delta, and (d) the per-pass times of the worst
+    // spread-outlier queries, so a contended run is self-evident from the
+    // line alone: contention inflates one pass of many queries at once
+    // (large spreads, asymmetric pass totals), a real regression inflates
+    // every pass of the touched queries.
+    val detailPath = new java.io.File("bench_detail.json").getAbsolutePath
+    val detail = results.map { case (k, (ts, gs)) =>
+      "\"" + k + "\":{\"passes\":" + arr(ts) + ",\"gc\":" + arr(gs) + "}"
+    }.mkString("{\"sf\":\"" + sfDir + "\",\"queries\":{", ",", "}}")
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () } // bench output must not die on I/O
+    val passTotals = (0 until math.max(1, passes)).map { i =>
+      results.map(_._2._1.lift(i).getOrElse(0.0)).sum
+    }
+    val gcTotal = results.map(_._2._2.sum).sum
+    val spread = results
+      .map { case (k, (ts, _)) => (k, ts) }
+      .filter { case (_, ts) => ts.max - ts.min > 0.25 && ts.max / math.max(ts.min, 1e-9) > 1.5 }
+      .sortBy { case (_, ts) => -(ts.max - ts.min) }
+      .take(8)
+      .map { case (k, ts) => "\"" + shortKey(k) + "\":" + arr(ts) }
       .mkString("{", ",", "}")
     val errJson = errs.take(5).map { case (k, v) =>
       "\"" + shortKey(k) + "\":\"" + v.take(60) + "\""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}"""
+    val total = results.map { case (_, (ts, _)) => med(ts) }.sum
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"pass_totals":${arr(passTotals)},"gc_sec":${fmt(gcTotal)},"spread":$spread,"detail":"bench_detail.json","errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}"""
     spark.stop()
     println(line)
   }

@@ -773,10 +773,15 @@ object SparkEntry {
       // general grouped top-k via the k-bounded heap aggregate (q22's
       // TopK machinery on a relational domain): partials put ≤ k rows per
       // group per partition on the wire, where the window formulation
-      // would shuffle-and-sort every (type, user) row
+      // would shuffle-and-sort every (type, user) row.
+      // Scores ride the heap as doubles: exact for |spend_m| < 2^53
+      // (milli-units of a 1e15 budget — comfortably beyond any event
+      // stream); NULL spend (all-NULL value group) is filtered on BOTH
+      // sides because the heap drops NULLs while row_number ranks them.
       val spend = t(s, dir, "events")
         .groupBy("event_type", "user_id")
         .agg(sum(floor(col("value") * 1000).cast("long")).as("spend_m"))
+        .filter(col("spend_m").isNotNull)
       spend.groupBy(col("event_type"))
         .agg(graft.functions.TopK.top_k_by_score(
           col("user_id"), col("spend_m").cast("double"), 3).as("top"))
@@ -2615,12 +2620,13 @@ object SparkEntry {
       """WITH spend AS (
         |  SELECT event_type, user_id,
         |    CAST(sum(CAST(floor(value*1000) AS BIGINT)) AS BIGINT) AS spend_m
-        |  FROM events GROUP BY 1, 2)
+        |  FROM events GROUP BY 1, 2),
+        |spend_nn AS (SELECT * FROM spend WHERE spend_m IS NOT NULL)
         |SELECT event_type, rank, user_id, spend_m FROM (
         |  SELECT event_type, user_id, spend_m,
         |    CAST(row_number() OVER (
         |      PARTITION BY event_type ORDER BY spend_m DESC, user_id) AS BIGINT) AS rank
-        |  FROM spend) WHERE rank <= 3
+        |  FROM spend_nn) WHERE rank <= 3
         |ORDER BY event_type, rank""".stripMargin,
     "q104_hybrid_rrf" ->
       """WITH tk AS (

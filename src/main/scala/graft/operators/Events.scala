@@ -120,8 +120,13 @@ object Events {
     // each stage is materialized (|users|-sized): the per-stage counts
     // below are separate branches of one union, and without this every
     // branch would re-execute its whole predecessor chain — O(steps²)
-    // scans of the events table
-    val stages = steps.drop(1).scanLeft(first.localCheckpoint()) { (prev, step) =>
+    // scans of the events table. persist, not localCheckpoint: lazy (no
+    // job until the report is consumed) and recoverable — a lost executor
+    // recomputes the block from lineage, where locally-checkpointed
+    // blocks are gone for good and fail the whole query on a big cluster.
+    import org.apache.spark.storage.StorageLevel
+    val stages = steps.drop(1).scanLeft(
+        first.persist(StorageLevel.MEMORY_AND_DISK)) { (prev, step) =>
       ev.filter(col("event_type") === step)
         .join(prev, "user_id")
         .filter(col("ts") > col("t_prev") &&
@@ -129,7 +134,7 @@ object Events {
             unix_micros(col("t_first")) + windowSeconds * 1000000L)
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("t_prev"), min(col("t_first")).as("t_first"))
-        .localCheckpoint()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
     stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
       df.agg(count(lit(1)).as("n_users"))

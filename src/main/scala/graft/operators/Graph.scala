@@ -42,7 +42,7 @@ object Graph {
     val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
     val baseM = (10000L - dampBp) * 1000L / 10000L
     var scores = nodes.withColumn("score_m", lit(1000L))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = ew
         .join(scores.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("score_m DIV outdeg").as("c"))
@@ -51,6 +51,12 @@ object Graph {
         .na.fill(0L, Seq("in_m"))
         .select(col("node"),
           (lit(baseM) + expr(s"$dampBp * in_m DIV 10000")).as("score_m"))
+      // Truncate the iteration lineage every few rounds: without this the
+      // final plan nests 2 joins per iteration, and re-analyzing/AQE-
+      // re-planning a 40-join tree is its own cost at high `iters`. Every
+      // 5th round keeps the plan O(1) deep for the price of one |nodes|-
+      // sized materialization.
+      if ((i + 1) % 5 == 0 && i + 1 < iters) scores = scores.localCheckpoint()
     }
     scores
   }

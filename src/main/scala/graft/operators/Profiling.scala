@@ -25,8 +25,12 @@ object Profiling {
          else approx_count_distinct(col(c))).as(s"__d_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // Raw column names are interpolated into SQL below — a name containing
+    // a quote or backtick would otherwise break parsing or mis-label rows.
+    def lit1(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    def id(s: String) = "`" + s.replace("`", "``") + "`"
     val stacked = cols
-      .map(c => s"'$c', `__total` - `__n_$c`, `__d_$c`")
+      .map(c => s"${lit1(c)}, `__total` - ${id(s"__n_$c")}, ${id(s"__d_$c")}")
       .mkString(", ")
     one.select(
       expr(s"stack(${cols.size}, $stacked) AS (column_name, n_null, n_distinct)"),

@@ -98,7 +98,13 @@ object Sampling {
       .withColumn("base", expr(s"$budget * weight DIV _tw"))
       .withColumn("rem", expr(s"($budget * weight) % _tw"))
     val leftover = shares.agg((lit(budget) - sum(col("base"))).as("_lo"))
-    val w = Window.orderBy(col("rem").desc, col(groupCol))
+    // Constant partition key: the rank is global by construction (the
+    // relation is one row per SOURCE, thousands at most — see the shape
+    // note above), and a non-empty partitionSpec keeps WindowExec's
+    // "No Partition Defined" warning from crying wolf over bench logs
+    // where a real unpartitioned window over row-scale data WOULD be a
+    // bug worth shouting about.
+    val w = Window.partitionBy(lit(0)).orderBy(col("rem").desc, col(groupCol))
     shares.crossJoin(broadcast(leftover))
       .withColumn("_rk", row_number().over(w))
       .select(col(groupCol), col("n_docs"), col("weight"),

@@ -437,7 +437,14 @@ object TextOps {
     * aggs ((id, char) then id) — state is bounded by |alphabet| per doc. */
   def charDiversity(df: org.apache.spark.sql.DataFrame, textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).as("id"), explode(split(col(textCol), "")).as("c"))
+    // Split AFTER each code point — Java regex `.` is code-point aware, so
+    // a supplementary-plane char (surrogate pair) stays ONE character,
+    // matching DuckDB's per-character string_split(text, ''); a bare
+    // split(text, "") would cut surrogate pairs into two UTF-16 units.
+    // (?s): count newlines as characters too. Bound: 10000·n² needs
+    // n < ~9.6e8 chars/doc to stay in long — far beyond any document that
+    // belongs in a training corpus; upstream length filters enforce it.
+    df.select(col(idCol).as("id"), explode(split(col(textCol), "(?s)(?<=.)")).as("c"))
       .filter(length(col("c")) > 0) // Spark's limit=-1 split keeps a trailing ""
       .groupBy(col("id"), col("c")).agg(count(lit(1)).as("k"))
       .groupBy(col("id")).agg(sum(col("k")).as("n"),
