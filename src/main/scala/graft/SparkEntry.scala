@@ -50,6 +50,23 @@ object SparkEntry {
       .select("graph", "s", "p", "o")
   }
 
+  /** Customer-derived quads with LITERAL objects (balance cents, market
+    * segment) alongside IRI edges — the fixture FILTER/OPTIONAL queries
+    * need values to compare, where [[tpchQuads]] is all-IRI. floor(bal*100)
+    * is bit-identical across engines (IEEE double multiply + floor). */
+  private def custQuads(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val subj = concat(lit("urn:c#"), col("c_custkey"))
+    val bal = c.select(subj.as("s"), lit("urn:p#balCents").as("p"),
+      floor(col("c_acctbal") * 100).cast("long").cast("string").as("o"))
+    val mkt = c.select(subj.as("s"), lit("urn:p#mkt").as("p"),
+      col("c_mktsegment").as("o"))
+    val nat = c.select(subj.as("s"), lit("urn:p#inNation").as("p"),
+      concat(lit("urn:n#"), col("c_nationkey")).as("o"))
+    bal.union(mkt).union(nat).withColumn("graph", lit("urn:tpch#"))
+      .select("graph", "s", "p", "o")
+  }
+
   /** Flagship on sf0.001: the full two-level mortar flow on in-memory
     * fixtures — Turtle → SPARQL (path star) → uuid set → pruned scan —
     * plus a real read of the driver's parquet. Driver smoke-checks rows>0. */
@@ -769,6 +786,31 @@ object SparkEntry {
           col("kept_quality").cast("long").as("kept_quality"))
         .orderBy("component")
     }),
+    "q107_sparql_filter" -> ((s, dir) => {
+      // §2.8 FILTER: numeric comparison (typed-literal dispatch — the
+      // string "999999" compares as a NUMBER because the other operand is
+      // a numeric literal) && regex, both pushed into the BGP plan as
+      // ordinary Catalyst predicates on the joined bindings
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?b ?m WHERE { " +
+          "?c p:balCents ?b . ?c p:mkt ?m . " +
+          "FILTER(?b > 900000 && regex(?m, \"^BUI\")) }")
+      BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("c")
+    }),
+    "q108_sparql_optional" -> ((s, dir) => {
+      // §2.8 OPTIONAL with an inner FILTER — SPARQL LeftJoin(P1, P2, F):
+      // the filter conditions the MATCH, never drops the left row, so
+      // customers at/below the threshold survive with ?b unbound. The
+      // unbound NULL is sentinel-filled only for engine-portable hashing;
+      // SparqlSpec asserts the raw NULL semantics.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n ?b WHERE { " +
+          "?c p:inNation ?n . " +
+          "OPTIONAL { ?c p:balCents ?b . FILTER(?b > 500000) } }")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+        .na.fill("unbound", Seq("b"))
+        .orderBy("c")
+    }),
     "q105_grouped_topk" -> ((s, dir) => {
       // general grouped top-k via the k-bounded heap aggregate (q22's
       // TopK machinery on a relational domain): partials put ≤ k rows per
@@ -804,7 +846,12 @@ object SparkEntry {
       val bm = TextOps.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
           terms = Seq("dup", "spark", "hash"), k = 50)
         .select(col("doc_id").as("id"),
+          // constant partition key (pmod, not lit — foldable keys get
+          // optimizer-stripped): ranking a ≤k-row top-k relation — the
+          // single partition is the point, not an accident (and the
+          // "No Partition Defined" warning should stay meaningful)
           row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("bm25_m"), lit(1)))
             .orderBy(col("bm25_m").desc, col("doc_id"))).cast("long").as("rank"))
       val emb = t(s, dir, "embeddings")
       val nn = Similarity.bruteForceTopK(emb,
@@ -2584,6 +2631,20 @@ object SparkEntry {
         |SELECT event_id, events.user_id, user_n
         |FROM events JOIN dims ON events.user_id = dims.user_id
         |ORDER BY event_id""".stripMargin,
+    "q107_sparql_filter" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) AS b,
+        |  c_mktsegment AS m
+        |FROM customer
+        |WHERE floor(c_acctbal*100) > 900000 AND regexp_matches(c_mktsegment, '^BUI')
+        |ORDER BY c""".stripMargin,
+    "q108_sparql_optional" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
+        |  coalesce(CASE WHEN floor(c_acctbal*100) > 500000
+        |    THEN CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) END,
+        |    'unbound') AS b
+        |FROM customer ORDER BY c""".stripMargin,
     "q106_canonical_keep" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, lang, source,

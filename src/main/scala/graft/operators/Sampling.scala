@@ -103,8 +103,11 @@ object Sampling {
     // note above), and a non-empty partitionSpec keeps WindowExec's
     // "No Partition Defined" warning from crying wolf over bench logs
     // where a real unpartitioned window over row-scale data WOULD be a
-    // bug worth shouting about.
-    val w = Window.partitionBy(lit(0)).orderBy(col("rem").desc, col(groupCol))
+    // bug worth shouting about. pmod(rem, 1) — always 0 — rather than
+    // lit(0) because the optimizer strips FOLDABLE partition keys and
+    // the warning would come right back.
+    val w = Window.partitionBy(pmod(col("rem"), lit(1)))
+      .orderBy(col("rem").desc, col(groupCol))
     shares.crossJoin(broadcast(leftover))
       .withColumn("_rk", row_number().over(w))
       .select(col(groupCol), col("n_docs"), col("weight"),

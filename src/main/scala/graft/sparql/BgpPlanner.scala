@@ -1,7 +1,7 @@
 package graft.sparql
 
 import graft.plans.Closure
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Basic-graph-pattern planner: SPARQL subset AST → DataFrame plan.
@@ -143,21 +143,138 @@ object BgpPlanner {
         .select(selected.map(v => lit(null).cast("string").as(v)): _*)
     }
 
-    // Greedy selectivity-ordered join.
-    val pending = dfs.sortBy { case (a, _) => -a.constCount }.to(scala.collection.mutable.ListBuffer)
-    var (firstAtom, acc) = pending.remove(0)
-    var accCols = acc.columns.toSet
-    while (pending.nonEmpty) {
-      val idx = pending.indexWhere { case (_, d) => d.columns.exists(accCols.contains) }
-      val pick = if (idx >= 0) {
-        // among connectable atoms prefer max shared vars then max constants
-        val candidates = pending.zipWithIndex.filter { case ((_, d), _) => d.columns.exists(accCols.contains) }
-        candidates.maxBy { case ((a, d), _) => (d.columns.count(accCols.contains), a.constCount) }._2
-      } else 0
-      val (a, d) = pending.remove(pick)
-      val shared = d.columns.filter(accCols.contains)
-      acc = if (shared.nonEmpty) acc.join(d, shared.toSeq) else acc.crossJoin(d)
-      accCols ++= d.columns
+    // Greedy selectivity-ordered join (shared by the required group and
+    // each OPTIONAL group's internal join tree).
+    def greedyJoin(parts: Seq[(Atom, DataFrame)]): DataFrame = {
+      val pending = parts.sortBy { case (a, _) => -a.constCount }
+        .to(scala.collection.mutable.ListBuffer)
+      var acc = pending.remove(0)._2
+      var accCols = acc.columns.toSet
+      while (pending.nonEmpty) {
+        val idx = pending.indexWhere { case (_, d) => d.columns.exists(accCols.contains) }
+        val pick = if (idx >= 0) {
+          // among connectable atoms prefer max shared vars then max constants
+          val candidates = pending.zipWithIndex.filter { case ((_, d), _) => d.columns.exists(accCols.contains) }
+          candidates.maxBy { case ((a, d), _) => (d.columns.count(accCols.contains), a.constCount) }._2
+        } else 0
+        val (_, d) = pending.remove(pick)
+        val shared = d.columns.filter(accCols.contains)
+        acc = if (shared.nonEmpty) acc.join(d, shared.toSeq) else acc.crossJoin(d)
+        accCols ++= d.columns
+      }
+      acc
+    }
+
+    var acc = greedyJoin(dfs.toSeq)
+
+    // FILTER expression → Column. SPARQL's three-valued error semantics
+    // map exactly onto SQL NULL logic: a type error (non-numeric string
+    // under a numeric comparison casts to NULL) makes the comparison NULL,
+    // `error && false` is false, `error || true` is true, and a NULL
+    // predicate drops the row — all of which is what Catalyst already does.
+    def compileFilter(f: FExpr, resolve: String => Column): Column = {
+      // try_cast, not cast: under ANSI mode a plain cast THROWS on a
+      // non-numeric binding, where SPARQL wants a type error = row dropped
+      // (try_cast's NULL gives exactly that)
+      def opCol(o: FOperand, numeric: Boolean): Column = o match {
+        case FVar(v) => if (numeric) resolve(v).try_cast("double") else resolve(v)
+        case FNum(l) => lit(l.toDouble)
+        case FStr(s) => if (numeric) lit(s).try_cast("double") else lit(s)
+        case FIriRef(i) => lit(i)
+      }
+      f match {
+        case FCmp(l, op, r) =>
+          // numeric dispatch: a numeric literal on either side forces a
+          // numeric comparison (SPARQL operator dispatch on xsd numerics);
+          // otherwise simple codepoint string comparison
+          val numeric = l.isInstanceOf[FNum] || r.isInstanceOf[FNum]
+          val (lc, rc) = (opCol(l, numeric), opCol(r, numeric))
+          op match {
+            case "<" => lc < rc
+            case "<=" => lc <= rc
+            case ">" => lc > rc
+            case ">=" => lc >= rc
+            case "=" => lc === rc
+            case "!=" => lc =!= rc
+            case other => throw new IllegalArgumentException(s"bad op $other")
+          }
+        case FRegex(v, p, fl) =>
+          resolve(v).rlike(if (fl.isEmpty) p else s"(?$fl)$p")
+        case FContains(v, s) => resolve(v).contains(s)
+        case FStrStarts(v, s) => resolve(v).startsWith(s)
+        case FBound(v) => resolve(v).isNotNull
+        case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
+        case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
+        case FNot(a) => !compileFilter(a, resolve)
+      }
+    }
+
+    def resolveIn(d: DataFrame, cols: Set[String])(v: String): Column =
+      if (cols.contains(vc(v))) d(vc(v))
+      else throw new IllegalArgumentException(
+        s"FILTER references variable ?$v bound by no pattern in scope")
+
+    // OPTIONAL groups: SPARQL algebra LeftJoin(P1, P2, F) — a LEFT OUTER
+    // join on the shared variables whose join condition carries the
+    // group's own FILTERs (so an inner FILTER conditions the match, it
+    // does not drop the left row). Each group's relation is graph-sized →
+    // Catalyst broadcasts it; rows with no match keep NULL (= unbound)
+    // optional columns. Divergence note: a variable bound ONLY by an
+    // earlier OPTIONAL joins later groups through SQL NULL equality
+    // (never matches) where SPARQL's compatible-mapping semantics would
+    // re-bind — reuse a variable across two OPTIONAL groups only when the
+    // first group always binds it.
+    q.optionals.foreach { g =>
+      val optAtoms: List[Atom] = g.patterns.flatMap { tp =>
+        var subj: Term = tp.s
+        tp.path.zipWithIndex.map { case (step, i) =>
+          val obj = if (i == tp.path.length - 1) tp.o else freshPathVar()
+          val a = Atom(subj, step.iri, step.star, obj)
+          subj = obj
+          a
+        }
+      }
+      val optParts = new scala.collection.mutable.ArrayBuffer[(Atom, DataFrame)]()
+      var optFailed = false
+      optAtoms.foreach { a =>
+        if (!optFailed) {
+          if (a.vars.isEmpty) { if (atomDF(a).isEmpty) optFailed = true }
+          else optParts += ((a, atomDF(a).get))
+        }
+      }
+      // named (user-visible) vars this group can bind beyond what's bound
+      val groupVars = optAtoms.flatMap(_.vars).distinct
+        .filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
+      val accCols = acc.columns.toSet
+      val newVars = groupVars.filterNot(v => accCols.contains(vc(v)))
+      if (optFailed || optParts.isEmpty) {
+        // group matches nothing (or binds nothing new): left rows survive
+        // with the group's fresh vars unbound
+        newVars.foreach { v => acc = acc.withColumn(vc(v), lit(null).cast("string")) }
+      } else {
+        val opt0 = greedyJoin(optParts.toSeq)
+        // prefix EVERY optional column — unambiguous join condition, and
+        // shared columns keep the LEFT side's value in the output
+        val opt = opt0.toDF(opt0.columns.map("o_" + _).toIndexedSeq: _*)
+        val optCols = opt0.columns.toSet
+        val shared = opt0.columns.filter(accCols.contains)
+        val resolve: String => Column = v =>
+          if (optCols.contains(vc(v))) opt("o_" + vc(v))
+          else resolveIn(acc, accCols)(v)
+        val cond = (shared.map(c => acc(c) === opt("o_" + c)) ++
+          g.filters.map(f => compileFilter(f, resolve)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val joined = acc.join(opt, cond, "left")
+        acc = joined.select(
+          acc.columns.map(joined(_)) ++
+            newVars.map(v => joined("o_" + vc(v)).as(vc(v))): _*)
+      }
+    }
+
+    // Group-level FILTERs: applied after OPTIONAL extension (SPARQL group
+    // scope), so BOUND/!BOUND over optional vars behaves correctly.
+    q.filters.foreach { f =>
+      acc = acc.filter(compileFilter(f, resolveIn(acc, acc.columns.toSet)))
     }
 
     val out = acc.select(selected.map(v => col(vc(v)).as(v)): _*)

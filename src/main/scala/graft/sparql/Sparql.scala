@@ -15,7 +15,15 @@ import scala.collection.mutable.ArrayBuffer
   *   - property paths: sequence `p1/p2` and zero-or-more `p*`
   *   - inline blank nodes `[ p ?v ]` (anonymous join variables)
   *
-  * Anything outside this subset (OPTIONAL, FILTER, UNION, aggregates, …) is
+  *   - `FILTER` constraints: comparisons (`< <= > >= = !=`) over
+  *     variables/literals/IRIs with SPARQL's numeric-vs-string dispatch,
+  *     `regex(?v, "pat"[, "flags"])`, `CONTAINS`, `STRSTARTS`, `BOUND`,
+  *     combined with `&& || !` and parentheses
+  *   - `OPTIONAL { … }` groups (one level, with their own FILTERs —
+  *     SPARQL's LeftJoin(P1, P2, F) form where the filter conditions the
+  *     join itself)
+  *
+  * Anything outside this subset (UNION, MINUS, BIND, aggregates, …) is
   * dead surface for the reference's usage and rejected with a clear error.
   */
 object Sparql {
@@ -31,14 +39,45 @@ object Sparql {
   /** Triple pattern whose predicate is a path of ≥1 steps. */
   final case class TriplePattern(s: Term, path: List[Step], o: Term)
 
+  // ---- FILTER expression AST --------------------------------------------
+  /** Operand of a FILTER expression. */
+  sealed trait FOperand
+  final case class FVar(name: String) extends FOperand
+  /** Numeric literal — forces NUMERIC comparison (SPARQL operator
+    * dispatch on xsd numeric types; a non-numeric bound value is a type
+    * error, i.e. the row is dropped). */
+  final case class FNum(lexical: String) extends FOperand
+  final case class FStr(value: String) extends FOperand
+  final case class FIriRef(iri: String) extends FOperand
+
+  sealed trait FExpr
+  /** op ∈ { < <= > >= = != }. */
+  final case class FCmp(lhs: FOperand, op: String, rhs: FOperand) extends FExpr
+  final case class FRegex(v: String, pattern: String, flags: String) extends FExpr
+  final case class FContains(v: String, needle: String) extends FExpr
+  final case class FStrStarts(v: String, prefix: String) extends FExpr
+  final case class FBound(v: String) extends FExpr
+  final case class FAnd(a: FExpr, b: FExpr) extends FExpr
+  final case class FOr(a: FExpr, b: FExpr) extends FExpr
+  final case class FNot(a: FExpr) extends FExpr
+
+  /** `OPTIONAL { patterns . FILTER … }`: the filters belong to the
+    * left-join itself (SPARQL algebra LeftJoin(P1, P2, F)). */
+  final case class OptionalGroup(
+      patterns: List[TriplePattern], filters: List[FExpr])
+
   /** Parsed query. `projection` empty = SELECT *. `userVars` is every named
     * variable in order of first appearance (for SELECT *, mirroring
-    * rdflib's `res.vars` ordering, client.py:45-46). */
+    * rdflib's `res.vars` ordering, client.py:45-46). Group-level `filters`
+    * apply to the whole group solution — after OPTIONAL extension, so
+    * `FILTER(!BOUND(?x))` works. */
   final case class Query(
       projection: List[String],
       distinct: Boolean,
       patterns: List[TriplePattern],
-      userVars: List[String]) {
+      userVars: List[String],
+      filters: List[FExpr] = Nil,
+      optionals: List[OptionalGroup] = Nil) {
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -157,29 +196,170 @@ object Sparql {
       if (peek != '{') err("expected '{'")
       pos += 1
       val patterns = ArrayBuffer[TriplePattern]()
+      val filters = ArrayBuffer[FExpr]()
+      val optionals = ArrayBuffer[OptionalGroup]()
+      parseGroupBody(patterns, filters, optionals, allowOptional = true)
+      Query(projection.toList, distinct, patterns.toList, order.toList,
+        filters.toList, optionals.toList)
+    }
+
+    /** Body of a `{ … }` group up to and including the closing brace:
+      * triple blocks, FILTER constraints, and (at the top level only —
+      * one nesting level bounds the planner's join tree) OPTIONAL groups. */
+    private def parseGroupBody(
+        patterns: ArrayBuffer[TriplePattern],
+        filters: ArrayBuffer[FExpr],
+        optionals: ArrayBuffer[OptionalGroup],
+        allowOptional: Boolean): Unit = {
       skipWs()
       while (peek != '}') {
-        rejectUnsupported()
-        parseTriplesSameSubject(patterns)
+        if (pos >= n) err("unterminated group")
+        if (peek == '{')
+          err("braced group patterns (UNION alternatives, nested groups) " +
+            "are outside the supported SPARQL subset; see SURVEY.md §2.8")
+        if (kw("FILTER")) {
+          filters += parseFilter()
+        } else if (kw("OPTIONAL")) {
+          if (!allowOptional)
+            err("nested OPTIONAL is outside the supported SPARQL subset")
+          skipWs()
+          if (peek != '{') err("expected '{' after OPTIONAL")
+          pos += 1
+          val p2 = ArrayBuffer[TriplePattern]()
+          val f2 = ArrayBuffer[FExpr]()
+          val o2 = ArrayBuffer[OptionalGroup]()
+          parseGroupBody(p2, f2, o2, allowOptional = false)
+          if (p2.isEmpty) err("empty OPTIONAL group")
+          optionals += OptionalGroup(p2.toList, f2.toList)
+        } else {
+          rejectUnsupported()
+          parseTriplesSameSubject(patterns)
+        }
         skipWs()
         if (peek == '.') { pos += 1; skipWs() }
       }
       pos += 1
-      Query(projection.toList, distinct, patterns.toList, order.toList)
     }
 
     /** Name the gap explicitly: these SPARQL 1.1 constructs are dead
       * surface for the reference's usage (SURVEY.md §2.8) and rejected
       * with a clear message rather than a confusing parse error. */
     private def rejectUnsupported(): Unit = {
-      val unsupported = Seq("FILTER", "OPTIONAL", "UNION", "MINUS", "GRAPH",
-        "BIND", "VALUES", "SERVICE")
+      val unsupported = Seq("UNION", "MINUS", "GRAPH", "BIND", "VALUES",
+        "SERVICE")
       unsupported.foreach { kw =>
         if (in.regionMatches(true, pos, kw, 0, kw.length) &&
             (pos + kw.length >= n || !in.charAt(pos + kw.length).isLetterOrDigit))
           err(s"$kw is outside the supported SPARQL subset " +
             "(basic graph patterns, sequence/zero-or-more property paths, " +
-            "blank nodes; see SURVEY.md §2.8)")
+            "blank nodes, FILTER, one-level OPTIONAL; see SURVEY.md §2.8)")
+      }
+    }
+
+    // ---- FILTER expressions ---------------------------------------------
+    // Precedence: || < && < ! < (comparison | builtin | parens), per the
+    // SPARQL 1.1 grammar's ConditionalOrExpression chain.
+    private def parseFilter(): FExpr = {
+      skipWs()
+      if (peek == '(') { pos += 1; val e = parseOrExpr(); expect(')'); e }
+      else parseBuiltinOrRel() // `FILTER regex(?v, "…")` builtin-call form
+    }
+
+    private def expect(c: Char): Unit = {
+      skipWs()
+      if (peek != c) err(s"expected '$c'")
+      pos += 1
+    }
+
+    private def parseOrExpr(): FExpr = {
+      var e = parseAndExpr()
+      skipWs()
+      while (in.startsWith("||", pos)) { pos += 2; e = FOr(e, parseAndExpr()); skipWs() }
+      e
+    }
+
+    private def parseAndExpr(): FExpr = {
+      var e = parseUnaryExpr()
+      skipWs()
+      while (in.startsWith("&&", pos)) { pos += 2; e = FAnd(e, parseUnaryExpr()); skipWs() }
+      e
+    }
+
+    private def parseUnaryExpr(): FExpr = {
+      skipWs()
+      if (peek == '!' && !in.startsWith("!=", pos)) { pos += 1; FNot(parseUnaryExpr()) }
+      else if (peek == '(') { pos += 1; val e = parseOrExpr(); expect(')'); e }
+      else parseBuiltinOrRel()
+    }
+
+    private def parseBuiltinOrRel(): FExpr = {
+      skipWs()
+      if (kw("REGEX")) {
+        expect('('); val v = parseVarArg()
+        expect(','); val pat = parseStrArg()
+        skipWs()
+        val flags = if (peek == ',') { pos += 1; parseStrArg() } else ""
+        expect(')')
+        FRegex(v, pat, flags)
+      } else if (kw("CONTAINS")) {
+        expect('('); val v = parseVarArg(); expect(','); val s = parseStrArg()
+        expect(')'); FContains(v, s)
+      } else if (kw("STRSTARTS")) {
+        expect('('); val v = parseVarArg(); expect(','); val s = parseStrArg()
+        expect(')'); FStrStarts(v, s)
+      } else if (kw("BOUND")) {
+        expect('('); val v = parseVarArg(); expect(')'); FBound(v)
+      } else {
+        val l = parseOperand()
+        val op = parseCmpOp()
+        val r = parseOperand()
+        FCmp(l, op, r)
+      }
+    }
+
+    private def parseVarArg(): String = {
+      skipWs()
+      if (peek != '?' && peek != '$') err("expected a variable argument")
+      parseVar()
+    }
+
+    private def parseStrArg(): String = {
+      skipWs()
+      if (peek != '"' && peek != '\'') err("expected a string literal argument")
+      parseLiteral()
+    }
+
+    /** In OPERAND position `<` introduces an IRIREF; the less-than
+      * OPERATOR only occurs in [[parseCmpOp]] position — no ambiguity. */
+    private def parseOperand(): FOperand = {
+      skipWs()
+      peek match {
+        case '?' | '$' => FVar(parseVar())
+        case '<' => FIriRef(parseIriRef())
+        case '"' | '\'' => FStr(parseLiteral())
+        case c if c.isDigit || c == '-' || c == '+' =>
+          val start = pos
+          if (peek == '-' || peek == '+') pos += 1
+          while (pos < n && (in.charAt(pos).isDigit || in.charAt(pos) == '.')) pos += 1
+          if (pos == start || !in.substring(start, pos).exists(_.isDigit))
+            err("expected numeric literal")
+          FNum(in.substring(start, pos))
+        case _ => FIriRef(parsePName())
+      }
+    }
+
+    private def parseCmpOp(): String = {
+      skipWs()
+      val two = Seq("<=", ">=", "!=")
+      two.find(op => in.startsWith(op, pos)) match {
+        case Some(op) => pos += 2; op
+        case None =>
+          peek match {
+            case '<' => pos += 1; "<"
+            case '>' => pos += 1; ">"
+            case '=' => pos += 1; "="
+            case _ => err("expected comparison operator (< <= > >= = !=)")
+          }
       }
     }
 

@@ -65,10 +65,13 @@ class BgpPropertySpec extends AnyFunSuite {
     closure ++ terms.map(t => (t, t))
   }
 
-  def naive(ts: Set[(String, String, String)], q: Query): Set[List[String]] = {
+  /** Solution mappings of a BGP over the triple set (internal path vars
+    * dropped from the returned maps). */
+  def naiveSols(ts: Set[(String, String, String)],
+      patterns: List[TriplePattern]): Set[Map[String, String]] = {
     // expand paths into atoms with fresh internal vars
     var ctr = 0
-    val atoms = q.patterns.flatMap { tp =>
+    val atoms = patterns.flatMap { tp =>
       var subj = tp.s
       tp.path.zipWithIndex.map { case (st, i) =>
         val obj = if (i == tp.path.length - 1) tp.o else { ctr += 1; V(s"_i$ctr") }
@@ -99,8 +102,11 @@ class BgpPropertySpec extends AnyFunSuite {
         m2 <- bind(m1, o, y)
       } yield m2
     }
-    sols.map(m => q.selected.map(m.getOrElse(_, null)))
+    sols.map(_.filter { case (k, _) => !k.startsWith("_i") })
   }
+
+  def naive(ts: Set[(String, String, String)], q: Query): Set[List[String]] =
+    naiveSols(ts, q.patterns).map(m => q.selected.map(m.getOrElse(_, null)))
 
   test("planner solutions == naive BGP evaluation on random graphs/queries") {
     val s = spark
@@ -124,5 +130,112 @@ class BgpPropertySpec extends AnyFunSuite {
             s"planner=${got.size} naive=${want.size}")
       }
     }
+  }
+
+  // ---- OPTIONAL + FILTER differential fuzz (round 8) --------------------
+
+  /** Naive filter evaluation. The generator only emits filters whose
+    * variables are guaranteed bound in their scope (comparison vars come
+    * from the group's own patterns), so SPARQL's error-propagation cases
+    * can't arise — except BOUND, which never errors. */
+  def feval(f: FExpr, m: Map[String, String]): Boolean = f match {
+    case FCmp(FVar(v), op, FIriRef(i)) => m.get(v) match {
+      case None => false
+      case Some(x) => op match {
+        case "<" => x < i; case "<=" => x <= i; case ">" => x > i
+        case ">=" => x >= i; case "=" => x == i; case "!=" => x != i
+      }
+    }
+    case FBound(v) => m.contains(v)
+    case FNot(a) => !feval(a, m)
+    case FAnd(a, b) => feval(a, m) && feval(b, m)
+    case FOr(a, b) => feval(a, m) || feval(b, m)
+    case other => throw new IllegalArgumentException(s"fuzz does not emit $other")
+  }
+
+  def cmpGen(vars: Seq[String]): Gen[FExpr] = for {
+    v <- Gen.oneOf(vars)
+    op <- Gen.oneOf("<", "<=", ">", ">=", "=", "!=")
+    node <- Gen.oneOf(nodes)
+  } yield FCmp(FVar(v), op, FIriRef(node))
+
+  /** Query with one OPTIONAL group, optionally a filter inside the group
+    * (vars from the group's patterns) and/or a top-level filter (vars from
+    * the required patterns, or BOUND over any var). */
+  val optQueryGen: Gen[Query] = for {
+    nPat <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(nPat, patternGen(Seq("a", "b")))
+    nOpt <- Gen.choose(1, 2)
+    optPats <- Gen.listOfN(nOpt, patternGen(Seq("b", "c", "d")))
+    wantOptF <- Gen.oneOf(true, false)
+    wantTopF <- Gen.frequency(2 -> Gen.const(0), 1 -> Gen.const(1), 1 -> Gen.const(2))
+    optFSeed <- cmpGen(Seq("b", "c", "d"))
+    topFSeed <- cmpGen(Seq("a", "b"))
+    boundVar <- Gen.oneOf(Seq("a", "b", "c", "d"))
+    neg <- Gen.oneOf(true, false)
+  } yield {
+    def varsOf(ps: List[TriplePattern]) =
+      ps.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }.distinct
+    val reqVars = varsOf(pats)
+    val optVars = varsOf(optPats)
+    val optF =
+      if (wantOptF && optVars.nonEmpty)
+        List(optFSeed match { case FCmp(_, op, r) => FCmp(FVar(optVars.head), op, r); case o => o })
+      else Nil
+    val topF = wantTopF match {
+      case 1 if reqVars.nonEmpty =>
+        List(topFSeed match { case FCmp(_, op, r) => FCmp(FVar(reqVars.head), op, r); case o => o })
+      case 2 if (reqVars ++ optVars).contains(boundVar) =>
+        List(if (neg) FNot(FBound(boundVar)) else FBound(boundVar))
+      case _ => Nil
+    }
+    val named = (reqVars ++ optVars).distinct
+    Query(Nil, distinct = false, pats, named,
+      filters = topF, optionals = List(OptionalGroup(optPats, optF)))
+  }
+
+  /** SPARQL LeftJoin(Ω1, Ω2, F) + group-level Filter, naively. */
+  def naiveOpt(ts: Set[(String, String, String)], q: Query): Set[List[String]] = {
+    val base = naiveSols(ts, q.patterns)
+    val joined = q.optionals.foldLeft(base) { (acc, grp) =>
+      val optSols = naiveSols(ts, grp.patterns)
+      acc.flatMap { m1 =>
+        val matches = optSols.filter { m2 =>
+          m2.keySet.intersect(m1.keySet).forall(k => m1(k) == m2(k)) &&
+            grp.filters.forall(f => feval(f, m1 ++ m2))
+        }
+        if (matches.nonEmpty) matches.map(m1 ++ _) else Set(m1)
+      }
+    }
+    joined.filter(m => q.filters.forall(f => feval(f, m)))
+      .map(m => q.selected.map(m.getOrElse(_, null)))
+  }
+
+  test("planner OPTIONAL/FILTER == naive LeftJoin semantics on random graphs/queries") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 20).flatMap { i =>
+      for {
+        g <- graphGen(Gen.Parameters.default, Seed(2000L + i))
+        q <- optQueryGen(Gen.Parameters.default, Seed(3000L + i))
+      } yield (g, q)
+    }
+    assert(cases.nonEmpty)
+    var run = 0
+    cases.foreach { case (g, q) =>
+      // planner precondition: the required group must bind ≥1 variable
+      val reqHasVar = q.patterns.exists(tp => Seq(tp.s, tp.o).exists(_.isInstanceOf[V]))
+      if (reqHasVar && q.selected.nonEmpty) {
+        run += 1
+        val quads = g.toSeq.map { case (su, p, o) => Quad("urn:g#", su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naiveOpt(g, q)
+        assert(got == want,
+          s"mismatch for ${q.patterns} OPTIONAL ${q.optionals} FILTER ${q.filters} " +
+            s"over ${g.size} triples: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 10, s"only $run generated cases were runnable")
   }
 }

@@ -127,11 +127,93 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   test("unsupported SPARQL constructs rejected with a named error") {
-    Seq("FILTER(?x > 3)", "OPTIONAL { ?a ?b ?c }", "BIND(1 AS ?x)").foreach { frag =>
+    Seq("{ ?s <urn:q> ?x } UNION { ?s <urn:r> ?x }", "BIND(1 AS ?x)",
+      "MINUS { ?s <urn:q> ?x }", "VALUES ?x { 1 }").foreach { frag =>
       val e = intercept[IllegalArgumentException] {
         Sparql.parse(s"SELECT ?s WHERE { ?s <urn:p> <urn:o> . $frag }")
       }
       assert(e.getMessage.contains("outside the supported SPARQL subset"), e.getMessage)
     }
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { ?s <urn:q> ?w . OPTIONAL { ?s <urn:r> ?x } } }")
+    }
+    assert(e.getMessage.contains("nested OPTIONAL"), e.getMessage)
+  }
+
+  // ---- FILTER + OPTIONAL (round 8) --------------------------------------
+
+  lazy val filterQuads = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#val", "5"),
+      Quad("urn:g#", "urn:d#2", "urn:p#val", "10"),
+      Quad("urn:g#", "urn:d#3", "urn:p#val", "50"),
+      Quad("urn:g#", "urn:d#4", "urn:p#val", "n/a"),
+      Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
+      Quad("urn:g#", "urn:d#3", "urn:p#tag", "beta")).toDF()
+  }
+  val fp = "PREFIX p: <urn:p#> "
+
+  test("FILTER numeric comparison: numeric literal forces numeric dispatch; non-numeric binding is a type error (row dropped)") {
+    val q = Sparql.parse(fp + "SELECT ?s ?v WHERE { ?s p:val ?v . FILTER(?v > 9) }")
+    val got = BgpPlanner.evaluate(filterQuads, q).collect().map(_.getString(0)).sorted
+    // "5" is numerically 5 (not lexically "5" > "9"); "n/a" casts to NULL → dropped
+    assert(got.toSeq == Seq("urn:d#2", "urn:d#3"))
+  }
+
+  test("FILTER string comparison stays lexical; = and != on IRIs") {
+    val q = Sparql.parse(fp + "SELECT ?s WHERE { ?s p:val ?v . FILTER(?v > \"10\") }")
+    val got = BgpPlanner.evaluate(filterQuads, q).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("urn:d#1", "urn:d#3", "urn:d#4")) // "5","50","n/a" lexically > "10"
+    val q2 = Sparql.parse(fp + "SELECT ?v WHERE { ?s p:tag ?t . ?s p:val ?v . FILTER(?s != <urn:d#1>) }")
+    assert(BgpPlanner.evaluate(filterQuads, q2).collect().map(_.getString(0)).toSeq == Seq("50"))
+  }
+
+  test("FILTER regex (with flags), CONTAINS, STRSTARTS, && and || precedence") {
+    val q = Sparql.parse(fp + "SELECT ?s WHERE { ?s p:tag ?t . FILTER(regex(?t, \"^AL\", \"i\")) }")
+    assert(BgpPlanner.evaluate(filterQuads, q).collect().map(_.getString(0)).toSeq == Seq("urn:d#1"))
+    val q2 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . ?s p:tag ?t . FILTER(CONTAINS(?t, \"et\") || STRSTARTS(?t, \"al\") && ?v < 7) }")
+    val got = BgpPlanner.evaluate(filterQuads, q2).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("urn:d#1", "urn:d#3")) // d1: alpha&&5<7; d3: beta contains "et"
+  }
+
+  test("OPTIONAL keeps left rows, unbound vars are NULL; FILTER(!BOUND) selects them") {
+    val q = Sparql.parse(fp + "SELECT ?s ?v ?t WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t } }")
+    val rows = BgpPlanner.evaluate(filterQuads, q).collect()
+    assert(rows.length == 4)
+    val byS = rows.map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(byS("urn:d#1").contains("alpha") && byS("urn:d#3").contains("beta"))
+    assert(byS("urn:d#2").isEmpty && byS("urn:d#4").isEmpty)
+    val q2 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t } . FILTER(!BOUND(?t)) }")
+    val got = BgpPlanner.evaluate(filterQuads, q2).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("urn:d#2", "urn:d#4"))
+  }
+
+  test("FILTER inside OPTIONAL conditions the join, not the left rows (LeftJoin(P1,P2,F))") {
+    val q = Sparql.parse(fp +
+      "SELECT ?s ?t WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t . FILTER(STRSTARTS(?t, \"al\")) } }")
+    val rows = BgpPlanner.evaluate(filterQuads, q).collect()
+    assert(rows.length == 4) // every left row survives
+    val bound = rows.filter(_.getString(1) != null)
+    assert(bound.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("urn:d#1", "alpha")))
+  }
+
+  test("FILTER referencing a variable bound by no pattern fails loudly") {
+    val q = Sparql.parse(fp + "SELECT ?s WHERE { ?s p:val ?v . FILTER(?nope > 3) }")
+    val e = intercept[IllegalArgumentException] { BgpPlanner.evaluate(filterQuads, q) }
+    assert(e.getMessage.contains("bound by no pattern"), e.getMessage)
+  }
+
+  test("FILTER on the flagship fixture: regex narrows timeseries bindings") {
+    val q = Sparql.parse(prefix +
+      """SELECT ?id WHERE {
+        |  ?p brick:timeseries ?b . ?b brick:hasTimeseriesId ?id .
+        |  FILTER(regex(?id, "^a0dd"))
+        |}""".stripMargin)
+    val rows = BgpPlanner.evaluate(quads, q).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a0dd74ce-05ee-5fee-8335-2d9856bd52be"))
   }
 }
