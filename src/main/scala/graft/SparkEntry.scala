@@ -811,6 +811,37 @@ object SparkEntry {
         .na.fill("unbound", Seq("b"))
         .orderBy("c")
     }),
+    "q109_stream_interval_join" -> ((s, dir) => {
+      // §2.9 streaming in the correctness gate: the SAME watermarked
+      // stream-stream interval join that runs online processes the events
+      // table through a real file-source streaming query (AvailableNow),
+      // and its output must equal DuckDB's batch range join — the
+      // backfill/online parity a lambda-free pipeline depends on. The
+      // watermark far exceeds the data span so nothing is late: parity is
+      // exact, not approximate (cross-batch lateness is spec-tested).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def side(tp: String) = {
+        // the file STREAM source wants a directory; glob-filter the one
+        // table file out of the sf dir
+        val raw = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        val ts = if (schema("ts").dataType.typeName == "long")
+          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        else raw
+        ts.filter(col("event_type") === tp).select("event_id", "user_id", "ts")
+      }
+      val joined = graft.streaming.StreamingOps.intervalJoinStreams(
+        side("purchase"), side("click"), "user_id", "ts",
+        watermark = "87600 hours", boundSeconds = 3600L)
+      // unique sink per invocation: bench times two passes in one session
+      val sink = "q109_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      graft.streaming.StreamingOps.runToMemory(joined, sink)
+      s.table(sink)
+        .groupBy(col("l_event_id").as("event_id"), col("l_user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
     "q105_grouped_topk" -> ((s, dir) => {
       // general grouped top-k via the k-bounded heap aggregate (q22's
       // TopK machinery on a relational domain): partials put ≤ k rows per
@@ -2645,6 +2676,12 @@ object SparkEntry {
         |    THEN CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) END,
         |    'unbound') AS b
         |FROM customer ORDER BY c""".stripMargin,
+    "q109_stream_interval_join" ->
+      """SELECT p.event_id, p.user_id, count(*) AS n_clicks
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q106_canonical_keep" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, lang, source,
