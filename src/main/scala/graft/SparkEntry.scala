@@ -811,6 +811,19 @@ object SparkEntry {
         .na.fill("unbound", Seq("b"))
         .orderBy("c")
     }),
+    "q110_sparql_union" -> ((s, dir) => {
+      // §2.8 UNION: branch BGPs with branch-scoped FILTERs, solutions
+      // concatenated (bag union) with each branch's unshared var unbound
+      // — sentinel-filled for engine-portable hashing (raw NULL semantics
+      // are SparqlSpec-asserted)
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?b ?m WHERE { " +
+          "{ ?c p:balCents ?b . FILTER(?b > 950000) } UNION " +
+          "{ ?c p:mkt ?m . FILTER(STRSTARTS(?m, \"BUI\")) } }")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+        .na.fill("unbound", Seq("b", "m"))
+        .orderBy("c", "b", "m")
+    }),
     "q109_stream_interval_join" -> ((s, dir) => {
       // §2.9 streaming in the correctness gate: the SAME watermarked
       // stream-stream interval join that runs online processes the events
@@ -2676,6 +2689,17 @@ object SparkEntry {
         |    THEN CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) END,
         |    'unbound') AS b
         |FROM customer ORDER BY c""".stripMargin,
+    "q110_sparql_union" ->
+      """SELECT c, coalesce(b, 'unbound') AS b, coalesce(m, 'unbound') AS m FROM (
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |    CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) AS b,
+        |    CAST(NULL AS VARCHAR) AS m
+        |  FROM customer WHERE floor(c_acctbal*100) > 950000
+        |  UNION ALL
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), c_mktsegment
+        |  FROM customer WHERE c_mktsegment LIKE 'BUI%')
+        |ORDER BY c, b, m""".stripMargin,
     "q109_stream_interval_join" ->
       """SELECT p.event_id, p.user_id, count(*) AS n_clicks
         |FROM events p JOIN events c ON p.user_id = c.user_id

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * Replaces the opaque oxigraph BGP evaluation the reference delegates to
   * (reference: mortar-parquet-client/client.py:42,52). Each triple pattern
   * becomes a filtered projection of the quads table; shared variables become
-  * equi-joins; `p*` steps become reflexive-transitive closure relations.
+  * equi-joins; `p*` steps become reflexive-transitive closure relations;
+  * OPTIONAL groups become left-outer joins carrying their FILTERs in the
+  * join condition; UNION groups become null-padded bag unions of their
+  * branch BGPs; FILTERs compile to Catalyst predicate Columns.
   *
   * Planner-level optimization (SURVEY.md §4): patterns are joined most-
   * selective-first (most constant terms bound), always extending the current
@@ -57,19 +60,17 @@ object BgpPlanner {
     def freshPathVar(): Term = { pathCounter += 1; V(s"_path$pathCounter") }
 
     // Expand property paths into single-step atoms with fresh join vars.
-    val atoms: List[Atom] = q.patterns.flatMap { tp =>
-      val hops = tp.path.zipWithIndex.map { case (step, i) =>
-        val isLast = i == tp.path.length - 1
-        (step, isLast)
+    def expandAtoms(patterns: List[TriplePattern]): List[Atom] =
+      patterns.flatMap { tp =>
+        var subj: Term = tp.s
+        tp.path.zipWithIndex.map { case (step, i) =>
+          val obj = if (i == tp.path.length - 1) tp.o else freshPathVar()
+          val a = Atom(subj, step.iri, step.star, obj)
+          subj = obj
+          a
+        }
       }
-      var subj: Term = tp.s
-      hops.map { case (step, isLast) =>
-        val obj = if (isLast) tp.o else freshPathVar()
-        val a = Atom(subj, step.iri, step.star, obj)
-        subj = obj
-        a
-      }
-    }
+    val atoms: List[Atom] = expandAtoms(q.patterns)
 
     // Closure relations, one per starred predicate (reused across atoms).
     lazy val allTerms = scoped.select(col("s").as("t"))
@@ -127,26 +128,26 @@ object BgpPlanner {
       }
     }
 
-    // Ground atoms that fail their existence test empty the whole result.
-    val dfs = new scala.collection.mutable.ArrayBuffer[(Atom, DataFrame)]()
-    var failed = false
-    atoms.foreach { a =>
-      if (!failed) {
-        if (a.vars.isEmpty) { if (atomDF(a).isEmpty) failed = true }
-        else dfs += ((a, atomDF(a).get))
+    /** Per-atom relations of one pattern group (ground atoms become
+      * existence tests); None = a ground atom failed, the group has no
+      * solutions. Each entry carries the atom's constant count for the
+      * greedy join's selectivity ordering. */
+    def buildParts(as: List[Atom]): Option[Seq[(Int, DataFrame)]] = {
+      val parts = new scala.collection.mutable.ArrayBuffer[(Int, DataFrame)]()
+      var failed = false
+      as.foreach { a =>
+        if (!failed) {
+          if (a.vars.isEmpty) { if (atomDF(a).isEmpty) failed = true }
+          else parts += ((a.constCount, atomDF(a).get))
+        }
       }
+      if (failed) None else Some(parts.toSeq)
     }
 
-    val selected = q.selected
-    if (failed || dfs.isEmpty) {
-      return spark.range(0)
-        .select(selected.map(v => lit(null).cast("string").as(v)): _*)
-    }
-
-    // Greedy selectivity-ordered join (shared by the required group and
-    // each OPTIONAL group's internal join tree).
-    def greedyJoin(parts: Seq[(Atom, DataFrame)]): DataFrame = {
-      val pending = parts.sortBy { case (a, _) => -a.constCount }
+    // Greedy selectivity-ordered join (shared by the required group, each
+    // OPTIONAL group, and each UNION branch's internal join tree).
+    def greedyJoin(parts: Seq[(Int, DataFrame)]): DataFrame = {
+      val pending = parts.sortBy { case (c, _) => -c }
         .to(scala.collection.mutable.ListBuffer)
       var acc = pending.remove(0)._2
       var accCols = acc.columns.toSet
@@ -155,7 +156,7 @@ object BgpPlanner {
         val pick = if (idx >= 0) {
           // among connectable atoms prefer max shared vars then max constants
           val candidates = pending.zipWithIndex.filter { case ((_, d), _) => d.columns.exists(accCols.contains) }
-          candidates.maxBy { case ((a, d), _) => (d.columns.count(accCols.contains), a.constCount) }._2
+          candidates.maxBy { case ((c, d), _) => (d.columns.count(accCols.contains), c) }._2
         } else 0
         val (_, d) = pending.remove(pick)
         val shared = d.columns.filter(accCols.contains)
@@ -164,8 +165,6 @@ object BgpPlanner {
       }
       acc
     }
-
-    var acc = greedyJoin(dfs.toSeq)
 
     // FILTER expression → Column. SPARQL's three-valued error semantics
     // map exactly onto SQL NULL logic: a type error (non-numeric string
@@ -214,6 +213,52 @@ object BgpPlanner {
       else throw new IllegalArgumentException(
         s"FILTER references variable ?$v bound by no pattern in scope")
 
+    // UNION groups → one relation each: every branch BGP evaluates
+    // independently (branch FILTERs scope to the branch — a UNION branch
+    // is its own group in SPARQL), unshared variables are null-padded,
+    // and branch solutions CONCATENATE (bag union, no dedup — faithful to
+    // rdflib). Divergence note (same rule as OPTIONAL-var reuse below): a
+    // variable a branch leaves unbound joins outer patterns through SQL
+    // NULL equality (never matches) where SPARQL's compatible-mapping
+    // semantics would accept any binding — share variables between the
+    // union and outer patterns only when every branch binds them.
+    var unionFailed = false
+    val unionRels: Seq[DataFrame] = q.unions.map { ug =>
+      val branchDfs = ug.branches.flatMap { b =>
+        buildParts(expandAtoms(b.patterns)) match {
+          case Some(parts) if parts.nonEmpty =>
+            var d = greedyJoin(parts)
+            b.filters.foreach { f =>
+              d = d.filter(compileFilter(f, resolveIn(d, d.columns.toSet)))
+            }
+            Some(d)
+          case _ => None // branch has no solutions (ground failure / no vars)
+        }
+      }
+      if (branchDfs.isEmpty) { unionFailed = true; spark.emptyDataFrame }
+      else {
+        val allCols = branchDfs.flatMap(_.columns).distinct
+        branchDfs.map { d =>
+          val have = d.columns.toSet
+          d.select(allCols.map(c =>
+            if (have(c)) col(c) else lit(null).cast("string").as(c)): _*)
+        }.reduce(_ union _)
+      }
+    }
+
+    // Assemble the required group: triple-pattern relations + one
+    // relation per UNION group, greedily joined. Ground-atom failure, an
+    // all-branches-failed union, or a query with nothing to bind → empty.
+    val reqParts = buildParts(atoms)
+    val selected = q.selected
+    val baseParts: Seq[(Int, DataFrame)] =
+      reqParts.getOrElse(Nil) ++ unionRels.map(r => (0, r))
+    if (reqParts.isEmpty || unionFailed || baseParts.isEmpty) {
+      return spark.range(0)
+        .select(selected.map(v => lit(null).cast("string").as(v)): _*)
+    }
+    var acc = greedyJoin(baseParts)
+
     // OPTIONAL groups: SPARQL algebra LeftJoin(P1, P2, F) — a LEFT OUTER
     // join on the shared variables whose join condition carries the
     // group's own FILTERs (so an inner FILTER conditions the match, it
@@ -225,34 +270,19 @@ object BgpPlanner {
     // re-bind — reuse a variable across two OPTIONAL groups only when the
     // first group always binds it.
     q.optionals.foreach { g =>
-      val optAtoms: List[Atom] = g.patterns.flatMap { tp =>
-        var subj: Term = tp.s
-        tp.path.zipWithIndex.map { case (step, i) =>
-          val obj = if (i == tp.path.length - 1) tp.o else freshPathVar()
-          val a = Atom(subj, step.iri, step.star, obj)
-          subj = obj
-          a
-        }
-      }
-      val optParts = new scala.collection.mutable.ArrayBuffer[(Atom, DataFrame)]()
-      var optFailed = false
-      optAtoms.foreach { a =>
-        if (!optFailed) {
-          if (a.vars.isEmpty) { if (atomDF(a).isEmpty) optFailed = true }
-          else optParts += ((a, atomDF(a).get))
-        }
-      }
+      val optAtoms: List[Atom] = expandAtoms(g.patterns)
+      val optParts = buildParts(optAtoms)
       // named (user-visible) vars this group can bind beyond what's bound
       val groupVars = optAtoms.flatMap(_.vars).distinct
         .filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
       val accCols = acc.columns.toSet
       val newVars = groupVars.filterNot(v => accCols.contains(vc(v)))
-      if (optFailed || optParts.isEmpty) {
+      if (optParts.forall(_.isEmpty)) {
         // group matches nothing (or binds nothing new): left rows survive
         // with the group's fresh vars unbound
         newVars.foreach { v => acc = acc.withColumn(vc(v), lit(null).cast("string")) }
       } else {
-        val opt0 = greedyJoin(optParts.toSeq)
+        val opt0 = greedyJoin(optParts.get)
         // prefix EVERY optional column — unambiguous join condition, and
         // shared columns keep the LEFT side's value in the output
         val opt = opt0.toDF(opt0.columns.map("o_" + _).toIndexedSeq: _*)

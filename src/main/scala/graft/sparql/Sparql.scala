@@ -22,9 +22,11 @@ import scala.collection.mutable.ArrayBuffer
   *   - `OPTIONAL { … }` groups (one level, with their own FILTERs —
   *     SPARQL's LeftJoin(P1, P2, F) form where the filter conditions the
   *     join itself)
+  *   - `{ A } UNION { B }` alternatives (branches are plain BGPs with
+  *     their own FILTERs; unshared variables stay unbound per branch)
   *
-  * Anything outside this subset (UNION, MINUS, BIND, aggregates, …) is
-  * dead surface for the reference's usage and rejected with a clear error.
+  * Anything outside this subset (MINUS, BIND, aggregates, …) is dead
+  * surface for the reference's usage and rejected with a clear error.
   */
 object Sparql {
 
@@ -61,10 +63,15 @@ object Sparql {
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr
 
-  /** `OPTIONAL { patterns . FILTER … }`: the filters belong to the
-    * left-join itself (SPARQL algebra LeftJoin(P1, P2, F)). */
-  final case class OptionalGroup(
+  /** A braced sub-group of patterns + its own FILTERs. For OPTIONAL the
+    * filters belong to the left-join itself (SPARQL algebra
+    * LeftJoin(P1, P2, F)); for a UNION branch they scope to the branch. */
+  final case class PatternGroup(
       patterns: List[TriplePattern], filters: List[FExpr])
+
+  /** `{ A } UNION { B } …`: ≥2 branches, solutions concatenated with
+    * unshared variables left unbound (SPARQL bag union). */
+  final case class UnionGroup(branches: List[PatternGroup])
 
   /** Parsed query. `projection` empty = SELECT *. `userVars` is every named
     * variable in order of first appearance (for SELECT *, mirroring
@@ -77,7 +84,8 @@ object Sparql {
       patterns: List[TriplePattern],
       userVars: List[String],
       filters: List[FExpr] = Nil,
-      optionals: List[OptionalGroup] = Nil) {
+      optionals: List[PatternGroup] = Nil,
+      unions: List[UnionGroup] = Nil) {
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -197,27 +205,44 @@ object Sparql {
       pos += 1
       val patterns = ArrayBuffer[TriplePattern]()
       val filters = ArrayBuffer[FExpr]()
-      val optionals = ArrayBuffer[OptionalGroup]()
-      parseGroupBody(patterns, filters, optionals, allowOptional = true)
+      val optionals = ArrayBuffer[PatternGroup]()
+      val unions = ArrayBuffer[UnionGroup]()
+      parseGroupBody(patterns, filters, optionals, unions,
+        allowOptional = true, allowUnion = true)
       Query(projection.toList, distinct, patterns.toList, order.toList,
-        filters.toList, optionals.toList)
+        filters.toList, optionals.toList, unions.toList)
     }
 
     /** Body of a `{ … }` group up to and including the closing brace:
       * triple blocks, FILTER constraints, and (at the top level only —
-      * one nesting level bounds the planner's join tree) OPTIONAL groups. */
+      * one nesting level bounds the planner's join tree) OPTIONAL groups
+      * and `{ A } UNION { B }` alternatives. */
     private def parseGroupBody(
         patterns: ArrayBuffer[TriplePattern],
         filters: ArrayBuffer[FExpr],
-        optionals: ArrayBuffer[OptionalGroup],
-        allowOptional: Boolean): Unit = {
+        optionals: ArrayBuffer[PatternGroup],
+        unions: ArrayBuffer[UnionGroup],
+        allowOptional: Boolean,
+        allowUnion: Boolean): Unit = {
       skipWs()
       while (peek != '}') {
         if (pos >= n) err("unterminated group")
-        if (peek == '{')
-          err("braced group patterns (UNION alternatives, nested groups) " +
-            "are outside the supported SPARQL subset; see SURVEY.md §2.8")
-        if (kw("FILTER")) {
+        if (peek == '{') {
+          if (!allowUnion)
+            err("nested group patterns are outside the supported SPARQL subset")
+          // `{ A } UNION { B } [UNION { C } …]` — a braced group is only
+          // supported as a UNION alternative (plain grouping adds nothing
+          // to the subset and is rejected by the kw check below)
+          val branches = ArrayBuffer[PatternGroup]()
+          branches += parseBracedGroup()
+          if (!kw("UNION"))
+            err("a braced group must be a UNION alternative " +
+              "({ A } UNION { B }); plain nested groups are outside the " +
+              "supported SPARQL subset; see SURVEY.md §2.8")
+          branches += parseBracedGroup()
+          while (kw("UNION")) branches += parseBracedGroup()
+          unions += UnionGroup(branches.toList)
+        } else if (kw("FILTER")) {
           filters += parseFilter()
         } else if (kw("OPTIONAL")) {
           if (!allowOptional)
@@ -227,10 +252,11 @@ object Sparql {
           pos += 1
           val p2 = ArrayBuffer[TriplePattern]()
           val f2 = ArrayBuffer[FExpr]()
-          val o2 = ArrayBuffer[OptionalGroup]()
-          parseGroupBody(p2, f2, o2, allowOptional = false)
+          val o2 = ArrayBuffer[PatternGroup]()
+          val u2 = ArrayBuffer[UnionGroup]()
+          parseGroupBody(p2, f2, o2, u2, allowOptional = false, allowUnion = false)
           if (p2.isEmpty) err("empty OPTIONAL group")
-          optionals += OptionalGroup(p2.toList, f2.toList)
+          optionals += PatternGroup(p2.toList, f2.toList)
         } else {
           rejectUnsupported()
           parseTriplesSameSubject(patterns)
@@ -241,12 +267,26 @@ object Sparql {
       pos += 1
     }
 
+    /** `{ patterns . FILTER … }` — a UNION branch: triples + filters only
+      * (no nested OPTIONAL/UNION, which keeps every branch a plain BGP). */
+    private def parseBracedGroup(): PatternGroup = {
+      skipWs()
+      if (peek != '{') err("expected '{'")
+      pos += 1
+      val p = ArrayBuffer[TriplePattern]()
+      val f = ArrayBuffer[FExpr]()
+      val o = ArrayBuffer[PatternGroup]()
+      val u = ArrayBuffer[UnionGroup]()
+      parseGroupBody(p, f, o, u, allowOptional = false, allowUnion = false)
+      if (p.isEmpty) err("empty UNION branch")
+      PatternGroup(p.toList, f.toList)
+    }
+
     /** Name the gap explicitly: these SPARQL 1.1 constructs are dead
       * surface for the reference's usage (SURVEY.md §2.8) and rejected
       * with a clear message rather than a confusing parse error. */
     private def rejectUnsupported(): Unit = {
-      val unsupported = Seq("UNION", "MINUS", "GRAPH", "BIND", "VALUES",
-        "SERVICE")
+      val unsupported = Seq("MINUS", "GRAPH", "BIND", "VALUES", "SERVICE")
       unsupported.foreach { kw =>
         if (in.regionMatches(true, pos, kw, 0, kw.length) &&
             (pos + kw.length >= n || !in.charAt(pos + kw.length).isLetterOrDigit))

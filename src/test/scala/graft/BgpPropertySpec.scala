@@ -191,7 +191,7 @@ class BgpPropertySpec extends AnyFunSuite {
     }
     val named = (reqVars ++ optVars).distinct
     Query(Nil, distinct = false, pats, named,
-      filters = topF, optionals = List(OptionalGroup(optPats, optF)))
+      filters = topF, optionals = List(PatternGroup(optPats, optF)))
   }
 
   /** SPARQL LeftJoin(Ω1, Ω2, F) + group-level Filter, naively. */
@@ -234,6 +234,77 @@ class BgpPropertySpec extends AnyFunSuite {
         assert(got == want,
           s"mismatch for ${q.patterns} OPTIONAL ${q.optionals} FILTER ${q.filters} " +
             s"over ${g.size} triples: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 10, s"only $run generated cases were runnable")
+  }
+
+  // ---- UNION differential fuzz (round 8) --------------------------------
+
+  /** A UNION branch: one pattern anchored on shared subject ?u (so the
+    * shared variable is bound by EVERY branch — the planner's null-padded
+    * join is exact there; see the divergence note in BgpPlanner), with an
+    * optional branch-scoped filter on ?u. */
+  def branchGen(objVar: String): Gen[PatternGroup] = for {
+    o <- Gen.frequency(2 -> Gen.const[Term](V(objVar)), 1 -> Gen.oneOf(nodes).map(I))
+    p1 <- Gen.oneOf(preds)
+    star <- Gen.oneOf(true, false)
+    wantF <- Gen.oneOf(true, false)
+    f <- cmpGen(Seq("u"))
+  } yield PatternGroup(List(TriplePattern(V("u"), List(Step(p1, star)), o)),
+    if (wantF) List(f) else Nil)
+
+  val unionQueryGen: Gen[Query] = for {
+    nPat <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(nPat, patternGen(Seq("a", "u")))
+    br1 <- branchGen("c")
+    br2 <- branchGen("d")
+  } yield {
+    def varsOf(ps: List[TriplePattern]) =
+      ps.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }
+    val named = (varsOf(pats) ++ varsOf(br1.patterns) ++ varsOf(br2.patterns)).distinct
+    Query(Nil, distinct = false, pats, named,
+      unions = List(UnionGroup(List(br1, br2))))
+  }
+
+  /** Join(Ω_required, Union(Ω_b1, Ω_b2)) with branch filters, naively. */
+  def naiveUnion(ts: Set[(String, String, String)], q: Query): Set[List[String]] = {
+    val base = naiveSols(ts, q.patterns)
+    val unionSols: Set[Map[String, String]] = q.unions.headOption match {
+      case Some(ug) => ug.branches.flatMap { b =>
+        naiveSols(ts, b.patterns).filter(m => b.filters.forall(feval(_, m)))
+      }.toSet
+      case None => Set(Map.empty)
+    }
+    val joined = for {
+      m1 <- base
+      m2 <- unionSols
+      if m2.keySet.intersect(m1.keySet).forall(k => m1(k) == m2(k))
+    } yield m1 ++ m2
+    joined.map(m => q.selected.map(m.getOrElse(_, null)))
+  }
+
+  test("planner UNION == naive bag-union semantics on random graphs/queries") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 20).flatMap { i =>
+      for {
+        g <- graphGen(Gen.Parameters.default, Seed(4000L + i))
+        q <- unionQueryGen(Gen.Parameters.default, Seed(5000L + i))
+      } yield (g, q)
+    }
+    assert(cases.nonEmpty)
+    var run = 0
+    cases.foreach { case (g, q) =>
+      if (q.selected.nonEmpty) {
+        run += 1
+        val quads = g.toSeq.map { case (su, p, o) => Quad("urn:g#", su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naiveUnion(g, q)
+        assert(got == want,
+          s"mismatch for ${q.patterns} UNION ${q.unions} over ${g.size} " +
+            s"triples: planner=${got.size} naive=${want.size}")
       }
     }
     assert(run >= 10, s"only $run generated cases were runnable")

@@ -127,8 +127,8 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   test("unsupported SPARQL constructs rejected with a named error") {
-    Seq("{ ?s <urn:q> ?x } UNION { ?s <urn:r> ?x }", "BIND(1 AS ?x)",
-      "MINUS { ?s <urn:q> ?x }", "VALUES ?x { 1 }").foreach { frag =>
+    Seq("BIND(1 AS ?x)", "MINUS { ?s <urn:q> ?x }",
+      "VALUES ?x { 1 }").foreach { frag =>
       val e = intercept[IllegalArgumentException] {
         Sparql.parse(s"SELECT ?s WHERE { ?s <urn:p> <urn:o> . $frag }")
       }
@@ -205,6 +205,36 @@ class SparqlSpec extends AnyFunSuite {
     val q = Sparql.parse(fp + "SELECT ?s WHERE { ?s p:val ?v . FILTER(?nope > 3) }")
     val e = intercept[IllegalArgumentException] { BgpPlanner.evaluate(filterQuads, q) }
     assert(e.getMessage.contains("bound by no pattern"), e.getMessage)
+  }
+
+  test("UNION concatenates branch solutions; unshared vars stay unbound") {
+    val q = Sparql.parse(fp +
+      "SELECT ?s ?v ?t WHERE { { ?s p:val ?v . FILTER(?v > 20) } UNION { ?s p:tag ?t } }")
+    val rows = BgpPlanner.evaluate(filterQuads, q).collect()
+    assert(rows.length == 3) // {d3 v=50} ∪ {d1 alpha, d3 beta}
+    val withV = rows.filter(_.getString(1) != null)
+    assert(withV.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("urn:d#3", "50")))
+    assert(withV.forall(_.getString(2) == null)) // branch 1 leaves ?t unbound
+    val withT = rows.filter(_.getString(2) != null)
+    assert(withT.map(r => (r.getString(0), r.getString(2))).sorted.toSeq ==
+      Seq(("urn:d#1", "alpha"), ("urn:d#3", "beta")))
+  }
+
+  test("UNION joins outer patterns through shared vars; branch FILTERs scope to their branch") {
+    val q = Sparql.parse(fp +
+      "SELECT ?s ?v ?t WHERE { ?s p:val ?v . " +
+        "{ ?s p:tag ?t . FILTER(STRSTARTS(?t, \"al\")) } UNION " +
+        "{ ?s p:tag ?t . FILTER(CONTAINS(?t, \"et\")) } }")
+    val got = BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq(("urn:d#1", "5", "alpha"), ("urn:d#3", "50", "beta")))
+  }
+
+  test("plain nested groups (no UNION) still rejected with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { { ?s <urn:p> ?v } }")
+    }
+    assert(e.getMessage.contains("UNION alternative"), e.getMessage)
   }
 
   test("FILTER on the flagship fixture: regex narrows timeseries bindings") {
