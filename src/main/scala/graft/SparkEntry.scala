@@ -824,6 +824,33 @@ object SparkEntry {
         .na.fill("unbound", Seq("b", "m"))
         .orderBy("c", "b", "m")
     }),
+    "q111_stats_pruned_scan" -> ((s, dir) => {
+      // S5 as a PLANNING input, not just a report: partitioned store →
+      // stats table → explicit-file pruned scan (StatsIndex.prunedScan) —
+      // the reference's consolidated-_metadata planning path
+      // (make-metadata.py:8-22, README.md:56). maxRecordsPerFile splits
+      // each time-sorted stream into time-disjoint fragments, so the
+      // stats cut prunes at FILE granularity inside matching streams;
+      // planning I/O is O(matching fragments), independent of store size.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_statscan_${java.util.UUID.randomUUID()}"
+      val fact = t(s, dir, "events").select(
+        col("ts").as("time"), col("value"),
+        col("event_type").as("label"),
+        lit("bench").as("collection"),
+        format_string("00000000-0000-0000-0000-%012d", col("user_id")).as("uuid"))
+      fact.repartition(col("uuid")).sortWithinPartitions("uuid", "time")
+        .write.mode("overwrite").partitionBy("collection", "uuid")
+        .option("maxRecordsPerFile", 30).parquet(out)
+      val stats = graft.sources.StatsIndex.build(s, out, s"$out-stats")
+      val uuids = t(s, dir, "events").select("user_id").distinct()
+        .filter(pmod(col("user_id"), lit(5)) === 0)
+        .collect().map(r => f"00000000-0000-0000-0000-${r.getLong(0)}%012d").toSeq
+      graft.sources.StatsIndex.prunedScan(s, stats, out, uuids,
+          "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+        .groupBy("uuid")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("uuid")
+    }),
     "q109_stream_interval_join" -> ((s, dir) => {
       // §2.9 streaming in the correctness gate: the SAME watermarked
       // stream-stream interval join that runs online processes the events
@@ -2700,6 +2727,15 @@ object SparkEntry {
         |    CAST(NULL AS VARCHAR), c_mktsegment
         |  FROM customer WHERE c_mktsegment LIKE 'BUI%')
         |ORDER BY c, b, m""".stripMargin,
+    "q111_stats_pruned_scan" ->
+      """SELECT printf('00000000-0000-0000-0000-%012d', user_id) AS uuid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id % 5 = 0
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q109_stream_interval_join" ->
       """SELECT p.event_id, p.user_id, count(*) AS n_clicks
         |FROM events p JOIN events c ON p.user_id = c.user_id

@@ -55,4 +55,58 @@ object StatsIndex {
       .filter(col("min_time") <= lit(end).cast("timestamp") &&
         col("max_time") >= lit(start).cast("timestamp"))
       .select("collection", "uuid").distinct()
+
+  /** File paths of the fragments a (uuid-set, time-window) query must read:
+    * matching streams whose per-file [min_time, max_time] overlaps
+    * [start, end]. This is the exact query the reference's clients answer
+    * from the consolidated `_metadata` footer file (make-metadata.py:8-22,
+    * client.py:70-72). The result is collected — it is one path per
+    * MATCHING fragment (bounded by the query's selectivity, never by store
+    * size; a query matching millions of files should scan the store the
+    * normal way instead). */
+  def prunedFiles(
+      stats: DataFrame,
+      uuids: Seq[String],
+      start: String,
+      end: String): Seq[String] = {
+    import org.apache.spark.sql.Row
+    stats
+      .filter(col("uuid").isin(uuids: _*) &&
+        col("min_time") <= lit(end).cast("timestamp") &&
+        col("max_time") >= lit(start).cast("timestamp"))
+      .select("file").distinct()
+      .collect().map { case Row(f: String) => f }.toSeq.sorted
+  }
+
+  /** Scan ONLY the stats-selected fragments of the store — the full
+    * `_metadata` planning analogue (reference: README.md:56). Where the
+    * engine's default path relies on Catalyst's static partition pruning
+    * (which still LISTS every partition directory under `root` at
+    * DataFrame creation — O(store) on object stores), this path hands
+    * Spark the explicit file list, so planning I/O is O(matching
+    * fragments): a 10×-larger store with the same matching set costs the
+    * same to plan. `basePath` keeps the hive partition columns
+    * (collection/uuid) in the schema; the residual time filter restores
+    * row-exact semantics over the file-granular stats cut. Empty match →
+    * empty relation (schema probed from one arbitrary stats row's file —
+    * one footer read, still no listing). */
+  def prunedScan(
+      spark: SparkSession,
+      stats: DataFrame,
+      root: String,
+      uuids: Seq[String],
+      start: String,
+      end: String): DataFrame = {
+    val files = prunedFiles(stats, uuids, start, end)
+    val timePred = col("time") >= lit(start).cast("timestamp") &&
+      col("time") <= lit(end).cast("timestamp")
+    if (files.nonEmpty)
+      spark.read.option("basePath", root).parquet(files: _*).filter(timePred)
+    else {
+      val probe = stats.select("file").limit(1).collect()
+      if (probe.isEmpty) spark.emptyDataFrame
+      else spark.read.option("basePath", root).parquet(probe(0).getString(0))
+        .filter(lit(false))
+    }
+  }
 }

@@ -97,6 +97,37 @@ class IngestSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getString(1)).toSet == Set(uuid1)) // uuid2 ends 2016-11-30
   }
 
+  test("prunedScan reads ONLY the stats-selected fragments (README.md:56 _metadata analogue)") {
+    val statsPath = Files.createTempDirectory("graft-stats-ps").resolve("stats").toString
+    val stats = StatsIndex.build(spark, destDir.toString, statsPath)
+    val root = destDir.toString
+    val start = "2016-12-01T00:00:00Z"; val end = "2016-12-02T00:00:00Z"
+
+    // uuid2's only file ends 2016-11-30 → the stats cut drops it even
+    // though its uuid is requested
+    val files = StatsIndex.prunedFiles(stats, Seq(uuid1, uuid2), start, end)
+    assert(files.nonEmpty && files.forall(_.contains(s"uuid=$uuid1")), files.mkString(","))
+
+    val pruned = StatsIndex.prunedScan(spark, stats, root, Seq(uuid1, uuid2), start, end)
+    // row-exact parity with the naive partition-pruned scan
+    val naive = spark.read.parquet(root)
+      .filter(col("uuid").isin(uuid1, uuid2) &&
+        col("time") >= to_timestamp(lit(start)) && col("time") <= to_timestamp(lit(end)))
+    // uuid1 covers 2016-11-30T00:00..2016-12-01T23:59 → the Dec-1 day = 1440
+    assert(pruned.count() == naive.count() && naive.count() == 1440)
+    // partition columns survive the explicit-file read
+    assert(pruned.columns.contains("collection") && pruned.columns.contains("uuid"))
+    // the files actually opened are exactly the stats-selected list
+    val touched = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(touched == files.toSet, s"touched=$touched expected=$files")
+
+    // empty match (window after all data): empty relation, schema intact
+    val none = StatsIndex.prunedScan(spark, stats, root, Seq(uuid1, uuid2),
+      "2020-01-01T00:00:00Z", "2020-01-02T00:00:00Z")
+    assert(none.count() == 0 && none.columns.contains("uuid"))
+  }
+
   test("end-to-end: engine dataSparql over ingested fixture (client.py:95-109 shape)") {
     val s = spark
     import s.implicits._
