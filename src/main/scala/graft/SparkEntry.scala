@@ -824,6 +824,19 @@ object SparkEntry {
         .na.fill("unbound", Seq("b", "m"))
         .orderBy("c", "b", "m")
     }),
+    "q112_sparql_path_ops" -> ((s, dir) => {
+      // §2.8 extended property paths in one query: inverse (^p) binds
+      // each customer through the REVERSED inNation edge, and the
+      // (p|q)+ alternative closure keeps only customers whose nation
+      // lies in region 2 — the `+` form rides the same targeted-BFS
+      // plan as `*` but without the zero-length row, so the constant
+      // <urn:r#2> itself can never appear as a binding of ?c
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?n ?c WHERE { " +
+          "?n ^p:inNation ?c . ?c (p:inNation|p:inRegion)+ <urn:r#2> . }")
+      BgpPlanner.evaluate(tpchQuads(s, dir, "inNation", "inRegion"), q)
+        .orderBy("n", "c")
+    }),
     "q111_stats_pruned_scan" -> ((s, dir) => {
       // S5 as a PLANNING input, not just a report: partitioned store →
       // stats table → explicit-file pruned scan (StatsIndex.prunedScan) —
@@ -833,18 +846,26 @@ object SparkEntry {
       // stats cut prunes at FILE granularity inside matching streams;
       // planning I/O is O(matching fragments), independent of store size.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_statscan_${java.util.UUID.randomUUID()}"
-      val fact = t(s, dir, "events").select(
+      // uuid = user_id % 100: caps the store at 100 stream dirs at ANY
+      // scale factor (file CREATION, not data volume, dominates a
+      // partitioned write of a small-file store — q111 must measure the
+      // pruning path, not pay flagship_ingest's file-creation bill);
+      // maxRecordsPerFile targets ~3 time-disjoint files per stream so
+      // the stats cut still prunes at file granularity inside streams
+      val src = t(s, dir, "events")
+      val nRows = src.count()
+      val fact = src.select(
         col("ts").as("time"), col("value"),
         col("event_type").as("label"),
         lit("bench").as("collection"),
-        format_string("00000000-0000-0000-0000-%012d", col("user_id")).as("uuid"))
+        format_string("00000000-0000-0000-0000-%012d",
+          pmod(col("user_id"), lit(100))).as("uuid"))
       fact.repartition(col("uuid")).sortWithinPartitions("uuid", "time")
         .write.mode("overwrite").partitionBy("collection", "uuid")
-        .option("maxRecordsPerFile", 30).parquet(out)
+        .option("maxRecordsPerFile", math.max(10L, nRows / 100 / 3)).parquet(out)
       val stats = graft.sources.StatsIndex.build(s, out, s"$out-stats")
-      val uuids = t(s, dir, "events").select("user_id").distinct()
-        .filter(pmod(col("user_id"), lit(5)) === 0)
-        .collect().map(r => f"00000000-0000-0000-0000-${r.getLong(0)}%012d").toSeq
+      val uuids = (0 until 100 by 5)
+        .map(u => f"00000000-0000-0000-0000-$u%012d")
       graft.sources.StatsIndex.prunedScan(s, stats, out, uuids,
           "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
         .groupBy("uuid")
@@ -2727,12 +2748,18 @@ object SparkEntry {
         |    CAST(NULL AS VARCHAR), c_mktsegment
         |  FROM customer WHERE c_mktsegment LIKE 'BUI%')
         |ORDER BY c, b, m""".stripMargin,
+    "q112_sparql_path_ops" ->
+      """SELECT 'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
+        |  'urn:c#' || CAST(c_custkey AS VARCHAR) AS c
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 2
+        |ORDER BY n, c""".stripMargin,
     "q111_stats_pruned_scan" ->
-      """SELECT printf('00000000-0000-0000-0000-%012d', user_id) AS uuid,
+      """SELECT printf('00000000-0000-0000-0000-%012d', user_id % 100) AS uuid,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
-        |WHERE user_id % 5 = 0
+        |WHERE user_id % 100 % 5 = 0
         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,

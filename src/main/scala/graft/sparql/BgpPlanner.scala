@@ -28,7 +28,7 @@ object BgpPlanner {
 
   import Sparql._
 
-  private final case class Atom(s: Term, p: String, star: Boolean, o: Term) {
+  private final case class Atom(s: Term, step: Step, o: Term) {
     def vars: Seq[String] = Seq(s, o).collect { case V(n) => n }
     def constCount: Int = Seq(s, o).count { case V(_) => false; case _ => true }
   }
@@ -65,50 +65,69 @@ object BgpPlanner {
         var subj: Term = tp.s
         tp.path.zipWithIndex.map { case (step, i) =>
           val obj = if (i == tp.path.length - 1) tp.o else freshPathVar()
-          val a = Atom(subj, step.iri, step.star, obj)
+          val a = Atom(subj, step, obj)
           subj = obj
           a
         }
       }
     val atoms: List[Atom] = expandAtoms(q.patterns)
 
-    // Closure relations, one per starred predicate (reused across atoms).
+    /** Single-step edge relation of an alternative set: union of one
+      * predicate-filtered scan per alternative, direction swapped for
+      * inverse (`^p`) elements. The one-forward-alt case reduces to the
+      * plain filtered projection it always was. */
+    def edgesFor(alts: List[(String, Boolean)]): DataFrame =
+      alts.map { case (p, inv) =>
+        val base = scoped.filter(col("p") === p)
+        if (inv) base.select(col("o").as("src"), col("s").as("dst"))
+        else base.select(col("s").as("src"), col("o").as("dst"))
+      }.reduce(_ union _)
+
+    // Closure relations, one per (alt-set, modifier) — reused across atoms.
+    // `p*` = reflexive-transitive; `p+` = transitive only (≥1 step).
     lazy val allTerms = scoped.select(col("s").as("t"))
       .union(scoped.select(col("o").as("t"))).distinct()
     val closures = scala.collection.mutable.Map[String, DataFrame]()
-    def closureFor(p: String): DataFrame = closures.getOrElseUpdate(p, {
-      val edges = scoped.filter(col("p") === p)
-        .select(col("s").as("src"), col("o").as("dst"))
-      Closure.withIdentity(Closure.transitive(edges), allTerms)
-    })
+    def closureFor(step: Step): DataFrame = {
+      val key = step.alts.map { case (p, inv) => (if (inv) "^" else "") + p }
+        .mkString("|") + step.mod
+      closures.getOrElseUpdate(key, {
+        val tc = Closure.transitive(edgesFor(step.alts))
+        if (step.mod == '*') Closure.withIdentity(tc, allTerms) else tc
+      })
+    }
 
-    /** Star atom with a constant endpoint: targeted BFS from the constant
-      * instead of the full pairwise closure — the selective form a query
-      * like `?x subClassOf* brick:Point` actually needs. */
-    def targetedStar(p: String, const: String, constIsObject: Boolean): DataFrame = {
-      val edges = scoped.filter(col("p") === p)
-        .select(col("s").as("src"), col("o").as("dst"))
-      val reached = graft.plans.Closure.reachableFrom(edges, const, reverse = constIsObject)
+    /** Closure atom with a constant endpoint: targeted BFS from the
+      * constant instead of the full pairwise closure — the selective form
+      * a query like `?x subClassOf* brick:Point` actually needs. `p*`
+      * includes the zero-length path (the constant itself); `p+` does not
+      * (the constant re-enters only via a cycle, which reachableFrom
+      * already handles). */
+    def targetedClosure(step: Step, const: String, constIsObject: Boolean): DataFrame = {
+      val reached = graft.plans.Closure.reachableFrom(
+        edgesFor(step.alts), const, reverse = constIsObject)
       val spark2 = scoped.sparkSession
       import spark2.implicits._
-      val withSelf = reached.select(col("node"))
-        .union(Seq(const).toDF("node")).distinct() // zero-length path
+      val nodes =
+        if (step.mod == '*')
+          reached.select(col("node")).union(Seq(const).toDF("node")).distinct()
+        else reached.select(col("node"))
       if (constIsObject)
-        withSelf.select(col("node").as("as"), lit(const).as("ao"))
+        nodes.select(col("node").as("as"), lit(const).as("ao"))
       else
-        withSelf.select(lit(const).as("as"), col("node").as("ao"))
+        nodes.select(lit(const).as("as"), col("node").as("ao"))
     }
 
     def atomDF(a: Atom): Option[DataFrame] = {
       val rel =
-        if (a.star) (a.s, a.o) match {
-          case (V(_), I(c)) => targetedStar(a.p, c, constIsObject = true)
-          case (V(_), L(c)) => targetedStar(a.p, c, constIsObject = true)
-          case (I(c), _) => targetedStar(a.p, c, constIsObject = false)
-          case (L(c), _) => targetedStar(a.p, c, constIsObject = false)
-          case _ => closureFor(a.p).toDF("as", "ao")
+        if (a.step.mod != ' ') (a.s, a.o) match {
+          case (V(_), I(c)) => targetedClosure(a.step, c, constIsObject = true)
+          case (V(_), L(c)) => targetedClosure(a.step, c, constIsObject = true)
+          case (I(c), _) => targetedClosure(a.step, c, constIsObject = false)
+          case (L(c), _) => targetedClosure(a.step, c, constIsObject = false)
+          case _ => closureFor(a.step).toDF("as", "ao")
         }
-        else scoped.filter(col("p") === a.p).select(col("s").as("as"), col("o").as("ao"))
+        else edgesFor(a.step.alts).select(col("src").as("as"), col("dst").as("ao"))
       val filtered = (a.s, a.o) match {
         case (V(x), V(y)) if x == y => rel.filter(col("as") === col("ao"))
         case _ =>

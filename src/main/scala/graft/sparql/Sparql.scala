@@ -12,7 +12,9 @@ import scala.collection.mutable.ArrayBuffer
   *   - `SELECT *` / `SELECT ?a ?b` (+ DISTINCT for good measure)
   *   - basic graph patterns: triple patterns with `;` predicate-object
   *     lists, `,` object lists, `a` for rdf:type
-  *   - property paths: sequence `p1/p2` and zero-or-more `p*`
+  *   - property paths: sequence `p1/p2`, zero-or-more `p*`, one-or-more
+  *     `p+`, inverse `^p`, alternatives `(p1|^p2)` with a shared modifier
+  *     (`(p|q)*`) or bare as the whole path (`p|q`)
   *   - inline blank nodes `[ p ?v ]` (anonymous join variables)
   *
   *   - `FILTER` constraints: comparisons (`< <= > >= = !=`) over
@@ -35,8 +37,17 @@ object Sparql {
   final case class I(iri: String) extends Term // <iri> / prefixed, expanded
   final case class L(lex: String) extends Term // literal, lexical value
 
-  /** One path element: an IRI, optionally with `*` (zero-or-more). */
-  final case class Step(iri: String, star: Boolean)
+  /** One path element: alternatives of (IRI, inverse?) — `(p|^q)` — under
+    * one shared modifier. `mod`: ' ' = exactly-one, '*' = zero-or-more,
+    * '+' = one-or-more. The single forward unmodified step is the common
+    * case; the companion apply keeps that construction terse. */
+  final case class Step(alts: List[(String, Boolean)], mod: Char) {
+    def star: Boolean = mod == '*'
+  }
+  object Step {
+    def apply(iri: String, star: Boolean): Step =
+      Step(List((iri, false)), if (star) '*' else ' ')
+  }
 
   /** Triple pattern whose predicate is a path of ≥1 steps. */
   final case class TriplePattern(s: Term, path: List[Step], o: Term)
@@ -430,6 +441,49 @@ object Sparql {
       }
     }
 
+    /** `'^'? iri` — one alternative element (no modifier here: SPARQL
+      * modifiers bind tighter than `|`, so a per-element modifier inside
+      * an alternative set is ambiguous with the shared-modifier form we
+      * support and is rejected loudly where it occurs). */
+    private def parseAltElt(): (String, Boolean) = {
+      skipWs()
+      val inv = peek == '^'
+      if (inv) { pos += 1; skipWs() }
+      val iri = if (peek == '<') parseIriRef() else parsePName()
+      (iri, inv)
+    }
+
+    private def parseMod(): Char =
+      if (peek == '*') { pos += 1; '*' }
+      else if (peek == '+') { pos += 1; '+' }
+      else ' '
+
+    /** One sequence element: `(alt|alt|…)mod`, or `^?iri mod`. */
+    private def parseStep(): Step = {
+      skipWs()
+      if (peek == '(') {
+        pos += 1
+        val alts = ArrayBuffer[(String, Boolean)]()
+        alts += parseAltElt()
+        if (peek == '*' || peek == '+')
+          err("per-alternative modifiers are outside the supported subset; " +
+            "apply the modifier to the whole group: (p|q)*")
+        skipWs()
+        while (peek == '|') {
+          pos += 1; alts += parseAltElt()
+          if (peek == '*' || peek == '+')
+            err("per-alternative modifiers are outside the supported subset; " +
+              "apply the modifier to the whole group: (p|q)*")
+          skipWs()
+        }
+        expect(')')
+        Step(alts.toList, parseMod())
+      } else {
+        val (iri, inv) = parseAltElt()
+        Step(List((iri, inv)), parseMod())
+      }
+    }
+
     private def parsePath(): List[Step] = {
       skipWs()
       if (peek == 'a' && pos + 1 < n && !nameChar(in.charAt(pos + 1)) && in.charAt(pos + 1) != ':') {
@@ -439,13 +493,30 @@ object Sparql {
       val steps = ArrayBuffer[Step]()
       var more = true
       while (more) {
+        steps += parseStep()
         skipWs()
-        val iri = if (peek == '<') parseIriRef() else parsePName()
-        val star = peek == '*'
-        if (star) pos += 1
-        steps += Step(iri, star)
-        skipWs()
-        if (peek == '/') pos += 1 else more = false
+        if (peek == '/') { pos += 1 }
+        else if (peek == '|') {
+          // bare top-level alternative `p|^q|r`: supported only as the
+          // WHOLE path over modifier-free single steps — anything mixing
+          // `|` with `/` or modifiers must parenthesize, because SPARQL's
+          // `|`-binds-loosest precedence would otherwise silently diverge
+          // from a merged reading
+          if (steps.length > 1 || steps.head.mod != ' ')
+            err("parenthesize path alternatives used with sequences or " +
+              "modifiers: (p|q) or (p|q)*")
+          val alts = ArrayBuffer(steps.head.alts: _*)
+          while (peek == '|') {
+            pos += 1; alts += parseAltElt()
+            if (peek == '*' || peek == '+')
+              err("parenthesize path alternatives used with modifiers: (p|q)*")
+            skipWs()
+          }
+          if (peek == '/')
+            err("parenthesize path alternatives inside sequences: (p|q)/r")
+          steps(0) = Step(alts.toList, ' ')
+          more = false
+        } else more = false
       }
       steps.toList
     }

@@ -28,17 +28,25 @@ class BgpPropertySpec extends AnyFunSuite {
     3 -> Gen.oneOf(vars).map(V),
     1 -> Gen.oneOf(nodes).map(I))
 
+  /** One path element exercising the whole step space: single/alternative,
+    * forward/inverse, and the ' '/'*'/'+' modifiers. */
+  def stepGen: Gen[Step] = for {
+    p1 <- Gen.oneOf(preds)
+    inv1 <- Gen.oneOf(true, false)
+    alt <- Gen.frequency(3 -> Gen.const(Option.empty[(String, Boolean)]),
+      1 -> (for { p2 <- Gen.oneOf(preds); inv2 <- Gen.oneOf(true, false) }
+        yield Some((p2, inv2))))
+    mod <- Gen.oneOf(' ', '*', '+')
+  } yield Step((p1, inv1) :: alt.toList, mod)
+
   def patternGen(vars: Seq[String]): Gen[TriplePattern] = for {
     s <- termGen(vars)
     o <- termGen(vars)
-    p1 <- Gen.oneOf(preds)
-    star <- Gen.oneOf(true, false)
+    st1 <- stepGen
     twoStep <- Gen.oneOf(true, false)
-    p2 <- Gen.oneOf(preds)
+    st2 <- stepGen
   } yield {
-    val path =
-      if (twoStep) List(Step(p1, star = false), Step(p2, star))
-      else List(Step(p1, star))
+    val path = if (twoStep) List(st1, st2) else List(st1)
     TriplePattern(s, path, o)
   }
 
@@ -51,8 +59,17 @@ class BgpPropertySpec extends AnyFunSuite {
   }
 
   // ---- naive evaluator -------------------------------------------------
-  def reach(ts: Set[(String, String, String)], p: String): Set[(String, String)] = {
-    val edges = ts.collect { case (s, q, o) if q == p => (s, o) }
+  /** Single-step edge pairs of an alternative set (inverse alts swapped). */
+  def stepEdges(ts: Set[(String, String, String)], st: Step): Set[(String, String)] =
+    st.alts.toSet.flatMap { pi: (String, Boolean) =>
+      val (p, inv) = pi
+      ts.collect { case (s, q, o) if q == p => if (inv) (o, s) else (s, o) }
+    }
+
+  /** Transitive closure of `edges`; `withIdentity` adds the zero-length
+    * pairs over every graph term (SPARQL `*` vs `+`). */
+  def reach(ts: Set[(String, String, String)], edges: Set[(String, String)],
+      withIdentity: Boolean): Set[(String, String)] = {
     val terms = ts.flatMap(t => Seq(t._1, t._3))
     var closure = edges
     var grew = true
@@ -62,7 +79,7 @@ class BgpPropertySpec extends AnyFunSuite {
       grew = merged.size > closure.size
       closure = merged
     }
-    closure ++ terms.map(t => (t, t))
+    if (withIdentity) closure ++ terms.map(t => (t, t)) else closure
   }
 
   /** Solution mappings of a BGP over the triple set (internal path vars
@@ -78,9 +95,11 @@ class BgpPropertySpec extends AnyFunSuite {
         val a = (subj, st, obj); subj = obj; a
       }
     }
-    def rel(st: Step): Set[(String, String)] =
-      if (st.star) reach(ts, st.iri)
-      else ts.collect { case (s, p, o) if p == st.iri => (s, o) }
+    def rel(st: Step): Set[(String, String)] = st.mod match {
+      case '*' => reach(ts, stepEdges(ts, st), withIdentity = true)
+      case '+' => reach(ts, stepEdges(ts, st), withIdentity = false)
+      case _ => stepEdges(ts, st)
+    }
     var sols: Set[Map[String, String]] = Set(Map.empty)
     atoms.foreach { case (s, st, o) =>
       val r = rel(st)

@@ -246,4 +246,64 @@ class SparqlSpec extends AnyFunSuite {
     val rows = BgpPlanner.evaluate(quads, q).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("a0dd74ce-05ee-5fee-8335-2d9856bd52be"))
   }
+
+  // ---- extended property paths: ^, +, (p|q) ----------------------------
+
+  def strings(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.getString(0)).sorted.toSeq
+
+  test("p+ excludes the zero-length path that p* includes") {
+    def ask(mod: String) = strings(BgpPlanner.evaluate(quads, Sparql.parse(prefix +
+      s"SELECT ?x WHERE { ?x rdfs:subClassOf$mod brick:Point . }")))
+    val plus = ask("+")
+    val star = ask("*")
+    // every strict subclass reaches Point in >=1 step; only * adds Point itself
+    assert(plus.size == 5 && !plus.exists(_.endsWith("#Point")), plus)
+    assert(star.toSet == plus.toSet + "https://brickschema.org/schema/Brick#Point")
+  }
+
+  test("^p swaps subject and object of the underlying edge") {
+    val q = Sparql.parse(prefix +
+      "SELECT ?sub WHERE { brick:Point ^rdfs:subClassOf ?sub . }")
+    assert(strings(BgpPlanner.evaluate(quads, q)) == Seq(
+      "https://brickschema.org/schema/Brick#Sensor",
+      "https://brickschema.org/schema/Brick#Temperature_Setpoint"))
+  }
+
+  test("(^p)+ walks the reversed closure: all descendants of Point") {
+    val q = Sparql.parse(prefix +
+      "SELECT ?x WHERE { brick:Point (^rdfs:subClassOf)+ ?x . }")
+    assert(strings(BgpPlanner.evaluate(quads, q)).size == 5)
+  }
+
+  test("bare top-level alternative p|q unions single-step edges") {
+    val q = Sparql.parse(prefix + "PREFIX ns: <urn:fix#>\n" +
+      "SELECT ?o WHERE { ns:vav1 brick:hasPoint|rdf:type ?o . }")
+    assert(strings(BgpPlanner.evaluate(quads, q)) == Seq(
+      "https://brickschema.org/schema/Brick#VAV", "urn:fix#sen1", "urn:fix#sp1"))
+  }
+
+  test("sequence step with + : rdf:type/rdfs:subClassOf+ gives strict supertypes") {
+    val q = Sparql.parse(prefix + "PREFIX ns: <urn:fix#>\n" +
+      "SELECT ?c WHERE { ns:sen1 rdf:type/rdfs:subClassOf+ ?c . }")
+    assert(strings(BgpPlanner.evaluate(quads, q)) == Seq(
+      "https://brickschema.org/schema/Brick#Point",
+      "https://brickschema.org/schema/Brick#Sensor",
+      "https://brickschema.org/schema/Brick#Temperature_Sensor"))
+  }
+
+  test("ambiguous alternative forms are rejected with named errors") {
+    val seqMix = intercept[IllegalArgumentException] {
+      Sparql.parse(prefix + "SELECT ?x WHERE { ?x rdfs:subClassOf|rdf:type/rdfs:subClassOf ?y . }")
+    }
+    assert(seqMix.getMessage.contains("parenthesize"), seqMix.getMessage)
+    val perAlt = intercept[IllegalArgumentException] {
+      Sparql.parse(prefix + "SELECT ?x WHERE { ?x (rdfs:subClassOf*|rdf:type) ?y . }")
+    }
+    assert(perAlt.getMessage.contains("per-alternative"), perAlt.getMessage)
+    val modMix = intercept[IllegalArgumentException] {
+      Sparql.parse(prefix + "SELECT ?x WHERE { ?x rdfs:subClassOf*|rdf:type ?y . }")
+    }
+    assert(modMix.getMessage.contains("parenthesize"), modMix.getMessage)
+  }
 }
