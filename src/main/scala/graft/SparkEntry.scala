@@ -824,6 +824,29 @@ object SparkEntry {
         .na.fill("unbound", Seq("b", "m"))
         .orderBy("c", "b", "m")
     }),
+    "q113_sparql_agg" -> ((s, dir) => {
+      // §2.8 aggregates: GROUP BY + COUNT with a HAVING cut (inline
+      // aggregate call) and ORDER BY DESC — the "points per equipment
+      // class" shape every Brick user writes. Post-BGP this is a plain
+      // Catalyst hash aggregate on the joined bindings: partial agg
+      // map-side, one shuffle on the group key.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?n (COUNT(?c) AS ?cnt) WHERE { " +
+          "?c p:inNation ?n . } GROUP BY ?n HAVING(COUNT(?c) >= 50) " +
+          "ORDER BY DESC(?cnt) ?n")
+      BgpPlanner.evaluate(tpchQuads(s, dir, "inNation", "inRegion"), q)
+    }),
+    "q114_sparql_values_minus" -> ((s, dir) => {
+      // §2.8 VALUES + MINUS + LIMIT/OFFSET: the inline id list becomes a
+      // broadcast join into the pattern scan (the parameterized-query
+      // plan), MINUS a left-anti join on the shared variable, and the
+      // ORDER BY ?c total order makes the OFFSET/LIMIT slice exact
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n WHERE { " +
+          "?c p:inNation ?n . VALUES ?n { <urn:n#1> <urn:n#4> <urn:n#9> } " +
+          "MINUS { ?c p:mkt \"BUILDING\" } } ORDER BY ?c LIMIT 50 OFFSET 10")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
     "q112_sparql_path_ops" -> ((s, dir) => {
       // §2.8 extended property paths in one query: inverse (^p) binds
       // each customer through the REVERSED inNation edge, and the
@@ -2748,6 +2771,19 @@ object SparkEntry {
         |    CAST(NULL AS VARCHAR), c_mktsegment
         |  FROM customer WHERE c_mktsegment LIKE 'BUI%')
         |ORDER BY c, b, m""".stripMargin,
+    "q113_sparql_agg" ->
+      """SELECT 'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
+        |  count(*) AS cnt
+        |FROM customer
+        |GROUP BY c_nationkey
+        |HAVING count(*) >= 50
+        |ORDER BY cnt DESC, n""".stripMargin,
+    "q114_sparql_values_minus" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n
+        |FROM customer
+        |WHERE c_nationkey IN (1, 4, 9) AND c_mktsegment <> 'BUILDING'
+        |ORDER BY c LIMIT 50 OFFSET 10""".stripMargin,
     "q112_sparql_path_ops" ->
       """SELECT 'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
         |  'urn:c#' || CAST(c_custkey AS VARCHAR) AS c

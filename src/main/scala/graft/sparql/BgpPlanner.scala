@@ -1,6 +1,8 @@
 package graft.sparql
 
 import graft.plans.Closure
+
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -265,16 +267,39 @@ object BgpPlanner {
       }
     }
 
+    // VALUES blocks → tiny local relations (one column per variable).
+    // Catalyst broadcasts them (LocalRelation sizes are known), so a
+    // VALUES-restricted query becomes a broadcast semi-join into the
+    // pattern scan — the parameterized-id-list plan a user wants at scale.
+    // High constCount sorts them first in the greedy join: start from the
+    // most selective relation and extend through shared variables.
+    val valuesParts: Seq[(Int, DataFrame)] = q.values.map { vb =>
+      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+        org.apache.spark.sql.types.StructField(vc(v),
+          org.apache.spark.sql.types.StringType)))
+      val rows = vb.rows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(r)).asJava
+      (3, spark.createDataFrame(rows, schema))
+    }
+
     // Assemble the required group: triple-pattern relations + one
-    // relation per UNION group, greedily joined. Ground-atom failure, an
-    // all-branches-failed union, or a query with nothing to bind → empty.
+    // relation per UNION group + VALUES blocks, greedily joined. Ground-
+    // atom failure, an all-branches-failed union, or a query with nothing
+    // to bind → empty.
     val reqParts = buildParts(atoms)
     val selected = q.selected
     val baseParts: Seq[(Int, DataFrame)] =
-      reqParts.getOrElse(Nil) ++ unionRels.map(r => (0, r))
+      reqParts.getOrElse(Nil) ++ unionRels.map(r => (0, r)) ++ valuesParts
     if (reqParts.isEmpty || unionFailed || baseParts.isEmpty) {
-      return spark.range(0)
-        .select(selected.map(v => lit(null).cast("string").as(v)): _*)
+      if (q.aggregates.isEmpty && q.groupBy.isEmpty)
+        return finish(spark.range(0)
+          .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*), q)
+      // aggregates over the empty solution set: a GLOBAL aggregate still
+      // yields its one row (COUNT = 0), a grouped one yields none — both
+      // fall out of running the normal aggregation over an empty relation
+      val needed = (q.groupBy ++ q.aggregates.flatMap(_.v)).distinct
+      return finish(spark.range(0)
+        .select(needed.map(v => lit(null).cast("string").as(vc(v))): _*), q)
     }
     var acc = greedyJoin(baseParts)
 
@@ -320,13 +345,145 @@ object BgpPlanner {
       }
     }
 
+    // MINUS groups: SPARQL Minus(P1, P2) — drop a solution when some P2
+    // solution is compatible with it AND their domains overlap; disjoint
+    // domains keep the row (the spec's dom-disjoint rule), which is
+    // exactly a LEFT ANTI join on the shared variables — and a no-op when
+    // there are none. Divergence note (same family as the OPTIONAL-var
+    // rule above): a left row NULL (unbound) in ONE of several shared
+    // columns never anti-matches in SQL, where SPARQL would test
+    // compatibility over the remaining overlap — avoid mixing OPTIONAL
+    // vars into multi-var MINUS groups.
+    q.minuses.foreach { g =>
+      buildParts(expandAtoms(g.patterns)) match {
+        case Some(parts) if parts.nonEmpty =>
+          var m = greedyJoin(parts)
+          g.filters.foreach { f =>
+            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
+          }
+          val shared = m.columns.filter(acc.columns.toSet)
+          if (shared.nonEmpty)
+            acc = acc.join(m.select(shared.map(col): _*).distinct(),
+              shared.toSeq, "left_anti")
+        case _ => () // MINUS pattern has no solutions → removes nothing
+      }
+    }
+
     // Group-level FILTERs: applied after OPTIONAL extension (SPARQL group
     // scope), so BOUND/!BOUND over optional vars behaves correctly.
     q.filters.foreach { f =>
       acc = acc.filter(compileFilter(f, resolveIn(acc, acc.columns.toSet)))
     }
 
-    val out = acc.select(selected.map(v => col(vc(v)).as(v)): _*)
-    if (q.distinct) out.distinct() else out
+    finish(acc, q)
+  }
+
+  /** Aggregation, HAVING, projection, DISTINCT, and the solution
+    * modifiers — the tail every evaluation path (including the empty
+    * one) flows through. Input columns are vc-named. */
+  private def finish(acc0: DataFrame, q: Query): DataFrame = {
+    var acc = acc0
+    if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
+      val aliasSet = q.aggregates.map(_.alias).toSet
+      val badProj = q.selected.filterNot(aliasSet)
+        .filterNot(q.groupBy.contains)
+      if (badProj.nonEmpty) throw new IllegalArgumentException(
+        s"projected variable(s) ${badProj.map("?" + _).mkString(", ")} must " +
+          "appear in GROUP BY or inside an aggregate")
+      val have = acc.columns.toSet
+      (q.groupBy ++ q.aggregates.flatMap(_.v)).distinct
+        .filterNot(v => have(vc(v))).foreach { v =>
+          throw new IllegalArgumentException(
+            s"GROUP BY/aggregate references variable ?$v bound by no pattern")
+        }
+      // SPARQL numeric aggregates run on xsd numerics; the quads encoding
+      // stores lexical strings, so SUM/AVG try_cast — a non-numeric
+      // binding contributes NULL (skipped), the pragmatic reading of the
+      // spec's type-error rule. MIN/MAX compare lexically (codepoint
+      // string order, matching the FILTER comparison dispatch); DISTINCT
+      // under MIN/MAX is a semantic no-op.
+      def aggCol(a: Sparql.Agg): Column = {
+        lazy val c = col(vc(a.v.get))
+        val out = a.fn match {
+          case "COUNT" => a.v match {
+            case None => count(lit(1))
+            case Some(_) => if (a.distinct) count_distinct(c) else count(c)
+          }
+          case "SUM" =>
+            if (a.distinct) sum_distinct(c.try_cast("double"))
+            else sum(c.try_cast("double"))
+          case "AVG" =>
+            if (a.distinct) throw new IllegalArgumentException(
+              "AVG(DISTINCT) is outside the supported subset")
+            avg(c.try_cast("double"))
+          case "MIN" => min(c)
+          case "MAX" => max(c)
+          case other => throw new IllegalArgumentException(s"bad aggregate $other")
+        }
+        out.as(vc(a.alias))
+      }
+      val aggCols = q.aggregates.map(aggCol)
+      acc =
+        if (aggCols.isEmpty) acc.select(q.groupBy.map(v => col(vc(v))): _*).distinct()
+        else if (q.groupBy.isEmpty) acc.agg(aggCols.head, aggCols.tail: _*)
+        else acc.groupBy(q.groupBy.map(v => col(vc(v))): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+    }
+    q.having.foreach { f =>
+      if (q.aggregates.isEmpty && q.groupBy.isEmpty)
+        throw new IllegalArgumentException("HAVING without GROUP BY/aggregates")
+      acc = acc.filter(compileHaving(f, acc))
+    }
+    var out = acc.select(q.selected.map(v => col(vc(v)).as(v)): _*)
+    if (q.distinct) out = out.distinct()
+    if (q.orderBy.nonEmpty) {
+      val outCols = out.columns.toSet
+      val keys = q.orderBy.map { case (v, desc) =>
+        if (!outCols.contains(v)) throw new IllegalArgumentException(
+          s"ORDER BY key ?$v must be a projected variable/alias")
+        if (desc) col(v).desc else col(v).asc
+      }
+      out = out.orderBy(keys: _*)
+    }
+    q.offset.foreach(o => out = out.offset(o))
+    q.limit.foreach(l => out = out.limit(l))
+    out
+  }
+
+  /** HAVING predicate over the aggregated relation: operands resolve to
+    * group keys or aggregate outputs (including HAVING-synthesized
+    * `_hagg` aliases); comparisons against a numeric literal cast the
+    * aggregate side, mirroring the FILTER dispatch. */
+  private def compileHaving(f: Sparql.FExpr, d: DataFrame): Column = {
+    import Sparql._
+    def resolve(v: String): Column =
+      if (d.columns.contains(vc(v))) d(vc(v))
+      else throw new IllegalArgumentException(
+        s"HAVING references ?$v — not a group key or aggregate")
+    def opCol(o: FOperand, numeric: Boolean): Column = o match {
+      case FVar(v) => if (numeric) resolve(v).try_cast("double") else resolve(v)
+      case FNum(l) => lit(l.toDouble)
+      case FStr(s) => lit(s)
+      case FIriRef(i) => lit(i)
+    }
+    f match {
+      case FCmp(l, op, r) =>
+        val numeric = l.isInstanceOf[FNum] || r.isInstanceOf[FNum]
+        val (lc, rc) = (opCol(l, numeric), opCol(r, numeric))
+        op match {
+          case "<" => lc < rc
+          case "<=" => lc <= rc
+          case ">" => lc > rc
+          case ">=" => lc >= rc
+          case "=" => lc === rc
+          case "!=" => lc =!= rc
+          case other => throw new IllegalArgumentException(s"bad op $other")
+        }
+      case FAnd(a, b) => compileHaving(a, d) && compileHaving(b, d)
+      case FOr(a, b) => compileHaving(a, d) || compileHaving(b, d)
+      case FNot(a) => !compileHaving(a, d)
+      case other => throw new IllegalArgumentException(
+        s"unsupported HAVING form: $other")
+    }
   }
 }

@@ -26,9 +26,18 @@ import scala.collection.mutable.ArrayBuffer
   *     join itself)
   *   - `{ A } UNION { B }` alternatives (branches are plain BGPs with
   *     their own FILTERs; unshared variables stay unbound per branch)
+  *   - `MINUS { … }` groups (one level, solutions removed when compatible
+  *     on ≥1 shared variable — SPARQL's dom-disjoint rule keeps the row)
+  *   - `VALUES ?v { … }` / `VALUES (?a ?b) { (… …) … }` inline data
+  *     (UNDEF is rejected loudly — its compatible-with-anything semantics
+  *     have no faithful equi-join form)
+  *   - aggregates in the SELECT clause — `(COUNT(DISTINCT ?x) AS ?n)`,
+  *     COUNT/SUM/MIN/MAX/AVG — with `GROUP BY`, `HAVING` (alias vars or
+  *     inline aggregate calls), and solution modifiers `ORDER BY`
+  *     (ASC/DESC), `LIMIT`, `OFFSET`
   *
-  * Anything outside this subset (MINUS, BIND, aggregates, …) is dead
-  * surface for the reference's usage and rejected with a clear error.
+  * Anything outside this subset (GRAPH, BIND, SERVICE, subqueries, …) is
+  * dead surface for the reference's usage and rejected with a clear error.
   */
 object Sparql {
 
@@ -84,11 +93,24 @@ object Sparql {
     * unshared variables left unbound (SPARQL bag union). */
   final case class UnionGroup(branches: List[PatternGroup])
 
+  /** One aggregate projection `(fn(DISTINCT? ?v|*) AS ?alias)`.
+    * fn ∈ COUNT SUM MIN MAX AVG; `v` None = `COUNT(*)`. The alias joins
+    * the variable namespace (it IS a variable per SPARQL), so it appears
+    * in `projection` at its written position. */
+  final case class Agg(fn: String, v: Option[String], distinct: Boolean,
+      alias: String)
+
+  /** Inline data: `VALUES (?a ?b) { ("x" <u>) … }`. Rows hold lexical
+    * values (IRI or literal — the quads encoding stores both as strings). */
+  final case class ValuesBlock(vars: List[String], rows: List[List[String]])
+
   /** Parsed query. `projection` empty = SELECT *. `userVars` is every named
     * variable in order of first appearance (for SELECT *, mirroring
     * rdflib's `res.vars` ordering, client.py:45-46). Group-level `filters`
     * apply to the whole group solution — after OPTIONAL extension, so
-    * `FILTER(!BOUND(?x))` works. */
+    * `FILTER(!BOUND(?x))` works. `orderBy` is (projected name, descending);
+    * `aggregates` rows whose alias is not in `projection` were synthesized
+    * for HAVING and stay internal. */
   final case class Query(
       projection: List[String],
       distinct: Boolean,
@@ -96,7 +118,15 @@ object Sparql {
       userVars: List[String],
       filters: List[FExpr] = Nil,
       optionals: List[PatternGroup] = Nil,
-      unions: List[UnionGroup] = Nil) {
+      unions: List[UnionGroup] = Nil,
+      aggregates: List[Agg] = Nil,
+      groupBy: List[String] = Nil,
+      having: List[FExpr] = Nil,
+      orderBy: List[(String, Boolean)] = Nil,
+      limit: Option[Int] = None,
+      offset: Option[Int] = None,
+      values: List[ValuesBlock] = Nil,
+      minuses: List[PatternGroup] = Nil) {
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -109,6 +139,10 @@ object Sparql {
     private val prefixes = scala.collection.mutable.Map[String, String]()
     private var anonCounter = 0
     private val order = ArrayBuffer[String]() // named vars, first-appearance
+    private val aggs = ArrayBuffer[Agg]()
+    private val valuesBlocks = ArrayBuffer[ValuesBlock]()
+    private val minusGroups = ArrayBuffer[PatternGroup]()
+    private var haggCounter = 0 // HAVING-synthesized aggregate aliases
 
     private def err(msg: String): Nothing = {
       val ctx = in.substring(math.max(0, pos - 40), math.min(n, pos + 40))
@@ -205,9 +239,16 @@ object Sparql {
       val distinct = kw("DISTINCT")
       skipWs()
       val projection = ArrayBuffer[String]()
-      if (peek == '*') pos += 1
+      var star = false
+      if (peek == '*') { pos += 1; star = true }
       else {
-        while ({ skipWs(); peek == '?' || peek == '$' }) projection += parseVar()
+        var more = true
+        while (more) {
+          skipWs()
+          if (peek == '?' || peek == '$') projection += parseVar()
+          else if (peek == '(') projection += parseAggProjection()
+          else more = false
+        }
         if (projection.isEmpty) err("SELECT needs * or variables")
       }
       if (!kw("WHERE")) err("expected WHERE")
@@ -220,8 +261,85 @@ object Sparql {
       val unions = ArrayBuffer[UnionGroup]()
       parseGroupBody(patterns, filters, optionals, unions,
         allowOptional = true, allowUnion = true)
+      // ---- solution modifiers (SPARQL 1.1 §18.2.4 order) ----------------
+      val groupBy = ArrayBuffer[String]()
+      if (kw("GROUP")) {
+        if (!kw("BY")) err("expected BY after GROUP")
+        while ({ skipWs(); peek == '?' || peek == '$' }) groupBy += parseVar()
+        if (groupBy.isEmpty) err("GROUP BY needs ≥1 variable")
+      }
+      val having = ArrayBuffer[FExpr]()
+      while (kw("HAVING")) having += parseFilter()
+      if (star && (groupBy.nonEmpty || aggs.nonEmpty))
+        err("SELECT * cannot be combined with GROUP BY / aggregates")
+      val orderBy = ArrayBuffer[(String, Boolean)]()
+      if (kw("ORDER")) {
+        if (!kw("BY")) err("expected BY after ORDER")
+        var more = true
+        while (more) {
+          skipWs()
+          if (kw("DESC")) { expect('('); orderBy += ((parseVarArg(), true)); expect(')') }
+          else if (kw("ASC")) { expect('('); orderBy += ((parseVarArg(), false)); expect(')') }
+          else if (peek == '?' || peek == '$') orderBy += ((parseVar(), false))
+          else more = false
+        }
+        if (orderBy.isEmpty) err("ORDER BY needs ≥1 key")
+      }
+      // LIMIT and OFFSET may appear in either order (LimitOffsetClauses)
+      var limit = Option.empty[Int]
+      var offset = Option.empty[Int]
+      var moreSlice = true
+      while (moreSlice) {
+        if (kw("LIMIT")) limit = Some(parseInt())
+        else if (kw("OFFSET")) offset = Some(parseInt())
+        else moreSlice = false
+      }
+      skipWs()
+      if (pos < n) err("unexpected trailing content after query")
       Query(projection.toList, distinct, patterns.toList, order.toList,
-        filters.toList, optionals.toList, unions.toList)
+        filters.toList, optionals.toList, unions.toList,
+        aggs.toList, groupBy.toList, having.toList, orderBy.toList,
+        limit, offset, valuesBlocks.toList, minusGroups.toList)
+    }
+
+    private def parseInt(): Int = {
+      skipWs()
+      val start = pos
+      while (pos < n && in.charAt(pos).isDigit) pos += 1
+      if (pos == start) err("expected a non-negative integer")
+      in.substring(start, pos).toInt
+    }
+
+    /** `(fn([DISTINCT] ?v|*) AS ?alias)` — appends to [[aggs]], returns
+      * the alias (which takes the projection slot at its written spot). */
+    private def parseAggProjection(): String = {
+      expect('(')
+      val Agg(fn, v, distinct, _) = parseAggCall()
+      if (!kw("AS")) err("aggregate projection needs AS: (COUNT(?x) AS ?n)")
+      skipWs()
+      if (peek != '?' && peek != '$') err("expected ?alias after AS")
+      val alias = parseVar()
+      expect(')')
+      aggs += Agg(fn, v, distinct, alias)
+      alias
+    }
+
+    /** `fn([DISTINCT] ?v|*)` with a placeholder alias. */
+    private def parseAggCall(): Agg = {
+      skipWs()
+      val fn = Seq("COUNT", "SUM", "MIN", "MAX", "AVG").find(kw)
+        .getOrElse(err("expected an aggregate (COUNT/SUM/MIN/MAX/AVG)"))
+      expect('(')
+      val distinct = kw("DISTINCT")
+      skipWs()
+      val v =
+        if (peek == '*') {
+          if (distinct) err("COUNT(DISTINCT *) is outside the supported subset")
+          if (fn != "COUNT") err(s"$fn(*) is not a SPARQL aggregate")
+          pos += 1; None
+        } else Some(parseVarArg())
+      expect(')')
+      Agg(fn, v, distinct, "")
     }
 
     /** Body of a `{ … }` group up to and including the closing brace:
@@ -258,16 +376,15 @@ object Sparql {
         } else if (kw("OPTIONAL")) {
           if (!allowOptional)
             err("nested OPTIONAL is outside the supported SPARQL subset")
-          skipWs()
-          if (peek != '{') err("expected '{' after OPTIONAL")
-          pos += 1
-          val p2 = ArrayBuffer[TriplePattern]()
-          val f2 = ArrayBuffer[FExpr]()
-          val o2 = ArrayBuffer[PatternGroup]()
-          val u2 = ArrayBuffer[UnionGroup]()
-          parseGroupBody(p2, f2, o2, u2, allowOptional = false, allowUnion = false)
-          if (p2.isEmpty) err("empty OPTIONAL group")
-          optionals += PatternGroup(p2.toList, f2.toList)
+          optionals += parseSubGroup("OPTIONAL")
+        } else if (kw("MINUS")) {
+          if (!allowOptional)
+            err("nested MINUS is outside the supported SPARQL subset")
+          minusGroups += parseSubGroup("MINUS")
+        } else if (kw("VALUES")) {
+          if (!allowOptional)
+            err("VALUES inside OPTIONAL/UNION is outside the supported subset")
+          valuesBlocks += parseValues()
         } else {
           rejectUnsupported()
           parseTriplesSameSubject(patterns)
@@ -276,6 +393,75 @@ object Sparql {
         if (peek == '.') { pos += 1; skipWs() }
       }
       pos += 1
+    }
+
+    /** `{ … }` after OPTIONAL/MINUS: triples + filters only (one nesting
+      * level bounds the planner's join tree). */
+    private def parseSubGroup(keyword: String): PatternGroup = {
+      skipWs()
+      if (peek != '{') err(s"expected '{' after $keyword")
+      pos += 1
+      val p2 = ArrayBuffer[TriplePattern]()
+      val f2 = ArrayBuffer[FExpr]()
+      val o2 = ArrayBuffer[PatternGroup]()
+      val u2 = ArrayBuffer[UnionGroup]()
+      parseGroupBody(p2, f2, o2, u2, allowOptional = false, allowUnion = false)
+      if (p2.isEmpty) err(s"empty $keyword group")
+      PatternGroup(p2.toList, f2.toList)
+    }
+
+    /** `VALUES ?v { term* }` or `VALUES (?a ?b) { (t1 t2) … }`. UNDEF is
+      * rejected: its compatible-with-anything join semantics have no
+      * faithful equi-join form, and a silent NULL would never match. */
+    private def parseValues(): ValuesBlock = {
+      skipWs()
+      val vars = ArrayBuffer[String]()
+      val rowForm = peek == '('
+      if (rowForm) {
+        pos += 1
+        while ({ skipWs(); peek == '?' || peek == '$' }) vars += parseVar()
+        expect(')')
+      } else if (peek == '?' || peek == '$') vars += parseVar()
+      else err("expected ?var or (?vars) after VALUES")
+      if (vars.isEmpty) err("VALUES needs ≥1 variable")
+      skipWs()
+      if (peek != '{') err("expected '{' to open the VALUES data block")
+      pos += 1
+      def parseValueTerm(): String = {
+        skipWs()
+        if (in.regionMatches(true, pos, "UNDEF", 0, 5) &&
+            (pos + 5 >= n || !in.charAt(pos + 5).isLetterOrDigit))
+          err("UNDEF is outside the supported subset (unbound VALUES cells " +
+            "join as compatible-with-anything, which an equi-join cannot express)")
+        peek match {
+          case '<' => parseIriRef()
+          case '"' | '\'' => parseLiteral()
+          case c if c.isDigit || c == '-' =>
+            val start = pos
+            if (peek == '-') pos += 1
+            while (pos < n && (in.charAt(pos).isDigit || in.charAt(pos) == '.')) pos += 1
+            in.substring(start, pos)
+          case _ => parsePName()
+        }
+      }
+      val rows = ArrayBuffer[List[String]]()
+      skipWs()
+      while (peek != '}') {
+        if (pos >= n) err("unterminated VALUES block")
+        if (rowForm) {
+          expect('(')
+          val row = ArrayBuffer[String]()
+          while ({ skipWs(); peek != ')' }) row += parseValueTerm()
+          pos += 1
+          if (row.length != vars.length)
+            err(s"VALUES row arity ${row.length} != ${vars.length} variables")
+          rows += row.toList
+        } else rows += List(parseValueTerm())
+        skipWs()
+      }
+      pos += 1
+      if (rows.isEmpty) err("empty VALUES data block")
+      ValuesBlock(vars.toList, rows.toList)
     }
 
     /** `{ patterns . FILTER … }` — a UNION branch: triples + filters only
@@ -297,13 +483,14 @@ object Sparql {
       * surface for the reference's usage (SURVEY.md §2.8) and rejected
       * with a clear message rather than a confusing parse error. */
     private def rejectUnsupported(): Unit = {
-      val unsupported = Seq("MINUS", "GRAPH", "BIND", "VALUES", "SERVICE")
+      val unsupported = Seq("GRAPH", "BIND", "SERVICE")
       unsupported.foreach { kw =>
         if (in.regionMatches(true, pos, kw, 0, kw.length) &&
             (pos + kw.length >= n || !in.charAt(pos + kw.length).isLetterOrDigit))
           err(s"$kw is outside the supported SPARQL subset " +
-            "(basic graph patterns, sequence/zero-or-more property paths, " +
-            "blank nodes, FILTER, one-level OPTIONAL; see SURVEY.md §2.8)")
+            "(basic graph patterns, property paths, blank nodes, FILTER, " +
+            "one-level OPTIONAL/MINUS, UNION, VALUES, aggregates; " +
+            "see SURVEY.md §2.8)")
       }
     }
 
@@ -381,9 +568,25 @@ object Sparql {
     }
 
     /** In OPERAND position `<` introduces an IRIREF; the less-than
-      * OPERATOR only occurs in [[parseCmpOp]] position — no ambiguity. */
+      * OPERATOR only occurs in [[parseCmpOp]] position — no ambiguity.
+      * An aggregate call operand (`HAVING(COUNT(?x) > 5)`) synthesizes an
+      * internal aggregate and stands in as its alias variable. */
     private def parseOperand(): FOperand = {
       skipWs()
+      val aggAhead = Seq("COUNT", "SUM", "MIN", "MAX", "AVG").exists { f =>
+        in.regionMatches(true, pos, f, 0, f.length) && {
+          var p = pos + f.length
+          while (p < n && in.charAt(p).isWhitespace) p += 1
+          p < n && in.charAt(p) == '('
+        }
+      }
+      if (aggAhead) {
+        val a = parseAggCall()
+        haggCounter += 1
+        val alias = s"_hagg$haggCounter"
+        aggs += a.copy(alias = alias)
+        return FVar(alias)
+      }
       peek match {
         case '?' | '$' => FVar(parseVar())
         case '<' => FIriRef(parseIriRef())

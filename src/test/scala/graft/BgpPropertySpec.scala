@@ -328,4 +328,73 @@ class BgpPropertySpec extends AnyFunSuite {
     }
     assert(run >= 10, s"only $run generated cases were runnable")
   }
+
+  // ---- MINUS differential fuzz ------------------------------------------
+
+  /** A MINUS group: one pattern on shared subject ?u whose object may be
+    * shared (?a), fresh (?m — excluded from the anti-join key), or ground,
+    * with an optional group-scoped filter. Every group var is bound by its
+    * own pattern, so SPARQL compatibility over the domain intersection is
+    * exactly the planner's anti-join on the shared columns. */
+  def minusGroupGen: Gen[PatternGroup] = for {
+    o <- Gen.frequency(2 -> Gen.oneOf(nodes).map(I),
+      1 -> Gen.const[Term](V("a")), 1 -> Gen.const[Term](V("m")))
+    st <- stepGen
+    wantF <- Gen.oneOf(true, false)
+    f <- cmpGen(Seq("u"))
+  } yield PatternGroup(List(TriplePattern(V("u"), List(st), o)),
+    if (wantF) List(f) else Nil)
+
+  val minusQueryGen: Gen[Query] = for {
+    nPat <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(nPat, patternGen(Seq("a", "u")))
+    mg <- minusGroupGen
+  } yield {
+    val named = pats.flatMap(tp => Seq(tp.s, tp.o))
+      .collect { case V(n) => n }.distinct
+    Query(Nil, distinct = false, pats, named, minuses = List(mg))
+  }
+
+  /** Minus(Ω1, Ω2): drop μ1 when some μ2 is compatible AND their domains
+    * overlap (the dom-disjoint rule keeps the row), naively. */
+  def naiveMinus(ts: Set[(String, String, String)], q: Query): Set[List[String]] = {
+    val base = naiveSols(ts, q.patterns)
+    val out = q.minuses.foldLeft(base) { (acc, grp) =>
+      val msols = naiveSols(ts, grp.patterns)
+        .filter(m => grp.filters.forall(feval(_, m)))
+      acc.filterNot { m1 =>
+        msols.exists { m2 =>
+          val shared = m1.keySet.intersect(m2.keySet)
+          shared.nonEmpty && shared.forall(k => m1(k) == m2(k))
+        }
+      }
+    }
+    out.map(m => q.selected.map(m.getOrElse(_, null)))
+  }
+
+  test("planner MINUS == naive dom-overlap compatibility on random graphs/queries") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 20).flatMap { i =>
+      for {
+        g <- graphGen(Gen.Parameters.default, Seed(6000L + i))
+        q <- minusQueryGen(Gen.Parameters.default, Seed(7000L + i))
+      } yield (g, q)
+    }
+    assert(cases.nonEmpty)
+    var run = 0
+    cases.foreach { case (g, q) =>
+      if (q.selected.nonEmpty) {
+        run += 1
+        val quads = g.toSeq.map { case (su, p, o) => Quad("urn:g#", su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naiveMinus(g, q)
+        assert(got == want,
+          s"mismatch for ${q.patterns} MINUS ${q.minuses} over ${g.size} " +
+            s"triples: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 10, s"only $run generated cases were runnable")
+  }
 }

@@ -127,8 +127,8 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   test("unsupported SPARQL constructs rejected with a named error") {
-    Seq("BIND(1 AS ?x)", "MINUS { ?s <urn:q> ?x }",
-      "VALUES ?x { 1 }").foreach { frag =>
+    Seq("BIND(1 AS ?x)", "GRAPH <urn:g> { ?s <urn:q> ?x }",
+      "SERVICE <urn:svc> { ?s <urn:q> ?x }").foreach { frag =>
       val e = intercept[IllegalArgumentException] {
         Sparql.parse(s"SELECT ?s WHERE { ?s <urn:p> <urn:o> . $frag }")
       }
@@ -290,6 +290,113 @@ class SparqlSpec extends AnyFunSuite {
       "https://brickschema.org/schema/Brick#Point",
       "https://brickschema.org/schema/Brick#Sensor",
       "https://brickschema.org/schema/Brick#Temperature_Sensor"))
+  }
+
+  // ---- aggregates, solution modifiers, VALUES, MINUS --------------------
+
+  lazy val aggQuads = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Quad("urn:g#", "urn:u#1", "urn:p#buy", "3"),
+      Quad("urn:g#", "urn:u#1", "urn:p#buy", "7"),
+      Quad("urn:g#", "urn:u#2", "urn:p#buy", "10"),
+      Quad("urn:g#", "urn:u#2", "urn:p#buy", "x"),
+      Quad("urn:g#", "urn:u#3", "urn:p#buy", "2")).toDF()
+  }
+
+  test("global aggregates: COUNT(*), SUM skips non-numeric (type-error) bindings") {
+    val q = Sparql.parse(fp +
+      "SELECT (COUNT(*) AS ?n) (SUM(?v) AS ?s) WHERE { ?d p:val ?v . }")
+    val r = BgpPlanner.evaluate(filterQuads, q).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 4L && r.head.getDouble(1) == 65.0) // n/a -> NULL
+  }
+
+  test("GROUP BY with COUNT/SUM/MAX; MAX is lexical like FILTER dispatch") {
+    val q = Sparql.parse(fp + "SELECT ?u (COUNT(?v) AS ?n) (SUM(?v) AS ?s) " +
+      "(MAX(?v) AS ?mx) WHERE { ?u p:buy ?v . } GROUP BY ?u ORDER BY ?u")
+    val r = BgpPlanner.evaluate(aggQuads, q).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      ("urn:u#1", 2L, 10.0, "7"),
+      ("urn:u#2", 2L, 10.0, "x"), // "x" > "10" lexically; SUM skips it
+      ("urn:u#3", 1L, 2.0, "2")))
+  }
+
+  test("HAVING with an inline aggregate call; COUNT(DISTINCT ?u)") {
+    val q = Sparql.parse(fp +
+      "SELECT ?u WHERE { ?u p:buy ?v . } GROUP BY ?u HAVING(COUNT(?v) > 1) ORDER BY ?u")
+    assert(strings(BgpPlanner.evaluate(aggQuads, q)) == Seq("urn:u#1", "urn:u#2"))
+    val q2 = Sparql.parse(fp +
+      "SELECT (COUNT(DISTINCT ?u) AS ?n) WHERE { ?u p:buy ?v . }")
+    assert(BgpPlanner.evaluate(aggQuads, q2).collect().head.getLong(0) == 3L)
+  }
+
+  test("ORDER BY DESC with LIMIT and OFFSET slices the sorted solutions") {
+    val q = Sparql.parse(fp +
+      "SELECT ?d WHERE { ?d p:val ?v . } ORDER BY DESC(?d) LIMIT 2 OFFSET 1")
+    assert(BgpPlanner.evaluate(filterQuads, q).collect().map(_.getString(0)).toSeq
+      == Seq("urn:d#3", "urn:d#2"))
+  }
+
+  test("aggregates over an empty solution set: global COUNT yields its 0 row") {
+    // unmatched pattern (empty relation path)
+    val q = Sparql.parse(fp + "SELECT (COUNT(?v) AS ?n) WHERE { ?d p:nope ?v . }")
+    val r = BgpPlanner.evaluate(filterQuads, q).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 0L)
+    // failed ground pattern (early-return path)
+    val q2 = Sparql.parse(fp +
+      "SELECT (COUNT(*) AS ?n) WHERE { <urn:d#1> p:val \"999\" . }")
+    val r2 = BgpPlanner.evaluate(filterQuads, q2).collect()
+    assert(r2.length == 1 && r2.head.getLong(0) == 0L)
+    // grouped aggregate over empty yields no rows
+    val q3 = Sparql.parse(fp +
+      "SELECT ?d (COUNT(?v) AS ?n) WHERE { ?d p:nope ?v . } GROUP BY ?d")
+    assert(BgpPlanner.evaluate(filterQuads, q3).count() == 0)
+  }
+
+  test("VALUES single-var restricts via join; row form joins on both columns") {
+    val q = Sparql.parse(fp +
+      "SELECT ?d ?v WHERE { ?d p:val ?v . VALUES ?d { <urn:d#1> <urn:d#3> } } ORDER BY ?d")
+    assert(BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("urn:d#1", "5"), ("urn:d#3", "50")))
+    val q2 = Sparql.parse(fp + "SELECT ?d ?v WHERE { ?d p:val ?v . " +
+      "VALUES (?d ?v) { (<urn:d#1> \"5\") (<urn:d#2> \"999\") } }")
+    assert(BgpPlanner.evaluate(filterQuads, q2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("urn:d#1", "5")))
+  }
+
+  test("MINUS removes compatible solutions; disjoint domains remove nothing") {
+    val q = Sparql.parse(fp +
+      "SELECT ?d WHERE { ?d p:val ?v . MINUS { ?d p:tag \"alpha\" } } ORDER BY ?d")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q))
+      == Seq("urn:d#2", "urn:d#3", "urn:d#4"))
+    // ?z shares nothing with the outer group -> SPARQL dom-disjoint rule
+    val q2 = Sparql.parse(fp +
+      "SELECT ?d WHERE { ?d p:val ?v . MINUS { ?z p:tag \"alpha\" } }")
+    assert(BgpPlanner.evaluate(filterQuads, q2).count() == 4)
+  }
+
+  test("aggregate/modifier misuse rejected with named errors") {
+    def bad(qs: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        val df = BgpPlanner.evaluate(filterQuads, Sparql.parse(fp + qs))
+        df.collect() // planner errors may surface at plan build
+      }
+      assert(e.getMessage.contains(needle), s"$qs => ${e.getMessage}")
+    }
+    bad("SELECT ?d ?v WHERE { ?d p:val ?v . } GROUP BY ?d",
+      "must appear in GROUP BY")
+    bad("SELECT * WHERE { ?d p:val ?v . } GROUP BY ?d",
+      "SELECT * cannot be combined")
+    bad("SELECT ?d WHERE { ?d p:val ?v . } ORDER BY ?nope",
+      "must be a projected")
+    bad("SELECT ?d WHERE { ?d p:val ?v . } BOGUS TRAILING",
+      "trailing content")
+    bad("SELECT ?d ?v WHERE { ?d p:val ?v . VALUES ?d { UNDEF <urn:d#1> } }",
+      "UNDEF")
   }
 
   test("ambiguous alternative forms are rejected with named errors") {
