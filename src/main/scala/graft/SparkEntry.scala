@@ -847,6 +847,42 @@ object SparkEntry {
           "MINUS { ?c p:mkt \"BUILDING\" } } ORDER BY ?c LIMIT 50 OFFSET 10")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q117_dup_ngrams" -> ((s, dir) => {
+      // cross-document repetition signal (Lee et al. 2107.06499): per-doc
+      // fraction of 3-gram positions whose gram appears in ≥2 distinct
+      // docs — catches boilerplate that whole-doc dedup misses. Exact
+      // integer basis points; only the heavily-templated tail (≥70%).
+      TextOps.corpusDupNgrams(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, minDocs = 2)
+        .filter(col("dup_bp") >= 7000)
+        .orderBy("doc_id")
+    }),
+    "q115_sparql_bind" -> ((s, dir) => {
+      // §2.8 BIND: string builtins (STRAFTER extracts the key from the
+      // IRI — the id-extraction idiom every Brick query ends with) +
+      // integer arithmetic + CONCAT over an earlier alias. All pure
+      // codegen'd projections over the joined bindings — zero shuffles
+      // beyond the BGP join itself.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?key ?dbl ?tag WHERE { " +
+          "?c p:balCents ?b . ?c p:mkt ?m . " +
+          "BIND(STRAFTER(STR(?c), \"#\") AS ?key) " +
+          "BIND(?b + ?b AS ?dbl) " +
+          "BIND(CONCAT(LCASE(?m), \"-\", ?key) AS ?tag) " +
+          "FILTER(?b > 900000) } ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q116_sparql_zero_or_one" -> ((s, dir) => {
+      // §2.8 `p?` zero-or-one path: no fixpoint — single-step edges ∪
+      // identity, so each VALUES customer yields itself (zero steps) and
+      // its nation (one step). The VALUES block broadcast-joins into the
+      // edge∪identity relation.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?t WHERE { " +
+          "?c (p:inNation)? ?t . " +
+          "VALUES ?c { <urn:c#1> <urn:c#2> <urn:c#3> } } ORDER BY ?c ?t")
+      BgpPlanner.evaluate(tpchQuads(s, dir, "inNation", "inRegion"), q)
+    }),
     "q112_sparql_path_ops" -> ((s, dir) => {
       // §2.8 extended property paths in one query: inverse (^p) binds
       // each customer through the REVERSED inNation edge, and the
@@ -2784,6 +2820,41 @@ object SparkEntry {
         |FROM customer
         |WHERE c_nationkey IN (1, 4, 9) AND c_mktsegment <> 'BUILDING'
         |ORDER BY c LIMIT 50 OFFSET 10""".stripMargin,
+    "q117_dup_ngrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |pos AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |g AS (SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS gram FROM pos),
+        |freq AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS d FROM g GROUP BY gram)
+        |  WHERE d >= 2),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_pos,
+        |    count(*) FILTER (WHERE gram IN (SELECT gram FROM freq)) AS n_dup
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_pos, n_dup, (10000 * n_dup) // n_pos AS dup_bp
+        |FROM per WHERE (10000 * n_dup) // n_pos >= 7000
+        |ORDER BY doc_id""".stripMargin,
+    "q115_sparql_bind" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(c_custkey AS VARCHAR) AS key,
+        |  CAST(2 * CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS dbl,
+        |  lower(c_mktsegment) || '-' || CAST(c_custkey AS VARCHAR) AS tag
+        |FROM customer
+        |WHERE FLOOR(c_acctbal * 100) > 900000
+        |ORDER BY c""".stripMargin,
+    "q116_sparql_zero_or_one" ->
+      """SELECT c, t FROM (
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |    'urn:c#' || CAST(c_custkey AS VARCHAR) AS t
+        |  FROM customer WHERE c_custkey IN (1, 2, 3)
+        |  UNION ALL
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR),
+        |    'urn:n#' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer WHERE c_custkey IN (1, 2, 3))
+        |ORDER BY c, t""".stripMargin,
     "q112_sparql_path_ops" ->
       """SELECT 'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
         |  'urn:c#' || CAST(c_custkey AS VARCHAR) AS c

@@ -201,6 +201,52 @@ object TextOps {
         expr("sum_prob_bp DIV n_bigrams").as("avg_prob_bp"), col("min_prob_bp"))
   }
 
+  /** CORPUS-REPEATED N-GRAM FRACTION — the cross-document repetition
+    * signal of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499), at token n-gram granularity: for
+    * each document, the fraction of its n-gram positions whose gram also
+    * appears in ≥ `minDocs` OTHER-or-same distinct documents. High
+    * fractions mark boilerplate (headers, licenses, templated spam) that
+    * survives whole-document dedup because the surrounding text differs.
+    *
+    * Output per doc with ≥ 1 n-gram: (idCol, n_pos, n_dup, dup_bp) where
+    * dup_bp = 10000·n_dup DIV n_pos — integer basis points, engine-exact.
+    *
+    * Shape (100 TB): posexplode → lead-window gram assembly (n short
+    * strings per row on the wire, never whole token arrays) → one
+    * count-distinct hash aggregate keyed by gram for the document
+    * frequencies → a semi-join of positions against the frequent-gram
+    * set → two map-side-combinable per-doc counts. No windows over the
+    * corpus, no driver collect; the frequent set is corpus-vocabulary-
+    * sized and shuffle-joins (it is NOT assumed broadcastable). A
+    * production run at petabyte scale can key the aggregate/join by
+    * xxhash64(gram) to halve shuffle bytes at ~2⁻⁶⁴ collision risk; the
+    * string key here keeps the operator bit-exact against the oracle. */
+  def corpusDupNgrams(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Long = 2L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t0")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>
+      acc.withColumn(s"t$j", lead(col("t0"), j).over(w))
+    }
+    val grams = withNexts.filter(col(s"t${n - 1}").isNotNull)
+      .select(col("id"),
+        concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("gram"))
+    val freq = grams.groupBy(col("gram"))
+      .agg(count_distinct(col("id")).as("d"))
+      .filter(col("d") >= minDocs).select(col("gram"))
+    val dup = grams.join(freq, Seq("gram"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
+    grams.groupBy(col("id")).agg(count(lit(1)).as("n_pos"))
+      .join(dup, Seq("id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col("id").as(idCol), col("n_pos"), col("n_dup"),
+        expr("10000 * n_dup DIV n_pos").as("dup_bp"))
+  }
+
   /** Corpus-wide N-GRAM COUNT TABLE — the LM count-table data product
     * (KenLM-style estimation, n-gram lookup indexes): every distinct token
     * n-gram with its corpus frequency, pruned at `minCount`. The prune is

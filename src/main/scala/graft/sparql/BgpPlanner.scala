@@ -86,7 +86,8 @@ object BgpPlanner {
       }.reduce(_ union _)
 
     // Closure relations, one per (alt-set, modifier) — reused across atoms.
-    // `p*` = reflexive-transitive; `p+` = transitive only (≥1 step).
+    // `p*` = reflexive-transitive; `p+` = transitive only (≥1 step);
+    // `p?` = zero-or-one (single-step edges ∪ identity — no fixpoint).
     lazy val allTerms = scoped.select(col("s").as("t"))
       .union(scoped.select(col("o").as("t"))).distinct()
     val closures = scala.collection.mutable.Map[String, DataFrame]()
@@ -94,8 +95,12 @@ object BgpPlanner {
       val key = step.alts.map { case (p, inv) => (if (inv) "^" else "") + p }
         .mkString("|") + step.mod
       closures.getOrElseUpdate(key, {
-        val tc = Closure.transitive(edgesFor(step.alts))
-        if (step.mod == '*') Closure.withIdentity(tc, allTerms) else tc
+        if (step.mod == '?')
+          Closure.withIdentity(edgesFor(step.alts), allTerms)
+        else {
+          val tc = Closure.transitive(edgesFor(step.alts))
+          if (step.mod == '*') Closure.withIdentity(tc, allTerms) else tc
+        }
       })
     }
 
@@ -106,12 +111,18 @@ object BgpPlanner {
       * (the constant re-enters only via a cycle, which reachableFrom
       * already handles). */
     def targetedClosure(step: Step, const: String, constIsObject: Boolean): DataFrame = {
-      val reached = graft.plans.Closure.reachableFrom(
-        edgesFor(step.alts), const, reverse = constIsObject)
+      // `?` needs only the constant's direct neighbors — no BFS at all
+      val reached =
+        if (step.mod == '?') {
+          val e = edgesFor(step.alts)
+          (if (constIsObject) e.filter(col("dst") === const).select(col("src").as("node"))
+           else e.filter(col("src") === const).select(col("dst").as("node"))).distinct()
+        } else graft.plans.Closure.reachableFrom(
+          edgesFor(step.alts), const, reverse = constIsObject)
       val spark2 = scoped.sparkSession
       import spark2.implicits._
       val nodes =
-        if (step.mod == '*')
+        if (step.mod == '*' || step.mod == '?')
           reached.select(col("node")).union(Seq(const).toDF("node")).distinct()
         else reached.select(col("node"))
       if (constIsObject)
@@ -369,6 +380,23 @@ object BgpPlanner {
       }
     }
 
+    // BIND clauses, in writing order (later BINDs may reference earlier
+    // aliases): each is a withColumn over the joined solution — a pure
+    // codegen'd projection, no shuffle. Scope simplification vs the spec:
+    // BIND here is group-final (applied after OPTIONAL/MINUS, before the
+    // group FILTERs, which therefore CAN test BIND aliases) rather than
+    // splitting the group at its syntactic position; identical for every
+    // query whose BIND references only required-pattern/OPTIONAL vars,
+    // which the one-level subset guarantees. Rebinding an in-scope
+    // variable is an error per the spec.
+    q.binds.foreach { b =>
+      val cols = acc.columns.toSet
+      if (cols.contains(vc(b.alias))) throw new IllegalArgumentException(
+        s"BIND would rebind ?${b.alias} — already in scope")
+      acc = acc.withColumn(vc(b.alias),
+        compileBind(b.expr, resolveIn(acc, cols)))
+    }
+
     // Group-level FILTERs: applied after OPTIONAL extension (SPARQL group
     // scope), so BOUND/!BOUND over optional vars behaves correctly.
     q.filters.foreach { f =>
@@ -376,6 +404,51 @@ object BgpPlanner {
     }
 
     finish(acc, q)
+  }
+
+  /** BIND expression → string Column over the lexical quads encoding.
+    * NULL propagates through every form (SPARQL: an error in a BIND
+    * expression leaves the alias unbound — exactly SQL NULL semantics).
+    * Arithmetic is integer-typed: operands try_cast to long (a non-integer
+    * lexical → NULL → unbound), result rendered back to its lexical form,
+    * so engine and oracle agree digit-for-digit; magnitudes past 2^63
+    * wrap — out of scope for the integer fixtures this subset targets. */
+  private def compileBind(e: Sparql.BExpr, resolve: String => Column): Column = {
+    import Sparql._
+    e match {
+      case BVar(v) => resolve(v)
+      case BLit(s) => lit(s)
+      case BConcat(args) => concat(args.map(compileBind(_, resolve)): _*)
+      case BStrFn("STR", a) => compileBind(a, resolve) // lexical identity
+      case BStrFn("UCASE", a) => upper(compileBind(a, resolve))
+      case BStrFn("LCASE", a) => lower(compileBind(a, resolve))
+      case BStrFn("STRLEN", a) =>
+        length(compileBind(a, resolve)).cast("long").cast("string")
+      case BStrFn(other, _) =>
+        throw new IllegalArgumentException(s"bad string builtin $other")
+      case BStrCut(a, sep, after) =>
+        val s = compileBind(a, resolve)
+        if (sep.isEmpty) {
+          // SPARQL: STRAFTER(x, "") = x, STRBEFORE(x, "") = ""
+          if (after) s else when(s.isNotNull, lit("")) // NULL-propagating ""
+        } else {
+          val p = instr(s, sep) // 1-based, 0 when absent
+          if (after) when(p > 0, s.substr(p + sep.length, length(s))).otherwise(
+            when(s.isNotNull, lit("")))
+          else when(p > 0, s.substr(lit(1), p - 1)).otherwise(
+            when(s.isNotNull, lit("")))
+        }
+      case BArith(l, op, r) =>
+        val (lc, rc) = (compileBind(l, resolve).try_cast("long"),
+          compileBind(r, resolve).try_cast("long"))
+        val out = op match {
+          case '+' => lc + rc
+          case '-' => lc - rc
+          case '*' => lc * rc
+          case other => throw new IllegalArgumentException(s"bad op $other")
+        }
+        out.cast("long").cast("string")
+    }
   }
 
   /** Aggregation, HAVING, projection, DISTINCT, and the solution

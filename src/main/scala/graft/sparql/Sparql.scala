@@ -36,7 +36,12 @@ import scala.collection.mutable.ArrayBuffer
   *     inline aggregate calls), and solution modifiers `ORDER BY`
   *     (ASC/DESC), `LIMIT`, `OFFSET`
   *
-  * Anything outside this subset (GRAPH, BIND, SERVICE, subqueries, …) is
+  *   - `BIND(expr AS ?v)` with string builtins (CONCAT, STR, UCASE,
+  *     LCASE, STRLEN, STRAFTER, STRBEFORE) and integer `+ - *`
+  *     arithmetic (group-final scope; see BgpPlanner)
+  *   - property-path modifiers `*` `+` `?` and inverse/alternatives
+  *
+  * Anything outside this subset (GRAPH, SERVICE, subqueries, …) is
   * dead surface for the reference's usage and rejected with a clear error.
   */
 object Sparql {
@@ -48,8 +53,8 @@ object Sparql {
 
   /** One path element: alternatives of (IRI, inverse?) — `(p|^q)` — under
     * one shared modifier. `mod`: ' ' = exactly-one, '*' = zero-or-more,
-    * '+' = one-or-more. The single forward unmodified step is the common
-    * case; the companion apply keeps that construction terse. */
+    * '+' = one-or-more, '?' = zero-or-one. The single forward unmodified
+    * step is the common case; the companion apply keeps it terse. */
   final case class Step(alts: List[(String, Boolean)], mod: Char) {
     def star: Boolean = mod == '*'
   }
@@ -104,6 +109,26 @@ object Sparql {
     * values (IRI or literal — the quads encoding stores both as strings). */
   final case class ValuesBlock(vars: List[String], rows: List[List[String]])
 
+  /** BIND expression AST. The quads encoding is lexical strings, so every
+    * expression evaluates to a string column; arithmetic is INTEGER-typed
+    * (operands try_cast to long, non-integer bindings → unbound) — the
+    * xsd:integer case every fixture query needs, with decimal promotion
+    * deliberately out of subset (its xsd:decimal exactness rules have no
+    * cheap faithful Column form). */
+  sealed trait BExpr
+  final case class BVar(name: String) extends BExpr
+  final case class BLit(value: String) extends BExpr // string/IRI/number lexical
+  final case class BConcat(args: List[BExpr]) extends BExpr
+  /** fn ∈ STR (identity on the lexical encoding), UCASE, LCASE, STRLEN. */
+  final case class BStrFn(fn: String, arg: BExpr) extends BExpr
+  /** STRAFTER/STRBEFORE(arg, sep): empty string when `sep` is absent. */
+  final case class BStrCut(arg: BExpr, sep: String, after: Boolean) extends BExpr
+  /** Integer arithmetic, op ∈ + - *. */
+  final case class BArith(l: BExpr, op: Char, r: BExpr) extends BExpr
+
+  /** `BIND(expr AS ?alias)` — alias joins the variable namespace. */
+  final case class Bind(expr: BExpr, alias: String)
+
   /** Parsed query. `projection` empty = SELECT *. `userVars` is every named
     * variable in order of first appearance (for SELECT *, mirroring
     * rdflib's `res.vars` ordering, client.py:45-46). Group-level `filters`
@@ -126,7 +151,8 @@ object Sparql {
       limit: Option[Int] = None,
       offset: Option[Int] = None,
       values: List[ValuesBlock] = Nil,
-      minuses: List[PatternGroup] = Nil) {
+      minuses: List[PatternGroup] = Nil,
+      binds: List[Bind] = Nil) {
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -142,6 +168,7 @@ object Sparql {
     private val aggs = ArrayBuffer[Agg]()
     private val valuesBlocks = ArrayBuffer[ValuesBlock]()
     private val minusGroups = ArrayBuffer[PatternGroup]()
+    private val bindClauses = ArrayBuffer[Bind]()
     private var haggCounter = 0 // HAVING-synthesized aggregate aliases
 
     private def err(msg: String): Nothing = {
@@ -299,7 +326,8 @@ object Sparql {
       Query(projection.toList, distinct, patterns.toList, order.toList,
         filters.toList, optionals.toList, unions.toList,
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
-        limit, offset, valuesBlocks.toList, minusGroups.toList)
+        limit, offset, valuesBlocks.toList, minusGroups.toList,
+        bindClauses.toList)
     }
 
     private def parseInt(): Int = {
@@ -385,6 +413,17 @@ object Sparql {
           if (!allowOptional)
             err("VALUES inside OPTIONAL/UNION is outside the supported subset")
           valuesBlocks += parseValues()
+        } else if (kw("BIND")) {
+          if (!allowOptional)
+            err("BIND inside OPTIONAL/UNION is outside the supported subset")
+          expect('(')
+          val e = parseBindExpr()
+          if (!kw("AS")) err("expected AS in BIND(expr AS ?var)")
+          skipWs()
+          if (peek != '?' && peek != '$') err("expected ?var after AS")
+          val alias = parseVar()
+          expect(')')
+          bindClauses += Bind(e, alias)
         } else {
           rejectUnsupported()
           parseTriplesSameSubject(patterns)
@@ -483,14 +522,88 @@ object Sparql {
       * surface for the reference's usage (SURVEY.md §2.8) and rejected
       * with a clear message rather than a confusing parse error. */
     private def rejectUnsupported(): Unit = {
-      val unsupported = Seq("GRAPH", "BIND", "SERVICE")
+      val unsupported = Seq("GRAPH", "SERVICE")
       unsupported.foreach { kw =>
         if (in.regionMatches(true, pos, kw, 0, kw.length) &&
             (pos + kw.length >= n || !in.charAt(pos + kw.length).isLetterOrDigit))
           err(s"$kw is outside the supported SPARQL subset " +
             "(basic graph patterns, property paths, blank nodes, FILTER, " +
-            "one-level OPTIONAL/MINUS, UNION, VALUES, aggregates; " +
+            "one-level OPTIONAL/MINUS, UNION, VALUES, BIND, aggregates; " +
             "see SURVEY.md §2.8)")
+      }
+    }
+
+    // ---- BIND expressions -----------------------------------------------
+    // addExpr := mulExpr (('+'|'-') mulExpr)* ; mulExpr := primary ('*' …)*
+    // primary := ?var | "str" | <iri> | pname | integer | builtin(…) | (expr)
+    // Division is out of subset (xsd:decimal exactness has no cheap
+    // faithful Column form); integers only in arithmetic position.
+    private def parseBindExpr(): BExpr = parseBindAdd()
+
+    private def parseBindAdd(): BExpr = {
+      var e = parseBindMul()
+      var more = true
+      while (more) {
+        skipWs()
+        if (peek == '+') { pos += 1; e = BArith(e, '+', parseBindMul()) }
+        else if (peek == '-') { pos += 1; e = BArith(e, '-', parseBindMul()) }
+        else more = false
+      }
+      e
+    }
+
+    private def parseBindMul(): BExpr = {
+      var e = parseBindPrimary()
+      var more = true
+      while (more) {
+        skipWs()
+        if (peek == '*') { pos += 1; e = BArith(e, '*', parseBindPrimary()) }
+        else if (peek == '/')
+          err("'/' in BIND is outside the supported subset (xsd:decimal " +
+            "division; use integer + - * or precompute in the data)")
+        else more = false
+      }
+      e
+    }
+
+    private def parseBindPrimary(): BExpr = {
+      skipWs()
+      if (kw("CONCAT")) {
+        expect('(')
+        val args = ArrayBuffer[BExpr](parseBindExpr())
+        while ({ skipWs(); peek == ',' }) { pos += 1; args += parseBindExpr() }
+        expect(')')
+        BConcat(args.toList)
+      } else if (kw("STRAFTER")) {
+        expect('('); val a = parseBindExpr(); expect(','); val s = parseStrArg()
+        expect(')'); BStrCut(a, s, after = true)
+      } else if (kw("STRBEFORE")) {
+        expect('('); val a = parseBindExpr(); expect(','); val s = parseStrArg()
+        expect(')'); BStrCut(a, s, after = false)
+      } else if (kw("STRLEN")) {
+        expect('('); val a = parseBindExpr(); expect(')'); BStrFn("STRLEN", a)
+      } else if (kw("UCASE")) {
+        expect('('); val a = parseBindExpr(); expect(')'); BStrFn("UCASE", a)
+      } else if (kw("LCASE")) {
+        expect('('); val a = parseBindExpr(); expect(')'); BStrFn("LCASE", a)
+      } else if (kw("STR")) {
+        expect('('); val a = parseBindExpr(); expect(')'); BStrFn("STR", a)
+      } else peek match {
+        case '?' | '$' => BVar(parseVar())
+        case '"' | '\'' => BLit(parseLiteral())
+        case '<' => BLit(parseIriRef())
+        case '(' => pos += 1; val e = parseBindExpr(); expect(')'); e
+        case c if c.isDigit || c == '-' =>
+          val start = pos
+          if (peek == '-') pos += 1
+          while (pos < n && in.charAt(pos).isDigit) pos += 1
+          if (pos < n && in.charAt(pos) == '.')
+            err("decimal literals in BIND arithmetic are outside the " +
+              "supported subset (integer arithmetic only)")
+          if (pos == start || !in.substring(start, pos).exists(_.isDigit))
+            err("expected integer literal")
+          BLit(in.substring(start, pos))
+        case _ => BLit(parsePName())
       }
     }
 
@@ -656,9 +769,13 @@ object Sparql {
       (iri, inv)
     }
 
+    /** Path modifier — only when ADJACENT to the path element ('?' with
+      * intervening whitespace starts the object variable, not a
+      * zero-or-one modifier; parseStep calls this without skipWs). */
     private def parseMod(): Char =
       if (peek == '*') { pos += 1; '*' }
       else if (peek == '+') { pos += 1; '+' }
+      else if (peek == '?') { pos += 1; '?' }
       else ' '
 
     /** One sequence element: `(alt|alt|…)mod`, or `^?iri mod`. */
@@ -668,13 +785,13 @@ object Sparql {
         pos += 1
         val alts = ArrayBuffer[(String, Boolean)]()
         alts += parseAltElt()
-        if (peek == '*' || peek == '+')
+        if (peek == '*' || peek == '+' || peek == '?')
           err("per-alternative modifiers are outside the supported subset; " +
             "apply the modifier to the whole group: (p|q)*")
         skipWs()
         while (peek == '|') {
           pos += 1; alts += parseAltElt()
-          if (peek == '*' || peek == '+')
+          if (peek == '*' || peek == '+' || peek == '?')
             err("per-alternative modifiers are outside the supported subset; " +
               "apply the modifier to the whole group: (p|q)*")
           skipWs()
@@ -711,7 +828,7 @@ object Sparql {
           val alts = ArrayBuffer(steps.head.alts: _*)
           while (peek == '|') {
             pos += 1; alts += parseAltElt()
-            if (peek == '*' || peek == '+')
+            if (peek == '*' || peek == '+' || peek == '?')
               err("parenthesize path alternatives used with modifiers: (p|q)*")
             skipWs()
           }

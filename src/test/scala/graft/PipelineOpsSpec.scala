@@ -147,6 +147,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("corpusDupNgrams: exact fraction of positions covered by cross-doc grams") {
+    val s = spark; import s.implicits._
+    // doc1/doc2 share "x y z" (and doc2 repeats it); doc3 is all-unique
+    val df = Seq(
+      (1L, "x y z a b"),   // grams: xyz yza zab -> 1 dup of 3
+      (2L, "x y z x y z"), // grams: xyz yzx zxy xyz -> xyz(2 of 4 positions)
+      (3L, "p q r s")      // grams: pqr qrs -> 0 dup
+    ).toDF("doc_id", "text")
+    val out = TextOps.corpusDupNgrams(df, "text", "doc_id", n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 1L, 3333L)))
+    assert(out(2L) == ((4L, 2L, 5000L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+  }
+
+  test("corpusDupNgrams equals a plain-Scala reference on random corpora") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (1L to 30L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val n = 3
+    val gramsByDoc = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    }.toMap
+    val docFreq = gramsByDoc.toSeq.flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = gramsByDoc.collect { case (id, gs) if gs.nonEmpty =>
+      val dup = gs.count(g => docFreq(g) >= 2)
+      id -> (gs.size.toLong, dup.toLong, 10000L * dup / gs.size)
+    }.toMap
+    val got = TextOps.corpusDupNgrams(docs.toDF("doc_id", "text"), "text", "doc_id",
+        n = n, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
   test("chunkSpans covers every token exactly, with stride-spaced starts") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(9)

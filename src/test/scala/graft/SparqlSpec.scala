@@ -127,7 +127,7 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   test("unsupported SPARQL constructs rejected with a named error") {
-    Seq("BIND(1 AS ?x)", "GRAPH <urn:g> { ?s <urn:q> ?x }",
+    Seq("GRAPH <urn:g> { ?s <urn:q> ?x }",
       "SERVICE <urn:svc> { ?s <urn:q> ?x }").foreach { frag =>
       val e = intercept[IllegalArgumentException] {
         Sparql.parse(s"SELECT ?s WHERE { ?s <urn:p> <urn:o> . $frag }")
@@ -397,6 +397,79 @@ class SparqlSpec extends AnyFunSuite {
       "trailing content")
     bad("SELECT ?d ?v WHERE { ?d p:val ?v . VALUES ?d { UNDEF <urn:d#1> } }",
       "UNDEF")
+  }
+
+  test("BIND: string builtins, integer arithmetic, chained aliases, FILTER over alias") {
+    val q = Sparql.parse(fp +
+      "SELECT ?s ?key ?vv ?tag WHERE { ?s p:val ?v . ?s p:tag ?t . " +
+        "BIND(STRAFTER(STR(?s), \"#\") AS ?key) " +
+        "BIND(?v * 2 AS ?vv) " +
+        "BIND(CONCAT(UCASE(?t), \"/\", ?key) AS ?tag) } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      ("urn:d#1", "1", "10", "ALPHA/1"),
+      ("urn:d#3", "3", "100", "BETA/3")))
+    // non-integer binding under arithmetic -> unbound (NULL), row kept
+    val q2 = Sparql.parse(fp +
+      "SELECT ?s ?vv WHERE { ?s p:val ?v . BIND(?v + 1 AS ?vv) } ORDER BY ?s")
+    val byS = BgpPlanner.evaluate(filterQuads, q2).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byS("urn:d#1").contains("6") && byS("urn:d#4").isEmpty)
+    // FILTER can test a BIND alias (group-final scope)
+    val q3 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 0 AS ?n) . FILTER(?n > 9) }")
+    assert(BgpPlanner.evaluate(filterQuads, q3).collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("urn:d#2", "urn:d#3"))
+  }
+
+  test("BIND: STRAFTER/STRBEFORE absent-separator and empty-separator edges; STRLEN") {
+    val q = Sparql.parse(fp +
+      "SELECT ?t ?a ?b ?l WHERE { ?s p:tag ?t . " +
+        "BIND(STRAFTER(?t, \"x\") AS ?a) BIND(STRBEFORE(?t, \"l\") AS ?b) " +
+        "BIND(STRLEN(?t) AS ?l) } ORDER BY ?t")
+    val rows = BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // SPARQL: separator absent -> "" ; beta has no 'l' -> "" ; alpha -> "a"
+    assert(rows.toSeq == Seq(("alpha", "", "a", "5"), ("beta", "", "", "4")))
+  }
+
+  test("BIND misuse rejected: rebinding, unknown var, division, decimals") {
+    def bad(qs: String, needle: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        BgpPlanner.evaluate(filterQuads, Sparql.parse(fp + qs)).collect()
+      }
+      assert(e.getMessage.contains(needle), s"$qs => ${e.getMessage}")
+    }
+    bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 1 AS ?v) }", "rebind")
+    bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?nope AS ?x) }", "bound by no pattern")
+    bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v / 2 AS ?x) }", "'/'")
+    bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 1.5 AS ?x) }", "integer arithmetic")
+    bad("SELECT ?s WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t . BIND(?t AS ?x) } }",
+      "BIND inside OPTIONAL")
+  }
+
+  test("p? zero-or-one: identity plus one step, targeted and var-var forms") {
+    // const subject: sen1 itself + its direct type (no transitive closure)
+    val q = Sparql.parse(prefix +
+      "SELECT ?t WHERE { <urn:fix#sen1> rdf:type? ?t . }")
+    val got = strings(BgpPlanner.evaluate(quads, q))
+    assert(got.contains("urn:fix#sen1") &&
+      got.contains("https://brickschema.org/schema/Brick#Zone_Air_Temperature_Sensor"))
+    assert(!got.contains("https://brickschema.org/schema/Brick#Temperature_Sensor"))
+    // sequence with ?: type then at-most-one subClassOf hop
+    val q2 = Sparql.parse(prefix +
+      "SELECT ?t WHERE { <urn:fix#sen1> rdf:type/rdfs:subClassOf? ?t . }")
+    val got2 = strings(BgpPlanner.evaluate(quads, q2))
+    assert(got2.toSet == Set(
+      "https://brickschema.org/schema/Brick#Zone_Air_Temperature_Sensor",
+      "https://brickschema.org/schema/Brick#Temperature_Sensor"))
+    // var-var: every term relates to itself, plus the single-step edges
+    val q3 = Sparql.parse(fp +
+      "SELECT ?a ?b WHERE { ?a p:tag? ?b . VALUES ?a { <urn:d#1> } } ORDER BY ?b")
+    assert(BgpPlanner.evaluate(filterQuads, q3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("urn:d#1", "alpha"), ("urn:d#1", "urn:d#1")))
   }
 
   test("ambiguous alternative forms are rejected with named errors") {
