@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{MinHashBandKeys, MinHashSignature}
 import graft.functions.TopK.TopKByScore
 import graft.functions.VectorExpressions.{CosineSimilarity, DotProduct, HyperplaneBuckets}
 import org.apache.spark.sql.SparkSessionExtensions
@@ -20,6 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftExtensions.vecCosine)
     e.injectFunction(GraftExtensions.vecLshBuckets)
     e.injectFunction(GraftExtensions.topKByScore)
+    e.injectFunction(GraftExtensions.minhashSig)
+    e.injectFunction(GraftExtensions.minhashBands)
   }
 }
 
@@ -69,6 +72,42 @@ object GraftExtensions {
     TopKByScore(args(0), args(1), k).toAggregateExpression()
   }
 
+  private def minhashFromArgs(args: Seq[Expression]): Expression = {
+    require(args.length == 3 && args(1).foldable && args(2).foldable,
+      "minhash_sig(tokens, k, shingleN) needs literal k and shingleN")
+    def lit(e: Expression): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal, got $other")
+    }
+    MinHashSignature(args(0), lit(args(1)), lit(args(2)))
+  }
+
+  private[graft] val minhashSig =
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(tokens, k, shingleN) - fused per-row MinHash signature (array<long> of k minima)"),
+      (args: Seq[Expression]) => minhashFromArgs(args))
+
+  private def minhashBandsFromArgs(args: Seq[Expression]): Expression = {
+    require(args.length == 4 && args.drop(1).forall(_.foldable),
+      "minhash_bands(tokens, k, shingleN, bands) needs literal k/shingleN/bands")
+    def lit(e: Expression): Int = e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected an integer literal, got $other")
+    }
+    MinHashBandKeys(args(0), lit(args(1)), lit(args(2)), lit(args(3)))
+  }
+
+  private[graft] val minhashBands =
+    (FunctionIdentifier("minhash_bands"),
+      info("minhash_bands",
+        "minhash_bands(tokens, k, shingleN, bands) - one-pass MinHash LSH band keys (array<long>)"),
+      (args: Seq[Expression]) => minhashBandsFromArgs(args))
+
   private[graft] val topKByScore =
     (FunctionIdentifier("top_k_by_score"),
       info("top_k_by_score",
@@ -85,5 +124,9 @@ object GraftExtensions {
       "vec_lsh_buckets", lshFromArgs, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "top_k_by_score", topKFromArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", minhashFromArgs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands", minhashBandsFromArgs, "built-in")
   }
 }

@@ -847,6 +847,33 @@ object SparkEntry {
           "MINUS { ?c p:mkt \"BUILDING\" } } ORDER BY ?c LIMIT 50 OFFSET 10")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q119_cross_decontaminate" -> ((s, dir) => {
+      // GPT-3-style fuzzy decontamination (2005.14165 App. C): exact
+      // 13-gram collisions between a held-out corpus (source src0) and
+      // the train split — catches test passages EMBEDDED in train docs,
+      // which whole-doc exact/Bloom decontamination cannot. Inverted-
+      // index join on shingle hashes; pairs sharing ≥1 gram only.
+      val docs = t(s, dir, "documents")
+      Dedup.crossNgramOverlap(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "text", "doc_id", shingleN = 13)
+        .orderBy("test_id", "train_id")
+    }),
+    "q118_minhash_fused" -> ((s, dir) => {
+      // q19's MinHash→LSH→exact-verify pipeline through the FUSED per-row
+      // signature kernel (functions/MinHash.scala): zero signature
+      // shuffle vs the explode shape. Signatures are bit-identical
+      // (differential-spec'd), so the recall-gate oracle is q19's.
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccard(
+        Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16,
+          fused = true),
+        docs, "text", "doc_id", shingleN = 3)
+        .filter(col("jaccard_bp") >= 5000)
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
+        .orderBy("id_a", "id_b")
+    }),
     "q117_dup_ngrams" -> ((s, dir) => {
       // cross-document repetition signal (Lee et al. 2107.06499): per-doc
       // fraction of 3-gram positions whose gram appears in ≥2 distinct
@@ -1769,6 +1796,31 @@ object SparkEntry {
         |  CAST(min(bp) AS BIGINT) AS min_prob_bp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q19_minhash_lsh" ->
+      s"""WITH $shingleStatsCte
+         |SELECT id_a, id_b, n_inter, n_union, jaccard_bp
+         |FROM stats WHERE jaccard_bp >= 5000 ORDER BY id_a, id_b""".stripMargin,
+    "q119_cross_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(toks) < 13 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 11),
+        |      i -> array_to_string(toks[i:i+12], ' ')) END AS sh
+        |  FROM tk),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(sh0.sh)) AS g FROM sh0),
+        |j AS (
+        |  SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+        |    count(*) AS n_shared
+        |  FROM (SELECT doc_id, g FROM sh WHERE source = 'src0') te
+        |  JOIN (SELECT doc_id, g FROM sh WHERE source <> 'src0') tr
+        |    USING (g)
+        |  GROUP BY 1, 2)
+        |SELECT test_id, train_id, n_shared FROM j
+        |ORDER BY test_id, train_id""".stripMargin,
+    "q118_minhash_fused" ->
       s"""WITH $shingleStatsCte
          |SELECT id_a, id_b, n_inter, n_union, jaccard_bp
          |FROM stats WHERE jaccard_bp >= 5000 ORDER BY id_a, id_b""".stripMargin,

@@ -55,6 +55,23 @@ object Dedup {
       k: Int = 64, shingleN: Int = 3): DataFrame =
     minAggSignatures(shingleHashes(df, textCol, idCol, shingleN), k)
 
+  /** MinHash signatures via the fused per-row kernel
+    * ([[graft.functions.MinHashSignature]]): bit-identical output to
+    * [[minhashSignatures]] (differential-spec'd) with ZERO shuffle — the
+    * explode shape exchanges one (id, shingle-hash) row per corpus token
+    * to run its k min-aggregates; the kernel computes the whole long[k]
+    * signature inside the scan's WholeStageCodegen. Prefer this form at
+    * scale; the explode form remains as the independent cross-check. */
+  def minhashSignaturesFused(
+      df: DataFrame, textCol: String, idCol: String,
+      k: Int = 64, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.select(col(idCol).as("id"),
+      Bridge.column(graft.functions.MinHashSignature(
+        Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN)).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
   /** (id, h) shingle-hash pairs, fully codegen'd: posexplode the token
     * array hashing each token immediately (the window shuffle then carries
     * longs, not strings), form n-gram identities as hash-of-consecutive-
@@ -104,10 +121,29 @@ object Dedup {
     * The join input is `bands` rows per doc, not all-pairs. */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      fused: Boolean = false): DataFrame = {
     val rows = k / bands
-    val sig = minhashSignatures(df, textCol, idCol, k, shingleN)
-      .select(col("id"), bandKeys(col("sig"), bands, rows).as("bk"))
+    // fused: band keys come straight out of the one-pass kernel — routing
+    // the fused SIGNATURE through bandKeys would re-evaluate it per band
+    // slice (Catalyst inlines projected aliases into consumers; the
+    // explode shape is protected by its aggregation barrier)
+    val sig =
+      if (fused) {
+        import org.apache.spark.sql.graftbridge.Bridge
+        // persist the tiny (id, 16-long) relation: the LSH self-join reads
+        // it twice, and without a barrier each side would re-run the
+        // kernel — i.e. re-scan the corpus TEXT twice at 100 TB. (The
+        // explode shape gets the same protection for free from its
+        // aggregation exchange, which Spark reuses across the self-join.)
+        df.select(col(idCol).as("id"),
+          Bridge.column(graft.functions.MinHashBandKeys(
+            Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,
+            bands)).as("bk"))
+          .filter(col("bk").isNotNull)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else minhashSignatures(df, textCol, idCol, k, shingleN)
+        .select(col("id"), bandKeys(col("sig"), bands, rows).as("bk"))
     val exploded = sig.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
     val a = exploded.as("a")
     val b = exploded.as("b")
@@ -180,6 +216,44 @@ object Dedup {
       .withColumn("n_union", col("_sza") + col("_szb") - col("n_inter"))
       .withColumn("jaccard_bp", expr("n_inter * 10000 DIV n_union"))
       .drop("_sza", "_szb")
+  }
+
+  /** CROSS-CORPUS n-gram overlap — GPT-3-style fuzzy test-set
+    * decontamination (Brown et al. 2005.14165 Appendix C use 13-gram
+    * collisions): for every (test doc, train doc) pair sharing ≥
+    * `minShared` exact word n-grams, the exact count of shared distinct
+    * grams. Complements [[decontaminate]]/[[bloomDecontaminate]] (exact
+    * WHOLE-doc matches): an n-gram hit still fires when the test passage
+    * is embedded in a larger train document.
+    *
+    * Shape (100 TB): distinct (id, shingle-hash) sets per side — the
+    * reused [[shingleHashes]] chain, one shuffle each — then a hash
+    * equi-join on the gram hash and one pair-keyed count. Never all-pairs:
+    * only pairs that actually share a gram reach the aggregate. `maxDf`
+    * (default unlimited) optionally drops grams appearing in more than
+    * that many TRAIN docs before the join — the standard hot-gram cap for
+    * boilerplate-heavy corpora, where one stop-gram would otherwise fan
+    * out |test|×|train| rows; leaving it unset performs the exact
+    * uncapped join. */
+  def crossNgramOverlap(
+      train: DataFrame, test: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 13, minShared: Long = 1L,
+      maxDf: Option[Long] = None): DataFrame = {
+    val te = shingleHashes(test, textCol, idCol, shingleN)
+      .dropDuplicates("id", "h").withColumnRenamed("id", "test_id")
+    val tr0 = shingleHashes(train, textCol, idCol, shingleN)
+      .dropDuplicates("id", "h").withColumnRenamed("id", "train_id")
+    val tr = maxDf match {
+      case Some(cap) =>
+        val hot = tr0.groupBy(col("h")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select(col("h"))
+        tr0.join(hot, Seq("h"), "left_anti")
+      case None => tr0
+    }
+    te.join(tr, Seq("h"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** EXACT similarity self-join: every pair with shingle-set Jaccard

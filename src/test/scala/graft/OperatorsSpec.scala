@@ -75,6 +75,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j.getAs[Long]("jaccard_bp") == 38L * 10000L / 42L)
   }
 
+  test("crossNgramOverlap: embedded passage fires, clean docs don't, maxDf caps hot grams") {
+    val s = spark; import s.implicits._
+    val passage = (1 to 15).map("w" + _).mkString(" ")
+    val train = Seq(
+      (10L, "intro text here then " + passage + " and a long tail of words"),
+      (11L, "completely unrelated training document about other things entirely"),
+      (12L, "hot hot hot hot hot hot hot hot hot hot hot hot hot hot"), // 14×"hot"
+      (13L, "hot hot hot hot hot hot hot hot hot hot hot hot hot hot hot")
+    ).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, passage), // 15 tokens → 3 distinct 13-grams, all inside train 10
+      (2L, "a clean held out document sharing nothing with the train corpus"),
+      (3L, "hot hot hot hot hot hot hot hot hot hot hot hot hot hot")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossNgramOverlap(train, test, "text", "doc_id", shingleN = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 10L)) == 3L) // all 3 of the passage's 13-grams embedded
+    assert(!out.keys.exists(_._1 == 2L)) // clean doc: no pair
+    assert(out.contains((3L, 12L)) && out.contains((3L, 13L))) // hot gram hits
+    // hot-gram cap: "hot"*13 appears in 2 train docs -> maxDf=1 drops it
+    val capped = Dedup.crossNgramOverlap(train, test, "text", "doc_id",
+        shingleN = 13, maxDf = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 10L)))
+  }
+
   test("simhash: near-identical docs within small hamming distance, candidates found") {
     val s = spark; import s.implicits._
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")

@@ -131,4 +131,50 @@ class PropertySpec extends AnyFunSuite {
     assert(agree(0L, 2L) > agree(0L, 3L))
     assert(agree(0L, 3L) <= 3) // J=0 → near-zero agreement
   }
+
+  test("fused minhash kernel is bit-identical to the explode-shape signatures") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "EPS", "zed", "x", "Y9")
+    // lengths straddle every shingle edge: 1, 2 (< n), exactly n, long
+    val docs = ((1L to 40L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((98L, "solo"), (99L, "two words"))).toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 5); k <- Seq(8, 64)) {
+      val a = graft.operators.Dedup.minhashSignatures(docs, "text", "doc_id", k, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val b = graft.operators.Dedup.minhashSignaturesFused(docs, "text", "doc_id", k, n)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(a == b, s"signature mismatch at n=$n k=$k")
+    }
+    // fused band keys == bandKeys over the explode-shape signatures
+    import org.apache.spark.sql.graftbridge.Bridge
+    val viaBandKeys = graft.operators.Dedup.minhashSignatures(docs, "text", "doc_id", 64, 3)
+      .select(org.apache.spark.sql.functions.col("id"),
+        graft.operators.Dedup.bandKeys(
+          org.apache.spark.sql.functions.col("sig"), 16, 4).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaKernel = docs.select(
+        org.apache.spark.sql.functions.col("doc_id").as("id"),
+        Bridge.column(graft.functions.MinHashBandKeys(
+          Bridge.expression(graft.operators.TextOps.tokens(
+            org.apache.spark.sql.functions.col("text"))), 64, 3, 16)).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaBandKeys == viaKernel)
+    // interpreted path (nullSafeEval, no codegen): same values as the
+    // DataFrame run above, and the empty-array → NULL rule holds
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def evalSig(tokens: Seq[String], k: Int, n: Int): Any =
+      graft.functions.MinHashSignature(
+        Literal.create(tokens, ArrayType(StringType)), k, n)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(evalSig(Nil, 8, 3) == null)
+    val viaDf = graft.operators.Dedup.minhashSignaturesFused(
+      Seq((1L, "a b c d")).toDF("doc_id", "text"), "text", "doc_id", 8, 3)
+      .collect().head.getSeq[Long](1)
+    val viaEval = evalSig(Seq("a", "b", "c", "d"), 8, 3)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(viaDf == viaEval)
+  }
 }
