@@ -6,6 +6,60 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
+/** Row-local MinHash core shared by the Catalyst kernels below and the
+  * streaming path ([[graft.streaming.StreamingOps.bandKeysOf]]): plain
+  * Scala over String tokens, producing values BIT-IDENTICAL to the batch
+  * xxhash64 pipeline — so streaming candidate state and batch LSH output
+  * live in the same hash space and can be joined/compared directly. */
+object MinHash {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Signature of a token sequence: k salted minima over
+    * `shingleN`-gram shingle hashes; same composition as
+    * `Dedup.minhashSignatures`. Empty input → null. */
+  def signature(toks: Array[String], k: Int, shingleN: Int): Array[Long] = {
+    val m = toks.length
+    if (m == 0) return null
+    val th = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      th(p) = if (toks(p) == null) 0L
+        else XXH64.hashUTF8String(UTF8String.fromString(toks(p)), 42L)
+      p += 1
+    }
+    val sig = Array.fill(k)(Long.MaxValue)
+    val last = if (m >= shingleN) m - shingleN else 0
+    p = 0
+    while (p <= last) {
+      var h = 42L
+      var j = 0
+      while (j < shingleN) {
+        h = XXH64.hashLong(if (p + j < m) th(p + j) else 0L, h)
+        j += 1
+      }
+      var i = 0
+      while (i < k) {
+        val s = XXH64.hashInt(i, XXH64.hashLong(h, 42L))
+        if (s < sig(i)) sig(i) = s
+        i += 1
+      }
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH band keys of a signature; same fold as `Dedup.bandKeys`. */
+  def bandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { j =>
+      var h = 42L
+      var i = 0
+      while (i < rows) { h = XXH64.hashLong(sig(j * rows + i), h); i += 1 }
+      XXH64.hashInt(j, h)
+    }
+  }
+}
+
 /** Fused per-row MinHash signature kernel.
   *
   * Computes, in ONE codegen pass over a document's token array, the exact

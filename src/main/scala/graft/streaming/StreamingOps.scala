@@ -89,36 +89,21 @@ object StreamingOps {
     * with the earlier `dup_of` (band recorded for diagnostics). */
   final case class DupCandidate(doc_id: Long, dup_of: Long, band: Int)
 
-  /** Per-doc MinHash LSH band keys in plain Scala — the streaming path
-    * cannot run the batch window-lead construction (non-time windows are
-    * unsupported on streams), so the signature is computed row-local with
-    * MurmurHash3 (Scala stdlib). Semantics mirror
-    * [[graft.operators.Dedup.minhashCandidates]] (k salted minima over
-    * 3-gram shingles, banded); hash values intentionally differ from the
-    * batch xxhash64 pipeline — candidates are verified downstream either
-    * way. */
+  /** Per-doc MinHash LSH band keys, row-local — BIT-IDENTICAL to the
+    * batch xxhash64 pipeline ([[graft.functions.MinHash]] is the shared
+    * core of the fused Catalyst kernels), so streaming bucket state and
+    * batch `minhashCandidates` output share one hash space: a backfilled
+    * batch index can seed streaming state, and live candidates can be
+    * cross-checked against batch LSH buckets directly. (Earlier rounds
+    * used a MurmurHash stand-in because the batch shape was a window-lead
+    * construction streams can't run; the fused kernel removed that
+    * constraint.) Tokenization mirrors `TextOps.tokens`. */
   def bandKeysOf(docId: Long, text: String, k: Int = 64, bands: Int = 16): Seq[BandKey] = {
-    import scala.util.hashing.MurmurHash3
     val toks = text.trim.toLowerCase.split("\\s+")
-    val shingles: Seq[String] =
-      if (toks.length < 3) Seq(toks.mkString(" "))
-      else (0 to toks.length - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")
-    val base = shingles.map(MurmurHash3.stringHash)
-    val rows = k / bands
-    val sig = Array.tabulate(k) { i =>
-      var m = Int.MaxValue
-      base.foreach { h =>
-        val s = MurmurHash3.mixLast(h, i * 0x9e3779b1) // salt permutation i
-        if (s < m) m = s
-      }
-      m
-    }
-    (0 until bands).map { b =>
-      var acc = b
-      var j = 0
-      while (j < rows) { acc = MurmurHash3.mix(acc, sig(b * rows + j)); j += 1 }
-      BandKey(docId, b, MurmurHash3.finalizeHash(acc, rows).toLong)
-    }
+    val sig = graft.functions.MinHash.signature(toks, k, shingleN = 3)
+    if (sig == null) Nil
+    else graft.functions.MinHash.bandKeys(sig, bands).toSeq.zipWithIndex
+      .map { case (key, b) => BandKey(docId, b, key) }
   }
 
   /** Streaming near-duplicate candidate stream — the ONLINE counterpart of

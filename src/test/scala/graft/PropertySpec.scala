@@ -161,6 +161,12 @@ class PropertySpec extends AnyFunSuite {
             org.apache.spark.sql.functions.col("text"))), 64, 3, 16)).as("bk"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaBandKeys == viaKernel)
+    // streaming row-local helper shares the exact same hash space
+    val viaStreaming = docs.collect().map { r =>
+      r.getLong(0) -> graft.streaming.StreamingOps
+        .bandKeysOf(r.getLong(0), r.getString(1), 64, 16).map(_.key).toSeq
+    }.toMap
+    assert(viaStreaming == viaKernel)
     // interpreted path (nullSafeEval, no codegen): same values as the
     // DataFrame run above, and the empty-array → NULL rule holds
     import org.apache.spark.sql.catalyst.expressions.Literal
