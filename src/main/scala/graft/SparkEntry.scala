@@ -899,6 +899,71 @@ object SparkEntry {
           "FILTER(?b > 900000) } ORDER BY ?c")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q120_sparql_exists" -> ((s, dir) => {
+      // §2.8 FILTER EXISTS / NOT EXISTS (§8.1 pattern negation): the
+      // positive group compiles to a LEFT SEMI join, the negative to a
+      // LEFT ANTI — both on the shared ?c, both broadcast (graph-sized
+      // right side), and neither can duplicate a solution row the way a
+      // rewrite through inner joins would
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n WHERE { " +
+          "?c p:inNation ?n . " +
+          "FILTER EXISTS { ?c p:balCents ?b . FILTER(?b > 500000) } " +
+          "FILTER NOT EXISTS { ?c p:mkt \"BUILDING\" } } ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q121_sparql_group_concat" -> ((s, dir) => {
+      // §2.8 GROUP_CONCAT/SAMPLE: concat order is implementation-defined
+      // by the spec, so values are SORTED (deterministic, oracle =
+      // string_agg ... ORDER BY); SAMPLE's "any value" is MIN. One hash
+      // aggregate on the group key, collect_set stays group-bounded.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?n " +
+          "(GROUP_CONCAT(DISTINCT ?m; SEPARATOR=\",\") AS ?mkts) " +
+          "(SAMPLE(?c) AS ?rep) (COUNT(?c) AS ?cnt) WHERE { " +
+          "?c p:inNation ?n . ?c p:mkt ?m . } GROUP BY ?n ORDER BY ?n")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q122_sparql_subquery" -> ((s, dir) => {
+      // §2.8 subqueries (§18.2.1): the inner aggregated SELECT evaluates
+      // first and joins the outer BGP on its projected ?n — group-key-
+      // sized, so Catalyst broadcasts it into the customer scan; only
+      // projected variables are visible outside
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n ?cnt WHERE { " +
+          "?c p:inNation ?n . " +
+          "{ SELECT ?n (COUNT(?c2) AS ?cnt) WHERE { ?c2 p:inNation ?n . } " +
+          "GROUP BY ?n HAVING(COUNT(?c2) >= 7) } } ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q123_sparql_ask" -> ((s, dir) => {
+      // §2.8 ASK form: LIMIT-1-bounded existence probe → one true/false
+      // row (any one solution settles it; the scan short-circuits)
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> ASK { ?c p:mkt \"BUILDING\" . " +
+          "?c p:balCents ?b . FILTER(?b > 990000) }")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q124_sparql_construct" -> ((s, dir) => {
+      // §2.8 CONSTRUCT form: template instantiated once per solution,
+      // bag-unioned and DISTINCT'd (a graph is a set of triples) — one
+      // projection per template triple over the shared binding relation
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> CONSTRUCT { " +
+          "?c <urn:p#segment> ?m . ?c <urn:p#richFlag> \"rich\" } " +
+          "WHERE { ?c p:mkt ?m . ?c p:balCents ?b . FILTER(?b > 950000) }")
+      BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("s", "p", "o")
+    }),
+    "q125_sparql_in" -> ((s, dir) => {
+      // §2.8 IN + STRENDS: IN compiles to the spec's own =-disjunction
+      // (inherits FCmp's NULL/type-error semantics), STRENDS to a
+      // codegen'd suffix test — both plain predicates in the BGP plan
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?m WHERE { ?c p:mkt ?m . " +
+          "FILTER(?m IN (\"BUILDING\", \"MACHINERY\") && STRENDS(?c, \"7\")) } " +
+          "ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
     "q116_sparql_zero_or_one" -> ((s, dir) => {
       // §2.8 `p?` zero-or-one path: no fixpoint — single-step edges ∪
       // identity, so each VALUES customer yields itself (zero steps) and
@@ -2896,6 +2961,46 @@ object SparkEntry {
         |  lower(c_mktsegment) || '-' || CAST(c_custkey AS VARCHAR) AS tag
         |FROM customer
         |WHERE FLOOR(c_acctbal * 100) > 900000
+        |ORDER BY c""".stripMargin,
+    "q120_sparql_exists" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n
+        |FROM customer
+        |WHERE floor(c_acctbal*100) > 500000 AND c_mktsegment <> 'BUILDING'
+        |ORDER BY c""".stripMargin,
+    "q121_sparql_group_concat" ->
+      """SELECT 'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS mkts,
+        |  min('urn:c#' || CAST(c_custkey AS VARCHAR)) AS rep,
+        |  count(*) AS cnt
+        |FROM customer GROUP BY c_nationkey ORDER BY n""".stripMargin,
+    "q122_sparql_subquery" ->
+      """WITH nc AS (
+        |  SELECT c_nationkey, count(*) AS cnt FROM customer
+        |  GROUP BY 1 HAVING count(*) >= 7)
+        |SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n, cnt
+        |FROM customer JOIN nc USING (c_nationkey)
+        |ORDER BY c""".stripMargin,
+    "q123_sparql_ask" ->
+      """SELECT CAST(EXISTS(
+        |  SELECT 1 FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND floor(c_acctbal*100) > 990000)
+        |  AS VARCHAR) AS ask""".stripMargin,
+    "q124_sparql_construct" ->
+      """WITH base AS (
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS m
+        |  FROM customer WHERE floor(c_acctbal*100) > 950000)
+        |SELECT s, p, o FROM (
+        |  SELECT c AS s, 'urn:p#segment' AS p, m AS o FROM base
+        |  UNION
+        |  SELECT c, 'urn:p#richFlag', 'rich' FROM base)
+        |ORDER BY s, p, o""".stripMargin,
+    "q125_sparql_in" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS m
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  AND CAST(c_custkey AS VARCHAR) LIKE '%7'
         |ORDER BY c""".stripMargin,
     "q116_sparql_zero_or_one" ->
       """SELECT c, t FROM (

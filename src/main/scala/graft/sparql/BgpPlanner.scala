@@ -233,7 +233,17 @@ object BgpPlanner {
           resolve(v).rlike(if (fl.isEmpty) p else s"(?$fl)$p")
         case FContains(v, s) => resolve(v).contains(s)
         case FStrStarts(v, s) => resolve(v).startsWith(s)
+        case FStrEnds(v, s) => resolve(v).endsWith(s)
         case FBound(v) => resolve(v).isNotNull
+        case FIn(o, vals, neg) =>
+          // compiled as the spec's own sugar (an `=`-disjunction), which
+          // inherits FCmp's NULL/type-error semantics exactly: an unbound
+          // or non-castable operand makes every disjunct NULL → row
+          // dropped, for IN and NOT IN alike (both are errors in SPARQL)
+          val numeric = o.isInstanceOf[FNum] || vals.exists(_.isInstanceOf[FNum])
+          val c = opCol(o, numeric)
+          val in = vals.map(v => c === opCol(v, numeric)).reduce(_ || _)
+          if (neg) !in else in
         case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
         case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
         case FNot(a) => !compileFilter(a, resolve)
@@ -293,14 +303,34 @@ object BgpPlanner {
       (3, spark.createDataFrame(rows, schema))
     }
 
+    // Subqueries → one relation each: evaluated recursively (a subquery
+    // is a complete query — aggregates, modifiers, deeper subqueries),
+    // then renamed into the vc namespace so its PROJECTED variables (the
+    // only ones visible outside, §18.2.1) join the outer group. An
+    // aggregated subquery is group-key-sized → Catalyst broadcasts it.
+    val subParts: Seq[(Int, DataFrame)] = q.subqueries.map { sub =>
+      val r = evaluateTriples(scoped, sub)
+      (1, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
+    }
+
     // Assemble the required group: triple-pattern relations + one
-    // relation per UNION group + VALUES blocks, greedily joined. Ground-
-    // atom failure, an all-branches-failed union, or a query with nothing
-    // to bind → empty.
+    // relation per UNION group + VALUES blocks + subqueries, greedily
+    // joined. Ground-atom failure, an all-branches-failed union, or a
+    // query with nothing to bind → empty.
     val reqParts = buildParts(atoms)
     val selected = q.selected
     val baseParts: Seq[(Int, DataFrame)] =
-      reqParts.getOrElse(Nil) ++ unionRels.map(r => (0, r)) ++ valuesParts
+      reqParts.getOrElse(Nil) ++ unionRels.map(r => (0, r)) ++ valuesParts ++
+        subParts
+    // ASK over an all-ground group that MATCHED: exactly one solution —
+    // the empty mapping (§18.3.1) — so the answer is true, not the empty
+    // relation the var-projection path below would produce. (Scoped to
+    // plain ASK: with EXISTS/MINUS/FILTER/BIND attached the general paths
+    // below apply.)
+    if (q.askForm && reqParts.nonEmpty && !unionFailed && baseParts.isEmpty &&
+        q.exists.isEmpty && q.minuses.isEmpty && q.filters.isEmpty &&
+        q.binds.isEmpty)
+      return finish(spark.range(1).select(), q)
     if (reqParts.isEmpty || unionFailed || baseParts.isEmpty) {
       if (q.aggregates.isEmpty && q.groupBy.isEmpty)
         return finish(spark.range(0)
@@ -397,6 +427,39 @@ object BgpPlanner {
         compileBind(b.expr, resolveIn(acc, cols)))
     }
 
+    // EXISTS / NOT EXISTS groups: SPARQL §8.1 pattern-based negation.
+    // Correlated (≥1 shared variable) → LEFT SEMI / LEFT ANTI join on the
+    // shared variables — the candidate group's relation is graph-sized,
+    // so Catalyst broadcasts it and no solution row ever duplicates
+    // (semi-join, not inner). Uncorrelated → the group's (non)emptiness
+    // decides globally: a 1-row LIMIT probe joined on a constant key, so
+    // the plan stays declarative (no driver-side isEmpty action).
+    // Evaluated after BIND (aliases can correlate) and before the plain
+    // FILTERs, which share group-final scope.
+    q.exists.foreach { case (g, positive) =>
+      buildParts(expandAtoms(g.patterns)) match {
+        case Some(parts) if parts.nonEmpty =>
+          var m = greedyJoin(parts)
+          g.filters.foreach { f =>
+            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
+          }
+          val shared = m.columns.filter(acc.columns.toSet)
+          if (shared.nonEmpty)
+            acc = acc.join(m.select(shared.map(col).toIndexedSeq: _*),
+              shared.toSeq, if (positive) "left_semi" else "left_anti")
+          else {
+            val probe = m.limit(1).select(lit(1).as("_k"))
+            acc = acc.withColumn("_k", lit(1))
+              .join(probe, Seq("_k"), if (positive) "left_semi" else "left_anti")
+              .drop("_k")
+          }
+        case _ =>
+          // the group is unsatisfiable (a ground triple failed): EXISTS
+          // keeps nothing, NOT EXISTS removes nothing
+          if (positive) acc = acc.limit(0)
+      }
+    }
+
     // Group-level FILTERs: applied after OPTIONAL extension (SPARQL group
     // scope), so BOUND/!BOUND over optional vars behaves correctly.
     q.filters.foreach { f =>
@@ -453,8 +516,38 @@ object BgpPlanner {
 
   /** Aggregation, HAVING, projection, DISTINCT, and the solution
     * modifiers — the tail every evaluation path (including the empty
-    * one) flows through. Input columns are vc-named. */
+    * one) flows through. Input columns are vc-named. The ASK and
+    * CONSTRUCT forms short-circuit here: both consume the raw binding
+    * relation instead of a variable projection. */
   private def finish(acc0: DataFrame, q: Query): DataFrame = {
+    if (q.askForm) {
+      // one row always: LIMIT 1 bounds the work (any one solution
+      // settles it — scans short-circuit), the global count makes the
+      // empty case an explicit `false` row rather than an empty relation
+      return acc0.limit(1).agg(count(lit(1)).as("_n"))
+        .select((col("_n") > 0).cast("string").as("ask"))
+    }
+    if (q.template.nonEmpty) {
+      // CONSTRUCT: one projection of the binding relation per template
+      // triple, bag-unioned then DISTINCT (a graph is a SET of triples).
+      // Rows where a template variable is unbound (OPTIONAL miss) are not
+      // generated, per §16.2.
+      val have = acc0.columns.toSet
+      def termCol(t: Sparql.Term): Column = t match {
+        case Sparql.V(v) =>
+          if (!have(vc(v))) throw new IllegalArgumentException(
+            s"CONSTRUCT template references ?$v bound by no WHERE pattern")
+          col(vc(v))
+        case Sparql.I(i) => lit(i)
+        case Sparql.L(l) => lit(l)
+      }
+      return q.template.map { tp =>
+        acc0.select(termCol(tp.s).as("s"),
+          lit(tp.path.head.alts.head._1).as("p"), termCol(tp.o).as("o"))
+      }.reduce(_ union _)
+        .filter(col("s").isNotNull && col("o").isNotNull)
+        .distinct()
+    }
     var acc = acc0
     if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
       val aliasSet = q.aggregates.map(_.alias).toSet
@@ -491,6 +584,19 @@ object BgpPlanner {
             avg(c.try_cast("double"))
           case "MIN" => min(c)
           case "MAX" => max(c)
+          // The spec leaves GROUP_CONCAT's concatenation order
+          // implementation-defined (§18.5.1.7); we SORT the collected
+          // values (codepoint order, matching MIN/MAX dispatch) so the
+          // output is deterministic and oracle-comparable — DuckDB's
+          // `string_agg(… ORDER BY …)` expresses the same choice.
+          // collect_list/collect_set skip NULLs, = the spec's rule that
+          // unbound values don't contribute.
+          case "GROUP_CONCAT" =>
+            array_join(array_sort(
+              if (a.distinct) collect_set(c) else collect_list(c)), a.sep)
+          // SAMPLE returns "an arbitrary value" from the group — MIN is a
+          // valid, deterministic arbiter (DISTINCT is a semantic no-op)
+          case "SAMPLE" => min(c)
           case other => throw new IllegalArgumentException(s"bad aggregate $other")
         }
         out.as(vc(a.alias))

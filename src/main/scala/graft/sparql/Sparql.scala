@@ -19,8 +19,12 @@ import scala.collection.mutable.ArrayBuffer
   *
   *   - `FILTER` constraints: comparisons (`< <= > >= = !=`) over
   *     variables/literals/IRIs with SPARQL's numeric-vs-string dispatch,
-  *     `regex(?v, "pat"[, "flags"])`, `CONTAINS`, `STRSTARTS`, `BOUND`,
-  *     combined with `&& || !` and parentheses
+  *     `regex(?v, "pat"[, "flags"])`, `CONTAINS`, `STRSTARTS`, `STRENDS`,
+  *     `BOUND`, `?v IN (…)` / `?v NOT IN (…)`, combined with `&& || !`
+  *     and parentheses
+  *   - `FILTER EXISTS { … }` / `FILTER NOT EXISTS { … }` (top level,
+  *     as the whole constraint — SPARQL 1.1 §8.1 pattern-based negation;
+  *     the other negation idiom, MINUS, is below)
   *   - `OPTIONAL { … }` groups (one level, with their own FILTERs —
   *     SPARQL's LeftJoin(P1, P2, F) form where the filter conditions the
   *     join itself)
@@ -32,16 +36,22 @@ import scala.collection.mutable.ArrayBuffer
   *     (UNDEF is rejected loudly — its compatible-with-anything semantics
   *     have no faithful equi-join form)
   *   - aggregates in the SELECT clause — `(COUNT(DISTINCT ?x) AS ?n)`,
-  *     COUNT/SUM/MIN/MAX/AVG — with `GROUP BY`, `HAVING` (alias vars or
-  *     inline aggregate calls), and solution modifiers `ORDER BY`
-  *     (ASC/DESC), `LIMIT`, `OFFSET`
+  *     COUNT/SUM/MIN/MAX/AVG/SAMPLE and
+  *     `GROUP_CONCAT([DISTINCT] ?v; SEPARATOR="…")` — with `GROUP BY`,
+  *     `HAVING` (alias vars or inline aggregate calls), and solution
+  *     modifiers `ORDER BY` (ASC/DESC), `LIMIT`, `OFFSET`
+  *   - subqueries `{ SELECT … WHERE { … } … }` (one level, explicit
+  *     projection; joined with the outer group on shared variables)
+  *   - query forms beyond SELECT: `ASK` (one-row true/false) and
+  *     `CONSTRUCT { template } WHERE { … }` (distinct s/p/o triples;
+  *     template rows with an unbound variable are not generated)
   *
   *   - `BIND(expr AS ?v)` with string builtins (CONCAT, STR, UCASE,
   *     LCASE, STRLEN, STRAFTER, STRBEFORE) and integer `+ - *`
   *     arithmetic (group-final scope; see BgpPlanner)
   *   - property-path modifiers `*` `+` `?` and inverse/alternatives
   *
-  * Anything outside this subset (GRAPH, SERVICE, subqueries, …) is
+  * Anything outside this subset (GRAPH, SERVICE, DESCRIBE, …) is
   * dead surface for the reference's usage and rejected with a clear error.
   */
 object Sparql {
@@ -83,7 +93,15 @@ object Sparql {
   final case class FRegex(v: String, pattern: String, flags: String) extends FExpr
   final case class FContains(v: String, needle: String) extends FExpr
   final case class FStrStarts(v: String, prefix: String) extends FExpr
+  final case class FStrEnds(v: String, suffix: String) extends FExpr
   final case class FBound(v: String) extends FExpr
+  /** `?v IN (…)` / `?v NOT IN (…)` — SPARQL 1.1 §17.4.1.9 sugar for an
+    * `=`-disjunction. Dispatch is per-list, not per-element: any numeric
+    * value puts the WHOLE test in numeric mode (operands try_cast, a
+    * non-numeric binding is a type error = row dropped), else codepoint
+    * string equality — same rule as [[FCmp]]. */
+  final case class FIn(operand: FOperand, values: List[FOperand],
+      negated: Boolean) extends FExpr
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr
@@ -99,11 +117,12 @@ object Sparql {
   final case class UnionGroup(branches: List[PatternGroup])
 
   /** One aggregate projection `(fn(DISTINCT? ?v|*) AS ?alias)`.
-    * fn ∈ COUNT SUM MIN MAX AVG; `v` None = `COUNT(*)`. The alias joins
-    * the variable namespace (it IS a variable per SPARQL), so it appears
-    * in `projection` at its written position. */
+    * fn ∈ COUNT SUM MIN MAX AVG SAMPLE GROUP_CONCAT; `v` None =
+    * `COUNT(*)`. The alias joins the variable namespace (it IS a variable
+    * per SPARQL), so it appears in `projection` at its written position.
+    * `sep` is GROUP_CONCAT's SEPARATOR (default " " per §18.5.1.7). */
   final case class Agg(fn: String, v: Option[String], distinct: Boolean,
-      alias: String)
+      alias: String, sep: String = " ")
 
   /** Inline data: `VALUES (?a ?b) { ("x" <u>) … }`. Rows hold lexical
     * values (IRI or literal — the quads encoding stores both as strings). */
@@ -152,7 +171,11 @@ object Sparql {
       offset: Option[Int] = None,
       values: List[ValuesBlock] = Nil,
       minuses: List[PatternGroup] = Nil,
-      binds: List[Bind] = Nil) {
+      binds: List[Bind] = Nil,
+      exists: List[(PatternGroup, Boolean)] = Nil, // (group, positive?)
+      subqueries: List[Query] = Nil,
+      askForm: Boolean = false,
+      template: List[TriplePattern] = Nil) { // nonEmpty = CONSTRUCT
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -169,6 +192,8 @@ object Sparql {
     private val valuesBlocks = ArrayBuffer[ValuesBlock]()
     private val minusGroups = ArrayBuffer[PatternGroup]()
     private val bindClauses = ArrayBuffer[Bind]()
+    private val existsGroups = ArrayBuffer[(PatternGroup, Boolean)]()
+    private val subQueries = ArrayBuffer[Query]()
     private var haggCounter = 0 // HAVING-synthesized aggregate aliases
 
     private def err(msg: String): Nothing = {
@@ -262,7 +287,66 @@ object Sparql {
         skipWs()
         prefixes(name) = parseIriRef()
       }
-      if (!kw("SELECT")) err("expected SELECT")
+      // ---- ASK form: boolean existence of ≥1 solution --------------------
+      if (kw("ASK")) {
+        kw("WHERE") // optional per the grammar
+        skipWs()
+        if (peek != '{') err("expected '{' after ASK")
+        pos += 1
+        val patterns = ArrayBuffer[TriplePattern]()
+        val filters = ArrayBuffer[FExpr]()
+        val optionals = ArrayBuffer[PatternGroup]()
+        val unions = ArrayBuffer[UnionGroup]()
+        parseGroupBody(patterns, filters, optionals, unions,
+          allowOptional = true, allowUnion = true)
+        skipWs()
+        if (pos < n) err("unexpected trailing content after ASK group")
+        return Query(Nil, distinct = false, patterns.toList, order.toList,
+          filters.toList, optionals.toList, unions.toList,
+          values = valuesBlocks.toList, minuses = minusGroups.toList,
+          binds = bindClauses.toList, exists = existsGroups.toList,
+          subqueries = subQueries.toList, askForm = true)
+      }
+      // ---- CONSTRUCT form: template instantiated per solution ------------
+      if (kw("CONSTRUCT")) {
+        skipWs()
+        if (peek != '{') err("expected '{' to open the CONSTRUCT template")
+        pos += 1
+        val tmpl = ArrayBuffer[TriplePattern]()
+        skipWs()
+        while (peek != '}') {
+          if (pos >= n) err("unterminated CONSTRUCT template")
+          parseTriplesSameSubject(tmpl)
+          skipWs()
+          if (peek == '.') { pos += 1; skipWs() }
+        }
+        pos += 1
+        if (tmpl.isEmpty) err("empty CONSTRUCT template")
+        tmpl.foreach { tp =>
+          val ok = tp.path.lengthCompare(1) == 0 && tp.path.head.mod == ' ' &&
+            tp.path.head.alts.lengthCompare(1) == 0 && !tp.path.head.alts.head._2
+          if (!ok) err("CONSTRUCT template predicates must be plain IRIs " +
+            "(no property paths) — paths belong in the WHERE group")
+        }
+        if (!kw("WHERE")) err("expected WHERE after CONSTRUCT template")
+        skipWs()
+        if (peek != '{') err("expected '{'")
+        pos += 1
+        val patterns = ArrayBuffer[TriplePattern]()
+        val filters = ArrayBuffer[FExpr]()
+        val optionals = ArrayBuffer[PatternGroup]()
+        val unions = ArrayBuffer[UnionGroup]()
+        parseGroupBody(patterns, filters, optionals, unions,
+          allowOptional = true, allowUnion = true)
+        skipWs()
+        if (pos < n) err("unexpected trailing content after CONSTRUCT query")
+        return Query(Nil, distinct = false, patterns.toList, order.toList,
+          filters.toList, optionals.toList, unions.toList,
+          values = valuesBlocks.toList, minuses = minusGroups.toList,
+          binds = bindClauses.toList, exists = existsGroups.toList,
+          subqueries = subQueries.toList, template = tmpl.toList)
+      }
+      if (!kw("SELECT")) err("expected SELECT, ASK, or CONSTRUCT")
       val distinct = kw("DISTINCT")
       skipWs()
       val projection = ArrayBuffer[String]()
@@ -327,7 +411,7 @@ object Sparql {
         filters.toList, optionals.toList, unions.toList,
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
         limit, offset, valuesBlocks.toList, minusGroups.toList,
-        bindClauses.toList)
+        bindClauses.toList, existsGroups.toList, subQueries.toList)
     }
 
     private def parseInt(): Int = {
@@ -342,21 +426,24 @@ object Sparql {
       * the alias (which takes the projection slot at its written spot). */
     private def parseAggProjection(): String = {
       expect('(')
-      val Agg(fn, v, distinct, _) = parseAggCall()
+      val a = parseAggCall()
       if (!kw("AS")) err("aggregate projection needs AS: (COUNT(?x) AS ?n)")
       skipWs()
       if (peek != '?' && peek != '$') err("expected ?alias after AS")
       val alias = parseVar()
       expect(')')
-      aggs += Agg(fn, v, distinct, alias)
+      aggs += a.copy(alias = alias)
       alias
     }
 
-    /** `fn([DISTINCT] ?v|*)` with a placeholder alias. */
+    /** `fn([DISTINCT] ?v|*)` with a placeholder alias. GROUP_CONCAT also
+      * accepts `; SEPARATOR="…"` (default " ", §18.5.1.7). */
     private def parseAggCall(): Agg = {
       skipWs()
-      val fn = Seq("COUNT", "SUM", "MIN", "MAX", "AVG").find(kw)
-        .getOrElse(err("expected an aggregate (COUNT/SUM/MIN/MAX/AVG)"))
+      val fn = Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG",
+        "SAMPLE").find(kw)
+        .getOrElse(err("expected an aggregate " +
+          "(COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT)"))
       expect('(')
       val distinct = kw("DISTINCT")
       skipWs()
@@ -366,8 +453,17 @@ object Sparql {
           if (fn != "COUNT") err(s"$fn(*) is not a SPARQL aggregate")
           pos += 1; None
         } else Some(parseVarArg())
+      var sep = " "
+      skipWs()
+      if (peek == ';') {
+        if (fn != "GROUP_CONCAT") err(s"'; SEPARATOR' is a GROUP_CONCAT form")
+        pos += 1
+        if (!kw("SEPARATOR")) err("expected SEPARATOR after ';'")
+        expect('=')
+        sep = parseStrArg()
+      }
       expect(')')
-      Agg(fn, v, distinct, "")
+      Agg(fn, v, distinct, "", sep)
     }
 
     /** Body of a `{ … }` group up to and including the closing brace:
@@ -387,20 +483,50 @@ object Sparql {
         if (peek == '{') {
           if (!allowUnion)
             err("nested group patterns are outside the supported SPARQL subset")
-          // `{ A } UNION { B } [UNION { C } …]` — a braced group is only
-          // supported as a UNION alternative (plain grouping adds nothing
-          // to the subset and is rejected by the kw check below)
-          val branches = ArrayBuffer[PatternGroup]()
-          branches += parseBracedGroup()
-          if (!kw("UNION"))
-            err("a braced group must be a UNION alternative " +
-              "({ A } UNION { B }); plain nested groups are outside the " +
-              "supported SPARQL subset; see SURVEY.md §2.8")
-          branches += parseBracedGroup()
-          while (kw("UNION")) branches += parseBracedGroup()
-          unions += UnionGroup(branches.toList)
+          // `{ SELECT … }` — a braced group whose first token is SELECT is
+          // a subquery: extracted verbatim (balanced braces) and parsed by
+          // a fresh Parser seeded with the outer PREFIX declarations.
+          if (selectAhead()) {
+            val sub = parseSubSelect()
+            if (sub.projection.isEmpty)
+              err("subqueries must project explicit variables " +
+                "(SELECT * subqueries are outside the supported subset)")
+            // projected vars join the outer namespace (SPARQL §18.2.1:
+            // only a subquery's projected variables are visible outside)
+            sub.selected.foreach(v => if (!order.contains(v)) order += v)
+            subQueries += sub
+          } else {
+            // `{ A } UNION { B } [UNION { C } …]` — otherwise a braced
+            // group is only supported as a UNION alternative (plain
+            // grouping adds nothing to the subset)
+            val branches = ArrayBuffer[PatternGroup]()
+            branches += parseBracedGroup()
+            if (!kw("UNION"))
+              err("a braced group must be a UNION alternative " +
+                "({ A } UNION { B }) or a subquery ({ SELECT … }); plain " +
+                "nested groups are outside the supported SPARQL subset; " +
+                "see SURVEY.md §2.8")
+            branches += parseBracedGroup()
+            while (kw("UNION")) branches += parseBracedGroup()
+            unions += UnionGroup(branches.toList)
+          }
         } else if (kw("FILTER")) {
-          filters += parseFilter()
+          // EXISTS / NOT EXISTS are pattern-valued constraints (semi/anti
+          // joins), not boolean Columns — supported as the WHOLE filter at
+          // the top level only, so they can't hide inside `&&`/`||` where
+          // a join has no faithful Column form.
+          if (kw("EXISTS")) {
+            if (!allowOptional)
+              err("EXISTS inside OPTIONAL/MINUS/UNION is outside the " +
+                "supported subset")
+            existsGroups += ((parseSubGroup("EXISTS"), true))
+          } else if (notExistsAhead()) {
+            kw("NOT"); kw("EXISTS")
+            if (!allowOptional)
+              err("NOT EXISTS inside OPTIONAL/MINUS/UNION is outside the " +
+                "supported subset")
+            existsGroups += ((parseSubGroup("NOT EXISTS"), false))
+          } else filters += parseFilter()
         } else if (kw("OPTIONAL")) {
           if (!allowOptional)
             err("nested OPTIONAL is outside the supported SPARQL subset")
@@ -501,6 +627,68 @@ object Sparql {
       pos += 1
       if (rows.isEmpty) err("empty VALUES data block")
       ValuesBlock(vars.toList, rows.toList)
+    }
+
+    /** Lookahead: is the '{' at `pos` followed by SELECT (a subquery)? */
+    private def selectAhead(): Boolean = {
+      var p = pos + 1
+      while (p < n && in.charAt(p).isWhitespace) p += 1
+      in.regionMatches(true, p, "SELECT", 0, 6) &&
+        (p + 6 >= n || !in.charAt(p + 6).isLetterOrDigit)
+    }
+
+    /** Lookahead: NOT followed by EXISTS (vs a future NOT IN operand). */
+    private def notExistsAhead(): Boolean = {
+      skipWs()
+      if (!in.regionMatches(true, pos, "NOT", 0, 3)) return false
+      var p = pos + 3
+      if (p < n && in.charAt(p).isLetterOrDigit) return false
+      while (p < n && in.charAt(p).isWhitespace) p += 1
+      in.regionMatches(true, p, "EXISTS", 0, 6) &&
+        (p + 6 >= n || !in.charAt(p + 6).isLetterOrDigit)
+    }
+
+    /** Extract the balanced `{ … }` at `pos` (quote- and comment-aware),
+      * leaving `pos` after the closing brace; returns the inner text. */
+    private def extractBraced(): String = {
+      val start = pos
+      var depth = 0
+      while (pos < n) {
+        val c = in.charAt(pos)
+        if (c == '"' || c == '\'') { pos += 1; parseLiteral0(c) }
+        else if (c == '#') { while (pos < n && in.charAt(pos) != '\n') pos += 1 }
+        else {
+          if (c == '{') depth += 1
+          else if (c == '}') {
+            depth -= 1
+            if (depth == 0) { pos += 1; return in.substring(start + 1, pos - 1) }
+          }
+          pos += 1
+        }
+      }
+      err("unterminated group")
+    }
+
+    /** Skip a quoted literal body whose OPEN quote was already consumed —
+      * brace counting must not see braces inside strings. */
+    private def parseLiteral0(quote: Char): Unit = {
+      while (pos < n && in.charAt(pos) != quote) {
+        if (in.charAt(pos) == '\\' && pos + 1 < n) pos += 2 else pos += 1
+      }
+      pos += 1
+    }
+
+    /** `{ SELECT … }` at `pos`: re-parse the inner text with a fresh
+      * Parser seeded with the outer PREFIX declarations (a subquery is a
+      * complete query per §18.2.1 — modifiers, aggregates and all, and a
+      * deeper subquery re-enters this path in the inner parser, so
+      * nesting recurses naturally). */
+    private def parseSubSelect(): Query = {
+      val inner = extractBraced()
+      val prologue = prefixes.map { case (name, iri) =>
+        s"PREFIX $name: <$iri>"
+      }.mkString("", "\n", "\n")
+      new Parser(prologue + inner).parseQuery()
     }
 
     /** `{ patterns . FILTER … }` — a UNION branch: triples + filters only
@@ -645,6 +833,12 @@ object Sparql {
 
     private def parseBuiltinOrRel(): FExpr = {
       skipWs()
+      if ((in.regionMatches(true, pos, "EXISTS", 0, 6) &&
+            (pos + 6 >= n || !in.charAt(pos + 6).isLetterOrDigit)) ||
+          notExistsAhead())
+        err("EXISTS/NOT EXISTS must be the whole FILTER constraint " +
+          "(FILTER EXISTS { … }) — it is a pattern semi/anti-join, which " +
+          "has no boolean-expression form in this subset")
       if (kw("REGEX")) {
         expect('('); val v = parseVarArg()
         expect(','); val pat = parseStrArg()
@@ -658,14 +852,35 @@ object Sparql {
       } else if (kw("STRSTARTS")) {
         expect('('); val v = parseVarArg(); expect(','); val s = parseStrArg()
         expect(')'); FStrStarts(v, s)
+      } else if (kw("STRENDS")) {
+        expect('('); val v = parseVarArg(); expect(','); val s = parseStrArg()
+        expect(')'); FStrEnds(v, s)
       } else if (kw("BOUND")) {
         expect('('); val v = parseVarArg(); expect(')'); FBound(v)
       } else {
         val l = parseOperand()
-        val op = parseCmpOp()
-        val r = parseOperand()
-        FCmp(l, op, r)
+        skipWs()
+        if (kw("IN")) FIn(l, parseInList(), negated = false)
+        else if (in.regionMatches(true, pos, "NOT", 0, 3) &&
+            (pos + 3 >= n || !in.charAt(pos + 3).isLetterOrDigit)) {
+          kw("NOT")
+          if (!kw("IN")) err("expected IN after NOT")
+          FIn(l, parseInList(), negated = true)
+        } else {
+          val op = parseCmpOp()
+          val r = parseOperand()
+          FCmp(l, op, r)
+        }
       }
+    }
+
+    /** `( operand, operand, … )` — the value list of IN / NOT IN. */
+    private def parseInList(): List[FOperand] = {
+      expect('(')
+      val vals = ArrayBuffer[FOperand](parseOperand())
+      while ({ skipWs(); peek == ',' }) { pos += 1; vals += parseOperand() }
+      expect(')')
+      vals.toList
     }
 
     private def parseVarArg(): String = {

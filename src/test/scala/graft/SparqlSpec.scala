@@ -472,6 +472,179 @@ class SparqlSpec extends AnyFunSuite {
       == Seq(("urn:d#1", "alpha"), ("urn:d#1", "urn:d#1")))
   }
 
+  // ---- EXISTS / NOT EXISTS, IN, STRENDS ---------------------------------
+
+  test("FILTER EXISTS keeps rows with a compatible match; NOT EXISTS inverts") {
+    val q = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER EXISTS { ?s p:tag ?t } }")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q)).sorted
+      == Seq("urn:d#1", "urn:d#3"))
+    val q2 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER NOT EXISTS { ?s p:tag ?t } }")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q2)).sorted
+      == Seq("urn:d#2", "urn:d#4"))
+    // ground object narrows the candidate group: only d1 has tag "alpha"
+    val q3 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER NOT EXISTS { ?s p:tag \"alpha\" } }")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q3)).sorted
+      == Seq("urn:d#2", "urn:d#3", "urn:d#4"))
+    // inner FILTER conditions the candidate group before the anti-join
+    val q4 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER EXISTS { ?s p:val ?w . FILTER(?w > 9) } }")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q4)).sorted
+      == Seq("urn:d#2", "urn:d#3"))
+  }
+
+  test("uncorrelated EXISTS decides globally; ground-failure NOT EXISTS removes nothing") {
+    // some ?x has tag "alpha" → every row survives
+    val q = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER EXISTS { ?x p:tag \"alpha\" } }")
+    assert(BgpPlanner.evaluate(filterQuads, q).count() == 4)
+    // no ?x has tag "gamma" → nothing survives
+    val q2 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER EXISTS { ?x p:tag \"gamma\" } }")
+    assert(BgpPlanner.evaluate(filterQuads, q2).count() == 0)
+    // unsatisfiable ground triple inside NOT EXISTS → removes nothing
+    val q3 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER NOT EXISTS { <urn:d#9> p:val \"1\" . } }")
+    assert(BgpPlanner.evaluate(filterQuads, q3).count() == 4)
+  }
+
+  test("EXISTS nested in a boolean expression is rejected with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(fp +
+        "SELECT ?s WHERE { ?s p:val ?v . FILTER(EXISTS { ?s p:tag ?t } && ?v > 9) }")
+    }
+    assert(e.getMessage.contains("whole FILTER constraint"), e.getMessage)
+  }
+
+  test("IN restricts by =-disjunction; NOT IN numeric mode drops type errors") {
+    val q = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER(?s IN (<urn:d#1>, <urn:d#3>)) }")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q)).sorted
+      == Seq("urn:d#1", "urn:d#3"))
+    // numeric mode ("5" = 5 numerically); "n/a" is a type error → dropped
+    // for NOT IN just as for IN
+    val q2 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER(?v NOT IN (5, 10)) }")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q2)) == Seq("urn:d#3"))
+  }
+
+  test("STRENDS narrows on a suffix") {
+    val q = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER(STRENDS(?s, \"1\")) }")
+    assert(strings(BgpPlanner.evaluate(filterQuads, q)) == Seq("urn:d#1"))
+  }
+
+  // ---- GROUP_CONCAT / SAMPLE --------------------------------------------
+
+  test("GROUP_CONCAT sorts values (deterministic order), honors SEPARATOR and DISTINCT") {
+    val q = Sparql.parse(fp +
+      "SELECT ?u (GROUP_CONCAT(?v; SEPARATOR=\",\") AS ?vs) " +
+      "WHERE { ?u p:buy ?v . } GROUP BY ?u ORDER BY ?u")
+    val r = BgpPlanner.evaluate(aggQuads, q).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r.toSeq == Seq(("urn:u#1", "3,7"), ("urn:u#2", "10,x"), ("urn:u#3", "2")))
+    // global, default " " separator, DISTINCT collapses duplicates
+    val q2 = Sparql.parse(fp +
+      "SELECT (GROUP_CONCAT(DISTINCT ?v) AS ?all) WHERE { ?d p:val ?v . }")
+    assert(BgpPlanner.evaluate(filterQuads, q2).collect().head.getString(0)
+      == "10 5 50 n/a")
+  }
+
+  test("SAMPLE returns a deterministic representative (min)") {
+    val q = Sparql.parse(fp +
+      "SELECT ?u (SAMPLE(?v) AS ?one) WHERE { ?u p:buy ?v . } GROUP BY ?u ORDER BY ?u")
+    val r = BgpPlanner.evaluate(aggQuads, q).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    assert(r.toSeq == Seq(("urn:u#1", "3"), ("urn:u#2", "10"), ("urn:u#3", "2")))
+  }
+
+  test("SEPARATOR on a non-GROUP_CONCAT aggregate is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(fp +
+        "SELECT (SUM(?v; SEPARATOR=\",\") AS ?s) WHERE { ?d p:val ?v . }")
+    }
+    assert(e.getMessage.contains("GROUP_CONCAT"), e.getMessage)
+  }
+
+  // ---- subqueries -------------------------------------------------------
+
+  test("subquery joins the outer group on its projected variables") {
+    val q = Sparql.parse(fp +
+      "SELECT DISTINCT ?u ?n WHERE { ?u p:buy ?v . " +
+      "{ SELECT ?u (COUNT(?w) AS ?n) WHERE { ?u p:buy ?w . } GROUP BY ?u } } " +
+      "ORDER BY ?u")
+    val r = BgpPlanner.evaluate(aggQuads, q).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("urn:u#1", 2L), ("urn:u#2", 2L), ("urn:u#3", 1L)))
+  }
+
+  test("subquery solution modifiers (ORDER/LIMIT) bound the join input") {
+    val q = Sparql.parse(fp +
+      "SELECT DISTINCT ?u WHERE { ?u p:buy ?v . " +
+      "{ SELECT ?u WHERE { ?u p:buy ?w . } GROUP BY ?u ORDER BY ?u LIMIT 2 } } " +
+      "ORDER BY ?u")
+    assert(strings(BgpPlanner.evaluate(aggQuads, q)) == Seq("urn:u#1", "urn:u#2"))
+  }
+
+  test("SELECT * subqueries are rejected with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(fp +
+        "SELECT ?u WHERE { ?u p:buy ?v . { SELECT * WHERE { ?u p:buy ?w . } } }")
+    }
+    assert(e.getMessage.contains("explicit variables"), e.getMessage)
+  }
+
+  // ---- ASK / CONSTRUCT --------------------------------------------------
+
+  test("ASK: one true/false row; FILTERs and ground-only groups behave") {
+    def ask(s: String): String =
+      BgpPlanner.evaluate(filterQuads, Sparql.parse(fp + s))
+        .collect().map(_.getString(0)).head
+    assert(ask("ASK { ?s p:val \"5\" . }") == "true")
+    assert(ask("ASK { ?s p:val \"999\" . }") == "false")
+    assert(ask("ASK { ?s p:val ?v . FILTER(?v > 40) }") == "true")
+    assert(ask("ASK { ?s p:val ?v . FILTER(?v > 400) }") == "false")
+    // all-ground group: matched → the one empty-mapping solution → true
+    assert(ask("ASK WHERE { <urn:d#1> p:val \"5\" . }") == "true")
+    assert(ask("ASK WHERE { <urn:d#1> p:val \"6\" . }") == "false")
+  }
+
+  test("CONSTRUCT instantiates the template per solution, distinct, unbound dropped") {
+    val q = Sparql.parse(fp +
+      "CONSTRUCT { ?s <urn:p#hasVal> ?v . ?s <urn:p#isDoc> \"y\" } " +
+      "WHERE { ?s p:val ?v . FILTER(?v > 9) }")
+    val got = BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("urn:d#2", "urn:p#hasVal", "10"), ("urn:d#3", "urn:p#hasVal", "50"),
+      ("urn:d#2", "urn:p#isDoc", "y"), ("urn:d#3", "urn:p#isDoc", "y")))
+    // OPTIONAL-unbound template var → triple not generated (§16.2)
+    val q2 = Sparql.parse(fp +
+      "CONSTRUCT { ?s <urn:p#tagOf> ?t } " +
+      "WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t } }")
+    val got2 = BgpPlanner.evaluate(filterQuads, q2).collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got2 == Set(("urn:d#1", "alpha"), ("urn:d#3", "beta")))
+    // multiple solutions per subject collapse under DISTINCT (a graph is a set)
+    val q3 = Sparql.parse(fp +
+      "CONSTRUCT { ?u <urn:p#active> \"y\" } WHERE { ?u p:buy ?v . }")
+    assert(BgpPlanner.evaluate(aggQuads, q3).count() == 3)
+  }
+
+  test("CONSTRUCT template misuse rejected: paths, unbound template vars") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(fp + "CONSTRUCT { ?s p:a/p:b ?v } WHERE { ?s p:val ?v . }")
+    }
+    assert(e.getMessage.contains("plain IRIs"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      BgpPlanner.evaluate(filterQuads, Sparql.parse(fp +
+        "CONSTRUCT { ?s <urn:p#x> ?nowhere } WHERE { ?s p:val ?v . }")).collect()
+    }
+    assert(e2.getMessage.contains("no WHERE pattern"), e2.getMessage)
+  }
+
   test("ambiguous alternative forms are rejected with named errors") {
     val seqMix = intercept[IllegalArgumentException] {
       Sparql.parse(prefix + "SELECT ?x WHERE { ?x rdfs:subClassOf|rdf:type/rdfs:subClassOf ?y . }")
