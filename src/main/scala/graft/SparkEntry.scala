@@ -899,6 +899,17 @@ object SparkEntry {
           "FILTER(?b > 900000) } ORDER BY ?c")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q126_bpe_merges" -> ((s, dir) => {
+      // distributed BPE tokenizer training (Sennrich 1508.07909): the
+      // corpus is touched ONCE (word-freq hash agg to the Heaps-law-
+      // sublinear distinct-word relation); every merge round then runs on
+      // that vocab-sized relation only — explode bigrams, map-side-
+      // combinable count, 1-row argmax to the driver, one codegen'd
+      // regexp rewrite. Iterative (argmax feeds the next round) → no SQL
+      // oracle; BpeSpec proves the trainer AND encoder bit-equal to a
+      // plain-Scala transcription of the paper's algorithm.
+      operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 12)
+    }),
     "q120_sparql_exists" -> ((s, dir) => {
       // §2.8 FILTER EXISTS / NOT EXISTS (§8.1 pattern negation): the
       // positive group compiles to a LEFT SEMI join, the negative to a
