@@ -453,7 +453,12 @@ object BgpPlanner {
               .join(probe, Seq("_k"), if (positive) "left_semi" else "left_anti")
               .drop("_k")
           }
-        case _ =>
+        case Some(_) =>
+          // all-ground group, every atom MATCHED: the group's one solution
+          // is the empty mapping, compatible with every row — EXISTS keeps
+          // everything, NOT EXISTS keeps nothing
+          if (!positive) acc = acc.limit(0)
+        case None =>
           // the group is unsatisfiable (a ground triple failed): EXISTS
           // keeps nothing, NOT EXISTS removes nothing
           if (positive) acc = acc.limit(0)

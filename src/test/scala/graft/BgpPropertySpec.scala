@@ -397,4 +397,65 @@ class BgpPropertySpec extends AnyFunSuite {
     }
     assert(run >= 10, s"only $run generated cases were runnable")
   }
+
+  // ---- EXISTS / NOT EXISTS differential fuzz (round 8) ------------------
+
+  /** Query with one EXISTS or NOT EXISTS group. Group patterns draw from
+    * a var pool overlapping the required patterns' (correlated) or
+    * disjoint from it (uncorrelated — the global-probe path). */
+  val existsQueryGen: Gen[Query] = for {
+    nPat <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(nPat, patternGen(Seq("a", "b")))
+    correlated <- Gen.frequency(3 -> true, 1 -> false)
+    exPats <- Gen.listOfN(1, patternGen(
+      if (correlated) Seq("b", "c") else Seq("x", "y")))
+    positive <- Gen.oneOf(true, false)
+  } yield {
+    val named = pats.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }.distinct
+    Query(Nil, distinct = false, pats, named,
+      exists = List((PatternGroup(exPats, Nil), positive)))
+  }
+
+  /** Naive EXISTS: μ survives a positive group iff SOME group solution ν
+    * agrees with μ on every shared domain variable (and a negative group
+    * iff none does) — exactly the semi/anti-join reading the planner
+    * compiles to. */
+  def naiveExists(ts: Set[(String, String, String)], q: Query): Set[List[String]] = {
+    val base = naiveSols(ts, q.patterns)
+    val out = q.exists.foldLeft(base) { case (acc, (g, positive)) =>
+      val gs = naiveSols(ts, g.patterns)
+      acc.filter { m =>
+        val hit = gs.exists(n =>
+          (m.keySet & n.keySet).forall(v => m(v) == n(v)))
+        if (positive) hit else !hit
+      }
+    }
+    out.map(m => q.selected.map(m.getOrElse(_, null)))
+  }
+
+  test("planner EXISTS/NOT EXISTS == naive compatible-solution semantics on random graphs/queries") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 20).flatMap { i =>
+      for {
+        g <- graphGen(Gen.Parameters.default, Seed(8000L + i))
+        q <- existsQueryGen(Gen.Parameters.default, Seed(9000L + i))
+      } yield (g, q)
+    }
+    assert(cases.nonEmpty)
+    var run = 0
+    cases.foreach { case (g, q) =>
+      if (q.selected.nonEmpty) {
+        run += 1
+        val quads = g.toSeq.map { case (su, p, o) => Quad("urn:g#", su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naiveExists(g, q)
+        assert(got == want,
+          s"mismatch for ${q.patterns} EXISTS ${q.exists} over ${g.size} " +
+            s"triples: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 10, s"only $run generated cases were runnable")
+  }
 }

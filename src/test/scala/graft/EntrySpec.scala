@@ -14,10 +14,17 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("oracleSql keys == queries keys (every query is DuckDB-oracled)") {
-    // strengthened from ⊆ once the surface reached 100% oracled: a new
-    // query without an oracle would silently downgrade to rows-only
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
-      s"unoracled: ${(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted}" +
+    // Queries whose computation has no SQL form (iterative, argmax feeds
+    // the next round) are EXPLICITLY allowlisted here — each must carry a
+    // differential spec instead (the driver records a rows-only check).
+    // Anything else without an oracle is a regression: a new query must
+    // not silently downgrade to rows-only.
+    val nonSqlExpressible = Set(
+      "q126_bpe_merges") // BpeSpec: differential vs plain-Scala Sennrich
+    assert(SparkEntry.oracleSql.keySet ==
+      SparkEntry.queries.keySet -- nonSqlExpressible,
+      s"unoracled: ${(SparkEntry.queries.keySet -- nonSqlExpressible --
+        SparkEntry.oracleSql.keySet).toSeq.sorted}" +
         s"; orphaned: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
   }
 
