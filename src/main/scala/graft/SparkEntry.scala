@@ -910,6 +910,16 @@ object SparkEntry {
       // plain-Scala transcription of the paper's algorithm.
       operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 12)
     }),
+    "q127_sparql_describe" -> ((s, dir) => {
+      // §2.8 DESCRIBE form (the 4th and last SPARQL query form): the
+      // WHERE bindings of ?c become the described-resource set, which
+      // broadcast-semi-joins the quads scan on the subject position —
+      // every triple about each matching customer comes back
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> DESCRIBE ?c WHERE { " +
+          "?c p:mkt \"BUILDING\" . ?c p:balCents ?b . FILTER(?b > 980000) }")
+      BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("s", "p", "o")
+    }),
     "q120_sparql_exists" -> ((s, dir) => {
       // §2.8 FILTER EXISTS / NOT EXISTS (§8.1 pattern negation): the
       // positive group compiles to a LEFT SEMI join, the negative to a
@@ -2973,6 +2983,22 @@ object SparkEntry {
         |FROM customer
         |WHERE FLOOR(c_acctbal * 100) > 900000
         |ORDER BY c""".stripMargin,
+    "q127_sparql_describe" ->
+      """WITH ids AS (
+        |  SELECT c_custkey, 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c
+        |  FROM customer
+        |  WHERE c_mktsegment = 'BUILDING' AND floor(c_acctbal*100) > 980000)
+        |SELECT s, p, o FROM (
+        |  SELECT c AS s, 'urn:p#balCents' AS p,
+        |    CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) AS o
+        |  FROM customer JOIN ids USING (c_custkey)
+        |  UNION
+        |  SELECT c, 'urn:p#mkt', c_mktsegment
+        |  FROM customer JOIN ids USING (c_custkey)
+        |  UNION
+        |  SELECT c, 'urn:p#inNation', 'urn:n#' || CAST(c_nationkey AS VARCHAR)
+        |  FROM customer JOIN ids USING (c_custkey))
+        |ORDER BY s, p, o""".stripMargin,
     "q120_sparql_exists" ->
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
         |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n

@@ -57,6 +57,7 @@ object BgpPlanner {
     * Engine) — every triple pattern re-reads it, and re-running the
     * scope+distinct per atom is the planner's only repeated subtree. */
   def evaluateTriples(scoped: DataFrame, q: Query): DataFrame = {
+    if (q.describeTerms.nonEmpty) return describePlan(scoped, q)
     val spark = scoped.sparkSession
     var pathCounter = 0
     def freshPathVar(): Term = { pathCounter += 1; V(s"_path$pathCounter") }
@@ -517,6 +518,33 @@ object BgpPlanner {
         }
         out.cast("long").cast("string")
     }
+  }
+
+  /** DESCRIBE: the described-resource set R (constants + the WHERE
+    * group's bindings of the describe variables) semi-joins the scoped
+    * triples on the SUBJECT position — the minimal common reading of the
+    * spec's implementation-defined description (§16.4; oxigraph and most
+    * stores return at least these). R is constant- or binding-sized →
+    * Catalyst broadcasts the semi-join into the quads scan; DISTINCT
+    * because a description is a graph (set of triples). */
+  private def describePlan(scoped: DataFrame, q: Query): DataFrame = {
+    val spark = scoped.sparkSession
+    import Sparql._
+    val consts = q.describeTerms.collect { case I(i) => i case L(l) => l }
+    val vars = q.describeTerms.collect { case V(v) => v }
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    if (consts.nonEmpty) {
+      import spark.implicits._
+      parts += consts.toDF("s")
+    }
+    if (vars.nonEmpty) {
+      val inner = evaluateTriples(scoped,
+        q.copy(describeTerms = Nil, projection = vars, distinct = true))
+      vars.foreach { v => parts += inner.select(col(v).as("s")) }
+    }
+    val resources = parts.reduce(_ union _).distinct()
+    scoped.join(resources, Seq("s"), "left_semi")
+      .select("s", "p", "o").distinct()
   }
 
   /** Aggregation, HAVING, projection, DISTINCT, and the solution

@@ -42,17 +42,20 @@ import scala.collection.mutable.ArrayBuffer
   *     modifiers `ORDER BY` (ASC/DESC), `LIMIT`, `OFFSET`
   *   - subqueries `{ SELECT … WHERE { … } … }` (one level, explicit
   *     projection; joined with the outer group on shared variables)
-  *   - query forms beyond SELECT: `ASK` (one-row true/false) and
+  *   - query forms beyond SELECT: `ASK` (one-row true/false),
   *     `CONSTRUCT { template } WHERE { … }` (distinct s/p/o triples;
-  *     template rows with an unbound variable are not generated)
+  *     template rows with an unbound variable are not generated), and
+  *     `DESCRIBE <iri>… [?v… WHERE { … }]` (subject-position triples of
+  *     the described resources — the minimal common reading of the
+  *     spec's implementation-defined description)
   *
   *   - `BIND(expr AS ?v)` with string builtins (CONCAT, STR, UCASE,
   *     LCASE, STRLEN, STRAFTER, STRBEFORE) and integer `+ - *`
   *     arithmetic (group-final scope; see BgpPlanner)
   *   - property-path modifiers `*` `+` `?` and inverse/alternatives
   *
-  * Anything outside this subset (GRAPH, SERVICE, DESCRIBE, …) is
-  * dead surface for the reference's usage and rejected with a clear error.
+  * Anything outside this subset (GRAPH, SERVICE, …) is dead surface for
+  * the reference's usage and rejected with a clear error.
   */
 object Sparql {
 
@@ -175,7 +178,8 @@ object Sparql {
       exists: List[(PatternGroup, Boolean)] = Nil, // (group, positive?)
       subqueries: List[Query] = Nil,
       askForm: Boolean = false,
-      template: List[TriplePattern] = Nil) { // nonEmpty = CONSTRUCT
+      template: List[TriplePattern] = Nil, // nonEmpty = CONSTRUCT
+      describeTerms: List[Term] = Nil) { // nonEmpty = DESCRIBE
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -306,6 +310,41 @@ object Sparql {
           values = valuesBlocks.toList, minuses = minusGroups.toList,
           binds = bindClauses.toList, exists = existsGroups.toList,
           subqueries = subQueries.toList, askForm = true)
+      }
+      // ---- DESCRIBE form: subject triples of the described resources -----
+      if (kw("DESCRIBE")) {
+        val terms = ArrayBuffer[Term]()
+        var more = true
+        while (more) {
+          skipWs()
+          val whereAhead = in.regionMatches(true, pos, "WHERE", 0, 5) &&
+            (pos + 5 >= n || !in.charAt(pos + 5).isLetterOrDigit)
+          if (peek == '?' || peek == '$') terms += V(parseVar())
+          else if (peek == '<') terms += I(parseIriRef())
+          else if (!whereAhead && (peek.isLetter || peek == '_')) terms += I(parsePName())
+          else more = false
+        }
+        if (terms.isEmpty) err("DESCRIBE needs ≥1 IRI or variable")
+        val hasVar = terms.exists(_.isInstanceOf[V])
+        val patterns = ArrayBuffer[TriplePattern]()
+        val filters = ArrayBuffer[FExpr]()
+        val optionals = ArrayBuffer[PatternGroup]()
+        val unions = ArrayBuffer[UnionGroup]()
+        if (kw("WHERE")) {
+          skipWs()
+          if (peek != '{') err("expected '{' after WHERE")
+          pos += 1
+          parseGroupBody(patterns, filters, optionals, unions,
+            allowOptional = true, allowUnion = true)
+        } else if (hasVar)
+          err("DESCRIBE with variables needs a WHERE group binding them")
+        skipWs()
+        if (pos < n) err("unexpected trailing content after DESCRIBE query")
+        return Query(Nil, distinct = false, patterns.toList, order.toList,
+          filters.toList, optionals.toList, unions.toList,
+          values = valuesBlocks.toList, minuses = minusGroups.toList,
+          binds = bindClauses.toList, exists = existsGroups.toList,
+          subqueries = subQueries.toList, describeTerms = terms.toList)
       }
       // ---- CONSTRUCT form: template instantiated per solution ------------
       if (kw("CONSTRUCT")) {

@@ -633,6 +633,35 @@ class SparqlSpec extends AnyFunSuite {
     assert(BgpPlanner.evaluate(aggQuads, q3).count() == 3)
   }
 
+  test("DESCRIBE: constant form, variable form with WHERE, mixed; var form needs WHERE") {
+    // constant form: all subject-position triples of d#1
+    val q = Sparql.parse(fp + "DESCRIBE <urn:d#1>")
+    val got = BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("urn:p#val", "5"), ("urn:p#tag", "alpha")))
+    // variable form: describe every doc whose val > 9 (d#2, d#3)
+    val q2 = Sparql.parse(fp +
+      "DESCRIBE ?s WHERE { ?s p:val ?v . FILTER(?v > 9) }")
+    val got2 = BgpPlanner.evaluate(filterQuads, q2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got2 == Set(
+      ("urn:d#2", "urn:p#val", "10"),
+      ("urn:d#3", "urn:p#val", "50"), ("urn:d#3", "urn:p#tag", "beta")))
+    // mixed constants + variables union their descriptions (set semantics)
+    val q3 = Sparql.parse(fp +
+      "DESCRIBE <urn:d#2> ?s WHERE { ?s p:tag \"alpha\" . }")
+    val got3 = BgpPlanner.evaluate(filterQuads, q3).collect()
+      .map(_.getString(0)).toSet
+    assert(got3 == Set("urn:d#1", "urn:d#2"))
+    // a resource with no subject triples describes to nothing
+    assert(BgpPlanner.evaluate(filterQuads,
+      Sparql.parse(fp + "DESCRIBE <urn:d#99>")).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(fp + "DESCRIBE ?s")
+    }
+    assert(e.getMessage.contains("WHERE"), e.getMessage)
+  }
+
   test("CONSTRUCT template misuse rejected: paths, unbound template vars") {
     val e = intercept[IllegalArgumentException] {
       Sparql.parse(fp + "CONSTRUCT { ?s p:a/p:b ?v } WHERE { ?s p:val ?v . }")
