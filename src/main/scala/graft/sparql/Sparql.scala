@@ -274,6 +274,9 @@ object Sparql {
           pos += 2
         } else { sb.append(c); pos += 1 }
       }
+      // missing close quote: fail HERE, not later — advancing past n would
+      // let a downstream substring throw a raw StringIndexOutOfBounds
+      if (pos >= n) err("unterminated string literal")
       pos += 1
       // drop optional @lang / ^^type, as in the quads encoding
       if (peek == '@') { pos += 1; while (pos < n && (in.charAt(pos).isLetterOrDigit || in.charAt(pos) == '-')) pos += 1 }

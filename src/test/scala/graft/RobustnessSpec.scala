@@ -629,4 +629,53 @@ class RobustnessSpec extends AnyFunSuite {
     assert(quads.filter(col("s") === "urn:a#s1").select("graph")
       .distinct().as[String].head() == "urn:siteA#")
   }
+
+  test("SPARQL parser never hangs or throws non-IAE on mutated/truncated queries") {
+    // every grammar corner in one corpus of valid queries, then mutate:
+    // truncate at every prefix boundary, delete/duplicate/flip single
+    // chars at seeded positions — the parser must either succeed or throw
+    // IllegalArgumentException (the named-error contract), never loop or
+    // escape with a raw StringIndexOutOfBounds/NPE/StackOverflow
+    val p = "PREFIX p: <urn:p#> "
+    val valid = Seq(
+      p + "SELECT ?s WHERE { ?s p:val ?v . FILTER(?v > 9 && regex(?v, \"x\")) }",
+      p + "SELECT DISTINCT ?s ?v WHERE { ?s (p:a|^p:b)* ?v . OPTIONAL { ?s p:t ?t . FILTER(BOUND(?t)) } }",
+      p + "SELECT ?u (GROUP_CONCAT(DISTINCT ?v; SEPARATOR=\",\") AS ?vs) WHERE { ?u p:buy ?v . } GROUP BY ?u HAVING(COUNT(?v) > 1) ORDER BY DESC(?vs) LIMIT 3 OFFSET 1",
+      p + "SELECT ?s WHERE { { ?s p:a ?x } UNION { ?s p:b ?y } MINUS { ?s p:c \"z\" } VALUES ?s { <urn:d#1> } BIND(CONCAT(STR(?s), \"!\") AS ?t) }",
+      p + "SELECT ?s WHERE { ?s p:v ?v . FILTER EXISTS { ?s p:t ?t } FILTER(?v IN (\"1\", \"2\")) }",
+      p + "SELECT ?u ?n WHERE { ?u p:b ?v . { SELECT ?u (COUNT(?w) AS ?n) WHERE { ?u p:b ?w . } GROUP BY ?u } }",
+      p + "ASK { ?s p:v \"5\" . FILTER(STRENDS(?s, \"1\")) }",
+      p + "CONSTRUCT { ?s <urn:p#x> ?v } WHERE { ?s p:v ?v . }",
+      p + "DESCRIBE <urn:d#1> ?s WHERE { ?s p:t \"alpha\" . }")
+    // sanity: the corpus itself parses
+    valid.foreach(graft.sparql.Sparql.parse)
+    val rnd = new scala.util.Random(42)
+    var attempts = 0
+    valid.foreach { q =>
+      val mutations =
+        (1 until q.length by 7).map(q.take(_)) ++ // truncations
+          (1 to 40).map { _ => // point mutations
+            val i = rnd.nextInt(q.length)
+            rnd.nextInt(3) match {
+              case 0 => q.take(i) + q.drop(i + 1) // delete
+              case 1 => q.take(i) + q.charAt(i) + q.drop(i) // duplicate
+              case _ =>
+                val metas = "{}?<>\"'().|^*"
+                q.take(i) + metas.charAt(rnd.nextInt(metas.length)) +
+                  q.drop(i + 1) // flip to a meta char
+            }
+          }
+      mutations.foreach { m =>
+        attempts += 1
+        try { graft.sparql.Sparql.parse(m); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"non-IAE ${e.getClass.getSimpleName}: ${e.getMessage} " +
+              s"for input <<<$m>>>", e)
+        }
+      }
+    }
+    assert(attempts > 400, s"only $attempts mutations exercised")
+  }
 }
