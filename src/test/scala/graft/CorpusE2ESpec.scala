@@ -79,4 +79,50 @@ class CorpusE2ESpec extends AnyFunSuite {
     assert(data.count() == 2 * 145)
     assert(data.select("uuid").distinct().count() == 2)
   }
+
+  test("round-8 SPARQL surface over the real corpus: FILTER/EXISTS/ASK/DESCRIBE/GROUP_CONCAT") {
+    assume(new java.io.File(graphsDir).isDirectory)
+    import graft.sparql.{BgpPlanner, Sparql}
+    val quads = Turtle.loadGraphs(spark, graphsDir, None)
+    val scoped = quads.filter(col("graph") === "urn:bldg1#")
+      .select("s", "p", "o").distinct().cache()
+    val prefix =
+      """PREFIX brick: <https://brickschema.org/schema/Brick#>
+        |PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        |""".stripMargin
+    try {
+      // FILTER regex narrows real timeseries ids; EXISTS demands the point
+      // belong to some equipment via hasPoint (inverse direction)
+      val filtered = BgpPlanner.evaluateTriples(scoped, Sparql.parse(prefix +
+        """SELECT ?pt ?id WHERE {
+          |  ?pt brick:timeseries [ brick:hasTimeseriesId ?id ] .
+          |  FILTER regex(?id, "^[0-9a-f]{8}-")
+          |  FILTER EXISTS { ?eq brick:hasPoint ?pt }
+          |}""".stripMargin)).collect()
+      assert(filtered.nonEmpty)
+      assert(filtered.forall(_.getString(1).matches("[0-9a-f-]{36}")))
+      // ASK: VAVs exist in bldg1; a made-up class does not
+      def ask(cls: String): String = BgpPlanner.evaluateTriples(scoped,
+        Sparql.parse(prefix + s"ASK { ?x a brick:$cls }"))
+        .collect().head.getString(0)
+      assert(ask("VAV") == "true" && ask("Nonexistent_Class") == "false")
+      // DESCRIBE a real VAV: returns its type + hasPoint triples
+      val vav = scoped.filter(col("p") === Model.RdfType &&
+        col("o") === "https://brickschema.org/schema/Brick#VAV")
+        .select("s").orderBy("s").limit(1).collect().head.getString(0)
+      val desc = BgpPlanner.evaluateTriples(scoped,
+        Sparql.parse(s"DESCRIBE <$vav>")).collect()
+      assert(desc.nonEmpty && desc.forall(_.getString(0) == vav))
+      assert(desc.exists(_.getString(1) == Model.RdfType))
+      // GROUP_CONCAT: per-class point rosters, deterministic (sorted)
+      val roster = BgpPlanner.evaluateTriples(scoped, Sparql.parse(prefix +
+        """SELECT ?cls (COUNT(?x) AS ?n) (GROUP_CONCAT(?x; SEPARATOR="|") AS ?members)
+          |WHERE { ?x a ?cls } GROUP BY ?cls ORDER BY DESC(?n) LIMIT 3""".stripMargin))
+        .collect()
+      assert(roster.length == 3)
+      val members = roster.head.getString(2).split("\\|")
+      assert(members.length == roster.head.getLong(1))
+      assert(members.toSeq == members.toSeq.sorted)
+    } finally { scoped.unpersist(); () }
+  }
 }
