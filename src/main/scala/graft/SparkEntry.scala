@@ -1059,9 +1059,14 @@ object SparkEntry {
         // table file out of the sf dir
         val raw = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-        val ts = if (schema("ts").dataType.typeName == "long")
-          raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-        else raw
+        // withWatermark wants TimestampType: NANOS files read as long
+        // (floored to µs), µs-NTZ files cast (session tz is a label only —
+        // the join bound and the grouped output are tz-invariant)
+        val ts = schema("ts").dataType.typeName match {
+          case "long" => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+          case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+          case _ => raw
+        }
         ts.filter(col("event_type") === tp).select("event_id", "user_id", "ts")
       }
       val joined = graft.streaming.StreamingOps.intervalJoinStreams(
