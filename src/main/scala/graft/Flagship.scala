@@ -46,15 +46,10 @@ object Flagship {
       |brick:Sensor rdfs:subClassOf brick:Point .
       |""".stripMargin
 
-  /** Read the driver's events table (TIMESTAMP(NANOS) → µs, as in
-    * SparkEntry.t) shaped as the reference's fact columns. */
+  /** Read the driver's events table (ts normalized by [[Tables.events]])
+    * shaped as the reference's fact columns. */
   private def factSource(spark: SparkSession, sfDir: String) = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val e =
-      if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else raw
+    val e = Tables.events(spark, sfDir)
     e.select(col("ts").as("time"), col("value"),
       col("event_type").as("label"),
       concat(lit("urn:bench/"), col("event_type")).as("uri"),

@@ -20,13 +20,8 @@ object SparkEntry {
     // The driver's `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
     // TimestampType (µs) refuses outright. Read nanos as long and floor to
     // µs — exactly DuckDB's coercion of ns → its µs TIMESTAMP.
-    if (name == "events") {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      else raw
-    } else s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") Tables.events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Decimal-exact sum surfaced as double (identical in Spark and DuckDB). */

@@ -110,11 +110,7 @@ object PipelineDemo {
     println("[pipeline] profile: " + prof.collect()
       .map(r => s"${r.getString(0)}(null=${r.getLong(2)},distinct=${r.getLong(3)})")
       .mkString(" "))
-    // the driver's events.ts is TIMESTAMP(NANOS): read nanos as long,
-    // floor to µs (same coercion as SparkEntry's loader)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val events = graft.Tables.events(spark, sfDir)
     val anomalies = Events.anomalyReport(events, k = 3)
     println(s"[pipeline] value outliers (>3σ per type): ${anomalies.count()}")
     val editPairs = Dedup.editDistanceNearDup(docs, "text", "doc_id",

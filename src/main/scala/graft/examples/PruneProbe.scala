@@ -74,9 +74,7 @@ object PruneProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_pruneprobe_${java.util.UUID.randomUUID()}"
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val e = if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)")) else raw
+    val e = graft.Tables.events(spark, sfDir)
     val fact = e.select(col("ts").as("time"), col("value"),
       col("event_type").as("label"), lit("bench").as("collection"),
       format_string("00000000-0000-0000-0000-%012d", col("user_id")).as("uuid"))

@@ -131,20 +131,32 @@ object Dedup {
     val sig =
       if (fused) {
         import org.apache.spark.sql.graftbridge.Bridge
-        // persist the tiny (id, 16-long) relation: the LSH self-join reads
-        // it twice, and without a barrier each side would re-run the
-        // kernel — i.e. re-scan the corpus TEXT twice at 100 TB. (The
-        // explode shape gets the same protection for free from its
-        // aggregation exchange, which Spark reuses across the self-join.)
+        // No persist: the LSH self-join reads this twice, so an explicit
+        // repartition(id) plants one shuffle whose two canonically-equal
+        // subtrees ReuseExchange collapses — the kernel (and the corpus
+        // TEXT scan under it) runs ONCE and the second side reads the
+        // first's shuffle files. Same single-scan guarantee a cache would
+        // give, with no block to leak in a long-lived session, and it
+        // holds in both join regimes (broadcast at small SF, sort-merge at
+        // 100 TB). The shuffled payload is the compact (id, `bands`-long)
+        // relation, not text. No isNotNull filter: it would re-inline the
+        // kernel into the scan's filter (Catalyst inlines projected
+        // aliases); the outer explode below handles null/empty arrays.
         df.select(col(idCol).as("id"),
           Bridge.column(graft.functions.MinHashBandKeys(
             Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,
             bands)).as("bk"))
-          .filter(col("bk").isNotNull)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .repartition(col("id"))
       } else minhashSignatures(df, textCol, idCol, k, shingleN)
         .select(col("id"), bandKeys(col("sig"), bands, rows).as("bk"))
-    val exploded = sig.select(col("id"), posexplode(col("bk")).as(Seq("band", "key")))
+    // posexplode_OUTER, then drop the null rows: InferFiltersFromGenerate
+    // skips outer generates, so no `size(bk)>0` predicate gets inferred,
+    // pushed through the exchange, and alias-inlined into the fused
+    // kernel (which would re-evaluate the whole minhash per row in the
+    // scan filter). The post-explode null filter is a cheap attribute test.
+    val exploded = sig
+      .select(col("id"), posexplode_outer(col("bk")).as(Seq("band", "key")))
+      .filter(col("band").isNotNull)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Epoch micros of a timestamp column, NTZ-tolerant: `unix_micros`
+    * rejects TIMESTAMP_NTZ outright, so cast first (a no-op for
+    * TimestampType; for NTZ it reinterprets wall-clock in the session tz —
+    * all graft entry points pin UTC, making it the identity relabel). */
+  private def tsUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Time-bucketed aggregate: counts + exact decimal sums per
     * (bucket, event_type). */
   def timeBucketStats(events: DataFrame, bucket: String = "hour"): DataFrame =
@@ -31,10 +37,10 @@ object Events {
   def sessionize(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     events
-      .withColumn("_prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("_prev_us", lag(tsUs(col("ts")), 1).over(byUser))
       .withColumn("_new_session",
         when(col("_prev_us").isNull ||
-          unix_micros(col("ts")) - col("_prev_us") > gapSeconds * 1000000L, 1L)
+          tsUs(col("ts")) - col("_prev_us") > gapSeconds * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_id",
         sum(col("_new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)) - 1)
@@ -47,7 +53,7 @@ object Events {
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+        (tsUs(max(col("ts"))) - tsUs(min(col("ts")))).as("duration_us"))
 
   /** As-of join: for each left row, the latest right row with
     * `right.ts <= left.ts` for the same key. Implemented as a UNION +
@@ -108,7 +114,13 @@ object Events {
     * survivors of stage k−1 (user-count rows, not event-count), so every
     * stage after the first is a join keyed on `user_id` whose right side
     * only shrinks. No window function, no per-user event collection — at
-    * 100 TB the state per stage is |users|, never |events|. */
+    * 100 TB the state per stage is |users|, never |events|.
+    *
+    * Eager by design: the report is |steps| rows, so each stage is counted
+    * as soon as it is built and every persisted block is released in a
+    * `finally` before returning — a long-lived session (a bench loop, a
+    * query service) accumulates nothing. The returned local relation keeps
+    * the (step_idx, step, n_users) contract. */
   def funnelReport(
       events: DataFrame, steps: Seq[String],
       windowSeconds: Long = 7L * 86400L): DataFrame = {
@@ -117,30 +129,41 @@ object Events {
     val first = ev.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
       .withColumn("t_first", col("t_prev"))
-    // each stage is materialized (|users|-sized): the per-stage counts
-    // below are separate branches of one union, and without this every
-    // branch would re-execute its whole predecessor chain — O(steps²)
-    // scans of the events table. persist, not localCheckpoint: lazy (no
-    // job until the report is consumed) and recoverable — a lost executor
-    // recomputes the block from lineage, where locally-checkpointed
-    // blocks are gone for good and fail the whole query on a big cluster.
+    // each stage is persisted (|users|-sized) ONLY while its successor is
+    // built: without it, stage k+1's build would re-execute the whole
+    // predecessor chain — O(steps²) scans of the events table. persist,
+    // not localCheckpoint: recoverable — a lost executor recomputes the
+    // block from lineage, where locally-checkpointed blocks are gone for
+    // good and fail the whole query on a big cluster.
     import org.apache.spark.storage.StorageLevel
     val stages = steps.drop(1).scanLeft(
         first.persist(StorageLevel.MEMORY_AND_DISK)) { (prev, step) =>
       ev.filter(col("event_type") === step)
         .join(prev, "user_id")
         .filter(col("ts") > col("t_prev") &&
-          unix_micros(col("ts")) <=
-            unix_micros(col("t_first")) + windowSeconds * 1000000L)
+          tsUs(col("ts")) <=
+            tsUs(col("t_first")) + windowSeconds * 1000000L)
         .groupBy(col("user_id"))
         .agg(min(col("ts")).as("t_prev"), min(col("t_first")).as("t_first"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
-      df.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1L).as("step_idx"), lit(step).as("step"),
-          col("n_users"))
-    }.reduce(_ unionByName _)
+    val spark = events.sparkSession
+    try {
+      // counting stage k materializes it from stage k−1's cached blocks;
+      // the counts themselves are the whole result
+      val rows = stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+        org.apache.spark.sql.Row(i + 1L, step, df.count())
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("step_idx",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("step",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_users",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } finally stages.foreach(_.unpersist(blocking = false))
   }
 
   /** Weekly cohort retention: users grouped by the week of their first
