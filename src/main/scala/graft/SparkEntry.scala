@@ -88,6 +88,21 @@ object SparkEntry {
       .select("graph", "s", "p", "o")
   }
 
+  /** [[custQuads]] split across NAMED graphs by nation (urn:g#<key%5>) —
+    * the GRAPH-keyword fixture, mirroring the reference's one-graph-per-
+    * building layout (setup-graphs.py:13-19). */
+  private def graphQuads(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val subj = concat(lit("urn:c#"), col("c_custkey"))
+    val g = concat(lit("urn:g#"), pmod(col("c_nationkey"), lit(5)))
+    val bal = c.select(g.as("graph"), subj.as("s"),
+      lit("urn:p#balCents").as("p"),
+      floor(col("c_acctbal") * 100).cast("long").cast("string").as("o"))
+    val mkt = c.select(g.as("graph"), subj.as("s"),
+      lit("urn:p#mkt").as("p"), col("c_mktsegment").as("o"))
+    bal.union(mkt).select("graph", "s", "p", "o")
+  }
+
   /** Flagship on sf0.001: the full two-level mortar flow on in-memory
     * fixtures — Turtle → SPARQL (path star) → uuid set → pruned scan —
     * plus a real read of the driver's parquet. Driver smoke-checks rows>0. */
@@ -938,6 +953,48 @@ object SparkEntry {
         .select(col("rank"), col("left").as("lhs"), col("right").as("rhs"),
           col("freq"))
         .orderBy("rank")
+    }),
+    "q128_sparql_nested_optional" -> ((s, dir) => {
+      // §2.8 nested groups (round 9): OPTIONAL inside OPTIONAL — SPARQL
+      // algebra LeftJoin(P1, LeftJoin(P2, P3, F_in), F_out). The inner
+      // left-join runs INSIDE the outer group, so ?m can only bind where
+      // ?b did; both filters condition their own join, never dropping
+      // left rows. Two broadcast left joins over graph-sized relations —
+      // no new shuffle shape vs flat OPTIONAL. Unbound → sentinel-filled
+      // for engine-portable hashing (raw NULLs spec-asserted).
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n ?b ?m WHERE { " +
+          "?c p:inNation ?n . " +
+          "OPTIONAL { ?c p:balCents ?b . FILTER(?b > 500000) " +
+          "OPTIONAL { ?c p:mkt ?m . FILTER(?m != \"BUILDING\") } } }")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+        .na.fill("unbound", Seq("b", "m"))
+        .orderBy("c")
+    }),
+    "q129_sparql_graph_var" -> ((s, dir) => {
+      // §2.8 GRAPH ?g (round 9): the graph column rides every atom as a
+      // join variable, so both patterns must match within the SAME named
+      // graph and ?g joins the projection — the reference's per-building
+      // graph scoping (setup-graphs.py:13-19) as a query construct
+      // instead of an API parameter
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?g ?c ?b WHERE { " +
+          "GRAPH ?g { ?c p:balCents ?b . ?c p:mkt \"BUILDING\" . " +
+          "FILTER(?b > 900000) } }")
+      BgpPlanner.evaluate(graphQuads(s, dir), q).orderBy("g", "c")
+    }),
+    "q130_sparql_graph_iri" -> ((s, dir) => {
+      // §2.8 GRAPH <iri> with a NESTED OPTIONAL inside (round 9): the
+      // constant-graph group re-scopes matching to one named graph's
+      // triples and evaluates the full recursive group there — scoping +
+      // nesting composed in one query
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?b ?m WHERE { " +
+          "GRAPH <urn:g#2> { ?c p:balCents ?b . FILTER(?b > 800000) " +
+          "OPTIONAL { ?c p:mkt ?m . FILTER(?m != \"BUILDING\") } } }")
+      BgpPlanner.evaluate(graphQuads(s, dir), q)
+        .na.fill("unbound", Seq("m"))
+        .orderBy("c")
     }),
     "q127_sparql_describe" -> ((s, dir) => {
       // §2.8 DESCRIBE form (the 4th and last SPARQL query form): the
@@ -3023,6 +3080,31 @@ object SparkEntry {
         |  (11, 'l', 'u', CAST(1831 AS BIGINT)),
         |  (12, 'i', 'n', CAST(1796 AS BIGINT))
         |) AS t(rank, lhs, rhs, freq) ORDER BY rank""".stripMargin,
+    "q128_sparql_nested_optional" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
+        |  coalesce(CASE WHEN floor(c_acctbal*100) > 500000
+        |    THEN CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) END,
+        |    'unbound') AS b,
+        |  coalesce(CASE WHEN floor(c_acctbal*100) > 500000
+        |      AND c_mktsegment <> 'BUILDING'
+        |    THEN c_mktsegment END, 'unbound') AS m
+        |FROM customer ORDER BY c""".stripMargin,
+    "q129_sparql_graph_var" ->
+      """SELECT 'urn:g#' || CAST(c_nationkey % 5 AS VARCHAR) AS g,
+        |  'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) AS b
+        |FROM customer
+        |WHERE c_mktsegment = 'BUILDING' AND floor(c_acctbal*100) > 900000
+        |ORDER BY g, c""".stripMargin,
+    "q130_sparql_graph_iri" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) AS b,
+        |  coalesce(CASE WHEN c_mktsegment <> 'BUILDING'
+        |    THEN c_mktsegment END, 'unbound') AS m
+        |FROM customer
+        |WHERE c_nationkey % 5 = 2 AND floor(c_acctbal*100) > 800000
+        |ORDER BY c""".stripMargin,
     "q127_sparql_describe" ->
       """WITH ids AS (
         |  SELECT c_custkey, 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c

@@ -125,45 +125,39 @@ object Events {
       events: DataFrame, steps: Seq[String],
       windowSeconds: Long = 7L * 86400L): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
-    val first = ev.filter(col("event_type") === steps.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_prev"))
-      .withColumn("t_first", col("t_prev"))
-    // each stage is persisted (|users|-sized) ONLY while its successor is
-    // built: without it, stage k+1's build would re-execute the whole
-    // predecessor chain — O(steps²) scans of the events table. persist,
-    // not localCheckpoint: recoverable — a lost executor recomputes the
-    // block from lineage, where locally-checkpointed blocks are gone for
-    // good and fail the whole query on a big cluster.
-    import org.apache.spark.storage.StorageLevel
-    val stages = steps.drop(1).scanLeft(
-        first.persist(StorageLevel.MEMORY_AND_DISK)) { (prev, step) =>
-      ev.filter(col("event_type") === step)
-        .join(prev, "user_id")
-        .filter(col("ts") > col("t_prev") &&
-          tsUs(col("ts")) <=
-            tsUs(col("t_first")) + windowSeconds * 1000000L)
-        .groupBy(col("user_id"))
-        .agg(min(col("ts")).as("t_prev"), min(col("t_first")).as("t_first"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    // Single-pass shape (round 9, replacing an iterative join chain that
+    // needed per-stage caching): ONE hash aggregate groups each user's
+    // event times per step, then the funnel recurrence
+    //   t_1 = min(times_1)
+    //   t_k = min{ t ∈ times_k | t > t_{k-1} ∧ t ≤ t_1 + W }
+    // runs as a codegen'd expression chain over the arrays — no persist,
+    // no O(steps) join passes over the corpus, no driver-side loop, and
+    // the result composes lazily. Array sizes are per-user-per-STEP event
+    // counts (non-step events are filtered before the shuffle), the same
+    // per-key bound sessionize already accepts.
+    val ev = events
+      .select(col("user_id"), col("event_type"), tsUs(col("ts")).as("_us"))
+      .filter(col("event_type").isin(steps: _*))
+    val arrs = steps.zipWithIndex.map { case (st, i) =>
+      collect_list(when(col("event_type") === st, col("_us"))).as(s"_a$i")
     }
-    val spark = events.sparkSession
-    try {
-      // counting stage k materializes it from stage k−1's cached blocks;
-      // the counts themselves are the whole result
-      val rows = stages.zip(steps).zipWithIndex.map { case ((df, step), i) =>
-        org.apache.spark.sql.Row(i + 1L, step, df.count())
-      }
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("step_idx",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("step",
-            org.apache.spark.sql.types.StringType, nullable = false),
-          org.apache.spark.sql.types.StructField("n_users",
-            org.apache.spark.sql.types.LongType, nullable = false))))
-    } finally stages.foreach(_.unpersist(blocking = false))
+    val byUser = ev.groupBy(col("user_id")).agg(arrs.head, arrs.tail: _*)
+    val t1 = array_min(col("_a0"))
+    val bound = t1 + lit(windowSeconds * 1000000L)
+    val stageTimes = steps.indices.drop(1).scanLeft(t1) { (tPrev, k) =>
+      array_min(filter(col(s"_a$k"), t => t > tPrev && t <= bound))
+    }
+    // stage counts in one global agg row (sum of empty set → 0), exploded
+    // back to the (step_idx, step, n_users) contract
+    val cnts = stageTimes.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(t.isNotNull, 1L).otherwise(0L)), lit(0L)).as(s"_n$i")
+    }
+    val row = byUser.agg(cnts.head, cnts.tail: _*)
+    val stepRows = array(steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1L).as("step_idx"), lit(st).as("step"),
+        col(s"_n$i").as("n_users"))
+    }: _*)
+    row.select(explode(stepRows).as("_r")).select("_r.*")
   }
 
   /** Weekly cohort retention: users grouped by the week of their first

@@ -49,15 +49,19 @@ object BgpPlanner {
       case Some(g) => quads.filter(col("graph") === g).select("s", "p", "o")
       case None => quads.select("s", "p", "o").distinct()
     }
-    evaluateTriples(scoped, q)
+    evaluateTriples(scoped, q, Some(quads))
   }
 
   /** Evaluate over an already graph-scoped, deduplicated (s,p,o) relation.
     * Callers issuing many queries should cache that relation once (see
     * Engine) — every triple pattern re-reads it, and re-running the
-    * scope+distinct per atom is the planner's only repeated subtree. */
-  def evaluateTriples(scoped: DataFrame, q: Query): DataFrame = {
-    if (q.describeTerms.nonEmpty) return describePlan(scoped, q)
+    * scope+distinct per atom is the planner's only repeated subtree.
+    * `quadsG` is the un-scoped 4-column quads relation, needed only by
+    * GRAPH groups (the one construct that re-scopes mid-query,
+    * setup-graphs.py:13-19 semantics); absent → GRAPH errors. */
+  def evaluateTriples(scoped: DataFrame, q: Query,
+      quadsG: Option[DataFrame] = None): DataFrame = {
+    if (q.describeTerms.nonEmpty) return describePlan(scoped, q, quadsG)
     val spark = scoped.sparkSession
     var pathCounter = 0
     def freshPathVar(): Term = { pathCounter += 1; V(s"_path$pathCounter") }
@@ -256,36 +260,206 @@ object BgpPlanner {
       else throw new IllegalArgumentException(
         s"FILTER references variable ?$v bound by no pattern in scope")
 
-    // UNION groups → one relation each: every branch BGP evaluates
-    // independently (branch FILTERs scope to the branch — a UNION branch
-    // is its own group in SPARQL), unshared variables are null-padded,
-    // and branch solutions CONCATENATE (bag union, no dedup — faithful to
-    // rdflib). Divergence note (same rule as OPTIONAL-var reuse below): a
-    // variable a branch leaves unbound joins outer patterns through SQL
-    // NULL equality (never matches) where SPARQL's compatible-mapping
-    // semantics would accept any binding — share variables between the
-    // union and outer patterns only when every branch binds them.
-    var unionFailed = false
-    val unionRels: Seq[DataFrame] = q.unions.map { ug =>
-      val branchDfs = ug.branches.flatMap { b =>
-        buildParts(expandAtoms(b.patterns)) match {
-          case Some(parts) if parts.nonEmpty =>
-            var d = greedyJoin(parts)
-            b.filters.foreach { f =>
-              d = d.filter(compileFilter(f, resolveIn(d, d.columns.toSet)))
-            }
-            Some(d)
-          case _ => None // branch has no solutions (ground failure / no vars)
+    // ---- recursive group machinery (round 9: arbitrary-depth nesting) ----
+
+    /** User-visible variables a group can bind, recursively (fresh _path/
+      * _anon join vars excluded — they never leave their group). */
+    def groupVarsOf(g: PatternGroup): List[String] = (
+      g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n }) ++
+        g.groups.flatMap(groupVarsOf) ++ g.optionals.flatMap(groupVarsOf) ++
+        g.unions.flatMap(_.branches.flatMap(groupVarsOf))
+    ).distinct.filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
+
+    /** Evaluate one PatternGroup recursively (its patterns, nested plain
+      * groups, nested unions, nested optionals, then its own filters —
+      * §18.2.2.2 group scope order). Returns None = the group has ZERO
+      * solutions; Some(None) = exactly one solution, the empty mapping
+      * (all-ground group that matched); Some(Some(df)) = the binding
+      * relation (vc-named columns). */
+    def evalGroup(g: PatternGroup): Option[Option[DataFrame]] = {
+      val partsOpt = buildParts(expandAtoms(g.patterns))
+      if (partsOpt.isEmpty) return None // a ground atom failed
+      var parts: Seq[(Int, DataFrame)] = partsOpt.get
+      g.groups.foreach { sub =>
+        evalGroup(sub) match {
+          case None => return None // join with the empty set
+          case Some(None) => () // join with {μ0} = identity
+          case Some(Some(d)) => parts = parts :+ ((0, d))
         }
       }
-      if (branchDfs.isEmpty) { unionFailed = true; spark.emptyDataFrame }
+      g.unions.foreach { ug =>
+        unionRel(ug) match {
+          case None => return None
+          case Some(d) => parts = parts :+ ((0, d))
+        }
+      }
+      if (parts.isEmpty) return Some(None)
+      var acc = greedyJoin(parts)
+      g.optionals.foreach { og => acc = applyOptional(acc, og) }
+      g.filters.foreach { f =>
+        acc = acc.filter(compileFilter(f, resolveIn(acc, acc.columns.toSet)))
+      }
+      Some(Some(acc))
+    }
+
+    // UNION groups → one relation each: every branch group evaluates
+    // independently and recursively (branch FILTERs and nested
+    // OPTIONAL/UNION scope to the branch — a UNION branch is its own
+    // group in SPARQL), unshared variables are null-padded, and branch
+    // solutions CONCATENATE (bag union, no dedup — faithful to rdflib).
+    // A branch whose solutions are exactly {μ0} (all-ground, matched)
+    // contributes nothing the projection can see and is skipped — same
+    // rule as before nesting. Divergence note (same rule as OPTIONAL-var
+    // reuse below): a variable a branch leaves unbound joins outer
+    // patterns through SQL NULL equality (never matches) where SPARQL's
+    // compatible-mapping semantics would accept any binding — share
+    // variables between the union and outer patterns only when every
+    // branch binds them.
+    def unionRel(ug: UnionGroup): Option[DataFrame] = {
+      val branchDfs = ug.branches.flatMap { b =>
+        evalGroup(b) match {
+          case Some(Some(d)) => Some(d)
+          case _ => None // no solutions, or solutions bind no variables
+        }
+      }
+      if (branchDfs.isEmpty) None
       else {
         val allCols = branchDfs.flatMap(_.columns).distinct
-        branchDfs.map { d =>
+        Some(branchDfs.map { d =>
           val have = d.columns.toSet
           d.select(allCols.map(c =>
             if (have(c)) col(c) else lit(null).cast("string").as(c)): _*)
-        }.reduce(_ union _)
+        }.reduce(_ union _))
+      }
+    }
+
+    // OPTIONAL: SPARQL algebra LeftJoin(P1, P2, F) — a LEFT OUTER join on
+    // the shared variables whose join condition carries the group's own
+    // top-level FILTERs (so an inner FILTER conditions the match, it does
+    // not drop the left row; filters of groups nested DEEPER inside apply
+    // within their own group first, via evalGroup). Each group's relation
+    // is graph-sized → Catalyst broadcasts it; rows with no match keep
+    // NULL (= unbound) optional columns. Divergence note: a variable
+    // bound ONLY by an earlier OPTIONAL joins later groups through SQL
+    // NULL equality (never matches) where SPARQL's compatible-mapping
+    // semantics would re-bind — reuse a variable across two OPTIONAL
+    // groups only when the first group always binds it.
+    def applyOptional(acc0: DataFrame, g: PatternGroup): DataFrame = {
+      var acc = acc0
+      val accCols = acc.columns.toSet
+      evalGroup(g.copy(filters = Nil)) match {
+        case None | Some(None) =>
+          // zero solutions (or none that bind anything): left rows survive
+          // with the group's would-be fresh vars unbound
+          val newVars = groupVarsOf(g).filterNot(v => accCols.contains(vc(v)))
+          newVars.foreach { v =>
+            acc = acc.withColumn(vc(v), lit(null).cast("string"))
+          }
+          acc
+        case Some(Some(opt0)) =>
+          // prefix EVERY optional column — unambiguous join condition, and
+          // shared columns keep the LEFT side's value in the output
+          val opt = opt0.toDF(opt0.columns.map("o_" + _).toIndexedSeq: _*)
+          val optCols = opt0.columns.toSet
+          val shared = opt0.columns.filter(accCols.contains)
+          val newVars = groupVarsOf(g)
+            .filter(v => optCols.contains(vc(v)))
+            .filterNot(v => accCols.contains(vc(v)))
+          val resolve: String => Column = v =>
+            if (optCols.contains(vc(v))) opt("o_" + vc(v))
+            else resolveIn(acc, accCols)(v)
+          val cond = (shared.map(c => acc(c) === opt("o_" + c)) ++
+            g.filters.map(f => compileFilter(f, resolve)))
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val joined = acc.join(opt, cond, "left")
+          joined.select(
+            acc.columns.map(joined(_)) ++
+              newVars.map(v => joined("o_" + vc(v)).as(vc(v))): _*)
+      }
+    }
+
+    var unionFailed = false
+    val unionRels: Seq[DataFrame] = q.unions.map { ug =>
+      unionRel(ug) match {
+        case Some(d) => d
+        case None => unionFailed = true; spark.emptyDataFrame
+      }
+    }
+
+    // Plain nested `{ … }` groups at the top level: inner joins (§18.2.2.2
+    // — Join(A, B) over the group sequence; their filters scoped inside).
+    var groupFailed = false
+    val topGroupParts: Seq[(Int, DataFrame)] = q.groups.flatMap { g =>
+      evalGroup(g) match {
+        case None => groupFailed = true; None
+        case Some(None) => None // {μ0}: joins as identity
+        case Some(Some(d)) => Some((0, d))
+      }
+    }
+
+    // GRAPH groups (§13.3): re-scope pattern matching to one named graph.
+    // GRAPH <iri> { … } evaluates the full recursive group against that
+    // graph's triples only (the reference names one graph per building,
+    // setup-graphs.py:13-19). GRAPH ?g { … } additionally BINDS ?g: each
+    // atom keeps the quads `graph` column under vc(?g), so the greedy
+    // join's shared-column rule enforces same-graph matching and ?g joins
+    // the outer solution — plain single-step BGP + FILTER only (a per-
+    // graph closure fixpoint has no shared-relation form worth its cost).
+    val graphParts: Seq[(Int, DataFrame)] = q.graphs.map { case (term, g) =>
+      val qg = quadsG.getOrElse(throw new IllegalArgumentException(
+        "GRAPH requires evaluation over the 4-column quads relation — " +
+          "call BgpPlanner.evaluate, not evaluateTriples"))
+      term match {
+        case I(iri) =>
+          val gScoped = qg.filter(col("graph") === iri)
+            .select("s", "p", "o").distinct()
+          val vars = groupVarsOf(g)
+          if (vars.isEmpty) throw new IllegalArgumentException(
+            "GRAPH <iri> groups must bind at least one variable")
+          val sub = Query(projection = vars, distinct = false,
+            patterns = g.patterns, userVars = vars, filters = g.filters,
+            optionals = g.optionals, unions = g.unions, groups = g.groups)
+          val r = evaluateTriples(gScoped, sub, quadsG)
+          (2, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
+        case V(gv) =>
+          if (g.optionals.nonEmpty || g.unions.nonEmpty || g.groups.nonEmpty)
+            throw new IllegalArgumentException(
+              "GRAPH ?var groups support plain triple patterns + FILTER " +
+                "only (nested OPTIONAL/UNION inside GRAPH ?var is outside " +
+                "the supported subset)")
+          val atoms2 = expandAtoms(g.patterns)
+          val parts2 = atoms2.map { a =>
+            if (a.step.mod != ' ') throw new IllegalArgumentException(
+              "property-path modifiers inside GRAPH ?var groups are " +
+                "outside the supported subset")
+            var rel = a.step.alts.map { case (p, inv) =>
+              val base = qg.filter(col("p") === p)
+              if (inv) base.select(col("graph").as(vc(gv)),
+                col("o").as("as"), col("s").as("ao"))
+              else base.select(col("graph").as(vc(gv)),
+                col("s").as("as"), col("o").as("ao"))
+            }.reduce(_ union _)
+            a.s match { case V(_) => (); case I(i) => rel = rel.filter(col("as") === i); case L(l) => rel = rel.filter(col("as") === l) }
+            a.o match { case V(_) => (); case I(i) => rel = rel.filter(col("ao") === i); case L(l) => rel = rel.filter(col("ao") === l) }
+            val out = (a.s, a.o) match {
+              case (V(x), V(y)) if x == y =>
+                rel.filter(col("as") === col("ao"))
+                  .select(col(vc(gv)), col("as").as(vc(x)))
+              case (V(x), V(y)) =>
+                rel.select(col(vc(gv)), col("as").as(vc(x)), col("ao").as(vc(y)))
+              case (V(x), _) => rel.select(col(vc(gv)), col("as").as(vc(x)))
+              case (_, V(y)) => rel.select(col(vc(gv)), col("ao").as(vc(y)))
+              case _ => rel.select(col(vc(gv))) // ground: binds only ?g
+            }
+            (a.constCount, out.distinct())
+          }
+          var rel = greedyJoin(parts2)
+          g.filters.foreach { f =>
+            rel = rel.filter(compileFilter(f, resolveIn(rel, rel.columns.toSet)))
+          }
+          (1, rel)
+        case L(_) => throw new IllegalArgumentException(
+          "GRAPH needs an IRI or ?variable")
       }
     }
 
@@ -310,7 +484,7 @@ object BgpPlanner {
     // only ones visible outside, §18.2.1) join the outer group. An
     // aggregated subquery is group-key-sized → Catalyst broadcasts it.
     val subParts: Seq[(Int, DataFrame)] = q.subqueries.map { sub =>
-      val r = evaluateTriples(scoped, sub)
+      val r = evaluateTriples(scoped, sub, quadsG)
       (1, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
     }
 
@@ -322,17 +496,18 @@ object BgpPlanner {
     val selected = q.selected
     val baseParts: Seq[(Int, DataFrame)] =
       reqParts.getOrElse(Nil) ++ unionRels.map(r => (0, r)) ++ valuesParts ++
-        subParts
+        subParts ++ topGroupParts ++ graphParts
     // ASK over an all-ground group that MATCHED: exactly one solution —
     // the empty mapping (§18.3.1) — so the answer is true, not the empty
     // relation the var-projection path below would produce. (Scoped to
     // plain ASK: with EXISTS/MINUS/FILTER/BIND attached the general paths
     // below apply.)
-    if (q.askForm && reqParts.nonEmpty && !unionFailed && baseParts.isEmpty &&
+    if (q.askForm && reqParts.nonEmpty && !unionFailed && !groupFailed &&
+        baseParts.isEmpty &&
         q.exists.isEmpty && q.minuses.isEmpty && q.filters.isEmpty &&
         q.binds.isEmpty)
       return finish(spark.range(1).select(), q)
-    if (reqParts.isEmpty || unionFailed || baseParts.isEmpty) {
+    if (reqParts.isEmpty || unionFailed || groupFailed || baseParts.isEmpty) {
       if (q.aggregates.isEmpty && q.groupBy.isEmpty)
         return finish(spark.range(0)
           .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*), q)
@@ -345,47 +520,8 @@ object BgpPlanner {
     }
     var acc = greedyJoin(baseParts)
 
-    // OPTIONAL groups: SPARQL algebra LeftJoin(P1, P2, F) — a LEFT OUTER
-    // join on the shared variables whose join condition carries the
-    // group's own FILTERs (so an inner FILTER conditions the match, it
-    // does not drop the left row). Each group's relation is graph-sized →
-    // Catalyst broadcasts it; rows with no match keep NULL (= unbound)
-    // optional columns. Divergence note: a variable bound ONLY by an
-    // earlier OPTIONAL joins later groups through SQL NULL equality
-    // (never matches) where SPARQL's compatible-mapping semantics would
-    // re-bind — reuse a variable across two OPTIONAL groups only when the
-    // first group always binds it.
-    q.optionals.foreach { g =>
-      val optAtoms: List[Atom] = expandAtoms(g.patterns)
-      val optParts = buildParts(optAtoms)
-      // named (user-visible) vars this group can bind beyond what's bound
-      val groupVars = optAtoms.flatMap(_.vars).distinct
-        .filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
-      val accCols = acc.columns.toSet
-      val newVars = groupVars.filterNot(v => accCols.contains(vc(v)))
-      if (optParts.forall(_.isEmpty)) {
-        // group matches nothing (or binds nothing new): left rows survive
-        // with the group's fresh vars unbound
-        newVars.foreach { v => acc = acc.withColumn(vc(v), lit(null).cast("string")) }
-      } else {
-        val opt0 = greedyJoin(optParts.get)
-        // prefix EVERY optional column — unambiguous join condition, and
-        // shared columns keep the LEFT side's value in the output
-        val opt = opt0.toDF(opt0.columns.map("o_" + _).toIndexedSeq: _*)
-        val optCols = opt0.columns.toSet
-        val shared = opt0.columns.filter(accCols.contains)
-        val resolve: String => Column = v =>
-          if (optCols.contains(vc(v))) opt("o_" + vc(v))
-          else resolveIn(acc, accCols)(v)
-        val cond = (shared.map(c => acc(c) === opt("o_" + c)) ++
-          g.filters.map(f => compileFilter(f, resolve)))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        val joined = acc.join(opt, cond, "left")
-        acc = joined.select(
-          acc.columns.map(joined(_)) ++
-            newVars.map(v => joined("o_" + vc(v)).as(vc(v))): _*)
-      }
-    }
+    // OPTIONAL groups (recursive since round 9 — see applyOptional above).
+    q.optionals.foreach { g => acc = applyOptional(acc, g) }
 
     // MINUS groups: SPARQL Minus(P1, P2) — drop a solution when some P2
     // solution is compatible with it AND their domains overlap; disjoint
@@ -527,7 +663,8 @@ object BgpPlanner {
     * stores return at least these). R is constant- or binding-sized →
     * Catalyst broadcasts the semi-join into the quads scan; DISTINCT
     * because a description is a graph (set of triples). */
-  private def describePlan(scoped: DataFrame, q: Query): DataFrame = {
+  private def describePlan(scoped: DataFrame, q: Query,
+      quadsG: Option[DataFrame]): DataFrame = {
     val spark = scoped.sparkSession
     import Sparql._
     val consts = q.describeTerms.collect { case I(i) => i case L(l) => l }
@@ -539,7 +676,8 @@ object BgpPlanner {
     }
     if (vars.nonEmpty) {
       val inner = evaluateTriples(scoped,
-        q.copy(describeTerms = Nil, projection = vars, distinct = true))
+        q.copy(describeTerms = Nil, projection = vars, distinct = true),
+        quadsG)
       vars.foreach { v => parts += inner.select(col(v).as("s")) }
     }
     val resources = parts.reduce(_ union _).distinct()

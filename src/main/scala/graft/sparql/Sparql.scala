@@ -109,11 +109,18 @@ object Sparql {
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr
 
-  /** A braced sub-group of patterns + its own FILTERs. For OPTIONAL the
-    * filters belong to the left-join itself (SPARQL algebra
-    * LeftJoin(P1, P2, F)); for a UNION branch they scope to the branch. */
+  /** A braced sub-group: patterns + its own FILTERs + (since round 9)
+    * NESTED sub-structure — OPTIONAL-in-OPTIONAL, UNION-in-OPTIONAL,
+    * OPTIONAL-in-UNION-branch, and plain `{ … }` groups, to arbitrary
+    * depth. For OPTIONAL the top-level `filters` belong to the left-join
+    * itself (SPARQL algebra LeftJoin(P1, P2, F)); for a UNION branch and
+    * a plain group they scope to the group (applied after the group's own
+    * OPTIONALs, per §18.2.2.2 group scope). */
   final case class PatternGroup(
-      patterns: List[TriplePattern], filters: List[FExpr])
+      patterns: List[TriplePattern], filters: List[FExpr],
+      optionals: List[PatternGroup] = Nil,
+      unions: List[UnionGroup] = Nil,
+      groups: List[PatternGroup] = Nil)
 
   /** `{ A } UNION { B } …`: ≥2 branches, solutions concatenated with
     * unshared variables left unbound (SPARQL bag union). */
@@ -179,7 +186,9 @@ object Sparql {
       subqueries: List[Query] = Nil,
       askForm: Boolean = false,
       template: List[TriplePattern] = Nil, // nonEmpty = CONSTRUCT
-      describeTerms: List[Term] = Nil) { // nonEmpty = DESCRIBE
+      describeTerms: List[Term] = Nil, // nonEmpty = DESCRIBE
+      groups: List[PatternGroup] = Nil, // plain nested `{ … }` groups
+      graphs: List[(Term, PatternGroup)] = Nil) { // GRAPH <iri>/?g { … }
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -198,6 +207,7 @@ object Sparql {
     private val bindClauses = ArrayBuffer[Bind]()
     private val existsGroups = ArrayBuffer[(PatternGroup, Boolean)]()
     private val subQueries = ArrayBuffer[Query]()
+    private val graphGroups = ArrayBuffer[(Term, PatternGroup)]()
     private var haggCounter = 0 // HAVING-synthesized aggregate aliases
 
     private def err(msg: String): Nothing = {
@@ -304,15 +314,17 @@ object Sparql {
         val filters = ArrayBuffer[FExpr]()
         val optionals = ArrayBuffer[PatternGroup]()
         val unions = ArrayBuffer[UnionGroup]()
-        parseGroupBody(patterns, filters, optionals, unions,
-          allowOptional = true, allowUnion = true)
+        val groups = ArrayBuffer[PatternGroup]()
+        parseGroupBody(patterns, filters, optionals, unions, groups,
+          nested = false, flat = false)
         skipWs()
         if (pos < n) err("unexpected trailing content after ASK group")
         return Query(Nil, distinct = false, patterns.toList, order.toList,
           filters.toList, optionals.toList, unions.toList,
           values = valuesBlocks.toList, minuses = minusGroups.toList,
           binds = bindClauses.toList, exists = existsGroups.toList,
-          subqueries = subQueries.toList, askForm = true)
+          subqueries = subQueries.toList, askForm = true,
+          groups = groups.toList, graphs = graphGroups.toList)
       }
       // ---- DESCRIBE form: subject triples of the described resources -----
       if (kw("DESCRIBE")) {
@@ -333,12 +345,13 @@ object Sparql {
         val filters = ArrayBuffer[FExpr]()
         val optionals = ArrayBuffer[PatternGroup]()
         val unions = ArrayBuffer[UnionGroup]()
+        val groups = ArrayBuffer[PatternGroup]()
         if (kw("WHERE")) {
           skipWs()
           if (peek != '{') err("expected '{' after WHERE")
           pos += 1
-          parseGroupBody(patterns, filters, optionals, unions,
-            allowOptional = true, allowUnion = true)
+          parseGroupBody(patterns, filters, optionals, unions, groups,
+            nested = false, flat = false)
         } else if (hasVar)
           err("DESCRIBE with variables needs a WHERE group binding them")
         skipWs()
@@ -347,7 +360,8 @@ object Sparql {
           filters.toList, optionals.toList, unions.toList,
           values = valuesBlocks.toList, minuses = minusGroups.toList,
           binds = bindClauses.toList, exists = existsGroups.toList,
-          subqueries = subQueries.toList, describeTerms = terms.toList)
+          subqueries = subQueries.toList, describeTerms = terms.toList,
+          groups = groups.toList, graphs = graphGroups.toList)
       }
       // ---- CONSTRUCT form: template instantiated per solution ------------
       if (kw("CONSTRUCT")) {
@@ -378,15 +392,17 @@ object Sparql {
         val filters = ArrayBuffer[FExpr]()
         val optionals = ArrayBuffer[PatternGroup]()
         val unions = ArrayBuffer[UnionGroup]()
-        parseGroupBody(patterns, filters, optionals, unions,
-          allowOptional = true, allowUnion = true)
+        val groups = ArrayBuffer[PatternGroup]()
+        parseGroupBody(patterns, filters, optionals, unions, groups,
+          nested = false, flat = false)
         skipWs()
         if (pos < n) err("unexpected trailing content after CONSTRUCT query")
         return Query(Nil, distinct = false, patterns.toList, order.toList,
           filters.toList, optionals.toList, unions.toList,
           values = valuesBlocks.toList, minuses = minusGroups.toList,
           binds = bindClauses.toList, exists = existsGroups.toList,
-          subqueries = subQueries.toList, template = tmpl.toList)
+          subqueries = subQueries.toList, template = tmpl.toList,
+          groups = groups.toList, graphs = graphGroups.toList)
       }
       if (!kw("SELECT")) err("expected SELECT, ASK, or CONSTRUCT")
       val distinct = kw("DISTINCT")
@@ -412,8 +428,9 @@ object Sparql {
       val filters = ArrayBuffer[FExpr]()
       val optionals = ArrayBuffer[PatternGroup]()
       val unions = ArrayBuffer[UnionGroup]()
-      parseGroupBody(patterns, filters, optionals, unions,
-        allowOptional = true, allowUnion = true)
+      val groups = ArrayBuffer[PatternGroup]()
+      parseGroupBody(patterns, filters, optionals, unions, groups,
+        nested = false, flat = false)
       // ---- solution modifiers (SPARQL 1.1 §18.2.4 order) ----------------
       val groupBy = ArrayBuffer[String]()
       if (kw("GROUP")) {
@@ -453,7 +470,8 @@ object Sparql {
         filters.toList, optionals.toList, unions.toList,
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
         limit, offset, valuesBlocks.toList, minusGroups.toList,
-        bindClauses.toList, existsGroups.toList, subQueries.toList)
+        bindClauses.toList, existsGroups.toList, subQueries.toList,
+        groups = groups.toList, graphs = graphGroups.toList)
     }
 
     private def parseInt(): Int = {
@@ -509,26 +527,37 @@ object Sparql {
     }
 
     /** Body of a `{ … }` group up to and including the closing brace:
-      * triple blocks, FILTER constraints, and (at the top level only —
-      * one nesting level bounds the planner's join tree) OPTIONAL groups
-      * and `{ A } UNION { B }` alternatives. */
+      * triple blocks, FILTER constraints, OPTIONAL groups, `{ A } UNION
+      * { B }` alternatives, and plain nested `{ … }` groups — the last
+      * three recurse to arbitrary depth (the planner's join tree grows
+      * with query size, which is the right bound). `nested` = inside any
+      * sub-group: VALUES/BIND/EXISTS/MINUS/GRAPH/subqueries stay
+      * TOP-LEVEL constructs (their group-final scope semantics in the
+      * planner assume it — each is rejected with a named error when
+      * nested). `flat` = inside an EXISTS/MINUS group, where the planner
+      * needs a plain BGP: no sub-structure of any kind. */
     private def parseGroupBody(
         patterns: ArrayBuffer[TriplePattern],
         filters: ArrayBuffer[FExpr],
         optionals: ArrayBuffer[PatternGroup],
         unions: ArrayBuffer[UnionGroup],
-        allowOptional: Boolean,
-        allowUnion: Boolean): Unit = {
+        groups: ArrayBuffer[PatternGroup],
+        nested: Boolean,
+        flat: Boolean): Unit = {
       skipWs()
       while (peek != '}') {
         if (pos >= n) err("unterminated group")
         if (peek == '{') {
-          if (!allowUnion)
-            err("nested group patterns are outside the supported SPARQL subset")
+          if (flat)
+            err("nested groups inside EXISTS/MINUS are outside the " +
+              "supported SPARQL subset")
           // `{ SELECT … }` — a braced group whose first token is SELECT is
           // a subquery: extracted verbatim (balanced braces) and parsed by
           // a fresh Parser seeded with the outer PREFIX declarations.
           if (selectAhead()) {
+            if (nested)
+              err("subqueries inside OPTIONAL/UNION/nested groups are " +
+                "outside the supported subset")
             val sub = parseSubSelect()
             if (sub.projection.isEmpty)
               err("subqueries must project explicit variables " +
@@ -538,19 +567,16 @@ object Sparql {
             sub.selected.foreach(v => if (!order.contains(v)) order += v)
             subQueries += sub
           } else {
-            // `{ A } UNION { B } [UNION { C } …]` — otherwise a braced
-            // group is only supported as a UNION alternative (plain
-            // grouping adds nothing to the subset)
-            val branches = ArrayBuffer[PatternGroup]()
-            branches += parseBracedGroup()
-            if (!kw("UNION"))
-              err("a braced group must be a UNION alternative " +
-                "({ A } UNION { B }) or a subquery ({ SELECT … }); plain " +
-                "nested groups are outside the supported SPARQL subset; " +
-                "see SURVEY.md §2.8")
-            branches += parseBracedGroup()
-            while (kw("UNION")) branches += parseBracedGroup()
-            unions += UnionGroup(branches.toList)
+            // `{ A } UNION { B } [UNION { C } …]`, or — with no UNION
+            // keyword following — a plain nested group (joined with the
+            // enclosing group per §18.2.2.2)
+            val first = parseNestedGroup("group")
+            if (kw("UNION")) {
+              val branches = ArrayBuffer[PatternGroup](first)
+              branches += parseNestedGroup("UNION branch")
+              while (kw("UNION")) branches += parseNestedGroup("UNION branch")
+              unions += UnionGroup(branches.toList)
+            } else groups += first
           }
         } else if (kw("FILTER")) {
           // EXISTS / NOT EXISTS are pattern-valued constraints (semi/anti
@@ -558,31 +584,43 @@ object Sparql {
           // the top level only, so they can't hide inside `&&`/`||` where
           // a join has no faithful Column form.
           if (kw("EXISTS")) {
-            if (!allowOptional)
+            if (nested)
               err("EXISTS inside OPTIONAL/MINUS/UNION is outside the " +
                 "supported subset")
-            existsGroups += ((parseSubGroup("EXISTS"), true))
+            existsGroups += ((parseFlatGroup("EXISTS"), true))
           } else if (notExistsAhead()) {
             kw("NOT"); kw("EXISTS")
-            if (!allowOptional)
+            if (nested)
               err("NOT EXISTS inside OPTIONAL/MINUS/UNION is outside the " +
                 "supported subset")
-            existsGroups += ((parseSubGroup("NOT EXISTS"), false))
+            existsGroups += ((parseFlatGroup("NOT EXISTS"), false))
           } else filters += parseFilter()
         } else if (kw("OPTIONAL")) {
-          if (!allowOptional)
-            err("nested OPTIONAL is outside the supported SPARQL subset")
-          optionals += parseSubGroup("OPTIONAL")
+          if (flat)
+            err("OPTIONAL inside EXISTS/MINUS is outside the supported " +
+              "SPARQL subset")
+          optionals += parseNestedGroup("OPTIONAL")
         } else if (kw("MINUS")) {
-          if (!allowOptional)
+          if (nested)
             err("nested MINUS is outside the supported SPARQL subset")
-          minusGroups += parseSubGroup("MINUS")
+          minusGroups += parseFlatGroup("MINUS")
+        } else if (kw("GRAPH")) {
+          if (nested)
+            err("GRAPH inside OPTIONAL/UNION/nested groups is outside the " +
+              "supported subset")
+          skipWs()
+          val term: Term =
+            if (peek == '?' || peek == '$') V(parseVar())
+            else if (peek == '<') I(parseIriRef())
+            else if (peek.isLetter || peek == '_') I(parsePName())
+            else err("GRAPH needs an IRI or ?variable")
+          graphGroups += ((term, parseNestedGroup("GRAPH")))
         } else if (kw("VALUES")) {
-          if (!allowOptional)
+          if (nested)
             err("VALUES inside OPTIONAL/UNION is outside the supported subset")
           valuesBlocks += parseValues()
         } else if (kw("BIND")) {
-          if (!allowOptional)
+          if (nested)
             err("BIND inside OPTIONAL/UNION is outside the supported subset")
           expect('(')
           val e = parseBindExpr()
@@ -602,9 +640,10 @@ object Sparql {
       pos += 1
     }
 
-    /** `{ … }` after OPTIONAL/MINUS: triples + filters only (one nesting
-      * level bounds the planner's join tree). */
-    private def parseSubGroup(keyword: String): PatternGroup = {
+    /** `{ … }` after OPTIONAL/GRAPH/UNION or standing alone: full
+      * recursive group — triples, filters, nested OPTIONAL/UNION/plain
+      * groups. */
+    private def parseNestedGroup(keyword: String): PatternGroup = {
       skipWs()
       if (peek != '{') err(s"expected '{' after $keyword")
       pos += 1
@@ -612,7 +651,25 @@ object Sparql {
       val f2 = ArrayBuffer[FExpr]()
       val o2 = ArrayBuffer[PatternGroup]()
       val u2 = ArrayBuffer[UnionGroup]()
-      parseGroupBody(p2, f2, o2, u2, allowOptional = false, allowUnion = false)
+      val g2 = ArrayBuffer[PatternGroup]()
+      parseGroupBody(p2, f2, o2, u2, g2, nested = true, flat = false)
+      if (p2.isEmpty && o2.isEmpty && u2.isEmpty && g2.isEmpty)
+        err(s"empty $keyword group")
+      PatternGroup(p2.toList, f2.toList, o2.toList, u2.toList, g2.toList)
+    }
+
+    /** `{ … }` after EXISTS/MINUS: triples + filters only (the planner
+      * compiles these groups to one semi/anti join — a plain BGP). */
+    private def parseFlatGroup(keyword: String): PatternGroup = {
+      skipWs()
+      if (peek != '{') err(s"expected '{' after $keyword")
+      pos += 1
+      val p2 = ArrayBuffer[TriplePattern]()
+      val f2 = ArrayBuffer[FExpr]()
+      val o2 = ArrayBuffer[PatternGroup]()
+      val u2 = ArrayBuffer[UnionGroup]()
+      val g2 = ArrayBuffer[PatternGroup]()
+      parseGroupBody(p2, f2, o2, u2, g2, nested = true, flat = true)
       if (p2.isEmpty) err(s"empty $keyword group")
       PatternGroup(p2.toList, f2.toList)
     }
@@ -733,33 +790,18 @@ object Sparql {
       new Parser(prologue + inner).parseQuery()
     }
 
-    /** `{ patterns . FILTER … }` — a UNION branch: triples + filters only
-      * (no nested OPTIONAL/UNION, which keeps every branch a plain BGP). */
-    private def parseBracedGroup(): PatternGroup = {
-      skipWs()
-      if (peek != '{') err("expected '{'")
-      pos += 1
-      val p = ArrayBuffer[TriplePattern]()
-      val f = ArrayBuffer[FExpr]()
-      val o = ArrayBuffer[PatternGroup]()
-      val u = ArrayBuffer[UnionGroup]()
-      parseGroupBody(p, f, o, u, allowOptional = false, allowUnion = false)
-      if (p.isEmpty) err("empty UNION branch")
-      PatternGroup(p.toList, f.toList)
-    }
-
     /** Name the gap explicitly: these SPARQL 1.1 constructs are dead
       * surface for the reference's usage (SURVEY.md §2.8) and rejected
       * with a clear message rather than a confusing parse error. */
     private def rejectUnsupported(): Unit = {
-      val unsupported = Seq("GRAPH", "SERVICE")
+      val unsupported = Seq("SERVICE")
       unsupported.foreach { kw =>
         if (in.regionMatches(true, pos, kw, 0, kw.length) &&
             (pos + kw.length >= n || !in.charAt(pos + kw.length).isLetterOrDigit))
           err(s"$kw is outside the supported SPARQL subset " +
             "(basic graph patterns, property paths, blank nodes, FILTER, " +
-            "one-level OPTIONAL/MINUS, UNION, VALUES, BIND, aggregates; " +
-            "see SURVEY.md §2.8)")
+            "nested OPTIONAL/UNION/groups, GRAPH, MINUS, VALUES, BIND, " +
+            "aggregates, subqueries; see SURVEY.md §2.8)")
       }
     }
 

@@ -258,6 +258,95 @@ class BgpPropertySpec extends AnyFunSuite {
     assert(run >= 10, s"only $run generated cases were runnable")
   }
 
+  // ---- nested OPTIONAL differential fuzz (round 9) ----------------------
+
+  /** Recursive group solutions: patterns, then nested OPTIONALs (their
+    * top-level filters conditioning each LeftJoin), then the group's own
+    * filters — mirroring BgpPlanner.evalGroup's §18.2.2.2 order. */
+  def naiveGroupSols(ts: Set[(String, String, String)],
+      g: PatternGroup): Set[Map[String, String]] = {
+    val base = naiveSols(ts, g.patterns)
+    val extended = g.optionals.foldLeft(base) { (acc, og) =>
+      val inner = naiveGroupSols(ts, og.copy(filters = Nil))
+      acc.flatMap { m1 =>
+        val matches = inner.filter { m2 =>
+          m2.keySet.intersect(m1.keySet).forall(k => m1(k) == m2(k)) &&
+            og.filters.forall(f => feval(f, m1 ++ m2))
+        }
+        if (matches.nonEmpty) matches.map(m1 ++ _) else Set(m1)
+      }
+    }
+    extended.filter(m => g.filters.forall(f => feval(f, m)))
+  }
+
+  /** Query with OPTIONAL-in-OPTIONAL: required pats over (a,b), outer
+    * optional over (b,c) carrying an inner optional over (c,d); filters
+    * possible at every level. The outer body's pattern vars are always
+    * bound within the body, so the nested LeftJoin's shared-var equi-join
+    * is exact (the divergence note's hazard needs a var bound ONLY by a
+    * sibling optional, which this shape cannot produce). */
+  val nestedOptQueryGen: Gen[Query] = for {
+    pats <- Gen.listOfN(1, patternGen(Seq("a", "b")))
+    outerPats <- Gen.listOfN(1, patternGen(Seq("b", "c")))
+    innerPats <- Gen.listOfN(1, patternGen(Seq("c", "d")))
+    wantOuterF <- Gen.oneOf(true, false)
+    wantInnerF <- Gen.oneOf(true, false)
+    outerFSeed <- cmpGen(Seq("b", "c"))
+    innerFSeed <- cmpGen(Seq("c", "d"))
+  } yield {
+    def varsOf(ps: List[TriplePattern]) =
+      ps.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }.distinct
+    val outerVars = varsOf(outerPats)
+    val innerVars = varsOf(innerPats)
+    val outerF =
+      if (wantOuterF && outerVars.nonEmpty)
+        List(outerFSeed match { case FCmp(_, op, r) => FCmp(FVar(outerVars.head), op, r); case o => o })
+      else Nil
+    val innerF =
+      if (wantInnerF && innerVars.nonEmpty)
+        List(innerFSeed match { case FCmp(_, op, r) => FCmp(FVar(innerVars.head), op, r); case o => o })
+      else Nil
+    val named = (varsOf(pats) ++ outerVars ++ innerVars).distinct
+    Query(Nil, distinct = false, pats, named,
+      optionals = List(PatternGroup(outerPats, outerF,
+        optionals = List(PatternGroup(innerPats, innerF)))))
+  }
+
+  /** LeftJoin(Ω_required, LeftJoin(Ω_outer, Ω_inner, F_in), F_out), naively. */
+  def naiveNestedOpt(ts: Set[(String, String, String)], q: Query): Set[List[String]] = {
+    val whole = PatternGroup(q.patterns, q.filters, optionals = q.optionals)
+    naiveGroupSols(ts, whole)
+      .map(_.filter { case (k, _) => !k.startsWith("_i") })
+      .map(m => q.selected.map(m.getOrElse(_, null)))
+  }
+
+  test("planner nested OPTIONAL == naive nested LeftJoin semantics on random graphs/queries") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 25).flatMap { i =>
+      for {
+        g <- graphGen(Gen.Parameters.default, Seed(7000L + i))
+        q <- nestedOptQueryGen(Gen.Parameters.default, Seed(8000L + i))
+      } yield (g, q)
+    }
+    assert(cases.nonEmpty)
+    var run = 0
+    cases.foreach { case (g, q) =>
+      val reqHasVar = q.patterns.exists(tp => Seq(tp.s, tp.o).exists(_.isInstanceOf[V]))
+      if (reqHasVar && q.selected.nonEmpty) {
+        run += 1
+        val quads = g.toSeq.map { case (su, p, o) => Quad("urn:g#", su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naiveNestedOpt(g, q)
+        assert(got == want,
+          s"mismatch for ${q.patterns} OPTIONAL(nested) ${q.optionals} " +
+            s"over ${g.size} triples: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 15, s"only $run generated cases were runnable")
+  }
+
   // ---- UNION differential fuzz (round 8) --------------------------------
 
   /** A UNION branch: one pattern anchored on shared subject ?u (so the

@@ -14,16 +14,14 @@ class EntrySpec extends AnyFunSuite {
   }
 
   test("oracleSql keys == queries keys (every query is DuckDB-oracled)") {
-    // Queries whose computation has no SQL form (iterative, argmax feeds
-    // the next round) are EXPLICITLY allowlisted here — each must carry a
-    // differential spec instead (the driver records a rows-only check).
-    // Anything else without an oracle is a regression: a new query must
-    // not silently downgrade to rows-only.
-    val nonSqlExpressible = Set(
-      "q126_bpe_merges") // BpeSpec: differential vs plain-Scala Sennrich
-    assert(SparkEntry.oracleSql.keySet ==
-      SparkEntry.queries.keySet -- nonSqlExpressible,
-      s"unoracled: ${(SparkEntry.queries.keySet -- nonSqlExpressible --
+    // EVERY query carries a DuckDB oracle as of round 9 — queries whose
+    // computation has no SQL form pin their deterministic result as a
+    // literal VALUES oracle instead (q126: merge table from an
+    // independent non-Spark Sennrich implementation). A new query without
+    // an oracle is a regression: it must not silently downgrade to
+    // rows-only.
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      s"unoracled: ${(SparkEntry.queries.keySet --
         SparkEntry.oracleSql.keySet).toSeq.sorted}" +
         s"; orphaned: ${(SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toSeq.sorted}")
   }

@@ -127,17 +127,26 @@ class SparqlSpec extends AnyFunSuite {
   }
 
   test("unsupported SPARQL constructs rejected with a named error") {
-    Seq("GRAPH <urn:g> { ?s <urn:q> ?x }",
-      "SERVICE <urn:svc> { ?s <urn:q> ?x }").foreach { frag =>
+    Seq("SERVICE <urn:svc> { ?s <urn:q> ?x }").foreach { frag =>
       val e = intercept[IllegalArgumentException] {
         Sparql.parse(s"SELECT ?s WHERE { ?s <urn:p> <urn:o> . $frag }")
       }
       assert(e.getMessage.contains("outside the supported SPARQL subset"), e.getMessage)
     }
+    // constructs whose group-final planner scope assumes top level stay
+    // rejected when nested
     val e = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { ?s <urn:q> ?w . OPTIONAL { ?s <urn:r> ?x } } }")
+      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { ?s <urn:q> ?w . MINUS { ?s <urn:r> ?x } } }")
     }
-    assert(e.getMessage.contains("nested OPTIONAL"), e.getMessage)
+    assert(e.getMessage.contains("nested MINUS"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { ?s <urn:q> ?w . BIND(?w AS ?x) } }")
+    }
+    assert(e2.getMessage.contains("BIND inside"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . FILTER EXISTS { ?s <urn:q> ?w . OPTIONAL { ?s <urn:r> ?x } } }")
+    }
+    assert(e3.getMessage.contains("OPTIONAL inside EXISTS"), e3.getMessage)
   }
 
   // ---- FILTER + OPTIONAL (round 8) --------------------------------------
@@ -230,11 +239,116 @@ class SparqlSpec extends AnyFunSuite {
     assert(got == Seq(("urn:d#1", "5", "alpha"), ("urn:d#3", "50", "beta")))
   }
 
-  test("plain nested groups (no UNION) still rejected with a named error") {
+  // ---- nested groups + GRAPH (round 9) ---------------------------------
+
+  test("plain nested groups join with the enclosing group; inner FILTER scopes to the group") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#val", "5"),
+      Quad("urn:g#", "urn:d#2", "urn:p#val", "50"),
+      Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
+      Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta")).toDF()
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?t WHERE { ?s p:tag ?t . { ?s p:val ?v . FILTER(?v > 9) } }")
+    val rows = BgpPlanner.evaluate(g, q).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("urn:d#2", "beta")))
+  }
+
+  test("OPTIONAL inside OPTIONAL: inner extension only where the outer matched") {
+    val s = spark
+    import s.implicits._
+    // d1 has val+tag+note, d2 has val+tag, d3 has val only
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#val", "1"),
+      Quad("urn:g#", "urn:d#2", "urn:p#val", "2"),
+      Quad("urn:g#", "urn:d#3", "urn:p#val", "3"),
+      Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
+      Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
+      Quad("urn:g#", "urn:d#1", "urn:p#note", "nb1")).toDF()
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?t ?n WHERE { ?s p:val ?v . " +
+        "OPTIONAL { ?s p:tag ?t . OPTIONAL { ?s p:note ?n } } } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      ("urn:d#1", Some("alpha"), Some("nb1")),
+      ("urn:d#2", Some("beta"), None),
+      ("urn:d#3", None, None)))
+  }
+
+  test("UNION inside OPTIONAL; OPTIONAL inside UNION branch") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#val", "1"),
+      Quad("urn:g#", "urn:d#2", "urn:p#val", "2"),
+      Quad("urn:g#", "urn:d#3", "urn:p#val", "3"),
+      Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
+      Quad("urn:g#", "urn:d#2", "urn:p#label", "beta"),
+      Quad("urn:g#", "urn:d#1", "urn:p#note", "nb1")).toDF()
+    // UNION inside OPTIONAL: name comes from tag or label; d3 stays unbound
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?nm WHERE { ?s p:val ?v . " +
+        "OPTIONAL { { ?s p:tag ?nm } UNION { ?s p:label ?nm } } } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(
+      ("urn:d#1", Some("alpha")), ("urn:d#2", Some("beta")), ("urn:d#3", None)))
+    // OPTIONAL inside a UNION branch: branch 1 extends with note where present
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?n WHERE { " +
+        "{ ?s p:tag ?t . OPTIONAL { ?s p:note ?n } } UNION { ?s p:label ?t } } ORDER BY ?s")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows2.toSeq == Seq(("urn:d#1", Some("nb1")), ("urn:d#2", None)))
+  }
+
+  test("GRAPH <iri> scopes matching to one named graph; GRAPH ?g binds the graph") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:siteA#", "urn:x#1", "urn:p#t", "a1"),
+      Quad("urn:siteB#", "urn:x#2", "urn:p#t", "b1"),
+      Quad("urn:siteB#", "urn:x#2", "urn:p#u", "b2"),
+      Quad("urn:siteC#", "urn:x#3", "urn:p#u", "c1")).toDF()
+    // constant graph: only siteB's triples match
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?v WHERE { GRAPH <urn:siteB#> { ?s p:t ?v } }")
+    val rows = BgpPlanner.evaluate(g, q).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("urn:x#2", "b1")))
+    // variable graph: ?g binds per matching graph, and both patterns must
+    // match within the SAME graph (x2's t+u are both in siteB)
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:t ?v . ?s p:u ?w } }")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows2.toSeq == Seq(("urn:siteB#", "urn:x#2")))
+    // variable graph joins the outer group through shared vars
+    val q3 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?v WHERE { ?s p:t ?v . GRAPH ?g { ?s p:u ?w } } ORDER BY ?g")
+    val rows3 = BgpPlanner.evaluate(g, q3).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows3.toSeq == Seq(("urn:siteB#", "b1")))
+    // GRAPH needs the quads relation: evaluateTriples without it errors
     val e = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { { ?s <urn:p> ?v } }")
+      BgpPlanner.evaluateTriples(g.select("s", "p", "o"), q)
     }
-    assert(e.getMessage.contains("UNION alternative"), e.getMessage)
+    assert(e.getMessage.contains("GRAPH requires"), e.getMessage)
+  }
+
+  test("GRAPH ?var restrictions are named: no paths, no nested structure") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(Quad("urn:a#", "urn:x#1", "urn:p#t", "1")).toDF()
+    val e = intercept[IllegalArgumentException] {
+      BgpPlanner.evaluate(g, Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:t* ?o } }"))
+    }
+    assert(e.getMessage.contains("property-path modifiers inside GRAPH"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      BgpPlanner.evaluate(g, Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:t ?o . OPTIONAL { ?s p:u ?w } } }"))
+    }
+    assert(e2.getMessage.contains("GRAPH ?var groups support plain"), e2.getMessage)
   }
 
   test("FILTER on the flagship fixture: regex narrows timeseries bindings") {
