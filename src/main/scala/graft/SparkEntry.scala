@@ -996,6 +996,21 @@ object SparkEntry {
         .na.fill("unbound", Seq("m"))
         .orderBy("c")
     }),
+    "q131_sparql_group_scoped" -> ((s, dir) => {
+      // §2.8 group-scoped VALUES + BIND (round 9): the VALUES block joins
+      // INSIDE the optional group (conditioning the match, not the outer
+      // rows — a broadcast LocalRelation into the group's BGP), and the
+      // BIND alias computed there surfaces through the left join only
+      // where the group matched. Unbound → sentinel-filled for hashing.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n ?lbl WHERE { " +
+          "?c p:inNation ?n . " +
+          "OPTIONAL { ?c p:mkt ?m . VALUES ?m { \"BUILDING\" \"MACHINERY\" } " +
+          "BIND(LCASE(?m) AS ?lbl) } }")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+        .na.fill("unbound", Seq("lbl"))
+        .orderBy("c")
+    }),
     "q127_sparql_describe" -> ((s, dir) => {
       // §2.8 DESCRIBE form (the 4th and last SPARQL query form): the
       // WHERE bindings of ?c become the described-resource set, which
@@ -3105,6 +3120,12 @@ object SparkEntry {
         |FROM customer
         |WHERE c_nationkey % 5 = 2 AND floor(c_acctbal*100) > 800000
         |ORDER BY c""".stripMargin,
+    "q131_sparql_group_scoped" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n,
+        |  coalesce(CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |    THEN lower(c_mktsegment) END, 'unbound') AS lbl
+        |FROM customer ORDER BY c""".stripMargin,
     "q127_sparql_describe" ->
       """WITH ids AS (
         |  SELECT c_custkey, 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c

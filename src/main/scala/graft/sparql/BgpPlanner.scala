@@ -267,19 +267,112 @@ object BgpPlanner {
     def groupVarsOf(g: PatternGroup): List[String] = (
       g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n }) ++
         g.groups.flatMap(groupVarsOf) ++ g.optionals.flatMap(groupVarsOf) ++
-        g.unions.flatMap(_.branches.flatMap(groupVarsOf))
+        g.unions.flatMap(_.branches.flatMap(groupVarsOf)) ++
+        g.values.flatMap(_.vars) ++ g.binds.map(_.alias)
     ).distinct.filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
 
-    /** Evaluate one PatternGroup recursively (its patterns, nested plain
-      * groups, nested unions, nested optionals, then its own filters —
-      * §18.2.2.2 group scope order). Returns None = the group has ZERO
-      * solutions; Some(None) = exactly one solution, the empty mapping
-      * (all-ground group that matched); Some(Some(df)) = the binding
-      * relation (vc-named columns). */
+    // VALUES blocks → tiny local relations (one column per variable).
+    // Catalyst broadcasts them (LocalRelation sizes are known), so a
+    // VALUES-restricted query becomes a broadcast semi-join into the
+    // pattern scan — the parameterized-id-list plan a user wants at scale.
+    // High constCount sorts them first in the greedy join: start from the
+    // most selective relation and extend through shared variables.
+    def valuesPart(vb: ValuesBlock): (Int, DataFrame) = {
+      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+        org.apache.spark.sql.types.StructField(vc(v),
+          org.apache.spark.sql.types.StringType)))
+      val rows = vb.rows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(r)).asJava
+      (3, spark.createDataFrame(rows, schema))
+    }
+
+    // MINUS: SPARQL Minus(P1, P2) — drop a solution when some P2 solution
+    // is compatible with it AND their domains overlap; disjoint domains
+    // keep the row (the spec's dom-disjoint rule), which is exactly a
+    // LEFT ANTI join on the shared variables — and a no-op when there are
+    // none. Divergence note (same family as the OPTIONAL-var rule): a
+    // left row NULL (unbound) in ONE of several shared columns never
+    // anti-matches in SQL, where SPARQL would test compatibility over the
+    // remaining overlap — avoid mixing OPTIONAL vars into multi-var MINUS
+    // groups.
+    def applyMinus(acc0: DataFrame, g: PatternGroup): DataFrame = {
+      buildParts(expandAtoms(g.patterns)) match {
+        case Some(parts) if parts.nonEmpty =>
+          var m = greedyJoin(parts)
+          g.filters.foreach { f =>
+            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
+          }
+          val shared = m.columns.filter(acc0.columns.toSet)
+          if (shared.nonEmpty)
+            acc0.join(m.select(shared.map(col): _*).distinct(),
+              shared.toSeq, "left_anti")
+          else acc0
+        case _ => acc0 // MINUS pattern has no solutions → removes nothing
+      }
+    }
+
+    // BIND: a withColumn over the joined solution — a pure codegen'd
+    // projection, no shuffle. Scope simplification vs the spec: BIND is
+    // group-final (applied after the group's OPTIONAL/MINUS, before its
+    // FILTERs, which therefore CAN test BIND aliases) rather than
+    // splitting the group at its syntactic position; identical for every
+    // query whose BIND references only vars its group has bound by then.
+    // Rebinding an in-scope variable is an error per the spec.
+    def applyBind(acc0: DataFrame, b: Bind): DataFrame = {
+      val cols = acc0.columns.toSet
+      if (cols.contains(vc(b.alias))) throw new IllegalArgumentException(
+        s"BIND would rebind ?${b.alias} — already in scope")
+      acc0.withColumn(vc(b.alias), compileBind(b.expr, resolveIn(acc0, cols)))
+    }
+
+    // EXISTS / NOT EXISTS: SPARQL §8.1 pattern-based negation. Correlated
+    // (≥1 shared variable) → LEFT SEMI / LEFT ANTI join on the shared
+    // variables — the candidate group's relation is graph-sized, so
+    // Catalyst broadcasts it and no solution row ever duplicates
+    // (semi-join, not inner). Uncorrelated → the group's (non)emptiness
+    // decides globally: a 1-row LIMIT probe joined on a constant key, so
+    // the plan stays declarative (no driver-side isEmpty action).
+    def applyExists(acc0: DataFrame, g: PatternGroup,
+        positive: Boolean): DataFrame = {
+      buildParts(expandAtoms(g.patterns)) match {
+        case Some(parts) if parts.nonEmpty =>
+          var m = greedyJoin(parts)
+          g.filters.foreach { f =>
+            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
+          }
+          val shared = m.columns.filter(acc0.columns.toSet)
+          if (shared.nonEmpty)
+            acc0.join(m.select(shared.map(col).toIndexedSeq: _*),
+              shared.toSeq, if (positive) "left_semi" else "left_anti")
+          else {
+            val probe = m.limit(1).select(lit(1).as("_k"))
+            acc0.withColumn("_k", lit(1))
+              .join(probe, Seq("_k"), if (positive) "left_semi" else "left_anti")
+              .drop("_k")
+          }
+        case Some(_) =>
+          // all-ground group, every atom MATCHED: the group's one solution
+          // is the empty mapping, compatible with every row — EXISTS keeps
+          // everything, NOT EXISTS keeps nothing
+          if (!positive) acc0.limit(0) else acc0
+        case None =>
+          // the group is unsatisfiable (a ground triple failed): EXISTS
+          // keeps nothing, NOT EXISTS removes nothing
+          if (positive) acc0.limit(0) else acc0
+      }
+    }
+
+    /** Evaluate one PatternGroup recursively — patterns ∪ nested plain
+      * groups ∪ nested unions ∪ VALUES join first, then optionals,
+      * minuses, binds, exists, and the group's own filters, mirroring the
+      * top-level order (§18.2.2.2 group scope). Returns None = the group
+      * has ZERO solutions; Some(None) = exactly one solution, the empty
+      * mapping (all-ground group that matched); Some(Some(df)) = the
+      * binding relation (vc-named columns). */
     def evalGroup(g: PatternGroup): Option[Option[DataFrame]] = {
       val partsOpt = buildParts(expandAtoms(g.patterns))
       if (partsOpt.isEmpty) return None // a ground atom failed
-      var parts: Seq[(Int, DataFrame)] = partsOpt.get
+      var parts: Seq[(Int, DataFrame)] = partsOpt.get ++ g.values.map(valuesPart)
       g.groups.foreach { sub =>
         evalGroup(sub) match {
           case None => return None // join with the empty set
@@ -296,6 +389,9 @@ object BgpPlanner {
       if (parts.isEmpty) return Some(None)
       var acc = greedyJoin(parts)
       g.optionals.foreach { og => acc = applyOptional(acc, og) }
+      g.minuses.foreach { mg => acc = applyMinus(acc, mg) }
+      g.binds.foreach { bd => acc = applyBind(acc, bd) }
+      g.exists.foreach { case (eg, pos) => acc = applyExists(acc, eg, pos) }
       g.filters.foreach { f =>
         acc = acc.filter(compileFilter(f, resolveIn(acc, acc.columns.toSet)))
       }
@@ -418,15 +514,19 @@ object BgpPlanner {
             "GRAPH <iri> groups must bind at least one variable")
           val sub = Query(projection = vars, distinct = false,
             patterns = g.patterns, userVars = vars, filters = g.filters,
-            optionals = g.optionals, unions = g.unions, groups = g.groups)
+            optionals = g.optionals, unions = g.unions, groups = g.groups,
+            values = g.values, minuses = g.minuses, binds = g.binds,
+            exists = g.exists)
           val r = evaluateTriples(gScoped, sub, quadsG)
           (2, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
         case V(gv) =>
-          if (g.optionals.nonEmpty || g.unions.nonEmpty || g.groups.nonEmpty)
+          if (g.optionals.nonEmpty || g.unions.nonEmpty ||
+              g.groups.nonEmpty || g.values.nonEmpty || g.minuses.nonEmpty ||
+              g.binds.nonEmpty || g.exists.nonEmpty)
             throw new IllegalArgumentException(
               "GRAPH ?var groups support plain triple patterns + FILTER " +
-                "only (nested OPTIONAL/UNION inside GRAPH ?var is outside " +
-                "the supported subset)")
+                "only (nested OPTIONAL/UNION/VALUES/BIND/MINUS/EXISTS " +
+                "inside GRAPH ?var is outside the supported subset)")
           val atoms2 = expandAtoms(g.patterns)
           val parts2 = atoms2.map { a =>
             if (a.step.mod != ' ') throw new IllegalArgumentException(
@@ -463,20 +563,7 @@ object BgpPlanner {
       }
     }
 
-    // VALUES blocks → tiny local relations (one column per variable).
-    // Catalyst broadcasts them (LocalRelation sizes are known), so a
-    // VALUES-restricted query becomes a broadcast semi-join into the
-    // pattern scan — the parameterized-id-list plan a user wants at scale.
-    // High constCount sorts them first in the greedy join: start from the
-    // most selective relation and extend through shared variables.
-    val valuesParts: Seq[(Int, DataFrame)] = q.values.map { vb =>
-      val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
-        org.apache.spark.sql.types.StructField(vc(v),
-          org.apache.spark.sql.types.StringType)))
-      val rows = vb.rows.map(r =>
-        org.apache.spark.sql.Row.fromSeq(r)).asJava
-      (3, spark.createDataFrame(rows, schema))
-    }
+    val valuesParts: Seq[(Int, DataFrame)] = q.values.map(valuesPart)
 
     // Subqueries → one relation each: evaluated recursively (a subquery
     // is a complete query — aggregates, modifiers, deeper subqueries),
@@ -523,84 +610,12 @@ object BgpPlanner {
     // OPTIONAL groups (recursive since round 9 — see applyOptional above).
     q.optionals.foreach { g => acc = applyOptional(acc, g) }
 
-    // MINUS groups: SPARQL Minus(P1, P2) — drop a solution when some P2
-    // solution is compatible with it AND their domains overlap; disjoint
-    // domains keep the row (the spec's dom-disjoint rule), which is
-    // exactly a LEFT ANTI join on the shared variables — and a no-op when
-    // there are none. Divergence note (same family as the OPTIONAL-var
-    // rule above): a left row NULL (unbound) in ONE of several shared
-    // columns never anti-matches in SQL, where SPARQL would test
-    // compatibility over the remaining overlap — avoid mixing OPTIONAL
-    // vars into multi-var MINUS groups.
-    q.minuses.foreach { g =>
-      buildParts(expandAtoms(g.patterns)) match {
-        case Some(parts) if parts.nonEmpty =>
-          var m = greedyJoin(parts)
-          g.filters.foreach { f =>
-            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
-          }
-          val shared = m.columns.filter(acc.columns.toSet)
-          if (shared.nonEmpty)
-            acc = acc.join(m.select(shared.map(col): _*).distinct(),
-              shared.toSeq, "left_anti")
-        case _ => () // MINUS pattern has no solutions → removes nothing
-      }
-    }
-
-    // BIND clauses, in writing order (later BINDs may reference earlier
-    // aliases): each is a withColumn over the joined solution — a pure
-    // codegen'd projection, no shuffle. Scope simplification vs the spec:
-    // BIND here is group-final (applied after OPTIONAL/MINUS, before the
-    // group FILTERs, which therefore CAN test BIND aliases) rather than
-    // splitting the group at its syntactic position; identical for every
-    // query whose BIND references only required-pattern/OPTIONAL vars,
-    // which the one-level subset guarantees. Rebinding an in-scope
-    // variable is an error per the spec.
-    q.binds.foreach { b =>
-      val cols = acc.columns.toSet
-      if (cols.contains(vc(b.alias))) throw new IllegalArgumentException(
-        s"BIND would rebind ?${b.alias} — already in scope")
-      acc = acc.withColumn(vc(b.alias),
-        compileBind(b.expr, resolveIn(acc, cols)))
-    }
-
-    // EXISTS / NOT EXISTS groups: SPARQL §8.1 pattern-based negation.
-    // Correlated (≥1 shared variable) → LEFT SEMI / LEFT ANTI join on the
-    // shared variables — the candidate group's relation is graph-sized,
-    // so Catalyst broadcasts it and no solution row ever duplicates
-    // (semi-join, not inner). Uncorrelated → the group's (non)emptiness
-    // decides globally: a 1-row LIMIT probe joined on a constant key, so
-    // the plan stays declarative (no driver-side isEmpty action).
-    // Evaluated after BIND (aliases can correlate) and before the plain
-    // FILTERs, which share group-final scope.
-    q.exists.foreach { case (g, positive) =>
-      buildParts(expandAtoms(g.patterns)) match {
-        case Some(parts) if parts.nonEmpty =>
-          var m = greedyJoin(parts)
-          g.filters.foreach { f =>
-            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
-          }
-          val shared = m.columns.filter(acc.columns.toSet)
-          if (shared.nonEmpty)
-            acc = acc.join(m.select(shared.map(col).toIndexedSeq: _*),
-              shared.toSeq, if (positive) "left_semi" else "left_anti")
-          else {
-            val probe = m.limit(1).select(lit(1).as("_k"))
-            acc = acc.withColumn("_k", lit(1))
-              .join(probe, Seq("_k"), if (positive) "left_semi" else "left_anti")
-              .drop("_k")
-          }
-        case Some(_) =>
-          // all-ground group, every atom MATCHED: the group's one solution
-          // is the empty mapping, compatible with every row — EXISTS keeps
-          // everything, NOT EXISTS keeps nothing
-          if (!positive) acc = acc.limit(0)
-        case None =>
-          // the group is unsatisfiable (a ground triple failed): EXISTS
-          // keeps nothing, NOT EXISTS removes nothing
-          if (positive) acc = acc.limit(0)
-      }
-    }
+    // MINUS / BIND / EXISTS — shared appliers (see defs above); BIND runs
+    // in writing order (later BINDs may reference earlier aliases), EXISTS
+    // after BIND (aliases can correlate), both before the plain FILTERs.
+    q.minuses.foreach { g => acc = applyMinus(acc, g) }
+    q.binds.foreach { b => acc = applyBind(acc, b) }
+    q.exists.foreach { case (g, positive) => acc = applyExists(acc, g, positive) }
 
     // Group-level FILTERs: applied after OPTIONAL extension (SPARQL group
     // scope), so BOUND/!BOUND over optional vars behaves correctly.

@@ -111,16 +111,22 @@ object Sparql {
 
   /** A braced sub-group: patterns + its own FILTERs + (since round 9)
     * NESTED sub-structure — OPTIONAL-in-OPTIONAL, UNION-in-OPTIONAL,
-    * OPTIONAL-in-UNION-branch, and plain `{ … }` groups, to arbitrary
-    * depth. For OPTIONAL the top-level `filters` belong to the left-join
-    * itself (SPARQL algebra LeftJoin(P1, P2, F)); for a UNION branch and
-    * a plain group they scope to the group (applied after the group's own
-    * OPTIONALs, per §18.2.2.2 group scope). */
+    * OPTIONAL-in-UNION-branch, plain `{ … }` groups, and group-scoped
+    * VALUES/MINUS/BIND/EXISTS — to arbitrary depth. For OPTIONAL the
+    * top-level `filters` belong to the left-join itself (SPARQL algebra
+    * LeftJoin(P1, P2, F)); for a UNION branch and a plain group they
+    * scope to the group. Within a group the evaluation order mirrors the
+    * top level: patterns∪groups∪unions∪values join, then optionals,
+    * minuses, binds, exists, filters (§18.2.2.2 group scope). */
   final case class PatternGroup(
       patterns: List[TriplePattern], filters: List[FExpr],
       optionals: List[PatternGroup] = Nil,
       unions: List[UnionGroup] = Nil,
-      groups: List[PatternGroup] = Nil)
+      groups: List[PatternGroup] = Nil,
+      values: List[ValuesBlock] = Nil,
+      minuses: List[PatternGroup] = Nil,
+      binds: List[Bind] = Nil,
+      exists: List[(PatternGroup, Boolean)] = Nil)
 
   /** `{ A } UNION { B } …`: ≥2 branches, solutions concatenated with
     * unshared variables left unbound (SPARQL bag union). */
@@ -202,12 +208,30 @@ object Sparql {
     private var anonCounter = 0
     private val order = ArrayBuffer[String]() // named vars, first-appearance
     private val aggs = ArrayBuffer[Agg]()
-    private val valuesBlocks = ArrayBuffer[ValuesBlock]()
-    private val minusGroups = ArrayBuffer[PatternGroup]()
-    private val bindClauses = ArrayBuffer[Bind]()
-    private val existsGroups = ArrayBuffer[(PatternGroup, Boolean)]()
     private val subQueries = ArrayBuffer[Query]()
     private val graphGroups = ArrayBuffer[(Term, PatternGroup)]()
+
+    /** One group's worth of parse state — the top level and every nested
+      * `{ … }` each get their own instance, so VALUES/MINUS/BIND/EXISTS
+      * scope to the group that contains them. */
+    private final class GroupBufs {
+      val patterns = ArrayBuffer[TriplePattern]()
+      val filters = ArrayBuffer[FExpr]()
+      val optionals = ArrayBuffer[PatternGroup]()
+      val unions = ArrayBuffer[UnionGroup]()
+      val groups = ArrayBuffer[PatternGroup]()
+      val values = ArrayBuffer[ValuesBlock]()
+      val minuses = ArrayBuffer[PatternGroup]()
+      val binds = ArrayBuffer[Bind]()
+      val exists = ArrayBuffer[(PatternGroup, Boolean)]()
+      def toGroup: PatternGroup = PatternGroup(patterns.toList,
+        filters.toList, optionals.toList, unions.toList, groups.toList,
+        values.toList, minuses.toList, binds.toList, exists.toList)
+      /** Can this group produce bindings? (A binds/filter-only group has
+        * nothing to extend and is rejected as empty.) */
+      def bindsAnything: Boolean = patterns.nonEmpty || optionals.nonEmpty ||
+        unions.nonEmpty || groups.nonEmpty || values.nonEmpty
+    }
     private var haggCounter = 0 // HAVING-synthesized aggregate aliases
 
     private def err(msg: String): Nothing = {
@@ -310,21 +334,16 @@ object Sparql {
         skipWs()
         if (peek != '{') err("expected '{' after ASK")
         pos += 1
-        val patterns = ArrayBuffer[TriplePattern]()
-        val filters = ArrayBuffer[FExpr]()
-        val optionals = ArrayBuffer[PatternGroup]()
-        val unions = ArrayBuffer[UnionGroup]()
-        val groups = ArrayBuffer[PatternGroup]()
-        parseGroupBody(patterns, filters, optionals, unions, groups,
-          nested = false, flat = false)
+        val b = new GroupBufs
+        parseGroupBody(b, nested = false, flat = false)
         skipWs()
         if (pos < n) err("unexpected trailing content after ASK group")
-        return Query(Nil, distinct = false, patterns.toList, order.toList,
-          filters.toList, optionals.toList, unions.toList,
-          values = valuesBlocks.toList, minuses = minusGroups.toList,
-          binds = bindClauses.toList, exists = existsGroups.toList,
+        return Query(Nil, distinct = false, b.patterns.toList, order.toList,
+          b.filters.toList, b.optionals.toList, b.unions.toList,
+          values = b.values.toList, minuses = b.minuses.toList,
+          binds = b.binds.toList, exists = b.exists.toList,
           subqueries = subQueries.toList, askForm = true,
-          groups = groups.toList, graphs = graphGroups.toList)
+          groups = b.groups.toList, graphs = graphGroups.toList)
       }
       // ---- DESCRIBE form: subject triples of the described resources -----
       if (kw("DESCRIBE")) {
@@ -341,27 +360,22 @@ object Sparql {
         }
         if (terms.isEmpty) err("DESCRIBE needs ≥1 IRI or variable")
         val hasVar = terms.exists(_.isInstanceOf[V])
-        val patterns = ArrayBuffer[TriplePattern]()
-        val filters = ArrayBuffer[FExpr]()
-        val optionals = ArrayBuffer[PatternGroup]()
-        val unions = ArrayBuffer[UnionGroup]()
-        val groups = ArrayBuffer[PatternGroup]()
+        val b = new GroupBufs
         if (kw("WHERE")) {
           skipWs()
           if (peek != '{') err("expected '{' after WHERE")
           pos += 1
-          parseGroupBody(patterns, filters, optionals, unions, groups,
-            nested = false, flat = false)
+          parseGroupBody(b, nested = false, flat = false)
         } else if (hasVar)
           err("DESCRIBE with variables needs a WHERE group binding them")
         skipWs()
         if (pos < n) err("unexpected trailing content after DESCRIBE query")
-        return Query(Nil, distinct = false, patterns.toList, order.toList,
-          filters.toList, optionals.toList, unions.toList,
-          values = valuesBlocks.toList, minuses = minusGroups.toList,
-          binds = bindClauses.toList, exists = existsGroups.toList,
+        return Query(Nil, distinct = false, b.patterns.toList, order.toList,
+          b.filters.toList, b.optionals.toList, b.unions.toList,
+          values = b.values.toList, minuses = b.minuses.toList,
+          binds = b.binds.toList, exists = b.exists.toList,
           subqueries = subQueries.toList, describeTerms = terms.toList,
-          groups = groups.toList, graphs = graphGroups.toList)
+          groups = b.groups.toList, graphs = graphGroups.toList)
       }
       // ---- CONSTRUCT form: template instantiated per solution ------------
       if (kw("CONSTRUCT")) {
@@ -388,21 +402,16 @@ object Sparql {
         skipWs()
         if (peek != '{') err("expected '{'")
         pos += 1
-        val patterns = ArrayBuffer[TriplePattern]()
-        val filters = ArrayBuffer[FExpr]()
-        val optionals = ArrayBuffer[PatternGroup]()
-        val unions = ArrayBuffer[UnionGroup]()
-        val groups = ArrayBuffer[PatternGroup]()
-        parseGroupBody(patterns, filters, optionals, unions, groups,
-          nested = false, flat = false)
+        val b = new GroupBufs
+        parseGroupBody(b, nested = false, flat = false)
         skipWs()
         if (pos < n) err("unexpected trailing content after CONSTRUCT query")
-        return Query(Nil, distinct = false, patterns.toList, order.toList,
-          filters.toList, optionals.toList, unions.toList,
-          values = valuesBlocks.toList, minuses = minusGroups.toList,
-          binds = bindClauses.toList, exists = existsGroups.toList,
+        return Query(Nil, distinct = false, b.patterns.toList, order.toList,
+          b.filters.toList, b.optionals.toList, b.unions.toList,
+          values = b.values.toList, minuses = b.minuses.toList,
+          binds = b.binds.toList, exists = b.exists.toList,
           subqueries = subQueries.toList, template = tmpl.toList,
-          groups = groups.toList, graphs = graphGroups.toList)
+          groups = b.groups.toList, graphs = graphGroups.toList)
       }
       if (!kw("SELECT")) err("expected SELECT, ASK, or CONSTRUCT")
       val distinct = kw("DISTINCT")
@@ -424,13 +433,8 @@ object Sparql {
       skipWs()
       if (peek != '{') err("expected '{'")
       pos += 1
-      val patterns = ArrayBuffer[TriplePattern]()
-      val filters = ArrayBuffer[FExpr]()
-      val optionals = ArrayBuffer[PatternGroup]()
-      val unions = ArrayBuffer[UnionGroup]()
-      val groups = ArrayBuffer[PatternGroup]()
-      parseGroupBody(patterns, filters, optionals, unions, groups,
-        nested = false, flat = false)
+      val b = new GroupBufs
+      parseGroupBody(b, nested = false, flat = false)
       // ---- solution modifiers (SPARQL 1.1 §18.2.4 order) ----------------
       val groupBy = ArrayBuffer[String]()
       if (kw("GROUP")) {
@@ -466,12 +470,12 @@ object Sparql {
       }
       skipWs()
       if (pos < n) err("unexpected trailing content after query")
-      Query(projection.toList, distinct, patterns.toList, order.toList,
-        filters.toList, optionals.toList, unions.toList,
+      Query(projection.toList, distinct, b.patterns.toList, order.toList,
+        b.filters.toList, b.optionals.toList, b.unions.toList,
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
-        limit, offset, valuesBlocks.toList, minusGroups.toList,
-        bindClauses.toList, existsGroups.toList, subQueries.toList,
-        groups = groups.toList, graphs = graphGroups.toList)
+        limit, offset, b.values.toList, b.minuses.toList,
+        b.binds.toList, b.exists.toList, subQueries.toList,
+        groups = b.groups.toList, graphs = graphGroups.toList)
     }
 
     private def parseInt(): Int = {
@@ -528,20 +532,15 @@ object Sparql {
 
     /** Body of a `{ … }` group up to and including the closing brace:
       * triple blocks, FILTER constraints, OPTIONAL groups, `{ A } UNION
-      * { B }` alternatives, and plain nested `{ … }` groups — the last
-      * three recurse to arbitrary depth (the planner's join tree grows
-      * with query size, which is the right bound). `nested` = inside any
-      * sub-group: VALUES/BIND/EXISTS/MINUS/GRAPH/subqueries stay
-      * TOP-LEVEL constructs (their group-final scope semantics in the
-      * planner assume it — each is rejected with a named error when
-      * nested). `flat` = inside an EXISTS/MINUS group, where the planner
-      * needs a plain BGP: no sub-structure of any kind. */
+      * { B }` alternatives, plain nested `{ … }` groups, and group-scoped
+      * VALUES/MINUS/BIND/EXISTS — all recursing to arbitrary depth (the
+      * planner's join tree grows with query size, which is the right
+      * bound). Still TOP-LEVEL-only, with named errors: subqueries and
+      * GRAPH (their planner integration assumes the outer scope). `flat`
+      * = inside an EXISTS/MINUS group, where the planner needs a plain
+      * BGP: no sub-structure of any kind. */
     private def parseGroupBody(
-        patterns: ArrayBuffer[TriplePattern],
-        filters: ArrayBuffer[FExpr],
-        optionals: ArrayBuffer[PatternGroup],
-        unions: ArrayBuffer[UnionGroup],
-        groups: ArrayBuffer[PatternGroup],
+        b: GroupBufs,
         nested: Boolean,
         flat: Boolean): Unit = {
       skipWs()
@@ -575,35 +574,34 @@ object Sparql {
               val branches = ArrayBuffer[PatternGroup](first)
               branches += parseNestedGroup("UNION branch")
               while (kw("UNION")) branches += parseNestedGroup("UNION branch")
-              unions += UnionGroup(branches.toList)
-            } else groups += first
+              b.unions += UnionGroup(branches.toList)
+            } else b.groups += first
           }
         } else if (kw("FILTER")) {
           // EXISTS / NOT EXISTS are pattern-valued constraints (semi/anti
-          // joins), not boolean Columns — supported as the WHOLE filter at
-          // the top level only, so they can't hide inside `&&`/`||` where
-          // a join has no faithful Column form.
+          // joins), not boolean Columns — supported as the WHOLE filter
+          // only, so they can't hide inside `&&`/`||` where a join has no
+          // faithful Column form.
           if (kw("EXISTS")) {
-            if (nested)
-              err("EXISTS inside OPTIONAL/MINUS/UNION is outside the " +
-                "supported subset")
-            existsGroups += ((parseFlatGroup("EXISTS"), true))
+            if (flat)
+              err("EXISTS inside EXISTS/MINUS is outside the supported subset")
+            b.exists += ((parseFlatGroup("EXISTS"), true))
           } else if (notExistsAhead()) {
             kw("NOT"); kw("EXISTS")
-            if (nested)
-              err("NOT EXISTS inside OPTIONAL/MINUS/UNION is outside the " +
+            if (flat)
+              err("NOT EXISTS inside EXISTS/MINUS is outside the " +
                 "supported subset")
-            existsGroups += ((parseFlatGroup("NOT EXISTS"), false))
-          } else filters += parseFilter()
+            b.exists += ((parseFlatGroup("NOT EXISTS"), false))
+          } else b.filters += parseFilter()
         } else if (kw("OPTIONAL")) {
           if (flat)
             err("OPTIONAL inside EXISTS/MINUS is outside the supported " +
               "SPARQL subset")
-          optionals += parseNestedGroup("OPTIONAL")
+          b.optionals += parseNestedGroup("OPTIONAL")
         } else if (kw("MINUS")) {
-          if (nested)
-            err("nested MINUS is outside the supported SPARQL subset")
-          minusGroups += parseFlatGroup("MINUS")
+          if (flat)
+            err("MINUS inside EXISTS/MINUS is outside the supported subset")
+          b.minuses += parseFlatGroup("MINUS")
         } else if (kw("GRAPH")) {
           if (nested)
             err("GRAPH inside OPTIONAL/UNION/nested groups is outside the " +
@@ -616,12 +614,12 @@ object Sparql {
             else err("GRAPH needs an IRI or ?variable")
           graphGroups += ((term, parseNestedGroup("GRAPH")))
         } else if (kw("VALUES")) {
-          if (nested)
-            err("VALUES inside OPTIONAL/UNION is outside the supported subset")
-          valuesBlocks += parseValues()
+          if (flat)
+            err("VALUES inside EXISTS/MINUS is outside the supported subset")
+          b.values += parseValues()
         } else if (kw("BIND")) {
-          if (nested)
-            err("BIND inside OPTIONAL/UNION is outside the supported subset")
+          if (flat)
+            err("BIND inside EXISTS/MINUS is outside the supported subset")
           expect('(')
           val e = parseBindExpr()
           if (!kw("AS")) err("expected AS in BIND(expr AS ?var)")
@@ -629,10 +627,10 @@ object Sparql {
           if (peek != '?' && peek != '$') err("expected ?var after AS")
           val alias = parseVar()
           expect(')')
-          bindClauses += Bind(e, alias)
+          b.binds += Bind(e, alias)
         } else {
           rejectUnsupported()
-          parseTriplesSameSubject(patterns)
+          parseTriplesSameSubject(b.patterns)
         }
         skipWs()
         if (peek == '.') { pos += 1; skipWs() }
@@ -642,20 +640,15 @@ object Sparql {
 
     /** `{ … }` after OPTIONAL/GRAPH/UNION or standing alone: full
       * recursive group — triples, filters, nested OPTIONAL/UNION/plain
-      * groups. */
+      * groups, group-scoped VALUES/MINUS/BIND/EXISTS. */
     private def parseNestedGroup(keyword: String): PatternGroup = {
       skipWs()
       if (peek != '{') err(s"expected '{' after $keyword")
       pos += 1
-      val p2 = ArrayBuffer[TriplePattern]()
-      val f2 = ArrayBuffer[FExpr]()
-      val o2 = ArrayBuffer[PatternGroup]()
-      val u2 = ArrayBuffer[UnionGroup]()
-      val g2 = ArrayBuffer[PatternGroup]()
-      parseGroupBody(p2, f2, o2, u2, g2, nested = true, flat = false)
-      if (p2.isEmpty && o2.isEmpty && u2.isEmpty && g2.isEmpty)
-        err(s"empty $keyword group")
-      PatternGroup(p2.toList, f2.toList, o2.toList, u2.toList, g2.toList)
+      val b = new GroupBufs
+      parseGroupBody(b, nested = true, flat = false)
+      if (!b.bindsAnything) err(s"empty $keyword group")
+      b.toGroup
     }
 
     /** `{ … }` after EXISTS/MINUS: triples + filters only (the planner
@@ -664,14 +657,10 @@ object Sparql {
       skipWs()
       if (peek != '{') err(s"expected '{' after $keyword")
       pos += 1
-      val p2 = ArrayBuffer[TriplePattern]()
-      val f2 = ArrayBuffer[FExpr]()
-      val o2 = ArrayBuffer[PatternGroup]()
-      val u2 = ArrayBuffer[UnionGroup]()
-      val g2 = ArrayBuffer[PatternGroup]()
-      parseGroupBody(p2, f2, o2, u2, g2, nested = true, flat = true)
-      if (p2.isEmpty) err(s"empty $keyword group")
-      PatternGroup(p2.toList, f2.toList)
+      val b = new GroupBufs
+      parseGroupBody(b, nested = true, flat = true)
+      if (b.patterns.isEmpty) err(s"empty $keyword group")
+      PatternGroup(b.patterns.toList, b.filters.toList)
     }
 
     /** `VALUES ?v { term* }` or `VALUES (?a ?b) { (t1 t2) … }`. UNDEF is

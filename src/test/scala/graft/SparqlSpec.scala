@@ -133,20 +133,72 @@ class SparqlSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("outside the supported SPARQL subset"), e.getMessage)
     }
-    // constructs whose group-final planner scope assumes top level stay
-    // rejected when nested
+    // EXISTS/MINUS group bodies stay plain BGPs: no sub-structure inside
     val e = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { ?s <urn:q> ?w . MINUS { ?s <urn:r> ?x } } }")
-    }
-    assert(e.getMessage.contains("nested MINUS"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { ?s <urn:q> ?w . BIND(?w AS ?x) } }")
-    }
-    assert(e2.getMessage.contains("BIND inside"), e2.getMessage)
-    val e3 = intercept[IllegalArgumentException] {
       Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . FILTER EXISTS { ?s <urn:q> ?w . OPTIONAL { ?s <urn:r> ?x } } }")
     }
-    assert(e3.getMessage.contains("OPTIONAL inside EXISTS"), e3.getMessage)
+    assert(e.getMessage.contains("OPTIONAL inside EXISTS"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . MINUS { ?s <urn:q> ?w . BIND(?w AS ?x) } }")
+    }
+    assert(e2.getMessage.contains("BIND inside EXISTS/MINUS"), e2.getMessage)
+    // subqueries and GRAPH stay top-level constructs
+    val e3 = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { { SELECT ?s WHERE { ?s <urn:q> ?w } } } }")
+    }
+    assert(e3.getMessage.contains("subqueries inside"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { GRAPH <urn:g> { ?s <urn:q> ?w } } }")
+    }
+    assert(e4.getMessage.contains("GRAPH inside"), e4.getMessage)
+  }
+
+  test("VALUES and BIND inside nested groups scope to their group") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
+      Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
+      Quad("urn:g#", "urn:d#3", "urn:p#tag", "gamma"),
+      Quad("urn:g#", "urn:d#1", "urn:p#val", "7")).toDF()
+    // VALUES inside OPTIONAL conditions the optional match; BIND inside
+    // computes an alias visible outside through the left join
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?lbl WHERE { ?s p:tag ?t . " +
+        "OPTIONAL { ?s p:tag ?m . VALUES ?m { \"alpha\" \"beta\" } " +
+        "BIND(UCASE(?m) AS ?lbl) } } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(
+      ("urn:d#1", Some("ALPHA")), ("urn:d#2", Some("BETA")), ("urn:d#3", None)))
+  }
+
+  test("MINUS and EXISTS inside nested groups scope to their group") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
+      Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
+      Quad("urn:g#", "urn:d#3", "urn:p#tag", "gamma"),
+      Quad("urn:g#", "urn:d#1", "urn:p#flag", "x"),
+      Quad("urn:g#", "urn:d#2", "urn:p#val", "9")).toDF()
+    // MINUS inside OPTIONAL: the optional extends only where the minus
+    // keeps the inner solution (d1 dropped by its flag, d3 survives)
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?m WHERE { ?s p:tag ?t . " +
+        "OPTIONAL { ?s p:tag ?m . MINUS { ?s p:flag ?f } } } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(
+      ("urn:d#1", None), ("urn:d#2", Some("beta")), ("urn:d#3", Some("gamma"))))
+    // EXISTS inside a UNION branch: branch 1 keeps only subjects that
+    // also have a val; branch 2 contributes flagged subjects
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s WHERE { " +
+        "{ ?s p:tag ?t . FILTER EXISTS { ?s p:val ?v } } UNION " +
+        "{ ?s p:flag ?f } } ORDER BY ?s")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect().map(_.getString(0))
+    assert(rows2.toSeq == Seq("urn:d#1", "urn:d#2"))
   }
 
   // ---- FILTER + OPTIONAL (round 8) --------------------------------------
@@ -559,8 +611,11 @@ class SparqlSpec extends AnyFunSuite {
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?nope AS ?x) }", "bound by no pattern")
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v / 2 AS ?x) }", "'/'")
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 1.5 AS ?x) }", "integer arithmetic")
-    bad("SELECT ?s WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t . BIND(?t AS ?x) } }",
-      "BIND inside OPTIONAL")
+    // BIND inside OPTIONAL is supported since round 9 (group scope)
+    val ok = BgpPlanner.evaluate(filterQuads, Sparql.parse(fp +
+      "SELECT ?s ?x WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t . BIND(UCASE(?t) AS ?x) } }"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(ok("urn:d#1") == Some("ALPHA") && ok("urn:d#2").isEmpty)
   }
 
   test("p? zero-or-one: identity plus one step, targeted and var-var forms") {
