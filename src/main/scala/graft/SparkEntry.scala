@@ -1011,6 +1011,36 @@ object SparkEntry {
         .na.fill("unbound", Seq("lbl"))
         .orderBy("c")
     }),
+    "q132_sparql_values_undef" -> ((s, dir) => {
+      // §2.8 VALUES with UNDEF (§10.2.2, round 9): each row constrains
+      // only its DEFINED cells — (n#1, UNDEF) admits any segment within
+      // nation 1, (UNDEF, BUILDING) admits any nation with segment
+      // BUILDING — and a solution compatible with BOTH rows appears twice
+      // (bag join). Compiles to a broadcast nested-loop over the 2-row
+      // LocalRelation with a null-or-equal condition per column.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?n ?m WHERE { " +
+          "?c p:inNation ?n . ?c p:mkt ?m . " +
+          "VALUES (?n ?m) { (<urn:n#1> UNDEF) (UNDEF \"BUILDING\") } }")
+      BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("c", "n", "m")
+    }),
+    "q133_bpe_encode" -> ((s, dir) => {
+      // BPE APPLICATION at corpus scale (the q126 trainer's other half):
+      // merges learned from the FULL corpus replay per DISTINCT word
+      // (chained codegen'd rewrites), then the word→tokens map broadcast-
+      // joins back onto the rows — the chained-rewrite cost is paid
+      // |vocab| times, not |corpus| times. Oracle pins per-doc token
+      // counts + the first 5 tokens for doc_id < 20, generated by the
+      // same independent non-Spark implementation as q126's merge table.
+      val docs = t(s, dir, "documents")
+      val merges = operators.Bpe.trainFromWordFreq(
+        operators.Bpe.wordFreq(docs, "text"), numMerges = 12)
+      operators.Bpe.encode(docs.filter(col("doc_id") < 20),
+          "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_toks"))
+        .orderBy("doc_id")
+    }),
     "q127_sparql_describe" -> ((s, dir) => {
       // §2.8 DESCRIBE form (the 4th and last SPARQL query form): the
       // WHERE bindings of ?c become the described-resource set, which
@@ -3126,6 +3156,44 @@ object SparkEntry {
         |  coalesce(CASE WHEN c_mktsegment IN ('BUILDING', 'MACHINERY')
         |    THEN lower(c_mktsegment) END, 'unbound') AS lbl
         |FROM customer ORDER BY c""".stripMargin,
+    "q132_sparql_values_undef" ->
+      // one SELECT per VALUES row (UNION ALL = the bag join): a customer
+      // compatible with both rows appears twice, exactly as in SPARQL
+      """SELECT c, n, m FROM (
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |    'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n, c_mktsegment AS m
+        |  FROM customer WHERE c_nationkey = 1
+        |  UNION ALL
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR),
+        |    'urn:n#' || CAST(c_nationkey AS VARCHAR), c_mktsegment
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY c, n, m""".stripMargin,
+    "q133_bpe_encode" ->
+      // literal expected relation from the independent non-Spark BPE
+      // (train on full corpus, encode docs 0-19) — same provenance as
+      // q126's merge-table oracle
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), CAST(125 AS BIGINT), 'k e y </w> a'),
+        |  (CAST(1 AS BIGINT), CAST(317 AS BIGINT), 'b at c h</w> w'),
+        |  (CAST(2 AS BIGINT), CAST(193 AS BIGINT), 's m a l l'),
+        |  (CAST(3 AS BIGINT), CAST(119 AS BIGINT), 'w in d ow</w> m'),
+        |  (CAST(4 AS BIGINT), CAST(195 AS BIGINT), 'd at a </w> q'),
+        |  (CAST(5 AS BIGINT), CAST(252 AS BIGINT), 'a g g </w> t'),
+        |  (CAST(6 AS BIGINT), CAST(65 AS BIGINT), 'a g g </w> s'),
+        |  (CAST(7 AS BIGINT), CAST(303 AS BIGINT), 'b at c h</w> w'),
+        |  (CAST(8 AS BIGINT), CAST(368 AS BIGINT), 't h e</w> s p'),
+        |  (CAST(9 AS BIGINT), CAST(305 AS BIGINT), 'or d er</w> s m'),
+        |  (CAST(10 AS BIGINT), CAST(175 AS BIGINT), 'or d er</w> s c'),
+        |  (CAST(11 AS BIGINT), CAST(246 AS BIGINT), 't h e</w> b i'),
+        |  (CAST(12 AS BIGINT), CAST(269 AS BIGINT), 'b at c h</w> s'),
+        |  (CAST(13 AS BIGINT), CAST(271 AS BIGINT), 'w in d ow</w> q'),
+        |  (CAST(14 AS BIGINT), CAST(400 AS BIGINT), 'st r e a m'),
+        |  (CAST(15 AS BIGINT), CAST(178 AS BIGINT), 'or d er</w> m er'),
+        |  (CAST(16 AS BIGINT), CAST(68 AS BIGINT), 'l in e</w> v e'),
+        |  (CAST(17 AS BIGINT), CAST(328 AS BIGINT), 'k e y </w> a'),
+        |  (CAST(18 AS BIGINT), CAST(324 AS BIGINT), 'm er g e</w> s'),
+        |  (CAST(19 AS BIGINT), CAST(48 AS BIGINT), 'v e c t or')
+        |) AS t(doc_id, n_tokens, head_toks) ORDER BY doc_id""".stripMargin,
     "q127_sparql_describe" ->
       """WITH ids AS (
         |  SELECT c_custkey, 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c

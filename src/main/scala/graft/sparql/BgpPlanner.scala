@@ -286,6 +286,34 @@ object BgpPlanner {
       (3, spark.createDataFrame(rows, schema))
     }
 
+    // VALUES with UNDEF cells (§10.2.2): an UNDEF cell is compatible with
+    // ANY binding of that variable, which an equi-join cannot express —
+    // so these blocks join via an explicit per-column null-or-equal
+    // condition instead of entering the greedy equi-join. The block is a
+    // broadcast LocalRelation, so the non-equi join is a broadcast
+    // nested-loop over a handful of rows — constant work per solution.
+    // Merged bindings: the solution's value wins where bound (it either
+    // matched the cell or the cell was UNDEF); variables the solution
+    // does not bind take the row's cell (null = stays unbound).
+    // Divergence note (same family as the OPTIONAL-var rule): a solution
+    // var that is NULL (unbound via an earlier OPTIONAL miss) never
+    // matches a DEFINED cell here, where SPARQL would adopt the cell's
+    // value — keep UNDEF-VALUES vars out of optional-bound columns.
+    def applyValuesUndef(acc0: DataFrame, vb: ValuesBlock): DataFrame = {
+      val rel0 = valuesPart(vb)._2
+      val rel = rel0.toDF(rel0.columns.map("u_" + _).toIndexedSeq: _*)
+      val accCols = acc0.columns.toSet
+      val shared = vb.vars.filter(v => accCols.contains(vc(v)))
+      val cond = shared.map { v =>
+        rel("u_" + vc(v)).isNull || acc0(vc(v)) === rel("u_" + vc(v))
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      val joined = acc0.join(rel, cond, "inner")
+      joined.select(
+        acc0.columns.map(joined(_)) ++
+          vb.vars.filterNot(v => accCols.contains(vc(v)))
+            .map(v => joined("u_" + vc(v)).as(vc(v))): _*)
+    }
+
     // MINUS: SPARQL Minus(P1, P2) — drop a solution when some P2 solution
     // is compatible with it AND their domains overlap; disjoint domains
     // keep the row (the spec's dom-disjoint rule), which is exactly a
@@ -372,7 +400,8 @@ object BgpPlanner {
     def evalGroup(g: PatternGroup): Option[Option[DataFrame]] = {
       val partsOpt = buildParts(expandAtoms(g.patterns))
       if (partsOpt.isEmpty) return None // a ground atom failed
-      var parts: Seq[(Int, DataFrame)] = partsOpt.get ++ g.values.map(valuesPart)
+      val (plainVals, undefVals) = g.values.partition(!_.hasUndef)
+      var parts: Seq[(Int, DataFrame)] = partsOpt.get ++ plainVals.map(valuesPart)
       g.groups.foreach { sub =>
         evalGroup(sub) match {
           case None => return None // join with the empty set
@@ -386,8 +415,11 @@ object BgpPlanner {
           case Some(d) => parts = parts :+ ((0, d))
         }
       }
-      if (parts.isEmpty) return Some(None)
-      var acc = greedyJoin(parts)
+      if (parts.isEmpty && undefVals.isEmpty) return Some(None)
+      var acc =
+        if (parts.nonEmpty) greedyJoin(parts) else valuesPart(undefVals.head)._2
+      (if (parts.nonEmpty) undefVals else undefVals.tail)
+        .foreach { vb => acc = applyValuesUndef(acc, vb) }
       g.optionals.foreach { og => acc = applyOptional(acc, og) }
       g.minuses.foreach { mg => acc = applyMinus(acc, mg) }
       g.binds.foreach { bd => acc = applyBind(acc, bd) }
@@ -528,17 +560,49 @@ object BgpPlanner {
                 "only (nested OPTIONAL/UNION/VALUES/BIND/MINUS/EXISTS " +
                 "inside GRAPH ?var is outside the supported subset)")
           val atoms2 = expandAtoms(g.patterns)
-          val parts2 = atoms2.map { a =>
-            if (a.step.mod != ' ') throw new IllegalArgumentException(
-              "property-path modifiers inside GRAPH ?var groups are " +
-                "outside the supported subset")
-            var rel = a.step.alts.map { case (p, inv) =>
+          // Path modifiers per graph (round 9): encode the graph into the
+          // node ids (graph  node) and run ONE shared closure
+          // fixpoint over the union of all graphs' edges — endpoints of
+          // any derived pair carry the same prefix by construction, so
+          // per-graph scoping falls out of the encoding and no per-graph
+          // loop exists. Decode splits the prefix back into vc(?g).
+          // (Constant endpoints filter the decoded relation rather than
+          // seeding a targeted BFS — the seed differs per graph.)
+          val SEP = "\u0001"
+          def pathRel(step: Step): DataFrame = {
+            val enc = step.alts.map { case (p, inv) =>
               val base = qg.filter(col("p") === p)
-              if (inv) base.select(col("graph").as(vc(gv)),
-                col("o").as("as"), col("s").as("ao"))
-              else base.select(col("graph").as(vc(gv)),
-                col("s").as("as"), col("o").as("ao"))
+              if (inv) base.select(
+                concat(col("graph"), lit(SEP), col("o")).as("src"),
+                concat(col("graph"), lit(SEP), col("s")).as("dst"))
+              else base.select(
+                concat(col("graph"), lit(SEP), col("s")).as("src"),
+                concat(col("graph"), lit(SEP), col("o")).as("dst"))
             }.reduce(_ union _)
+            lazy val encTerms = qg.select(
+                concat(col("graph"), lit(SEP), col("s")).as("t"))
+              .union(qg.select(concat(col("graph"), lit(SEP), col("o")).as("t")))
+              .distinct()
+            val closed = step.mod match {
+              case '+' => Closure.transitive(enc)
+              case '*' => Closure.withIdentity(Closure.transitive(enc), encTerms)
+              case _ => Closure.withIdentity(enc, encTerms) // '?'
+            }
+            closed.select(
+              substring_index(col("src"), SEP, 1).as(vc(gv)),
+              substring_index(col("src"), SEP, -1).as("as"),
+              substring_index(col("dst"), SEP, -1).as("ao"))
+          }
+          val parts2 = atoms2.map { a =>
+            var rel =
+              if (a.step.mod != ' ') pathRel(a.step)
+              else a.step.alts.map { case (p, inv) =>
+                val base = qg.filter(col("p") === p)
+                if (inv) base.select(col("graph").as(vc(gv)),
+                  col("o").as("as"), col("s").as("ao"))
+                else base.select(col("graph").as(vc(gv)),
+                  col("s").as("as"), col("o").as("ao"))
+              }.reduce(_ union _)
             a.s match { case V(_) => (); case I(i) => rel = rel.filter(col("as") === i); case L(l) => rel = rel.filter(col("as") === l) }
             a.o match { case V(_) => (); case I(i) => rel = rel.filter(col("ao") === i); case L(l) => rel = rel.filter(col("ao") === l) }
             val out = (a.s, a.o) match {
@@ -563,7 +627,8 @@ object BgpPlanner {
       }
     }
 
-    val valuesParts: Seq[(Int, DataFrame)] = q.values.map(valuesPart)
+    val (plainVals, undefVals) = q.values.partition(!_.hasUndef)
+    val valuesParts: Seq[(Int, DataFrame)] = plainVals.map(valuesPart)
 
     // Subqueries → one relation each: evaluated recursively (a subquery
     // is a complete query — aggregates, modifiers, deeper subqueries),
@@ -590,11 +655,12 @@ object BgpPlanner {
     // plain ASK: with EXISTS/MINUS/FILTER/BIND attached the general paths
     // below apply.)
     if (q.askForm && reqParts.nonEmpty && !unionFailed && !groupFailed &&
-        baseParts.isEmpty &&
+        baseParts.isEmpty && undefVals.isEmpty &&
         q.exists.isEmpty && q.minuses.isEmpty && q.filters.isEmpty &&
         q.binds.isEmpty)
       return finish(spark.range(1).select(), q)
-    if (reqParts.isEmpty || unionFailed || groupFailed || baseParts.isEmpty) {
+    if (reqParts.isEmpty || unionFailed || groupFailed ||
+        (baseParts.isEmpty && undefVals.isEmpty)) {
       if (q.aggregates.isEmpty && q.groupBy.isEmpty)
         return finish(spark.range(0)
           .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*), q)
@@ -605,7 +671,11 @@ object BgpPlanner {
       return finish(spark.range(0)
         .select(needed.map(v => lit(null).cast("string").as(vc(v))): _*), q)
     }
-    var acc = greedyJoin(baseParts)
+    var acc =
+      if (baseParts.nonEmpty) greedyJoin(baseParts)
+      else valuesPart(undefVals.head)._2
+    (if (baseParts.nonEmpty) undefVals else undefVals.tail)
+      .foreach { vb => acc = applyValuesUndef(acc, vb) }
 
     // OPTIONAL groups (recursive since round 9 — see applyOptional above).
     q.optionals.foreach { g => acc = applyOptional(acc, g) }

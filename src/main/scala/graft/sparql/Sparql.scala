@@ -32,9 +32,9 @@ import scala.collection.mutable.ArrayBuffer
   *     their own FILTERs; unshared variables stay unbound per branch)
   *   - `MINUS { … }` groups (one level, solutions removed when compatible
   *     on ≥1 shared variable — SPARQL's dom-disjoint rule keeps the row)
-  *   - `VALUES ?v { … }` / `VALUES (?a ?b) { (… …) … }` inline data
-  *     (UNDEF is rejected loudly — its compatible-with-anything semantics
-  *     have no faithful equi-join form)
+  *   - `VALUES ?v { … }` / `VALUES (?a ?b) { (… …) … }` inline data,
+  *     including UNDEF cells (compatible-with-anything, joined via an
+  *     explicit null-or-equal condition — see BgpPlanner)
   *   - aggregates in the SELECT clause — `(COUNT(DISTINCT ?x) AS ?n)`,
   *     COUNT/SUM/MIN/MAX/AVG/SAMPLE and
   *     `GROUP_CONCAT([DISTINCT] ?v; SEPARATOR="…")` — with `GROUP BY`,
@@ -141,8 +141,12 @@ object Sparql {
       alias: String, sep: String = " ")
 
   /** Inline data: `VALUES (?a ?b) { ("x" <u>) … }`. Rows hold lexical
-    * values (IRI or literal — the quads encoding stores both as strings). */
-  final case class ValuesBlock(vars: List[String], rows: List[List[String]])
+    * values (IRI or literal — the quads encoding stores both as strings);
+    * a `null` cell is UNDEF (compatible with any binding of that
+    * variable — §10.2.2). */
+  final case class ValuesBlock(vars: List[String], rows: List[List[String]]) {
+    def hasUndef: Boolean = rows.exists(_.contains(null))
+  }
 
   /** BIND expression AST. The quads encoding is lexical strings, so every
     * expression evaluates to a string column; arithmetic is INTEGER-typed
@@ -683,9 +687,10 @@ object Sparql {
       def parseValueTerm(): String = {
         skipWs()
         if (in.regionMatches(true, pos, "UNDEF", 0, 5) &&
-            (pos + 5 >= n || !in.charAt(pos + 5).isLetterOrDigit))
-          err("UNDEF is outside the supported subset (unbound VALUES cells " +
-            "join as compatible-with-anything, which an equi-join cannot express)")
+            (pos + 5 >= n || !in.charAt(pos + 5).isLetterOrDigit)) {
+          pos += 5
+          return null // UNDEF cell: compatible with anything (§10.2.2)
+        }
         peek match {
           case '<' => parseIriRef()
           case '"' | '\'' => parseLiteral()

@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q82_bloom_decontaminate", // corpus grams × broadcast(1-row bloom mask)
     "q96_gap_fill", // grid build: |types| × broadcast(|days|), both dimension-sized
     "q102_ivf_pq", // IVF assign + PQ encode: corpus × broadcast(centroids/codebook)
-    "q104_hybrid_rrf") // dense list: corpus × broadcast(1 query vector), q22's shape
+    "q104_hybrid_rrf", // dense list: corpus × broadcast(1 query vector), q22's shape
+    "q132_sparql_values_undef") // solutions × broadcast(2-row UNDEF VALUES): null-or-equal condition cannot be an equi-join (§10.2.2)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
       "is deliberately broadcast") {

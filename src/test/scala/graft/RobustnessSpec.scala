@@ -646,7 +646,15 @@ class RobustnessSpec extends AnyFunSuite {
       p + "SELECT ?u ?n WHERE { ?u p:b ?v . { SELECT ?u (COUNT(?w) AS ?n) WHERE { ?u p:b ?w . } GROUP BY ?u } }",
       p + "ASK { ?s p:v \"5\" . FILTER(STRENDS(?s, \"1\")) }",
       p + "CONSTRUCT { ?s <urn:p#x> ?v } WHERE { ?s p:v ?v . }",
-      p + "DESCRIBE <urn:d#1> ?s WHERE { ?s p:t \"alpha\" . }")
+      p + "DESCRIBE <urn:d#1> ?s WHERE { ?s p:t \"alpha\" . }",
+      // round-9 surface: nested groups, GRAPH, group-scoped
+      // VALUES/BIND/MINUS/EXISTS, UNDEF cells
+      p + "SELECT ?s ?x WHERE { ?s p:v ?v . OPTIONAL { ?s p:t ?t . OPTIONAL { ?s p:u ?u } BIND(UCASE(?t) AS ?x) } }",
+      p + "SELECT ?s WHERE { ?s p:v ?v . { ?s p:t ?t . FILTER(?t > 1) } OPTIONAL { { ?s p:a ?a } UNION { ?s p:b ?a } } }",
+      p + "SELECT ?g ?s WHERE { GRAPH ?g { ?s p:t ?o . ?s p:u* ?w } }",
+      p + "SELECT ?s WHERE { GRAPH <urn:g#1> { ?s p:t ?o . OPTIONAL { ?s p:u ?w } } }",
+      p + "SELECT ?s ?m WHERE { ?s p:v ?m . VALUES (?s ?m) { (UNDEF \"x\") (<urn:d#1> UNDEF) } }",
+      p + "SELECT ?s WHERE { ?s p:v ?v . OPTIONAL { ?s p:t ?m . VALUES ?m { \"a\" \"b\" } MINUS { ?s p:c ?z } FILTER EXISTS { ?s p:d ?d } } }")
     // sanity: the corpus itself parses
     valid.foreach(graft.sparql.Sparql.parse)
     val rnd = new scala.util.Random(42)

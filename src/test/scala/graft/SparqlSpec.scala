@@ -387,18 +387,30 @@ class SparqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GRAPH requires"), e.getMessage)
   }
 
-  test("GRAPH ?var restrictions are named: no paths, no nested structure") {
+  test("GRAPH ?var supports property paths via per-graph closure; nesting stays named") {
     val s = spark
     import s.implicits._
-    val g = Seq(Quad("urn:a#", "urn:x#1", "urn:p#t", "1")).toDF()
-    val e = intercept[IllegalArgumentException] {
-      BgpPlanner.evaluate(g, Sparql.parse(
-        "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:t* ?o } }"))
-    }
-    assert(e.getMessage.contains("property-path modifiers inside GRAPH"), e.getMessage)
+    // two graphs with DIFFERENT sub-class chains sharing node names:
+    // closure must never cross graphs (a→b→c in A; only b→c in B)
+    val g = Seq(
+      Quad("urn:A#", "urn:x#a", "urn:p#sub", "urn:x#b"),
+      Quad("urn:A#", "urn:x#b", "urn:p#sub", "urn:x#c"),
+      Quad("urn:B#", "urn:x#b", "urn:p#sub", "urn:x#c")).toDF()
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:sub+ <urn:x#c> } } ORDER BY ?g ?s")
+    val rows = BgpPlanner.evaluate(g, q).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(
+      ("urn:A#", "urn:x#a"), ("urn:A#", "urn:x#b"), ("urn:B#", "urn:x#b")))
+    // `*` adds the zero-length pairs per graph: c itself appears in both
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:sub* <urn:x#c> } } ORDER BY ?g ?s")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows2.toSeq == Seq(
+      ("urn:A#", "urn:x#a"), ("urn:A#", "urn:x#b"), ("urn:A#", "urn:x#c"),
+      ("urn:B#", "urn:x#b"), ("urn:B#", "urn:x#c")))
     val e2 = intercept[IllegalArgumentException] {
       BgpPlanner.evaluate(g, Sparql.parse(
-        "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:t ?o . OPTIONAL { ?s p:u ?w } } }"))
+        "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:sub ?o . OPTIONAL { ?s p:u ?w } } }"))
     }
     assert(e2.getMessage.contains("GRAPH ?var groups support plain"), e2.getMessage)
   }
@@ -561,8 +573,30 @@ class SparqlSpec extends AnyFunSuite {
       "must be a projected")
     bad("SELECT ?d WHERE { ?d p:val ?v . } BOGUS TRAILING",
       "trailing content")
-    bad("SELECT ?d ?v WHERE { ?d p:val ?v . VALUES ?d { UNDEF <urn:d#1> } }",
-      "UNDEF")
+  }
+
+  test("VALUES UNDEF cells join as compatible-with-anything (§10.2.2)") {
+    // filterQuads: d1..d4 have val; d1 tag=alpha, d3 tag=beta
+    // row (UNDEF, "alpha"): any d with tag alpha → d1
+    // row (<urn:d#3>, UNDEF): d3 with any tag → d3/beta
+    val q = Sparql.parse(fp +
+      "SELECT ?d ?t WHERE { ?d p:tag ?t . " +
+        "VALUES (?d ?t) { (UNDEF \"alpha\") (<urn:d#3> UNDEF) } } ORDER BY ?d")
+    val rows = BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("urn:d#1", "alpha"), ("urn:d#3", "beta")))
+    // single-var UNDEF row matches every solution (bag: d joins both rows)
+    val q2 = Sparql.parse(fp +
+      "SELECT ?d WHERE { ?d p:tag ?t . VALUES ?d { UNDEF <urn:d#1> } } ORDER BY ?d")
+    val rows2 = BgpPlanner.evaluate(filterQuads, q2).collect().map(_.getString(0))
+    assert(rows2.toSeq == Seq("urn:d#1", "urn:d#1", "urn:d#3"))
+    // a VALUES-only group of UNDEF rows still yields its rows (fresh var
+    // stays unbound on the UNDEF row)
+    val q3 = Sparql.parse(fp +
+      "SELECT ?x WHERE { VALUES ?x { UNDEF \"k\" } }")
+    val rows3 = BgpPlanner.evaluate(filterQuads, q3).collect()
+      .map(r => Option(r.getString(0)))
+    assert(rows3.toSet == Set(None, Some("k")))
   }
 
   test("BIND: string builtins, integer arithmetic, chained aliases, FILTER over alias") {
