@@ -45,7 +45,9 @@ final class Engine(
 
   def sparql(query: String, sites: Seq[String] = Nil): DataFrame = {
     val q = Sparql.parse(query)
-    if (sites.isEmpty) BgpPlanner.evaluateTriples(unionTriples, q)
+    // quads threaded alongside the cached union relation so the GRAPH
+    // keyword can re-scope mid-query (round 9)
+    if (sites.isEmpty) BgpPlanner.evaluateTriples(unionTriples, q, Some(quads))
     else sites.map { site =>
       BgpPlanner.evaluate(quads, q, Some(s"urn:$site#"))
         .withColumn("site", lit(site))

@@ -125,4 +125,41 @@ class CorpusE2ESpec extends AnyFunSuite {
       assert(members.toSeq == members.toSeq.sorted)
     } finally { scoped.unpersist(); () }
   }
+
+  test("round-9 SPARQL surface over the real corpus: GRAPH keyword + nested OPTIONAL") {
+    assume(new java.io.File(graphsDir).isDirectory)
+    import graft.sparql.{BgpPlanner, Sparql}
+    val quads = Turtle.loadGraphs(spark, graphsDir, None).cache()
+    val prefix = "PREFIX brick: <https://brickschema.org/schema/Brick#> "
+    try {
+      // GRAPH ?g binds one row per (building, timeseries id) — the per-
+      // building stream inventory the reference keeps as 45 named graphs
+      // (setup-graphs.py:13-19). Totals must reconcile with the raw quads.
+      val perBldg = BgpPlanner.evaluate(quads, Sparql.parse(prefix +
+        "SELECT ?g (COUNT(?id) AS ?n) WHERE { " +
+          "GRAPH ?g { ?b brick:hasTimeseriesId ?id } } GROUP BY ?g ORDER BY ?g"))
+        .collect()
+      val raw = quads
+        .filter(col("p") === "https://brickschema.org/schema/Brick#hasTimeseriesId")
+      assert(perBldg.length ==
+        raw.select("graph").distinct().count().toInt)
+      assert(perBldg.map(_.getLong(1)).sum == raw.count())
+      // GRAPH <iri> + nested OPTIONAL inside: bldg1 points, optionally
+      // extended by their timeseries blank node then its id — counts must
+      // match the flat per-graph query
+      val g1 = BgpPlanner.evaluate(quads, Sparql.parse(prefix +
+        "SELECT ?pt ?id WHERE { GRAPH <urn:bldg1#> { " +
+          "?eq brick:hasPoint ?pt . " +
+          "OPTIONAL { ?pt brick:timeseries ?ts . " +
+          "OPTIONAL { ?ts brick:hasTimeseriesId ?id } } } }"))
+      val rows = g1.collect()
+      assert(rows.nonEmpty)
+      val withId = rows.count(_.getString(1) != null)
+      val direct = BgpPlanner.evaluate(quads, Sparql.parse(prefix +
+        "SELECT ?pt ?id WHERE { ?eq brick:hasPoint ?pt . " +
+          "?pt brick:timeseries ?ts . ?ts brick:hasTimeseriesId ?id }"),
+        graph = Some("urn:bldg1#")).count()
+      assert(withId == direct.toInt, s"nested-optional id count $withId != flat $direct")
+    } finally { quads.unpersist(); () }
+  }
 }
