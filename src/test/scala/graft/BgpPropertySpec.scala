@@ -547,4 +547,159 @@ class BgpPropertySpec extends AnyFunSuite {
     }
     assert(run >= 10, s"only $run generated cases were runnable")
   }
+
+  // ---- VALUES-with-UNDEF differential fuzz (round 9) --------------------
+
+  /** Random VALUES block over a subset of {a, b}: each cell is a node or
+    * UNDEF (null), with ≥1 UNDEF somewhere so the non-equi path runs. */
+  def undefValuesGen: Gen[ValuesBlock] = for {
+    vars <- Gen.oneOf(List("a"), List("b"), List("a", "b"))
+    nRows <- Gen.choose(1, 3)
+    rows <- Gen.listOfN(nRows, Gen.listOfN(vars.length,
+      Gen.frequency(1 -> Gen.const[String](null), 2 -> Gen.oneOf(nodes))))
+  } yield ValuesBlock(vars,
+    if (rows.exists(_.contains(null))) rows
+    else rows.updated(0, rows.head.updated(0, null)))
+
+  /** Single-step modifier-free patterns: the bag comparison below needs
+    * solution multiplicity to come ONLY from VALUES rows — a multi-step
+    * path projects away its internal join var, which duplicates planner
+    * rows that the set-based naive evaluator deduplicates. */
+  def flatPatternGen(vars: Seq[String]): Gen[TriplePattern] = for {
+    s <- termGen(vars)
+    o <- termGen(vars)
+    p1 <- Gen.oneOf(preds)
+  } yield TriplePattern(s, List(Step(p1, star = false)), o)
+
+  val undefQueryGen: Gen[Query] = for {
+    nPat <- Gen.choose(1, 2)
+    pats <- Gen.listOfN(nPat, flatPatternGen(Seq("a", "b")))
+    vb <- undefValuesGen
+  } yield {
+    val patVars = pats.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }
+    val named = (patVars ++ vb.vars).distinct
+    Query(Nil, distinct = false, pats, named, values = List(vb))
+  }
+
+  /** Join(Ω_patterns, Ω_values) with UNDEF-compatible semantics (§10.2.2):
+    * row r is compatible with μ iff every DEFINED cell matches μ where μ
+    * binds it; the merged solution adopts r's defined cells for variables
+    * μ does not bind. Bag semantics matter here (a μ compatible with two
+    * rows yields two solutions) — compared as a multiset. */
+  def naiveUndef(ts: Set[(String, String, String)], q: Query): Map[List[String], Int] = {
+    val vb = q.values.head
+    val sols = naiveSols(ts, q.patterns).toSeq
+    val merged = for {
+      m <- sols
+      r <- vb.rows
+      pairs = vb.vars.zip(r)
+      if pairs.forall { case (v, cell) =>
+        cell == null || m.get(v).forall(_ == cell) }
+    } yield {
+      val adopt = pairs.collect {
+        case (v, cell) if cell != null && !m.contains(v) => v -> cell }
+      m ++ adopt
+    }
+    merged.map(m => q.selected.map(m.getOrElse(_, null)))
+      .groupBy(identity).map { case (k, g) => k -> g.size }
+  }
+
+  test("planner VALUES-UNDEF == naive compatible-row semantics (bag) on random graphs/queries") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 25).flatMap { i =>
+      for {
+        g <- graphGen(Gen.Parameters.default, Seed(10000L + i))
+        q <- undefQueryGen(Gen.Parameters.default, Seed(11000L + i))
+      } yield (g, q)
+    }
+    assert(cases.nonEmpty)
+    var run = 0
+    cases.foreach { case (g, q) =>
+      val reqHasVar = q.patterns.exists(tp => Seq(tp.s, tp.o).exists(_.isInstanceOf[V]))
+      if (reqHasVar && q.selected.nonEmpty) {
+        run += 1
+        val quads = g.toSeq.map { case (su, p, o) => Quad("urn:g#", su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSeq
+          .groupBy(identity).map { case (k, grp) => k -> grp.size }
+        val want = naiveUndef(g, q)
+        assert(got == want,
+          s"mismatch for ${q.patterns} VALUES ${q.values} over ${g.size} " +
+            s"triples: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 15, s"only $run generated cases were runnable")
+  }
+
+  // ---- GRAPH ?g differential fuzz (round 9) -----------------------------
+
+  val graphNames = Seq("urn:gA#", "urn:gB#", "urn:gC#")
+
+  val quadGraphGen: Gen[Set[(String, String, String, String)]] =
+    Gen.listOfN(18, for {
+      g <- Gen.oneOf(graphNames); s <- Gen.oneOf(nodes)
+      p <- Gen.oneOf(preds); o <- Gen.oneOf(nodes)
+    } yield (g, s, p, o)).map(_.toSet)
+
+  /** GRAPH ?g { 1-2 patterns (with path modifiers) } plus optionally one
+    * outer default-union pattern sharing a variable. */
+  val graphQueryGen: Gen[(List[TriplePattern], List[TriplePattern])] = for {
+    nIn <- Gen.choose(1, 2)
+    inner <- Gen.listOfN(nIn, patternGen(Seq("a", "b")))
+    wantOuter <- Gen.oneOf(true, false)
+    outer <- Gen.listOfN(1, patternGen(Seq("a", "c")))
+  } yield (inner, if (wantOuter) outer else Nil)
+
+  /** Per-graph evaluation: the inner group evaluates against each named
+    * graph's triples with ?g bound, then joins the outer solutions over
+    * the default-union graph on shared variables. */
+  def naiveGraphVar(qs: Set[(String, String, String, String)],
+      inner: List[TriplePattern], outer: List[TriplePattern],
+      selected: List[String]): Set[List[String]] = {
+    val perGraph = graphNames.flatMap { gn =>
+      val ts = qs.collect { case (g, s, p, o) if g == gn => (s, p, o) }
+      naiveSols(ts, inner).map(_ + ("g" -> gn))
+    }.toSet
+    val union = qs.map { case (_, s, p, o) => (s, p, o) }
+    val outerSols = naiveSols(union, outer)
+    val joined = perGraph.flatMap { m1 =>
+      outerSols.collect {
+        case m2 if m2.keySet.intersect(m1.keySet)
+          .forall(k => m1(k) == m2(k)) => m1 ++ m2
+      }
+    }
+    joined.map(m => selected.map(m.getOrElse(_, null)))
+  }
+
+  test("planner GRAPH ?g (incl. path modifiers) == naive per-graph evaluation on random quads") {
+    val s = spark
+    import s.implicits._
+    val cases = (1 to 25).flatMap { i =>
+      for {
+        qs <- quadGraphGen(Gen.Parameters.default, Seed(12000L + i))
+        gq <- graphQueryGen(Gen.Parameters.default, Seed(13000L + i))
+      } yield (qs, gq)
+    }
+    assert(cases.nonEmpty)
+    var run = 0
+    cases.foreach { case (qs, (inner, outer)) =>
+      val innerVars = inner.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }
+      val outerVars = outer.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }
+      if (innerVars.nonEmpty && (outer.isEmpty || outerVars.nonEmpty)) {
+        run += 1
+        val named = ("g" :: (innerVars ++ outerVars)).distinct
+        val q = Query(Nil, distinct = false, outer, named,
+          graphs = List((V("g"), PatternGroup(inner, Nil))))
+        val quads = qs.toSeq.map { case (g, su, p, o) => Quad(g, su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naiveGraphVar(qs, inner, outer, q.selected)
+        assert(got == want,
+          s"mismatch for GRAPH ?g { $inner } + outer $outer over ${qs.size} " +
+            s"quads: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 15, s"only $run generated cases were runnable")
+  }
 }
