@@ -9,6 +9,7 @@ object IngestProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("PROBE_MASTER", "local[32]"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROBE_SHUF", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -12,6 +12,7 @@ object Q14Probe {
     val mode = if (args.nonEmpty) args(0) else "isolated"
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("PROBE_MASTER", "local[4]"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROBE_SHUF", "4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

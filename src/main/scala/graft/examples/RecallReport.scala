@@ -21,6 +21,7 @@ object RecallReport {
     val nQueries = args.lift(2).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[8]")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -142,6 +142,10 @@ object Dedup {
         // relation, not text. No isNotNull filter: it would re-inline the
         // kernel into the scan's filter (Catalyst inlines projected
         // aliases); the outer explode below handles null/empty arrays.
+        // The reuse is plan-dependent (spark.sql.exchangeReuseEnabled,
+        // on by default) — NtzRegressionSpec asserts ReusedExchange in
+        // the executed plan so a config or AQE change that silently
+        // re-runs the kernel fails the suite.
         df.select(col(idCol).as("id"),
           Bridge.column(graft.functions.MinHashBandKeys(
             Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,

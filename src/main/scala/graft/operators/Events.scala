@@ -107,20 +107,22 @@ object Events {
   /** Funnel analysis: how many users completed step 1, steps 1-2, 1-2-3, …
     * in ORDER, with every later step inside `windowSeconds` of the user's
     * first step-1 event. Returns one row per funnel stage
-    * (step_idx, step, n_users).
+    * (step_idx, step, n_users), lazily (composable — nothing is cached or
+    * counted eagerly; there is nothing to leak).
     *
-    * Shape: one hash agg per stage over a monotonically SHRINKING relation
-    * — stage k joins the raw events of type k against the (user, t_prev)
-    * survivors of stage k−1 (user-count rows, not event-count), so every
-    * stage after the first is a join keyed on `user_id` whose right side
-    * only shrinks. No window function, no per-user event collection — at
-    * 100 TB the state per stage is |users|, never |events|.
-    *
-    * Eager by design: the report is |steps| rows, so each stage is counted
-    * as soon as it is built and every persisted block is released in a
-    * `finally` before returning — a long-lived session (a bench loop, a
-    * query service) accumulates nothing. The returned local relation keeps
-    * the (step_idx, step, n_users) contract. */
+    * Shape: ONE shuffle — a hash aggregate collecting each user's event
+    * TIMES per step (events of non-step types are filtered before the
+    * shuffle), then the whole per-user funnel recurrence runs as a
+    * codegen'd array-expression chain and a single global aggregate emits
+    * the stage counts. Memory bound: the aggregation buffer holds one
+    * user's step-event timestamps (8 bytes each) — the same per-key bound
+    * sessionize accepts. A pathological hot key (a bot with ~10⁸ events
+    * of the funnel's own step types) concentrates in one buffer; cap such
+    * keys upstream (e.g. `timeBucketStats`-style per-user counts → filter)
+    * before funnel analysis, as with any per-user collection. The
+    * alternative iterative shape (one join pass per stage, |users| state)
+    * costs O(steps) corpus scans and needed per-stage caching — strictly
+    * worse at every realistic skew. */
   def funnelReport(
       events: DataFrame, steps: Seq[String],
       windowSeconds: Long = 7L * 86400L): DataFrame = {

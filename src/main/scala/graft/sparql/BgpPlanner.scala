@@ -412,13 +412,22 @@ object BgpPlanner {
       g.unions.foreach { ug =>
         unionRel(ug) match {
           case None => return None
-          case Some(d) => parts = parts :+ ((0, d))
+          case Some(None) => () // union of {μ0} branches: join identity
+          case Some(Some(d)) => parts = parts :+ ((0, d))
         }
       }
-      if (parts.isEmpty && undefVals.isEmpty) return Some(None)
+      // No binding parts AND no sub-constructs: exactly {μ0}. With
+      // sub-constructs present (an all-ground group with BIND, a group of
+      // nothing but OPTIONALs, …) the pipeline below must still run —
+      // over the one-row zero-column relation that IS the empty mapping.
+      if (parts.isEmpty && undefVals.isEmpty && g.optionals.isEmpty &&
+          g.minuses.isEmpty && g.binds.isEmpty && g.exists.isEmpty &&
+          g.filters.isEmpty) return Some(None)
       var acc =
-        if (parts.nonEmpty) greedyJoin(parts) else valuesPart(undefVals.head)._2
-      (if (parts.nonEmpty) undefVals else undefVals.tail)
+        if (parts.nonEmpty) greedyJoin(parts)
+        else if (undefVals.nonEmpty) valuesPart(undefVals.head)._2
+        else spark.range(1).select() // {μ0}
+      (if (parts.nonEmpty || undefVals.isEmpty) undefVals else undefVals.tail)
         .foreach { vb => acc = applyValuesUndef(acc, vb) }
       g.optionals.foreach { og => acc = applyOptional(acc, og) }
       g.minuses.foreach { mg => acc = applyMinus(acc, mg) }
@@ -427,6 +436,11 @@ object BgpPlanner {
       g.filters.foreach { f =>
         acc = acc.filter(compileFilter(f, resolveIn(acc, acc.columns.toSet)))
       }
+      // still zero columns (e.g. ground group + EXISTS): the pipeline
+      // decided between "no solutions" and "{μ0}" — report which (the
+      // emptiness probe is a planning-time action on a ≤1-row relation)
+      if (acc.columns.isEmpty)
+        return if (acc.isEmpty) None else Some(None)
       Some(Some(acc))
     }
 
@@ -435,29 +449,32 @@ object BgpPlanner {
     // OPTIONAL/UNION scope to the branch — a UNION branch is its own
     // group in SPARQL), unshared variables are null-padded, and branch
     // solutions CONCATENATE (bag union, no dedup — faithful to rdflib).
-    // A branch whose solutions are exactly {μ0} (all-ground, matched)
-    // contributes nothing the projection can see and is skipped — same
-    // rule as before nesting. Divergence note (same rule as OPTIONAL-var
-    // reuse below): a variable a branch leaves unbound joins outer
-    // patterns through SQL NULL equality (never matches) where SPARQL's
-    // compatible-mapping semantics would accept any binding — share
-    // variables between the union and outer patterns only when every
-    // branch binds them.
-    def unionRel(ug: UnionGroup): Option[DataFrame] = {
-      val branchDfs = ug.branches.flatMap { b =>
-        evalGroup(b) match {
-          case Some(Some(d)) => Some(d)
-          case _ => None // no solutions, or solutions bind no variables
-        }
-      }
-      if (branchDfs.isEmpty) None
+    // Returns None = NO branch has any solution (the union empties its
+    // group); Some(None) = every surviving branch yielded exactly {μ0}
+    // (all-ground, matched — the union is a join identity); Some(Some) =
+    // the padded relation, where each {μ0} branch contributes one
+    // all-unbound row (its solution binds no variable). Divergence note
+    // (same rule as OPTIONAL-var reuse below): a variable a branch
+    // leaves unbound joins outer patterns through SQL NULL equality
+    // (never matches) where SPARQL's compatible-mapping semantics would
+    // accept any binding — share variables between the union and outer
+    // patterns only when every branch binds them.
+    def unionRel(ug: UnionGroup): Option[Option[DataFrame]] = {
+      val evaled = ug.branches.map(evalGroup)
+      val branchDfs = evaled.collect { case Some(Some(d)) => d }
+      val mu0Count = evaled.count(_ == Some(None))
+      if (branchDfs.isEmpty && mu0Count == 0) None
+      else if (branchDfs.isEmpty) Some(None)
       else {
         val allCols = branchDfs.flatMap(_.columns).distinct
-        Some(branchDfs.map { d =>
+        val padded = branchDfs.map { d =>
           val have = d.columns.toSet
           d.select(allCols.map(c =>
             if (have(c)) col(c) else lit(null).cast("string").as(c)): _*)
-        }.reduce(_ union _))
+        }
+        val mu0Rows = Seq.fill(mu0Count)(spark.range(1)
+          .select(allCols.map(c => lit(null).cast("string").as(c)): _*))
+        Some(Some((padded ++ mu0Rows).reduce(_ union _)))
       }
     }
 
@@ -507,10 +524,11 @@ object BgpPlanner {
     }
 
     var unionFailed = false
-    val unionRels: Seq[DataFrame] = q.unions.map { ug =>
+    val unionRels: Seq[DataFrame] = q.unions.flatMap { ug =>
       unionRel(ug) match {
-        case Some(d) => d
-        case None => unionFailed = true; spark.emptyDataFrame
+        case Some(Some(d)) => Some(d)
+        case Some(None) => None // all-{μ0} union: join identity
+        case None => unionFailed = true; None
       }
     }
 
@@ -605,12 +623,28 @@ object BgpPlanner {
               }.reduce(_ union _)
             a.s match { case V(_) => (); case I(i) => rel = rel.filter(col("as") === i); case L(l) => rel = rel.filter(col("as") === l) }
             a.o match { case V(_) => (); case I(i) => rel = rel.filter(col("ao") === i); case L(l) => rel = rel.filter(col("ao") === l) }
+            // ?g itself may appear in a term position (legal SPARQL): the
+            // term then has to EQUAL the graph name — filter, don't emit
+            // a second column under the same vc name
             val out = (a.s, a.o) match {
+              case (V(x), V(y)) if x == y && x == gv =>
+                rel.filter(col("as") === col("ao") &&
+                  col("as") === col(vc(gv))).select(col(vc(gv)))
               case (V(x), V(y)) if x == y =>
                 rel.filter(col("as") === col("ao"))
                   .select(col(vc(gv)), col("as").as(vc(x)))
+              case (V(x), V(y)) if x == gv =>
+                rel.filter(col("as") === col(vc(gv)))
+                  .select(col(vc(gv)), col("ao").as(vc(y)))
+              case (V(x), V(y)) if y == gv =>
+                rel.filter(col("ao") === col(vc(gv)))
+                  .select(col(vc(gv)), col("as").as(vc(x)))
               case (V(x), V(y)) =>
                 rel.select(col(vc(gv)), col("as").as(vc(x)), col("ao").as(vc(y)))
+              case (V(x), _) if x == gv =>
+                rel.filter(col("as") === col(vc(gv))).select(col(vc(gv)))
+              case (_, V(y)) if y == gv =>
+                rel.filter(col("ao") === col(vc(gv))).select(col(vc(gv)))
               case (V(x), _) => rel.select(col(vc(gv)), col("as").as(vc(x)))
               case (_, V(y)) => rel.select(col(vc(gv)), col("ao").as(vc(y)))
               case _ => rel.select(col(vc(gv))) // ground: binds only ?g
@@ -660,7 +694,8 @@ object BgpPlanner {
         q.binds.isEmpty)
       return finish(spark.range(1).select(), q)
     if (reqParts.isEmpty || unionFailed || groupFailed ||
-        (baseParts.isEmpty && undefVals.isEmpty)) {
+        (baseParts.isEmpty && undefVals.isEmpty && q.optionals.isEmpty &&
+          q.binds.isEmpty)) {
       if (q.aggregates.isEmpty && q.groupBy.isEmpty)
         return finish(spark.range(0)
           .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*), q)
@@ -671,10 +706,16 @@ object BgpPlanner {
       return finish(spark.range(0)
         .select(needed.map(v => lit(null).cast("string").as(vc(v))): _*), q)
     }
+    // Like evalGroup: a query whose WHERE has no binding parts but does
+    // have OPTIONAL/BIND (e.g. `WHERE { BIND("v" AS ?x) }`) starts from
+    // the one-row zero-column {μ0} relation and lets the pipeline extend
+    // it — not from the empty relation.
     var acc =
       if (baseParts.nonEmpty) greedyJoin(baseParts)
-      else valuesPart(undefVals.head)._2
-    (if (baseParts.nonEmpty) undefVals else undefVals.tail)
+      else if (undefVals.nonEmpty) valuesPart(undefVals.head)._2
+      else spark.range(1).select() // {μ0}
+    (if (baseParts.nonEmpty || undefVals.isEmpty) undefVals
+     else undefVals.tail)
       .foreach { vb => acc = applyValuesUndef(acc, vb) }
 
     // OPTIONAL groups (recursive since round 9 — see applyOptional above).

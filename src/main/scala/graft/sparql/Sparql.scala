@@ -25,13 +25,21 @@ import scala.collection.mutable.ArrayBuffer
   *   - `FILTER EXISTS { … }` / `FILTER NOT EXISTS { … }` (top level,
   *     as the whole constraint — SPARQL 1.1 §8.1 pattern-based negation;
   *     the other negation idiom, MINUS, is below)
-  *   - `OPTIONAL { … }` groups (one level, with their own FILTERs —
-  *     SPARQL's LeftJoin(P1, P2, F) form where the filter conditions the
-  *     join itself)
-  *   - `{ A } UNION { B }` alternatives (branches are plain BGPs with
-  *     their own FILTERs; unshared variables stay unbound per branch)
-  *   - `MINUS { … }` groups (one level, solutions removed when compatible
-  *     on ≥1 shared variable — SPARQL's dom-disjoint rule keeps the row)
+  *   - `OPTIONAL { … }` groups (SPARQL's LeftJoin(P1, P2, F) form where
+  *     the group's own FILTERs condition the join itself), nested to
+  *     ARBITRARY depth since round 9 — OPTIONAL-in-OPTIONAL,
+  *     UNION-in-OPTIONAL, OPTIONAL-in-UNION-branch, plain `{ … }` groups,
+  *     and group-scoped VALUES/MINUS/BIND/EXISTS
+  *   - `{ A } UNION { B }` alternatives (branches are full recursive
+  *     groups with their own FILTERs; unshared variables stay unbound
+  *     per branch)
+  *   - `MINUS { … }` groups (body is a plain BGP; solutions removed when
+  *     compatible on ≥1 shared variable — SPARQL's dom-disjoint rule
+  *     keeps the row)
+  *   - `GRAPH <iri> { … }` / `GRAPH ?g { … }` named-graph scoping
+  *     (§13.3) — constant form re-scopes the full recursive group,
+  *     variable form binds ?g and supports path modifiers via a shared
+  *     per-graph closure
   *   - `VALUES ?v { … }` / `VALUES (?a ?b) { (… …) … }` inline data,
   *     including UNDEF cells (compatible-with-anything, joined via an
   *     explicit null-or-equal condition — see BgpPlanner)
@@ -54,8 +62,8 @@ import scala.collection.mutable.ArrayBuffer
   *     arithmetic (group-final scope; see BgpPlanner)
   *   - property-path modifiers `*` `+` `?` and inverse/alternatives
   *
-  * Anything outside this subset (GRAPH, SERVICE, …) is dead surface for
-  * the reference's usage and rejected with a clear error.
+  * Anything outside this subset (SERVICE, federation, …) is dead
+  * surface for the reference's usage and rejected with a clear error.
   */
 object Sparql {
 
@@ -667,9 +675,10 @@ object Sparql {
       PatternGroup(b.patterns.toList, b.filters.toList)
     }
 
-    /** `VALUES ?v { term* }` or `VALUES (?a ?b) { (t1 t2) … }`. UNDEF is
-      * rejected: its compatible-with-anything join semantics have no
-      * faithful equi-join form, and a silent NULL would never match. */
+    /** `VALUES ?v { term* }` or `VALUES (?a ?b) { (t1 t2) … }`. An UNDEF
+      * cell parses to null — compatible with any binding (§10.2.2); the
+      * planner joins such blocks via an explicit null-or-equal condition
+      * rather than the greedy equi-join (BgpPlanner.applyValuesUndef). */
     private def parseValues(): ValuesBlock = {
       skipWs()
       val vars = ArrayBuffer[String]()

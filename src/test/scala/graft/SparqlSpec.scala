@@ -356,6 +356,75 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows2.toSeq == Seq(("urn:d#1", Some("nb1")), ("urn:d#2", None)))
   }
 
+  test("groups with no binding parts still run their sub-constructs over the empty mapping") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#a", "urn:o#1"),
+      Quad("urn:g#", "urn:d#1", "urn:p#b", "urn:x#1"),
+      Quad("urn:g#", "urn:d#2", "urn:p#a", "urn:o#2")).toDF()
+    // OPTIONAL whose body is ONLY a nested OPTIONAL: the inner extension
+    // must still run (regression: an early {μ0} return used to discard it)
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?m WHERE { ?s p:a ?o . " +
+        "OPTIONAL { OPTIONAL { ?s p:b ?m } } } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows.toSeq == Seq(("urn:d#1", Some("urn:x#1")), ("urn:d#2", None)))
+    // all-ground group + BIND: the alias binds over the empty mapping
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?x WHERE { ?s p:a ?o . " +
+        "{ <urn:d#1> p:a <urn:o#1> . BIND(\"hit\" AS ?x) } } ORDER BY ?s")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows2.toSeq == Seq(("urn:d#1", "hit"), ("urn:d#2", "hit")))
+    // BIND-only WHERE: one solution binding the alias
+    val q3 = Sparql.parse("SELECT ?x WHERE { BIND(\"v\" AS ?x) }")
+    assert(BgpPlanner.evaluate(g, q3).collect().map(_.getString(0)).toSeq == Seq("v"))
+  }
+
+  test("UNION of all-ground branches: matched = join identity, all-failed = empty; mixed pads") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:a", "urn:b", "urn:c"),
+      Quad("urn:g#", "urn:d#1", "urn:p#v", "1")).toDF()
+    // branch 1 matches (empty mapping), branch 2's ground atom fails:
+    // the union contributes {μ0} — every outer solution survives
+    // (regression: this used to empty the whole query)
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?o WHERE { ?s p:v ?o . " +
+        "{ <urn:a> <urn:b> <urn:c> } UNION { <urn:a> <urn:b> <urn:d> } }")
+    assert(BgpPlanner.evaluate(g, q).collect()
+      .map(_.getString(0)).toSeq == Seq("urn:d#1"))
+    // both ground branches fail → the union really has no solutions
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s WHERE { ?s p:v ?o . " +
+        "{ <urn:a> <urn:b> <urn:x> } UNION { <urn:a> <urn:b> <urn:d> } }")
+    assert(BgpPlanner.evaluate(g, q2).count() == 0)
+    // mixed: a binding branch + a matched ground branch — the ground
+    // branch contributes one all-unbound row (its solution binds nothing)
+    val q3 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?v WHERE { " +
+        "{ ?s p:v ?v } UNION { <urn:a> <urn:b> <urn:c> } }")
+    val rows3 = BgpPlanner.evaluate(g, q3).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+    assert(rows3 == Set((Some("urn:d#1"), Some("1")), (None, None)))
+  }
+
+  test("GRAPH ?g may reuse the graph variable in a term position") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:gA#", "urn:s#1", "urn:p#x", "urn:gA#"), // object == graph name
+      Quad("urn:gB#", "urn:s#1", "urn:p#x", "urn:gA#"), // object != its graph
+      Quad("urn:gB#", "urn:s#2", "urn:p#x", "urn:o#1")).toDF()
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g WHERE { GRAPH ?g { <urn:s#1> p:x ?g } }")
+    assert(BgpPlanner.evaluate(g, q).collect().map(_.getString(0)).toSeq
+      == Seq("urn:gA#"))
+  }
+
   test("GRAPH <iri> scopes matching to one named graph; GRAPH ?g binds the graph") {
     val s = spark
     import s.implicits._
