@@ -287,7 +287,11 @@ class BgpPropertySpec extends AnyFunSuite {
     * sibling optional, which this shape cannot produce). */
   val nestedOptQueryGen: Gen[Query] = for {
     pats <- Gen.listOfN(1, patternGen(Seq("a", "b")))
-    outerPats <- Gen.listOfN(1, patternGen(Seq("b", "c")))
+    // 1-in-4 cases: the outer OPTIONAL has NO own patterns — its body is
+    // only the nested OPTIONAL, so the planner must evaluate the inner
+    // extension over the empty mapping (the round-9 early-{μ0} bug shape)
+    nOuter <- Gen.frequency(3 -> Gen.const(1), 1 -> Gen.const(0))
+    outerPats <- Gen.listOfN(nOuter, patternGen(Seq("b", "c")))
     innerPats <- Gen.listOfN(1, patternGen(Seq("c", "d")))
     wantOuterF <- Gen.oneOf(true, false)
     wantInnerF <- Gen.oneOf(true, false)
