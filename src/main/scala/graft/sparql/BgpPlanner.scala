@@ -268,7 +268,8 @@ object BgpPlanner {
       g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n }) ++
         g.groups.flatMap(groupVarsOf) ++ g.optionals.flatMap(groupVarsOf) ++
         g.unions.flatMap(_.branches.flatMap(groupVarsOf)) ++
-        g.values.flatMap(_.vars) ++ g.binds.map(_.alias)
+        g.values.flatMap(_.vars) ++ g.binds.map(_.alias) ++
+        g.subqueries.flatMap(_.selected)
     ).distinct.filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
 
     // VALUES blocks → tiny local relations (one column per variable).
@@ -415,6 +416,14 @@ object BgpPlanner {
           case Some(None) => () // union of {μ0} branches: join identity
           case Some(Some(d)) => parts = parts :+ ((0, d))
         }
+      }
+      // group-scoped subqueries (§18.2.1): each evaluates as a complete
+      // query against the same scoped triples and joins the group on its
+      // projected variables — identical to the top-level treatment
+      g.subqueries.foreach { sub =>
+        val r = evaluateTriples(scoped, sub, quadsG)
+        parts = parts :+
+          ((1, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*)))
       }
       // No binding parts AND no sub-constructs: exactly {μ0}. With
       // sub-constructs present (an all-ground group with BIND, a group of
@@ -566,13 +575,13 @@ object BgpPlanner {
             patterns = g.patterns, userVars = vars, filters = g.filters,
             optionals = g.optionals, unions = g.unions, groups = g.groups,
             values = g.values, minuses = g.minuses, binds = g.binds,
-            exists = g.exists)
+            exists = g.exists, subqueries = g.subqueries)
           val r = evaluateTriples(gScoped, sub, quadsG)
           (2, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
         case V(gv) =>
           if (g.optionals.nonEmpty || g.unions.nonEmpty ||
               g.groups.nonEmpty || g.values.nonEmpty || g.minuses.nonEmpty ||
-              g.binds.nonEmpty || g.exists.nonEmpty)
+              g.binds.nonEmpty || g.exists.nonEmpty || g.subqueries.nonEmpty)
             throw new IllegalArgumentException(
               "GRAPH ?var groups support plain triple patterns + FILTER " +
                 "only (nested OPTIONAL/UNION/VALUES/BIND/MINUS/EXISTS " +

@@ -48,8 +48,9 @@ import scala.collection.mutable.ArrayBuffer
   *     `GROUP_CONCAT([DISTINCT] ?v; SEPARATOR="…")` — with `GROUP BY`,
   *     `HAVING` (alias vars or inline aggregate calls), and solution
   *     modifiers `ORDER BY` (ASC/DESC), `LIMIT`, `OFFSET`
-  *   - subqueries `{ SELECT … WHERE { … } … }` (one level, explicit
-  *     projection; joined with the outer group on shared variables)
+  *   - subqueries `{ SELECT … WHERE { … } … }` (explicit projection;
+  *     joined with the ENCLOSING group — top level or any nested group —
+  *     on shared variables; deeper subqueries recurse naturally)
   *   - query forms beyond SELECT: `ASK` (one-row true/false),
   *     `CONSTRUCT { template } WHERE { … }` (distinct s/p/o triples;
   *     template rows with an unbound variable are not generated), and
@@ -134,7 +135,8 @@ object Sparql {
       values: List[ValuesBlock] = Nil,
       minuses: List[PatternGroup] = Nil,
       binds: List[Bind] = Nil,
-      exists: List[(PatternGroup, Boolean)] = Nil)
+      exists: List[(PatternGroup, Boolean)] = Nil,
+      subqueries: List[Query] = Nil)
 
   /** `{ A } UNION { B } …`: ≥2 branches, solutions concatenated with
     * unshared variables left unbound (SPARQL bag union). */
@@ -220,7 +222,6 @@ object Sparql {
     private var anonCounter = 0
     private val order = ArrayBuffer[String]() // named vars, first-appearance
     private val aggs = ArrayBuffer[Agg]()
-    private val subQueries = ArrayBuffer[Query]()
     private val graphGroups = ArrayBuffer[(Term, PatternGroup)]()
 
     /** One group's worth of parse state — the top level and every nested
@@ -236,13 +237,16 @@ object Sparql {
       val minuses = ArrayBuffer[PatternGroup]()
       val binds = ArrayBuffer[Bind]()
       val exists = ArrayBuffer[(PatternGroup, Boolean)]()
+      val subqueries = ArrayBuffer[Query]()
       def toGroup: PatternGroup = PatternGroup(patterns.toList,
         filters.toList, optionals.toList, unions.toList, groups.toList,
-        values.toList, minuses.toList, binds.toList, exists.toList)
+        values.toList, minuses.toList, binds.toList, exists.toList,
+        subqueries.toList)
       /** Can this group produce bindings? (A binds/filter-only group has
         * nothing to extend and is rejected as empty.) */
       def bindsAnything: Boolean = patterns.nonEmpty || optionals.nonEmpty ||
-        unions.nonEmpty || groups.nonEmpty || values.nonEmpty
+        unions.nonEmpty || groups.nonEmpty || values.nonEmpty ||
+        subqueries.nonEmpty
     }
     private var haggCounter = 0 // HAVING-synthesized aggregate aliases
 
@@ -354,7 +358,7 @@ object Sparql {
           b.filters.toList, b.optionals.toList, b.unions.toList,
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
-          subqueries = subQueries.toList, askForm = true,
+          subqueries = b.subqueries.toList, askForm = true,
           groups = b.groups.toList, graphs = graphGroups.toList)
       }
       // ---- DESCRIBE form: subject triples of the described resources -----
@@ -386,7 +390,7 @@ object Sparql {
           b.filters.toList, b.optionals.toList, b.unions.toList,
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
-          subqueries = subQueries.toList, describeTerms = terms.toList,
+          subqueries = b.subqueries.toList, describeTerms = terms.toList,
           groups = b.groups.toList, graphs = graphGroups.toList)
       }
       // ---- CONSTRUCT form: template instantiated per solution ------------
@@ -422,7 +426,7 @@ object Sparql {
           b.filters.toList, b.optionals.toList, b.unions.toList,
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
-          subqueries = subQueries.toList, template = tmpl.toList,
+          subqueries = b.subqueries.toList, template = tmpl.toList,
           groups = b.groups.toList, graphs = graphGroups.toList)
       }
       if (!kw("SELECT")) err("expected SELECT, ASK, or CONSTRUCT")
@@ -486,7 +490,7 @@ object Sparql {
         b.filters.toList, b.optionals.toList, b.unions.toList,
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
         limit, offset, b.values.toList, b.minuses.toList,
-        b.binds.toList, b.exists.toList, subQueries.toList,
+        b.binds.toList, b.exists.toList, b.subqueries.toList,
         groups = b.groups.toList, graphs = graphGroups.toList)
     }
 
@@ -566,17 +570,15 @@ object Sparql {
           // a subquery: extracted verbatim (balanced braces) and parsed by
           // a fresh Parser seeded with the outer PREFIX declarations.
           if (selectAhead()) {
-            if (nested)
-              err("subqueries inside OPTIONAL/UNION/nested groups are " +
-                "outside the supported subset")
             val sub = parseSubSelect()
             if (sub.projection.isEmpty)
               err("subqueries must project explicit variables " +
                 "(SELECT * subqueries are outside the supported subset)")
-            // projected vars join the outer namespace (SPARQL §18.2.1:
-            // only a subquery's projected variables are visible outside)
+            // projected vars join the enclosing group's namespace (SPARQL
+            // §18.2.1: only a subquery's projected variables are visible
+            // outside it)
             sub.selected.foreach(v => if (!order.contains(v)) order += v)
-            subQueries += sub
+            b.subqueries += sub
           } else {
             // `{ A } UNION { B } [UNION { C } …]`, or — with no UNION
             // keyword following — a plain nested group (joined with the

@@ -142,15 +142,33 @@ class SparqlSpec extends AnyFunSuite {
       Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . MINUS { ?s <urn:q> ?w . BIND(?w AS ?x) } }")
     }
     assert(e2.getMessage.contains("BIND inside EXISTS/MINUS"), e2.getMessage)
-    // subqueries and GRAPH stay top-level constructs
-    val e3 = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { { SELECT ?s WHERE { ?s <urn:q> ?w } } } }")
-    }
-    assert(e3.getMessage.contains("subqueries inside"), e3.getMessage)
+    // GRAPH stays a top-level construct
     val e4 = intercept[IllegalArgumentException] {
       Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { GRAPH <urn:g> { ?s <urn:q> ?w } } }")
     }
     assert(e4.getMessage.contains("GRAPH inside"), e4.getMessage)
+  }
+
+  test("subqueries inside nested groups join their enclosing group (§18.2.1)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#t", "alpha"),
+      Quad("urn:g#", "urn:d#2", "urn:p#t", "beta"),
+      Quad("urn:g#", "urn:d#1", "urn:p#buy", "urn:i#1"),
+      Quad("urn:g#", "urn:d#1", "urn:p#buy", "urn:i#2"),
+      Quad("urn:g#", "urn:d#2", "urn:p#buy", "urn:i#3")).toDF()
+    // an aggregated subquery INSIDE an OPTIONAL: the per-subject count
+    // extends the left rows through the left join
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?t ?n WHERE { ?s p:t ?t . " +
+        "OPTIONAL { { SELECT ?s (COUNT(?i) AS ?n) WHERE { ?s p:buy ?i } " +
+        "GROUP BY ?s HAVING(COUNT(?i) >= 2) } } } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(g, q2).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.get(2)).map(_.toString))) // COUNT alias is a long column
+    assert(rows.toSeq == Seq(
+      ("urn:d#1", "alpha", Some("2")), ("urn:d#2", "beta", None)))
   }
 
   test("VALUES and BIND inside nested groups scope to their group") {
