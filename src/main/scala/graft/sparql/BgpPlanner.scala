@@ -325,18 +325,18 @@ object BgpPlanner {
     // remaining overlap — avoid mixing OPTIONAL vars into multi-var MINUS
     // groups.
     def applyMinus(acc0: DataFrame, g: PatternGroup): DataFrame = {
-      buildParts(expandAtoms(g.patterns)) match {
-        case Some(parts) if parts.nonEmpty =>
-          var m = greedyJoin(parts)
-          g.filters.foreach { f =>
-            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
-          }
+      // the body is a full recursive group (late round 9): UNION-in-MINUS
+      // etc. evaluate through evalGroup; filters apply inside the group
+      evalGroup(g) match {
+        case Some(Some(m)) =>
           val shared = m.columns.filter(acc0.columns.toSet)
           if (shared.nonEmpty)
             acc0.join(m.select(shared.map(col): _*).distinct(),
               shared.toSeq, "left_anti")
           else acc0
-        case _ => acc0 // MINUS pattern has no solutions → removes nothing
+        // no solutions → removes nothing; {μ0} → dom-disjoint with every
+        // solution (the spec's rule) → also removes nothing
+        case _ => acc0
       }
     }
 
@@ -363,12 +363,10 @@ object BgpPlanner {
     // the plan stays declarative (no driver-side isEmpty action).
     def applyExists(acc0: DataFrame, g: PatternGroup,
         positive: Boolean): DataFrame = {
-      buildParts(expandAtoms(g.patterns)) match {
-        case Some(parts) if parts.nonEmpty =>
-          var m = greedyJoin(parts)
-          g.filters.foreach { f =>
-            m = m.filter(compileFilter(f, resolveIn(m, m.columns.toSet)))
-          }
+      // the body is a full recursive group (late round 9); its filters
+      // apply inside the group via evalGroup
+      evalGroup(g) match {
+        case Some(Some(m)) =>
           val shared = m.columns.filter(acc0.columns.toSet)
           if (shared.nonEmpty)
             acc0.join(m.select(shared.map(col).toIndexedSeq: _*),
@@ -379,14 +377,13 @@ object BgpPlanner {
               .join(probe, Seq("_k"), if (positive) "left_semi" else "left_anti")
               .drop("_k")
           }
-        case Some(_) =>
-          // all-ground group, every atom MATCHED: the group's one solution
-          // is the empty mapping, compatible with every row — EXISTS keeps
-          // everything, NOT EXISTS keeps nothing
+        case Some(None) =>
+          // the group's one solution is the empty mapping, compatible
+          // with every row — EXISTS keeps everything, NOT EXISTS nothing
           if (!positive) acc0.limit(0) else acc0
         case None =>
-          // the group is unsatisfiable (a ground triple failed): EXISTS
-          // keeps nothing, NOT EXISTS removes nothing
+          // the group is unsatisfiable: EXISTS keeps nothing, NOT EXISTS
+          // removes nothing
           if (positive) acc0.limit(0) else acc0
       }
     }

@@ -22,9 +22,10 @@ import scala.collection.mutable.ArrayBuffer
   *     `regex(?v, "pat"[, "flags"])`, `CONTAINS`, `STRSTARTS`, `STRENDS`,
   *     `BOUND`, `?v IN (…)` / `?v NOT IN (…)`, combined with `&& || !`
   *     and parentheses
-  *   - `FILTER EXISTS { … }` / `FILTER NOT EXISTS { … }` (top level,
-  *     as the whole constraint — SPARQL 1.1 §8.1 pattern-based negation;
-  *     the other negation idiom, MINUS, is below)
+  *   - `FILTER EXISTS { … }` / `FILTER NOT EXISTS { … }` (as the whole
+  *     constraint — SPARQL 1.1 §8.1 pattern-based negation; the other
+  *     negation idiom, MINUS, is below; both bodies are full recursive
+  *     groups)
   *   - `OPTIONAL { … }` groups (SPARQL's LeftJoin(P1, P2, F) form where
   *     the group's own FILTERs condition the join itself), nested to
   *     ARBITRARY depth since round 9 — OPTIONAL-in-OPTIONAL,
@@ -33,9 +34,8 @@ import scala.collection.mutable.ArrayBuffer
   *   - `{ A } UNION { B }` alternatives (branches are full recursive
   *     groups with their own FILTERs; unshared variables stay unbound
   *     per branch)
-  *   - `MINUS { … }` groups (body is a plain BGP; solutions removed when
-  *     compatible on ≥1 shared variable — SPARQL's dom-disjoint rule
-  *     keeps the row)
+  *   - `MINUS { … }` groups (solutions removed when compatible on ≥1
+  *     shared variable — SPARQL's dom-disjoint rule keeps the row)
   *   - `GRAPH <iri> { … }` / `GRAPH ?g { … }` named-graph scoping
   *     (§13.3) — constant form re-scopes the full recursive group,
   *     variable form binds ?g and supports path modifiers via a shared
@@ -351,7 +351,7 @@ object Sparql {
         if (peek != '{') err("expected '{' after ASK")
         pos += 1
         val b = new GroupBufs
-        parseGroupBody(b, nested = false, flat = false)
+        parseGroupBody(b, nested = false)
         skipWs()
         if (pos < n) err("unexpected trailing content after ASK group")
         return Query(Nil, distinct = false, b.patterns.toList, order.toList,
@@ -381,7 +381,7 @@ object Sparql {
           skipWs()
           if (peek != '{') err("expected '{' after WHERE")
           pos += 1
-          parseGroupBody(b, nested = false, flat = false)
+          parseGroupBody(b, nested = false)
         } else if (hasVar)
           err("DESCRIBE with variables needs a WHERE group binding them")
         skipWs()
@@ -419,7 +419,7 @@ object Sparql {
         if (peek != '{') err("expected '{'")
         pos += 1
         val b = new GroupBufs
-        parseGroupBody(b, nested = false, flat = false)
+        parseGroupBody(b, nested = false)
         skipWs()
         if (pos < n) err("unexpected trailing content after CONSTRUCT query")
         return Query(Nil, distinct = false, b.patterns.toList, order.toList,
@@ -450,7 +450,7 @@ object Sparql {
       if (peek != '{') err("expected '{'")
       pos += 1
       val b = new GroupBufs
-      parseGroupBody(b, nested = false, flat = false)
+      parseGroupBody(b, nested = false)
       // ---- solution modifiers (SPARQL 1.1 §18.2.4 order) ----------------
       val groupBy = ArrayBuffer[String]()
       if (kw("GROUP")) {
@@ -551,21 +551,16 @@ object Sparql {
       * { B }` alternatives, plain nested `{ … }` groups, and group-scoped
       * VALUES/MINUS/BIND/EXISTS — all recursing to arbitrary depth (the
       * planner's join tree grows with query size, which is the right
-      * bound). Still TOP-LEVEL-only, with named errors: subqueries and
-      * GRAPH (their planner integration assumes the outer scope). `flat`
-      * = inside an EXISTS/MINUS group, where the planner needs a plain
-      * BGP: no sub-structure of any kind. */
+      * bound), and since late round 9 EXISTS/MINUS bodies are full
+      * recursive groups too. Still TOP-LEVEL-only, with a named error:
+      * GRAPH (its planner integration assumes the outer scope). */
     private def parseGroupBody(
         b: GroupBufs,
-        nested: Boolean,
-        flat: Boolean): Unit = {
+        nested: Boolean): Unit = {
       skipWs()
       while (peek != '}') {
         if (pos >= n) err("unterminated group")
         if (peek == '{') {
-          if (flat)
-            err("nested groups inside EXISTS/MINUS are outside the " +
-              "supported SPARQL subset")
           // `{ SELECT … }` — a braced group whose first token is SELECT is
           // a subquery: extracted verbatim (balanced braces) and parsed by
           // a fresh Parser seeded with the outer PREFIX declarations.
@@ -597,25 +592,15 @@ object Sparql {
           // only, so they can't hide inside `&&`/`||` where a join has no
           // faithful Column form.
           if (kw("EXISTS")) {
-            if (flat)
-              err("EXISTS inside EXISTS/MINUS is outside the supported subset")
-            b.exists += ((parseFlatGroup("EXISTS"), true))
+            b.exists += ((parseNestedGroup("EXISTS"), true))
           } else if (notExistsAhead()) {
             kw("NOT"); kw("EXISTS")
-            if (flat)
-              err("NOT EXISTS inside EXISTS/MINUS is outside the " +
-                "supported subset")
-            b.exists += ((parseFlatGroup("NOT EXISTS"), false))
+            b.exists += ((parseNestedGroup("NOT EXISTS"), false))
           } else b.filters += parseFilter()
         } else if (kw("OPTIONAL")) {
-          if (flat)
-            err("OPTIONAL inside EXISTS/MINUS is outside the supported " +
-              "SPARQL subset")
           b.optionals += parseNestedGroup("OPTIONAL")
         } else if (kw("MINUS")) {
-          if (flat)
-            err("MINUS inside EXISTS/MINUS is outside the supported subset")
-          b.minuses += parseFlatGroup("MINUS")
+          b.minuses += parseNestedGroup("MINUS")
         } else if (kw("GRAPH")) {
           if (nested)
             err("GRAPH inside OPTIONAL/UNION/nested groups is outside the " +
@@ -628,12 +613,8 @@ object Sparql {
             else err("GRAPH needs an IRI or ?variable")
           graphGroups += ((term, parseNestedGroup("GRAPH")))
         } else if (kw("VALUES")) {
-          if (flat)
-            err("VALUES inside EXISTS/MINUS is outside the supported subset")
           b.values += parseValues()
         } else if (kw("BIND")) {
-          if (flat)
-            err("BIND inside EXISTS/MINUS is outside the supported subset")
           expect('(')
           val e = parseBindExpr()
           if (!kw("AS")) err("expected AS in BIND(expr AS ?var)")
@@ -660,21 +641,9 @@ object Sparql {
       if (peek != '{') err(s"expected '{' after $keyword")
       pos += 1
       val b = new GroupBufs
-      parseGroupBody(b, nested = true, flat = false)
+      parseGroupBody(b, nested = true)
       if (!b.bindsAnything) err(s"empty $keyword group")
       b.toGroup
-    }
-
-    /** `{ … }` after EXISTS/MINUS: triples + filters only (the planner
-      * compiles these groups to one semi/anti join — a plain BGP). */
-    private def parseFlatGroup(keyword: String): PatternGroup = {
-      skipWs()
-      if (peek != '{') err(s"expected '{' after $keyword")
-      pos += 1
-      val b = new GroupBufs
-      parseGroupBody(b, nested = true, flat = true)
-      if (b.patterns.isEmpty) err(s"empty $keyword group")
-      PatternGroup(b.patterns.toList, b.filters.toList)
     }
 
     /** `VALUES ?v { term* }` or `VALUES (?a ?b) { (t1 t2) … }`. An UNDEF

@@ -133,15 +133,6 @@ class SparqlSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("outside the supported SPARQL subset"), e.getMessage)
     }
-    // EXISTS/MINUS group bodies stay plain BGPs: no sub-structure inside
-    val e = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . FILTER EXISTS { ?s <urn:q> ?w . OPTIONAL { ?s <urn:r> ?x } } }")
-    }
-    assert(e.getMessage.contains("OPTIONAL inside EXISTS"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . MINUS { ?s <urn:q> ?w . BIND(?w AS ?x) } }")
-    }
-    assert(e2.getMessage.contains("BIND inside EXISTS/MINUS"), e2.getMessage)
     // GRAPH stays a top-level construct
     val e4 = intercept[IllegalArgumentException] {
       Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { GRAPH <urn:g> { ?s <urn:q> ?w } } }")
@@ -189,6 +180,35 @@ class SparqlSpec extends AnyFunSuite {
       .map(r => (r.getString(0), Option(r.getString(1))))
     assert(rows.toSeq == Seq(
       ("urn:d#1", Some("ALPHA")), ("urn:d#2", Some("BETA")), ("urn:d#3", None)))
+  }
+
+  test("EXISTS and MINUS bodies are full recursive groups (UNION/OPTIONAL inside)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
+      Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
+      Quad("urn:g#", "urn:d#3", "urn:p#tag", "gamma"),
+      Quad("urn:g#", "urn:d#1", "urn:p#a", "urn:x#1"),
+      Quad("urn:g#", "urn:d#2", "urn:p#b", "urn:x#2")).toDF()
+    // MINUS { {A} UNION {B} }: drops subjects matching either arm
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s WHERE { ?s p:tag ?t . " +
+        "MINUS { { ?s p:a ?x } UNION { ?s p:b ?x } } } ORDER BY ?s")
+    assert(BgpPlanner.evaluate(g, q).collect().map(_.getString(0)).toSeq
+      == Seq("urn:d#3"))
+    // EXISTS { {A} UNION {B} }: keeps subjects matching either arm
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s WHERE { ?s p:tag ?t . " +
+        "FILTER EXISTS { { ?s p:a ?x } UNION { ?s p:b ?x } } } ORDER BY ?s")
+    assert(BgpPlanner.evaluate(g, q2).collect().map(_.getString(0)).toSeq
+      == Seq("urn:d#1", "urn:d#2"))
+    // OPTIONAL inside EXISTS parses and never reduces the body's matches
+    val q3 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s WHERE { ?s p:tag ?t . " +
+        "FILTER EXISTS { ?s p:a ?x . OPTIONAL { ?s p:b ?y } } } ORDER BY ?s")
+    assert(BgpPlanner.evaluate(g, q3).collect().map(_.getString(0)).toSeq
+      == Seq("urn:d#1"))
   }
 
   test("MINUS and EXISTS inside nested groups scope to their group") {
