@@ -232,17 +232,44 @@ object TextOps {
     val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>
       acc.withColumn(s"t$j", lead(col("t0"), j).over(w))
     }
+    // One evaluation of the gram-assembly subtree (round 10): the grams
+    // relation feeds THREE branches (gram-frequency agg, semi-join probe,
+    // per-doc n_pos agg). Without an anchor each branch re-runs the
+    // posexplode + window sort — three corpus-token sorts instead of one.
+    // The planted repartition(gram) is one shuffle of the compact
+    // (id, gram) relation whose three canonically-equal subtrees
+    // ReuseExchange collapses: gram assembly runs ONCE and the other two
+    // branches read the first's shuffle files (same pattern as
+    // Dedup.minhashCandidates; ReusedExchange + single-window asserted in
+    // PipelineOpsSpec). The key must be GRAM, not id: the window below
+    // already hash-distributes by id, so a repartition(id) is elided as
+    // redundant and the branches fall back to sharing only the
+    // pre-window exchange — re-running the window sort per branch.
+    // Keying by gram also serves the consumers: the frequency agg needs
+    // no further exchange, the semi-join is co-partitioned on its key,
+    // and the two groupBy(id) aggs partial-aggregate map-side before
+    // shuffling compact per-doc counts.
     val grams = withNexts.filter(col(s"t${n - 1}").isNotNull)
       .select(col("id"),
         concat_ws(" ", (0 until n).map(j => col(s"t$j")): _*).as("gram"))
+      .repartition(col("gram"))
     val freq = grams.groupBy(col("gram"))
       .agg(count_distinct(col("id")).as("d"))
       .filter(col("d") >= minDocs).select(col("gram"))
-    val dup = grams.join(freq, Seq("gram"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_dup"))
-    grams.groupBy(col("id")).agg(count(lit(1)).as("n_pos"))
-      .join(dup, Seq("id"), "left")
-      .na.fill(0L, Seq("n_dup"))
+    // LEFT join + marker + ONE per-doc aggregate (round 10), not the
+    // former 3-branch shape (freq agg / semi-join probe / separate n_pos
+    // agg + outer re-join on id). Two reasons, both plan-shape:
+    //  - a left_semi probe gets rewritten below the planted exchange by
+    //    PushDownLeftSemiAntiJoin, and a final outer join on id infers
+    //    isnotnull(id) into one branch's scan — either way the branches
+    //    stop being canonically equal and gram assembly re-runs;
+    //  - with the marker, count(_hit) vs count(*) in a single aggregate
+    //    IS n_dup vs n_pos — no second corpus-side agg, no re-join.
+    // `freq` is per-gram-unique (groupBy key), so the left join preserves
+    // row multiplicity exactly.
+    val marked = grams.join(freq.withColumn("_hit", lit(1)), Seq("gram"), "left")
+    marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_pos"), count(col("_hit")).as("n_dup"))
       .select(col("id").as(idCol), col("n_pos"), col("n_dup"),
         expr("10000 * n_dup DIV n_pos").as("dup_bp"))
   }

@@ -184,6 +184,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("corpusDupNgrams: gram assembly evaluates ONCE (ReusedExchange, single window sort)") {
+    val s = spark; import s.implicits._
+    // through parquet, not toDF: a LocalRelation gets constant-folded and
+    // the subtree under test could vanish from the executed plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup").toString
+    (1L to 40L).map { i =>
+      (i, if (i % 5 == 0) "shared boilerplate header text common to many documents"
+          else s"unique body ${i * 13} with words ${i * 7} and ${i * 3}")
+    }.toDF("doc_id", "text").write.parquet(s"$dir/docs.parquet")
+    val docs = spark.read.parquet(s"$dir/docs.parquet")
+    val out = TextOps.corpusDupNgrams(docs, "text", "doc_id", n = 3, minDocs = 2)
+    out.collect()
+    // AQE's toString appends the pre-execution "Initial Plan" — assert on
+    // the Final Plan section only
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the three consumers (freq agg, semi-join probe, n_pos agg) must read
+    // the one planted repartition(id) shuffle, not re-run gram assembly
+    assert(plan.contains("ReusedExchange"),
+      "gram-assembly shuffle must be reused across branches:\n" + plan.take(3000))
+    assert("(?i)\\bWindow\\b".r.findAllIn(plan).length == 1,
+      "lead-window gram assembly must appear exactly once in the executed plan:\n" +
+        plan.take(3000))
+    assert("Generate".r.findAllIn(plan).length == 1,
+      "posexplode must appear exactly once in the executed plan:\n" + plan.take(3000))
+  }
+
   test("chunkSpans covers every token exactly, with stride-spaced starts") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(9)
