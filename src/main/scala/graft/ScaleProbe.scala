@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe: verifies that the documented 100 TB shapes actually
+  * scale ~linearly on the only hardware available, catching hidden
+  * driver-side or quadratic terms the sf0.1 bench cannot see.
+  *
+  * Builds an sf1-equivalent dataset by unioning `mult` re-keyed copies of
+  * the source tables, then times the most expensive driver queries at
+  * both scales and prints wall-time ratios. A shape that is linear in the
+  * data should show ratio ≈ mult (modulo fixed per-query overhead, which
+  * dominates sub-second queries — compare the expensive rows).
+  *
+  * Copy construction preserves per-copy statistics instead of cloning
+  * rows verbatim:
+  *  - documents: every TOKEN gets a copy-suffix, so cross-copy shingle /
+  *    n-gram / minhash similarity is ZERO — dedup workloads see a corpus
+  *    10× larger with the SAME duplication rate, not 10-way clone
+  *    clusters that would inflate candidate pairs quadratically and
+  *    measure a different workload;
+  *  - events: user ids are re-keyed per copy (10× users, unchanged
+  *    per-user event density — sessionize/funnel state bounds hold);
+  *  - orders/lineitem: order keys re-keyed per copy, dimension tables
+  *    and foreign keys into them unchanged (facts scale, dims don't —
+  *    exactly how a warehouse grows);
+  *  - embeddings: vec ids re-keyed; vectors perturbed by a tiny
+  *    copy-specific offset on one coordinate so IVF centroids see 10×
+  *    genuine points rather than 10-way ties.
+  *
+  * Usage: runMain graft.ScaleProbe [srcDir] [outDir] [mult]
+  * Results land in PLANS.md by hand (see round-10 table).
+  */
+object ScaleProbe {
+
+  private val probeQueries = Seq(
+    "q117_dup_ngrams", "q19_minhash_lsh", "q118_minhash_fused",
+    "q78_setjoin_exact", "q90_regional_revenue", "q16_sessionize",
+    "q76_funnel", "q23_embed_ivf", "q104_hybrid_rrf", "q18_dedup_exact")
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/graft-scaleprobe/sf1"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if (!new java.io.File(s"$out/_BUILT").exists()) build(spark, src, out, mult)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // one warm-up pass at the small scale amortizes codegen/JIT
+    probeQueries.foreach { q =>
+      try SparkEntry.queries(q)(spark, src).count()
+      catch { case e: Throwable => println(s"WARMUP FAIL $q: ${e.getMessage}") }
+    }
+    println(f"${"query"}%-22s ${"sf0.1(s)"}%10s ${"sf1(s)"}%10s ${"ratio"}%8s")
+    probeQueries.foreach { q =>
+      val fn = SparkEntry.queries(q)
+      val tSmall = time(fn(spark, src).count())
+      val tBig = time(fn(spark, out).count())
+      println(f"$q%-22s $tSmall%10.2f $tBig%10.2f ${tBig / math.max(tSmall, 1e-9)}%8.2f")
+    }
+    spark.stop()
+  }
+
+  /** Write the mult× dataset. Copy 0 is the source verbatim, so sf1
+    * results are a strict superset of sf0.1's per-copy structure. */
+  private def build(spark: SparkSession, src: String, out: String,
+      mult: Int): Unit = {
+    def copies(df: DataFrame)(rekey: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until mult).map(i => rekey(df, i)).reduce(_ union _)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    copies(docs) { (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+        // suffix every token — zero cross-copy shingle overlap
+        .withColumn("text",
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            t => concat(t, lit(s"x$i")))))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    copies(emb) { (e, i) =>
+      if (i == 0) e
+      else e
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+        .withColumn("embedding", transform(col("embedding"),
+          (v, j) => when(j === 0, v + lit(i * 1e-3f)).otherwise(v)))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val events = spark.read.parquet(s"$src/events.parquet")
+    copies(events) { (e, i) =>
+      if (i == 0) e
+      else e
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1_000_000_000L))
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 10_000_000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    copies(orders) { (o, i) =>
+      if (i == 0) o
+      else o.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 1_000_000_000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    copies(lineitem) { (l, i) =>
+      if (i == 0) l
+      else l.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 1_000_000_000L))
+    }.repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // dimensions unchanged — facts scale, dims don't
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    new java.io.FileOutputStream(s"$out/_BUILT").close()
+  }
+}

@@ -1053,6 +1053,53 @@ object SparkEntry {
           concat_ws(" ", slice(col("tokens"), 1, 5)).as("head_toks"))
         .orderBy("doc_id")
     }),
+    "q134_sparql_division" -> ((s, dir) => {
+      // §2.8 BIND division (round 10, replacing a named rejection):
+      // SPARQL §17.3 integer ÷ integer → xsd:decimal. Exact-integral
+      // quotients render as plain integers (canonical decimal lexical);
+      // fractional quotients as shortest-round-trip doubles — the /4
+      // divisor keeps every fractional digit IEEE-exact (.25/.5/.75) so
+      // engine and oracle agree digit-for-digit; ÷0 is a SPARQL error →
+      // alias unbound on every row (sentinel-filled for portable hashing,
+      // raw NULL spec-asserted in SparqlSpec). Pure codegen'd projection
+      // over the BGP join — no new shuffle.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?quarter ?z WHERE { " +
+          "?c p:balCents ?b . BIND(?b / 4 AS ?quarter) " +
+          "BIND(?b / 0 AS ?z) FILTER(?b > 980000) } ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+        .na.fill("unbound", Seq("z"))
+    }),
+    "q135_sparql_graph_structural" -> ((s, dir) => {
+      // §2.8 nested structure inside GRAPH ?var (round 10): OPTIONAL +
+      // FILTER within the graph-scoped body — evaluated per named graph
+      // (the spec's own §13.3 definition) and bag-unioned with ?g bound
+      // to the branch's graph name. The per-graph union is the right
+      // shape HERE: quads are building metadata (5 graphs in this
+      // fixture, one per site in the reference), not the 100 TB
+      // timeseries; a >512-graph store is rejected loudly and the plain
+      // BGP body keeps its single-plan path.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?g ?c ?m WHERE { " +
+          "GRAPH ?g { ?c p:balCents ?b . FILTER(?b > 985000) " +
+          "OPTIONAL { ?c p:mkt ?m . FILTER(?m != \"BUILDING\") } } } " +
+          "ORDER BY ?c")
+      BgpPlanner.evaluate(graphQuads(s, dir), q)
+        .na.fill("unbound", Seq("m"))
+    }),
+    "q136_sparql_graph_in_optional" -> ((s, dir) => {
+      // §2.8 GRAPH inside a sub-group (round 10): OPTIONAL { GRAPH ?g
+      // { … } } — "which site has this point, if any". The inner body is
+      // a plain BGP, so it keeps the single-plan graph-column path (one
+      // plan regardless of graph count); the graph relation left-joins
+      // the outer solution on ?c.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?b ?g WHERE { " +
+          "?c p:balCents ?b . FILTER(?b > 990000) " +
+          "OPTIONAL { GRAPH ?g { ?c p:mkt \"MACHINERY\" } } } ORDER BY ?c")
+      BgpPlanner.evaluate(graphQuads(s, dir), q)
+        .na.fill("unbound", Seq("g"))
+    }),
     "q127_sparql_describe" -> ((s, dir) => {
       // §2.8 DESCRIBE form (the 4th and last SPARQL query form): the
       // WHERE bindings of ?c become the described-resource set, which
@@ -3180,6 +3227,43 @@ object SparkEntry {
         |    'urn:n#' || CAST(c_nationkey AS VARCHAR), c_mktsegment
         |  FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY c, n, m""".stripMargin,
+    "q134_sparql_division" ->
+      // BIND division semantics mirrored: exact-integral quotient → plain
+      // integer lexical (// is exact here since bal % 4 = 0 implies
+      // divisibility); fractional → double division, shortest-round-trip
+      // rendering on both engines (every /4 fraction is IEEE-exact);
+      // ÷0 → unbound, sentinel-filled on both sides
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CASE WHEN CAST(FLOOR(c_acctbal * 100) AS BIGINT) % 4 = 0
+        |       THEN CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) // 4 AS VARCHAR)
+        |       ELSE CAST(CAST(FLOOR(c_acctbal * 100) AS DOUBLE) / 4 AS VARCHAR)
+        |  END AS quarter,
+        |  'unbound' AS z
+        |FROM customer
+        |WHERE FLOOR(c_acctbal * 100) > 980000
+        |ORDER BY c""".stripMargin,
+    "q135_sparql_graph_structural" ->
+      // per-graph OPTIONAL: ?m binds only where the segment differs from
+      // BUILDING (the OPTIONAL's own FILTER conditions the match); every
+      // customer's bal and mkt live in the same nation-keyed graph
+      """SELECT 'urn:g#' || CAST(c_nationkey % 5 AS VARCHAR) AS g,
+        |  'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CASE WHEN c_mktsegment <> 'BUILDING' THEN c_mktsegment
+        |       ELSE 'unbound' END AS m
+        |FROM customer
+        |WHERE FLOOR(c_acctbal * 100) > 985000
+        |ORDER BY c""".stripMargin,
+    "q136_sparql_graph_in_optional" ->
+      // OPTIONAL { GRAPH ?g { … } }: ?g binds the (unique) graph where
+      // the customer's segment is MACHINERY, else stays unbound
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS b,
+        |  CASE WHEN c_mktsegment = 'MACHINERY'
+        |       THEN 'urn:g#' || CAST(c_nationkey % 5 AS VARCHAR)
+        |       ELSE 'unbound' END AS g
+        |FROM customer
+        |WHERE FLOOR(c_acctbal * 100) > 990000
+        |ORDER BY c""".stripMargin,
     "q133_bpe_encode" ->
       // literal expected relation from the independent non-Spark BPE
       // (train on full corpus, encode docs 0-19) — same provenance as

@@ -117,16 +117,18 @@ object Events {
     * the stage counts. Memory bound: the aggregation buffer holds one
     * user's step-event timestamps (8 bytes each) — the same per-key bound
     * sessionize accepts. A pathological hot key (a bot with ~10⁸ events
-    * of the funnel's own step types) concentrates in one buffer; cap such
-    * keys upstream (e.g. `timeBucketStats`-style per-user counts → filter)
-    * before funnel analysis, as with any per-user collection. The
+    * of the funnel's own step types) concentrates in one buffer; pass
+    * `maxEventsPerUser` to EXCLUDE such keys before the collect (per-user
+    * count + semi-join over one shared shuffle — see inline note). The
     * alternative iterative shape (one join pass per stage, |users| state)
     * costs O(steps) corpus scans and needed per-stage caching — strictly
     * worse at every realistic skew. */
   def funnelReport(
       events: DataFrame, steps: Seq[String],
-      windowSeconds: Long = 7L * 86400L): DataFrame = {
+      windowSeconds: Long = 7L * 86400L,
+      maxEventsPerUser: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxEventsPerUser.forall(_ > 0), "maxEventsPerUser must be > 0")
     // Single-pass shape (round 9, replacing an iterative join chain that
     // needed per-stage caching): ONE hash aggregate groups each user's
     // event times per step, then the funnel recurrence
@@ -137,9 +139,28 @@ object Events {
     // the result composes lazily. Array sizes are per-user-per-STEP event
     // counts (non-step events are filtered before the shuffle), the same
     // per-key bound sessionize already accepts.
-    val ev = events
+    val ev0 = events
       .select(col("user_id"), col("event_type"), tsUs(col("ts")).as("_us"))
       .filter(col("event_type").isin(steps: _*))
+    // Enforceable hot-key cap (round 10): the collecting aggregate below
+    // concentrates one user's step-event timestamps in one buffer, so a
+    // pathological key (a bot with ~10⁸ funnel-step events) OOMs an
+    // executor at 100 TB. With maxEventsPerUser set, such keys are
+    // EXCLUDED before the collect — a per-user count + semi-join on the
+    // compact (user_id, n) relation. The count's exchange and the semi
+    // join's probe exchange hash the same ev0 subtree by user_id, so
+    // ReuseExchange collapses them: one corpus scan, one shuffle of ev0,
+    // and the grouped collect downstream is already user_id-partitioned.
+    // Excluded-not-truncated is deliberate: a truncated bot would still
+    // CONVERT in the report; dropping the key keeps stage counts honest
+    // (a bot is not a user) and the report composable.
+    val ev = maxEventsPerUser match {
+      case None => ev0
+      case Some(cap) =>
+        val ok = ev0.groupBy(col("user_id")).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= cap).select(col("user_id"))
+        ev0.join(ok, Seq("user_id"), "left_semi")
+    }
     val arrs = steps.zipWithIndex.map { case (st, i) =>
       collect_list(when(col("event_type") === st, col("_us"))).as(s"_a$i")
     }

@@ -269,8 +269,180 @@ object BgpPlanner {
         g.groups.flatMap(groupVarsOf) ++ g.optionals.flatMap(groupVarsOf) ++
         g.unions.flatMap(_.branches.flatMap(groupVarsOf)) ++
         g.values.flatMap(_.vars) ++ g.binds.map(_.alias) ++
-        g.subqueries.flatMap(_.selected)
+        g.subqueries.flatMap(_.selected) ++
+        g.graphs.flatMap { case (t, gg) =>
+          (t match { case V(n) => List(n); case _ => Nil }) ++ groupVarsOf(gg)
+        }
     ).distinct.filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
+
+    // GRAPH groups (§13.3): re-scope pattern matching to one named graph.
+    // GRAPH <iri> { … } evaluates the full recursive group against that
+    // graph's triples only (the reference names one graph per building,
+    // setup-graphs.py:13-19). GRAPH ?g { … } additionally BINDS ?g.
+    // Variable form, two plans:
+    //  - plain BGP + FILTER (the scale path): each atom keeps the quads
+    //    `graph` column under vc(?g), so the greedy join's shared-column
+    //    rule enforces same-graph matching in ONE plan whose size is
+    //    independent of the graph count; path modifiers run one shared
+    //    graph-encoded closure fixpoint.
+    //  - nested structure inside the body (round 10): evaluated per named
+    //    graph — the spec's own definition — and bag-unioned with
+    //    lit(graphName) as vc(?g). The plan grows with |graphs|, which is
+    //    the right trade for THIS construct: quads are building metadata
+    //    (one graph per site, reference setup-graphs.py:13-19), not the
+    //    100 TB timeseries; the planning-time graph listing is the same
+    //    bounded driver action as Engine's uuid collect. A loud guard
+    //    rejects pathological graph counts instead of silently planning a
+    //    10⁵-branch union.
+    // A `graphs` entry inside a NESTED group (round 10) evaluates through
+    // the same builder and joins its enclosing group like any other part.
+    def graphPart(term: Term, g: PatternGroup): (Int, DataFrame) = {
+      val qg = quadsG.getOrElse(throw new IllegalArgumentException(
+        "GRAPH requires evaluation over the 4-column quads relation — " +
+          "call BgpPlanner.evaluate, not evaluateTriples"))
+      term match {
+        case I(iri) =>
+          val gScoped = qg.filter(col("graph") === iri)
+            .select("s", "p", "o").distinct()
+          val vars = groupVarsOf(g)
+          if (vars.isEmpty) throw new IllegalArgumentException(
+            "GRAPH <iri> groups must bind at least one variable")
+          val sub = Query(projection = vars, distinct = false,
+            patterns = g.patterns, userVars = vars, filters = g.filters,
+            optionals = g.optionals, unions = g.unions, groups = g.groups,
+            values = g.values, minuses = g.minuses, binds = g.binds,
+            exists = g.exists, subqueries = g.subqueries, graphs = g.graphs)
+          val r = evaluateTriples(gScoped, sub, quadsG)
+          (2, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
+        case V(gv) if g.optionals.nonEmpty || g.unions.nonEmpty ||
+            g.groups.nonEmpty || g.values.nonEmpty || g.minuses.nonEmpty ||
+            g.binds.nonEmpty || g.exists.nonEmpty || g.subqueries.nonEmpty ||
+            g.graphs.nonEmpty =>
+          // structural form: one full recursive evaluation per named graph
+          val allVars = groupVarsOf(g)
+          val bindsG = allVars.contains(gv) // ?g also in a term position
+          val inner = allVars.filterNot(_ == gv)
+          if (inner.isEmpty) throw new IllegalArgumentException(
+            "structural GRAPH ?var groups must bind at least one " +
+              "non-graph variable")
+          val names = qg.select(col("graph")).distinct()
+            .collect().map(_.getString(0)).sorted
+          if (names.length > 512) throw new IllegalArgumentException(
+            s"GRAPH ?$gv with nested structure plans one union branch per " +
+              s"named graph; ${names.length} graphs exceeds the 512 cap — " +
+              "restructure to plain triple patterns + FILTER (single-plan " +
+              "path) or scope with GRAPH <iri>")
+          val pvars = if (bindsG) allVars else inner
+          val branches = names.toSeq.map { name =>
+            val gScoped = qg.filter(col("graph") === name)
+              .select("s", "p", "o").distinct()
+            val sub = Query(projection = pvars, distinct = false,
+              patterns = g.patterns, userVars = pvars, filters = g.filters,
+              optionals = g.optionals, unions = g.unions, groups = g.groups,
+              values = g.values, minuses = g.minuses, binds = g.binds,
+              exists = g.exists, subqueries = g.subqueries, graphs = g.graphs)
+            val r0 = evaluateTriples(gScoped, sub, quadsG)
+            // ?g in a term position must EQUAL this branch's graph name
+            val r1 = if (bindsG) r0.filter(col(gv) === name) else r0
+            r1.select(lit(name).as(vc(gv)) +:
+              inner.map(v => col(v).as(vc(v))).toIndexedSeq: _*)
+          }
+          (1, branches.reduce(_ union _))
+        case V(gv) =>
+          val atoms2 = expandAtoms(g.patterns)
+          // Path modifiers per graph (round 9): encode the graph into the
+          // node ids (graph  node) and run ONE shared closure
+          // fixpoint over the union of all graphs' edges — endpoints of
+          // any derived pair carry the same prefix by construction, so
+          // per-graph scoping falls out of the encoding and no per-graph
+          // loop exists. Decode splits the prefix back into vc(?g).
+          // (Constant endpoints filter the decoded relation rather than
+          // seeding a targeted BFS — the seed differs per graph.)
+          val SEP = "\u0001"
+          // Loud failure instead of silent corruption (round-9 advisory):
+          // the decode below splits on the LAST separator, so a graph
+          // name or node containing U+0001 would decode to a wrong
+          // (graph, node) pair silently. U+0001 never appears in IRIs or
+          // sane literals, so the guard costs a codegen'd contains() per
+          // encoded value and fires never in practice.
+          def enc2(g: Column, node: Column): Column =
+            when(g.contains(SEP) || node.contains(SEP), raise_error(lit(
+              "GRAPH ?var property paths encode (graph,node) with U+0001; " +
+                "a graph name or term containing U+0001 cannot be encoded " +
+                "faithfully"))).otherwise(concat(g, lit(SEP), node))
+          def pathRel(step: Step): DataFrame = {
+            val enc = step.alts.map { case (p, inv) =>
+              val base = qg.filter(col("p") === p)
+              if (inv) base.select(
+                enc2(col("graph"), col("o")).as("src"),
+                enc2(col("graph"), col("s")).as("dst"))
+              else base.select(
+                enc2(col("graph"), col("s")).as("src"),
+                enc2(col("graph"), col("o")).as("dst"))
+            }.reduce(_ union _)
+            lazy val encTerms = qg.select(
+                enc2(col("graph"), col("s")).as("t"))
+              .union(qg.select(enc2(col("graph"), col("o")).as("t")))
+              .distinct()
+            val closed = step.mod match {
+              case '+' => Closure.transitive(enc)
+              case '*' => Closure.withIdentity(Closure.transitive(enc), encTerms)
+              case _ => Closure.withIdentity(enc, encTerms) // '?'
+            }
+            closed.select(
+              substring_index(col("src"), SEP, 1).as(vc(gv)),
+              substring_index(col("src"), SEP, -1).as("as"),
+              substring_index(col("dst"), SEP, -1).as("ao"))
+          }
+          val parts2 = atoms2.map { a =>
+            var rel =
+              if (a.step.mod != ' ') pathRel(a.step)
+              else a.step.alts.map { case (p, inv) =>
+                val base = qg.filter(col("p") === p)
+                if (inv) base.select(col("graph").as(vc(gv)),
+                  col("o").as("as"), col("s").as("ao"))
+                else base.select(col("graph").as(vc(gv)),
+                  col("s").as("as"), col("o").as("ao"))
+              }.reduce(_ union _)
+            a.s match { case V(_) => (); case I(i) => rel = rel.filter(col("as") === i); case L(l) => rel = rel.filter(col("as") === l) }
+            a.o match { case V(_) => (); case I(i) => rel = rel.filter(col("ao") === i); case L(l) => rel = rel.filter(col("ao") === l) }
+            // ?g itself may appear in a term position (legal SPARQL): the
+            // term then has to EQUAL the graph name — filter, don't emit
+            // a second column under the same vc name
+            val out = (a.s, a.o) match {
+              case (V(x), V(y)) if x == y && x == gv =>
+                rel.filter(col("as") === col("ao") &&
+                  col("as") === col(vc(gv))).select(col(vc(gv)))
+              case (V(x), V(y)) if x == y =>
+                rel.filter(col("as") === col("ao"))
+                  .select(col(vc(gv)), col("as").as(vc(x)))
+              case (V(x), V(y)) if x == gv =>
+                rel.filter(col("as") === col(vc(gv)))
+                  .select(col(vc(gv)), col("ao").as(vc(y)))
+              case (V(x), V(y)) if y == gv =>
+                rel.filter(col("ao") === col(vc(gv)))
+                  .select(col(vc(gv)), col("as").as(vc(x)))
+              case (V(x), V(y)) =>
+                rel.select(col(vc(gv)), col("as").as(vc(x)), col("ao").as(vc(y)))
+              case (V(x), _) if x == gv =>
+                rel.filter(col("as") === col(vc(gv))).select(col(vc(gv)))
+              case (_, V(y)) if y == gv =>
+                rel.filter(col("ao") === col(vc(gv))).select(col(vc(gv)))
+              case (V(x), _) => rel.select(col(vc(gv)), col("as").as(vc(x)))
+              case (_, V(y)) => rel.select(col(vc(gv)), col("ao").as(vc(y)))
+              case _ => rel.select(col(vc(gv))) // ground: binds only ?g
+            }
+            (a.constCount, out.distinct())
+          }
+          var rel = greedyJoin(parts2)
+          g.filters.foreach { f =>
+            rel = rel.filter(compileFilter(f, resolveIn(rel, rel.columns.toSet)))
+          }
+          (1, rel)
+        case L(_) => throw new IllegalArgumentException(
+          "GRAPH needs an IRI or ?variable")
+      }
+    }
 
     // VALUES blocks → tiny local relations (one column per variable).
     // Catalyst broadcasts them (LocalRelation sizes are known), so a
@@ -422,6 +594,9 @@ object BgpPlanner {
         parts = parts :+
           ((1, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*)))
       }
+      // group-scoped GRAPH (round 10): `OPTIONAL { GRAPH ?g { … } }` etc.
+      // — the graph relation joins its enclosing group like any part
+      g.graphs.foreach { case (t, gg) => parts = parts :+ graphPart(t, gg) }
       // No binding parts AND no sub-constructs: exactly {μ0}. With
       // sub-constructs present (an all-ground group with BIND, a group of
       // nothing but OPTIONALs, …) the pipeline below must still run —
@@ -470,9 +645,23 @@ object BgpPlanner {
       val branchDfs = evaled.collect { case Some(Some(d)) => d }
       val mu0Count = evaled.count(_ == Some(None))
       if (branchDfs.isEmpty && mu0Count == 0) None
+      // Documented collapse (round-9 advisory): an ALL-ground UNION where
+      // k ≥ 2 branches matched contributes multiplicity k in SPARQL's bag
+      // semantics but collapses to the join identity (one copy) here — a
+      // zero-column k-row relation has no faithful part form. The mixed
+      // case below IS multiplicity-correct (one all-null row per matched
+      // ground branch).
       else if (branchDfs.isEmpty) Some(None)
       else {
-        val allCols = branchDfs.flatMap(_.columns).distinct
+        // pad with vars bound ONLY in failed (None) branches: a variable
+        // the union can bind must exist in the output schema even when
+        // its only branch matched nothing, so downstream SELECT/FILTER
+        // sees unbound (null) instead of an AnalysisException
+        val failedVars = ug.branches.zip(evaled)
+          .collect { case (b, None) => groupVarsOf(b) }
+          .flatten.distinct.map(vc)
+        val allCols =
+          (branchDfs.flatMap(_.columns) ++ failedVars).distinct
         val padded = branchDfs.map { d =>
           val have = d.columns.toSet
           d.select(allCols.map(c =>
@@ -549,123 +738,8 @@ object BgpPlanner {
       }
     }
 
-    // GRAPH groups (§13.3): re-scope pattern matching to one named graph.
-    // GRAPH <iri> { … } evaluates the full recursive group against that
-    // graph's triples only (the reference names one graph per building,
-    // setup-graphs.py:13-19). GRAPH ?g { … } additionally BINDS ?g: each
-    // atom keeps the quads `graph` column under vc(?g), so the greedy
-    // join's shared-column rule enforces same-graph matching and ?g joins
-    // the outer solution — plain single-step BGP + FILTER only (a per-
-    // graph closure fixpoint has no shared-relation form worth its cost).
-    val graphParts: Seq[(Int, DataFrame)] = q.graphs.map { case (term, g) =>
-      val qg = quadsG.getOrElse(throw new IllegalArgumentException(
-        "GRAPH requires evaluation over the 4-column quads relation — " +
-          "call BgpPlanner.evaluate, not evaluateTriples"))
-      term match {
-        case I(iri) =>
-          val gScoped = qg.filter(col("graph") === iri)
-            .select("s", "p", "o").distinct()
-          val vars = groupVarsOf(g)
-          if (vars.isEmpty) throw new IllegalArgumentException(
-            "GRAPH <iri> groups must bind at least one variable")
-          val sub = Query(projection = vars, distinct = false,
-            patterns = g.patterns, userVars = vars, filters = g.filters,
-            optionals = g.optionals, unions = g.unions, groups = g.groups,
-            values = g.values, minuses = g.minuses, binds = g.binds,
-            exists = g.exists, subqueries = g.subqueries)
-          val r = evaluateTriples(gScoped, sub, quadsG)
-          (2, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
-        case V(gv) =>
-          if (g.optionals.nonEmpty || g.unions.nonEmpty ||
-              g.groups.nonEmpty || g.values.nonEmpty || g.minuses.nonEmpty ||
-              g.binds.nonEmpty || g.exists.nonEmpty || g.subqueries.nonEmpty)
-            throw new IllegalArgumentException(
-              "GRAPH ?var groups support plain triple patterns + FILTER " +
-                "only (nested OPTIONAL/UNION/VALUES/BIND/MINUS/EXISTS " +
-                "inside GRAPH ?var is outside the supported subset)")
-          val atoms2 = expandAtoms(g.patterns)
-          // Path modifiers per graph (round 9): encode the graph into the
-          // node ids (graph  node) and run ONE shared closure
-          // fixpoint over the union of all graphs' edges — endpoints of
-          // any derived pair carry the same prefix by construction, so
-          // per-graph scoping falls out of the encoding and no per-graph
-          // loop exists. Decode splits the prefix back into vc(?g).
-          // (Constant endpoints filter the decoded relation rather than
-          // seeding a targeted BFS — the seed differs per graph.)
-          val SEP = "\u0001"
-          def pathRel(step: Step): DataFrame = {
-            val enc = step.alts.map { case (p, inv) =>
-              val base = qg.filter(col("p") === p)
-              if (inv) base.select(
-                concat(col("graph"), lit(SEP), col("o")).as("src"),
-                concat(col("graph"), lit(SEP), col("s")).as("dst"))
-              else base.select(
-                concat(col("graph"), lit(SEP), col("s")).as("src"),
-                concat(col("graph"), lit(SEP), col("o")).as("dst"))
-            }.reduce(_ union _)
-            lazy val encTerms = qg.select(
-                concat(col("graph"), lit(SEP), col("s")).as("t"))
-              .union(qg.select(concat(col("graph"), lit(SEP), col("o")).as("t")))
-              .distinct()
-            val closed = step.mod match {
-              case '+' => Closure.transitive(enc)
-              case '*' => Closure.withIdentity(Closure.transitive(enc), encTerms)
-              case _ => Closure.withIdentity(enc, encTerms) // '?'
-            }
-            closed.select(
-              substring_index(col("src"), SEP, 1).as(vc(gv)),
-              substring_index(col("src"), SEP, -1).as("as"),
-              substring_index(col("dst"), SEP, -1).as("ao"))
-          }
-          val parts2 = atoms2.map { a =>
-            var rel =
-              if (a.step.mod != ' ') pathRel(a.step)
-              else a.step.alts.map { case (p, inv) =>
-                val base = qg.filter(col("p") === p)
-                if (inv) base.select(col("graph").as(vc(gv)),
-                  col("o").as("as"), col("s").as("ao"))
-                else base.select(col("graph").as(vc(gv)),
-                  col("s").as("as"), col("o").as("ao"))
-              }.reduce(_ union _)
-            a.s match { case V(_) => (); case I(i) => rel = rel.filter(col("as") === i); case L(l) => rel = rel.filter(col("as") === l) }
-            a.o match { case V(_) => (); case I(i) => rel = rel.filter(col("ao") === i); case L(l) => rel = rel.filter(col("ao") === l) }
-            // ?g itself may appear in a term position (legal SPARQL): the
-            // term then has to EQUAL the graph name — filter, don't emit
-            // a second column under the same vc name
-            val out = (a.s, a.o) match {
-              case (V(x), V(y)) if x == y && x == gv =>
-                rel.filter(col("as") === col("ao") &&
-                  col("as") === col(vc(gv))).select(col(vc(gv)))
-              case (V(x), V(y)) if x == y =>
-                rel.filter(col("as") === col("ao"))
-                  .select(col(vc(gv)), col("as").as(vc(x)))
-              case (V(x), V(y)) if x == gv =>
-                rel.filter(col("as") === col(vc(gv)))
-                  .select(col(vc(gv)), col("ao").as(vc(y)))
-              case (V(x), V(y)) if y == gv =>
-                rel.filter(col("ao") === col(vc(gv)))
-                  .select(col(vc(gv)), col("as").as(vc(x)))
-              case (V(x), V(y)) =>
-                rel.select(col(vc(gv)), col("as").as(vc(x)), col("ao").as(vc(y)))
-              case (V(x), _) if x == gv =>
-                rel.filter(col("as") === col(vc(gv))).select(col(vc(gv)))
-              case (_, V(y)) if y == gv =>
-                rel.filter(col("ao") === col(vc(gv))).select(col(vc(gv)))
-              case (V(x), _) => rel.select(col(vc(gv)), col("as").as(vc(x)))
-              case (_, V(y)) => rel.select(col(vc(gv)), col("ao").as(vc(y)))
-              case _ => rel.select(col(vc(gv))) // ground: binds only ?g
-            }
-            (a.constCount, out.distinct())
-          }
-          var rel = greedyJoin(parts2)
-          g.filters.foreach { f =>
-            rel = rel.filter(compileFilter(f, resolveIn(rel, rel.columns.toSet)))
-          }
-          (1, rel)
-        case L(_) => throw new IllegalArgumentException(
-          "GRAPH needs an IRI or ?variable")
-      }
-    }
+    val graphParts: Seq[(Int, DataFrame)] =
+      q.graphs.map { case (term, g) => graphPart(term, g) }
 
     val (plainVals, undefVals) = q.values.partition(!_.hasUndef)
     val valuesParts: Seq[(Int, DataFrame)] = plainVals.map(valuesPart)
@@ -699,9 +773,14 @@ object BgpPlanner {
         q.exists.isEmpty && q.minuses.isEmpty && q.filters.isEmpty &&
         q.binds.isEmpty)
       return finish(spark.range(1).select(), q)
+    // The {μ0}-start condition must mirror evalGroup's: EXISTS/MINUS over
+    // an otherwise-empty WHERE (e.g. ASK { FILTER EXISTS { ?s ?p ?o } })
+    // still evaluates over the one-row empty mapping — short-circuiting
+    // them to the empty relation answered every such ASK false (round-9
+    // advisory).
     if (reqParts.isEmpty || unionFailed || groupFailed ||
         (baseParts.isEmpty && undefVals.isEmpty && q.optionals.isEmpty &&
-          q.binds.isEmpty)) {
+          q.binds.isEmpty && q.exists.isEmpty && q.minuses.isEmpty)) {
       if (q.aggregates.isEmpty && q.groupBy.isEmpty)
         return finish(spark.range(0)
           .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*), q)
@@ -778,13 +857,28 @@ object BgpPlanner {
       case BArith(l, op, r) =>
         val (lc, rc) = (compileBind(l, resolve).try_cast("long"),
           compileBind(r, resolve).try_cast("long"))
-        val out = op match {
-          case '+' => lc + rc
-          case '-' => lc - rc
-          case '*' => lc * rc
+        op match {
+          case '+' => (lc + rc).cast("long").cast("string")
+          case '-' => (lc - rc).cast("long").cast("string")
+          case '*' => (lc * rc).cast("long").cast("string")
+          case '/' =>
+            // SPARQL §17.3: integer ÷ integer is xsd:decimal. Exact where
+            // the division IS exact (the canonical decimal lexical of an
+            // integral quotient is its plain integer form — decimal-typed
+            // long division, never a double round-trip); otherwise an
+            // xsd:double APPROXIMATION rendered shortest-round-trip.
+            // Documented divergence: digits beyond IEEE-754 binary64
+            // precision differ from a fixed-point-decimal engine's
+            // rendering. ÷0 and non-integer lexicals → NULL = unbound
+            // (SPARQL error → BIND leaves the alias unbound).
+            when(rc === 0, lit(null).cast("string"))
+              .when(lc % rc === 0,
+                try_divide(lc.cast("decimal(38,0)"), rc.cast("decimal(38,0)"))
+                  .cast("long").cast("string"))
+              .otherwise(try_divide(lc.cast("double"), rc.cast("double"))
+                .cast("string"))
           case other => throw new IllegalArgumentException(s"bad op $other")
         }
-        out.cast("long").cast("string")
     }
   }
 

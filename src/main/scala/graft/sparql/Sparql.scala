@@ -136,7 +136,8 @@ object Sparql {
       minuses: List[PatternGroup] = Nil,
       binds: List[Bind] = Nil,
       exists: List[(PatternGroup, Boolean)] = Nil,
-      subqueries: List[Query] = Nil)
+      subqueries: List[Query] = Nil,
+      graphs: List[(Term, PatternGroup)] = Nil) // GRAPH <iri>/?g { … }
 
   /** `{ A } UNION { B } …`: ≥2 branches, solutions concatenated with
     * unshared variables left unbound (SPARQL bag union). */
@@ -222,7 +223,6 @@ object Sparql {
     private var anonCounter = 0
     private val order = ArrayBuffer[String]() // named vars, first-appearance
     private val aggs = ArrayBuffer[Agg]()
-    private val graphGroups = ArrayBuffer[(Term, PatternGroup)]()
 
     /** One group's worth of parse state — the top level and every nested
       * `{ … }` each get their own instance, so VALUES/MINUS/BIND/EXISTS
@@ -238,15 +238,16 @@ object Sparql {
       val binds = ArrayBuffer[Bind]()
       val exists = ArrayBuffer[(PatternGroup, Boolean)]()
       val subqueries = ArrayBuffer[Query]()
+      val graphs = ArrayBuffer[(Term, PatternGroup)]()
       def toGroup: PatternGroup = PatternGroup(patterns.toList,
         filters.toList, optionals.toList, unions.toList, groups.toList,
         values.toList, minuses.toList, binds.toList, exists.toList,
-        subqueries.toList)
+        subqueries.toList, graphs.toList)
       /** Can this group produce bindings? (A binds/filter-only group has
         * nothing to extend and is rejected as empty.) */
       def bindsAnything: Boolean = patterns.nonEmpty || optionals.nonEmpty ||
         unions.nonEmpty || groups.nonEmpty || values.nonEmpty ||
-        subqueries.nonEmpty
+        subqueries.nonEmpty || graphs.nonEmpty
     }
     private var haggCounter = 0 // HAVING-synthesized aggregate aliases
 
@@ -359,7 +360,7 @@ object Sparql {
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
           subqueries = b.subqueries.toList, askForm = true,
-          groups = b.groups.toList, graphs = graphGroups.toList)
+          groups = b.groups.toList, graphs = b.graphs.toList)
       }
       // ---- DESCRIBE form: subject triples of the described resources -----
       if (kw("DESCRIBE")) {
@@ -391,7 +392,7 @@ object Sparql {
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
           subqueries = b.subqueries.toList, describeTerms = terms.toList,
-          groups = b.groups.toList, graphs = graphGroups.toList)
+          groups = b.groups.toList, graphs = b.graphs.toList)
       }
       // ---- CONSTRUCT form: template instantiated per solution ------------
       if (kw("CONSTRUCT")) {
@@ -427,7 +428,7 @@ object Sparql {
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
           subqueries = b.subqueries.toList, template = tmpl.toList,
-          groups = b.groups.toList, graphs = graphGroups.toList)
+          groups = b.groups.toList, graphs = b.graphs.toList)
       }
       if (!kw("SELECT")) err("expected SELECT, ASK, or CONSTRUCT")
       val distinct = kw("DISTINCT")
@@ -491,7 +492,7 @@ object Sparql {
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
         limit, offset, b.values.toList, b.minuses.toList,
         b.binds.toList, b.exists.toList, b.subqueries.toList,
-        groups = b.groups.toList, graphs = graphGroups.toList)
+        groups = b.groups.toList, graphs = b.graphs.toList)
     }
 
     private def parseInt(): Int = {
@@ -602,16 +603,16 @@ object Sparql {
         } else if (kw("MINUS")) {
           b.minuses += parseNestedGroup("MINUS")
         } else if (kw("GRAPH")) {
-          if (nested)
-            err("GRAPH inside OPTIONAL/UNION/nested groups is outside the " +
-              "supported subset")
+          // allowed at any depth since round 10 — a nested GRAPH group
+          // evaluates inside its enclosing group (evalGroup), so
+          // `OPTIONAL { GRAPH ?g { … } }` and friends work
           skipWs()
           val term: Term =
             if (peek == '?' || peek == '$') V(parseVar())
             else if (peek == '<') I(parseIriRef())
             else if (peek.isLetter || peek == '_') I(parsePName())
             else err("GRAPH needs an IRI or ?variable")
-          graphGroups += ((term, parseNestedGroup("GRAPH")))
+          b.graphs += ((term, parseNestedGroup("GRAPH")))
         } else if (kw("VALUES")) {
           b.values += parseValues()
         } else if (kw("BIND")) {
@@ -804,9 +805,7 @@ object Sparql {
       while (more) {
         skipWs()
         if (peek == '*') { pos += 1; e = BArith(e, '*', parseBindPrimary()) }
-        else if (peek == '/')
-          err("'/' in BIND is outside the supported subset (xsd:decimal " +
-            "division; use integer + - * or precompute in the data)")
+        else if (peek == '/') { pos += 1; e = BArith(e, '/', parseBindPrimary()) }
         else more = false
       }
       e

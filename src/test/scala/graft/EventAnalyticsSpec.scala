@@ -57,6 +57,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
   }
 
+  test("funnelReport maxEventsPerUser excludes a hot bot key, keeps real users") {
+    // u1: a normal 3-step completion (3 step events). u9: a bot hammering
+    // 500 step events, all of which WOULD convert — with the cap set below
+    // 500 the key must be excluded outright (not truncated into a
+    // conversion), so every stage counts u1 only.
+    val normal = Seq(
+      (1L, 1L, "view", "2024-01-01 00:00:00"),
+      (2L, 1L, "click", "2024-01-01 01:00:00"),
+      (3L, 1L, "purchase", "2024-01-01 02:00:00"))
+    val bot = (0 until 500).map { i =>
+      val tp = Seq("view", "click", "purchase")(i % 3)
+      (100L + i, 9L, tp, f"2024-01-01 03:${i / 60}%02d:${i % 60}%02d")
+    }
+    val ev = eventsDf(normal ++ bot)
+    val capped = Events.funnelReport(ev, Seq("view", "click", "purchase"),
+        maxEventsPerUser = Some(100L))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(capped == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // without the cap the bot converts — proving the cap did the exclusion
+    val uncapped = Events.funnelReport(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uncapped == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   // ---- cohort retention -----------------------------------------------
 
   test("cohortRetention buckets users by first-event week") {

@@ -133,11 +133,8 @@ class SparqlSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("outside the supported SPARQL subset"), e.getMessage)
     }
-    // GRAPH stays a top-level construct
-    val e4 = intercept[IllegalArgumentException] {
-      Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { GRAPH <urn:g> { ?s <urn:q> ?w } } }")
-    }
-    assert(e4.getMessage.contains("GRAPH inside"), e4.getMessage)
+    // GRAPH parses at any depth since round 10
+    Sparql.parse("SELECT ?s WHERE { ?s <urn:p> ?v . OPTIONAL { GRAPH <urn:g> { ?s <urn:q> ?w } } }")
   }
 
   test("subqueries inside nested groups join their enclosing group (§18.2.1)") {
@@ -450,6 +447,62 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows3 == Set((Some("urn:d#1"), Some("1")), (None, None)))
   }
 
+  test("EXISTS/MINUS over an otherwise-empty WHERE evaluate from {mu0} (round-10 fix)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(Quad("urn:g#", "urn:d#1", "urn:p#v", "1")).toDF()
+    // formerly short-circuited to the empty relation -> always false
+    val ask1 = Sparql.parse("ASK { FILTER EXISTS { ?s <urn:p#v> ?o } }")
+    assert(BgpPlanner.evaluate(g, ask1).collect().head.getString(0) == "true")
+    val ask2 = Sparql.parse(
+      "ASK { FILTER EXISTS { ?s <urn:p#nope> ?o } }")
+    assert(BgpPlanner.evaluate(g, ask2).collect().head.getString(0) == "false")
+    val ask3 = Sparql.parse("ASK { FILTER NOT EXISTS { ?s <urn:p#v> ?o } }")
+    assert(BgpPlanner.evaluate(g, ask3).collect().head.getString(0) == "false")
+    // MINUS against {mu0}: domains are disjoint -> removes nothing -> true
+    val ask4 = Sparql.parse("ASK { MINUS { ?s <urn:p#v> ?o } }")
+    assert(BgpPlanner.evaluate(g, ask4).collect().head.getString(0) == "true")
+  }
+
+  test("UNION keeps the schema of a branch that matched nothing (round-10 fix)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#v", "1"),
+      Quad("urn:g#", "urn:d#2", "urn:p#w", "2")).toDF()
+    // branch 2's ground atom fails -> the whole branch has no solutions,
+    // but ?x must still exist in the output schema as unbound
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?v ?x WHERE { " +
+        "{ ?s p:v ?v } UNION { <urn:nope> p:q <urn:r> . ?s2 p:w ?x } }")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(rows.toSeq == Seq((Some("1"), None)))
+    // nested variant reaches the same padding through evalGroup
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?v ?x WHERE { ?s p:v ?v . " +
+        "OPTIONAL { { ?s p:v ?v } UNION { <urn:nope> p:q <urn:r> . ?s p:w ?x } } }")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(rows2.toSeq == Seq(("urn:d#1", "1", None)))
+  }
+
+  test("GRAPH ?var path atoms fail loudly on U+0001 in encoded values (round-10 fix)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:A#", "urn:x#a", "urn:p#sub", "badname")).toDF()
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s p:sub+ ?o } }")
+    val e = intercept[Throwable] {
+      BgpPlanner.evaluate(g, q).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("U+0001")),
+      s"expected a loud U+0001 encoding error, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("GRAPH ?g may reuse the graph variable in a term position") {
     val s = spark
     import s.implicits._
@@ -515,11 +568,75 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows2.toSeq == Seq(
       ("urn:A#", "urn:x#a"), ("urn:A#", "urn:x#b"), ("urn:A#", "urn:x#c"),
       ("urn:B#", "urn:x#b"), ("urn:B#", "urn:x#c")))
-    val e2 = intercept[IllegalArgumentException] {
-      BgpPlanner.evaluate(g, Sparql.parse(
-        "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:sub ?o . OPTIONAL { ?s p:u ?w } } }"))
-    }
-    assert(e2.getMessage.contains("GRAPH ?var groups support plain"), e2.getMessage)
+  }
+
+  test("GRAPH ?var with nested structure: per-graph OPTIONAL/UNION scoping (round 10)") {
+    val s = spark
+    import s.implicits._
+    // same subject in both graphs; the u-triple exists ONLY in A — the
+    // nested OPTIONAL must match within each branch's own graph, never
+    // leaking A's u into B's solution
+    val g = Seq(
+      Quad("urn:A#", "urn:x#a", "urn:p#sub", "urn:x#b"),
+      Quad("urn:A#", "urn:x#a", "urn:p#u", "ua"),
+      Quad("urn:B#", "urn:x#a", "urn:p#sub", "urn:x#c")).toDF()
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?o ?w WHERE { " +
+        "GRAPH ?g { ?s p:sub ?o . OPTIONAL { ?s p:u ?w } } } ORDER BY ?g")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      ("urn:A#", "urn:x#b", Some("ua")),
+      ("urn:B#", "urn:x#c", None)))
+    // UNION inside GRAPH ?var: each branch still graph-scoped
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?v WHERE { " +
+        "GRAPH ?g { { ?s p:u ?v } UNION { ?s p:sub ?v } } } ORDER BY ?g ?v")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows2.toSeq == Seq(
+      ("urn:A#", "ua"), ("urn:A#", "urn:x#b"), ("urn:B#", "urn:x#c")))
+    // BIND inside GRAPH ?var
+    val q3 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?b WHERE { " +
+        "GRAPH ?g { ?s p:sub ?o . BIND(UCASE(?o) AS ?b) } } ORDER BY ?g")
+    val rows3 = BgpPlanner.evaluate(g, q3).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rows3.toSeq == Seq(("urn:A#", "URN:X#B"), ("urn:B#", "URN:X#C")))
+  }
+
+  test("GRAPH inside OPTIONAL/UNION/nested groups joins its enclosing group (round 10)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:siteA#", "urn:x#1", "urn:p#t", "a1"),
+      Quad("urn:siteB#", "urn:x#2", "urn:p#t", "b1"),
+      Quad("urn:siteB#", "urn:x#2", "urn:p#u", "b2"),
+      Quad("urn:siteC#", "urn:x#3", "urn:p#u", "c1")).toDF()
+    // OPTIONAL { GRAPH ?g { … } }: find the site that has the point, if
+    // any — x#1 has no u-triple anywhere → ?g/?w unbound, row kept
+    val q = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?g ?w WHERE { " +
+        "?s p:t ?v . OPTIONAL { GRAPH ?g { ?s p:u ?w } } } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(g, q).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      ("urn:x#1", None, None),
+      ("urn:x#2", Some("urn:siteB#"), Some("b2"))))
+    // GRAPH <iri> inside an OPTIONAL: constant-scoped existence extension
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?w WHERE { " +
+        "?s p:t ?v . OPTIONAL { GRAPH <urn:siteB#> { ?s p:u ?w } } } ORDER BY ?s")
+    val rows2 = BgpPlanner.evaluate(g, q2).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(rows2.toSeq == Seq(("urn:x#1", None), ("urn:x#2", Some("b2"))))
+    // GRAPH inside a UNION branch
+    val q3 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s WHERE { " +
+        "{ GRAPH <urn:siteA#> { ?s p:t ?v } } UNION " +
+        "{ GRAPH <urn:siteC#> { ?s p:u ?v } } } ORDER BY ?s")
+    assert(BgpPlanner.evaluate(g, q3).collect().map(_.getString(0)).toSeq
+      == Seq("urn:x#1", "urn:x#3"))
   }
 
   test("FILTER on the flagship fixture: regex narrows timeseries bindings") {
@@ -741,7 +858,27 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("alpha", "", "a", "5"), ("beta", "", "", "4")))
   }
 
-  test("BIND misuse rejected: rebinding, unknown var, division, decimals") {
+  test("BIND division: exact-integral, fractional double, by-zero, non-numeric") {
+    // ?v is 5 for d#1 (see filterQuads): 5/5 = "1" (exact-integral branch,
+    // canonical xsd:decimal of an integer is its plain lexical);
+    // 5/2 = "2.5" (double branch, shortest-round-trip rendering);
+    // 5/0 and a non-numeric operand (d#4) are SPARQL errors → unbound.
+    val q = Sparql.parse(fp +
+      "SELECT ?s ?e ?f ?z WHERE { ?s p:val ?v . " +
+        "BIND(?v / 5 AS ?e) BIND(?v / 2 AS ?f) BIND(?v / 0 AS ?z) } ORDER BY ?s")
+    val rows = BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getString(1)), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(rows("urn:d#1") == ((Some("1"), Some("2.5"), None)))
+    assert(rows("urn:d#4") == ((None, None, None))) // non-numeric lexical
+    // negative dividend keeps exactness rules: -6/4 = "-1.5"
+    val q2 = Sparql.parse(fp +
+      "SELECT ?x WHERE { BIND(0 - 6 AS ?m) BIND(?m / 4 AS ?x) }")
+    assert(BgpPlanner.evaluate(filterQuads, q2).collect()
+      .map(_.getString(0)).toSeq == Seq("-1.5"))
+  }
+
+  test("BIND misuse rejected: rebinding, unknown var, decimals") {
     def bad(qs: String, needle: String): Unit = {
       val e = intercept[IllegalArgumentException] {
         BgpPlanner.evaluate(filterQuads, Sparql.parse(fp + qs)).collect()
@@ -750,7 +887,6 @@ class SparqlSpec extends AnyFunSuite {
     }
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 1 AS ?v) }", "rebind")
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?nope AS ?x) }", "bound by no pattern")
-    bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v / 2 AS ?x) }", "'/'")
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 1.5 AS ?x) }", "integer arithmetic")
     // BIND inside OPTIONAL is supported since round 9 (group scope)
     val ok = BgpPlanner.evaluate(filterQuads, Sparql.parse(fp +
