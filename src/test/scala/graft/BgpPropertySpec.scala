@@ -706,4 +706,41 @@ class BgpPropertySpec extends AnyFunSuite {
     }
     assert(run >= 15, s"only $run generated cases were runnable")
   }
+
+  test("structural GRAPH ?g (nested-group body) == naive per-graph evaluation") {
+    val s = spark
+    import s.implicits._
+    // Same generated cases, but the body is wrapped in a plain nested
+    // group — semantically identical, yet it forces the round-10
+    // STRUCTURAL path (one evaluation per named graph, bag-unioned)
+    // instead of the single-plan graph-column path. Both must match the
+    // naive per-graph evaluator; together with the test above this is a
+    // three-way differential over the same case distribution.
+    val cases = (1 to 12).flatMap { i =>
+      for {
+        qs <- quadGraphGen(Gen.Parameters.default, Seed(12000L + i))
+        gq <- graphQueryGen(Gen.Parameters.default, Seed(13000L + i))
+      } yield (qs, gq)
+    }
+    var run = 0
+    cases.foreach { case (qs, (inner, outer)) =>
+      val innerVars = inner.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }
+      val outerVars = outer.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }
+      if (innerVars.nonEmpty && (outer.isEmpty || outerVars.nonEmpty)) {
+        run += 1
+        val named = ("g" :: (innerVars ++ outerVars)).distinct
+        val q = Query(Nil, distinct = false, outer, named,
+          graphs = List((V("g"),
+            PatternGroup(Nil, Nil, groups = List(PatternGroup(inner, Nil))))))
+        val quads = qs.toSeq.map { case (g, su, p, o) => Quad(g, su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q, None).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val want = naiveGraphVar(qs, inner, outer, q.selected)
+        assert(got == want,
+          s"structural mismatch for GRAPH ?g { { $inner } } + outer $outer " +
+            s"over ${qs.size} quads: planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 8, s"only $run generated cases were runnable")
+  }
 }
