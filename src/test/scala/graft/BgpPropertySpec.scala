@@ -743,4 +743,104 @@ class BgpPropertySpec extends AnyFunSuite {
     }
     assert(run >= 8, s"only $run generated cases were runnable")
   }
+
+  test("BIND arithmetic (incl. round-10 division) == reference semantics on random expressions") {
+    val s = spark
+    import s.implicits._
+    // Reference implementation of the documented BIND semantics: operands
+    // parse as longs (non-numeric -> error -> unbound), + - * are
+    // long-exact, / is xsd:decimal-style — unbound on /0, exact integer
+    // lexical when divisible, else IEEE double division rendered
+    // shortest-round-trip (Double.toString == Spark's double->string).
+    def refEval(e: String, env: Map[String, String]): Option[String] = {
+      // tiny recursive-descent evaluator over the same grammar subset
+      var pos = 0
+      def ws(): Unit = while (pos < e.length && e(pos) == ' ') pos += 1
+      def prim(): Option[String] = {
+        ws()
+        if (e(pos) == '(') {
+          pos += 1; val v = add(); ws()
+          require(e(pos) == ')'); pos += 1; v
+        } else if (e(pos) == '?') {
+          pos += 1; val st = pos
+          while (pos < e.length && e(pos).isLetter) pos += 1
+          env.get(e.substring(st, pos))
+        } else {
+          val st = pos
+          if (e(pos) == '-') pos += 1
+          while (pos < e.length && e(pos).isDigit) pos += 1
+          Some(e.substring(st, pos))
+        }
+      }
+      def num(o: Option[String]): Option[Long] = o.flatMap(_.toLongOption)
+      def mul(): Option[String] = {
+        var acc = prim()
+        var more = true
+        while (more) {
+          ws()
+          if (pos < e.length && e(pos) == '*') {
+            pos += 1; val r = prim()
+            acc = for (a <- num(acc); b <- num(r)) yield (a * b).toString
+          } else if (pos < e.length && e(pos) == '/') {
+            pos += 1; val r = prim()
+            acc = for {
+              a <- num(acc); b <- num(r)
+              q <- if (b == 0L) None
+                   else if (a % b == 0L) Some((a / b).toString)
+                   else Some((a.toDouble / b.toDouble).toString)
+            } yield q
+          } else more = false
+        }
+        acc
+      }
+      def add(): Option[String] = {
+        var acc = mul()
+        var more = true
+        while (more) {
+          ws()
+          if (pos < e.length && e(pos) == '+') {
+            pos += 1; val r = mul()
+            acc = for (a <- num(acc); b <- num(r)) yield (a + b).toString
+          } else if (pos < e.length && e(pos) == '-') {
+            pos += 1; val r = mul()
+            acc = for (a <- num(acc); b <- num(r)) yield (a - b).toString
+          } else more = false
+        }
+        acc
+      }
+      add()
+    }
+    // magnitudes kept well under 2^53 so long->double conversion is
+    // identical on both sides and ANSI long arithmetic cannot overflow
+    val lexGen = Gen.oneOf("0", "1", "7", "12", "-3", "100003", "999999", "nope")
+    def exprGen(depth: Int): Gen[String] =
+      if (depth == 0) Gen.frequency(
+        2 -> Gen.oneOf("?a", "?b", "?c"),
+        1 -> Gen.oneOf("0", "2", "3", "4", "10", "7"))
+      else for {
+        l <- exprGen(depth - 1); r <- exprGen(depth - 1)
+        op <- Gen.oneOf("+", "-", "*", "/")
+      } yield s"($l $op $r)"
+    val caseGen = for {
+      a <- lexGen; b <- lexGen; c <- lexGen
+      ex <- exprGen(3)
+    } yield (Map("a" -> a, "b" -> b, "c" -> c), ex)
+    val cases = (1 to 60).flatMap { i =>
+      caseGen(Gen.Parameters.default, Seed(20000L + i))
+    }
+    assert(cases.size >= 50)
+    cases.foreach { case (env, ex) =>
+      val quads = Seq(
+        Quad("urn:g#", "urn:s#1", "urn:p#a", env("a")),
+        Quad("urn:g#", "urn:s#1", "urn:p#b", env("b")),
+        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).toDF()
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?r WHERE { ?s p:a ?a . ?s p:b ?b . " +
+          s"?s p:c ?c . BIND($ex AS ?r) }")
+      val got = BgpPlanner.evaluate(quads, q).collect()
+        .map(r => Option(r.getString(0))).toSeq
+      val want = Seq(refEval(ex, env))
+      assert(got == want, s"BIND($ex) over $env: planner=$got reference=$want")
+    }
+  }
 }
