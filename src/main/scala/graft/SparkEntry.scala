@@ -421,6 +421,22 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
+    "q137_cluster_split" -> ((s, dir) => {
+      // cluster-aware train/val/test split (round 10): q35's near-dup
+      // components each land WHOLLY in one split, eliminating the
+      // near-twin train/test leakage a per-document split allows; the
+      // report quantifies exactly that (naive_leaky_clusters = clusters
+      // the id-mod rule would scatter). Two hash aggs over the compact
+      // (id, component) relation on top of the cluster pipeline.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id")
+      val nearDups = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
+        .filter(col("jaccard_bp") >= 5000)
+        .select("id_a", "id_b")
+      Dedup.clusterAwareSplit(
+          Dedup.connectedComponents(docs, "doc_id", nearDups))
+        .orderBy("split")
+    }),
     "q40_dedup_clusters_lsh" -> ((s, dir) => {
       // the SCALE-SAFE dedup-cluster path: candidates from MinHash LSH
       // (no all-pairs block join anywhere) → exact 3-gram Jaccard ≥ 0.5
@@ -2630,6 +2646,45 @@ object SparkEntry {
         |  least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS component
         |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q137_cluster_split" ->
+      // q35's recursive-CTE component relation + the same mod-10 split
+      // rules; leaky = clusters whose members span >= 2 naive splits
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents),
+        |near AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tk a JOIN tk b
+        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 10000
+        |    // len(list_distinct(a.toks || b.toks)) >= 5000),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM near
+        |  UNION ALL SELECT id_b, id_a FROM near),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS component
+        |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |  GROUP BY d.doc_id),
+        |assigned AS (
+        |  SELECT doc_id, component,
+        |    CASE WHEN component % 10 < 8 THEN 'train'
+        |         WHEN component % 10 < 9 THEN 'val' ELSE 'test' END AS split,
+        |    CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |         WHEN doc_id % 10 < 9 THEN 'val' ELSE 'test' END AS naive
+        |  FROM comp),
+        |per_cluster AS (
+        |  SELECT component, split, count(*) AS n,
+        |    count(DISTINCT naive) AS nv
+        |  FROM assigned GROUP BY component, split)
+        |SELECT split, sum(n) AS n_docs, count(*) AS n_clusters,
+        |  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS naive_leaky_clusters
+        |FROM per_cluster GROUP BY split ORDER BY split""".stripMargin,
     "q33_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -905,4 +905,53 @@ object Dedup {
       .filter(col("dist") >= 0) // threshold form returns -1 above maxDist
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** CLUSTER-AWARE train/val/test split report (round 10): assign every
+    * document's ENTIRE near-duplicate cluster to one split, so no two
+    * near-duplicates straddle a split boundary — the leakage mode that
+    * inflates eval scores when a test document's near-twin sits in
+    * training data (the reason decontamination papers pair dedup with
+    * splitting). Input is a [[connectedComponents]]-style relation
+    * (`id`, `component` where component = the cluster's min id; every
+    * doc appears, singletons as their own component).
+    *
+    * Assignment is `component mod 10` against (trainBuckets,
+    * valBuckets): deterministic, engine-portable (plain positive modulo
+    * — DuckDB-oracle-able), and cluster-constant by construction. A
+    * production run would hash-salt the component first so bucket sizes
+    * don't correlate with id assignment order; the modulo form keeps the
+    * operator bit-exact against the oracle and the correlation only
+    * affects balance, never leakage.
+    *
+    * Output, one row per split: n_docs, n_clusters, and
+    * naive_leaky_clusters = how many of this split's clusters the NAIVE
+    * per-document rule (`id mod 10`) would have scattered across ≥2
+    * splits — the measured leakage the cluster rule eliminates.
+    *
+    * Shape (100 TB): two map-side-combinable hash aggregates over the
+    * compact (id, component) relation — no joins, no windows, nothing
+    * corpus-quadratic. */
+  def clusterAwareSplit(
+      components: DataFrame, trainBuckets: Int = 8,
+      valBuckets: Int = 1): DataFrame = {
+    require(trainBuckets > 0 && valBuckets > 0 &&
+      trainBuckets + valBuckets < 10,
+      "need trainBuckets > 0, valBuckets > 0, trainBuckets + valBuckets < 10")
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = pmod(c, lit(10))
+      when(b < trainBuckets, "train")
+        .when(b < trainBuckets + valBuckets, "val")
+        .otherwise("test")
+    }
+    components
+      .select(col("id"), col("component"),
+        splitOf(col("component")).as("split"),
+        splitOf(col("id")).as("_naive"))
+      .groupBy(col("component"), col("split"))
+      .agg(count(lit(1)).as("_n"), count_distinct(col("_naive")).as("_nv"))
+      .groupBy(col("split"))
+      .agg(sum(col("_n")).as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("_nv") > 1, 1L).otherwise(0L)).as("naive_leaky_clusters"))
+  }
 }

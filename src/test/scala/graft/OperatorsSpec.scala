@@ -276,6 +276,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(comp == Map(1L->1L, 2L->1L, 3L->1L, 4L->4L, 5L->5L, 6L->5L, 7L->7L))
   }
 
+  test("clusterAwareSplit: whole clusters per split; naive leakage measured") {
+    val s = spark; import s.implicits._
+    // cluster {8,19,23} (component 8 -> bucket 8 -> val): the naive
+    // id-mod rule scatters it over val/test/train -> leaky.
+    // cluster {12,22} (component 12 -> train): naive agrees -> clean.
+    // singleton 5 -> train, clean.
+    val comps = Seq(
+      (8L, 8L), (19L, 8L), (23L, 8L),
+      (12L, 12L), (22L, 12L),
+      (5L, 5L)).toDF("id", "component")
+    val out = Dedup.clusterAwareSplit(comps).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "train" -> ((3L, 2L, 0L)),
+      "val" -> ((3L, 1L, 1L))))
+    // invariant: cluster-aware assignment NEVER splits a cluster — every
+    // component maps to exactly one split
+    val perComp = comps
+      .select(col("component"),
+        when(pmod(col("component"), lit(10)) < 8, "train")
+          .when(pmod(col("component"), lit(10)) < 9, "val")
+          .otherwise("test").as("split"))
+      .distinct().groupBy("component").count().collect()
+    assert(perComp.forall(_.getLong(1) == 1L))
+  }
+
   test("embedding hyperplane-LSH candidates find near-identical vectors") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
