@@ -680,6 +680,24 @@ object SparkEntry {
       TextOps.bigramLmScores(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     }),
+    "q138_lm_terciles" -> ((s, dir) => {
+      // CCNet-style per-language perplexity bucketing (Wenzek
+      // 1911.00359): head/middle/tail terciles of the bigram-LM fluency
+      // score within each language — the sample-by-bucket alternative to
+      // hard quality filtering. Exact integer tercile thresholds from
+      // the bounded-domain histogram (no corpus sort; see
+      // TextOps.scoreTerciles).
+      val docs = t(s, dir, "documents")
+      val scores = TextOps.bigramLmScores(docs, "text", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("avg_prob_bp"))
+      TextOps.scoreTerciles(scores, Seq("lang"), "avg_prob_bp")
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_prob_bp")).as("min_bp"),
+          max(col("avg_prob_bp")).as("max_bp"))
+        .orderBy("lang", "bucket")
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2084,6 +2102,46 @@ object SparkEntry {
         |  CAST(CAST(sum(bp) AS BIGINT) // count(*) AS BIGINT) AS avg_prob_bp,
         |  CAST(min(bp) AS BIGINT) AS min_prob_bp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q138_lm_terciles" ->
+      // q59's bigram-LM score CTE + per-language integer tercile
+      // thresholds from the (lang, score) histogram; bucket rule and
+      // threshold definition mirror TextOps.scoreTerciles exactly
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks[p] AS t, toks[p+1] AS t2
+        |  FROM (SELECT doc_id, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS p FROM tk)),
+        |c2 AS (SELECT t, t2, count(*) AS c2 FROM bg GROUP BY t, t2),
+        |c1 AS (SELECT t, count(*) AS c1 FROM bg GROUP BY t),
+        |sc AS (
+        |  SELECT bg.doc_id, c2.c2 * 10000 // c1.c1 AS bp
+        |  FROM bg JOIN c2 ON bg.t = c2.t AND bg.t2 = c2.t2
+        |  JOIN c1 ON bg.t = c1.t),
+        |score AS (
+        |  SELECT sc.doc_id, d.lang,
+        |    CAST(CAST(sum(bp) AS BIGINT) // count(*) AS BIGINT) AS s
+        |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id
+        |  GROUP BY sc.doc_id, d.lang),
+        |hist AS (SELECT lang, s, count(*) AS c FROM score GROUP BY lang, s),
+        |cum AS (
+        |  SELECT lang, s, sum(c) OVER (PARTITION BY lang ORDER BY s) AS cum
+        |  FROM hist),
+        |tot AS (SELECT lang, sum(c) AS n FROM hist GROUP BY lang),
+        |thr AS (
+        |  SELECT cum.lang,
+        |    min(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS t1,
+        |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS t2
+        |  FROM cum JOIN tot ON cum.lang = tot.lang GROUP BY cum.lang),
+        |bucketed AS (
+        |  SELECT score.lang,
+        |    CASE WHEN s <= t1 THEN 'tail'
+        |         WHEN s <= t2 THEN 'middle' ELSE 'head' END AS bucket, s
+        |  FROM score JOIN thr ON score.lang = thr.lang)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(s) AS BIGINT) AS min_bp, CAST(max(s) AS BIGINT) AS max_bp
+        |FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "q19_minhash_lsh" ->
       s"""WITH $shingleStatsCte
          |SELECT id_a, id_b, n_inter, n_union, jaccard_bp

@@ -550,4 +550,58 @@ object TextOps {
       }
       .groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
   }
+
+  /** CCNET-STYLE QUALITY BUCKETING (Wenzek et al., arXiv:1911.00359
+    * §4.3): split each group's documents into head / middle / tail
+    * TERCILES by an integer quality score (CCNet buckets by LM
+    * perplexity per language; here any integer score column — e.g.
+    * [[bigramLmScores]]' avg_prob_bp, higher = more fluent = head).
+    * Training mixes then sample by bucket instead of hard-filtering.
+    *
+    * Exact percentiles WITHOUT a corpus sort: the per-(group, score)
+    * HISTOGRAM is score-domain-sized (basis points: ≤10⁴ rows per
+    * group), so the tercile thresholds come from a window over that
+    * compact relation — never a window over the corpus (a per-language
+    * corpus sort would put whole languages in single partitions: the
+    * classic skew trap). Thresholds are "smallest score with cumulative
+    * count ≥ ⌈n/3⌉ (resp. ⌈2n/3⌉)" — integer-deterministic, so engine
+    * and oracle agree on every tie.
+    *
+    * One corpus evaluation: the planted repartition(group, score)
+    * exchange feeds the histogram aggregate (which it exactly
+    * satisfies), the threshold subtree, and the classify probe —
+    * ReuseExchange collapses all three (same pattern as
+    * corpusDupNgrams); the thresholds relation is group-count-sized and
+    * broadcast. */
+  def scoreTerciles(
+      scored: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      scoreCol: String, idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    // exactly (id, groups, score) and a histogram that counts the
+    // (non-null) ID column: the histogram branch then needs the SAME
+    // columns as the classify probe, so column pruning cannot give the
+    // two branches divergent ReadSchemas under the planted exchange —
+    // which is what decides whether the input evaluates once or twice
+    // (count(id) == count(*) for a non-null id, which an id is)
+    val anchored = scored
+      .select((idCol +: groupCols :+ scoreCol).map(col): _*)
+      .repartition((groupCols :+ scoreCol).map(col): _*)
+    val hist = anchored.groupBy((groupCols :+ scoreCol).map(col): _*)
+      .agg(count(col(idCol)).as("_c"))
+    val cum = hist.withColumn("_cum",
+      sum(col("_c")).over(Window.partitionBy(g: _*).orderBy(col(scoreCol))))
+    val tot = hist.groupBy(g: _*).agg(sum(col("_c")).as("_n"))
+    val thr = cum.join(tot, groupCols)
+      .groupBy(g: _*)
+      .agg(
+        min(when(col("_cum") >= expr("(_n + 2) DIV 3"), col(scoreCol))).as("_t1"),
+        min(when(col("_cum") >= expr("(2 * _n + 2) DIV 3"), col(scoreCol))).as("_t2"))
+    anchored.join(broadcast(thr), groupCols)
+      .withColumn("bucket",
+        when(col(scoreCol) <= col("_t1"), "tail")
+          .when(col(scoreCol) <= col("_t2"), "middle")
+          .otherwise("head"))
+      .drop("_t1", "_t2")
+  }
 }

@@ -211,6 +211,33 @@ class PipelineOpsSpec extends AnyFunSuite {
       "posexplode must appear exactly once in the executed plan:\n" + plan.take(3000))
   }
 
+  test("scoreTerciles: exact integer tercile buckets per group; one scan via ReusedExchange") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-terc").toString
+    // en: scores 1..9 once each -> t1=3, t2=6 -> 3/3/3 split
+    // de: [5,5,5,7] with ties -> t1=t2=5 -> three tail, one head, NO middle
+    ((1 to 9).map(i => (i.toLong, "en", i.toLong)) ++
+      Seq((101L, "de", 5L), (102L, "de", 5L), (103L, "de", 5L), (104L, "de", 7L)))
+      .toDF("doc_id", "lang", "score").write.parquet(s"$dir/scores.parquet")
+    val scored = spark.read.parquet(s"$dir/scores.parquet")
+    val out = TextOps.scoreTerciles(scored, Seq("lang"), "score")
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("bucket"))).toMap
+    (1 to 3).foreach(i => assert(rows(i.toLong) == "tail"))
+    (4 to 6).foreach(i => assert(rows(i.toLong) == "middle"))
+    (7 to 9).foreach(i => assert(rows(i.toLong) == "head"))
+    assert(rows(101L) == "tail" && rows(102L) == "tail" && rows(103L) == "tail")
+    assert(rows(104L) == "head")
+    // single evaluation of the scored input: histogram, thresholds, and
+    // classify probe all read the planted (group, score) exchange
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReusedExchange"),
+      "tercile branches must reuse the planted exchange:\n" + plan.take(3000))
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      "scored input must be scanned exactly once:\n" + plan.take(3000))
+  }
+
   test("chunkSpans covers every token exactly, with stride-spaced starts") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(9)
