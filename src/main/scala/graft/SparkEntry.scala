@@ -698,6 +698,31 @@ object SparkEntry {
           max(col("avg_prob_bp")).as("max_bp"))
         .orderBy("lang", "bucket")
     }),
+    "q139_tar_shards" -> ((s, dir) => {
+      // WebDataset-style tar shard sink + source (round 10): the corpus
+      // is packed into deterministic byte-level ustar shards (50 docs
+      // each, one shuffle, one shard's bytes in memory at a time), read
+      // BACK through the binaryFile source + pure parser, and the
+      // per-shard stats of the roundtripped bytes must equal what DuckDB
+      // computes from the original table — any header/padding/terminator
+      // bug in the codec breaks entry counts or byte totals. GNU-tar
+      // interop + corruption totality are spec-tested (TarShardsSpec).
+      val out = java.nio.file.Files.createTempDirectory("graft-q139").toString
+      graft.sources.TarShards.write(
+        t(s, dir, "documents").select(
+          expr("doc_id DIV 50").as("shard"),
+          format_string("%012d.txt", col("doc_id")).as("name"),
+          col("text").cast("binary").as("bytes")),
+        "shard", "name", "bytes", out)
+      graft.sources.TarShards.read(s, s"$out/*.tar")
+        .select(
+          regexp_extract(col("shard_file"), "shard-(\\d+)\\.tar", 1)
+            .cast("long").as("shard"),
+          length(col("content")).cast("long").as("_b"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_entries"), sum(col("_b")).as("total_bytes"))
+        .orderBy("shard")
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2083,6 +2108,14 @@ object SparkEntry {
         |  CAST(sum(nch) AS BIGINT) AS n_chars,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+    "q139_tar_shards" ->
+      // shard assignment and byte totals recomputed from the raw table;
+      // equality holds only if the tar roundtrip preserved every entry
+      // and every byte
+      """SELECT doc_id // 50 AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

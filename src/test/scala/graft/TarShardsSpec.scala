@@ -1,0 +1,90 @@
+package graft
+
+import graft.sources.TarShards
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WebDataset-style tar shard codec: pure roundtrip over edge sizes,
+  * corrupt-input totality, system-tar interop, and the Spark write/read
+  * end-to-end. */
+class TarShardsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def entry(name: String, n: Int, seed: Int): (String, Array[Byte]) = {
+    val rnd = new scala.util.Random(seed)
+    val b = new Array[Byte](n); rnd.nextBytes(b); (name, b)
+  }
+
+  test("roundtrip: block-boundary sizes, empty entries, binary payloads") {
+    val entries = Seq(
+      entry("000000000001.bin", 0, 1), // empty
+      entry("000000000002.bin", 1, 2),
+      entry("000000000003.bin", 511, 3), // one byte short of a block
+      entry("000000000004.bin", 512, 4), // exactly one block
+      entry("000000000005.bin", 513, 5), // one byte over
+      entry("000000000006.bin", 10000, 6))
+    val parsed = TarShards.parseTar(TarShards.tarBytes(entries.iterator))
+    assert(parsed.map(_._1) == entries.map(_._1))
+    parsed.zip(entries).foreach { case ((_, got), (_, want)) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+  }
+
+  test("corrupt archives yield their valid prefix, never throw") {
+    val entries = (1 to 5).map(i => entry(f"$i%012d.bin", 700, i))
+    val tar = TarShards.tarBytes(entries.iterator)
+    // truncate mid-way through entry 4's data: entries 1-3 survive
+    val cut = 3 * (512 + 1024) + 512 + 100
+    val truncated = TarShards.parseTar(java.util.Arrays.copyOf(tar, cut))
+    assert(truncated.map(_._1) == entries.take(3).map(_._1))
+    // flip a byte in entry 3's header checksum region: 1-2 survive
+    val flipped = tar.clone()
+    flipped(2 * (512 + 1024) + 150) = 'x'.toByte
+    assert(TarShards.parseTar(flipped).map(_._1) == entries.take(2).map(_._1))
+    // garbage input: empty result, no throw
+    assert(TarShards.parseTar(Array.fill(2048)(0x5a.toByte)).isEmpty)
+    assert(TarShards.parseTar(Array.emptyByteArray).isEmpty)
+  }
+
+  test("system tar reads our archives (interop)") {
+    val tarBin = Seq("/bin/tar", "/usr/bin/tar").find(p => new java.io.File(p).exists)
+    assume(tarBin.isDefined, "no system tar available")
+    val entries = (1 to 4).map(i => entry(f"$i%012d.bin", 777 * i, i))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tar")
+    val f = dir.resolve("a.tar")
+    java.nio.file.Files.write(f, TarShards.tarBytes(entries.iterator))
+    import scala.sys.process._
+    val listed = Seq(tarBin.get, "-tf", f.toString).!!.trim.split("\n").toSeq
+    assert(listed == entries.map(_._1))
+    // extract and byte-compare every entry
+    val xdir = dir.resolve("x")
+    java.nio.file.Files.createDirectory(xdir)
+    Seq(tarBin.get, "-xf", f.toString, "-C", xdir.toString).!!
+    entries.foreach { case (name, bytes) =>
+      val got = java.nio.file.Files.readAllBytes(xdir.resolve(name))
+      assert(java.util.Arrays.equals(got, bytes), s"extracted bytes differ: $name")
+    }
+  }
+
+  test("Spark write/read roundtrip: sharded, sorted, byte-exact") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 57L).map { i =>
+      (i / 10L, f"$i%012d.txt", s"payload number $i with bytes".getBytes("UTF-8"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarsp").toString
+    val n = TarShards.write(rows.toDF("shard", "name", "bytes"),
+      "shard", "name", "bytes", dir)
+    assert(n == 6) // shards 0..5
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 6)
+    val back = TarShards.read(spark, s"$dir/*.tar").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8")))
+    assert(back.length == 57)
+    val byName = back.map(r => r._2 -> (r._1, r._3)).toMap
+    rows.foreach { case (sh, name, bytes) =>
+      val (file, text) = byName(name)
+      assert(file == f"shard-$sh%07d.tar")
+      assert(text == new String(bytes, "UTF-8"))
+    }
+  }
+}
