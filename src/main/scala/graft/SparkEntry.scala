@@ -723,6 +723,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_entries"), sum(col("_b")).as("total_bytes"))
         .orderBy("shard")
     }),
+    "q140_jsonl_robust" -> ((s, dir) => {
+      // robust JSONL ingestion (round 10): the corpus roundtrips through
+      // newline-delimited JSON (the crawl/vendor interchange format)
+      // with 7 deterministic corrupt lines injected alongside — the
+      // reader must quarantine exactly those (keeping their bytes) and
+      // deliver every real row byte-lossless; totals are pinned against
+      // the raw table. One text scan + codegen'd from_json — no
+      // PERMISSIVE-mode cache workaround (SPARK-21610), nothing to leak.
+      val out = java.nio.file.Files.createTempDirectory("graft-q140").toString
+      val docs = t(s, dir, "documents")
+      docs.write.mode("overwrite").json(out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "part-corrupt.txt"),
+        (1 to 7).map(i => s"""corrupt line $i {"unterminated": """)
+          .mkString("\n").getBytes("UTF-8"))
+      graft.sources.Jsonl.readRobust(s, out, docs.schema)
+        .agg(
+          sum(when(col("_ok"), 1L).otherwise(0L)).as("n_good"),
+          sum(when(!col("_ok"), 1L).otherwise(0L)).as("n_quarantined"),
+          sum(when(col("_ok"), col("n_chars"))).as("sum_chars"),
+          count_distinct(when(col("_ok"), col("lang"))).as("n_langs"))
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2116,6 +2138,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_entries,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q140_jsonl_robust" ->
+      // exact quarantine count + lossless-good-path totals from the raw
+      // table; any parse/escape/routing bug shifts a count or a sum
+      """SELECT CAST(count(*) AS BIGINT) AS n_good,
+        |  CAST(7 AS BIGINT) AS n_quarantined,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
