@@ -1181,6 +1181,28 @@ object SparkEntry {
       BgpPlanner.evaluate(graphQuads(s, dir), q)
         .na.fill("unbound", Seq("g"))
     }),
+    "q141_sparql_from" -> ((s, dir) => {
+      // §13.2 dataset clauses (round 10): FROM <g1> FROM <g3> merges two
+      // named graphs into the query's default graph — the cross-site
+      // scoping idiom (query exactly these buildings) without the GRAPH
+      // keyword. Plan shape: one isin() partition-prunable filter over
+      // the quads scan, then the ordinary BGP join.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?b FROM <urn:g#1> FROM <urn:g#3> " +
+          "WHERE { ?c p:balCents ?b . FILTER(?b > 985000) } ORDER BY ?c")
+      BgpPlanner.evaluate(graphQuads(s, dir), q)
+    }),
+    "q142_sparql_from_named" -> ((s, dir) => {
+      // §13.2 FROM NAMED: the dataset's named-graph side is exactly the
+      // listed set — GRAPH ?g ranges over <urn:g#2> only, and the
+      // default graph is EMPTY (the spec's rule when any dataset clause
+      // is present).
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?g ?c FROM NAMED <urn:g#2> " +
+          "WHERE { GRAPH ?g { ?c p:mkt \"BUILDING\" . ?c p:balCents ?b . " +
+          "FILTER(?b > 900000) } } ORDER BY ?c")
+      BgpPlanner.evaluate(graphQuads(s, dir), q)
+    }),
     "q127_sparql_describe" -> ((s, dir) => {
       // §2.8 DESCRIBE form (the 4th and last SPARQL query form): the
       // WHERE bindings of ?c become the described-resource set, which
@@ -3445,6 +3467,22 @@ object SparkEntry {
         |       ELSE 'unbound' END AS g
         |FROM customer
         |WHERE FLOOR(c_acctbal * 100) > 990000
+        |ORDER BY c""".stripMargin,
+    "q141_sparql_from" ->
+      // FROM <urn:g#1> FROM <urn:g#3> = customers whose nation-keyed
+      // graph is g#1 or g#3
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS b
+        |FROM customer
+        |WHERE c_nationkey % 5 IN (1, 3)
+        |  AND FLOOR(c_acctbal * 100) > 985000
+        |ORDER BY c""".stripMargin,
+    "q142_sparql_from_named" ->
+      // GRAPH restricted to g#2 by FROM NAMED
+      """SELECT 'urn:g#2' AS g, 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c
+        |FROM customer
+        |WHERE c_nationkey % 5 = 2 AND c_mktsegment = 'BUILDING'
+        |  AND FLOOR(c_acctbal * 100) > 900000
         |ORDER BY c""".stripMargin,
     "q133_bpe_encode" ->
       // literal expected relation from the independent non-Spark BPE

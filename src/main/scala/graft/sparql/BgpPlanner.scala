@@ -45,11 +45,32 @@ object BgpPlanner {
     // Graph scoping. Under union, the same triple may live in several named
     // graphs (the reference merges the ontology into EVERY graph,
     // setup-graphs.py:22) — union semantics are set semantics, so dedup.
+    // Dataset clauses (§13.2, round 10): FROM graphs MERGE into the
+    // default graph, FROM NAMED enumerates the GRAPH-visible graphs; the
+    // presence of EITHER makes the dataset exactly what is listed — a
+    // FROM-only query sees no named graphs (GRAPH matches nothing), a
+    // FROM-NAMED-only query has an empty default graph. The explicit
+    // `graph` API parameter is the reference client's site scoping and
+    // takes precedence over clauses when set.
+    val hasDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
     val scoped = graph match {
       case Some(g) => quads.filter(col("graph") === g).select("s", "p", "o")
-      case None => quads.select("s", "p", "o").distinct()
+      case None if !hasDataset => quads.select("s", "p", "o").distinct()
+      case None if q.fromGraphs.nonEmpty =>
+        quads.filter(col("graph").isin(q.fromGraphs: _*))
+          .select("s", "p", "o").distinct()
+      case None => // FROM NAMED only: empty default graph
+        quads.filter(lit(false)).select("s", "p", "o")
     }
-    evaluateTriples(scoped, q, Some(quads))
+    val quadsScope =
+      if (!hasDataset || graph.isDefined) quads
+      else if (q.fromNamed.nonEmpty) quads.filter(col("graph").isin(q.fromNamed: _*))
+      else quads.filter(lit(false)) // FROM only: no named graphs visible
+    // strip the clauses: evaluateTriples rejects them (it cannot honor a
+    // dataset without the quads relation, and subqueries may not carry
+    // them per the grammar)
+    evaluateTriples(scoped, q.copy(fromGraphs = Nil, fromNamed = Nil),
+      Some(quadsScope))
   }
 
   /** Evaluate over an already graph-scoped, deduplicated (s,p,o) relation.
@@ -61,6 +82,11 @@ object BgpPlanner {
     * setup-graphs.py:13-19 semantics); absent → GRAPH errors. */
   def evaluateTriples(scoped: DataFrame, q: Query,
       quadsG: Option[DataFrame] = None): DataFrame = {
+    if (q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty)
+      throw new IllegalArgumentException(
+        "FROM / FROM NAMED require evaluation over the quads relation — " +
+          "call BgpPlanner.evaluate, not evaluateTriples (and dataset " +
+          "clauses are not allowed in subqueries)")
     if (q.describeTerms.nonEmpty) return describePlan(scoped, q, quadsG)
     val spark = scoped.sparkSession
     var pathCounter = 0

@@ -209,7 +209,9 @@ object Sparql {
       template: List[TriplePattern] = Nil, // nonEmpty = CONSTRUCT
       describeTerms: List[Term] = Nil, // nonEmpty = DESCRIBE
       groups: List[PatternGroup] = Nil, // plain nested `{ … }` groups
-      graphs: List[(Term, PatternGroup)] = Nil) { // GRAPH <iri>/?g { … }
+      graphs: List[(Term, PatternGroup)] = Nil, // GRAPH <iri>/?g { … }
+      fromGraphs: List[String] = Nil, // FROM <g> — merged default graph
+      fromNamed: List[String] = Nil) { // FROM NAMED <g> — GRAPH-visible set
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -347,6 +349,7 @@ object Sparql {
       }
       // ---- ASK form: boolean existence of ≥1 solution --------------------
       if (kw("ASK")) {
+        val (fromG, fromN) = parseDatasetClauses()
         kw("WHERE") // optional per the grammar
         skipWs()
         if (peek != '{') err("expected '{' after ASK")
@@ -360,7 +363,8 @@ object Sparql {
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
           subqueries = b.subqueries.toList, askForm = true,
-          groups = b.groups.toList, graphs = b.graphs.toList)
+          groups = b.groups.toList, graphs = b.graphs.toList,
+          fromGraphs = fromG, fromNamed = fromN)
       }
       // ---- DESCRIBE form: subject triples of the described resources -----
       if (kw("DESCRIBE")) {
@@ -370,12 +374,15 @@ object Sparql {
           skipWs()
           val whereAhead = in.regionMatches(true, pos, "WHERE", 0, 5) &&
             (pos + 5 >= n || !in.charAt(pos + 5).isLetterOrDigit)
+          val fromAhead = in.regionMatches(true, pos, "FROM", 0, 4) &&
+            (pos + 4 >= n || !in.charAt(pos + 4).isLetterOrDigit)
           if (peek == '?' || peek == '$') terms += V(parseVar())
           else if (peek == '<') terms += I(parseIriRef())
-          else if (!whereAhead && (peek.isLetter || peek == '_')) terms += I(parsePName())
+          else if (!whereAhead && !fromAhead && (peek.isLetter || peek == '_')) terms += I(parsePName())
           else more = false
         }
         if (terms.isEmpty) err("DESCRIBE needs ≥1 IRI or variable")
+        val (fromG, fromN) = parseDatasetClauses()
         val hasVar = terms.exists(_.isInstanceOf[V])
         val b = new GroupBufs
         if (kw("WHERE")) {
@@ -392,7 +399,8 @@ object Sparql {
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
           subqueries = b.subqueries.toList, describeTerms = terms.toList,
-          groups = b.groups.toList, graphs = b.graphs.toList)
+          groups = b.groups.toList, graphs = b.graphs.toList,
+          fromGraphs = fromG, fromNamed = fromN)
       }
       // ---- CONSTRUCT form: template instantiated per solution ------------
       if (kw("CONSTRUCT")) {
@@ -415,6 +423,7 @@ object Sparql {
           if (!ok) err("CONSTRUCT template predicates must be plain IRIs " +
             "(no property paths) — paths belong in the WHERE group")
         }
+        val (fromG, fromN) = parseDatasetClauses()
         if (!kw("WHERE")) err("expected WHERE after CONSTRUCT template")
         skipWs()
         if (peek != '{') err("expected '{'")
@@ -428,7 +437,8 @@ object Sparql {
           values = b.values.toList, minuses = b.minuses.toList,
           binds = b.binds.toList, exists = b.exists.toList,
           subqueries = b.subqueries.toList, template = tmpl.toList,
-          groups = b.groups.toList, graphs = b.graphs.toList)
+          groups = b.groups.toList, graphs = b.graphs.toList,
+          fromGraphs = fromG, fromNamed = fromN)
       }
       if (!kw("SELECT")) err("expected SELECT, ASK, or CONSTRUCT")
       val distinct = kw("DISTINCT")
@@ -446,6 +456,7 @@ object Sparql {
         }
         if (projection.isEmpty) err("SELECT needs * or variables")
       }
+      val (fromG, fromN) = parseDatasetClauses()
       if (!kw("WHERE")) err("expected WHERE")
       skipWs()
       if (peek != '{') err("expected '{'")
@@ -492,7 +503,8 @@ object Sparql {
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
         limit, offset, b.values.toList, b.minuses.toList,
         b.binds.toList, b.exists.toList, b.subqueries.toList,
-        groups = b.groups.toList, graphs = b.graphs.toList)
+        groups = b.groups.toList, graphs = b.graphs.toList,
+        fromGraphs = fromG, fromNamed = fromN)
     }
 
     private def parseInt(): Int = {
@@ -730,6 +742,16 @@ object Sparql {
       while (pos < n) {
         val c = in.charAt(pos)
         if (c == '"' || c == '\'') { pos += 1; parseLiteral0(c) }
+        else if (c == '<') {
+          // skip a well-formed IRI ref — its '#' is a fragment, not a
+          // comment (FROM <urn:g#> inside a subquery). A '<' that is a
+          // comparison operator never reaches '>' before whitespace or a
+          // brace, so it falls through to ordinary scanning.
+          var j = pos + 1
+          while (j < n && in.charAt(j) != '>' &&
+            !" \t\n\r{}<\"'".contains(in.charAt(j))) j += 1
+          if (j < n && in.charAt(j) == '>') pos = j + 1 else pos += 1
+        }
         else if (c == '#') { while (pos < n && in.charAt(pos) != '\n') pos += 1 }
         else {
           if (c == '{') depth += 1
@@ -768,6 +790,25 @@ object Sparql {
     /** Name the gap explicitly: these SPARQL 1.1 constructs are dead
       * surface for the reference's usage (SURVEY.md §2.8) and rejected
       * with a clear message rather than a confusing parse error. */
+    /** `FROM <g>` / `FROM NAMED <g>` dataset clauses (§13.2): FROM
+      * graphs MERGE into the query's default graph; FROM NAMED
+      * enumerates the graphs visible to GRAPH. Presence of either makes
+      * the dataset exactly what is listed (an unlisted side is empty). */
+    private def parseDatasetClauses(): (List[String], List[String]) = {
+      val dflt = ArrayBuffer[String]()
+      val named = ArrayBuffer[String]()
+      while (kw("FROM")) {
+        val isNamed = kw("NAMED")
+        skipWs()
+        val iri =
+          if (peek == '<') parseIriRef()
+          else if (peek.isLetter || peek == '_') parsePName()
+          else err("FROM needs an IRI")
+        if (isNamed) named += iri else dflt += iri
+      }
+      (dflt.toList, named.toList)
+    }
+
     private def rejectUnsupported(): Unit = {
       val unsupported = Seq("SERVICE")
       unsupported.foreach { kw =>

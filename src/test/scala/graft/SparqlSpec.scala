@@ -503,6 +503,55 @@ class SparqlSpec extends AnyFunSuite {
       s"expected a loud U+0001 encoding error, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("FROM merges the default graph; FROM NAMED scopes GRAPH (§13.2, round 10)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:g1#", "urn:s#1", "urn:p#v", "a"),
+      Quad("urn:g1#", "urn:s#0", "urn:p#v", "shared"),
+      Quad("urn:g2#", "urn:s#0", "urn:p#v", "shared"), // same triple, 2 graphs
+      Quad("urn:g2#", "urn:s#2", "urn:p#v", "b"),
+      Quad("urn:g3#", "urn:s#3", "urn:p#v", "c")).toDF()
+    // FROM merge: g1 ∪ g2 as the default graph, set semantics (the
+    // shared triple appears once)
+    val q1 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s ?o FROM <urn:g1#> FROM <urn:g2#> " +
+        "WHERE { ?s p:v ?o } ORDER BY ?s")
+    assert(BgpPlanner.evaluate(g, q1).collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq == Seq(
+      ("urn:s#0", "shared"), ("urn:s#1", "a"), ("urn:s#2", "b")))
+    // FROM-only: no named graphs visible — GRAPH matches nothing
+    val q2 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?s FROM <urn:g1#> " +
+        "WHERE { GRAPH ?g { ?s p:v ?o } }")
+    assert(BgpPlanner.evaluate(g, q2).count() == 0)
+    // FROM NAMED only: empty default graph, GRAPH sees only the listed set
+    val q3 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?g ?s FROM NAMED <urn:g3#> " +
+        "WHERE { GRAPH ?g { ?s p:v ?o } }")
+    assert(BgpPlanner.evaluate(g, q3).collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq == Seq(("urn:g3#", "urn:s#3")))
+    val q4 = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s FROM NAMED <urn:g3#> WHERE { ?s p:v ?o }")
+    assert(BgpPlanner.evaluate(g, q4).count() == 0)
+    // the explicit graph API parameter (the reference's site scoping)
+    // takes precedence over dataset clauses
+    assert(BgpPlanner.evaluate(g, q1, graph = Some("urn:g3#")).collect()
+      .map(_.getString(0)).toSeq == Seq("urn:s#3"))
+    // evaluateTriples cannot honor a dataset; subqueries may not carry one
+    val e = intercept[IllegalArgumentException] {
+      BgpPlanner.evaluateTriples(g.select("s", "p", "o"), q1)
+    }
+    assert(e.getMessage.contains("FROM"), e.getMessage)
+    val qSub = Sparql.parse(
+      "PREFIX p: <urn:p#> SELECT ?s WHERE { " +
+        "{ SELECT ?s FROM <urn:g1#> WHERE { ?s p:v ?o } } }")
+    val e2 = intercept[IllegalArgumentException] {
+      BgpPlanner.evaluate(g, qSub).collect()
+    }
+    assert(e2.getMessage.contains("subqueries"), e2.getMessage)
+  }
+
   test("GRAPH ?g may reuse the graph variable in a term position") {
     val s = spark
     import s.implicits._
