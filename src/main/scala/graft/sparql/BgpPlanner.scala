@@ -331,8 +331,23 @@ object BgpPlanner {
           val gScoped = qg.filter(col("graph") === iri)
             .select("s", "p", "o").distinct()
           val vars = groupVarsOf(g)
-          if (vars.isEmpty) throw new IllegalArgumentException(
-            "GRAPH <iri> groups must bind at least one variable")
+          if (vars.isEmpty) {
+            // all-ground group (round 10): a graph-scoped existence test
+            // — "does site <g> hold exactly these triples". Evaluates as
+            // an ASK against the scoped graph; the part is the zero-
+            // column one-or-zero-row relation, which joins the enclosing
+            // group as keep-all or annihilate (the same {mu0}/empty
+            // algebra the ground-atom path uses).
+            val ask = Query(Nil, distinct = false, patterns = g.patterns,
+              userVars = Nil, filters = g.filters, optionals = g.optionals,
+              unions = g.unions, groups = g.groups, values = g.values,
+              minuses = g.minuses, binds = g.binds, exists = g.exists,
+              subqueries = g.subqueries, graphs = g.graphs, askForm = true)
+            val gScoped0 = qg.filter(col("graph") === iri)
+              .select("s", "p", "o").distinct()
+            val r = evaluateTriples(gScoped0, ask, quadsG)
+            return (2, r.filter(col("ask") === "true").select())
+          }
           val sub = Query(projection = vars, distinct = false,
             patterns = g.patterns, userVars = vars, filters = g.filters,
             optionals = g.optionals, unions = g.unions, groups = g.groups,
@@ -348,9 +363,6 @@ object BgpPlanner {
           val allVars = groupVarsOf(g)
           val bindsG = allVars.contains(gv) // ?g also in a term position
           val inner = allVars.filterNot(_ == gv)
-          if (inner.isEmpty) throw new IllegalArgumentException(
-            "structural GRAPH ?var groups must bind at least one " +
-              "non-graph variable")
           val names = qg.select(col("graph")).distinct()
             .collect().map(_.getString(0)).sorted
           if (names.length > 512) throw new IllegalArgumentException(
@@ -358,6 +370,24 @@ object BgpPlanner {
               s"named graph; ${names.length} graphs exceeds the 512 cap — " +
               "restructure to plain triple patterns + FILTER (single-plan " +
               "path) or scope with GRAPH <iri>")
+          if (inner.isEmpty && !bindsG) {
+            // ground body (round 10): ?g binds each graph where the body
+            // MATCHES — one ask per named graph, rows of the matching
+            // graph names (metadata-scale loop, same bound as above)
+            val hits = names.toSeq.map { name =>
+              val gScoped0 = qg.filter(col("graph") === name)
+                .select("s", "p", "o").distinct()
+              val ask = Query(Nil, distinct = false, patterns = g.patterns,
+                userVars = Nil, filters = g.filters, optionals = g.optionals,
+                unions = g.unions, groups = g.groups, values = g.values,
+                minuses = g.minuses, binds = g.binds, exists = g.exists,
+                subqueries = g.subqueries, graphs = g.graphs, askForm = true)
+              evaluateTriples(gScoped0, ask, quadsG)
+                .filter(col("ask") === "true")
+                .select(lit(name).as(vc(gv)))
+            }
+            return (1, hits.reduce(_ union _))
+          }
           val pvars = if (bindsG) allVars else inner
           val branches = names.toSeq.map { name =>
             val gScoped = qg.filter(col("graph") === name)

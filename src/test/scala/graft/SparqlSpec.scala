@@ -552,6 +552,34 @@ class SparqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("subqueries"), e2.getMessage)
   }
 
+  test("ground GRAPH groups: existence tests and graph binders (round 10)") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      Quad("urn:siteA#", "urn:x#1", "urn:p#t", "a1"),
+      Quad("urn:siteB#", "urn:x#2", "urn:p#t", "b1"),
+      Quad("urn:siteB#", "urn:x#2", "urn:p#u", "b2")).toDF()
+    def ask(q: String): String =
+      BgpPlanner.evaluate(g, Sparql.parse("PREFIX p: <urn:p#> " + q))
+        .collect().head.getString(0)
+    // "does this site hold exactly this triple"
+    assert(ask("ASK { GRAPH <urn:siteB#> { <urn:x#2> p:t \"b1\" } }") == "true")
+    assert(ask("ASK { GRAPH <urn:siteA#> { <urn:x#2> p:t \"b1\" } }") == "false")
+    // ground GRAPH group conditions an enclosing SELECT: keep-all / annihilate
+    val keep = Sparql.parse("PREFIX p: <urn:p#> SELECT ?s WHERE { " +
+      "?s p:t ?v . GRAPH <urn:siteB#> { <urn:x#2> p:u \"b2\" } } ORDER BY ?s")
+    assert(BgpPlanner.evaluate(g, keep).collect().map(_.getString(0)).toSeq
+      == Seq("urn:x#1", "urn:x#2"))
+    val drop = Sparql.parse("PREFIX p: <urn:p#> SELECT ?s WHERE { " +
+      "?s p:t ?v . GRAPH <urn:siteA#> { <urn:x#2> p:u \"b2\" } }")
+    assert(BgpPlanner.evaluate(g, drop).count() == 0)
+    // structural ground body binds ?g to each MATCHING graph only
+    val bind = Sparql.parse("PREFIX p: <urn:p#> SELECT ?g WHERE { " +
+      "GRAPH ?g { <urn:x#2> p:t \"b1\" . OPTIONAL { <urn:x#2> p:u \"b2\" } } }")
+    assert(BgpPlanner.evaluate(g, bind).collect().map(_.getString(0)).toSeq
+      == Seq("urn:siteB#"))
+  }
+
   test("GRAPH ?g may reuse the graph variable in a term position") {
     val s = spark
     import s.implicits._
