@@ -121,6 +121,10 @@ object TarShards {
       df.sparkSession.sparkContext.hadoopConfiguration)
     df.select(col(shardCol).cast("long").as("_s"), col(nameCol).as("_n"),
         col(bytesCol).as("_b"))
+      // negative ids would format as "shard--0000001.tar" and break the
+      // reader's name convention — fail loudly at the first offender
+      .withColumn("_s", when(col("_s") < 0, raise_error(concat(
+        lit("negative shard id: "), col("_s")))).otherwise(col("_s")))
       .repartition(col("_s"))
       .sortWithinPartitions("_s", "_n")
       .mapPartitions { it =>

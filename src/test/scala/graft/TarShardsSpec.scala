@@ -46,6 +46,20 @@ class TarShardsSpec extends AnyFunSuite {
     assert(TarShards.parseTar(Array.emptyByteArray).isEmpty)
   }
 
+  test("randomized roundtrip fuzz: 40 archives of arbitrary entries") {
+    val rnd = new scala.util.Random(42)
+    (1 to 40).foreach { _ =>
+      val entries = (1 to (1 + rnd.nextInt(12))).map { j =>
+        entry(f"$j%012d.bin", rnd.nextInt(3000), rnd.nextInt())
+      }
+      val parsed = TarShards.parseTar(TarShards.tarBytes(entries.iterator))
+      assert(parsed.map(_._1) == entries.map(_._1))
+      parsed.zip(entries).foreach { case ((_, got), (_, want)) =>
+        assert(java.util.Arrays.equals(got, want))
+      }
+    }
+  }
+
   test("system tar reads our archives (interop)") {
     val tarBin = Seq("/bin/tar", "/usr/bin/tar").find(p => new java.io.File(p).exists)
     assume(tarBin.isDefined, "no system tar available")
