@@ -37,7 +37,11 @@ object ScaleProbe {
   private val probeQueries = Seq(
     "q117_dup_ngrams", "q19_minhash_lsh", "q118_minhash_fused",
     "q78_setjoin_exact", "q90_regional_revenue", "q16_sessionize",
-    "q76_funnel", "q23_embed_ivf", "q104_hybrid_rrf", "q18_dedup_exact")
+    "q76_funnel", "q23_embed_ivf", "q104_hybrid_rrf", "q18_dedup_exact",
+    // round-10 additions: cluster-aware split (rides the q35 cluster
+    // pipeline), LM terciles (bounded-domain histogram), tar shard
+    // roundtrip (real file I/O per shard)
+    "q137_cluster_split", "q138_lm_terciles", "q139_tar_shards")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

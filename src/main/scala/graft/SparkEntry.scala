@@ -422,15 +422,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q137_cluster_split" -> ((s, dir) => {
-      // cluster-aware train/val/test split (round 10): q35's near-dup
+      // cluster-aware train/val/test split (round 10): near-dup
       // components each land WHOLLY in one split, eliminating the
       // near-twin train/test leakage a per-document split allows; the
       // report quantifies exactly that (naive_leaky_clusters = clusters
-      // the id-mod rule would scatter). Two hash aggs over the compact
-      // (id, component) relation on top of the cluster pipeline.
+      // the id-mod rule would scatter). Candidates come from the SCALE-
+      // SAFE LSH path (q40's pipeline — the blockPairs generator is
+      // quadratic in block size and measured 14x at the 10x probe);
+      // then two hash aggs over the compact (id, component) relation.
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id")
-      val nearDups = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
+      val nearDups = Dedup.ngramJaccard(
+          Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
+          docs, "text", "doc_id", shingleN = 3)
         .filter(col("jaccard_bp") >= 5000)
         .select("id_a", "id_b")
       Dedup.clusterAwareSplit(
@@ -2790,18 +2793,12 @@ object SparkEntry {
         |FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q137_cluster_split" ->
-      // q35's recursive-CTE component relation + the same mod-10 split
-      // rules; leaky = clusters whose members span >= 2 naive splits
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, lang, source,
-        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
-        |  FROM documents),
-        |near AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM tk a JOIN tk b
-        |    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.toks, b.toks)) * 10000
-        |    // len(list_distinct(a.toks || b.toks)) >= 5000),
+      // q40's recursive-CTE TRUE-pair component relation (3-gram
+      // Jaccard >= 0.5 — simultaneously a recall gate on the LSH
+      // candidate path) + the same mod-10 split rules; leaky = clusters
+      // whose members span >= 2 naive splits
+      s"""WITH RECURSIVE $shingleStatsCte,
+        |near AS (SELECT id_a, id_b FROM stats WHERE jaccard_bp >= 5000),
         |edges AS (
         |  SELECT id_a AS a, id_b AS b FROM near
         |  UNION ALL SELECT id_b, id_a FROM near),
