@@ -120,6 +120,37 @@ object PipelineDemo {
       Multimodal.packPng(docs, "doc_id").toDF())
     println(s"[pipeline] perceptual hashes: ${phash.count()} images, " +
       s"distinct=${phash.toDF().select("ahash_hi", "ahash_lo").distinct().count()}")
+
+    // round-10 additions: leakage-free splits, LM-quality buckets, and
+    // the loader-facing interchange formats (tar shards + robust JSONL)
+    val comps = Dedup.connectedComponents(docs, "doc_id",
+      Dedup.ngramJaccard(
+        Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
+        docs, "text", "doc_id", shingleN = 3)
+        .filter(col("jaccard_bp") >= 5000).select("id_a", "id_b"))
+    val split = Dedup.clusterAwareSplit(comps).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}(leaky:${r.getLong(3)})")
+    println("[pipeline] cluster-aware split: " + split.mkString(" "))
+    val terc = graft.operators.TextOps.scoreTerciles(
+      graft.operators.TextOps.bigramLmScores(docs, "text", "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "avg_prob_bp"),
+      Seq("lang"), "avg_prob_bp")
+    println(s"[pipeline] LM terciles: " + terc.groupBy("bucket").count()
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
+    val tarDir = java.nio.file.Files.createTempDirectory("pipeline-tar").toString
+    val nShards = graft.sources.TarShards.write(
+      docs.select(expr("doc_id DIV 50").as("shard"),
+        format_string("%012d.txt", col("doc_id")).as("name"),
+        col("text").cast("binary").as("bytes")),
+      "shard", "name", "bytes", tarDir)
+    val tarBack = graft.sources.TarShards.read(spark, s"$tarDir/*.tar").count()
+    println(s"[pipeline] tar shards: $nShards written, $tarBack entries read back")
+    val jsonlDir = java.nio.file.Files.createTempDirectory("pipeline-jsonl").toString
+    docs.write.mode("overwrite").json(jsonlDir)
+    val robust = graft.sources.Jsonl.readRobust(spark, jsonlDir, docs.schema)
+    println(s"[pipeline] robust JSONL: ${robust.filter(col("_ok")).count()} good, " +
+      s"${robust.filter(!col("_ok")).count()} quarantined")
     spark.stop()
   }
 }

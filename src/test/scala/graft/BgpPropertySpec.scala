@@ -744,6 +744,45 @@ class BgpPropertySpec extends AnyFunSuite {
     assert(run >= 8, s"only $run generated cases were runnable")
   }
 
+  test("FROM dataset scoping == naive evaluation over the merged graph subset") {
+    val s = spark
+    import s.implicits._
+    // random quads + random FROM subsets: the planner's merged default
+    // graph (isin + distinct) must equal naive evaluation over exactly
+    // the union of the listed graphs' triples
+    val cases = (1 to 20).flatMap { i =>
+      for {
+        qs <- quadGraphGen(Gen.Parameters.default, Seed(30000L + i))
+        pats <- Gen.listOfN(2, patternGen(Seq("a", "b")))(
+          Gen.Parameters.default, Seed(31000L + i))
+        subsetBits <- Gen.choose(1, 7).apply(Gen.Parameters.default, Seed(32000L + i))
+      } yield (qs, pats, graphNames.zipWithIndex.collect {
+        case (g, j) if ((subsetBits >> j) & 1) == 1 => g
+      })
+    }
+    var run = 0
+    cases.foreach { case (qs, pats, fromSet) =>
+      val vars = pats.flatMap(tp => Seq(tp.s, tp.o)).collect { case V(n) => n }
+      if (vars.nonEmpty) {
+        run += 1
+        val q = Query(Nil, distinct = false, pats, vars.distinct,
+          fromGraphs = fromSet.toList)
+        val quads = qs.toSeq.map { case (g, su, p, o) => Quad(g, su, p, o) }.toDF()
+        val got = BgpPlanner.evaluate(quads, q).collect()
+          .map(r => q.selected.indices.map(r.getString).toList).toSet
+        val merged = qs.collect {
+          case (g, su, p, o) if fromSet.contains(g) => (su, p, o)
+        }
+        val want = naiveSols(merged, pats)
+          .map(m => q.selected.map(m.getOrElse(_, null)))
+        assert(got == want,
+          s"FROM $fromSet over ${qs.size} quads, patterns $pats: " +
+            s"planner=${got.size} naive=${want.size}")
+      }
+    }
+    assert(run >= 15, s"only $run generated cases were runnable")
+  }
+
   test("BIND arithmetic (incl. round-10 division) == reference semantics on random expressions") {
     val s = spark
     import s.implicits._
