@@ -748,6 +748,21 @@ object SparkEntry {
           sum(when(col("_ok"), col("n_chars"))).as("sum_chars"),
           count_distinct(when(col("_ok"), col("lang"))).as("n_langs"))
     }),
+    "q143_url_dedup" -> ((s, dir) => {
+      // canonical-URL dedup (round 10): the cheapest crawl-dedup stage —
+      // synthesized messy URLs (mixed-case host, default port, dup
+      // slashes, trailing slash, tracking params, fragment) canonicalize
+      // and group; each canonical page shows its crawl multiplicity.
+      // Pure codegen'd column work + one hash aggregate.
+      val docs = t(s, dir, "documents")
+      val url = format_string(
+        "HTTPS://WWW.Site%d.COM:443//Products//item-%d/?utm_source=feed&fbclid=x%d&id=%d#sec%d",
+        pmod(col("doc_id"), lit(5)), pmod(col("doc_id"), lit(50)),
+        col("doc_id"), pmod(col("doc_id"), lit(50)), pmod(col("doc_id"), lit(3)))
+      docs.select(TextOps.canonicalUrl(url).as("canonical"))
+        .groupBy("canonical").agg(count(lit(1)).as("n_urls"))
+        .orderBy("canonical")
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2171,6 +2186,14 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM documents""".stripMargin,
+    "q143_url_dedup" ->
+      // the same canonicalization rules in SQL: the synthesized URL's
+      // canonical form is constructible directly from the key arithmetic
+      """SELECT 'https://www.site' || CAST(doc_id % 5 AS VARCHAR) ||
+        |    '.com/Products/item-' || CAST(doc_id % 50 AS VARCHAR) ||
+        |    '?id=' || CAST(doc_id % 50 AS VARCHAR) AS canonical,
+        |  CAST(count(*) AS BIGINT) AS n_urls
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

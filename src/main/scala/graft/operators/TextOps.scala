@@ -551,6 +551,39 @@ object TextOps {
       .groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
   }
 
+  /** CANONICAL URL (crawl-dedup house rules): the same page crawled as
+    * `HTTPS://WWW.Site.COM:443//a//b/?utm_source=x&id=5#frag` and
+    * `https://www.site.com/a/b?id=5` must dedup together — URL-level
+    * canonicalization is the cheapest, highest-yield dedup stage in a
+    * crawl pipeline (it runs before any content hashing). Rules, each a
+    * codegen'd column op in the engine-portable regex subset (character
+    * classes, alternation, bounded quantifiers — the PII-op contract):
+    *  - strip the fragment;
+    *  - lowercase scheme://host[:port], strip default ports 80/443
+    *    (path case is PRESERVED — paths are case-sensitive);
+    *  - collapse duplicate slashes in the path, drop a trailing slash;
+    *  - drop tracking params (utm_*, fbclid, gclid) via split → filter →
+    *    rejoin (array algebra, not a regex fixed-point — exact for any
+    *    number of consecutive tracking params), keeping real params and
+    *    their order; drop an emptied query entirely.
+    * Contract: absolute http(s) URLs with a path component. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    // "scheme://host[:port]" = everything before the 3rd '/'
+    val schemeHost = lower(substring_index(noFrag, "/", 3))
+    val rest = noFrag.substr(length(schemeHost) + 1, length(noFrag))
+    val noPort = regexp_replace(schemeHost, ":(443|80)$", "")
+    val path = substring_index(rest, "?", 1)
+    val cleanPath = regexp_replace(
+      regexp_replace(path, "/{2,}", "/"), "(.)/$", "$1")
+    val qs = when(instr(rest, "?") > 0,
+      rest.substr(instr(rest, "?") + 1, length(rest))).otherwise(lit(""))
+    val kept = array_join(filter(split(qs, "&"),
+      p => !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid)=")), "&")
+    concat(noPort, cleanPath,
+      when(kept =!= "", concat(lit("?"), kept)).otherwise(lit("")))
+  }
+
   /** CCNET-STYLE QUALITY BUCKETING (Wenzek et al., arXiv:1911.00359
     * §4.3): split each group's documents into head / middle / tail
     * TERCILES by an integer quality score (CCNet buckets by LM

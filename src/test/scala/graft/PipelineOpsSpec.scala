@@ -238,6 +238,31 @@ class PipelineOpsSpec extends AnyFunSuite {
       "scored input must be scanned exactly once:\n" + plan.take(3000))
   }
 
+  test("canonicalUrl: case, ports, slashes, tracking params, fragments") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // mixed case host + default port + dup slashes + trailing slash +
+      // tracking + fragment
+      "HTTPS://WWW.Ex.COM:443//A//b/?utm_source=x&id=5#f" ->
+        "https://www.ex.com/A/b?id=5",
+      // http default port; params order preserved; consecutive trackers
+      "http://Ex.com:80/p?a=1&utm_a=x&utm_b=y&fbclid=z&b=2" ->
+        "http://ex.com/p?a=1&b=2",
+      // non-default port preserved; path case preserved
+      "https://Ex.com:8080/CaseSensitive/Path" ->
+        "https://ex.com:8080/CaseSensitive/Path",
+      // all params are trackers -> query dropped entirely
+      "https://ex.com/p?utm_source=a&gclid=b" -> "https://ex.com/p",
+      // plain URL is a fixpoint
+      "https://ex.com/a/b?x=1" -> "https://ex.com/a/b?x=1")
+    val out = cases.map(_._1).toDF("u")
+      .select(col("u"), TextOps.canonicalUrl(col("u")).as("c")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"canonicalUrl($in) = ${out(in)}, want $want")
+    }
+  }
+
   test("chunkSpans covers every token exactly, with stride-spaced starts") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(9)
