@@ -763,6 +763,21 @@ object SparkEntry {
         .groupBy("canonical").agg(count(lit(1)).as("n_urls"))
         .orderBy("canonical")
     }),
+    "q144_domain_cap" -> ((s, dir) => {
+      // per-domain document cap (round 10, C4/RefinedWeb host-domination
+      // rule): at most 50 docs per synthesized domain, lowest ids kept
+      // deterministically via the k-bounded heap aggregate — <= k rows
+      // per domain per partition on the wire, no corpus window sort, no
+      // whole-domain-in-one-partition skew.
+      val docs = t(s, dir, "documents")
+      val withDomain = docs.select(col("doc_id"),
+        format_string("www.site%d.com", pmod(col("doc_id"), lit(5))).as("domain"))
+      operators.Sampling.domainCap(withDomain, "domain", "doc_id", 50)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("domain")
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2194,6 +2209,21 @@ object SparkEntry {
         |    '?id=' || CAST(doc_id % 50 AS VARCHAR) AS canonical,
         |  CAST(count(*) AS BIGINT) AS n_urls
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q144_domain_cap" ->
+      // the window formulation IS the oracle (correct, just not the
+      // scale shape): lowest 50 ids per domain
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'www.site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS domain
+        |  FROM documents),
+        |r AS (
+        |  SELECT domain, doc_id,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM u)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM r WHERE rn <= 50 GROUP BY domain ORDER BY domain""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

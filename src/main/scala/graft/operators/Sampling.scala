@@ -113,4 +113,27 @@ object Sampling {
       .select(col(groupCol), col("n_docs"), col("weight"),
         (col("base") + when(col("_rk") <= col("_lo"), 1L).otherwise(0L)).as("alloc"))
   }
+
+  /** PER-DOMAIN DOCUMENT CAP (host-domination control, the C4/RefinedWeb
+    * rule): keep at most `maxPerDomain` documents per domain so a single
+    * host cannot dominate the training mix — applied AFTER canonical-URL
+    * dedup, BEFORE sampling. Keeps the lowest-id documents per domain
+    * (deterministic, id-stable across runs); pass a quality rank as the
+    * id to keep best-first instead.
+    *
+    * Shape (100 TB): the k-bounded heap aggregate (TopK, q22/q105
+    * machinery) — every partition contributes ≤ maxPerDomain rows per
+    * domain to the shuffle, where the row_number window formulation
+    * would shuffle-and-sort the whole corpus and put each mega-domain
+    * in one partition. Returns the kept (domain, id) relation; semi-join
+    * it back for full rows. */
+  def domainCap(df: org.apache.spark.sql.DataFrame, domainCol: String,
+      idCol: String, maxPerDomain: Int): org.apache.spark.sql.DataFrame = {
+    require(maxPerDomain > 0, "maxPerDomain must be > 0")
+    df.groupBy(col(domainCol))
+      .agg(graft.functions.TopK.top_k_by_score(
+        col(idCol), -col(idCol).cast("double"), maxPerDomain).as("_top"))
+      .select(col(domainCol), explode(col("_top")).as("_e"))
+      .select(col(domainCol), col("_e.nid").as(idCol))
+  }
 }

@@ -302,6 +302,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perComp.forall(_.getLong(1) == 1L))
   }
 
+  test("domainCap keeps the lowest maxPerDomain ids per domain, exactly") {
+    val s = spark; import s.implicits._
+    val rows = (1L to 30L).map(i => (i, s"d${i % 3}"))
+    val out = Sampling.domainCap(rows.toDF("doc_id", "domain"),
+        "domain", "doc_id", 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byDomain = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // lowest 4 ids of each residue class
+    assert(byDomain("d0") == Seq(3L, 6L, 9L, 12L))
+    assert(byDomain("d1") == Seq(1L, 4L, 7L, 10L))
+    assert(byDomain("d2") == Seq(2L, 5L, 8L, 11L))
+    // a domain under the cap keeps everything
+    val small = Sampling.domainCap(Seq((1L, "x"), (2L, "x")).toDF("doc_id", "domain"),
+      "domain", "doc_id", 10)
+    assert(small.count() == 2)
+  }
+
   test("embedding hyperplane-LSH candidates find near-identical vectors") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)
