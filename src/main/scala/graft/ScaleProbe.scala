@@ -41,7 +41,8 @@ object ScaleProbe {
     // round-10 additions: cluster-aware split (rides the q35 cluster
     // pipeline), LM terciles (bounded-domain histogram), tar shard
     // roundtrip (real file I/O per shard)
-    "q137_cluster_split", "q138_lm_terciles", "q139_tar_shards")
+    "q137_cluster_split", "q138_lm_terciles", "q139_tar_shards",
+    "q143_url_dedup", "q144_domain_cap")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
