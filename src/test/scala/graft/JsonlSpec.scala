@@ -42,6 +42,14 @@ class JsonlSpec extends AnyFunSuite {
     assert(good.find(_.getAs[Long]("id") == 4L).get.getAs[String]("text") == null)
   }
 
+  test("reserved corrupt-record column name in the schema is rejected") {
+    val bad = StructType(Seq(StructField("_graft_corrupt", StringType)))
+    val e = intercept[IllegalArgumentException] {
+      Jsonl.readRobust(spark, "/tmp/nonexistent", bad)
+    }
+    assert(e.getMessage.contains("_graft_corrupt"), e.getMessage)
+  }
+
   test("native-writer roundtrip: parquet -> jsonl -> readRobust is lossless") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl2").toString

@@ -60,6 +60,13 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("contract violations fail loudly: long names, negative shards") {
+    val e = intercept[IllegalArgumentException] {
+      TarShards.tarBytes(Iterator(("x" * 101, Array.emptyByteArray)))
+    }
+    assert(e.getMessage.contains("100 bytes"), e.getMessage)
+  }
+
   test("system tar reads our archives (interop)") {
     val tarBin = Seq("/bin/tar", "/usr/bin/tar").find(p => new java.io.File(p).exists)
     assume(tarBin.isDefined, "no system tar available")
