@@ -49,7 +49,8 @@ object SparkEntry {
       operators.Bpe.wordFreq(t(s, dir, "documents"), "text"), numMerges = 12))
   private def statsStoreFor(s: SparkSession, dir: String): String =
     statsStoreCache.getOrElseUpdate(dir, {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_statscan_${java.util.UUID.randomUUID()}"
+      val out = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_statscan_${java.util.UUID.randomUUID()}")
       val src = t(s, dir, "events")
       val nRows = src.count()
       val fact = src.select(
@@ -411,10 +412,17 @@ object SparkEntry {
     }),
     "q35_dedup_clusters" -> ((s, dir) => {
       // candidate pairs (token Jaccard ≥ 0.5 inside (lang,source) blocks)
-      // → connected components → one keeper per duplicate group
+      // → connected components → one keeper per duplicate group. Candidates
+      // come from block-scoped LSH (block values hashed into the band key —
+      // the r10 probe measured the all-pairs blockPairs generator at 14x
+      // under 10x data; this path stays O(n·bands) on the wire). Unigram
+      // shingles sit closer to the J=0.5 gate than 3-grams, so bands=32
+      // (r=2: P[candidate | J=0.5] = 1-0.75^32 ≈ 0.9999) buys the recall
+      // the exact ngramJaccard verify then makes precise.
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id")
-      val nearDups = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id",
+        k = 64, bands = 32, shingleN = 1, blockCols = Seq("lang", "source"))
+      val nearDups = Dedup.ngramJaccard(cand, docs, "text", "doc_id", shingleN = 1)
         .filter(col("jaccard_bp") >= 5000)
         .select("id_a", "id_b")
       Dedup.connectedComponents(docs, "doc_id", nearDups)
@@ -710,7 +718,7 @@ object SparkEntry {
       // computes from the original table — any header/padding/terminator
       // bug in the codec breaks entry counts or byte totals. GNU-tar
       // interop + corruption totality are spec-tested (TarShardsSpec).
-      val out = java.nio.file.Files.createTempDirectory("graft-q139").toString
+      val out = TempDirs.create("graft-q139")
       graft.sources.TarShards.write(
         t(s, dir, "documents").select(
           expr("doc_id DIV 50").as("shard"),
@@ -734,7 +742,7 @@ object SparkEntry {
       // deliver every real row byte-lossless; totals are pinned against
       // the raw table. One text scan + codegen'd from_json — no
       // PERMISSIVE-mode cache workaround (SPARK-21610), nothing to leak.
-      val out = java.nio.file.Files.createTempDirectory("graft-q140").toString
+      val out = TempDirs.create("graft-q140")
       val docs = t(s, dir, "documents")
       docs.write.mode("overwrite").json(out)
       java.nio.file.Files.write(
@@ -777,6 +785,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy("domain")
+    }),
+    "q145_sparql_negated_set" -> ((s, dir) => {
+      // §9.1 negated property sets (round 11 — the last missing path
+      // construct): !(p|^q) matches forward edges whose predicate avoids
+      // the forward exclusions UNION reversed edges avoiding the inverse
+      // exclusions. Over custQuads (3 predicates): forward part = mkt ∪
+      // inNation edges, inverse part = reversed balCents ∪ reversed mkt.
+      // Plan: two predicate-pruned scans (NOT IN pushes down like IN).
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?x ?y WHERE { " +
+          "?x !(p:balCents|^p:inNation) ?y . }")
+      BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("x", "y")
     }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
@@ -935,10 +955,12 @@ object SparkEntry {
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
-      // max_by hash agg — never a window over the corpus
+      // max_by hash agg — never a window over the corpus; candidates from
+      // the same block-scoped LSH path as q35 (no all-pairs block join)
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.blockPairs(docs, Seq("lang", "source"), "doc_id")
-      val nearDups = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
+      val cand = Dedup.minhashCandidates(docs, "text", "doc_id",
+        k = 64, bands = 32, shingleN = 1, blockCols = Seq("lang", "source"))
+      val nearDups = Dedup.ngramJaccard(cand, docs, "text", "doc_id", shingleN = 1)
         .filter(col("jaccard_bp") >= 5000)
         .select("id_a", "id_b")
       val comp = Dedup.connectedComponents(docs, "doc_id", nearDups)
@@ -2224,6 +2246,24 @@ object SparkEntry {
         |  CAST(min(doc_id) AS BIGINT) AS min_id,
         |  CAST(max(doc_id) AS BIGINT) AS max_id
         |FROM r WHERE rn <= 50 GROUP BY domain ORDER BY domain""".stripMargin,
+    "q145_sparql_negated_set" ->
+      // !(balCents|^inNation) over the 3-predicate customer graph:
+      // forward edges not balCents (mkt + inNation), union reversed
+      // edges not inNation (balCents + mkt reversed); BGP solutions are
+      // distinct mappings
+      """WITH e AS (
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS x,
+        |         c_mktsegment AS y FROM customer
+        |  UNION ALL
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR),
+        |         'urn:n#' || CAST(c_nationkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT CAST(CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+        |         'urn:c#' || CAST(c_custkey AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT c_mktsegment,
+        |         'urn:c#' || CAST(c_custkey AS VARCHAR) FROM customer)
+        |SELECT DISTINCT x, y FROM e ORDER BY x, y""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
@@ -2875,8 +2915,8 @@ object SparkEntry {
         |  SELECT component, split, count(*) AS n,
         |    count(DISTINCT naive) AS nv
         |  FROM assigned GROUP BY component, split)
-        |SELECT split, sum(n) AS n_docs, count(*) AS n_clusters,
-        |  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS naive_leaky_clusters
+        |SELECT split, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_clusters,
+        |  CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaky_clusters
         |FROM per_cluster GROUP BY split ORDER BY split""".stripMargin,
     "q33_distinct_agg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

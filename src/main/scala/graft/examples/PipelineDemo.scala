@@ -138,7 +138,7 @@ object PipelineDemo {
       Seq("lang"), "avg_prob_bp")
     println(s"[pipeline] LM terciles: " + terc.groupBy("bucket").count()
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" "))
-    val tarDir = java.nio.file.Files.createTempDirectory("pipeline-tar").toString
+    val tarDir = graft.TempDirs.create("pipeline-tar")
     val nShards = graft.sources.TarShards.write(
       docs.select(expr("doc_id DIV 50").as("shard"),
         format_string("%012d.txt", col("doc_id")).as("name"),
@@ -146,7 +146,7 @@ object PipelineDemo {
       "shard", "name", "bytes", tarDir)
     val tarBack = graft.sources.TarShards.read(spark, s"$tarDir/*.tar").count()
     println(s"[pipeline] tar shards: $nShards written, $tarBack entries read back")
-    val jsonlDir = java.nio.file.Files.createTempDirectory("pipeline-jsonl").toString
+    val jsonlDir = graft.TempDirs.create("pipeline-jsonl")
     docs.write.mode("overwrite").json(jsonlDir)
     val robust = graft.sources.Jsonl.readRobust(spark, jsonlDir, docs.schema)
     println(s"[pipeline] robust JSONL: ${robust.filter(col("_ok")).count()} good, " +

@@ -118,11 +118,18 @@ object Dedup {
     }: _*)
 
   /** Candidate near-duplicate pairs (idA < idB) that share ≥1 LSH band.
-    * The join input is `bands` rows per doc, not all-pairs. */
+    * The join input is `bands` rows per doc, not all-pairs.
+    *
+    * `blockCols` (optional) scopes candidates to equality blocks — e.g.
+    * (lang, source) — WITHOUT an all-pairs block join: the block values
+    * are hashed INTO each band key, so cross-block rows land in disjoint
+    * buckets and never meet in the self-join. This is the scale-safe
+    * replacement for [[blockPairs]] + post-filter: one hot block stays
+    * O(n·bands) on the wire instead of O(n²). */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      fused: Boolean = false): DataFrame = {
+      fused: Boolean = false, blockCols: Seq[String] = Nil): DataFrame = {
     val rows = k / bands
     // fused: band keys come straight out of the one-pass kernel — routing
     // the fused SIGNATURE through bandKeys would re-evaluate it per band
@@ -158,9 +165,22 @@ object Dedup {
     // pushed through the exchange, and alias-inlined into the fused
     // kernel (which would re-evaluate the whole minhash per row in the
     // scan filter). The post-explode null filter is a cheap attribute test.
-    val exploded = sig
+    val bare = sig
       .select(col("id"), posexplode_outer(col("bk")).as(Seq("band", "key")))
       .filter(col("band").isNotNull)
+    // Block scoping: fold the block values into the bucket key AFTER the
+    // explode, via a compact (id, blockCols) join — both sig branches stay
+    // untouched (the fused kernel's planted-exchange reuse in particular),
+    // and the self-join below sees only the rekeyed long. The meta side of
+    // the join carries a few small columns per doc, not text.
+    val exploded =
+      if (blockCols.isEmpty) bare
+      else {
+        val meta = df.select(col(idCol).as("id") +: blockCols.map(col): _*)
+        bare.join(meta, "id")
+          .select(col("id"), col("band"),
+            xxhash64(blockCols.map(col) :+ col("key"): _*).as("key"))
+      }
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -130,9 +130,15 @@ object Sampling {
   def domainCap(df: org.apache.spark.sql.DataFrame, domainCol: String,
       idCol: String, maxPerDomain: Int): org.apache.spark.sql.DataFrame = {
     require(maxPerDomain > 0, "maxPerDomain must be > 0")
+    // CONSTANT score: the heap's tie-break is "equal score → smaller id
+    // wins", compared on the raw longs — so a constant score makes this a
+    // min-k-by-id that is EXACT over the whole long range. (Scoring by
+    // -id.cast(double) would silently collapse ids above 2^53 into equal
+    // doubles and degrade keep-determinism exactly where snowflake-style
+    // ids live.)
     df.groupBy(col(domainCol))
       .agg(graft.functions.TopK.top_k_by_score(
-        col(idCol), -col(idCol).cast("double"), maxPerDomain).as("_top"))
+        col(idCol), lit(0.0), maxPerDomain).as("_top"))
       .select(col(domainCol), explode(col("_top")).as("_e"))
       .select(col(domainCol), col("_e.nid").as(idCol))
   }

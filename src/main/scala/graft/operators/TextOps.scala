@@ -572,7 +572,13 @@ object TextOps {
     // "scheme://host[:port]" = everything before the 3rd '/'
     val schemeHost = lower(substring_index(noFrag, "/", 3))
     val rest = noFrag.substr(length(schemeHost) + 1, length(noFrag))
-    val noPort = regexp_replace(schemeHost, ":(443|80)$", "")
+    // default-port strip is SCHEME-conditioned: http://host:443/x is a
+    // real non-default-port resource and must NOT merge with http://host/x
+    val noPort = when(schemeHost.startsWith("https:"),
+        regexp_replace(schemeHost, ":443$", ""))
+      .when(schemeHost.startsWith("http:"),
+        regexp_replace(schemeHost, ":80$", ""))
+      .otherwise(schemeHost)
     val path = substring_index(rest, "?", 1)
     val cleanPath = regexp_replace(
       regexp_replace(path, "/{2,}", "/"), "(.)/$", "$1")

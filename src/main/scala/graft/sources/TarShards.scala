@@ -19,16 +19,21 @@ import org.apache.spark.sql.functions._
   * shard-level checksums are reproducible corpus fingerprints.
   *
   * Scale shape: `write` repartitions by shard id (one shuffle of the
-  * payload), assembles each shard IN ORDER within its partition — one
-  * shard's bytes in memory at a time, never a partition's — and streams
-  * it to the target filesystem via the Hadoop FS API (works on any
-  * Hadoop-supported store). `read` uses Spark's binaryFile source (one
-  * task per shard, whole-archive parse — tar has no internal index, so
-  * whole-file is the honest unit) and flatMaps the pure parser.
+  * payload), then STREAMS each entry's header/data/padding straight to
+  * the Hadoop FS output stream in partition order — memory is bounded by
+  * the largest ENTRY, not the shard or partition — and commits each
+  * shard atomically (hidden temp name, rename on success), so a killed
+  * task or racing speculative attempt can never publish a half-written
+  * archive. `read` uses Spark's binaryFile source (one task per shard,
+  * whole-archive parse — tar has no internal index, so whole-file is the
+  * honest unit) and flatMaps the pure parser; it is STRICT by default
+  * (truncated shard → task failure, not a silent prefix).
   *
-  * Robustness (RobustnessSpec house rule: return, never throw): a
-  * malformed header or truncated archive stops the parse at the last
-  * well-formed entry — corrupt shards yield their valid prefix.
+  * Robustness (RobustnessSpec house rule: return, never throw) lives in
+  * the PURE parser: [[parseTar]] stops at a malformed header or
+  * truncation and yields the valid prefix, with
+  * [[parseTarWithStatus]] reporting whether the archive terminated
+  * cleanly — `read(strict = false)` opts into prefix salvage for triage.
   */
 object TarShards {
 
@@ -75,14 +80,25 @@ object TarShards {
   /** Parse a tar archive to (name, bytes) entries — pure, total: stops
     * at end-of-archive, a malformed header, or truncation (returning the
     * valid prefix), never throws. */
-  def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  def parseTar(bytes: Array[Byte]): Seq[(String, Array[Byte])] =
+    parseTarWithStatus(bytes)._1
+
+  /** Like [[parseTar]], plus whether the archive terminated CLEANLY: the
+    * parse reached a zero end-of-archive header and every byte after it is
+    * zero padding. A half-written file cut at an entry boundary parses to
+    * the same prefix but reports `clean = false` — the strict read path
+    * uses this to refuse silent data loss. */
+  def parseTarWithStatus(bytes: Array[Byte]): (Seq[(String, Array[Byte])], Boolean) = {
     val out = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
     var off = 0
     var done = false
+    var clean = false
     while (!done && off + Block <= bytes.length) {
       val h = java.util.Arrays.copyOfRange(bytes, off, off + Block)
-      if (h.forall(_ == 0)) done = true // end-of-archive marker
-      else {
+      if (h.forall(_ == 0)) { // end-of-archive marker
+        done = true
+        clean = bytes.indices.drop(off).forall(bytes(_) == 0)
+      } else {
         val stored = new String(h, 148, 8, "UTF-8")
           .takeWhile(c => c >= '0' && c <= '7')
         val computed = {
@@ -109,7 +125,7 @@ object TarShards {
       }
       if (!done && off < 0) done = true
     }
-    out.toSeq
+    (out.toSeq, clean)
   }
 
   /** Write (shardCol: long, nameCol: string, bytesCol: binary) rows as
@@ -128,21 +144,45 @@ object TarShards {
       .repartition(col("_s"))
       .sortWithinPartitions("_s", "_n")
       .mapPartitions { it =>
-        // consecutive rows share a shard (sorted); assemble one shard at
-        // a time so memory is bounded by the largest SHARD, not partition
+        // consecutive rows share a shard (sorted by (_s,_n), so entries
+        // arrive already name-ordered); each entry streams straight to the
+        // FS output stream — memory is bounded by the largest ENTRY, not
+        // the shard (production WebDataset shards run 1-10 GB).
+        //
+        // Commit is WRITE-TO-TEMP + RENAME: a killed task, job abort, or
+        // speculative attempt racing this path must never leave a
+        // half-written file under the FINAL name — the lenient parser
+        // would read a valid prefix of it silently. The dotted temp name
+        // is invisible to Spark file sources (hidden-file filter) and to
+        // the reader's *.tar glob; rename publishes a complete archive or
+        // nothing. Racing attempts write distinct temp names and the bytes
+        // are deterministic, so whichever rename lands, the published
+        // shard is identical.
         val buffered = it.buffered
         val counts = scala.collection.mutable.ArrayBuffer[Long]()
         while (buffered.hasNext) {
           val shard = buffered.head.getLong(0)
-          val entries = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
-          while (buffered.hasNext && buffered.head.getLong(0) == shard) {
-            val r = buffered.next()
-            entries += ((r.getString(1), r.getAs[Array[Byte]](2)))
-          }
           val path = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%07d.tar")
+          val tmp = new org.apache.hadoop.fs.Path(outDir,
+            f".shard-$shard%07d.tar.inprogress-${java.util.UUID.randomUUID()}")
           val fs = path.getFileSystem(conf.value)
-          val os = fs.create(path, true)
-          try os.write(tarBytes(entries.iterator)) finally os.close()
+          val os = fs.create(tmp, true)
+          try {
+            while (buffered.hasNext && buffered.head.getLong(0) == shard) {
+              val r = buffered.next()
+              val data = r.getAs[Array[Byte]](2)
+              os.write(header(r.getString(1), data.length.toLong))
+              os.write(data)
+              val pad = (Block - data.length % Block) % Block
+              if (pad > 0) os.write(new Array[Byte](pad))
+            }
+            os.write(new Array[Byte](2 * Block)) // end-of-archive
+          } finally os.close()
+          fs.delete(path, false) // rename requires a free target on HDFS
+          if (!fs.rename(tmp, path)) {
+            fs.delete(tmp, false)
+            throw new java.io.IOException(s"tar shard commit failed: $tmp -> $path")
+          }
           counts += 1L
         }
         counts.iterator
@@ -151,15 +191,28 @@ object TarShards {
   }
 
   /** Read a directory/glob of tar shards → (shard_file, name, content)
-    * rows, one task per shard via the binaryFile source. */
-  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    * rows, one task per shard via the binaryFile source.
+    *
+    * STRICT by default: a shard that does not terminate at a proper
+    * end-of-archive marker (truncated mid-write, flipped bytes past the
+    * last clean entry) FAILS the task instead of silently yielding its
+    * valid prefix — with the atomic sink above, a well-formed store never
+    * trips this. `strict = false` is the triage mode: salvage the valid
+    * prefix of damaged archives, explicitly opted into. */
+  def read(spark: SparkSession, pathGlob: String,
+      strict: Boolean = true): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(pathGlob)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val fname = path.substring(path.lastIndexOf('/') + 1)
-        parseTar(bytes).map { case (n, b) => (fname, n, b) }
+        val (entries, clean) = parseTarWithStatus(bytes)
+        if (strict && !clean) throw new java.io.IOException(
+          s"truncated or malformed tar shard $fname: ${entries.length} clean " +
+            "entries then garbage — re-write the shard, or read with " +
+            "strict=false to salvage the valid prefix")
+        entries.map { case (n, b) => (fname, n, b) }
       }
       .toDF("shard_file", "name", "content")
   }

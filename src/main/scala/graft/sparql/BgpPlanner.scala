@@ -108,13 +108,35 @@ object BgpPlanner {
     /** Single-step edge relation of an alternative set: union of one
       * predicate-filtered scan per alternative, direction swapped for
       * inverse (`^p`) elements. The one-forward-alt case reduces to the
-      * plain filtered projection it always was. */
-    def edgesFor(alts: List[(String, Boolean)]): DataFrame =
-      alts.map { case (p, inv) =>
-        val base = scoped.filter(col("p") === p)
-        if (inv) base.select(col("o").as("src"), col("s").as("dst"))
-        else base.select(col("s").as("src"), col("o").as("dst"))
-      }.reduce(_ union _)
+      * plain filtered projection it always was.
+      *
+      * Negated sets (SPARQL 1.1 §9.1) flip the predicate filter: per the
+      * spec's translation `!(f1|…|^i1|…) ≡ !(f1|…) | ^(!(i1|…))`, the
+      * relation is forward edges whose predicate is NOT IN the forward
+      * exclusions, union REVERSED edges whose predicate is NOT IN the
+      * inverse exclusions — and each directional part exists only if the
+      * set names ≥1 element of that direction (`!p` has no inverse part,
+      * `!^p` no forward part). Still a single predicate-pruned scan per
+      * part; NOT IN over constants pushes down like IN does. */
+    def edgesFor(step: Step): DataFrame =
+      if (!step.negated)
+        step.alts.map { case (p, inv) =>
+          val base = scoped.filter(col("p") === p)
+          if (inv) base.select(col("o").as("src"), col("s").as("dst"))
+          else base.select(col("s").as("src"), col("o").as("dst"))
+        }.reduce(_ union _)
+      else {
+        val fwdExcl = step.alts.collect { case (p, false) => p }
+        val invExcl = step.alts.collect { case (p, true) => p }
+        val parts =
+          (if (fwdExcl.isEmpty) Nil
+           else Seq(scoped.filter(!col("p").isin(fwdExcl: _*))
+             .select(col("s").as("src"), col("o").as("dst")))) ++
+          (if (invExcl.isEmpty) Nil
+           else Seq(scoped.filter(!col("p").isin(invExcl: _*))
+             .select(col("o").as("src"), col("s").as("dst"))))
+        parts.reduce(_ union _)
+      }
 
     // Closure relations, one per (alt-set, modifier) — reused across atoms.
     // `p*` = reflexive-transitive; `p+` = transitive only (≥1 step);
@@ -123,13 +145,14 @@ object BgpPlanner {
       .union(scoped.select(col("o").as("t"))).distinct()
     val closures = scala.collection.mutable.Map[String, DataFrame]()
     def closureFor(step: Step): DataFrame = {
-      val key = step.alts.map { case (p, inv) => (if (inv) "^" else "") + p }
-        .mkString("|") + step.mod
+      val key = (if (step.negated) "!" else "") +
+        step.alts.map { case (p, inv) => (if (inv) "^" else "") + p }
+          .mkString("|") + step.mod
       closures.getOrElseUpdate(key, {
         if (step.mod == '?')
-          Closure.withIdentity(edgesFor(step.alts), allTerms)
+          Closure.withIdentity(edgesFor(step), allTerms)
         else {
-          val tc = Closure.transitive(edgesFor(step.alts))
+          val tc = Closure.transitive(edgesFor(step))
           if (step.mod == '*') Closure.withIdentity(tc, allTerms) else tc
         }
       })
@@ -145,11 +168,11 @@ object BgpPlanner {
       // `?` needs only the constant's direct neighbors — no BFS at all
       val reached =
         if (step.mod == '?') {
-          val e = edgesFor(step.alts)
+          val e = edgesFor(step)
           (if (constIsObject) e.filter(col("dst") === const).select(col("src").as("node"))
            else e.filter(col("src") === const).select(col("dst").as("node"))).distinct()
         } else graft.plans.Closure.reachableFrom(
-          edgesFor(step.alts), const, reverse = constIsObject)
+          edgesFor(step), const, reverse = constIsObject)
       val spark2 = scoped.sparkSession
       import spark2.implicits._
       val nodes =
@@ -171,7 +194,7 @@ object BgpPlanner {
           case (L(c), _) => targetedClosure(a.step, c, constIsObject = false)
           case _ => closureFor(a.step).toDF("as", "ao")
         }
-        else edgesFor(a.step.alts).select(col("src").as("as"), col("dst").as("ao"))
+        else edgesFor(a.step).select(col("src").as("as"), col("dst").as("ao"))
       val filtered = (a.s, a.o) match {
         case (V(x), V(y)) if x == y => rel.filter(col("as") === col("ao"))
         case _ =>
@@ -363,13 +386,16 @@ object BgpPlanner {
           val allVars = groupVarsOf(g)
           val bindsG = allVars.contains(gv) // ?g also in a term position
           val inner = allVars.filterNot(_ == gv)
-          val names = qg.select(col("graph")).distinct()
-            .collect().map(_.getString(0)).sorted
-          if (names.length > 512) throw new IllegalArgumentException(
+          // cap probe: collect AT MOST 513 names — a store with millions of
+          // named graphs must trip the guard without materializing every
+          // name on the driver first
+          val probe = qg.select(col("graph")).distinct().limit(513).collect()
+          if (probe.length > 512) throw new IllegalArgumentException(
             s"GRAPH ?$gv with nested structure plans one union branch per " +
-              s"named graph; ${names.length} graphs exceeds the 512 cap — " +
+              "named graph; more than 512 graphs exceeds the cap — " +
               "restructure to plain triple patterns + FILTER (single-plan " +
               "path) or scope with GRAPH <iri>")
+          val names = probe.map(_.getString(0)).sorted
           if (inner.isEmpty && !bindsG) {
             // ground body (round 10): ?g binds each graph where the body
             // MATCHES — one ask per named graph, rows of the matching

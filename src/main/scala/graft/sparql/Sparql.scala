@@ -76,8 +76,15 @@ object Sparql {
   /** One path element: alternatives of (IRI, inverse?) — `(p|^q)` — under
     * one shared modifier. `mod`: ' ' = exactly-one, '*' = zero-or-more,
     * '+' = one-or-more, '?' = zero-or-one. The single forward unmodified
-    * step is the common case; the companion apply keeps it terse. */
-  final case class Step(alts: List[(String, Boolean)], mod: Char) {
+    * step is the common case; the companion apply keeps it terse.
+    *
+    * `negated` marks a NEGATED property set (SPARQL 1.1 §9.1): `!p`,
+    * `!^p`, `!(p|^q|…)` — the alts become the EXCLUSION set, split by
+    * direction at evaluation (forward edges whose predicate avoids the
+    * forward alts, union inverse edges avoiding the inverse alts; a part
+    * exists only if the set names ≥1 element of that direction). */
+  final case class Step(alts: List[(String, Boolean)], mod: Char,
+      negated: Boolean = false) {
     def star: Boolean = mod == '*'
   }
   object Step {
@@ -822,10 +829,13 @@ object Sparql {
     }
 
     // ---- BIND expressions -----------------------------------------------
-    // addExpr := mulExpr (('+'|'-') mulExpr)* ; mulExpr := primary ('*' …)*
+    // addExpr := mulExpr (('+'|'-') mulExpr)* ;
+    // mulExpr := primary (('*'|'/') primary)*
     // primary := ?var | "str" | <iri> | pname | integer | builtin(…) | (expr)
-    // Division is out of subset (xsd:decimal exactness has no cheap
-    // faithful Column form); integers only in arithmetic position.
+    // All four operators parse (division landed round 10, q134). SPARQL
+    // §17.3 integer ÷ integer → xsd:decimal: exact for integral quotients
+    // (decimal-typed long division), xsd:double approximation otherwise —
+    // see BgpPlanner's BArith '/' case for the full semantics note.
     private def parseBindExpr(): BExpr = parseBindAdd()
 
     private def parseBindAdd(): BExpr = {
@@ -1091,26 +1101,40 @@ object Sparql {
       else if (peek == '?') { pos += 1; '?' }
       else ' '
 
-    /** One sequence element: `(alt|alt|…)mod`, or `^?iri mod`. */
-    private def parseStep(): Step = {
+    /** Alternative list inside parens (shared by `(p|^q)` and `!(p|^q)`):
+      * per-element modifiers rejected loudly, closing paren consumed. */
+    private def parseAltGroup(): List[(String, Boolean)] = {
+      val alts = ArrayBuffer[(String, Boolean)]()
+      alts += parseAltElt()
+      if (peek == '*' || peek == '+' || peek == '?')
+        err("per-alternative modifiers are outside the supported subset; " +
+          "apply the modifier to the whole group: (p|q)*")
       skipWs()
-      if (peek == '(') {
-        pos += 1
-        val alts = ArrayBuffer[(String, Boolean)]()
-        alts += parseAltElt()
+      while (peek == '|') {
+        pos += 1; alts += parseAltElt()
         if (peek == '*' || peek == '+' || peek == '?')
           err("per-alternative modifiers are outside the supported subset; " +
             "apply the modifier to the whole group: (p|q)*")
         skipWs()
-        while (peek == '|') {
-          pos += 1; alts += parseAltElt()
-          if (peek == '*' || peek == '+' || peek == '?')
-            err("per-alternative modifiers are outside the supported subset; " +
-              "apply the modifier to the whole group: (p|q)*")
-          skipWs()
-        }
-        expect(')')
-        Step(alts.toList, parseMod())
+      }
+      expect(')')
+      alts.toList
+    }
+
+    /** One sequence element: `(alt|alt|…)mod`, `^?iri mod`, or a negated
+      * property set `!iri`, `!^iri`, `!(alt|alt|…)` with optional mod. */
+    private def parseStep(): Step = {
+      skipWs()
+      if (peek == '!') {
+        pos += 1
+        skipWs()
+        val alts =
+          if (peek == '(') { pos += 1; parseAltGroup() }
+          else List(parseAltElt())
+        Step(alts, parseMod(), negated = true)
+      } else if (peek == '(') {
+        pos += 1
+        Step(parseAltGroup(), parseMod())
       } else {
         val (iri, inv) = parseAltElt()
         Step(List((iri, inv)), parseMod())
@@ -1138,9 +1162,16 @@ object Sparql {
           if (steps.length > 1 || steps.head.mod != ' ')
             err("parenthesize path alternatives used with sequences or " +
               "modifiers: (p|q) or (p|q)*")
+          if (steps.head.negated)
+            err("alternatives over a negated property set (!p|q) are " +
+              "outside the supported subset; negate one whole set: !(p|q)")
           val alts = ArrayBuffer(steps.head.alts: _*)
           while (peek == '|') {
-            pos += 1; alts += parseAltElt()
+            pos += 1; skipWs()
+            if (peek == '!')
+              err("alternatives over a negated property set (p|!q) are " +
+                "outside the supported subset; negate one whole set: !(p|q)")
+            alts += parseAltElt()
             if (peek == '*' || peek == '+' || peek == '?')
               err("parenthesize path alternatives used with modifiers: (p|q)*")
             skipWs()

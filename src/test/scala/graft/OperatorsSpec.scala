@@ -317,6 +317,15 @@ class OperatorsSpec extends AnyFunSuite {
     val small = Sampling.domainCap(Seq((1L, "x"), (2L, "x")).toDF("doc_id", "domain"),
       "domain", "doc_id", 10)
     assert(small.count() == 2)
+    // EXACT above 2^53: consecutive ids there are equal as doubles — the
+    // constant-score heap compares raw longs, so the keep set must still
+    // be the exact lowest ids (the old -id.cast(double) score broke this)
+    val base = (1L << 53) + 10L
+    val big = (0L until 8L).map(i => (base + i, "big"))
+    val keptBig = Sampling.domainCap(big.toDF("doc_id", "domain"),
+        "domain", "doc_id", 3)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(keptBig == Seq(base, base + 1L, base + 2L), keptBig)
   }
 
   test("embedding hyperplane-LSH candidates find near-identical vectors") {

@@ -1211,4 +1211,68 @@ class SparqlSpec extends AnyFunSuite {
     }
     assert(modMix.getMessage.contains("parenthesize"), modMix.getMessage)
   }
+
+  // --- negated property sets (§9.1, round 11) ------------------------------
+
+  /** 4-edge micro graph: d1 -hasPoint-> p1, d1 -hasPart-> p2,
+    * d1 -label-> "x", p2 -feeds-> d2. */
+  lazy val npsQuads = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Quad("urn:g#", "urn:d#1", "urn:p#hasPoint", "urn:pt#1"),
+      Quad("urn:g#", "urn:d#1", "urn:p#hasPart", "urn:pt#2"),
+      Quad("urn:g#", "urn:d#1", "urn:p#label", "x"),
+      Quad("urn:g#", "urn:pt#2", "urn:p#feeds", "urn:d#2")).toDF()
+  }
+  val npsPrefix = "PREFIX p: <urn:p#> "
+
+  private def pairs(query: String): Set[(String, String)] =
+    BgpPlanner.evaluate(npsQuads, Sparql.parse(npsPrefix + query))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  test("NPS forward: !p and !(p|q) exclude exactly those predicates") {
+    assert(pairs("SELECT ?s ?o WHERE { ?s !p:hasPoint ?o . }") == Set(
+      ("urn:d#1", "urn:pt#2"), ("urn:d#1", "x"), ("urn:pt#2", "urn:d#2")))
+    assert(pairs("SELECT ?s ?o WHERE { ?s !(p:hasPoint|p:label) ?o . }") == Set(
+      ("urn:d#1", "urn:pt#2"), ("urn:pt#2", "urn:d#2")))
+  }
+
+  test("NPS inverse-only: !^p is reversed edges avoiding p — no forward part") {
+    assert(pairs("SELECT ?s ?o WHERE { ?s !^p:feeds ?o . }") == Set(
+      ("urn:pt#1", "urn:d#1"), ("urn:pt#2", "urn:d#1"), ("x", "urn:d#1")))
+    // !(^p|^q): both directions excluded from the INVERSE part only
+    assert(pairs("SELECT ?s ?o WHERE { ?s !(^p:feeds|^p:label) ?o . }") == Set(
+      ("urn:pt#1", "urn:d#1"), ("urn:pt#2", "urn:d#1")))
+  }
+
+  test("NPS mixed set: forward part ∪ inverse part, per the §9.1 translation") {
+    // !(hasPoint|^hasPoint) = fwd{hasPart,label,feeds} ∪ inv{hasPart,label,feeds}
+    assert(pairs("SELECT ?s ?o WHERE { ?s !(p:hasPoint|^p:hasPoint) ?o . }") == Set(
+      ("urn:d#1", "urn:pt#2"), ("urn:d#1", "x"), ("urn:pt#2", "urn:d#2"),
+      ("urn:pt#2", "urn:d#1"), ("x", "urn:d#1"), ("urn:d#2", "urn:pt#2")))
+  }
+
+  test("NPS in sequences, with constants, and under closure modifiers") {
+    // sequence: d1 -hasPart-> pt2 -(anything but label: feeds)-> d2
+    assert(pairs("SELECT ?s ?o WHERE { ?s p:hasPart/!p:label ?o . }") ==
+      Set(("urn:d#1", "urn:d#2")))
+    // constant subject, targeted closure: everything reachable from d1
+    // via non-label predicates, 1+ steps
+    val rows = BgpPlanner.evaluate(npsQuads, Sparql.parse(npsPrefix +
+        "SELECT ?o WHERE { <urn:d#1> !p:label+ ?o . }"))
+      .collect().map(_.getString(0)).toSet
+    assert(rows == Set("urn:pt#1", "urn:pt#2", "urn:d#2"))
+  }
+
+  test("NPS out-of-subset alternatives are rejected loudly") {
+    val a = intercept[IllegalArgumentException] {
+      Sparql.parse(npsPrefix + "SELECT ?s ?o WHERE { ?s !p:a|p:b ?o . }")
+    }
+    assert(a.getMessage.contains("negate"), a.getMessage)
+    val b = intercept[IllegalArgumentException] {
+      Sparql.parse(npsPrefix + "SELECT ?s ?o WHERE { ?s p:a|!p:b ?o . }")
+    }
+    assert(b.getMessage.contains("negate"), b.getMessage)
+  }
 }

@@ -87,6 +87,41 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("parseTarWithStatus: clean only at a true end-of-archive marker") {
+    val entries = (1 to 3).map(i => entry(f"$i%012d.bin", 700, i))
+    val tar = TarShards.tarBytes(entries.iterator)
+    val (full, fullClean) = TarShards.parseTarWithStatus(tar)
+    assert(fullClean && full.map(_._1) == entries.map(_._1))
+    // cut at an ENTRY BOUNDARY (no marker): same prefix, but NOT clean —
+    // this is exactly the half-written-shard shape the strict reader must
+    // refuse (lenient parseTar cannot tell it from a complete archive)
+    val boundary = java.util.Arrays.copyOf(tar, 3 * (512 + 1024))
+    val (ents, clean) = TarShards.parseTarWithStatus(boundary)
+    assert(ents.map(_._1) == entries.map(_._1) && !clean)
+    // garbage after the marker: entries intact, not clean
+    val dirty = tar.clone(); dirty(tar.length - 1) = 0x7f.toByte
+    assert(!TarShards.parseTarWithStatus(dirty)._2)
+    assert(TarShards.parseTarWithStatus(dirty)._1.map(_._1) == entries.map(_._1))
+  }
+
+  test("strict read fails on a truncated shard; lenient salvages the prefix") {
+    val s = spark; import s.implicits._
+    val entries = (1 to 4).map(i => entry(f"$i%012d.bin", 600, i))
+    val tar = TarShards.tarBytes(entries.iterator)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tarstrict")
+    // cut mid-entry-3: two complete entries then a torn tail
+    java.nio.file.Files.write(dir.resolve("shard-0000000.tar"),
+      java.util.Arrays.copyOf(tar, 2 * (512 + 1024) + 512 + 100))
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.read(spark, s"$dir/*.tar").count()
+    }
+    assert(e.getCause != null || e.getMessage.contains("truncated"),
+      s"unexpected failure shape: $e")
+    val salvaged = TarShards.read(spark, s"$dir/*.tar", strict = false)
+    assert(salvaged.select("name").as[String].collect().sorted.toSeq ==
+      entries.take(2).map(_._1))
+  }
+
   test("Spark write/read roundtrip: sharded, sorted, byte-exact") {
     val s = spark; import s.implicits._
     val rows = (1L to 57L).map { i =>
@@ -96,7 +131,19 @@ class TarShardsSpec extends AnyFunSuite {
     val n = TarShards.write(rows.toDF("shard", "name", "bytes"),
       "shard", "name", "bytes", dir)
     assert(n == 6) // shards 0..5
-    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar")) == 6)
+    // atomic commit leaves ONLY the renamed shards — no .inprogress temps
+    // (Hadoop RawLocalFileSystem also drops .crc siblings on rename? no —
+    // ignore checksum sidecars, they're the local FS's, not ours)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.endsWith(".crc")).toSeq
+    assert(names.count(_.endsWith(".tar")) == 6, names)
+    assert(names.forall(_.matches("shard-\\d{7}\\.tar")), names)
+    // the STREAMED writer must be byte-identical to the pure codec
+    val shard0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "shard-0000000.tar"))
+    val want0 = TarShards.tarBytes(
+      rows.filter(_._1 == 0L).sortBy(_._2).map(r => (r._2, r._3)).iterator)
+    assert(java.util.Arrays.equals(shard0, want0), "streamed bytes != codec bytes")
     val back = TarShards.read(spark, s"$dir/*.tar").collect()
       .map(r => (r.getString(0), r.getString(1),
         new String(r.getAs[Array[Byte]](2), "UTF-8")))

@@ -23,6 +23,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64").round(6)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse type class AFTER normalize. The driver hashes stringified
+    values, so an int64 Spark column vs a float64 oracle column renders
+    "398" vs "398.0" and hash-fails even when the values agree (this is
+    exactly how q137 shipped red in round 10). Classes, not exact dtypes:
+    normalize already coerced within-class widths."""
+    if pd.api.types.is_bool_dtype(s): return "bool"
+    if pd.api.types.is_integer_dtype(s): return "int"
+    if pd.api.types.is_float_dtype(s): return "float"
+    if pd.api.types.is_datetime64_any_dtype(s): return "datetime"
+    return "object"
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -54,6 +66,10 @@ def main(sf_dir, out_dir):
         elif len(g) != len(w):
             results[name] = {"status": "ROWCOUNT_MISMATCH",
                              "spark": len(g), "duckdb": len(w)}
+        elif any(dtype_class(g[c]) != dtype_class(w[c]) for c in g.columns):
+            results[name] = {"status": "DTYPE_MISMATCH", "cols": {
+                c: f"spark={dtype_class(g[c])} duckdb={dtype_class(w[c])}"
+                for c in g.columns if dtype_class(g[c]) != dtype_class(w[c])}}
         else:
             try:
                 pd.testing.assert_frame_equal(g, w, check_dtype=False,
