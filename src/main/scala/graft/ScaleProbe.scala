@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   *    copy-specific offset on one coordinate so IVF centroids see 10×
   *    genuine points rather than 10-way ties.
   *
-  * Usage: runMain graft.ScaleProbe [srcDir] [outDir] [mult]
-  * Results land in PLANS.md by hand (see round-10 table).
+  * Usage: runMain graft.ScaleProbe [srcDir] [outDir] [mult] [q1,q2,…]
+  * (the optional 4th arg restricts the probe to those queries — the
+  * 100× runs target the top five rather than re-timing everything).
+  * Results land in PLANS.md by hand (see round-10/11 tables).
   */
 object ScaleProbe {
 
@@ -42,12 +44,18 @@ object ScaleProbe {
     // pipeline), LM terciles (bounded-domain histogram), tar shard
     // roundtrip (real file I/O per shard)
     "q137_cluster_split", "q138_lm_terciles", "q139_tar_shards",
-    "q143_url_dedup", "q144_domain_cap")
+    "q143_url_dedup", "q144_domain_cap",
+    // round-11: q35 moved off blockPairs onto block-scoped LSH — probe
+    // the switched shape (and q106 shares the same candidate generator)
+    "q35_dedup_clusters", "q145_sparql_negated_set")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "/tmp/graft-scaleprobe/sf1"
     val mult = if (args.length > 2) args(2).toInt else 10
+    val selected =
+      if (args.length > 3) probeQueries.filter(args(3).split(",").toSet)
+      else probeQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,12 +72,12 @@ object ScaleProbe {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     // one warm-up pass at the small scale amortizes codegen/JIT
-    probeQueries.foreach { q =>
+    selected.foreach { q =>
       try SparkEntry.queries(q)(spark, src).count()
       catch { case e: Throwable => println(s"WARMUP FAIL $q: ${e.getMessage}") }
     }
-    println(f"${"query"}%-22s ${"sf0.1(s)"}%10s ${"sf1(s)"}%10s ${"ratio"}%8s")
-    probeQueries.foreach { q =>
+    println(f"${"query"}%-22s ${"sf0.1(s)"}%10s ${"big(s)"}%10s ${"ratio"}%8s")
+    selected.foreach { q =>
       val fn = SparkEntry.queries(q)
       val tSmall = time(fn(spark, src).count())
       val tBig = time(fn(spark, out).count())

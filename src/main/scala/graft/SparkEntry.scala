@@ -411,19 +411,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q35_dedup_clusters" -> ((s, dir) => {
-      // candidate pairs (token Jaccard ≥ 0.5 inside (lang,source) blocks)
-      // → connected components → one keeper per duplicate group. Candidates
-      // come from block-scoped LSH (block values hashed into the band key —
-      // the r10 probe measured the all-pairs blockPairs generator at 14x
-      // under 10x data; this path stays O(n·bands) on the wire). Unigram
-      // shingles sit closer to the J=0.5 gate than 3-grams, so bands=32
-      // (r=2: P[candidate | J=0.5] = 1-0.75^32 ≈ 0.9999) buys the recall
-      // the exact ngramJaccard verify then makes precise.
+      // near-dup pairs (token Jaccard ≥ 0.5 inside (lang,source) blocks)
+      // → connected components. Pair generation is the EXACT block-scoped
+      // prefix filter (q78's machinery, block values hashed into the
+      // shingle identity): the r10 probe measured the all-pairs blockPairs
+      // generator at 14x under 10x data, and LSH is the wrong tool at a
+      // unigram threshold (same-language docs share stopwords, so
+      // background Jaccard crowds J=0.5 and recall-safe banding re-admits
+      // nearly all pairs) — prefix filtering is lossless AND its candidate
+      // volume tracks genuinely-similar mass, not vocabulary overlap.
       val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashCandidates(docs, "text", "doc_id",
-        k = 64, bands = 32, shingleN = 1, blockCols = Seq("lang", "source"))
-      val nearDups = Dedup.ngramJaccard(cand, docs, "text", "doc_id", shingleN = 1)
-        .filter(col("jaccard_bp") >= 5000)
+      val nearDups = Dedup.prefixJaccardJoin(docs, "text", "doc_id",
+          shingleN = 1, thetaBp = 5000L, blockCols = Seq("lang", "source"))
         .select("id_a", "id_b")
       Dedup.connectedComponents(docs, "doc_id", nearDups)
         .select(col("id").as("doc_id"), col("component"))
@@ -955,13 +954,12 @@ object SparkEntry {
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
-      // max_by hash agg — never a window over the corpus; candidates from
-      // the same block-scoped LSH path as q35 (no all-pairs block join)
+      // max_by hash agg — never a window over the corpus; pairs from the
+      // same exact block-scoped prefix filter as q35 (no all-pairs block
+      // join, no LSH recall gamble)
       val docs = t(s, dir, "documents")
-      val cand = Dedup.minhashCandidates(docs, "text", "doc_id",
-        k = 64, bands = 32, shingleN = 1, blockCols = Seq("lang", "source"))
-      val nearDups = Dedup.ngramJaccard(cand, docs, "text", "doc_id", shingleN = 1)
-        .filter(col("jaccard_bp") >= 5000)
+      val nearDups = Dedup.prefixJaccardJoin(docs, "text", "doc_id",
+          shingleN = 1, thetaBp = 5000L, blockCols = Seq("lang", "source"))
         .select("id_a", "id_b")
       val comp = Dedup.connectedComponents(docs, "doc_id", nearDups)
       Dedup.canonicalKeep(comp, docs, "doc_id", "n_chars")

@@ -309,13 +309,28 @@ object Dedup {
     * Scale shape: freq agg (hash) → rank window keyed by doc → prefix
     * self equi-join on shingle hash → exact-intersection equi-join. The
     * quadratic term is per-prefix-shingle, bounded by the rarest-first
-    * order; everything else is hash joins/aggs on (id) or (h). */
+    * order; everything else is hash joins/aggs on (id) or (h).
+    *
+    * `blockCols` (optional) scopes the join to equality blocks by
+    * hashing the block values INTO each shingle hash: cross-block docs
+    * then share no shingle — they never become candidates and contribute
+    * zero intersection — while per-doc set sizes are untouched, so the
+    * result is EXACTLY the per-block join. Bonus: shingle frequencies
+    * (the rarest-first order) become per-block frequencies, which is the
+    * sharper prefix order when block vocabularies differ. */
   def prefixJaccardJoin(
       df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, thetaBp: Long = 5000L): DataFrame = {
+      shingleN: Int = 3, thetaBp: Long = 5000L,
+      blockCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sets = shingleHashes(df, textCol, idCol, shingleN)
+    val bare = shingleHashes(df, textCol, idCol, shingleN)
       .dropDuplicates("id", "h")
+    val sets = (if (blockCols.isEmpty) bare
+      else {
+        val meta = df.select(col(idCol).as("id") +: blockCols.map(col): _*)
+        bare.join(meta, "id")
+          .select(col("id"), xxhash64(blockCols.map(col) :+ col("h"): _*).as("h"))
+      })
       .localCheckpoint() // reused 4×: freq, ranking, two verify sides
     val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val freq = sets.groupBy(col("h")).agg(count(lit(1)).as("cf"))

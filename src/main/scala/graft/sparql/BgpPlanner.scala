@@ -452,16 +452,34 @@ object BgpPlanner {
               "GRAPH ?var property paths encode (graph,node) with U+0001; " +
                 "a graph name or term containing U+0001 cannot be encoded " +
                 "faithfully"))).otherwise(concat(g, lit(SEP), node))
+          // Per-graph single-step edges (graph, src, dst) — the quads-
+          // relation counterpart of edgesFor, incl. the §9.1 negated-set
+          // translation (same directional-part rule; predicates are
+          // scoped per row's own graph, which is exactly GRAPH semantics)
+          def qgStepEdges(step: Step): DataFrame =
+            if (!step.negated)
+              step.alts.map { case (p, inv) =>
+                val base = qg.filter(col("p") === p)
+                if (inv) base.select(col("graph"),
+                  col("o").as("src"), col("s").as("dst"))
+                else base.select(col("graph"),
+                  col("s").as("src"), col("o").as("dst"))
+              }.reduce(_ union _)
+            else {
+              val fwdExcl = step.alts.collect { case (p, false) => p }
+              val invExcl = step.alts.collect { case (p, true) => p }
+              ((if (fwdExcl.isEmpty) Nil
+                else Seq(qg.filter(!col("p").isin(fwdExcl: _*))
+                  .select(col("graph"), col("s").as("src"), col("o").as("dst")))) ++
+               (if (invExcl.isEmpty) Nil
+                else Seq(qg.filter(!col("p").isin(invExcl: _*))
+                  .select(col("graph"), col("o").as("src"), col("s").as("dst"))))
+              ).reduce(_ union _)
+            }
           def pathRel(step: Step): DataFrame = {
-            val enc = step.alts.map { case (p, inv) =>
-              val base = qg.filter(col("p") === p)
-              if (inv) base.select(
-                enc2(col("graph"), col("o")).as("src"),
-                enc2(col("graph"), col("s")).as("dst"))
-              else base.select(
-                enc2(col("graph"), col("s")).as("src"),
-                enc2(col("graph"), col("o")).as("dst"))
-            }.reduce(_ union _)
+            val enc = qgStepEdges(step).select(
+              enc2(col("graph"), col("src")).as("src"),
+              enc2(col("graph"), col("dst")).as("dst"))
             lazy val encTerms = qg.select(
                 enc2(col("graph"), col("s")).as("t"))
               .union(qg.select(enc2(col("graph"), col("o")).as("t")))
@@ -479,13 +497,8 @@ object BgpPlanner {
           val parts2 = atoms2.map { a =>
             var rel =
               if (a.step.mod != ' ') pathRel(a.step)
-              else a.step.alts.map { case (p, inv) =>
-                val base = qg.filter(col("p") === p)
-                if (inv) base.select(col("graph").as(vc(gv)),
-                  col("o").as("as"), col("s").as("ao"))
-                else base.select(col("graph").as(vc(gv)),
-                  col("s").as("as"), col("o").as("ao"))
-              }.reduce(_ union _)
+              else qgStepEdges(a.step).select(col("graph").as(vc(gv)),
+                col("src").as("as"), col("dst").as("ao"))
             a.s match { case V(_) => (); case I(i) => rel = rel.filter(col("as") === i); case L(l) => rel = rel.filter(col("as") === l) }
             a.o match { case V(_) => (); case I(i) => rel = rel.filter(col("ao") === i); case L(l) => rel = rel.filter(col("ao") === l) }
             // ?g itself may appear in a term position (legal SPARQL): the

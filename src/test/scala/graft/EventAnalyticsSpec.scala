@@ -257,4 +257,38 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got.nonEmpty, "planted near-dups must appear")
   }
+
+  test("prefixJaccardJoin blockCols: identical twins in different blocks never pair") {
+    val s = spark; import s.implicits._
+    // d1/d2 identical text, same block; d3 identical text, OTHER block;
+    // d4 near-dup of d1 in the same block
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "web"),
+      (2L, "a b c d e f", "en", "web"),
+      (3L, "a b c d e f", "fr", "web"),
+      (4L, "a b c d e g", "en", "web")).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup.prefixJaccardJoin(docs, "text", "doc_id",
+        shingleN = 1, thetaBp = 5000L, blockCols = Seq("lang", "source"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // block-scoped: (1,2) exact dup, (1,4)/(2,4) J=5/7≈7142bp; NOTHING with 3
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    // and block-scoped result == global result filtered to same-block pairs
+    val global = Dedup.prefixJaccardJoin(docs, "text", "doc_id",
+        shingleN = 1, thetaBp = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sameBlock = Set((1L, 2L), (1L, 4L), (2L, 4L))
+    assert(global.filter(sameBlock) == got)
+  }
+
+  test("minhashCandidates blockCols: cross-block twins share no bucket") {
+    val s = spark; import s.implicits._
+    val text = (1 to 40).map("t" + _).mkString(" ")
+    val docs = Seq(
+      (1L, text, "en"), (2L, text, "en"), (3L, text, "fr"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id",
+        blockCols = Seq("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }

@@ -1265,6 +1265,28 @@ class SparqlSpec extends AnyFunSuite {
     assert(rows == Set("urn:pt#1", "urn:pt#2", "urn:d#2"))
   }
 
+  test("NPS inside GRAPH ?var: exclusion scoped per graph, plain and closed") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      Quad("urn:ga#", "urn:d#a", "urn:p#p", "urn:d#b"),
+      Quad("urn:ga#", "urn:d#a", "urn:p#q", "urn:d#c"),
+      Quad("urn:ga#", "urn:d#b", "urn:p#r", "urn:d#e"),
+      Quad("urn:gb#", "urn:d#a", "urn:p#p", "urn:d#f")).toDF()
+    // plain step: per-graph non-q edges from a
+    val plain = BgpPlanner.evaluate(d, Sparql.parse(npsPrefix +
+        "SELECT ?g ?o WHERE { GRAPH ?g { <urn:d#a> !p:q ?o . } }"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plain == Set(("urn:ga#", "urn:d#b"), ("urn:gb#", "urn:d#f")))
+    // closure modifier: !q+ rides the graph-encoded fixpoint; the r edge
+    // extends the chain within ga only
+    val closed = BgpPlanner.evaluate(d, Sparql.parse(npsPrefix +
+        "SELECT ?g ?o WHERE { GRAPH ?g { <urn:d#a> !p:q+ ?o . } }"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closed == Set(("urn:ga#", "urn:d#b"), ("urn:ga#", "urn:d#e"),
+      ("urn:gb#", "urn:d#f")))
+  }
+
   test("NPS out-of-subset alternatives are rejected loudly") {
     val a = intercept[IllegalArgumentException] {
       Sparql.parse(npsPrefix + "SELECT ?s ?o WHERE { ?s !p:a|p:b ?o . }")
