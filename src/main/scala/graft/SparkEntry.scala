@@ -797,6 +797,24 @@ object SparkEntry {
           "?x !(p:balCents|^p:inNation) ?y . }")
       BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("x", "y")
     }),
+    "q146_html_extract" -> ((s, dir) => {
+      // HTML→text extraction (round 11): every doc is escaped and
+      // wrapped in a realistic page (style block, comment, heading,
+      // script whose string literal CONTAINS markup) and the extractor
+      // must drop code wholesale and recover heading + original text
+      // exactly (escape→decode roundtrip). The oracle recomputes the
+      // expectation from the RAW text — it checks extraction semantics,
+      // not regex-engine parity.
+      val docs = t(s, dir, "documents")
+      val page = concat(
+        lit("<html><head><style type=\"text/css\">body { margin: 0; }" +
+          "</style><!-- generator: fixture --></head><body><h1>Title</h1><p>"),
+        TextOps.escapeHtml(col("text")),
+        lit("</p><script type=\"text/javascript\">var s = \"<p>not text" +
+          "</p>\";</script></body></html>"))
+      docs.select(col("doc_id"), TextOps.stripHtml(page).as("extracted"))
+        .orderBy("doc_id")
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2262,6 +2280,12 @@ object SparkEntry {
         |  SELECT c_mktsegment,
         |         'urn:c#' || CAST(c_custkey AS VARCHAR) FROM customer)
         |SELECT DISTINCT x, y FROM e ORDER BY x, y""".stripMargin,
+    "q146_html_extract" ->
+      // expectation derived from the RAW text: heading + ws-collapsed
+      // body, scripts/styles/comments contribute nothing
+      """SELECT doc_id,
+        |  trim('Title ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

@@ -125,6 +125,47 @@ object TextOps {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
 
+  /** HTML → text extraction, the first stage of every crawl pipeline
+    * (CCNet/C4/RefinedWeb run an extractor before any quality or dedup
+    * stage). Codegen'd column algebra in the engine-portable regex
+    * subset (no backreferences — script and style blocks are matched by
+    * their own literal close tags so RE2 engines agree byte-for-byte):
+    *  1. drop <script>…</script> and <style>…</style> WHOLESALE,
+    *     case-insensitive, dot-matches-newline (their content is code,
+    *     and may itself contain markup inside string literals);
+    *  2. drop <!-- comments -->;
+    *  3. replace every remaining tag with a space (block boundaries
+    *     must not glue words together);
+    *  4. decode the named entities &nbsp; &lt; &gt; &quot; &#39;
+    *     &apos; and LAST &amp; (decoding amp first would double-decode
+    *     "&amp;lt;"); numeric character references beyond &#39; are
+    *     out of contract — extraction, not a full HTML5 parser;
+    *  5. collapse whitespace runs, trim.
+    * Contract: tag-structured input; a bare '<' in running text is
+    * consumed up to the next '>' like any tag (same rule as browsers'
+    * error recovery for unescaped brackets, and exactly why step 4's
+    * escape/decode pair makes escaped text roundtrip losslessly. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComments = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComments, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** The matching escape (for fixtures and sinks): & first, then the
+    * four markup-significant characters — [[stripHtml]]'s decode inverts
+    * it exactly, so escape→wrap→extract roundtrips any text. */
+  def escapeHtml(text: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+        "\"" -> "&quot;", "'" -> "&#39;")
+      .foldLeft(text) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+
   /** PII patterns for redaction — deliberately restricted to the regex
     * subset with identical semantics in Java's engine and RE2 (DuckDB):
     * character classes, bounded quantifiers and `\b` word boundaries only —

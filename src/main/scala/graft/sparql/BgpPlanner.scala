@@ -930,6 +930,7 @@ object BgpPlanner {
       case BVar(v) => resolve(v)
       case BLit(s) => lit(s)
       case BConcat(args) => concat(args.map(compileBind(_, resolve)): _*)
+      case BCoalesce(args) => coalesce(args.map(compileBind(_, resolve)): _*)
       case BStrFn("STR", a) => compileBind(a, resolve) // lexical identity
       case BStrFn("UCASE", a) => upper(compileBind(a, resolve))
       case BStrFn("LCASE", a) => lower(compileBind(a, resolve))
@@ -1105,17 +1106,32 @@ object BgpPlanner {
         throw new IllegalArgumentException("HAVING without GROUP BY/aggregates")
       acc = acc.filter(compileHaving(f, acc))
     }
-    var out = acc.select(q.selected.map(v => col(vc(v)).as(v)): _*)
-    if (q.distinct) out = out.distinct()
-    if (q.orderBy.nonEmpty) {
-      val outCols = out.columns.toSet
-      val keys = q.orderBy.map { case (v, desc) =>
-        if (!outCols.contains(v)) throw new IllegalArgumentException(
-          s"ORDER BY key ?$v must be a projected variable/alias")
-        if (desc) col(v).desc else col(v).asc
+    // §18.2.5: ORDER BY evaluates BEFORE projection, so keys may be any
+    // in-scope variable — sort the pre-projection relation and project
+    // after (a narrow projection preserves the global sort). §15.1's one
+    // carve-out stands: under SELECT DISTINCT the keys must be projected
+    // (ordering by a column DISTINCT collapses away is unanswerable).
+    val unprojectedKeys = q.orderBy.exists { case (v, _) => !q.selected.contains(v) }
+    var out =
+      if (q.orderBy.nonEmpty && unprojectedKeys) {
+        if (q.distinct) throw new IllegalArgumentException(
+          "ORDER BY keys must be projected variables/aliases under " +
+            "SELECT DISTINCT (§15.1)")
+        val accCols = acc.columns.toSet
+        val keys = q.orderBy.map { case (v, desc) =>
+          if (!accCols.contains(vc(v))) throw new IllegalArgumentException(
+            s"ORDER BY key ?$v is not an in-scope variable/alias")
+          if (desc) col(vc(v)).desc else col(vc(v)).asc
+        }
+        acc.orderBy(keys: _*).select(q.selected.map(v => col(vc(v)).as(v)): _*)
+      } else {
+        var o = acc.select(q.selected.map(v => col(vc(v)).as(v)): _*)
+        if (q.distinct) o = o.distinct()
+        if (q.orderBy.nonEmpty)
+          o = o.orderBy(q.orderBy.map { case (v, desc) =>
+            if (desc) col(v).desc else col(v).asc }: _*)
+        o
       }
-      out = out.orderBy(keys: _*)
-    }
     q.offset.foreach(o => out = out.offset(o))
     q.limit.foreach(l => out = out.limit(l))
     out

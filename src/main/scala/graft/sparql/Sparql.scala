@@ -59,7 +59,7 @@ import scala.collection.mutable.ArrayBuffer
   *     spec's implementation-defined description)
   *
   *   - `BIND(expr AS ?v)` with string builtins (CONCAT, STR, UCASE,
-  *     LCASE, STRLEN, STRAFTER, STRBEFORE) and integer `+ - *`
+  *     LCASE, STRLEN, STRAFTER, STRBEFORE), COALESCE, and `+ - * /`
   *     arithmetic (group-final scope; see BgpPlanner)
   *   - property-path modifiers `*` `+` `?` and inverse/alternatives
   *
@@ -176,6 +176,10 @@ object Sparql {
   final case class BVar(name: String) extends BExpr
   final case class BLit(value: String) extends BExpr // string/IRI/number lexical
   final case class BConcat(args: List[BExpr]) extends BExpr
+  /** COALESCE(e1, e2, …) — first argument that evaluates, error-free, to
+    * a bound value (§17.4.1.5). Errors and unbound map to SQL NULL in
+    * this compiler, so Catalyst's coalesce IS the faithful translation. */
+  final case class BCoalesce(args: List[BExpr]) extends BExpr
   /** fn ∈ STR (identity on the lexical encoding), UCASE, LCASE, STRLEN. */
   final case class BStrFn(fn: String, arg: BExpr) extends BExpr
   /** STRAFTER/STRBEFORE(arg, sep): empty string when `sep` is absent. */
@@ -449,6 +453,11 @@ object Sparql {
       }
       if (!kw("SELECT")) err("expected SELECT, ASK, or CONSTRUCT")
       val distinct = kw("DISTINCT")
+      // REDUCED (§15.3.1) permits — but does not require — eliminating
+      // duplicates; returning the full bag is a conforming answer, so it
+      // parses as a no-op (the useful direction: a query written for an
+      // engine that needs the hint keeps working here)
+      if (!distinct) kw("REDUCED")
       skipWs()
       val projection = ArrayBuffer[String]()
       var star = false
@@ -870,6 +879,12 @@ object Sparql {
         while ({ skipWs(); peek == ',' }) { pos += 1; args += parseBindExpr() }
         expect(')')
         BConcat(args.toList)
+      } else if (kw("COALESCE")) {
+        expect('(')
+        val args = ArrayBuffer[BExpr](parseBindExpr())
+        while ({ skipWs(); peek == ',' }) { pos += 1; args += parseBindExpr() }
+        expect(')')
+        BCoalesce(args.toList)
       } else if (kw("STRAFTER")) {
         expect('('); val a = parseBindExpr(); expect(','); val s = parseStrArg()
         expect(')'); BStrCut(a, s, after = true)

@@ -254,13 +254,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       // all params are trackers -> query dropped entirely
       "https://ex.com/p?utm_source=a&gclid=b" -> "https://ex.com/p",
       // plain URL is a fixpoint
-      "https://ex.com/a/b?x=1" -> "https://ex.com/a/b?x=1")
+      "https://ex.com/a/b?x=1" -> "https://ex.com/a/b?x=1",
+      // cross-scheme default ports are REAL ports and must survive
+      // (round-11 fix: the strip is scheme-conditioned)
+      "http://ex.com:443/x" -> "http://ex.com:443/x",
+      "https://ex.com:80/x" -> "https://ex.com:80/x")
     val out = cases.map(_._1).toDF("u")
       .select(col("u"), TextOps.canonicalUrl(col("u")).as("c")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (in, want) =>
       assert(out(in) == want, s"canonicalUrl($in) = ${out(in)}, want $want")
     }
+  }
+
+  test("stripHtml: scripts/styles wholesale, entities decoded, escape roundtrips") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // script string literal CONTAINS markup — must vanish wholesale
+      "<p>keep</p><script>var x = \"<p>gone</p>\";</script><p>too</p>" ->
+        "keep too",
+      // style + comment + attribute-laden tags
+      "<style media=\"all\">p{color:red}</style><!-- note --><a href=\"/x\">link</a>" ->
+        "link",
+      // entity decode, amp LAST: literal "&lt;" survives one level
+      "a &amp;lt; b &lt;c&gt; &quot;d&quot; &#39;e&#39; &nbsp;f" ->
+        "a &lt; b <c> \"d\" 'e' f",
+      // tags become word boundaries, whitespace collapses
+      "<div>one</div><div>two\n\n three</div>" -> "one two three",
+      // mixed-case close tags
+      "<SCRIPT>x</SCRIPT>y<STYLE a=b>z</STYLE>" -> "y")
+    val out = cases.map(_._1).toDF("h")
+      .select(col("h"), operators.TextOps.stripHtml(col("h")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(out(in) == want, s"stripHtml($in) = '${out(in)}', want '$want'")
+    }
+    // escape → wrap → extract roundtrips arbitrary markup-laden text
+    val nasty = "a<b & c>\"d\" 'e' &amp; </script> <style>"
+    val round = Seq(nasty).toDF("x")
+      .select(operators.TextOps.stripHtml(concat(lit("<p>"),
+        operators.TextOps.escapeHtml(col("x")), lit("</p>"))).as("r"))
+      .head().getString(0)
+    assert(round == "a<b & c>\"d\" 'e' &amp; </script> <style>", round)
   }
 
   test("chunkSpans covers every token exactly, with stride-spaced starts") {

@@ -870,8 +870,10 @@ class SparqlSpec extends AnyFunSuite {
       "must appear in GROUP BY")
     bad("SELECT * WHERE { ?d p:val ?v . } GROUP BY ?d",
       "SELECT * cannot be combined")
+    // non-projected keys are legal since round 11 (§18.2.5) — only a key
+    // that exists NOWHERE in scope is an error now
     bad("SELECT ?d WHERE { ?d p:val ?v . } ORDER BY ?nope",
-      "must be a projected")
+      "not an in-scope")
     bad("SELECT ?d WHERE { ?d p:val ?v . } BOGUS TRAILING",
       "trailing content")
   }
@@ -1210,6 +1212,29 @@ class SparqlSpec extends AnyFunSuite {
       Sparql.parse(prefix + "SELECT ?x WHERE { ?x rdfs:subClassOf*|rdf:type ?y . }")
     }
     assert(modMix.getMessage.contains("parenthesize"), modMix.getMessage)
+  }
+
+  // --- ORDER BY non-projected keys (§18.2.5, round 11) ---------------------
+
+  test("ORDER BY may use an in-scope non-projected var; DISTINCT still requires projection") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      Quad("urn:g#", "urn:u#1", "urn:p#score", "1"),
+      Quad("urn:g#", "urn:u#2", "urn:p#score", "2"),
+      Quad("urn:g#", "urn:u#1", "urn:p#name", "A"),
+      Quad("urn:g#", "urn:u#2", "urn:p#name", "B")).toDF()
+    val got = BgpPlanner.evaluate(d, Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?n WHERE { ?u p:name ?n . ?u p:score ?sc . } " +
+          "ORDER BY DESC(?sc)"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("B", "A"))
+    val e = intercept[IllegalArgumentException] {
+      BgpPlanner.evaluate(d, Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT DISTINCT ?n WHERE { ?u p:name ?n . " +
+          "?u p:score ?sc . } ORDER BY DESC(?sc)")).collect()
+    }
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
   }
 
   // --- negated property sets (§9.1, round 11) ------------------------------

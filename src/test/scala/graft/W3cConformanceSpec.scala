@@ -349,6 +349,131 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq(Seq(Some("a"))))
   }
 
+  // ---- nested OPTIONAL (data-r2/optional q-opt-complex, REC §6.3) ---------
+
+  test("w3c optional/q-opt-complex-1 (adapted): OPTIONAL nests, inner needs outer match") {
+    val d = quads(
+      (ex("a1"), ex("name"), "Alice"), (ex("a1"), ex("email"), "a@x"),
+      (ex("a1"), ex("phone"), "111"),
+      (ex("a2"), ex("name"), "Bob"), (ex("a2"), ex("phone"), "222"),
+      (ex("a3"), ex("name"), "Carol"))
+    // a2 has a phone but NO email: the inner OPTIONAL lives inside the
+    // email group, so Bob's phone must NOT surface
+    assert(run(d, EX + "SELECT ?name ?e ?p WHERE { ?x ex:name ?name . " +
+      "OPTIONAL { ?x ex:email ?e . OPTIONAL { ?x ex:phone ?p } } }").toSet ==
+      Set(Seq(Some("Alice"), Some("a@x"), Some("111")),
+        Seq(Some("Bob"), None, None),
+        Seq(Some("Carol"), None, None)))
+  }
+
+  test("w3c pp/path-in-group (adapted): closure path inside OPTIONAL") {
+    val d = quads(
+      (ex("a"), ex("name"), "A"), (ex("b"), ex("name"), "B"),
+      (ex("a"), ex("p"), ex("m")), (ex("m"), ex("p"), ex("z")))
+    assert(run(d, EX + "SELECT ?name ?r WHERE { ?x ex:name ?name . " +
+      "OPTIONAL { ?x ex:p+ ?r . FILTER(?r = <urn:ex#z>) } }").toSet ==
+      Set(Seq(Some("A"), Some(ex("z"))), Seq(Some("B"), None)))
+  }
+
+  test("w3c pp/pp36 (adapted): constant-object targeted star includes the constant") {
+    val d = quads((ex("a"), ex("p"), ex("b")), (ex("b"), ex("p"), ex("c")))
+    assert(run(d, EX + "SELECT ?x WHERE { ?x ex:p* <urn:ex#c> . }").toSet ==
+      Set(Seq(Some(ex("a"))), Seq(Some(ex("b"))), Seq(Some(ex("c")))))
+  }
+
+  // ---- solution modifiers (data-r2/sort, REC §15) -------------------------
+
+  test("w3c sort/dawg-sort-4 + limit-offset (adapted): DESC order, OFFSET paging") {
+    val d = quads(
+      (ex("s1"), ex("p"), "a"), (ex("s2"), ex("p"), "b"), (ex("s3"), ex("p"), "c"))
+    assert(run(d, EX + "SELECT ?v WHERE { ?s ex:p ?v . } ORDER BY DESC(?v)") ==
+      Seq(Seq(Some("c")), Seq(Some("b")), Seq(Some("a"))))
+    assert(run(d, EX +
+      "SELECT ?v WHERE { ?s ex:p ?v . } ORDER BY ?v LIMIT 1 OFFSET 1") ==
+      Seq(Seq(Some("b"))))
+  }
+
+  // ---- aggregates, continued (sparql11 aggregates/) -----------------------
+
+  test("w3c aggregates/agg-avg-01 (adapted): AVG over a numeric-lexical group") {
+    val d = quads(
+      (ex("s"), ex("v"), "1"), (ex("s"), ex("v"), "3"), (ex("s"), ex("v"), "5"))
+    assert(run(d, EX + "SELECT (AVG(?x) AS ?avg) WHERE { ?s ex:v ?x . }") ==
+      Seq(Seq(Some("3.0")))) // double-typed column; value exact
+  }
+
+  test("w3c aggregates/agg-groupconcat-02 (adapted): SEPARATOR honored, order deterministic") {
+    val d = quads(
+      (ex("s"), ex("v"), "b"), (ex("s"), ex("v"), "a"), (ex("s"), ex("v"), "c"))
+    // documented divergence: the REC leaves concatenation order
+    // implementation-defined (§18.5.1.7); this engine SORTS for
+    // determinism, so the expectation below is the sorted rendering
+    assert(run(d, EX +
+      "SELECT (GROUP_CONCAT(?v; SEPARATOR=\"|\") AS ?c) WHERE { ?s ex:v ?v . }") ==
+      Seq(Seq(Some("a|b|c"))))
+  }
+
+  // ---- string builtins in BIND (sparql11 functions/) ----------------------
+
+  test("w3c functions/strbefore01a, strafter01a, concat01, strlen01 (adapted)") {
+    val d = quads((ex("s"), ex("str"), "foobar"))
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(STRBEFORE(?v, \"bar\") AS ?out) }") == Seq(Seq(Some("foo"))))
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(STRAFTER(?v, \"foo\") AS ?out) }") == Seq(Seq(Some("bar"))))
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(CONCAT(?v, \"!\", UCASE(?v)) AS ?out) }") ==
+      Seq(Seq(Some("foobar!FOOBAR"))))
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(STRLEN(?v) AS ?out) }") == Seq(Seq(Some("6"))))
+  }
+
+  test("w3c functions/coalesce01 (adapted): first bound, error-free value wins") {
+    val d = quads(
+      (ex("a1"), ex("name"), "Alice"), (ex("a1"), ex("nick"), "Ali"),
+      (ex("a2"), ex("name"), "Bob"))
+    // nick where present, else name, else the constant
+    assert(run(d, EX + "SELECT ?label WHERE { ?x ex:name ?name . " +
+      "OPTIONAL { ?x ex:nick ?nick } " +
+      "BIND(COALESCE(?nick, ?name, \"anon\") AS ?label) }").toSet ==
+      Set(Seq(Some("Ali")), Seq(Some("Bob"))))
+  }
+
+  test("w3c reduced/reduced-1 (adapted): REDUCED parses; returning the bag conforms") {
+    val d = quads(
+      (ex("s1"), ex("p"), ex("o")), (ex("s2"), ex("p"), ex("o")))
+    // §15.3.1 allows any duplication between bag and set — this engine
+    // returns the bag, which the suite's reduced tests accept
+    assert(run(d, EX + "SELECT REDUCED ?o WHERE { ?s ex:p ?o . }") ==
+      Seq(Seq(Some(ex("o"))), Seq(Some(ex("o")))))
+  }
+
+  // ---- bag semantics (data-r2/reduced, bindings) --------------------------
+
+  test("w3c REC §9.2/values5 (adapted): projection and VALUES keep duplicate solutions") {
+    val d = quads(
+      (ex("s1"), ex("p"), ex("o")), (ex("s2"), ex("p"), ex("o")))
+    // two solutions project to the same ?o binding — bag keeps both
+    assert(run(d, EX + "SELECT ?o WHERE { ?s ex:p ?o . }") ==
+      Seq(Seq(Some(ex("o"))), Seq(Some(ex("o")))))
+    // ... and DISTINCT collapses them
+    assert(run(d, EX + "SELECT DISTINCT ?o WHERE { ?s ex:p ?o . }") ==
+      Seq(Seq(Some(ex("o")))))
+  }
+
+  // ---- subquery modifiers (sparql11 subquery/sq11 adapted) ----------------
+
+  test("w3c subquery/sq11 (adapted): inner ORDER/LIMIT bounds the joined relation") {
+    val d = quads(
+      (ex("u1"), ex("score"), "1"), (ex("u2"), ex("score"), "2"),
+      (ex("u3"), ex("score"), "3"),
+      (ex("u1"), ex("name"), "A"), (ex("u2"), ex("name"), "B"),
+      (ex("u3"), ex("name"), "C"))
+    val got = run(d, EX + "SELECT ?name WHERE { ?u ex:name ?name . " +
+      "{ SELECT ?u WHERE { ?u ex:score ?sc . } ORDER BY DESC(?sc) LIMIT 2 } }")
+    assert(got.toSet == Set(Seq(Some("B")), Seq(Some("C"))))
+  }
+
   /** Suite regions NOT runnable here, each with the blocking reason —
     * the honest skip ledger the pass counts above must be read against.
     * (Features marked "rejected loudly" raise a named error at parse
@@ -360,10 +485,12 @@ class W3cConformanceSpec extends AnyFunSuite {
       "plain-string term model — no language tags or datatype IRIs to inspect",
     "data-r2/type-promotion" ->
       "no typed-literal lattice; numeric dispatch is syntactic (literal operand forces numeric comparison)",
-    "sparql11 functions/coalesce01, if01" ->
-      "COALESCE/IF not in the BIND/FILTER surface",
+    "sparql11 functions/if01" ->
+      "IF needs effective-boolean-value evaluation inside BIND expressions; COALESCE landed round 11 (coalesce01 above)",
     "sparql11 aggregates/agg-empty-group" ->
       "empty group pattern {} is rejected by the grammar",
+    "sparql11 aggregates/agg-min-01, agg-max-01 (numeric)" ->
+      "MIN/MAX compare lexically in the untyped-string store (min of {10, 9} is \"10\"); numeric extremes need the SUM/AVG-style cast, which loses the term for mixed-type groups — documented, not silently wrong",
     "sparql11 service/*" ->
       "SERVICE rejected by design (no federation endpoint in a batch engine)",
     "sparql11 property-path/pp09 (p{n,m} bounds)" ->
