@@ -815,6 +815,20 @@ object SparkEntry {
       docs.select(col("doc_id"), TextOps.stripHtml(page).as("extracted"))
         .orderBy("doc_id")
     }),
+    "q147_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC hygiene (round 11): every doc gets a decomposed-form
+      // prefix (e + COMBINING ACUTE, i + COMBINING DIAERESIS) and the
+      // native codegen'd NfcNormalize expression must compose it
+      // canonically — the oracle is DuckDB's own UAX #15 nfc_normalize
+      // over an identically-constructed string, so both the composed
+      // bytes and the post-NFC character count are cross-engine-pinned.
+      val docs = t(s, dir, "documents")
+      val mixed = concat(lit("Cafe\u0301 nai\u0308ve "), col("text"))
+      docs.select(col("doc_id"),
+          graft.functions.UnicodeNorm.nfc(mixed).as("text_nfc"))
+        .withColumn("n_chars_nfc", length(col("text_nfc")).cast("long"))
+        .orderBy("doc_id")
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2286,6 +2300,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  trim('Title ' || trim(regexp_replace(text, '\s+', ' ', 'g'))) AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q147_nfc_normalize" ->
+      // DuckDB nfc_normalize implements the same UAX #15 form; chr(769)/
+      // chr(776) are the combining acute/diaeresis the query prepends
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    nfc_normalize('Cafe' || chr(769) || ' nai' || chr(776) || 've ' || text)
+        |      AS text_nfc
+        |  FROM documents)
+        |SELECT doc_id, text_nfc, CAST(length(text_nfc) AS BIGINT) AS n_chars_nfc
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

@@ -252,57 +252,10 @@ object BgpPlanner {
       acc
     }
 
-    // FILTER expression → Column. SPARQL's three-valued error semantics
-    // map exactly onto SQL NULL logic: a type error (non-numeric string
-    // under a numeric comparison casts to NULL) makes the comparison NULL,
-    // `error && false` is false, `error || true` is true, and a NULL
-    // predicate drops the row — all of which is what Catalyst already does.
-    def compileFilter(f: FExpr, resolve: String => Column): Column = {
-      // try_cast, not cast: under ANSI mode a plain cast THROWS on a
-      // non-numeric binding, where SPARQL wants a type error = row dropped
-      // (try_cast's NULL gives exactly that)
-      def opCol(o: FOperand, numeric: Boolean): Column = o match {
-        case FVar(v) => if (numeric) resolve(v).try_cast("double") else resolve(v)
-        case FNum(l) => lit(l.toDouble)
-        case FStr(s) => if (numeric) lit(s).try_cast("double") else lit(s)
-        case FIriRef(i) => lit(i)
-      }
-      f match {
-        case FCmp(l, op, r) =>
-          // numeric dispatch: a numeric literal on either side forces a
-          // numeric comparison (SPARQL operator dispatch on xsd numerics);
-          // otherwise simple codepoint string comparison
-          val numeric = l.isInstanceOf[FNum] || r.isInstanceOf[FNum]
-          val (lc, rc) = (opCol(l, numeric), opCol(r, numeric))
-          op match {
-            case "<" => lc < rc
-            case "<=" => lc <= rc
-            case ">" => lc > rc
-            case ">=" => lc >= rc
-            case "=" => lc === rc
-            case "!=" => lc =!= rc
-            case other => throw new IllegalArgumentException(s"bad op $other")
-          }
-        case FRegex(v, p, fl) =>
-          resolve(v).rlike(if (fl.isEmpty) p else s"(?$fl)$p")
-        case FContains(v, s) => resolve(v).contains(s)
-        case FStrStarts(v, s) => resolve(v).startsWith(s)
-        case FStrEnds(v, s) => resolve(v).endsWith(s)
-        case FBound(v) => resolve(v).isNotNull
-        case FIn(o, vals, neg) =>
-          // compiled as the spec's own sugar (an `=`-disjunction), which
-          // inherits FCmp's NULL/type-error semantics exactly: an unbound
-          // or non-castable operand makes every disjunct NULL → row
-          // dropped, for IN and NOT IN alike (both are errors in SPARQL)
-          val numeric = o.isInstanceOf[FNum] || vals.exists(_.isInstanceOf[FNum])
-          val c = opCol(o, numeric)
-          val in = vals.map(v => c === opCol(v, numeric)).reduce(_ || _)
-          if (neg) !in else in
-        case FAnd(a, b) => compileFilter(a, resolve) && compileFilter(b, resolve)
-        case FOr(a, b) => compileFilter(a, resolve) || compileFilter(b, resolve)
-        case FNot(a) => !compileFilter(a, resolve)
-      }
-    }
+    // FILTER expression → Column (delegates to the hoisted pure
+    // compiler so BIND's IF() can reuse it).
+    def compileFilter(f: FExpr, resolve: String => Column): Column =
+      compileFilterExpr(f, resolve)
 
     def resolveIn(d: DataFrame, cols: Set[String])(v: String): Column =
       if (cols.contains(vc(v))) d(vc(v))
@@ -924,6 +877,60 @@ object BgpPlanner {
     * lexical → NULL → unbound), result rendered back to its lexical form,
     * so engine and oracle agree digit-for-digit; magnitudes past 2^63
     * wrap — out of scope for the integer fixtures this subset targets. */
+  /** FILTER expression → Column, pure over (expr, resolver). SPARQL's
+    * three-valued error semantics map exactly onto SQL NULL logic: a type
+    * error (non-numeric string under a numeric comparison casts to NULL)
+    * makes the comparison NULL, `error && false` is false, `error || true`
+    * is true, and a NULL predicate drops the row — all of which is what
+    * Catalyst already does. Shared by FILTER/OPTIONAL-join conditions and
+    * BIND's IF() condition. */
+  private def compileFilterExpr(f: Sparql.FExpr, resolve: String => Column): Column = {
+    // try_cast, not cast: under ANSI mode a plain cast THROWS on a
+    // non-numeric binding, where SPARQL wants a type error = row dropped
+    // (try_cast's NULL gives exactly that)
+    def opCol(o: FOperand, numeric: Boolean): Column = o match {
+      case FVar(v) => if (numeric) resolve(v).try_cast("double") else resolve(v)
+      case FNum(l) => lit(l.toDouble)
+      case FStr(s) => if (numeric) lit(s).try_cast("double") else lit(s)
+      case FIriRef(i) => lit(i)
+    }
+    f match {
+      case FCmp(l, op, r) =>
+      // numeric dispatch: a numeric literal on either side forces a
+      // numeric comparison (SPARQL operator dispatch on xsd numerics);
+      // otherwise simple codepoint string comparison
+      val numeric = l.isInstanceOf[FNum] || r.isInstanceOf[FNum]
+      val (lc, rc) = (opCol(l, numeric), opCol(r, numeric))
+      op match {
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "=" => lc === rc
+        case "!=" => lc =!= rc
+        case other => throw new IllegalArgumentException(s"bad op $other")
+      }
+      case FRegex(v, p, fl) =>
+      resolve(v).rlike(if (fl.isEmpty) p else s"(?$fl)$p")
+      case FContains(v, s) => resolve(v).contains(s)
+      case FStrStarts(v, s) => resolve(v).startsWith(s)
+      case FStrEnds(v, s) => resolve(v).endsWith(s)
+      case FBound(v) => resolve(v).isNotNull
+      case FIn(o, vals, neg) =>
+      // compiled as the spec's own sugar (an `=`-disjunction), which
+      // inherits FCmp's NULL/type-error semantics exactly: an unbound
+      // or non-castable operand makes every disjunct NULL → row
+      // dropped, for IN and NOT IN alike (both are errors in SPARQL)
+      val numeric = o.isInstanceOf[FNum] || vals.exists(_.isInstanceOf[FNum])
+      val c = opCol(o, numeric)
+      val in = vals.map(v => c === opCol(v, numeric)).reduce(_ || _)
+      if (neg) !in else in
+      case FAnd(a, b) => compileFilterExpr(a, resolve) && compileFilterExpr(b, resolve)
+      case FOr(a, b) => compileFilterExpr(a, resolve) || compileFilterExpr(b, resolve)
+      case FNot(a) => !compileFilterExpr(a, resolve)
+    }
+    }
+
   private def compileBind(e: Sparql.BExpr, resolve: String => Column): Column = {
     import Sparql._
     e match {
@@ -931,6 +938,12 @@ object BgpPlanner {
       case BLit(s) => lit(s)
       case BConcat(args) => concat(args.map(compileBind(_, resolve)): _*)
       case BCoalesce(args) => coalesce(args.map(compileBind(_, resolve)): _*)
+      case BIf(c, t, e) =>
+        // no .otherwise(): a NULL condition (type error / unbound input)
+        // must yield NULL — §17.4.1.2 says an erroring condition errors
+        // the whole IF, it does NOT fall through to the else branch
+        val cc = compileFilterExpr(c, resolve)
+        when(cc, compileBind(t, resolve)).when(!cc, compileBind(e, resolve))
       case BStrFn("STR", a) => compileBind(a, resolve) // lexical identity
       case BStrFn("UCASE", a) => upper(compileBind(a, resolve))
       case BStrFn("LCASE", a) => lower(compileBind(a, resolve))

@@ -59,7 +59,8 @@ import scala.collection.mutable.ArrayBuffer
   *     spec's implementation-defined description)
   *
   *   - `BIND(expr AS ?v)` with string builtins (CONCAT, STR, UCASE,
-  *     LCASE, STRLEN, STRAFTER, STRBEFORE), COALESCE, and `+ - * /`
+  *     LCASE, STRLEN, STRAFTER, STRBEFORE), COALESCE, IF(cond,t,e)
+  *     with a full FILTER-expression condition, and `+ - * /`
   *     arithmetic (group-final scope; see BgpPlanner)
   *   - property-path modifiers `*` `+` `?` and inverse/alternatives
   *
@@ -180,6 +181,10 @@ object Sparql {
     * a bound value (§17.4.1.5). Errors and unbound map to SQL NULL in
     * this compiler, so Catalyst's coalesce IS the faithful translation. */
   final case class BCoalesce(args: List[BExpr]) extends BExpr
+  /** IF(cond, then, else) — §17.4.1.2: the condition is a full FILTER
+    * boolean expression; an error in the condition is an error for the
+    * whole IF (→ unbound), NOT the else-branch. */
+  final case class BIf(cond: FExpr, thenE: BExpr, elseE: BExpr) extends BExpr
   /** fn ∈ STR (identity on the lexical encoding), UCASE, LCASE, STRLEN. */
   final case class BStrFn(fn: String, arg: BExpr) extends BExpr
   /** STRAFTER/STRBEFORE(arg, sep): empty string when `sep` is absent. */
@@ -885,6 +890,15 @@ object Sparql {
         while ({ skipWs(); peek == ',' }) { pos += 1; args += parseBindExpr() }
         expect(')')
         BCoalesce(args.toList)
+      } else if (kw("IF")) {
+        expect('(')
+        val c = parseOrExpr()
+        skipWs(); expect(',')
+        val t = parseBindExpr()
+        skipWs(); expect(',')
+        val e = parseBindExpr()
+        expect(')')
+        BIf(c, t, e)
       } else if (kw("STRAFTER")) {
         expect('('); val a = parseBindExpr(); expect(','); val s = parseStrArg()
         expect(')'); BStrCut(a, s, after = true)

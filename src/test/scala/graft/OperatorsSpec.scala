@@ -328,6 +328,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptBig == Seq(base, base + 1L, base + 2L), keptBig)
   }
 
+  test("NfcNormalize: composes decomposed forms; ASCII/NFC inputs pass through; null-safe") {
+    val s = spark; import s.implicits._
+    val composedE = "\u00e9" // precomposed e-acute
+    val inputs = Seq("Cafe\u0301", "nai\u0308ve", "plain ascii",
+      "composed " + composedE + " stays", "")
+    val got = inputs.toDF("t")
+      .select(graft.functions.UnicodeNorm.nfc(col("t")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Caf" + composedE, "na\u00efve", "plain ascii",
+      "composed " + composedE + " stays", ""))
+    // post-NFC character counts shrink by exactly the combining mark
+    assert(got.head.length == 4 && inputs.head.length == 5)
+    // interpreted path (eval outside codegen) agrees
+    val e = graft.functions.UnicodeNorm.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal.create("Cafe\u0301"))
+    assert(e.eval(null).toString == "Caf" + composedE)
+    // null passes through
+    assert(Seq[Option[String]](None).toDF("t")
+      .select(graft.functions.UnicodeNorm.nfc(col("t"))).head().isNullAt(0))
+  }
+
   test("embedding hyperplane-LSH candidates find near-identical vectors") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)

@@ -439,6 +439,20 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(Seq(Some("Ali")), Seq(Some("Bob"))))
   }
 
+  test("w3c functions/if01 + if02 (adapted): value dispatch, and an erroring condition errors the IF") {
+    val d = quads(
+      (ex("x1"), ex("v"), "1"), (ex("x2"), ex("v"), "9"), (ex("x3"), ex("w"), "5"))
+    assert(run(d, EX + "SELECT ?s ?label WHERE { ?s ex:v ?v . " +
+      "BIND(IF(?v < 5, \"low\", \"high\") AS ?label) }").toSet ==
+      Set(Seq(Some(ex("x1")), Some("low")), Seq(Some(ex("x2")), Some("high"))))
+    // if02's point: error in the condition → the IF errors (unbound),
+    // NOT the else branch — ?u is unbound, so ?label must be unbound
+    assert(run(d, EX + "SELECT ?s ?label WHERE { ?s ex:w ?w . " +
+      "OPTIONAL { ?s ex:v ?u } " +
+      "BIND(IF(?u < 5, \"low\", \"high\") AS ?label) }") ==
+      Seq(Seq(Some(ex("x3")), None)))
+  }
+
   test("w3c reduced/reduced-1 (adapted): REDUCED parses; returning the bag conforms") {
     val d = quads(
       (ex("s1"), ex("p"), ex("o")), (ex("s2"), ex("p"), ex("o")))
@@ -485,8 +499,6 @@ class W3cConformanceSpec extends AnyFunSuite {
       "plain-string term model — no language tags or datatype IRIs to inspect",
     "data-r2/type-promotion" ->
       "no typed-literal lattice; numeric dispatch is syntactic (literal operand forces numeric comparison)",
-    "sparql11 functions/if01" ->
-      "IF needs effective-boolean-value evaluation inside BIND expressions; COALESCE landed round 11 (coalesce01 above)",
     "sparql11 aggregates/agg-empty-group" ->
       "empty group pattern {} is rejected by the grammar",
     "sparql11 aggregates/agg-min-01, agg-max-01 (numeric)" ->
