@@ -29,10 +29,19 @@ object Bench {
     // onto different queries round-over-round) + median over `passes`
     // timed runs per query so one JIT/GC hiccup can't masquerade as a
     // regression. Flagship flow appended after the driver-table queries.
-    val all: Seq[(String, SparkSession => Long)] =
+    val allEntries: Seq[(String, SparkSession => Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> ((s: SparkSession) => fn(s, sfDir).count())
       } ++ Flagship.benchEntries(spark, sfDir)
+    // Optional local-iteration filter: `runMain graft.Bench q42,q94` times
+    // only queries whose name starts with a listed prefix. The driver
+    // invokes with no args → full suite, unchanged.
+    val all =
+      if (args.isEmpty) allEntries
+      else {
+        val wanted = args.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        allEntries.filter { case (n, _) => wanted.exists(n.startsWith) }
+      }
     // A query that throws must NOT be recorded as a fast success (that would
     // flatter the headline total): record the error message per query and a
     // nonzero `errors` count in the summary line instead.

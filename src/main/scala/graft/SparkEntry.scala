@@ -829,6 +829,17 @@ object SparkEntry {
         .withColumn("n_chars_nfc", length(col("text_nfc")).cast("long"))
         .orderBy("doc_id")
     }),
+    "q148_dsir_resample" -> ((s, dir) => {
+      // DSIR importance resampling (round 11, Xie et al. 2302.03169):
+      // src18 plays the curated target domain; every other doc is scored
+      // by target-vs-pool bigram-LM log-ratio (integer basis points) and
+      // the top 50 are selected — deterministic top-k (TakeOrdered, no
+      // corpus sort), all-integer weights so the oracle is bit-exact.
+      val docs = t(s, dir, "documents")
+      TextOps.dsirWeights(docs, "text", "doc_id", col("source") === "src18")
+        .orderBy(col("dsir_bp").desc, col("doc_id"))
+        .limit(50)
+    }),
     "q60_quality_filter" -> ((s, dir) => {
       // composite Gopher/C4-style rule filter with a reason bitmask —
       // every rule in cross-multiplied integer form (no float ratios)
@@ -2310,6 +2321,39 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, text_nfc, CAST(length(text_nfc) AS BIGINT) AS n_chars_nfc
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q148_dsir_resample" ->
+      // same tokenization/bigram basis as q59; target LM from src18 only,
+      // pool LM from everything else; unseen-in-target bigrams score 0
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, source, toks[p] AS t, toks[p+1] AS t2
+        |  FROM (SELECT doc_id, source, toks,
+        |    unnest(generate_series(1, len(toks) - 1)) AS p FROM tk)),
+        |tc2 AS (SELECT t, t2, count(*) AS tc2 FROM bg
+        |  WHERE source = 'src18' GROUP BY t, t2),
+        |tc1 AS (SELECT t, count(*) AS tc1 FROM bg
+        |  WHERE source = 'src18' GROUP BY t),
+        |sc2 AS (SELECT t, t2, count(*) AS sc2 FROM bg
+        |  WHERE source <> 'src18' GROUP BY t, t2),
+        |sc1 AS (SELECT t, count(*) AS sc1 FROM bg
+        |  WHERE source <> 'src18' GROUP BY t),
+        |w AS (
+        |  SELECT bg.doc_id,
+        |    COALESCE(tc2.tc2 * 10000 // tc1.tc1, 0)
+        |      - (sc2.sc2 * 10000 // sc1.sc1) AS dbp
+        |  FROM bg
+        |  LEFT JOIN tc2 ON bg.t = tc2.t AND bg.t2 = tc2.t2
+        |  LEFT JOIN tc1 ON bg.t = tc1.t
+        |  JOIN sc2 ON bg.t = sc2.t AND bg.t2 = sc2.t2
+        |  JOIN sc1 ON bg.t = sc1.t
+        |  WHERE bg.source <> 'src18')
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(dbp) AS BIGINT) AS dsir_bp
+        |FROM w GROUP BY doc_id
+        |ORDER BY dsir_bp DESC, doc_id LIMIT 50""".stripMargin,
     "q59_bigram_lm" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks

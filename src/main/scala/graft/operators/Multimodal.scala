@@ -50,6 +50,22 @@ object Multimodal {
       magic: String, // first bytes, hex — format sniffing
       feature: Array[Float]) // stub "embedding" of the payload
 
+  /** Fan a codec stage out to the cluster's parallelism. A CPU-bound
+    * encode/decode pipeline must NOT inherit its task count from the file
+    * layout of the id relation it happens to read: the id table is tiny
+    * (8 bytes/row), so a corpus that fits one parquet file gives the scan
+    * ONE partition — and every downstream mapPartitions codec then runs
+    * single-core regardless of cluster size (measured at sf0.1: the
+    * single-file documents table pinned q42/q45/q94 at cpu_frac ≈ 1).
+    * Hash-repartitioning the ids is a negligible shuffle (deterministic,
+    * unlike round-robin) that buys full-width codec stages; at 100 TB a
+    * real media table spans many splits and this exchange is a no-op-cost
+    * insurance, not a tax. */
+  private def fanOutIds(df: DataFrame, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("media_id"))
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism, col("media_id"))
+  }
+
   /** Build a media table from any table with an id + string column: payload
     * = UTF-8 bytes (stand-in for real image/audio bytes), kind assigned
     * deterministically by id. */
@@ -79,7 +95,9 @@ object Multimodal {
   def packSynthetic(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     implicit val encIn = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
-    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+    df.select(col(idCol).cast("long").as("media_id"), col(textCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("media_id"))
+      .as[(Long, String)]
       .map { case (id, text) =>
         val body = text.getBytes("UTF-8")
         val kind = (id % 3) match {
@@ -596,7 +614,7 @@ object Multimodal {
   def packPng(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     implicit val encIn = Encoders.scalaLong
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    fanOutIds(df, idCol).as[Long].mapPartitions(_.map { id =>
       MediaRow(id, "image", pngEncode(id, widthOf(id), heightOf(id)), framesOf(id))
     })
   }
@@ -847,7 +865,7 @@ object Multimodal {
   def packMjpeg(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     implicit val encIn = Encoders.scalaLong
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    fanOutIds(df, idCol).as[Long].mapPartitions(_.map { id =>
       MediaRow(id, "video", mjpegEncode(id), framesOf(id))
     })
   }
@@ -863,7 +881,7 @@ object Multimodal {
   def packAvi(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     implicit val encIn = Encoders.scalaLong
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    fanOutIds(df, idCol).as[Long].mapPartitions(_.map { id =>
       MediaRow(id, "video", aviEncode(id), framesOf(id))
     })
   }
@@ -899,7 +917,7 @@ object Multimodal {
   def packJpeg(df: DataFrame, idCol: String): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
     implicit val encIn = Encoders.scalaLong
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+    fanOutIds(df, idCol).as[Long].mapPartitions(_.map { id =>
       val w = jpegWidthOf(id); val h = jpegHeightOf(id)
       val px = Array.tabulate(w * h) { i =>
         val bx = (i % w) / 8; val by = (i / w) / 8

@@ -684,4 +684,61 @@ object TextOps {
           .otherwise("head"))
       .drop("_t1", "_t2")
   }
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each candidate document by how much more likely its bigrams are under
+    * a TARGET-domain language model than under the candidate pool's own
+    * ("raw") model — the standard recipe for tilting a web-scale crawl
+    * toward a curated target (Wikipedia, books) without hard filtering.
+    * Selection then keeps the top-weighted documents (resampling ∝ weight;
+    * deterministic top-k here so the result is oracle-exact).
+    *
+    * Weight per document = Σ over its bigram OCCURRENCES of
+    * (bpₜ − bpₛ), where bp = c₂·10⁴ DIV c₁ is the integer basis-point
+    * conditional frequency of the bigram under the target (t) and pool (s)
+    * models; target-unseen bigrams contribute bpₜ = 0. All-integer
+    * arithmetic — engine and oracle agree bit-exactly.
+    *
+    * Shape (100 TB): one corpus pass builds the positional bigrams (the
+    * [[bigramLmScores]] lead-window shape, checkpointed and reused by
+    * both models and the scoring join); the two LMs are vocabulary-sized
+    * hash-aggregate relations joined back by term strings — map-side
+    * combinable, never corpus-quadratic. The paper's production variant
+    * hashes n-grams into a fixed 2²⁰-bucket table, capping LM size
+    * independent of vocabulary (then the model relation broadcasts); the
+    * string-keyed form here keeps the operator bit-exact against the
+    * oracle. Final selection is top-k — TakeOrdered, not a corpus sort.
+    *
+    * Output per candidate (isTarget = false) doc with ≥ 1 bigram:
+    * (idCol, n_bigrams, dsir_bp). */
+  def dsirWeights(
+      df: DataFrame, textCol: String, idCol: String,
+      isTarget: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"), isTarget.as("tgt"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val big = toks.withColumn("t2", lead(col("t"), 1).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("id"), col("tgt"), col("t"), col("t2"))
+      .localCheckpoint() // reused: target LM + pool LM + candidate scoring
+    val tgt = big.filter(col("tgt"))
+    val pool = big.filter(!col("tgt"))
+    val tc2 = tgt.groupBy(col("t"), col("t2")).agg(count(lit(1)).as("tc2"))
+    val tc1 = tgt.groupBy(col("t")).agg(count(lit(1)).as("tc1"))
+    val sc2 = pool.groupBy(col("t"), col("t2")).agg(count(lit(1)).as("sc2"))
+    val sc1 = pool.groupBy(col("t")).agg(count(lit(1)).as("sc1"))
+    pool
+      .join(tc2, Seq("t", "t2"), "left")
+      .join(tc1, Seq("t"), "left")
+      .join(sc2, Seq("t", "t2"))
+      .join(sc1, Seq("t"))
+      .select(col("id"),
+        (coalesce(expr("tc2 * 10000 DIV tc1"), lit(0L))
+          - expr("sc2 * 10000 DIV sc1")).as("dbp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("dbp")).as("dsir_bp"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("dsir_bp"))
+  }
 }

@@ -147,6 +147,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  // ---- DSIR importance weights ----------------------------------------
+
+  test("dsirWeights scores pool docs by target-vs-pool bigram LM ratio") {
+    val s = spark; import s.implicits._
+    // target (doc 9): "a b a b" -> tc2(a,b)=2 tc2(b,a)=1; tc1(a)=2 tc1(b)=1
+    // pool: doc1 "a b c" -> (a,b)(b,c); doc2 "c c" -> (c,c); doc3 "z" (no
+    // bigram, excluded). sc2(a,b)=1 sc2(b,c)=1 sc2(c,c)=1; sc1(a)=1 sc1(b)=1
+    // sc1(c)=1.
+    val df = Seq((9L, "a b a b", true), (1L, "a b c", false),
+      (2L, "c c", false), (3L, "z", false)).toDF("doc_id", "text", "tgt")
+    val out = TextOps.dsirWeights(df, "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc1: (a,b): 2*10000/2 - 1*10000/1 = 0; (b,c): 0 - 10000 = -10000
+    // doc2: (c,c): 0 - 10000 = -10000
+    assert(out == Map(1L -> ((2L, -10000L)), 2L -> ((1L, -10000L))))
+  }
+
+  test("dsirWeights equals a plain-Scala reference on random corpora") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (1L to 40L).map { i =>
+      val t = Seq.fill(2 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, t, i % 5 == 0) // every 5th doc is the target domain
+    }
+    val bigs = docs.flatMap { case (id, t, tgt) =>
+      t.split(" ").sliding(2).filter(_.length == 2).map(p => (id, tgt, p(0), p(1)))
+    }
+    val (tb, pb) = bigs.partition(_._2)
+    val tc2 = tb.groupBy(b => (b._3, b._4)).view.mapValues(_.size.toLong).toMap
+    val tc1 = tb.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val sc2 = pb.groupBy(b => (b._3, b._4)).view.mapValues(_.size.toLong).toMap
+    val sc1 = pb.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val expected = pb.groupBy(_._1).map { case (id, bs) =>
+      val dbps = bs.map { b =>
+        val bpT = tc2.get((b._3, b._4))
+          .map(c2 => c2 * 10000L / tc1(b._3)).getOrElse(0L)
+        bpT - sc2((b._3, b._4)) * 10000L / sc1(b._3)
+      }
+      id -> (bs.size.toLong, dbps.sum)
+    }
+    val got = TextOps.dsirWeights(
+        docs.toDF("doc_id", "text", "tgt"), "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
   test("corpusDupNgrams: exact fraction of positions covered by cross-doc grams") {
     val s = spark; import s.implicits._
     // doc1/doc2 share "x y z" (and doc2 repeats it); doc3 is all-unique
