@@ -1123,6 +1123,18 @@ object SparkEntry {
           "FILTER(?b > 900000) } ORDER BY ?c")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q149_sparql_select_expr" -> ((s, dir) => {
+      // §2.8 SELECT expressions (round 11, SPARQL 1.1 §18.2.4.4): a
+      // non-aggregate `(expr AS ?x)` in the projection — desugared by the
+      // parser to a trailing BIND (identical Extend algebra for ungrouped
+      // queries), so it rides the same codegen'd projection path.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> " +
+          "SELECT ?c (?b + ?b AS ?dbl) (CONCAT(\"seg:\", LCASE(?m)) AS ?tag) " +
+          "WHERE { ?c p:balCents ?b . ?c p:mkt ?m . " +
+          "FILTER(?b > 900000) } ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
     "q126_bpe_merges" -> ((s, dir) => {
       // distributed BPE tokenizer training (Sennrich 1508.07909): the
       // corpus is touched ONCE (word-freq hash agg to the Heaps-law-
@@ -3545,6 +3557,13 @@ object SparkEntry {
         |  CAST(c_custkey AS VARCHAR) AS key,
         |  CAST(2 * CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS dbl,
         |  lower(c_mktsegment) || '-' || CAST(c_custkey AS VARCHAR) AS tag
+        |FROM customer
+        |WHERE FLOOR(c_acctbal * 100) > 900000
+        |ORDER BY c""".stripMargin,
+    "q149_sparql_select_expr" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  CAST(2 * CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS dbl,
+        |  'seg:' || lower(c_mktsegment) AS tag
         |FROM customer
         |WHERE FLOOR(c_acctbal * 100) > 900000
         |ORDER BY c""".stripMargin,

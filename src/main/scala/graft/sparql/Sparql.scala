@@ -241,6 +241,8 @@ object Sparql {
     private var anonCounter = 0
     private val order = ArrayBuffer[String]() // named vars, first-appearance
     private val aggs = ArrayBuffer[Agg]()
+    // non-aggregate SELECT expressions, desugared to trailing BINDs
+    private val selectExprs = ArrayBuffer[Bind]()
 
     /** One group's worth of parse state — the top level and every nested
       * `{ … }` each get their own instance, so VALUES/MINUS/BIND/EXISTS
@@ -292,6 +294,16 @@ object Sparql {
         if (after >= n || !in.charAt(after).isLetterOrDigit) { pos = after; return true }
       }
       false
+    }
+
+    /** Non-consuming [[kw]]: true iff `word` is next (after whitespace),
+      * leaving `pos` untouched — dispatch lookahead, not a match. */
+    private def kwAhead(word: String): Boolean = {
+      skipWs()
+      in.regionMatches(true, pos, word, 0, word.length) && {
+        val after = pos + word.length
+        after >= n || !in.charAt(after).isLetterOrDigit
+      }
     }
 
     private def parseIriRef(): String = {
@@ -519,11 +531,15 @@ object Sparql {
       }
       skipWs()
       if (pos < n) err("unexpected trailing content after query")
+      if (selectExprs.nonEmpty && (groupBy.nonEmpty || aggs.nonEmpty))
+        err("SELECT expressions over a grouped query are outside the " +
+          "subset (post-aggregation Extend); compute with BIND before " +
+          "grouping or project the aggregate alias")
       Query(projection.toList, distinct, b.patterns.toList, order.toList,
         b.filters.toList, b.optionals.toList, b.unions.toList,
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
         limit, offset, b.values.toList, b.minuses.toList,
-        b.binds.toList, b.exists.toList, b.subqueries.toList,
+        (b.binds ++ selectExprs).toList, b.exists.toList, b.subqueries.toList,
         groups = b.groups.toList, graphs = b.graphs.toList,
         fromGraphs = fromG, fromNamed = fromN)
     }
@@ -540,6 +556,22 @@ object Sparql {
       * the alias (which takes the projection slot at its written spot). */
     private def parseAggProjection(): String = {
       expect('(')
+      // SELECT expressions (§18.2.4.4 Extend): a non-aggregate
+      // `(expr AS ?x)` desugars to a trailing BIND over the WHERE group —
+      // identical algebra for ungrouped queries (enforced at assembly;
+      // with GROUP BY the Extend would run post-aggregation, which BIND
+      // cannot express, so that combination is rejected loudly).
+      if (!Seq("GROUP_CONCAT", "COUNT", "SUM", "MIN", "MAX", "AVG",
+          "SAMPLE").exists(kwAhead)) {
+        val e = parseBindExpr()
+        if (!kw("AS")) err("SELECT expression needs AS: (expr AS ?x)")
+        skipWs()
+        if (peek != '?' && peek != '$') err("expected ?alias after AS")
+        val alias = parseVar()
+        expect(')')
+        selectExprs += Bind(e, alias)
+        return alias
+      }
       val a = parseAggCall()
       if (!kw("AS")) err("aggregate projection needs AS: (COUNT(?x) AS ?n)")
       skipWs()
