@@ -321,8 +321,19 @@ object Dedup {
   def prefixJaccardJoin(
       df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, thetaBp: Long = 5000L,
-      blockCols: Seq[String] = Nil): DataFrame = {
+      blockCols: Seq[String] = Nil,
+      posFilter: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Positional filter ON by default for n-gram shingles, OFF for
+    // unigrams — a SHAPE property, not a tuning knob (measured 2× both
+    // ways at sf0.1): with n-grams above-threshold pairs share sharp rare
+    // shingles, so the first-match bound bites and halves the verify
+    // load; with unigram sets near θ=0.5 the first common token is
+    // usually an early rare one (ra, rb small → bound ≈ min size) — the
+    // filter prunes almost nothing while its per-candidate payload
+    // (rnk/cf/struct + min_by vs distinct) doubles candidate-stream cost
+    // at any corpus size.
+    val usePos = posFilter.getOrElse(shingleN >= 2)
     val bare = shingleHashes(df, textCol, idCol, shingleN)
       .dropDuplicates("id", "h")
     val sets = (if (blockCols.isEmpty) bare
@@ -338,14 +349,47 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("cf"), col("h"))))
     // p = s − ⌈θ·s⌉ + 1, all-integer: ⌈θ·s⌉ = (θbp·s + 9999) div 10000
+    val prefixCols =
+      if (usePos) Seq(col("id"), col("h"), col("cf"), col("rnk"), col("sz"))
+      else Seq(col("id"), col("h"), col("sz"))
     val prefix = ranked.join(sizes, "id")
       .filter(col("rnk") <=
         col("sz") - expr(s"($thetaBp * sz + 9999) DIV 10000") + 1)
-      .select(col("id"), col("h"))
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select(prefixCols: _*)
+    // Candidate pruning, both LOSSLESS (Xiao et al., PPJoin, WWW'08):
+    //  - length filter, inside the join condition (always on — one extra
+    //    long per prefix row): J ≤ min(sa,sb)/max(sa,sb), so a pair whose
+    //    sizes differ beyond θ is dropped before it even materializes;
+    //  - positional filter (usePos): for the pair's FIRST matching prefix
+    //    shingle under the global (cf, h) order, any OTHER common shingle
+    //    ordered before it would itself be a prefix match in BOTH docs
+    //    (prefixes are order-downward-closed), contradicting firstness —
+    //    so overlap ≤ 1 + min(sa − ra, sb − rb), and pairs whose bound
+    //    undershoots the required overlap ⌈θ·(sa+sb)/(1+θ)⌉ never reach
+    //    the verify join. The bound rides the SAME groupBy that
+    //    deduplicated multi-shingle candidates (min_by replaces
+    //    distinct) — no extra shuffle, strictly fewer pairs verified.
+    val lengthCond =
+      col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+        col("a.sz") * 10000L >= col("b.sz") * thetaBp &&
+        col("b.sz") * 10000L >= col("a.sz") * thetaBp
+    val cands =
+      if (usePos)
+        prefix.as("a").join(prefix.as("b"), lengthCond)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            (least(col("a.sz") - col("a.rnk"), col("b.sz") - col("b.rnk")) + 1)
+              .as("ub"),
+            struct(col("a.cf"), col("a.h")).as("ord"),
+            (col("a.sz") + col("b.sz")).as("szsum"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(min_by(col("ub"), col("ord")).as("ub1"), first(col("szsum")).as("szsum"))
+          .filter(col("ub1") >=
+            expr(s"($thetaBp * szsum + ${10000L} + $thetaBp - 1) DIV (${10000L} + $thetaBp)"))
+          .select(col("id_a"), col("id_b"))
+      else
+        prefix.as("a").join(prefix.as("b"), lengthCond)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
     val inter = cands
       .join(sets.select(col("id").as("id_a"), col("h")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))

@@ -256,6 +256,15 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute)
     assert(got.nonEmpty, "planted near-dups must appear")
+    // both candidate paths must be lossless regardless of the shape
+    // default: force the positional filter ON and OFF against the same
+    // brute-force expectation
+    for (pf <- Seq(true, false)) {
+      val forced = Dedup.prefixJaccardJoin(docs, "text", "doc_id",
+          shingleN = 3, thetaBp = 5000L, posFilter = Some(pf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(forced == brute, s"posFilter=$pf diverged from brute force")
+    }
   }
 
   test("prefixJaccardJoin blockCols: identical twins in different blocks never pair") {
