@@ -47,7 +47,10 @@ object ScaleProbe {
     "q143_url_dedup", "q144_domain_cap",
     // round-11: q35 moved off blockPairs onto block-scoped LSH — probe
     // the switched shape (and q106 shares the same candidate generator)
-    "q35_dedup_clusters", "q145_sparql_negated_set")
+    "q35_dedup_clusters", "q145_sparql_negated_set",
+    // late round-11: DSIR (two LM joins over the corpus bigram relation),
+    // and the codec fan-out (q45 is the heaviest decode pipeline)
+    "q148_dsir_resample", "q45_mjpeg_decode")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -305,8 +305,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       Dedup.ngramJaccard(
         Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
-        docs, "text", "doc_id", shingleN = 3)
-        .filter(col("jaccard_bp") >= 5000)
+        docs, "text", "doc_id", shingleN = 3, minThetaBp = Some(5000L))
         .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
         .orderBy("id_a", "id_b")
     }),
@@ -440,8 +439,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val nearDups = Dedup.ngramJaccard(
           Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
-          docs, "text", "doc_id", shingleN = 3)
-        .filter(col("jaccard_bp") >= 5000)
+          docs, "text", "doc_id", shingleN = 3, minThetaBp = Some(5000L))
         .select("id_a", "id_b")
       Dedup.clusterAwareSplit(
           Dedup.connectedComponents(docs, "doc_id", nearDups))
@@ -457,8 +455,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val nearDups = Dedup.ngramJaccard(
           Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
-          docs, "text", "doc_id", shingleN = 3)
-        .filter(col("jaccard_bp") >= 5000)
+          docs, "text", "doc_id", shingleN = 3, minThetaBp = Some(5000L))
         .select("id_a", "id_b")
       Dedup.connectedComponents(docs, "doc_id", nearDups)
         .select(col("id").as("doc_id"), col("component"))
@@ -1093,8 +1090,7 @@ object SparkEntry {
       Dedup.ngramJaccard(
         Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16,
           fused = true),
-        docs, "text", "doc_id", shingleN = 3)
-        .filter(col("jaccard_bp") >= 5000)
+        docs, "text", "doc_id", shingleN = 3, minThetaBp = Some(5000L))
         .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
         .orderBy("id_a", "id_b")
     }),

@@ -30,8 +30,8 @@ object PipelineDemo {
     println(s"[pipeline] after exact dedup: ${deduped.count()}")
 
     val minhashPairs = Dedup.ngramJaccard(
-      Dedup.minhashCandidates(deduped, "text", "doc_id"), deduped, "text", "doc_id")
-      .filter(col("jaccard_bp") >= 3000)
+      Dedup.minhashCandidates(deduped, "text", "doc_id"), deduped, "text", "doc_id",
+      minThetaBp = Some(3000L))
     println(s"[pipeline] minhash near-dup pairs (J>=0.3): ${minhashPairs.count()}")
     val simhashPairs = Dedup.simhashCandidates(deduped, "text", "doc_id", maxDist = 3)
     println(s"[pipeline] simhash near-dup pairs (hamming<=3): ${simhashPairs.count()}")
@@ -126,8 +126,8 @@ object PipelineDemo {
     val comps = Dedup.connectedComponents(docs, "doc_id",
       Dedup.ngramJaccard(
         Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
-        docs, "text", "doc_id", shingleN = 3)
-        .filter(col("jaccard_bp") >= 5000).select("id_a", "id_b"))
+        docs, "text", "doc_id", shingleN = 3, minThetaBp = Some(5000L))
+        .select("id_a", "id_b"))
     val split = Dedup.clusterAwareSplit(comps).collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}(leaky:${r.getLong(3)})")
     println("[pipeline] cluster-aware split: " + split.mkString(" "))

@@ -221,10 +221,17 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for given candidate pairs.
     * `pairs` has (id_a, id_b); output adds intersection/union sizes and
-    * `jaccard_bp` (basis points, exact integer — engine-portable). */
+    * `jaccard_bp` (basis points, exact integer — engine-portable).
+    *
+    * `minThetaBp = Some(θ)` switches to verify-for-threshold mode: the
+    * result is exactly the ≥θ pairs (what every LSH→verify pipeline
+    * filters to anyway), which lets the size-ratio length filter prune
+    * candidates BEFORE the intersection join — losslessly, since
+    * J ≤ min(sa,sb)/max(sa,sb). Default `None` keeps report mode: one
+    * output row per input pair, including disjoint ones. */
   def ngramJaccard(
       pairs: DataFrame, df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3, minThetaBp: Option[Long] = None): DataFrame = {
     // Shingle sets only for docs that appear in a candidate pair — at scale
     // the candidate set is orders of magnitude smaller than the corpus —
     // and set algebra as codegen'd joins over (id, shingle-hash) rows
@@ -240,18 +247,46 @@ object Dedup {
       .dropDuplicates("id", "h")
       .localCheckpoint() // reused 3×: two join sides + the size table
     val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = p
-      .join(sets.select(col("id").as("id_a"), col("h")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
-    p
-      .join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("_sza")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("_szb")), "id_b")
-      .withColumn("n_union", col("_sza") + col("_szb") - col("n_inter"))
-      .withColumn("jaccard_bp", expr("n_inter * 10000 DIV n_union"))
-      .drop("_sza", "_szb")
+    minThetaBp match {
+      case Some(theta) =>
+        // verify-for-threshold mode: J ≤ min(sa,sb)/max(sa,sb), so pairs
+        // whose set sizes differ beyond θ are pruned BEFORE the
+        // intersection join (lossless for the ≥θ result the caller wants —
+        // every LSH→verify pipeline here filters ≥θ downstream), and the
+        // below-θ survivors drop at the end; carrying the sizes through
+        // also replaces the two post-joins and the left-join/fill of the
+        // report mode with one inner join on the pruned pair relation.
+        val sized = p
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("_sza")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("_szb")), "id_b")
+          .filter(col("_sza") * 10000L >= col("_szb") * theta &&
+            col("_szb") * 10000L >= col("_sza") * theta)
+          .localCheckpoint() // reused: intersection input + final report
+        val inter = sized.select(col("id_a"), col("id_b"))
+          .join(sets.select(col("id").as("id_a"), col("h")), "id_a")
+          .join(sets.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+        sized.join(inter, Seq("id_a", "id_b"))
+          .withColumn("n_union", col("_sza") + col("_szb") - col("n_inter"))
+          .withColumn("jaccard_bp", expr("n_inter * 10000 DIV n_union"))
+          .filter(col("jaccard_bp") >= theta)
+          .drop("_sza", "_szb")
+      case None =>
+        // report mode: every input pair keeps a row (jaccard_bp = 0 for
+        // disjoint pairs)
+        val inter = p
+          .join(sets.select(col("id").as("id_a"), col("h")), "id_a")
+          .join(sets.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+        p
+          .join(inter, Seq("id_a", "id_b"), "left")
+          .na.fill(0L, Seq("n_inter"))
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("_sza")), "id_a")
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("_szb")), "id_b")
+          .withColumn("n_union", col("_sza") + col("_szb") - col("n_inter"))
+          .withColumn("jaccard_bp", expr("n_inter * 10000 DIV n_union"))
+          .drop("_sza", "_szb")
+    }
   }
 
   /** CROSS-CORPUS n-gram overlap — GPT-3-style fuzzy test-set

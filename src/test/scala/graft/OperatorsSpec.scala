@@ -75,6 +75,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j.getAs[Long]("jaccard_bp") == 38L * 10000L / 42L)
   }
 
+  test("ngramJaccard threshold mode == report mode filtered (length prune lossless)") {
+    val s = spark; import s.implicits._
+    // sizes chosen so the length filter actually prunes: doc 4 is far
+    // shorter than doc 1 (ratio < θ) yet LSH-candidate-paired with it
+    val docs = Seq(
+      (1L, (1 to 40).map("t" + _).mkString(" ")),
+      (2L, (1 to 38).map("t" + _).mkString(" ") + " x1 x2"),
+      (3L, (100 to 140).map("w" + _).mkString(" ")),
+      (4L, "t1 t2 t3")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    for (theta <- Seq(3000L, 5000L, 9000L)) {
+      val report = Dedup.ngramJaccard(pairs, docs, "text", "doc_id", shingleN = 1)
+        .filter(col("jaccard_bp") >= theta)
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
+        .collect().map(_.toSeq).toSet
+      val thresh = Dedup.ngramJaccard(pairs, docs, "text", "doc_id",
+          shingleN = 1, minThetaBp = Some(theta))
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
+        .collect().map(_.toSeq).toSet
+      assert(thresh == report, s"theta=$theta")
+    }
+  }
+
   test("crossNgramOverlap: embedded passage fires, clean docs don't, maxDf caps hot grams") {
     val s = spark; import s.implicits._
     val passage = (1 to 15).map("w" + _).mkString(" ")
