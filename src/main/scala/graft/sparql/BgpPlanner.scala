@@ -951,6 +951,20 @@ object BgpPlanner {
         length(compileBind(a, resolve)).cast("long").cast("string")
       case BStrFn(other, _) =>
         throw new IllegalArgumentException(s"bad string builtin $other")
+      case BSubstr(a, start, len) =>
+        // §17.4.3.3 = XPath fn:substring, 1-based; Spark's substring has
+        // identical 1-based semantics, and the no-length form runs to the
+        // end of the string
+        val s = compileBind(a, resolve)
+        len match {
+          case Some(l) => s.substr(lit(start), lit(l))
+          case None => s.substr(lit(start), length(s))
+        }
+      case BReplace(a, pat, rep) =>
+        // §17.4.3.4 over the portable regex subset (classes, alternation,
+        // bounded quantifiers; $1-group references agree between XPath and
+        // Java regex replacements)
+        regexp_replace(compileBind(a, resolve), pat, rep)
       case BStrCut(a, sep, after) =>
         val s = compileBind(a, resolve)
         if (sep.isEmpty) {

@@ -59,9 +59,12 @@ import scala.collection.mutable.ArrayBuffer
   *     spec's implementation-defined description)
   *
   *   - `BIND(expr AS ?v)` with string builtins (CONCAT, STR, UCASE,
-  *     LCASE, STRLEN, STRAFTER, STRBEFORE), COALESCE, IF(cond,t,e)
-  *     with a full FILTER-expression condition, and `+ - * /`
-  *     arithmetic (group-final scope; see BgpPlanner)
+  *     LCASE, STRLEN, STRAFTER, STRBEFORE, SUBSTR with literal 1-based
+  *     positions, REPLACE with literal pattern/replacement — no flags
+  *     argument), COALESCE, IF(cond,t,e) with a full FILTER-expression
+  *     condition, and `+ - * /` arithmetic (group-final scope; see
+  *     BgpPlanner); non-aggregate `(expr AS ?x)` SELECT expressions
+  *     desugar to a trailing BIND (ungrouped queries only)
   *   - property-path modifiers `*` `+` `?` and inverse/alternatives
   *
   * Anything outside this subset (SERVICE, federation, …) is dead
@@ -189,6 +192,12 @@ object Sparql {
   final case class BStrFn(fn: String, arg: BExpr) extends BExpr
   /** STRAFTER/STRBEFORE(arg, sep): empty string when `sep` is absent. */
   final case class BStrCut(arg: BExpr, sep: String, after: Boolean) extends BExpr
+  /** SUBSTR(source, start[, len]) — §17.4.3.3 (XPath fn:substring),
+    * 1-based; start/len are literal integers in this subset. */
+  final case class BSubstr(arg: BExpr, start: Int, len: Option[Int]) extends BExpr
+  /** REPLACE(arg, pattern, replacement) — §17.4.3.4; literal pattern /
+    * replacement (the portable regex subset), no flags argument. */
+  final case class BReplace(arg: BExpr, pattern: String, replacement: String) extends BExpr
   /** Integer arithmetic, op ∈ + - *. */
   final case class BArith(l: BExpr, op: Char, r: BExpr) extends BExpr
 
@@ -939,6 +948,20 @@ object Sparql {
         expect(')'); BStrCut(a, s, after = false)
       } else if (kw("STRLEN")) {
         expect('('); val a = parseBindExpr(); expect(')'); BStrFn("STRLEN", a)
+      } else if (kw("SUBSTR")) {
+        expect('('); val a = parseBindExpr(); expect(',')
+        val start = parseInt()
+        if (start < 1) err("SUBSTR start is 1-based (XPath fn:substring)")
+        skipWs()
+        val len = if (peek == ',') { pos += 1; Some(parseInt()) } else None
+        expect(')'); BSubstr(a, start, len)
+      } else if (kw("REPLACE")) {
+        expect('('); val a = parseBindExpr(); expect(',')
+        val pat = parseStrArg(); expect(','); val rep = parseStrArg()
+        skipWs()
+        if (peek == ',') err("REPLACE flags argument is outside the " +
+          "supported subset (use inline (?i) forms of the portable regex subset)")
+        expect(')'); BReplace(a, pat, rep)
       } else if (kw("UCASE")) {
         expect('('); val a = parseBindExpr(); expect(')'); BStrFn("UCASE", a)
       } else if (kw("LCASE")) {

@@ -584,6 +584,26 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq(Seq(Some(ex("s"))), Seq(Some(ex("s")))))
   }
 
+  test("w3c functions/substring01-02 + replace01 (adapted): SUBSTR 1-based, REPLACE regex") {
+    val d = quads((ex("s"), ex("str"), "foobar"))
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(SUBSTR(?v, 4) AS ?out) }") == Seq(Seq(Some("bar"))))
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(SUBSTR(?v, 2, 3) AS ?out) }") == Seq(Seq(Some("oob"))))
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(REPLACE(?v, \"o+\", \"0\") AS ?out) }") == Seq(Seq(Some("f0bar"))))
+    // group reference in the replacement ($1 agrees between XPath and Java)
+    assert(run(d, EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+      "BIND(REPLACE(?v, \"(f)(o+)\", \"$2$1\") AS ?out) }") ==
+      Seq(Seq(Some("oofbar"))))
+    // flags argument is outside the subset — loud rejection, not mis-eval
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(EX + "SELECT ?out WHERE { ?s ex:str ?v . " +
+        "BIND(REPLACE(?v, \"o\", \"0\", \"i\") AS ?out) }")
+    }
+    assert(e.getMessage.contains("flags"))
+  }
+
   // ---- SELECT expressions (sparql11 project-expression/) ------------------
 
   test("w3c project-expression/projexp01-02 (adapted): (expr AS ?x) in SELECT") {
