@@ -1131,6 +1131,19 @@ object SparkEntry {
           "FILTER(?b > 900000) } ORDER BY ?c")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q150_sparql_substr_replace" -> ((s, dir) => {
+      // §2.8 SUBSTR/REPLACE (round 11, §17.4.3): SUBSTR slices the IRI's
+      // key digits (XPath 1-based = Spark substring), REPLACE rewrites
+      // the market segment with a group reference — both codegen'd
+      // projections over the joined bindings.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?head ?seg WHERE { " +
+          "?c p:balCents ?b . ?c p:mkt ?m . " +
+          "BIND(SUBSTR(STRAFTER(STR(?c), \"#\"), 1, 2) AS ?head) " +
+          "BIND(REPLACE(LCASE(?m), \"^([a-z])\", \"seg-$1\") AS ?seg) " +
+          "FILTER(?b > 900000) } ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
     "q126_bpe_merges" -> ((s, dir) => {
       // distributed BPE tokenizer training (Sennrich 1508.07909): the
       // corpus is touched ONCE (word-freq hash agg to the Heaps-law-
@@ -3560,6 +3573,13 @@ object SparkEntry {
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
         |  CAST(2 * CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS dbl,
         |  'seg:' || lower(c_mktsegment) AS tag
+        |FROM customer
+        |WHERE FLOOR(c_acctbal * 100) > 900000
+        |ORDER BY c""".stripMargin,
+    "q150_sparql_substr_replace" ->
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  substring(CAST(c_custkey AS VARCHAR), 1, 2) AS head,
+        |  regexp_replace(lower(c_mktsegment), '^([a-z])', 'seg-\1') AS seg
         |FROM customer
         |WHERE FLOOR(c_acctbal * 100) > 900000
         |ORDER BY c""".stripMargin,
