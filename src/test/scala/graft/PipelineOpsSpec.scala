@@ -194,6 +194,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("dsirWeights edges: empty target scores pure-pool penalty; target docs never output") {
+    val s = spark; import s.implicits._
+    // no doc is target → every bigram is target-unseen (bp_t = 0), so the
+    // weight is exactly -sum(bp_s): for doc 1 "a a", sc2(a,a)=1 sc1(a)=1
+    // → -10000
+    val noTgt = Seq((1L, "a a", false), (2L, "b c", false))
+      .toDF("doc_id", "text", "tgt")
+    val out1 = TextOps.dsirWeights(noTgt, "text", "doc_id", col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out1(1L) == -10000L && out1(2L) == -10000L)
+    // all docs target → pool is empty → empty output, not an error
+    val allTgt = Seq((1L, "a a", true)).toDF("doc_id", "text", "tgt")
+    assert(TextOps.dsirWeights(allTgt, "text", "doc_id", col("tgt")).count() == 0L)
+  }
+
   test("corpusDupNgrams: exact fraction of positions covered by cross-doc grams") {
     val s = spark; import s.implicits._
     // doc1/doc2 share "x y z" (and doc2 repeats it); doc3 is all-unique

@@ -488,6 +488,31 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(got.toSet == Set(Seq(Some("B")), Seq(Some("C"))))
   }
 
+  test("w3c algebra/opt-filter-1 (adapted): FILTER inside OPTIONAL sees minuend vars (LeftJoin F)") {
+    val d = quads(
+      (ex("b1"), ex("title"), "T1"), (ex("b1"), ex("price"), "30"),
+      (ex("b2"), ex("title"), "T2"), (ex("b2"), ex("price"), "10"))
+    // the filter is part of the LeftJoin expression: b1's price fails it,
+    // so b1 keeps its title with ?p UNBOUND (not dropped)
+    val got = run(d, EX + "SELECT ?t ?p WHERE { ?x ex:title ?t . " +
+      "OPTIONAL { ?x ex:price ?p . FILTER (?p < 20) } }").toSet
+    assert(got == Set(Seq(Some("T1"), None), Seq(Some("T2"), Some("10"))))
+  }
+
+  test("w3c aggregates/agg-sum-01 (adapted): SUM over groups, numeric cast") {
+    val d = quads(
+      (ex("g1"), ex("v"), "1"), (ex("g1"), ex("v"), "2"),
+      (ex("g2"), ex("v"), "40"))
+    // documented divergence (same ledger entry as MIN/MAX lexical order):
+    // the untyped-string store dispatches SUM through a double cast, so
+    // integral sums render with the double lexical form ("3.0"), not the
+    // REC's xsd:integer "3" — values are exact, the datatype is not
+    // tracked (cf. the agg-avg-01 expectation above)
+    assert(run(d, EX + "SELECT ?s (SUM(?v) AS ?sum) WHERE { ?s ex:v ?v . } " +
+      "GROUP BY ?s").toSet ==
+      Set(Seq(Some(ex("g1")), Some("3.0")), Seq(Some(ex("g2")), Some("40.0"))))
+  }
+
   // ---- negation: EXISTS / NOT EXISTS (sparql11 negation/) -----------------
 
   test("w3c negation/exists-01 + exists-02 (adapted): FILTER (NOT) EXISTS probe the pattern") {
