@@ -1807,11 +1807,19 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
     "q36_percentiles" -> ((s, dir) => {
-      // sort-based aggregate: exact interpolated percentiles per group
-      t(s, dir, "events").groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-          round(expr("percentile(value, 0.9)"), 4).as("p90"),
-          count(lit(1)).as("n"))
+      // exact interpolated percentiles per group via the histogram path
+      // (Events.exactPercentiles, late round 11): bit-identical to
+      // Spark's percentile() but two hash aggs + a distinct-value-sized
+      // window instead of an ObjectHashAggregate buffering every group
+      // value in one task's heap — the per-group OOM trap at 100 TB
+      val ev = t(s, dir, "events")
+      val pct = Events.exactPercentiles(ev, Seq("event_type"), "value",
+          Seq(0.5, 0.9))
+        .select(col("event_type"),
+          round(col("p0"), 4).as("p50"), round(col("p1"), 4).as("p90"))
+      val n = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      pct.join(n, "event_type")
+        .select("event_type", "p50", "p90", "n")
         .orderBy("event_type")
     }),
     "q37_pivot" -> ((s, dir) => {

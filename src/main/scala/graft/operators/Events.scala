@@ -394,4 +394,55 @@ object Events {
       .groupBy(col("event_type"),
         expr(s"(_v - pmod(_v, $widthM)) DIV $widthM").as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_m"))
+
+  /** EXACT interpolated percentiles per group WITHOUT buffering groups
+    * in memory. Spark's `percentile()` is an ObjectHashAggregate that
+    * collects every value of a group into one in-memory buffer — the
+    * canonical per-group OOM at 100 TB (one hot group = one executor's
+    * heap). This computes the identical result from the per-(group,
+    * value) HISTOGRAM: two map-side-combinable hash aggregates plus a
+    * window over the histogram relation — which is distinct-value-sized,
+    * not row-count-sized (sensor/metric domains are bounded-decimal, so
+    * the histogram collapses by orders of magnitude; worst-case all-
+    * distinct it degrades to a sort of what the buffer would hold, never
+    * a single-task buffer).
+    *
+    * Interpolation replicates Spark's Percentile formula EXACTLY —
+    * `pos = p·(n−1); (⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi` with the
+    * `⌈pos⌉ = ⌊pos⌋ → v_lo` short-circuit — same double arithmetic,
+    * bit-identical output (differential-spec'd, ties included).
+    *
+    * Output: one row per group with `p<i>` columns in `ps` order. */
+  def exactPercentiles(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nW = Window.partitionBy(g: _*)
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_n", sum(col("_c")).over(nW))
+    // order statistic k (0-based) = least value with cumulative count > k
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("_n") - 1).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      Seq(
+        min(when(col("_cum") > lo, col(valueCol))).as(s"_vlo$i"),
+        min(when(col("_cum") > hi, col(valueCol))).as(s"_vhi$i"),
+        first(pos).as(s"_pos$i"), first(lo).as(s"_lo$i"), first(hi).as(s"_hi$i"))
+    }
+    val out = cum.groupBy(g: _*).agg(aggs.head, aggs.tail: _*)
+    val cols = g ++ ps.indices.map { i =>
+      when(col(s"_hi$i") === col(s"_lo$i"), col(s"_vlo$i"))
+        .otherwise((col(s"_hi$i") - col(s"_pos$i")) * col(s"_vlo$i")
+          + (col(s"_pos$i") - col(s"_lo$i")) * col(s"_vhi$i"))
+        .as(s"p$i")
+    }
+    out.select(cols: _*)
+  }
 }

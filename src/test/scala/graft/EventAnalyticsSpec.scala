@@ -216,6 +216,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  // ---- histogram-path exact percentiles -------------------------------
+
+  test("exactPercentiles is bit-identical to Spark percentile() incl. ties and 1-row groups") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // heavy ties (values drawn from a small decimal grid) + a 1-row group
+    val rows = (1 to 400).map { i =>
+      val g = "g" + (i % 5)
+      (g, math.floor(rnd.nextDouble() * 40) / 4.0)
+    } :+ (("solo", 3.25))
+    val df = rows.toDF("grp", "value")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val expected = df.groupBy("grp")
+        .agg(expr(s"percentile(value, $p)").as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = Events.exactPercentiles(df, Seq("grp"), "value", Seq(p))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == expected, s"p=$p") // == on doubles: BIT-identical
+    }
+    // multiple percentiles in one pass agree with singles
+    val multi = Events.exactPercentiles(df, Seq("grp"), "value", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val p50 = Events.exactPercentiles(df, Seq("grp"), "value", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(multi.view.mapValues(_._1).toMap == p50)
+  }
+
   // ---- exact prefix-filtered similarity join --------------------------
 
   test("prefixJaccardJoin finds exactly the above-threshold pairs") {
