@@ -893,6 +893,9 @@ object BgpPlanner {
       case FNum(l) => lit(l.toDouble)
       case FStr(s) => if (numeric) lit(s).try_cast("double") else lit(s)
       case FIriRef(i) => lit(i)
+      case FBindOp(e) =>
+        val c = compileBind(e, resolve)
+        if (numeric) c.try_cast("double") else c
     }
     f match {
       case FCmp(l, op, r) =>
@@ -1179,6 +1182,9 @@ object BgpPlanner {
       case FNum(l) => lit(l.toDouble)
       case FStr(s) => lit(s)
       case FIriRef(i) => lit(i)
+      case FBindOp(_) => throw new IllegalArgumentException(
+        "string builtins in HAVING are outside the supported subset " +
+          "(compute with BIND before grouping)")
     }
     f match {
       case FCmp(l, op, r) =>

@@ -18,7 +18,9 @@ import scala.collection.mutable.ArrayBuffer
   *   - inline blank nodes `[ p ?v ]` (anonymous join variables)
   *
   *   - `FILTER` constraints: comparisons (`< <= > >= = !=`) over
-  *     variables/literals/IRIs with SPARQL's numeric-vs-string dispatch,
+  *     variables/literals/IRIs — or string-builtin calls as operands
+  *     (`FILTER(STRLEN(?x) > 3)`, `FILTER(STRAFTER(STR(?c),"#") = "5")`)
+  *     — with SPARQL's numeric-vs-string dispatch,
   *     `regex(?v, "pat"[, "flags"])`, `CONTAINS`, `STRSTARTS`, `STRENDS`,
   *     `BOUND`, `?v IN (…)` / `?v NOT IN (…)`, combined with `&& || !`
   *     and parentheses
@@ -109,6 +111,11 @@ object Sparql {
   final case class FNum(lexical: String) extends FOperand
   final case class FStr(value: String) extends FOperand
   final case class FIriRef(iri: String) extends FOperand
+  /** A string-builtin call (BIND expression) as a comparison operand —
+    * `FILTER(STRLEN(?x) > 3)`, `FILTER(STRAFTER(STR(?c), "#") = "5")`.
+    * Dispatch follows FCmp's rule: a numeric literal on the other side
+    * forces numeric comparison of the builtin's result. */
+  final case class FBindOp(expr: BExpr) extends FOperand
 
   sealed trait FExpr
   /** op ∈ { < <= > >= = != }. */
@@ -1107,6 +1114,16 @@ object Sparql {
         aggs += a.copy(alias = alias)
         return FVar(alias)
       }
+      // a string-builtin call is a full operand: FILTER(STRLEN(?x) > 3)
+      val builtinAhead = Seq("CONCAT", "STRLEN", "STRAFTER", "STRBEFORE",
+        "SUBSTR", "REPLACE", "UCASE", "LCASE", "COALESCE", "STR").exists { f =>
+        in.regionMatches(true, pos, f, 0, f.length) && {
+          var p = pos + f.length
+          while (p < n && in.charAt(p).isWhitespace) p += 1
+          p < n && in.charAt(p) == '('
+        }
+      }
+      if (builtinAhead) return FBindOp(parseBindExpr())
       peek match {
         case '?' | '$' => FVar(parseVar())
         case '<' => FIriRef(parseIriRef())

@@ -926,6 +926,30 @@ class SparqlSpec extends AnyFunSuite {
       .map(_.getString(0)).sorted.toSeq == Seq("urn:d#2", "urn:d#3"))
   }
 
+  test("FILTER: string builtins as comparison operands (numeric + string dispatch)") {
+    // STRLEN vs numeric literal -> numeric dispatch on the builtin result
+    val q = Sparql.parse(fp +
+      "SELECT ?t WHERE { ?s p:tag ?t . FILTER(STRLEN(?t) > 4) }")
+    assert(BgpPlanner.evaluate(filterQuads, q).collect()
+      .map(_.getString(0)).toSeq == Seq("alpha"))
+    // STRAFTER/SUBSTR vs string literal -> string comparison
+    val q2 = Sparql.parse(fp +
+      "SELECT ?s WHERE { ?s p:val ?v . FILTER(STRAFTER(STR(?s), \"#\") = \"3\") }")
+    assert(BgpPlanner.evaluate(filterQuads, q2).collect()
+      .map(_.getString(0)).toSeq == Seq("urn:d#3"))
+    val q3 = Sparql.parse(fp +
+      "SELECT ?t WHERE { ?s p:tag ?t . FILTER(SUBSTR(?t, 1, 1) = \"b\") }")
+    assert(BgpPlanner.evaluate(filterQuads, q3).collect()
+      .map(_.getString(0)).toSeq == Seq("beta"))
+    // in HAVING: rejected loudly, not mis-evaluated
+    val e = intercept[IllegalArgumentException] {
+      BgpPlanner.evaluate(filterQuads, Sparql.parse(fp +
+        "SELECT ?t (COUNT(?s) AS ?n) WHERE { ?s p:tag ?t . } " +
+        "GROUP BY ?t HAVING (STRLEN(?t) > 4)")).collect()
+    }
+    assert(e.getMessage.contains("HAVING"))
+  }
+
   test("BIND: STRAFTER/STRBEFORE absent-separator and empty-separator edges; STRLEN") {
     val q = Sparql.parse(fp +
       "SELECT ?t ?a ?b ?l WHERE { ?s p:tag ?t . " +
