@@ -730,6 +730,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_entries"), sum(col("_b")).as("total_bytes"))
         .orderBy("shard")
     }),
+    "q151_orc_roundtrip" -> ((s, dir) => {
+      // columnar-interchange sink + source (late round 11): the corpus
+      // roundtrips through ORC — Spark's built-in non-parquet warehouse
+      // format — partitioned by lang; per-(lang, source) stats INCLUDING
+      // a sum of portable 60-bit text hashes must equal what DuckDB
+      // computes from the original parquet, so any value/encoding/
+      // partition-column infidelity across the format boundary breaks
+      // the hash sum. Same roundtrip-oracle pattern as q139/q140.
+      val out = TempDirs.create("graft-q151")
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").orc(out)
+      s.read.orc(out)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          // per-doc hash reduced mod 2^31-1 BEFORE summing: raw 60-bit
+          // terms overflow int64 after a handful of rows (ANSI throws)
+          sum(pmod(TextOps.portableHash60(col("text")), lit(2147483647L)))
+            .as("text_hash_sum"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source")
+    }),
     "q140_jsonl_robust" -> ((s, dir) => {
       // robust JSONL ingestion (round 10): the corpus roundtrips through
       // newline-delimited JSON (the crawl/vendor interchange format)
@@ -2277,6 +2299,17 @@ object SparkEntry {
         |  CAST(sum(nch) AS BIGINT) AS n_chars,
         |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
         |FROM d GROUP BY shard ORDER BY shard""".stripMargin,
+    "q151_orc_roundtrip" ->
+      // stats recomputed from the RAW parquet — equality holds only if
+      // the ORC roundtrip preserved every row, value, and the lang
+      // partition column bit-exactly
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT % 2147483647)
+        |    AS BIGINT) AS text_hash_sum,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q139_tar_shards" ->
       // shard assignment and byte totals recomputed from the raw table;
       // equality holds only if the tar roundtrip preserved every entry
