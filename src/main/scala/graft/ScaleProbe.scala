@@ -49,8 +49,10 @@ object ScaleProbe {
     // the switched shape (and q106 shares the same candidate generator)
     "q35_dedup_clusters", "q145_sparql_negated_set",
     // late round-11: DSIR (two LM joins over the corpus bigram relation),
-    // and the codec fan-out (q45 is the heaviest decode pipeline)
-    "q148_dsir_resample", "q45_mjpeg_decode")
+    // the codec fan-out (q45 is the heaviest decode pipeline), the
+    // histogram-path percentiles, and the ORC format roundtrip
+    "q148_dsir_resample", "q45_mjpeg_decode",
+    "q36_percentiles", "q151_orc_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
