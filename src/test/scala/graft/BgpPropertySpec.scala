@@ -882,4 +882,116 @@ class BgpPropertySpec extends AnyFunSuite {
       assert(got == want, s"BIND($ex) over $env: planner=$got reference=$want")
     }
   }
+
+  // ---- string-builtin differential fuzz (round-11 surface) ---------------
+
+  /** Tiny AST over the string-builtin subset, rendered to SPARQL and
+    * evaluated by an independent reference implementation of the
+    * DOCUMENTED semantics (strict on unbound; STRAFTER/STRBEFORE empty/
+    * absent-separator rules; SUBSTR = 1-based XPath; REPLACE = Java
+    * regex, which the portable pattern subset keeps identical to
+    * XPath). */
+  sealed trait SE
+  case class SVar(n: String) extends SE
+  case class SLit(s: String) extends SE
+  case class SFn1(fn: String, a: SE) extends SE // UCASE LCASE STRLEN STR
+  case class SConcat(a: SE, b: SE) extends SE
+  case class SCut(a: SE, sep: String, after: Boolean) extends SE
+  case class SSub(a: SE, start: Int, len: Option[Int]) extends SE
+  case class SRep(a: SE, pat: String, rep: String) extends SE
+
+  def renderSE(e: SE): String = e match {
+    case SVar(n) => s"?$n"
+    case SLit(s) => "\"" + s + "\""
+    case SFn1(fn, a) => s"$fn(${renderSE(a)})"
+    case SConcat(a, b) => s"CONCAT(${renderSE(a)}, ${renderSE(b)})"
+    case SCut(a, sep, af) =>
+      s"${if (af) "STRAFTER" else "STRBEFORE"}(${renderSE(a)}, \"$sep\")"
+    case SSub(a, st, l) =>
+      s"SUBSTR(${renderSE(a)}, $st${l.map(", " + _).getOrElse("")})"
+    case SRep(a, p, r) => s"REPLACE(${renderSE(a)}, \"$p\", \"$r\")"
+  }
+
+  def evalSE(e: SE, env: Map[String, String]): String = e match {
+    case SVar(n) => env(n)
+    case SLit(s) => s
+    case SFn1("UCASE", a) => evalSE(a, env).toUpperCase(java.util.Locale.ROOT)
+    case SFn1("LCASE", a) => evalSE(a, env).toLowerCase(java.util.Locale.ROOT)
+    case SFn1("STRLEN", a) => evalSE(a, env).length.toString
+    case SFn1("STR", a) => evalSE(a, env)
+    case SFn1(f, _) => sys.error(f)
+    case SConcat(a, b) => evalSE(a, env) + evalSE(b, env)
+    case SCut(a, sep, after) =>
+      val s = evalSE(a, env)
+      if (sep.isEmpty) { if (after) s else "" }
+      else {
+        val i = s.indexOf(sep)
+        if (i < 0) ""
+        else if (after) s.substring(i + sep.length)
+        else s.substring(0, i)
+      }
+    case SSub(a, st, l) =>
+      val s = evalSE(a, env)
+      val from = math.min(st - 1, s.length)
+      val sub = s.substring(from)
+      l.map(n => sub.take(n)).getOrElse(sub)
+    case SRep(a, p, r) => evalSE(a, env).replaceAll(p, r)
+  }
+
+  def seGen(depth: Int): Gen[SE] =
+    if (depth == 0) Gen.frequency(
+      3 -> Gen.oneOf("a", "b", "c").map(SVar(_)),
+      2 -> Gen.oneOf("", "x", "Ab#c", "aa", "#").map(SLit(_)))
+    else {
+      val sub = seGen(depth - 1)
+      Gen.frequency(
+        2 -> (for (f <- Gen.oneOf("UCASE", "LCASE", "STRLEN", "STR"); a <- sub)
+          yield SFn1(f, a)),
+        2 -> (for (a <- sub; b <- sub) yield SConcat(a, b)),
+        2 -> (for (a <- sub; s <- Gen.oneOf("#", "a", "", "b"); af <- Gen.oneOf(true, false))
+          yield SCut(a, s, af)),
+        2 -> (for (a <- sub; st <- Gen.choose(1, 4);
+            l <- Gen.option(Gen.choose(0, 3))) yield SSub(a, st, l)),
+        1 -> (for (a <- sub; p <- Gen.oneOf("a", "b+", "[cx]", "a(b)");
+            r <- Gen.oneOf("X", "", "$0")) yield SRep(a, p, r)),
+        1 -> sub)
+    }
+
+  test("BIND/FILTER string builtins == reference semantics on random expressions") {
+    val s = spark
+    import s.implicits._
+    val valGen = Gen.oneOf("", "abc", "Ab#cD", "aabb", "#x#", "xyz", "b")
+    val caseGen = for {
+      a <- valGen; b <- valGen; c <- valGen
+      e <- seGen(3)
+    } yield (Map("a" -> a, "b" -> b, "c" -> c), e)
+    val cases = (1 to 80).flatMap { i =>
+      caseGen(Gen.Parameters.default, Seed(31000L + i))
+    }
+    assert(cases.size >= 70)
+    cases.foreach { case (env, e) =>
+      val quads = Seq(
+        Quad("urn:g#", "urn:s#1", "urn:p#a", env("a")),
+        Quad("urn:g#", "urn:s#1", "urn:p#b", env("b")),
+        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).toDF()
+      val ex = renderSE(e)
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?r WHERE { ?s p:a ?a . ?s p:b ?b . " +
+          s"?s p:c ?c . BIND($ex AS ?r) }")
+      val got = BgpPlanner.evaluate(quads, q).collect()
+        .map(r => Option(r.getString(0))).toSeq
+      val want = Seq(Some(evalSE(e, env)))
+      assert(got == want, s"BIND($ex) over $env: planner=$got reference=$want")
+      // the same expression as a FILTER comparison operand: numeric
+      // dispatch against a length literal (row kept iff the reference's
+      // STRLEN agrees)
+      val keep = evalSE(e, env).length > 2
+      val qf = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?s WHERE { ?s p:a ?a . ?s p:b ?b . " +
+          s"?s p:c ?c . FILTER(STRLEN($ex) > 2) }")
+      val kept = BgpPlanner.evaluate(quads, qf).collect().nonEmpty
+      assert(kept == keep, s"FILTER(STRLEN($ex) > 2) over $env: " +
+        s"planner=$kept reference=$keep")
+    }
+  }
 }
