@@ -629,6 +629,50 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flags"))
   }
 
+  // ---- more transcriptions (late round 11) --------------------------------
+
+  test("w3c bindings/values2 (adapted): multi-variable VALUES rows join as units") {
+    val d = quads(
+      (ex("s1"), ex("p"), ex("o1")), (ex("s2"), ex("p"), ex("o2")),
+      (ex("s1"), ex("p"), ex("o2")))
+    // row (s1, o1) admits only that combination; (s2, o2) the other — the
+    // cross combination (s1, o2), though present in the data, is excluded
+    assert(run(d, EX + "SELECT ?s ?o WHERE { ?s ex:p ?o . " +
+      "VALUES (?s ?o) { (ex:s1 ex:o1) (ex:s2 ex:o2) } }").toSet ==
+      Set(Seq(Some(ex("s1")), Some(ex("o1"))),
+        Seq(Some(ex("s2")), Some(ex("o2")))))
+  }
+
+  test("w3c optional/complex (adapted): UNION inside OPTIONAL keeps the minuend row per branch") {
+    val d = quads(
+      (ex("a"), ex("name"), "A"),
+      (ex("a"), ex("mbox"), "m1"), (ex("a"), ex("home"), "h1"),
+      (ex("b"), ex("name"), "B"))
+    // a matches BOTH branches (two solutions); b matches neither (one
+    // solution, ?contact unbound)
+    val got = run(d, EX + "SELECT ?n ?contact WHERE { ?x ex:name ?n . " +
+      "OPTIONAL { { ?x ex:mbox ?contact } UNION { ?x ex:home ?contact } } }")
+    assert(got.toSet == Set(
+      Seq(Some("A"), Some("m1")), Seq(Some("A"), Some("h1")),
+      Seq(Some("B"), None)))
+    assert(got.size == 3)
+  }
+
+  test("w3c construct/constructwhere03 (adapted): ground template triple emitted once per solution set") {
+    val d = quads(
+      (ex("s1"), ex("p"), ex("o")), (ex("s2"), ex("p"), ex("o")))
+    val q = Sparql.parse(EX +
+      "CONSTRUCT { ?s ex:q ex:tagged . ex:corpus ex:size \"known\" . } " +
+        "WHERE { ?s ex:p ex:o . }")
+    val triples = BgpPlanner.evaluate(d, q).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // CONSTRUCT output is a GRAPH (set semantics): the ground triple
+    // appears once, the templated one per distinct binding
+    assert(triples == Set(
+      (ex("s1"), ex("q"), ex("tagged")), (ex("s2"), ex("q"), ex("tagged")),
+      (ex("corpus"), ex("size"), "known")))
+  }
+
   // ---- SELECT expressions (sparql11 project-expression/) ------------------
 
   test("w3c project-expression/projexp01-02 (adapted): (expr AS ?x) in SELECT") {
