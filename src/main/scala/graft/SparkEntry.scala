@@ -100,6 +100,24 @@ object SparkEntry {
       .select("graph", "s", "p", "o")
   }
 
+  /** Orders as quads with a synthesized xsd:dateTime lexical (date from
+    * o_orderdate, time-of-day keyed off the order/customer keys so every
+    * component is exercised) — the dateTime-accessor fixture (q154). */
+  private def orderQuads(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val subj = concat(lit("urn:o#"), col("o_orderkey"))
+    val ts = concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T"),
+      lpad(pmod(col("o_orderkey"), lit(24)).cast("string"), 2, "0"), lit(":"),
+      lpad(pmod(col("o_orderkey"), lit(60)).cast("string"), 2, "0"), lit(":"),
+      lpad(pmod(col("o_custkey"), lit(60)).cast("string"), 2, "0"), lit("Z"))
+    val placed = o.select(subj.as("s"),
+      lit("urn:p#placedAt").as("p"), ts.as("o"))
+    val pri = o.select(subj.as("s"),
+      lit("urn:p#prio").as("p"), col("o_orderpriority").as("o"))
+    placed.union(pri).withColumn("graph", lit("urn:tpch#"))
+      .select("graph", "s", "p", "o")
+  }
+
   /** [[custQuads]] split across NAMED graphs by nation (urn:g#<key%5>) —
     * the GRAPH-keyword fixture, mirroring the reference's one-graph-per-
     * building layout (setup-graphs.py:13-19). */
@@ -1165,6 +1183,48 @@ object SparkEntry {
           "BIND(REPLACE(LCASE(?m), \"^([a-z])\", \"seg-$1\") AS ?seg) " +
           "FILTER(?b > 900000) } ORDER BY ?c")
       BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q152_sparql_numeric_fns" -> ((s, dir) => {
+      // §2.8 numeric builtins (round 11, §17.4.4): ABS on the exact long
+      // path; ROUND over a division result exercises the XPath
+      // half-toward-+∞ rule on the xsd:double lexical — all codegen'd
+      // column algebra over the joined bindings, no UDF.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?dist ?r7 WHERE { " +
+          "?c p:balCents ?b . FILTER(isNumeric(?b)) " +
+          "BIND(ABS(?b - 500000) AS ?dist) " +
+          "BIND(ROUND(?b / 7) AS ?r7) " +
+          "FILTER(?dist > 400000) } ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q153_sparql_hash_uri" -> ((s, dir) => {
+      // §2.8 hash + URI builtins (round 11, §17.4.6/§17.4.3.10): MD5 and
+      // SHA256 of UTF-8 lexicals (Spark's codegen'd digest exprs), and
+      // ENCODE_FOR_URI via the custom codegen'd Catalyst expression
+      // (fn:encode-for-uri is neither URLEncoder nor url_encode —
+      // functions/UriEncode.scala).
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?h ?h2 ?e WHERE { " +
+          "?c p:mkt ?m . ?c p:balCents ?b . FILTER(?b > 980000) " +
+          "BIND(MD5(?m) AS ?h) " +
+          "BIND(SHA256(CONCAT(?m, \"#\", ?c)) AS ?h2) " +
+          "BIND(ENCODE_FOR_URI(CONCAT(?m, \" \", ?c)) AS ?e) " +
+          "} ORDER BY ?c")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q154_sparql_datetime" -> ((s, dir) => {
+      // §2.8 dateTime accessors (round 11, §17.4.5): components are read
+      // STRUCTURALLY from the literal's lexical form (its own timezone's
+      // clock — a timestamp cast would shift into the session zone and
+      // diverge from XPath's accessor semantics).
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?o ?y ?hh ?mm ?sec ?tz WHERE { " +
+          "?o p:placedAt ?t . " +
+          "FILTER(MONTH(?t) = 3) FILTER(DAY(?t) <= 5) " +
+          "BIND(YEAR(?t) AS ?y) BIND(HOURS(?t) AS ?hh) " +
+          "BIND(MINUTES(?t) AS ?mm) BIND(SECONDS(?t) AS ?sec) " +
+          "BIND(TZ(?t) AS ?tz) } ORDER BY ?o")
+      BgpPlanner.evaluate(orderQuads(s, dir), q)
     }),
     "q126_bpe_merges" -> ((s, dir) => {
       // distributed BPE tokenizer training (Sennrich 1508.07909): the
@@ -3624,6 +3684,44 @@ object SparkEntry {
         |FROM customer
         |WHERE FLOOR(c_acctbal * 100) > 900000
         |ORDER BY c""".stripMargin,
+    "q152_sparql_numeric_fns" ->
+      // ROUND is XPath half-toward-+∞ = floor(x + 0.5); balCents/7 in
+      // double on both sides (the engine renders non-integral quotients
+      // as xsd:double lexicals, exact quotients as integers — floor of
+      // either path agrees with the direct double formula)
+      """WITH b AS (SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |    CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer)
+        |SELECT c,
+        |  CAST(abs(bal - 500000) AS VARCHAR) AS dist,
+        |  CAST(CAST(floor(bal / 7.0 + 0.5) AS BIGINT) AS VARCHAR) AS r7
+        |FROM b WHERE abs(bal - 500000) > 400000
+        |ORDER BY c""".stripMargin,
+    "q153_sparql_hash_uri" ->
+      // ENCODE_FOR_URI oracle: the only non-unreserved characters in
+      // "SEGMENT urn:c#<n>" are space, ':', '#' — spelled-out
+      // percent-escapes (fn:encode-for-uri has no DuckDB builtin)
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  md5(c_mktsegment) AS h,
+        |  sha256(c_mktsegment || '#urn:c#' || CAST(c_custkey AS VARCHAR)) AS h2,
+        |  replace(replace(replace(
+        |    c_mktsegment || ' urn:c#' || CAST(c_custkey AS VARCHAR),
+        |    ':', '%3A'), '#', '%23'), ' ', '%20') AS e
+        |FROM customer
+        |WHERE floor(c_acctbal * 100) > 980000
+        |ORDER BY c""".stripMargin,
+    "q154_sparql_datetime" ->
+      // the fixture synthesizes hh/mm/ss from the keys, so the oracle
+      // recomputes the components from the SAME arithmetic; the engine
+      // must agree through its lexical construction + extraction
+      """SELECT 'urn:o#' || CAST(o_orderkey AS VARCHAR) AS o,
+        |  CAST(CAST(year(o_orderdate) AS BIGINT) AS VARCHAR) AS y,
+        |  CAST(o_orderkey % 24 AS VARCHAR) AS hh,
+        |  CAST(o_orderkey % 60 AS VARCHAR) AS mm,
+        |  CAST(o_custkey % 60 AS VARCHAR) AS sec,
+        |  'Z' AS tz
+        |FROM orders
+        |WHERE month(o_orderdate) = 3 AND day(o_orderdate) <= 5
+        |ORDER BY o""".stripMargin,
     "q126_bpe_merges" ->
       // literal expected relation: BPE merges are a pure deterministic
       // function of the corpus (tie-break freq desc, left asc, right asc),

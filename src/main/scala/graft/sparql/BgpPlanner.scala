@@ -931,6 +931,18 @@ object BgpPlanner {
       case FAnd(a, b) => compileFilterExpr(a, resolve) && compileFilterExpr(b, resolve)
       case FOr(a, b) => compileFilterExpr(a, resolve) || compileFilterExpr(b, resolve)
       case FNot(a) => !compileFilterExpr(a, resolve)
+      case FSameTerm(l, r) =>
+        // term identity: forced LEXICAL equality — sameTerm(?v, 1) with
+        // ?v = "01" is false even though `= 1` numeric-dispatches true.
+        // A numeric literal operand therefore stays its LEXICAL form
+        // (opCol would render it lit(1.0) and re-introduce coercion).
+        def lex(o: FOperand): Column = o match {
+          case FNum(lexical) => lit(lexical)
+          case other => opCol(other, numeric = false)
+        }
+        lex(l) === lex(r)
+      case FIsBlank(v) => resolve(v).startsWith("_:")
+      case FIsNumeric(v) => resolve(v).try_cast("double").isNotNull
     }
     }
 
@@ -954,6 +966,75 @@ object BgpPlanner {
         length(compileBind(a, resolve)).cast("long").cast("string")
       case BStrFn(other, _) =>
         throw new IllegalArgumentException(s"bad string builtin $other")
+      case BNumFn(fn, a) =>
+        // §17.4.4 over the lexical encoding: an integer lexical stays on
+        // the exact long path (identity for CEIL/FLOOR/ROUND — no
+        // double round-trip, so >2^53 ids are safe); any other numeric
+        // lexical evaluates in xsd:double. Non-numeric → NULL = unbound.
+        val s = compileBind(a, resolve)
+        val l = s.try_cast("long")
+        val d = s.try_cast("double")
+        fn match {
+          case "ABS" =>
+            when(l.isNotNull, abs(l).cast("string"))
+              .otherwise(abs(d).cast("string"))
+          case "CEIL" =>
+            when(l.isNotNull, l.cast("string"))
+              .otherwise(ceil(d).cast("string"))
+          case "FLOOR" =>
+            when(l.isNotNull, l.cast("string"))
+              .otherwise(floor(d).cast("string"))
+          case "ROUND" =>
+            // XPath fn:round: half toward +∞ — floor(x + 0.5), NOT
+            // Spark's round() (HALF_UP, away from zero): ROUND(-2.5)
+            // must be -2, Spark round gives -3
+            when(l.isNotNull, l.cast("string"))
+              .otherwise(floor(d + lit(0.5)).cast("string"))
+          case other =>
+            throw new IllegalArgumentException(s"bad numeric builtin $other")
+        }
+      case BHashFn(fn, a) =>
+        // §17.4.6: hash of the UTF-8 lexical form, lowercase hex —
+        // exactly Spark's md5/sha1/sha2 over the string's bytes
+        val c = compileBind(a, resolve).cast("binary")
+        fn match {
+          case "MD5" => md5(c)
+          case "SHA1" => sha1(c)
+          case "SHA256" => sha2(c, 256)
+          case other =>
+            throw new IllegalArgumentException(s"bad hash builtin $other")
+        }
+      case BEncodeUri(a) =>
+        graft.functions.UriEncode.encodeForUri(compileBind(a, resolve))
+      case BDtFn(fn, a) =>
+        // §17.4.5 structurally on the canonical xsd:dateTime lexical —
+        // XPath component accessors report the literal's OWN timezone's
+        // components, so extraction must NOT convert the instant (a
+        // timestamp cast would shift into the session zone). Lexicals
+        // that don't match the xsd:dateTime shape → NULL = unbound.
+        val s = compileBind(a, resolve)
+        val pat = "^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
+          "(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$"
+        val matched = s.rlike(pat)
+        fn match {
+          case "TZ" =>
+            // §17.4.5.8: the timezone designator as a simple literal,
+            // "" when absent (a non-participating optional group
+            // extracts as "" — exactly the spec's empty-string answer)
+            when(matched, regexp_extract(s, pat, 7))
+          case "SECONDS" =>
+            // xsd:decimal — canonical integer rendering when integral
+            val g = regexp_extract(s, pat, 6).try_cast("double")
+            when(matched,
+              when(g % 1 === 0, g.cast("long").cast("string"))
+                .otherwise(g.cast("string")))
+          case other =>
+            val grp = Map("YEAR" -> 1, "MONTH" -> 2, "DAY" -> 3,
+              "HOURS" -> 4, "MINUTES" -> 5).getOrElse(other,
+              throw new IllegalArgumentException(s"bad dateTime builtin $other"))
+            when(matched,
+              regexp_extract(s, pat, grp).cast("long").cast("string"))
+        }
       case BSubstr(a, start, len) =>
         // §17.4.3.3 = XPath fn:substring, 1-based; Spark's substring has
         // identical 1-based semantics, and the no-length form runs to the

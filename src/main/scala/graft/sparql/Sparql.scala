@@ -135,6 +135,15 @@ object Sparql {
   final case class FAnd(a: FExpr, b: FExpr) extends FExpr
   final case class FOr(a: FExpr, b: FExpr) extends FExpr
   final case class FNot(a: FExpr) extends FExpr
+  /** sameTerm(a, b) — §17.4.1.8 term identity: codepoint equality on the
+    * lexical encoding, never numeric-promoted (unlike `=`). */
+  final case class FSameTerm(l: FOperand, r: FOperand) extends FExpr
+  /** isBlank(?v) — blank nodes are encoded `_:{scope}-{n}` (Turtle.scala),
+    * so the test is a prefix check on the lexical form. */
+  final case class FIsBlank(v: String) extends FExpr
+  /** isNumeric(?v) — true iff the lexical form is a numeric literal
+    * (double-castable), the only numeric evidence the untyped store has. */
+  final case class FIsNumeric(v: String) extends FExpr
 
   /** A braced sub-group: patterns + its own FILTERs + (since round 9)
     * NESTED sub-structure — OPTIONAL-in-OPTIONAL, UNION-in-OPTIONAL,
@@ -205,6 +214,23 @@ object Sparql {
   /** REPLACE(arg, pattern, replacement) — §17.4.3.4; literal pattern /
     * replacement (the portable regex subset), no flags argument. */
   final case class BReplace(arg: BExpr, pattern: String, replacement: String) extends BExpr
+  /** fn ∈ ABS CEIL FLOOR ROUND — §17.4.4 numerics over the lexical
+    * encoding: integer lexicals stay exact (long path); other numeric
+    * lexicals evaluate in xsd:double. ROUND is XPath fn:round — half
+    * rounds toward +∞ (ROUND(-2.5) = -2), NOT half-away-from-zero. */
+  final case class BNumFn(fn: String, arg: BExpr) extends BExpr
+  /** fn ∈ MD5 SHA1 SHA256 — §17.4.6 hashes of the UTF-8 lexical form,
+    * lowercase hex per the spec's examples. */
+  final case class BHashFn(fn: String, arg: BExpr) extends BExpr
+  /** ENCODE_FOR_URI — §17.4.3.10 = XPath fn:encode-for-uri (percent-
+    * encode all but RFC 3986 unreserved, uppercase hex). */
+  final case class BEncodeUri(arg: BExpr) extends BExpr
+  /** fn ∈ YEAR MONTH DAY HOURS MINUTES SECONDS TZ — §17.4.5 dateTime
+    * accessors, evaluated structurally on the xsd:dateTime lexical form
+    * (no instant conversion — XPath components are those of the
+    * literal's own timezone, so extracting from the lexical IS the
+    * faithful semantics; a zone-shifting timestamp cast would not be). */
+  final case class BDtFn(fn: String, arg: BExpr) extends BExpr
   /** Integer arithmetic, op ∈ + - *. */
   final case class BArith(l: BExpr, op: Char, r: BExpr) extends BExpr
 
@@ -924,6 +950,12 @@ object Sparql {
       e
     }
 
+    // builtin families dispatched by lookahead (kwAhead, then consumed)
+    private val NumFns = Seq("ABS", "CEIL", "FLOOR", "ROUND")
+    private val HashFns = Seq("MD5", "SHA1", "SHA256")
+    private val DtFns =
+      Seq("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
+
     private def parseBindPrimary(): BExpr = {
       skipWs()
       if (kw("CONCAT")) {
@@ -973,8 +1005,19 @@ object Sparql {
         expect('('); val a = parseBindExpr(); expect(')'); BStrFn("UCASE", a)
       } else if (kw("LCASE")) {
         expect('('); val a = parseBindExpr(); expect(')'); BStrFn("LCASE", a)
+      } else if (kw("ENCODE_FOR_URI")) {
+        expect('('); val a = parseBindExpr(); expect(')'); BEncodeUri(a)
       } else if (kw("STR")) {
         expect('('); val a = parseBindExpr(); expect(')'); BStrFn("STR", a)
+      } else if (NumFns.exists(kwAhead)) {
+        val fn = NumFns.find(kwAhead).get; kw(fn)
+        expect('('); val a = parseBindExpr(); expect(')'); BNumFn(fn, a)
+      } else if (HashFns.exists(kwAhead)) {
+        val fn = HashFns.find(kwAhead).get; kw(fn)
+        expect('('); val a = parseBindExpr(); expect(')'); BHashFn(fn, a)
+      } else if (DtFns.exists(kwAhead)) {
+        val fn = DtFns.find(kwAhead).get; kw(fn)
+        expect('('); val a = parseBindExpr(); expect(')'); BDtFn(fn, a)
       } else peek match {
         case '?' | '$' => BVar(parseVar())
         case '"' | '\'' => BLit(parseLiteral())
@@ -1056,6 +1099,22 @@ object Sparql {
         expect(')'); FStrEnds(v, s)
       } else if (kw("BOUND")) {
         expect('('); val v = parseVarArg(); expect(')'); FBound(v)
+      } else if (kw("SAMETERM")) {
+        // §17.4.1.8 — term identity. The quads encoding is lexical, so
+        // identity IS codepoint equality, with NO numeric-dispatch
+        // promotion (sameTerm("01", "1") is false where `=` is true).
+        expect('('); val l = parseOperand()
+        expect(','); val r = parseOperand(); expect(')')
+        FSameTerm(l, r)
+      } else if (kw("ISBLANK")) {
+        expect('('); val v = parseVarArg(); expect(')'); FIsBlank(v)
+      } else if (kw("ISNUMERIC")) {
+        expect('('); val v = parseVarArg(); expect(')'); FIsNumeric(v)
+      } else if (kwAhead("ISIRI") || kwAhead("ISURI") || kwAhead("ISLITERAL")) {
+        err("isIRI/isURI/isLiteral are outside the supported subset: the " +
+          "lexical quads encoding stores IRIs and literals identically " +
+          "(SURVEY.md §1.2), so the distinction is unrecoverable at query " +
+          "time; isBlank and isNumeric are supported")
       } else {
         val l = parseOperand()
         skipWs()
@@ -1114,9 +1173,13 @@ object Sparql {
         aggs += a.copy(alias = alias)
         return FVar(alias)
       }
-      // a string-builtin call is a full operand: FILTER(STRLEN(?x) > 3)
+      // a builtin call is a full operand: FILTER(STRLEN(?x) > 3),
+      // FILTER(ABS(?b) >= 10), FILTER(MONTH(?t) = 3)
       val builtinAhead = Seq("CONCAT", "STRLEN", "STRAFTER", "STRBEFORE",
-        "SUBSTR", "REPLACE", "UCASE", "LCASE", "COALESCE", "STR").exists { f =>
+        "SUBSTR", "REPLACE", "UCASE", "LCASE", "COALESCE", "STR",
+        "ENCODE_FOR_URI", "ABS", "CEIL", "FLOOR", "ROUND",
+        "MD5", "SHA1", "SHA256",
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ").exists { f =>
         in.regionMatches(true, pos, f, 0, f.length) && {
           var p = pos + f.length
           while (p < n && in.charAt(p).isWhitespace) p += 1

@@ -994,4 +994,182 @@ class BgpPropertySpec extends AnyFunSuite {
         s"planner=$kept reference=$keep")
     }
   }
+
+  // ---- numeric-builtin differential fuzz (round-11 §17.4.4 surface) ------
+
+  /** ABS/CEIL/FLOOR/ROUND nested over integer arithmetic: the reference
+    * implements the DOCUMENTED semantics independently — integer lexicals
+    * on an exact long path, other numerics through xsd:double
+    * (Double.toString == Spark's double→string), non-numerics → unbound;
+    * ROUND = floor(x + 0.5) (XPath half-toward-+∞). */
+  sealed trait NE
+  case class NVar(n: String) extends NE
+  case class NLit(l: String) extends NE // integer literals only (grammar)
+  case class NFn(fn: String, a: NE) extends NE
+  case class NOp(a: NE, op: Char, b: NE) extends NE
+
+  def renderNE(e: NE): String = e match {
+    case NVar(n) => s"?$n"
+    case NLit(l) => l
+    case NFn(fn, a) => s"$fn(${renderNE(a)})"
+    case NOp(a, op, b) => s"(${renderNE(a)} $op ${renderNE(b)})"
+  }
+
+  def evalNE(e: NE, env: Map[String, String]): Option[String] = e match {
+    case NVar(n) => Some(env(n))
+    case NLit(l) => Some(l)
+    case NOp(a, op, b) =>
+      for {
+        x <- evalNE(a, env).flatMap(_.toLongOption)
+        y <- evalNE(b, env).flatMap(_.toLongOption)
+        r <- op match {
+          case '+' => Some((x + y).toString)
+          case '-' => Some((x - y).toString)
+          case '*' => Some((x * y).toString)
+          case '/' =>
+            if (y == 0L) None
+            else if (x % y == 0L) Some((x / y).toString)
+            else Some((x.toDouble / y.toDouble).toString)
+        }
+      } yield r
+    case NFn(fn, a) =>
+      evalNE(a, env).flatMap { s =>
+        s.toLongOption match {
+          case Some(l) =>
+            Some(if (fn == "ABS") math.abs(l).toString else l.toString)
+          case None => s.toDoubleOption.map { d =>
+            fn match {
+              case "ABS" => math.abs(d).toString
+              case "CEIL" => math.ceil(d).toLong.toString
+              case "FLOOR" => math.floor(d).toLong.toString
+              case "ROUND" => math.floor(d + 0.5).toLong.toString
+            }
+          }
+        }
+      }
+  }
+
+  def neGen(depth: Int): Gen[NE] =
+    if (depth == 0) Gen.frequency(
+      3 -> Gen.oneOf("a", "b", "c").map(NVar(_)),
+      2 -> Gen.oneOf("0", "2", "3", "7", "-4").map(NLit(_)))
+    else {
+      val sub = neGen(depth - 1)
+      Gen.frequency(
+        3 -> (for (f <- Gen.oneOf("ABS", "CEIL", "FLOOR", "ROUND"); a <- sub)
+          yield NFn(f, a)),
+        3 -> (for (a <- sub; b <- sub; op <- Gen.oneOf('+', '-', '*', '/'))
+          yield NOp(a, op, b)),
+        1 -> sub)
+    }
+
+  test("BIND numeric builtins == reference semantics on random expressions") {
+    val s = spark
+    import s.implicits._
+    // integer magnitudes ≤ 99: a depth-3 tree has ≤ 8 leaves, so the
+    // largest possible product 99^8 ≈ 9.2e15 stays under both 2^53
+    // (long↔double identical) and 2^63 (no ANSI overflow throw)
+    val lexGen = Gen.oneOf(
+      "0", "1", "7", "-3", "2.5", "-2.5", "-1.6", "10.1", "99", "nope")
+    val caseGen = for {
+      a <- lexGen; b <- lexGen; c <- lexGen
+      e <- neGen(3)
+    } yield (Map("a" -> a, "b" -> b, "c" -> c), e)
+    val cases = (1 to 80).flatMap { i =>
+      caseGen(Gen.Parameters.default, Seed(41000L + i))
+    }
+    assert(cases.size >= 70)
+    cases.foreach { case (env, e) =>
+      val quads = Seq(
+        Quad("urn:g#", "urn:s#1", "urn:p#a", env("a")),
+        Quad("urn:g#", "urn:s#1", "urn:p#b", env("b")),
+        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).toDF()
+      val ex = renderNE(e)
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?r WHERE { ?s p:a ?a . ?s p:b ?b . " +
+          s"?s p:c ?c . BIND($ex AS ?r) }")
+      val got = BgpPlanner.evaluate(quads, q).collect()
+        .map(r => Option(r.getString(0))).toSeq
+      val want = Seq(evalNE(e, env))
+      assert(got == want, s"BIND($ex) over $env: planner=$got reference=$want")
+    }
+  }
+
+  // ---- dateTime-accessor differential fuzz (round-11 §17.4.5) ------------
+
+  test("dateTime accessors == reference component extraction on random lexicals") {
+    val s = spark
+    import s.implicits._
+    val DtRe = ("^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
+      "(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$").r
+    def refDt(fn: String, lex: String): Option[String] = lex match {
+      case DtRe(y, mo, d, h, mi, sec, tz) => fn match {
+        case "YEAR" => Some(y.toLong.toString)
+        case "MONTH" => Some(mo.toLong.toString)
+        case "DAY" => Some(d.toLong.toString)
+        case "HOURS" => Some(h.toLong.toString)
+        case "MINUTES" => Some(mi.toLong.toString)
+        case "SECONDS" =>
+          val dd = sec.toDouble
+          Some(if (dd % 1 == 0) dd.toLong.toString else dd.toString)
+        case "TZ" => Some(Option(tz).getOrElse(""))
+      }
+      case _ => None
+    }
+    val partGen = for {
+      y <- Gen.oneOf("2010", "1999", "0001", "-0500", "12024")
+      mo <- Gen.oneOf("01", "06", "12")
+      d <- Gen.oneOf("01", "21", "31")
+      h <- Gen.oneOf("00", "11", "23")
+      mi <- Gen.oneOf("00", "07", "59")
+      sec <- Gen.oneOf("00", "01", "59", "59.5", "07.250")
+      tz <- Gen.oneOf("", "Z", "-08:00", "+05:30")
+    } yield s"$y-$mo-${d}T$h:$mi:$sec$tz"
+    val lexGen = Gen.frequency(
+      4 -> partGen,
+      1 -> Gen.oneOf("junk", "2020-06-21 11:28:01", "2020-6-1T0:0:0",
+        "2020-06-21", "T11:28:01Z", ""))
+    val cases = (1 to 60).flatMap { i =>
+      (for (l <- lexGen; f <- Gen.oneOf("YEAR", "MONTH", "DAY", "HOURS",
+        "MINUTES", "SECONDS", "TZ")) yield (l, f))(
+        Gen.Parameters.default, Seed(52000L + i))
+    }
+    assert(cases.size >= 50)
+    cases.foreach { case (lex, fn) =>
+      val quads = Seq(Quad("urn:g#", "urn:s#1", "urn:p#t", lex)).toDF()
+      val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?r WHERE { " +
+        s"?s p:t ?t . BIND($fn(?t) AS ?r) }")
+      val got = BgpPlanner.evaluate(quads, q).collect()
+        .map(r => Option(r.getString(0))).toSeq
+      val want = Seq(refDt(fn, lex))
+      assert(got == want, s"$fn(\"$lex\"): planner=$got reference=$want")
+    }
+  }
+
+  // ---- ENCODE_FOR_URI differential vs the JDK's encoder ------------------
+
+  test("ENCODE_FOR_URI == URLEncoder modulo the documented form-encoding deltas") {
+    val s = spark
+    import s.implicits._
+    // independent reference: java.net.URLEncoder form-encodes; the three
+    // deltas to fn:encode-for-uri are exactly space (+ vs %20), '*'
+    // (kept vs %2A), and '~' (%7E vs kept)
+    def ref(v: String): String =
+      java.net.URLEncoder.encode(v, "UTF-8")
+        .replace("+", "%20").replace("*", "%2A").replace("%7E", "~")
+    val strGen = Gen.oneOf("", "abc", "Los Angeles", "a/b?c#d", "100% ~legit~",
+      "日本語", "Français", "a*b.c-d_e", "über straße", "é́",
+      "urn:x#1", "()[]{}<>", "a\tb\nc")
+    val cases = (1 to 40).flatMap { i =>
+      strGen(Gen.Parameters.default, Seed(63000L + i))
+    }
+    assert(cases.size >= 35)
+    cases.foreach { v =>
+      val quads = Seq(Quad("urn:g#", "urn:s#1", "urn:p#v", v)).toDF()
+      val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?r WHERE { " +
+        "?s p:v ?v . BIND(ENCODE_FOR_URI(?v) AS ?r) }")
+      val got = BgpPlanner.evaluate(quads, q).collect().head.getString(0)
+      assert(got == ref(v), s"ENCODE_FOR_URI(\"$v\"): planner=$got jdk=${ref(v)}")
+    }
+  }
 }

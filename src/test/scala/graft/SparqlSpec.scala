@@ -1346,4 +1346,135 @@ class SparqlSpec extends AnyFunSuite {
     }
     assert(b.getMessage.contains("negate"), b.getMessage)
   }
+
+  // ---- §17.4.4/5/6 builtins (round 11): numerics, hashes, dateTime ------
+
+  lazy val fnQuads = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Quad("urn:g#", "urn:x#1", "urn:p#num", "-3"),
+      Quad("urn:g#", "urn:x#2", "urn:p#num", "2.5"),
+      Quad("urn:g#", "urn:x#3", "urn:p#num", "-2.5"),
+      Quad("urn:g#", "urn:x#4", "urn:p#num", "10.1"),
+      Quad("urn:g#", "urn:x#5", "urn:p#num", "abc"),
+      Quad("urn:g#", "urn:x#1", "urn:p#when", "2010-06-21T11:28:01Z"),
+      Quad("urn:g#", "urn:x#2", "urn:p#when", "1999-12-31T23:59:59.5-08:00"),
+      Quad("urn:g#", "urn:x#3", "urn:p#when", "2024-02-29T00:07:30"),
+      Quad("urn:g#", "urn:x#4", "urn:p#when", "not-a-date"),
+      Quad("urn:g#", "urn:x#1", "urn:p#s", "abc"),
+      Quad("urn:g#", "urn:x#2", "urn:p#s", "Los Angeles"),
+      Quad("urn:g#", "urn:x#3", "urn:p#s", "01")).toDF()
+  }
+  private def fnRows(query: String): Map[String, String] =
+    BgpPlanner.evaluate(fnQuads, Sparql.parse(npsPrefix + query))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+  test("numeric builtins: ABS exact-long and double paths; non-numeric → unbound") {
+    val abs = fnRows("SELECT ?x ?a WHERE { ?x p:num ?n . BIND(ABS(?n) AS ?a) }")
+    assert(abs == Map("urn:x#1" -> "3", "urn:x#2" -> "2.5",
+      "urn:x#3" -> "2.5", "urn:x#4" -> "10.1", "urn:x#5" -> null))
+  }
+
+  test("CEIL/FLOOR: integer lexicals are identity, decimals go to integers") {
+    val ceil = fnRows("SELECT ?x ?c WHERE { ?x p:num ?n . BIND(CEIL(?n) AS ?c) }")
+    assert(ceil == Map("urn:x#1" -> "-3", "urn:x#2" -> "3",
+      "urn:x#3" -> "-2", "urn:x#4" -> "11", "urn:x#5" -> null))
+    val floor = fnRows("SELECT ?x ?f WHERE { ?x p:num ?n . BIND(FLOOR(?n) AS ?f) }")
+    assert(floor == Map("urn:x#1" -> "-3", "urn:x#2" -> "2",
+      "urn:x#3" -> "-3", "urn:x#4" -> "10", "urn:x#5" -> null))
+  }
+
+  test("ROUND is XPath half-toward-+∞: ROUND(-2.5) = -2, not -3") {
+    val round = fnRows("SELECT ?x ?r WHERE { ?x p:num ?n . BIND(ROUND(?n) AS ?r) }")
+    assert(round == Map("urn:x#1" -> "-3", "urn:x#2" -> "3",
+      "urn:x#3" -> "-2", "urn:x#4" -> "10", "urn:x#5" -> null))
+  }
+
+  test("numeric builtin as a FILTER operand joins the comparison dispatch") {
+    val got = fnRows(
+      "SELECT ?x ?n WHERE { ?x p:num ?n . FILTER(ABS(?n) >= 3) }")
+    assert(got == Map("urn:x#1" -> "-3", "urn:x#4" -> "10.1"))
+  }
+
+  test("hash builtins match the published test vectors for \"abc\"") {
+    val md5 = fnRows(
+      "SELECT ?x ?h WHERE { ?x p:s ?v . FILTER(?v = \"abc\") BIND(MD5(?v) AS ?h) }")
+    assert(md5("urn:x#1") == "900150983cd24fb0d6963f7d28e17f72")
+    val sha1 = fnRows(
+      "SELECT ?x ?h WHERE { ?x p:s ?v . FILTER(?v = \"abc\") BIND(SHA1(?v) AS ?h) }")
+    assert(sha1("urn:x#1") == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    val sha256 = fnRows(
+      "SELECT ?x ?h WHERE { ?x p:s ?v . FILTER(?v = \"abc\") BIND(SHA256(?v) AS ?h) }")
+    assert(sha256("urn:x#1") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+
+  test("ENCODE_FOR_URI: unreserved kept, space %20, UTF-8 bytes uppercase hex") {
+    val got = fnRows(
+      "SELECT ?x ?e WHERE { ?x p:s ?v . BIND(ENCODE_FOR_URI(?v) AS ?e) }")
+    assert(got("urn:x#2") == "Los%20Angeles")
+    assert(got("urn:x#1") == "abc")
+    // non-ASCII and reserved characters, via a constant argument
+    val c = fnRows("SELECT ?x ?e WHERE { ?x p:s ?v . FILTER(?v = \"abc\") " +
+      "BIND(ENCODE_FOR_URI(\"urn:a#é ~_\") AS ?e) }")
+    assert(c("urn:x#1") == "urn%3Aa%23%C3%A9%20~_")
+  }
+
+  test("dateTime accessors extract the lexical's own components — no zone shift") {
+    def acc(fn: String): Map[String, String] =
+      fnRows(s"SELECT ?x ?v WHERE { ?x p:when ?t . BIND($fn(?t) AS ?v) }")
+    assert(acc("YEAR") == Map("urn:x#1" -> "2010", "urn:x#2" -> "1999",
+      "urn:x#3" -> "2024", "urn:x#4" -> null))
+    assert(acc("MONTH")("urn:x#2") == "12") // NOT shifted into UTC (would be 1)
+    assert(acc("DAY")("urn:x#2") == "31")
+    assert(acc("HOURS") == Map("urn:x#1" -> "11", "urn:x#2" -> "23",
+      "urn:x#3" -> "0", "urn:x#4" -> null))
+    assert(acc("MINUTES")("urn:x#3") == "7")
+    assert(acc("SECONDS") == Map("urn:x#1" -> "1", "urn:x#2" -> "59.5",
+      "urn:x#3" -> "30", "urn:x#4" -> null))
+    assert(acc("TZ") == Map("urn:x#1" -> "Z", "urn:x#2" -> "-08:00",
+      "urn:x#3" -> "", "urn:x#4" -> null))
+  }
+
+  test("dateTime builtin as a FILTER operand: numeric comparison of MONTH") {
+    val got = fnRows(
+      "SELECT ?x ?t WHERE { ?x p:when ?t . FILTER(MONTH(?t) = 12) }")
+    assert(got.keySet == Set("urn:x#2"))
+  }
+
+  test("sameTerm is lexical identity — no numeric promotion, unlike =") {
+    // "01" = 1 numeric-dispatches true; sameTerm("01", 1) is false
+    val eq = fnRows("SELECT ?x ?v WHERE { ?x p:s ?v . FILTER(?v = 1) }")
+    assert(eq.keySet == Set("urn:x#3"))
+    val st = fnRows("SELECT ?x ?v WHERE { ?x p:s ?v . FILTER(sameTerm(?v, 1)) }")
+    assert(st.isEmpty)
+    val stv = fnRows(
+      "SELECT ?x ?v WHERE { ?x p:s ?v . FILTER(sameTerm(?v, \"01\")) }")
+    assert(stv.keySet == Set("urn:x#3"))
+  }
+
+  test("isNumeric accepts numeric lexicals; isBlank tests the _: encoding") {
+    val nums = fnRows(
+      "SELECT ?x ?n WHERE { ?x p:num ?n . FILTER(isNumeric(?n)) }")
+    assert(nums.keySet ==
+      Set("urn:x#1", "urn:x#2", "urn:x#3", "urn:x#4"))
+    // blank nodes come from the Turtle fixture's [ ... ] syntax
+    val blanks = BgpPlanner.evaluate(quads, Sparql.parse(prefix +
+      "SELECT ?s ?b WHERE { ?s brick:timeseries ?b . FILTER(isBlank(?b)) }"))
+      .collect()
+    assert(blanks.length == 2)
+    val none = BgpPlanner.evaluate(quads, Sparql.parse(prefix +
+      "SELECT ?s ?b WHERE { ?s brick:timeseries ?b . FILTER(!isBlank(?s)) }"))
+      .collect()
+    assert(none.length == 2) // subjects are IRIs, never blank-encoded
+  }
+
+  test("isIRI/isLiteral are rejected loudly: the lexical store can't answer") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(npsPrefix +
+        "SELECT ?s WHERE { ?s p:s ?v . FILTER(isIRI(?v)) }")
+    }
+    assert(e.getMessage.contains("lexical"), e.getMessage)
+  }
 }
