@@ -569,9 +569,30 @@ object BgpPlanner {
     // Rebinding an in-scope variable is an error per the spec.
     def applyBind(acc0: DataFrame, b: Bind): DataFrame = {
       val cols = acc0.columns.toSet
-      if (cols.contains(vc(b.alias))) throw new IllegalArgumentException(
-        s"BIND would rebind ?${b.alias} — already in scope")
-      acc0.withColumn(vc(b.alias), compileBind(b.expr, resolveIn(acc0, cols)))
+      val resolve0: String => Column = resolveIn(acc0, cols)(_)
+      // §18.2.2.6 scope: a group-parsed BIND sees only the variables
+      // bound BEFORE it in the group. A forward reference to a var a
+      // later pattern binds evaluates to unbound (error → NULL), not to
+      // the later binding — the parser recorded the visible set.
+      val resolve: String => Column = b.priorVars match {
+        case Some(seen) =>
+          v => if (seen.contains(v)) resolve0(v) else lit(null).cast("string")
+        case None => resolve0
+      }
+      val c = compileBind(b.expr, resolve)
+      if (cols.contains(vc(b.alias))) b.priorVars match {
+        case Some(_) =>
+          // The alias is bound by a LATER triple pattern: BIND ends the
+          // preceding BGP, so Join(Extend(A, v←f), B(v)) applies — on the
+          // already-joined relation that is an equality on the alias,
+          // with the SPARQL compatibility rule for an erroring expression
+          // (unbound extend value is compatible with ANY μB(v), so a NULL
+          // expression keeps the row rather than dropping it).
+          acc0.filter(c.isNull || acc0(vc(b.alias)) === c)
+        case None => throw new IllegalArgumentException(
+          s"BIND would rebind ?${b.alias} — already in scope")
+      }
+      else acc0.withColumn(vc(b.alias), c)
     }
 
     // EXISTS / NOT EXISTS: SPARQL §8.1 pattern-based negation. Correlated

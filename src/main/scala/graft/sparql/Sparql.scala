@@ -234,8 +234,32 @@ object Sparql {
   /** Integer arithmetic, op ∈ + - *. */
   final case class BArith(l: BExpr, op: Char, r: BExpr) extends BExpr
 
-  /** `BIND(expr AS ?alias)` — alias joins the variable namespace. */
-  final case class Bind(expr: BExpr, alias: String)
+  /** `BIND(expr AS ?alias)` — alias joins the variable namespace.
+    *
+    * `priorVars` (group-parsed binds only) is the set of user variables
+    * already in scope at the BIND's textual position — §18.2.2.6: BIND
+    * ends the preceding basic graph pattern, so (a) the expression sees
+    * ONLY variables bound so far (a forward reference evaluates to
+    * unbound, not to the later binding), and (b) the alias is a JOIN
+    * variable for later patterns in the group. None = every group var is
+    * in scope (SELECT-expression desugaring, which is by construction
+    * last). */
+  final case class Bind(expr: BExpr, alias: String,
+      priorVars: Option[Set[String]] = None)
+
+  /** User-visible variables a group can bind, recursively (fresh `_anon`/
+    * `_path` join vars excluded). MINUS and EXISTS bodies never bind
+    * outward (§8.3: they constrain, they don't extend the domain). */
+  def boundVars(g: PatternGroup): Set[String] = (
+    g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n }) ++
+      g.optionals.flatMap(boundVars) ++ g.groups.flatMap(boundVars) ++
+      g.unions.flatMap(_.branches.flatMap(boundVars)) ++
+      g.values.flatMap(_.vars) ++ g.binds.map(_.alias) ++
+      g.subqueries.flatMap(_.selected) ++
+      g.graphs.flatMap { case (t, gg) =>
+        (t match { case V(n) => Seq(n); case _ => Nil }) ++ boundVars(gg)
+      }
+  ).toSet.filterNot(v => v.startsWith("_anon") || v.startsWith("_path"))
 
   /** Parsed query. `projection` empty = SELECT *. `userVars` is every named
     * variable in order of first appearance (for SELECT *, mirroring
@@ -301,6 +325,13 @@ object Sparql {
       val exists = ArrayBuffer[(PatternGroup, Boolean)]()
       val subqueries = ArrayBuffer[Query]()
       val graphs = ArrayBuffer[(Term, PatternGroup)]()
+      /** User variables bound by the elements accumulated SO FAR — the
+        * in-scope set at the current parse position (§18.2.2.6). */
+      def seenVars: Set[String] =
+        boundVars(PatternGroup(patterns.toList, Nil, optionals.toList,
+          unions.toList, groups.toList, values.toList, Nil, binds.toList,
+          Nil, subqueries.toList, graphs.toList))
+
       def toGroup: PatternGroup = PatternGroup(patterns.toList,
         filters.toList, optionals.toList, unions.toList, groups.toList,
         values.toList, minuses.toList, binds.toList, exists.toList,
@@ -730,7 +761,15 @@ object Sparql {
           if (peek != '?' && peek != '$') err("expected ?var after AS")
           val alias = parseVar()
           expect(')')
-          b.binds += Bind(e, alias)
+          // §18.2.2.6: the alias must be FRESH at this point of the group
+          // (syntactic restriction in the REC), and the expression's
+          // visible scope is exactly the vars bound so far — recorded for
+          // the planner (forward references evaluate to unbound).
+          val seen = b.seenVars
+          if (seen.contains(alias))
+            err(s"BIND would rebind ?$alias — already used in the group " +
+              "up to this point (§18.2.2.6 syntactic restriction)")
+          b.binds += Bind(e, alias, Some(seen))
         } else {
           rejectUnsupported()
           parseTriplesSameSubject(b.patterns)
@@ -739,6 +778,32 @@ object Sparql {
         if (peek == '.') { pos += 1; skipWs() }
       }
       pos += 1
+      // §18.2.2.6 positional check at group close: a BIND alias used by a
+      // LATER triple pattern is supported (the planner turns the Extend
+      // into a join-equality on the alias); an alias consumed by a later
+      // OPTIONAL/UNION/nested-group/GRAPH/VALUES/subquery would need the
+      // full positional algebra — rejected loudly, not mis-evaluated.
+      // MINUS/EXISTS bodies are included although they bind nothing
+      // outward: they CONSUME via domain compatibility, which is also
+      // positional — the cost is over-rejecting the rare
+      // `MINUS { … ?v } BIND(… AS ?v)` (body textually FIRST), where a
+      // rename resolves it.
+      val structVars = boundVars(PatternGroup(Nil, Nil, b.optionals.toList,
+        b.unions.toList, b.groups.toList, b.values.toList, Nil, Nil, Nil,
+        b.subqueries.toList, b.graphs.toList)) ++
+        b.exists.toList.flatMap(e => boundVars(e._1)) ++
+        b.minuses.toList.flatMap(boundVars)
+      b.binds.foreach { bd =>
+        bd.priorVars.foreach { seen =>
+          if (structVars.contains(bd.alias) && !seen.contains(bd.alias))
+            err(s"BIND alias ?${bd.alias} is referenced by a later " +
+              "OPTIONAL/UNION/group/GRAPH/VALUES/subquery (or a MINUS/" +
+              "EXISTS body) in the same group — positional BIND algebra " +
+              "beyond later triple patterns is outside the supported " +
+              "subset (§18.2.2.6); move the construct before the BIND " +
+              "or rename the alias")
+        }
+      }
     }
 
     /** `{ … }` after OPTIONAL/GRAPH/UNION or standing alone: full

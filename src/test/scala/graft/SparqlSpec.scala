@@ -989,8 +989,13 @@ class SparqlSpec extends AnyFunSuite {
       assert(e.getMessage.contains(needle), s"$qs => ${e.getMessage}")
     }
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 1 AS ?v) }", "rebind")
-    bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?nope AS ?x) }", "bound by no pattern")
     bad("SELECT ?s WHERE { ?s p:val ?v . BIND(?v + 1.5 AS ?x) }", "integer arithmetic")
+    // a variable bound NOWHERE in the group is simply out of scope at the
+    // BIND — §18.2.2.6 makes that an expression error = unbound alias
+    // (round 11; previously rejected loudly)
+    val unb = BgpPlanner.evaluate(filterQuads, Sparql.parse(fp +
+      "SELECT ?s ?x WHERE { ?s p:val ?v . BIND(?nope AS ?x) }")).collect()
+    assert(unb.nonEmpty && unb.forall(_.isNullAt(1)))
     // BIND inside OPTIONAL is supported since round 9 (group scope)
     val ok = BgpPlanner.evaluate(filterQuads, Sparql.parse(fp +
       "SELECT ?s ?x WHERE { ?s p:val ?v . OPTIONAL { ?s p:tag ?t . BIND(UCASE(?t) AS ?x) } }"))
@@ -1476,5 +1481,68 @@ class SparqlSpec extends AnyFunSuite {
         "SELECT ?s WHERE { ?s p:s ?v . FILTER(isIRI(?v)) }")
     }
     assert(e.getMessage.contains("lexical"), e.getMessage)
+  }
+
+  // ---- §18.2.2.6 BIND positional scope (round 11) -----------------------
+
+  lazy val bindQuads = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Quad("urn:g#", "urn:b#1", "urn:p#p", "1"),
+      Quad("urn:g#", "urn:b#2", "urn:p#p", "2"),
+      Quad("urn:g#", "urn:b#3", "urn:p#p", "abc"),
+      Quad("urn:g#", "urn:x#1", "urn:p#q", "2"),
+      Quad("urn:g#", "urn:x#2", "urn:p#q", "3")).toDF()
+  }
+
+  test("BIND alias joins a LATER pattern in the group (Extend-then-Join)") {
+    // s=b1: z = 1+1 = "2" joins x1; s=b2: z = "3" joins x2; s=b3: expr
+    // errors (z unbound) — compatible with ANY later binding, so b3
+    // pairs with BOTH x rows (SPARQL compatibility, not SQL null-drop)
+    val got = BgpPlanner.evaluate(bindQuads, Sparql.parse(npsPrefix +
+        "SELECT ?s ?x WHERE { ?s p:p ?o . BIND(?o + 1 AS ?z) ?x p:q ?z }"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("urn:b#1", "urn:x#1"), ("urn:b#2", "urn:x#2"),
+      ("urn:b#3", "urn:x#1"), ("urn:b#3", "urn:x#2")))
+  }
+
+  test("BIND forward reference evaluates to unbound, never the later binding") {
+    // ?o is bound by the pattern AFTER the BIND: at the BIND's position
+    // the scope is empty, so ?z is unbound for every row (§18.2.2.6) —
+    // NOT o+1
+    val got = BgpPlanner.evaluate(bindQuads, Sparql.parse(npsPrefix +
+        "SELECT ?s ?z WHERE { BIND(?o + 1 AS ?z) ?s p:p ?o . }"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got == Set(("urn:b#1", None), ("urn:b#2", None),
+      ("urn:b#3", None)))
+  }
+
+  test("BIND rebinding an in-scope variable is a loud syntax error") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(npsPrefix +
+        "SELECT ?o WHERE { ?s p:p ?o . BIND(2 AS ?o) }")
+    }
+    assert(e.getMessage.contains("rebind"), e.getMessage)
+    // … including an earlier BIND's alias
+    val e2 = intercept[IllegalArgumentException] {
+      Sparql.parse(npsPrefix +
+        "SELECT ?z WHERE { BIND(1 AS ?z) BIND(2 AS ?z) }")
+    }
+    assert(e2.getMessage.contains("rebind"), e2.getMessage)
+  }
+
+  test("BIND alias consumed by a later OPTIONAL/structure is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(npsPrefix +
+        "SELECT ?s WHERE { ?s p:p ?o . BIND(?o AS ?z) OPTIONAL { ?x p:q ?z } }")
+    }
+    assert(e.getMessage.contains("positional"), e.getMessage)
+    // the same construct BEFORE the BIND is fine (and was always legal)
+    val ok = BgpPlanner.evaluate(bindQuads, Sparql.parse(npsPrefix +
+      "SELECT ?s ?w WHERE { ?s p:p ?o . OPTIONAL { ?x p:q ?o } " +
+        "BIND(CONCAT(?o, \"!\") AS ?w) }")).collect()
+    assert(ok.nonEmpty)
   }
 }

@@ -815,6 +815,50 @@ class W3cConformanceSpec extends AnyFunSuite {
       "FILTER(?v1 = ?v2) }").toSet.size == 2) // string = : no cross pair
   }
 
+  // ---- BIND positional scope (sparql11/data-sparql11/bind) ----------------
+
+  private lazy val bindData = quads(
+    (ex("s1"), ex("p"), "1"), (ex("s2"), ex("p"), "2"))
+
+  test("w3c bind/bind01+bind02 (adapted): alias from the preceding pattern") {
+    assert(run(bindData, EX +
+      "SELECT ?z WHERE { ?s ex:p ?o . BIND(?o + 10 AS ?z) }").toSet ==
+      Set(Seq(Some("11")), Seq(Some("12"))))
+  }
+
+  test("w3c bind/bind03+bind05 (adapted): alias visible to later FILTER") {
+    assert(run(bindData, EX +
+      "SELECT ?s ?z WHERE { ?s ex:p ?o . BIND(?o + 1 AS ?z) FILTER(?z = 3) }") ==
+      Seq(Seq(Some(ex("s2")), Some("3"))))
+  }
+
+  test("w3c bind/bind07 (adapted): BIND before the pattern — scope is empty") {
+    // at the BIND's position nothing is bound: ?o is a FORWARD reference
+    // → expression error → ?z unbound in every solution (the suite's
+    // expected result; an engine that sees the later ?o returns 11/12)
+    assert(run(bindData, EX +
+      "SELECT ?o ?z WHERE { BIND(?o + 10 AS ?z) ?s ex:p ?o . }").toSet ==
+      Set(Seq(Some("1"), None), Seq(Some("2"), None)))
+  }
+
+  test("w3c bind/bind08 (adapted): rebinding is a syntax error, caught loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse(EX + "SELECT ?o WHERE { ?s ex:p ?o . BIND(99 AS ?o) }")
+    }
+    assert(e.getMessage.contains("rebind"))
+  }
+
+  test("w3c bind/bind10-style join (adapted): Extend feeds a later pattern") {
+    val d = quads(
+      (ex("s1"), ex("p"), "1"), (ex("s2"), ex("p"), "2"),
+      (ex("t1"), ex("q"), "2"))
+    // Join(Extend(BGP(?s ex:p ?o), ?z ← ?o+1), BGP(?t ex:q ?z)):
+    // only s1 extends to z=2, which t1's object matches
+    assert(run(d, EX +
+      "SELECT ?s ?t WHERE { ?s ex:p ?o . BIND(?o + 1 AS ?z) ?t ex:q ?z }") ==
+      Seq(Seq(Some(ex("s1")), Some(ex("t1")))))
+  }
+
   /** Suite regions NOT runnable here, each with the blocking reason —
     * the honest skip ledger the pass counts above must be read against.
     * (Features marked "rejected loudly" raise a named error at parse
