@@ -1467,6 +1467,16 @@ object SparkEntry {
           "WHERE { ?c p:mkt ?m . ?c p:balCents ?b . FILTER(?b > 950000) }")
       BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("s", "p", "o")
     }),
+    "q155_construct_where" -> ((s, dir) => {
+      // §16.2.4 CONSTRUCT WHERE shortcut (round 11): the WHERE BGP is
+      // the template — the two-pattern join restricts to customers with
+      // both edges, then BOTH matched triples instantiate. Same
+      // projection-union-distinct plan as the explicit form (q124).
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> CONSTRUCT WHERE { " +
+          "?c p:inNation ?n . ?c p:mkt ?m }")
+      BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("s", "p", "o")
+    }),
     "q125_sparql_in" -> ((s, dir) => {
       // §2.8 IN + STRENDS: IN compiles to the spec's own =-disjunction
       // (inherits FCmp's NULL/type-error semantics), STRENDS to a
@@ -3913,6 +3923,17 @@ object SparkEntry {
         |  SELECT c AS s, 'urn:p#segment' AS p, m AS o FROM base
         |  UNION
         |  SELECT c, 'urn:p#richFlag', 'rich' FROM base)
+        |ORDER BY s, p, o""".stripMargin,
+    "q155_construct_where" ->
+      """WITH base AS (
+        |  SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |    'urn:n#' || CAST(c_nationkey AS VARCHAR) AS nid,
+        |    c_mktsegment AS m
+        |  FROM customer)
+        |SELECT s, p, o FROM (
+        |  SELECT c AS s, 'urn:p#inNation' AS p, nid AS o FROM base
+        |  UNION
+        |  SELECT c, 'urn:p#mkt', m FROM base)
         |ORDER BY s, p, o""".stripMargin,
     "q125_sparql_in" ->
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS m

@@ -506,6 +506,40 @@ object Sparql {
       // ---- CONSTRUCT form: template instantiated per solution ------------
       if (kw("CONSTRUCT")) {
         skipWs()
+        // §16.2.4 shortcut `CONSTRUCT [FROM …] WHERE { bgp }`: the WHERE
+        // group IS the template. The spec restricts the shortcut's body
+        // to a template-valid basic graph pattern — anything beyond
+        // plain-IRI-predicate triples (FILTER, OPTIONAL, paths, …) is
+        // rejected loudly, not silently dropped from the template.
+        if (kwAhead("WHERE") || kwAhead("FROM")) {
+          val (fromG, fromN) = parseDatasetClauses()
+          if (!kw("WHERE")) err("expected WHERE in CONSTRUCT WHERE form")
+          skipWs()
+          if (peek != '{') err("expected '{'")
+          pos += 1
+          val b = new GroupBufs
+          parseGroupBody(b, nested = false)
+          skipWs()
+          if (pos < n) err("unexpected trailing content after CONSTRUCT query")
+          val plain = b.filters.isEmpty && b.optionals.isEmpty &&
+            b.unions.isEmpty && b.groups.isEmpty && b.values.isEmpty &&
+            b.minuses.isEmpty && b.binds.isEmpty && b.exists.isEmpty &&
+            b.subqueries.isEmpty && b.graphs.isEmpty
+          if (!plain || b.patterns.isEmpty)
+            err("CONSTRUCT WHERE takes a non-empty basic graph pattern " +
+              "only (§16.2.4) — FILTER/OPTIONAL/UNION/… need the explicit " +
+              "CONSTRUCT { template } WHERE { … } form")
+          b.patterns.foreach { tp =>
+            val ok = tp.path.lengthCompare(1) == 0 && tp.path.head.mod == ' ' &&
+              tp.path.head.alts.lengthCompare(1) == 0 &&
+              !tp.path.head.alts.head._2 && !tp.path.head.negated
+            if (!ok) err("CONSTRUCT WHERE patterns must use plain IRI " +
+              "predicates (§16.2.4) — property paths have no template form")
+          }
+          return Query(Nil, distinct = false, b.patterns.toList, order.toList,
+            template = b.patterns.toList,
+            fromGraphs = fromG, fromNamed = fromN)
+        }
         if (peek != '{') err("expected '{' to open the CONSTRUCT template")
         pos += 1
         val tmpl = ArrayBuffer[TriplePattern]()

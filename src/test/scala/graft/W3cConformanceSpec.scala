@@ -859,6 +859,37 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq(Seq(Some(ex("s1")), Some(ex("t1")))))
   }
 
+  // ---- CONSTRUCT WHERE shortcut (sparql11/construct) ----------------------
+
+  test("w3c construct/constructwhere01+02 (adapted): the WHERE BGP is the template") {
+    val d = quads(
+      (ex("s1"), ex("p"), ex("o1")), (ex("s2"), ex("p"), ex("o2")),
+      (ex("s1"), ex("q"), "lit"))
+    // single-pattern shortcut: every match instantiates itself
+    assert(run(d, EX + "CONSTRUCT WHERE { ?s ex:p ?o . }").toSet == Set(
+      Seq(Some(ex("s1")), Some(ex("p")), Some(ex("o1"))),
+      Seq(Some(ex("s2")), Some(ex("p")), Some(ex("o2")))))
+    // two-pattern BGP: the JOIN restricts, then both triples instantiate
+    assert(run(d, EX +
+      "CONSTRUCT WHERE { ?s ex:p ?o . ?s ex:q ?l }").toSet == Set(
+      Seq(Some(ex("s1")), Some(ex("p")), Some(ex("o1"))),
+      Seq(Some(ex("s1")), Some(ex("q")), Some("lit"))))
+  }
+
+  test("w3c construct/constructwhere05+06 (adapted): non-BGP shortcut bodies are invalid") {
+    // §16.2.4 restricts the shortcut to a basic graph pattern — FILTER
+    // and property paths are syntax errors there, loudly rejected
+    val e1 = intercept[IllegalArgumentException] {
+      Sparql.parse(EX +
+        "CONSTRUCT WHERE { ?s ex:p ?o . FILTER(?o != \"x\") }")
+    }
+    assert(e1.getMessage.contains("basic graph pattern"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sparql.parse(EX + "CONSTRUCT WHERE { ?s ex:p* ?o . }")
+    }
+    assert(e2.getMessage.contains("template"))
+  }
+
   /** Suite regions NOT runnable here, each with the blocking reason —
     * the honest skip ledger the pass counts above must be read against.
     * (Features marked "rejected loudly" raise a named error at parse
