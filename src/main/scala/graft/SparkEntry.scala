@@ -1097,6 +1097,18 @@ object SparkEntry {
           "ORDER BY DESC(?cnt) ?n")
       BgpPlanner.evaluate(tpchQuads(s, dir, "inNation", "inRegion"), q)
     }),
+    "q156_sparql_post_values" -> ((s, dir) => {
+      // §18.2.4.7 trailing VALUES (round 11): the block joins the
+      // SOLUTION SEQUENCE — after GROUP BY/COUNT, before order/slice —
+      // the parameterized-report idiom (same query, caller-supplied key
+      // list). Plan: hash aggregate, then a broadcast LocalRelation join.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?m (COUNT(?c) AS ?n) WHERE { " +
+          "?c p:mkt ?m . ?c p:balCents ?b . FILTER(?b > 900000) } " +
+          "GROUP BY ?m ORDER BY ?m " +
+          "VALUES ?m { \"BUILDING\" \"MACHINERY\" \"AUTOMOBILE\" }")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
     "q114_sparql_values_minus" -> ((s, dir) => {
       // §2.8 VALUES + MINUS + LIMIT/OFFSET: the inline id list becomes a
       // broadcast join into the pattern scan (the parameterized-query
@@ -3649,6 +3661,13 @@ object SparkEntry {
         |GROUP BY c_nationkey
         |HAVING count(*) >= 50
         |ORDER BY cnt DESC, n""".stripMargin,
+    "q156_sparql_post_values" ->
+      """SELECT c_mktsegment AS m, count(*) AS n
+        |FROM customer
+        |WHERE floor(c_acctbal*100) > 900000
+        |  AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+        |GROUP BY c_mktsegment
+        |ORDER BY m""".stripMargin,
     "q114_sparql_values_minus" ->
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
         |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n

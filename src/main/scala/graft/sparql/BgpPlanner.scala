@@ -1144,6 +1144,29 @@ object BgpPlanner {
     * one) flows through. Input columns are vc-named. The ASK and
     * CONSTRUCT forms short-circuit here: both consume the raw binding
     * relation instead of a variable projection. */
+  /** The §18.2.4.7 trailing-VALUES join (also usable for any vc-named
+    * relation): inner join under the UNDEF-compatible null-or-equal
+    * condition; vars the relation doesn't have yet are appended. */
+  private def joinValuesBlock(acc0: DataFrame,
+      vb: Sparql.ValuesBlock): DataFrame = {
+    val spark = acc0.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(vb.vars.map(v =>
+      org.apache.spark.sql.types.StructField("u_" + vc(v),
+        org.apache.spark.sql.types.StringType)))
+    val rel = spark.createDataFrame(
+      vb.rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
+    val accCols = acc0.columns.toSet
+    val shared = vb.vars.filter(v => accCols.contains(vc(v)))
+    val cond = shared.map { v =>
+      rel("u_" + vc(v)).isNull || acc0(vc(v)) === rel("u_" + vc(v))
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val joined = acc0.join(rel, cond, "inner")
+    joined.select(
+      acc0.columns.map(joined(_)) ++
+        vb.vars.filterNot(v => accCols.contains(vc(v)))
+          .map(v => joined("u_" + vc(v)).as(vc(v))): _*)
+  }
+
   private def finish(acc0: DataFrame, q: Query): DataFrame = {
     if (q.askForm) {
       // one row always: LIMIT 1 bounds the work (any one solution
@@ -1238,6 +1261,11 @@ object BgpPlanner {
         throw new IllegalArgumentException("HAVING without GROUP BY/aggregates")
       acc = acc.filter(compileHaving(f, acc))
     }
+    // §18.2.4.7: the trailing VALUES clause joins the solution sequence
+    // HERE — after grouping/HAVING, before order/projection/slice. Same
+    // null-or-equal compatibility condition as a group-scoped block
+    // (UNDEF compatible with any binding) over a broadcast LocalRelation.
+    q.postValues.foreach { vb => acc = joinValuesBlock(acc, vb) }
     // §18.2.5: ORDER BY evaluates BEFORE projection, so keys may be any
     // in-scope variable — sort the pre-projection relation and project
     // after (a narrow projection preserves the global sort). §15.1's one

@@ -293,7 +293,10 @@ object Sparql {
       groups: List[PatternGroup] = Nil, // plain nested `{ … }` groups
       graphs: List[(Term, PatternGroup)] = Nil, // GRAPH <iri>/?g { … }
       fromGraphs: List[String] = Nil, // FROM <g> — merged default graph
-      fromNamed: List[String] = Nil) { // FROM NAMED <g> — GRAPH-visible set
+      fromNamed: List[String] = Nil, // FROM NAMED <g> — GRAPH-visible set
+      // trailing `… } VALUES ?v { … }` clause — §18.2.4.7: joins the
+      // solution sequence AFTER grouping/HAVING, BEFORE order/slice
+      postValues: List[ValuesBlock] = Nil) {
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -636,6 +639,10 @@ object Sparql {
         else if (kw("OFFSET")) offset = Some(parseInt())
         else moreSlice = false
       }
+      // ValuesClause (grammar: the last production of every query form):
+      // ONE trailing VALUES block, joined per §18.2.4.7
+      val postVals = ArrayBuffer[ValuesBlock]()
+      if (kw("VALUES")) postVals += parseValues()
       skipWs()
       if (pos < n) err("unexpected trailing content after query")
       if (selectExprs.nonEmpty && (groupBy.nonEmpty || aggs.nonEmpty))
@@ -648,7 +655,7 @@ object Sparql {
         limit, offset, b.values.toList, b.minuses.toList,
         (b.binds ++ selectExprs).toList, b.exists.toList, b.subqueries.toList,
         groups = b.groups.toList, graphs = b.graphs.toList,
-        fromGraphs = fromG, fromNamed = fromN)
+        fromGraphs = fromG, fromNamed = fromN, postValues = postVals.toList)
     }
 
     private def parseInt(): Int = {

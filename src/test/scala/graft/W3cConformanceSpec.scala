@@ -890,6 +890,45 @@ class W3cConformanceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("template"))
   }
 
+  // ---- trailing VALUES clause (sparql11/bindings: values07/values08) ------
+
+  test("w3c bindings/values07 (adapted): post-query VALUES restricts solutions") {
+    val d = quads(
+      (ex("s1"), ex("p"), "1"), (ex("s2"), ex("p"), "2"),
+      (ex("s3"), ex("p"), "3"))
+    assert(run(d, EX +
+      "SELECT ?s ?o WHERE { ?s ex:p ?o . } VALUES ?o { \"1\" \"3\" }").toSet ==
+      Set(Seq(Some(ex("s1")), Some("1")), Seq(Some(ex("s3")), Some("3"))))
+  }
+
+  test("w3c bindings/values08 (adapted): trailing multi-var block with UNDEF") {
+    val d = quads(
+      (ex("s1"), ex("p"), "1"), (ex("s2"), ex("p"), "2"))
+    // UNDEF ?o row pairs s2's solution with tag "any"; the bound row
+    // pins (o=1, tag="one") to s1 only
+    val got = run(d, EX +
+      "SELECT ?s ?o ?t WHERE { ?s ex:p ?o . } " +
+        "VALUES (?o ?t) { (\"1\" \"one\") (UNDEF \"any\") }").toSet
+    assert(got == Set(
+      Seq(Some(ex("s1")), Some("1"), Some("one")),
+      Seq(Some(ex("s1")), Some("1"), Some("any")),
+      Seq(Some(ex("s2")), Some("2"), Some("any"))))
+  }
+
+  test("w3c §18.2.4.7: trailing VALUES joins AFTER aggregation, not before") {
+    // grouped counts first, THEN the block keeps one group key — a
+    // pre-aggregation join would also change the counts of kept groups
+    // if values rows duplicated (they don't here, but the position is
+    // observable through which keys survive with which counts)
+    val d = quads(
+      (ex("a"), ex("p"), "x"), (ex("a"), ex("p"), "y"),
+      (ex("b"), ex("p"), "z"))
+    assert(run(d, EX +
+      "SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ex:p ?o . } GROUP BY ?s " +
+        "VALUES ?s { <urn:ex#a> }") ==
+      Seq(Seq(Some(ex("a")), Some("2"))))
+  }
+
   /** Suite regions NOT runnable here, each with the blocking reason —
     * the honest skip ledger the pass counts above must be read against.
     * (Features marked "rejected loudly" raise a named error at parse
