@@ -1097,6 +1097,17 @@ object SparkEntry {
           "ORDER BY DESC(?cnt) ?n")
       BgpPlanner.evaluate(tpchQuads(s, dir, "inNation", "inRegion"), q)
     }),
+    "q157_sparql_var_predicate" -> ((s, dir) => {
+      // variable predicates (round 11): the store-introspection query
+      // every RDF user writes first — predicate histogram via `?s ?p ?o`.
+      // The verb var binds the quads relation's own p column; the plan is
+      // a scan + hash aggregate (no predicate pushdown EXISTS to miss —
+      // the query names none).
+      val q = Sparql.parse(
+        "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . } " +
+          "GROUP BY ?p ORDER BY ?p")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
     "q156_sparql_post_values" -> ((s, dir) => {
       // §18.2.4.7 trailing VALUES (round 11): the block joins the
       // SOLUTION SEQUENCE — after GROUP BY/COUNT, before order/slice —
@@ -3661,6 +3672,14 @@ object SparkEntry {
         |GROUP BY c_nationkey
         |HAVING count(*) >= 50
         |ORDER BY cnt DESC, n""".stripMargin,
+    "q157_sparql_var_predicate" ->
+      // custQuads emits one balCents + one mkt + one inNation triple per
+      // customer — the histogram is |customer| per predicate
+      """SELECT p, count(*) AS n FROM (
+        |  SELECT 'urn:p#balCents' AS p FROM customer
+        |  UNION ALL SELECT 'urn:p#inNation' FROM customer
+        |  UNION ALL SELECT 'urn:p#mkt' FROM customer)
+        |GROUP BY p ORDER BY p""".stripMargin,
     "q156_sparql_post_values" ->
       """SELECT c_mktsegment AS m, count(*) AS n
         |FROM customer

@@ -31,13 +31,37 @@ object BgpPlanner {
   import Sparql._
 
   private final case class Atom(s: Term, step: Step, o: Term) {
-    def vars: Seq[String] = Seq(s, o).collect { case V(n) => n }
+    def vars: Seq[String] =
+      Seq(s, o).collect { case V(n) => n } ++ step.varName
     def constCount: Int = Seq(s, o).count { case V(_) => false; case _ => true }
   }
 
   /** Internal column name for a variable (avoids collision with the quads
     * table's own `s`/`p`/`o`/`graph` columns). */
   private def vc(name: String): String = "v_" + name
+
+  /** Variable-predicate atom → vc-named relation. `rel0` carries
+    * `as`/`ap`/`ao` (plus any pre-seeded vc columns listed in `seeded`,
+    * e.g. GRAPH's ?g). First occurrence of each variable selects its
+    * column; a repeated variable (`?x ?p ?x`, `?s ?p ?p`, GRAPH var as
+    * verb) becomes an equality filter; constants filter. DISTINCT because
+    * atom relations are set-semantics inputs to the greedy join. */
+  private def varPredRel(rel0: DataFrame, a: Atom, pv: String,
+      seeded: Seq[(String, String)]): DataFrame = {
+    var rel = rel0
+    val seen = scala.collection.mutable.LinkedHashMap[String, String](seeded: _*)
+    Seq(("as", a.s), ("ap", V(pv): Term), ("ao", a.o)).foreach {
+      case (c, V(x)) => seen.get(x) match {
+        case Some(c0) => rel = rel.filter(col(c0) === col(c))
+        case None => seen += (x -> c)
+      }
+      case (c, I(i)) => rel = rel.filter(col(c) === i)
+      case (c, L(l)) => rel = rel.filter(col(c) === l)
+    }
+    rel.select(seen.map { case (x, c) =>
+      (if (c.startsWith("v_")) col(c) else col(c).as(vc(x))): Column
+    }.toSeq: _*).distinct()
+  }
 
   /** Evaluate `q` over `quads` ((graph,s,p,o) strings). `graph`=None means
     * default-union semantics (reference: setup-graphs.py:14). */
@@ -186,6 +210,16 @@ object BgpPlanner {
     }
 
     def atomDF(a: Atom): Option[DataFrame] = {
+      // VARIABLE predicate: the quads relation's own `p` column binds the
+      // verb var — a 3-column projection instead of an edge relation.
+      // First occurrence of each var selects its column; a repeat
+      // (`?x ?p ?x`, `?s ?p ?p`) becomes an equality filter; constants
+      // filter. Inherently a full scoped scan (the query names no
+      // predicate to push down) — that is the semantics, not a plan gap.
+      if (a.step.varName.isDefined)
+        return Some(varPredRel(scoped.select(
+          col("s").as("as"), col("p").as("ap"), col("o").as("ao")),
+          a, a.step.varName.get, Nil))
       val rel =
         if (a.step.mod != ' ') (a.s, a.o) match {
           case (V(_), I(c)) => targetedClosure(a.step, c, constIsObject = true)
@@ -267,7 +301,8 @@ object BgpPlanner {
     /** User-visible variables a group can bind, recursively (fresh _path/
       * _anon join vars excluded — they never leave their group). */
     def groupVarsOf(g: PatternGroup): List[String] = (
-      g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n }) ++
+      g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n } ++
+        tp.path.flatMap(_.varName)) ++
         g.groups.flatMap(groupVarsOf) ++ g.optionals.flatMap(groupVarsOf) ++
         g.unions.flatMap(_.branches.flatMap(groupVarsOf)) ++
         g.values.flatMap(_.vars) ++ g.binds.map(_.alias) ++
@@ -448,6 +483,15 @@ object BgpPlanner {
               substring_index(col("dst"), SEP, -1).as("ao"))
           }
           val parts2 = atoms2.map { a =>
+            // VARIABLE predicate under GRAPH ?g: the graph column is a
+            // pre-seeded binding (?g may even BE the verb var — then the
+            // predicate must equal the row's own graph name); same
+            // seen-map compilation as the unscoped atom path
+            if (a.step.varName.isDefined) {
+              (1, varPredRel(qg.select(col("graph").as(vc(gv)),
+                col("s").as("as"), col("p").as("ap"), col("o").as("ao")),
+                a, a.step.varName.get, Seq(gv -> vc(gv))))
+            } else {
             var rel =
               if (a.step.mod != ' ') pathRel(a.step)
               else qgStepEdges(a.step).select(col("graph").as(vc(gv)),
@@ -481,6 +525,7 @@ object BgpPlanner {
               case _ => rel.select(col(vc(gv))) // ground: binds only ?g
             }
             (a.constCount, out.distinct())
+            }
           }
           var rel = greedyJoin(parts2)
           g.filters.foreach { f =>

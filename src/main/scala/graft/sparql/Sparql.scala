@@ -90,7 +90,12 @@ object Sparql {
     * forward alts, union inverse edges avoiding the inverse alts; a part
     * exists only if the set names ≥1 element of that direction). */
   final case class Step(alts: List[(String, Boolean)], mod: Char,
-      negated: Boolean = false) {
+      negated: Boolean = false,
+      // VARIABLE predicate `?s ?p ?o` (round 11): the verb is a variable,
+      // never combinable with path syntax (the SPARQL grammar's Path
+      // production contains no variables) — alts is empty, mod is ' '.
+      // The planner binds the quads relation's `p` column to the var.
+      varName: Option[String] = None) {
     def star: Boolean = mod == '*'
   }
   object Step {
@@ -251,7 +256,8 @@ object Sparql {
     * `_path` join vars excluded). MINUS and EXISTS bodies never bind
     * outward (§8.3: they constrain, they don't extend the domain). */
   def boundVars(g: PatternGroup): Set[String] = (
-    g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n }) ++
+    g.patterns.flatMap(tp => Seq(tp.s, tp.o).collect { case V(n) => n } ++
+      tp.path.flatMap(_.varName)) ++
       g.optionals.flatMap(boundVars) ++ g.groups.flatMap(boundVars) ++
       g.unions.flatMap(_.branches.flatMap(boundVars)) ++
       g.values.flatMap(_.vars) ++ g.binds.map(_.alias) ++
@@ -1416,6 +1422,17 @@ object Sparql {
       if (peek == 'a' && pos + 1 < n && !nameChar(in.charAt(pos + 1)) && in.charAt(pos + 1) != ':') {
         pos += 1
         return List(Step(Model.RdfType, star = false))
+      }
+      // VARIABLE verb (grammar: Verb ::= VarOrIri | Path) — a var can
+      // never be a Path element, so modifier/sequence syntax directly
+      // after it is rejected loudly rather than mis-parsed
+      if (peek == '?' || peek == '$') {
+        val v = parseVar()
+        if (pos < n && "*+/|^".contains(in.charAt(pos)))
+          err(s"property-path syntax after variable predicate ?$v — the " +
+            "SPARQL Path grammar has no variables (§9.1); use an IRI path " +
+            "or a plain variable verb")
+        return List(Step(Nil, ' ', negated = false, varName = Some(v)))
       }
       val steps = ArrayBuffer[Step]()
       var more = true

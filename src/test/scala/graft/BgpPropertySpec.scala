@@ -995,6 +995,76 @@ class BgpPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- variable-predicate differential fuzz (round 11) -------------------
+
+  test("variable-predicate BGPs == naive unification on random graphs") {
+    val s = spark
+    import s.implicits._
+    // pools overlap deliberately: A serves as subject, object AND
+    // predicate, so pred=subject / pred=object joins get exercised
+    val nodes = Seq("urn:t#A", "urn:t#B", "urn:t#C")
+    val preds = Seq("urn:e#p", "urn:e#q", "urn:t#A")
+    val termGen = Gen.oneOf("?a", "?b", "?c", "urn:t#A", "urn:t#B")
+    val verbGen = Gen.frequency(
+      3 -> Gen.oneOf("?p", "?q", "?a"), // ?a doubles as a term var
+      2 -> Gen.oneOf("urn:e#p", "urn:e#q"))
+    val atomGen = for (su <- termGen; v <- verbGen; o <- termGen)
+      yield (su, v, o)
+    val tripleGen = for {
+      su <- Gen.oneOf(nodes); p <- Gen.oneOf(preds); o <- Gen.oneOf(nodes)
+    } yield (su, p, o)
+    val caseGen = for {
+      nT <- Gen.choose(3, 8)
+      ts <- Gen.listOfN(nT, tripleGen)
+      nA <- Gen.choose(1, 3)
+      as <- Gen.listOfN(nA, atomGen)
+    } yield (ts.toSet, as)
+
+    def matchTerm(pat: String, value: String,
+        env: Map[String, String]): Option[Map[String, String]] =
+      if (pat.startsWith("?")) env.get(pat) match {
+        case Some(v0) => if (v0 == value) Some(env) else None
+        case None => Some(env + (pat -> value))
+      } else if (pat == value) Some(env) else None
+
+    def naive(ts: Set[(String, String, String)],
+        as: Seq[(String, String, String)]): Set[Map[String, String]] =
+      as.foldLeft(Seq(Map.empty[String, String])) { case (acc, (su, p, o)) =>
+        for {
+          env <- acc; (t1, t2, t3) <- ts.toSeq
+          e1 <- matchTerm(su, t1, env)
+          e2 <- matchTerm(p, t2, e1)
+          e3 <- matchTerm(o, t3, e2)
+        } yield e3
+      }.toSet
+
+    val cases = (1 to 60).flatMap { i =>
+      caseGen(Gen.Parameters.default, Seed(74000L + i))
+    }
+    assert(cases.size >= 50)
+    var varPredSeen = 0
+    cases.foreach { case (ts, as) =>
+      val vars = as.flatMap { case (a, b, c) => Seq(a, b, c) }
+        .filter(_.startsWith("?")).distinct.sorted
+      if (vars.nonEmpty) {
+        if (as.exists(_._2.startsWith("?"))) varPredSeen += 1
+        val quads = ts.toSeq.map { case (t1, t2, t3) =>
+          Quad("urn:g#", t1, t2, t3) }.toDF()
+        def term(t: String) = if (t.startsWith("?")) t else s"<$t>"
+        val q = Sparql.parse(
+          s"SELECT DISTINCT ${vars.mkString(" ")} WHERE { " +
+            as.map { case (a, b, c) => s"${term(a)} ${term(b)} ${term(c)} ." }
+              .mkString(" ") + " }")
+        val got = BgpPlanner.evaluate(quads, q).collect()
+          .map(r => vars.indices.map(r.getString).toList).toSet
+        val want = naive(ts, as).map(env => vars.map(env).toList)
+        assert(got == want, s"atoms=$as over ${ts.size} triples: " +
+          s"planner=${got.size} naive=${want.size}\n$got\n$want")
+      }
+    }
+    assert(varPredSeen >= 20) // the surface under test actually appeared
+  }
+
   // ---- numeric-builtin differential fuzz (round-11 §17.4.4 surface) ------
 
   /** ABS/CEIL/FLOOR/ROUND nested over integer arithmetic: the reference

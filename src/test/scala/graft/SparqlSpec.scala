@@ -1533,6 +1533,79 @@ class SparqlSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("rebind"), e2.getMessage)
   }
 
+  // ---- variable predicates (round 11) ------------------------------------
+
+  lazy val vpQuads = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      Quad("urn:ga#", "urn:v#1", "urn:p#knows", "urn:v#2"),
+      Quad("urn:ga#", "urn:v#1", "urn:p#likes", "urn:v#3"),
+      Quad("urn:ga#", "urn:v#2", "urn:p#knows", "urn:v#1"),
+      Quad("urn:gb#", "urn:v#3", "urn:p#self", "urn:v#3")).toDF()
+  }
+
+  test("variable predicate: ?s ?p ?o scans the store; constants restrict") {
+    val all = BgpPlanner.evaluate(vpQuads, Sparql.parse(
+        "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(all == Set(
+      ("urn:v#1", "urn:p#knows", "urn:v#2"),
+      ("urn:v#1", "urn:p#likes", "urn:v#3"),
+      ("urn:v#2", "urn:p#knows", "urn:v#1"),
+      ("urn:v#3", "urn:p#self", "urn:v#3")))
+    // constant subject: which predicates leave v1?
+    val out = BgpPlanner.evaluate(vpQuads, Sparql.parse(
+        "SELECT ?p WHERE { <urn:v#1> ?p ?o . }"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("urn:p#knows", "urn:p#likes"))
+  }
+
+  test("variable predicate: repeated vars filter (self-loop, pred=object)") {
+    val loops = BgpPlanner.evaluate(vpQuads, Sparql.parse(
+        "SELECT ?x ?p WHERE { ?x ?p ?x . }"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(loops == Set(("urn:v#3", "urn:p#self")))
+  }
+
+  test("variable predicate joins: same verb var across atoms") {
+    // pairs connected BOTH ways by the SAME predicate
+    val mutual = BgpPlanner.evaluate(vpQuads, Sparql.parse(
+        "SELECT ?a ?b ?p WHERE { ?a ?p ?b . ?b ?p ?a . FILTER(?a != ?b) }"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(mutual == Set(("urn:v#1", "urn:v#2"), ("urn:v#2", "urn:v#1")))
+    // FILTER over the verb var
+    val filtered = BgpPlanner.evaluate(vpQuads, Sparql.parse(
+        "SELECT ?s WHERE { ?s ?p ?o . FILTER(STRENDS(?p, \"likes\")) }"))
+      .collect().map(_.getString(0)).toSet
+    assert(filtered == Set("urn:v#1"))
+  }
+
+  test("variable predicate under GRAPH ?g, including ?g as the verb") {
+    val byGraph = BgpPlanner.evaluate(vpQuads, Sparql.parse(
+        "SELECT ?g ?p WHERE { GRAPH ?g { ?s ?p ?o . } }"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(byGraph == Set(
+      ("urn:ga#", "urn:p#knows"), ("urn:ga#", "urn:p#likes"),
+      ("urn:gb#", "urn:p#self")))
+    // verb var = graph var: predicate must equal the row's graph name —
+    // no such row in the fixture
+    val none = BgpPlanner.evaluate(vpQuads, Sparql.parse(
+        "SELECT ?g WHERE { GRAPH ?g { ?s ?g ?o . } }")).collect()
+    assert(none.isEmpty)
+  }
+
+  test("variable predicate cannot take path syntax — loud rejections") {
+    val e = intercept[IllegalArgumentException] {
+      Sparql.parse("SELECT ?s WHERE { ?s ?p* ?o . }")
+    }
+    assert(e.getMessage.contains("Path"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Sparql.parse(npsPrefix + "SELECT ?s WHERE { ?s ?p/p:q ?o . }")
+    }
+    assert(e2.getMessage.contains("Path"), e2.getMessage)
+  }
+
   test("BIND alias consumed by a later OPTIONAL/structure is rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       Sparql.parse(npsPrefix +

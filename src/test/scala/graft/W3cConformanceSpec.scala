@@ -892,6 +892,29 @@ class W3cConformanceSpec extends AnyFunSuite {
 
   // ---- trailing VALUES clause (sparql11/bindings: values07/values08) ------
 
+  // ---- variable predicates (data-r2/triple-match) --------------------------
+
+  test("w3c triple-match/dawg-tp-03: variable predicate with ground subject") {
+    val d = quads(
+      (ex("x"), ex("p"), "1"), (ex("x"), ex("q"), "2"),
+      (ex("y"), ex("p"), "3"))
+    assert(run(d, EX + "SELECT ?a ?b WHERE { ex:x ?a ?b . }").toSet == Set(
+      Seq(Some(ex("p")), Some("1")), Seq(Some(ex("q")), Some("2"))))
+  }
+
+  test("w3c basic/full-scan (adapted): ?s ?p ?o enumerates the graph") {
+    val d = quads((ex("x"), ex("p"), "1"), (ex("y"), ex("q"), ex("x")))
+    assert(run(d, "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }").toSet == Set(
+      Seq(Some(ex("x")), Some(ex("p")), Some("1")),
+      Seq(Some(ex("y")), Some(ex("q")), Some(ex("x")))))
+    // join through the verb variable: predicates used by ≥2 subjects
+    val d2 = quads(
+      (ex("a"), ex("p"), "1"), (ex("b"), ex("p"), "2"),
+      (ex("c"), ex("q"), "3"))
+    assert(run(d2, EX + "SELECT DISTINCT ?p WHERE { ?s1 ?p ?o1 . " +
+      "?s2 ?p ?o2 . FILTER(?s1 != ?s2) }") == Seq(Seq(Some(ex("p")))))
+  }
+
   test("w3c bindings/values07 (adapted): post-query VALUES restricts solutions") {
     val d = quads(
       (ex("s1"), ex("p"), "1"), (ex("s2"), ex("p"), "2"),
@@ -934,8 +957,8 @@ class W3cConformanceSpec extends AnyFunSuite {
     * (Features marked "rejected loudly" raise a named error at parse
     * time rather than mis-evaluating — RobustnessSpec's house rule.) */
   val documentedSkips: Seq[(String, String)] = Seq(
-    "data-r2/triple-match/dawg-tp-03 and all ?p patterns" ->
-      "variable predicates are outside the subset (constant-predicate store; rejected loudly)",
+    "property paths over variable predicates (?p*, ?p/iri)" ->
+      "the SPARQL Path grammar itself has no variables (§9.1) — rejected loudly; plain variable verbs (dawg-tp-03, ?s ?p ?o) are SUPPORTED since round 11",
     "data-r2/expr-builtin lang()/datatype()/langMatches" ->
       "plain-string term model — no language tags or datatype IRIs to inspect",
     "data-r2/type-promotion" ->
