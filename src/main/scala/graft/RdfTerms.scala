@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Lexical encoding for RDF terms with language tags / datatype IRIs.
+  *
+  * The quads table stores every term as ONE string column (SURVEY.md
+  * §1.2): IRIs bare, plain literals bare, blank nodes `_:{scope}-{n}`.
+  * That matches the reference's user-visible stringification exactly —
+  * rdflib's `str(term)` drops tags and datatypes at the result boundary
+  * (reference: mortar-parquet-client/client.py:43,53) — but the store
+  * UNDERNEATH (oxigraph via the OxSled rdflib store) keeps `"x"@en` and
+  * `"x"` as distinct terms: a BGP constant `"x"@en` matches only the
+  * tagged one, and DISTINCT counts them separately. Dropping annotations
+  * at LOAD time (the pre-round-11 behavior) conflated them too early.
+  *
+  * Encoding (round 11): a literal that carries an annotation keeps it,
+  * N-Triples style, inside the stored string —
+  *
+  *   - `"chat"@en`                      language-tagged literal
+  *   - `"P1Y"^^<http://…#duration>`     datatype IRI the lexical shape
+  *                                      cannot reconstruct
+  *
+  * while everything RECONSTRUCTIBLE stays bare, exactly as before: plain
+  * string literals, and typed literals whose datatype equals their
+  * Turtle-shorthand shape (`"5"^^xsd:integer` ≡ shorthand `5` — both
+  * store as `5`; [[shapeDatatype]] recovers xsd:integer). So loading
+  * unannotated data produces byte-identical tables to every prior round,
+  * and `sameTerm`/BGP joins get true term identity for tagged literals
+  * free of charge (codepoint equality of the encoding IS term equality).
+  *
+  * The rdflib-parity boundary: [[lex]] strips the annotation, applied
+  * ONCE at the outermost SELECT projection (BgpPlanner.finish) — after
+  * DISTINCT/ORDER BY, which per §18.5 operate on TERMS — mirroring where
+  * the reference's `str()` sits (client.py:43).
+  *
+  * Documented conflations that remain (inherited from the bare store,
+  * not introduced here): a bare IRI vs a plain literal with the same
+  * characters; plain `"5"` (xsd:string) vs shorthand integer `5`.
+  * `isIRI`/`isLiteral` stay rejected for exactly this reason.
+  */
+object RdfTerms {
+
+  val XsdNs = "http://www.w3.org/2001/XMLSchema#"
+  val XsdString: String = XsdNs + "string"
+  val XsdInteger: String = XsdNs + "integer"
+  val XsdDecimal: String = XsdNs + "decimal"
+  val XsdDouble: String = XsdNs + "double"
+  val XsdBoolean: String = XsdNs + "boolean"
+  val RdfLangString = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+  // Turtle-shorthand lexical shapes (Turtle §2.5.2 INTEGER/DECIMAL/DOUBLE)
+  private val IntShape = "[+-]?\\d+"
+  private val DecShape = "[+-]?\\d*\\.\\d+"
+  private val DblShape = "[+-]?(?:\\d+\\.?\\d*|\\.\\d+)[eE][+-]?\\d+"
+
+  /** Encoded-form recognizers. `(?s)` because a lexical may span lines;
+    * the greedy `(.*)` runs to the LAST quote that is followed by a
+    * well-formed suffix, so internal quotes in the lexical are safe. */
+  val LangRe: String = "(?s)\\A\"(.*)\"@([A-Za-z]+(?:-[A-Za-z0-9]+)*)\\z"
+  val DtRe: String = "(?s)\\A\"(.*)\"\\^\\^<([^>]*)>\\z"
+
+  /** Datatype the bare encoding implies — mirrors Turtle's numeric/
+    * boolean shorthands; anything else reads as xsd:string (or an IRI,
+    * the documented conflation). */
+  def shapeDatatype(lexical: String): String =
+    if (lexical.matches(IntShape)) XsdInteger
+    else if (lexical.matches(DecShape)) XsdDecimal
+    else if (lexical.matches(DblShape)) XsdDouble
+    else if (lexical == "true" || lexical == "false") XsdBoolean
+    else XsdString
+
+  /** Encode a language-tagged literal (always annotated — a tag is never
+    * reconstructible from the lexical). */
+  def encodeLang(lexical: String, tag: String): String =
+    "\"" + lexical + "\"@" + tag
+
+  /** Encode a typed literal: bare iff the shape already says so
+    * (round-trips through [[shapeDatatype]]); annotated otherwise. Note
+    * `"5"^^xsd:string` stays ANNOTATED (shape says integer) — keeping it
+    * distinct from shorthand integer 5, which is MORE faithful than
+    * collapsing, while plain unannotated literals are untouched. */
+  def encodeTyped(lexical: String, dt: String): String =
+    if (dt == shapeDatatype(lexical)) lexical
+    else "\"" + lexical + "\"^^<" + dt + ">"
+
+  // ------------------------------------------------------------------
+  // Column forms — pure built-in expressions (startswith guard first, so
+  // the overwhelmingly-common bare value never reaches a regex).
+  // ------------------------------------------------------------------
+
+  private def quoted(c: Column): Column = c.startsWith("\"")
+
+  def isAnnotated(c: Column): Column =
+    quoted(c) && (c.rlike(LangRe) || c.rlike(DtRe))
+
+  /** The lexical form — §17.4.2.1 STR, and the rdflib `str()` result
+    * boundary. Identity on bare values (including NULL). */
+  def lex(c: Column): Column =
+    when(!quoted(c), c)
+      .when(c.rlike(LangRe), regexp_extract(c, LangRe, 1))
+      .when(c.rlike(DtRe), regexp_extract(c, DtRe, 1))
+      .otherwise(c)
+
+  /** §17.4.2.2 LANG: the tag, "" for any untagged literal. Blank nodes
+    * are a type error → NULL. (Bare IRIs read "" — the documented
+    * IRI/plain-literal conflation.) */
+  def langOf(c: Column): Column =
+    when(c.startsWith("_:"), lit(null).cast("string"))
+      .when(quoted(c) && c.rlike(LangRe), regexp_extract(c, LangRe, 2))
+      .when(c.isNotNull, lit(""))
+
+  /** §17.4.2.7 DATATYPE as an IRI string: rdf:langString for tagged,
+    * the annotation for typed, the shape datatype for bare. Blank nodes
+    * → NULL (type error). */
+  def datatypeOf(c: Column): Column =
+    when(c.startsWith("_:"), lit(null).cast("string"))
+      .when(c.rlike(LangRe), lit(RdfLangString))
+      .when(c.rlike(DtRe), regexp_extract(c, DtRe, 2))
+      .when(c.rlike("\\A" + IntShape + "\\z"), lit(XsdInteger))
+      .when(c.rlike("\\A" + DecShape + "\\z"), lit(XsdDecimal))
+      .when(c.rlike("\\A" + DblShape + "\\z"), lit(XsdDouble))
+      .when(c.isin("true", "false"), lit(XsdBoolean))
+      .when(c.isNotNull, lit(XsdString))
+
+  /** §17.4.2.5 STRLANG: tag a SIMPLE literal; an already-annotated input
+    * or a malformed tag is a type error → NULL. */
+  def strLang(c: Column, tag: Column): Column =
+    when(!isAnnotated(c) && !c.startsWith("_:") &&
+        tag.rlike("\\A[A-Za-z]+(?:-[A-Za-z0-9]+)*\\z"),
+      concat(lit("\""), c, lit("\"@"), tag))
+
+  /** §17.4.2.6 STRDT: type a SIMPLE literal; normalizes exactly like
+    * [[encodeTyped]] so constructed terms join stored ones. */
+  def strDt(c: Column, dt: Column): Column = {
+    val shape =
+      when(c.rlike("\\A" + IntShape + "\\z"), lit(XsdInteger))
+        .when(c.rlike("\\A" + DecShape + "\\z"), lit(XsdDecimal))
+        .when(c.rlike("\\A" + DblShape + "\\z"), lit(XsdDouble))
+        .when(c.isin("true", "false"), lit(XsdBoolean))
+        .otherwise(lit(XsdString))
+    when(!isAnnotated(c) && !c.startsWith("_:"),
+      when(shape === dt, c)
+        .otherwise(concat(lit("\""), c, lit("\"^^<"), dt, lit(">"))))
+  }
+
+  /** §17.4.3.1 LANGMATCHES = RFC 4647 basic filtering: "*" matches any
+    * non-empty tag; otherwise case-insensitive equality or a
+    * hyphen-boundary prefix ("en" matches "en-GB", not "enx"). */
+  def langMatches(lang: Column, range: Column): Column =
+    when(range === "*", lang =!= "")
+      .otherwise(lower(lang) === lower(range) ||
+        lower(lang).startsWith(concat(lower(range), lit("-"))))
+}

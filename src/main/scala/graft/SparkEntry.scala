@@ -133,6 +133,28 @@ object SparkEntry {
     bal.union(mkt).select("graph", "s", "p", "o")
   }
 
+  /** Customer quads with ANNOTATED literals (round 11): a language-tagged
+    * label (tag keyed off c_custkey so en / en-GB / de all occur), a
+    * custom-datatype balance, and a plain code — the typed/lang-literal
+    * fixture (q158/q159). Tags and datatypes ride the RdfTerms encoding
+    * exactly as Turtle-loaded data would. */
+  private def litQuads(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val subj = concat(lit("urn:c#"), col("c_custkey"))
+    val tag = when(pmod(col("c_custkey"), lit(4)) === 1, lit("en-GB"))
+      .when(pmod(col("c_custkey"), lit(4)) === 3, lit("de"))
+      .otherwise(lit("en"))
+    val label = c.select(subj.as("s"), lit("urn:p#label").as("p"),
+      concat(lit("\""), col("c_name"), lit("\"@"), tag).as("o"))
+    val bal = c.select(subj.as("s"), lit("urn:p#bal").as("p"),
+      concat(lit("\""), floor(col("c_acctbal") * 100).cast("long"),
+        lit("\"^^<urn:t#cents>")).as("o"))
+    val code = c.select(subj.as("s"), lit("urn:p#code").as("p"),
+      concat(lit("CUST"), col("c_custkey")).as("o"))
+    label.union(bal).union(code).withColumn("graph", lit("urn:tpch#"))
+      .select("graph", "s", "p", "o")
+  }
+
   /** Flagship on sf0.001: the full two-level mortar flow on in-memory
     * fixtures — Turtle → SPARQL (path star) → uuid set → pruned scan —
     * plus a real read of the driver's parquet. Driver smoke-checks rows>0. */
@@ -1107,6 +1129,33 @@ object SparkEntry {
         "SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o . } " +
           "GROUP BY ?p ORDER BY ?p")
       BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q158_sparql_lang_tags" -> ((s, dir) => {
+      // language-tagged literals (round 11): LANG() extraction +
+      // LANGMATCHES RFC-4647 prefix filtering ("en" admits en and en-GB,
+      // rejects de), with the rdflib-parity boundary stripping the tag
+      // from the projected label. The tag survives evaluation (FILTER and
+      // BIND see it); only the outermost SELECT projects through str().
+      val q = Sparql.parse(
+        "SELECT ?s ?name ?lang WHERE { ?s <urn:p#label> ?name . " +
+          "BIND(LANG(?name) AS ?lang) " +
+          "FILTER LANGMATCHES(LANG(?name), \"en\") } ORDER BY ?s")
+      BgpPlanner.evaluate(litQuads(s, dir), q)
+    }),
+    "q159_sparql_typed_literals" -> ((s, dir) => {
+      // typed literals (round 11): a custom-datatype term keeps its
+      // annotation through evaluation — DATATYPE() recovers the IRI,
+      // STR() the lexical — and STRLANG/STRDT construct annotated terms
+      // whose accessors round-trip. All six projected columns exercise a
+      // different accessor/constructor path over the same binding row.
+      val q = Sparql.parse(
+        "SELECT ?s ?dt ?bal ?flang ?tdt WHERE { " +
+          "?s <urn:p#bal> ?b . ?s <urn:p#code> ?c . " +
+          "BIND(DATATYPE(?b) AS ?dt) BIND(STR(?b) AS ?bal) " +
+          "BIND(STRLANG(?c, \"fr\") AS ?f) BIND(LANG(?f) AS ?flang) " +
+          "BIND(STRDT(?c, <urn:t#code>) AS ?tc) " +
+          "BIND(DATATYPE(?tc) AS ?tdt) } ORDER BY ?s")
+      BgpPlanner.evaluate(litQuads(s, dir), q)
     }),
     "q156_sparql_post_values" -> ((s, dir) => {
       // §18.2.4.7 trailing VALUES (round 11): the block joins the
@@ -3680,6 +3729,21 @@ object SparkEntry {
         |  UNION ALL SELECT 'urn:p#inNation' FROM customer
         |  UNION ALL SELECT 'urn:p#mkt' FROM customer)
         |GROUP BY p ORDER BY p""".stripMargin,
+    "q158_sparql_lang_tags" ->
+      // litQuads tags labels en / en-GB / de by c_custkey%4; LANGMATCHES
+      // "en" admits en and en-GB; the result boundary strips the tag
+      // from ?name but ?lang (a BIND of LANG()) is already bare
+      """SELECT 'urn:c#' || c_custkey AS s, c_name AS name,
+        |  CASE WHEN c_custkey % 4 = 1 THEN 'en-GB' ELSE 'en' END AS lang
+        |FROM customer WHERE c_custkey % 4 <> 3 ORDER BY s""".stripMargin,
+    "q159_sparql_typed_literals" ->
+      // DATATYPE recovers the custom IRI, STR the lexical cents;
+      // STRLANG/STRDT construct annotated terms whose accessors
+      // round-trip to the literal tag / datatype
+      """SELECT 'urn:c#' || c_custkey AS s, 'urn:t#cents' AS dt,
+        |  CAST(CAST(floor(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS bal,
+        |  'fr' AS flang, 'urn:t#code' AS tdt
+        |FROM customer ORDER BY s""".stripMargin,
     "q156_sparql_post_values" ->
       """SELECT c_mktsegment AS m, count(*) AS n
         |FROM customer

@@ -105,7 +105,7 @@ object BgpPlanner {
     * GRAPH groups (the one construct that re-scopes mid-query,
     * setup-graphs.py:13-19 semantics); absent → GRAPH errors. */
   def evaluateTriples(scoped: DataFrame, q: Query,
-      quadsG: Option[DataFrame] = None): DataFrame = {
+      quadsG: Option[DataFrame] = None, boundary: Boolean = true): DataFrame = {
     if (q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty)
       throw new IllegalArgumentException(
         "FROM / FROM NAMED require evaluation over the quads relation — " +
@@ -356,7 +356,7 @@ object BgpPlanner {
               subqueries = g.subqueries, graphs = g.graphs, askForm = true)
             val gScoped0 = qg.filter(col("graph") === iri)
               .select("s", "p", "o").distinct()
-            val r = evaluateTriples(gScoped0, ask, quadsG)
+            val r = evaluateTriples(gScoped0, ask, quadsG, boundary = false)
             return (2, r.filter(col("ask") === "true").select())
           }
           val sub = Query(projection = vars, distinct = false,
@@ -364,7 +364,7 @@ object BgpPlanner {
             optionals = g.optionals, unions = g.unions, groups = g.groups,
             values = g.values, minuses = g.minuses, binds = g.binds,
             exists = g.exists, subqueries = g.subqueries, graphs = g.graphs)
-          val r = evaluateTriples(gScoped, sub, quadsG)
+          val r = evaluateTriples(gScoped, sub, quadsG, boundary = false)
           (2, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
         case V(gv) if g.optionals.nonEmpty || g.unions.nonEmpty ||
             g.groups.nonEmpty || g.values.nonEmpty || g.minuses.nonEmpty ||
@@ -396,7 +396,7 @@ object BgpPlanner {
                 unions = g.unions, groups = g.groups, values = g.values,
                 minuses = g.minuses, binds = g.binds, exists = g.exists,
                 subqueries = g.subqueries, graphs = g.graphs, askForm = true)
-              evaluateTriples(gScoped0, ask, quadsG)
+              evaluateTriples(gScoped0, ask, quadsG, boundary = false)
                 .filter(col("ask") === "true")
                 .select(lit(name).as(vc(gv)))
             }
@@ -411,7 +411,7 @@ object BgpPlanner {
               optionals = g.optionals, unions = g.unions, groups = g.groups,
               values = g.values, minuses = g.minuses, binds = g.binds,
               exists = g.exists, subqueries = g.subqueries, graphs = g.graphs)
-            val r0 = evaluateTriples(gScoped, sub, quadsG)
+            val r0 = evaluateTriples(gScoped, sub, quadsG, boundary = false)
             // ?g in a term position must EQUAL this branch's graph name
             val r1 = if (bindsG) r0.filter(col(gv) === name) else r0
             r1.select(lit(name).as(vc(gv)) +:
@@ -704,7 +704,7 @@ object BgpPlanner {
       // query against the same scoped triples and joins the group on its
       // projected variables — identical to the top-level treatment
       g.subqueries.foreach { sub =>
-        val r = evaluateTriples(scoped, sub, quadsG)
+        val r = evaluateTriples(scoped, sub, quadsG, boundary = false)
         parts = parts :+
           ((1, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*)))
       }
@@ -864,7 +864,7 @@ object BgpPlanner {
     // only ones visible outside, §18.2.1) join the outer group. An
     // aggregated subquery is group-key-sized → Catalyst broadcasts it.
     val subParts: Seq[(Int, DataFrame)] = q.subqueries.map { sub =>
-      val r = evaluateTriples(scoped, sub, quadsG)
+      val r = evaluateTriples(scoped, sub, quadsG, boundary = false)
       (1, r.select(r.columns.map(c => col(c).as(vc(c))).toIndexedSeq: _*))
     }
 
@@ -886,7 +886,7 @@ object BgpPlanner {
         baseParts.isEmpty && undefVals.isEmpty &&
         q.exists.isEmpty && q.minuses.isEmpty && q.filters.isEmpty &&
         q.binds.isEmpty)
-      return finish(spark.range(1).select(), q)
+      return finish(spark.range(1).select(), q, boundary)
     // The {μ0}-start condition must mirror evalGroup's: EXISTS/MINUS over
     // an otherwise-empty WHERE (e.g. ASK { FILTER EXISTS { ?s ?p ?o } })
     // still evaluates over the one-row empty mapping — short-circuiting
@@ -897,13 +897,15 @@ object BgpPlanner {
           q.binds.isEmpty && q.exists.isEmpty && q.minuses.isEmpty)) {
       if (q.aggregates.isEmpty && q.groupBy.isEmpty)
         return finish(spark.range(0)
-          .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*), q)
+          .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*),
+          q, boundary)
       // aggregates over the empty solution set: a GLOBAL aggregate still
       // yields its one row (COUNT = 0), a grouped one yields none — both
       // fall out of running the normal aggregation over an empty relation
       val needed = (q.groupBy ++ q.aggregates.flatMap(_.v)).distinct
       return finish(spark.range(0)
-        .select(needed.map(v => lit(null).cast("string").as(vc(v))): _*), q)
+        .select(needed.map(v => lit(null).cast("string").as(vc(v))): _*),
+        q, boundary)
     }
     // Like evalGroup: a query whose WHERE has no binding parts but does
     // have OPTIONAL/BIND (e.g. `WHERE { BIND("v" AS ?x) }`) starts from
@@ -933,7 +935,7 @@ object BgpPlanner {
       acc = acc.filter(compileFilter(f, resolveIn(acc, acc.columns.toSet)))
     }
 
-    finish(acc, q)
+    finish(acc, q, boundary)
   }
 
   /** BIND expression → string Column over the lexical quads encoding.
@@ -954,14 +956,20 @@ object BgpPlanner {
     // try_cast, not cast: under ANSI mode a plain cast THROWS on a
     // non-numeric binding, where SPARQL wants a type error = row dropped
     // (try_cast's NULL gives exactly that)
+    // Numeric dispatch reads the VALUE: the lexical form is extracted
+    // first (RdfTerms.lex is identity on bare bindings), so an annotated
+    // numeric like `"5.0"^^xsd:float` still compares numerically.
     def opCol(o: FOperand, numeric: Boolean): Column = o match {
-      case FVar(v) => if (numeric) resolve(v).try_cast("double") else resolve(v)
+      case FVar(v) =>
+        if (numeric) graft.RdfTerms.lex(resolve(v)).try_cast("double")
+        else resolve(v)
       case FNum(l) => lit(l.toDouble)
-      case FStr(s) => if (numeric) lit(s).try_cast("double") else lit(s)
+      case FStr(s) =>
+        if (numeric) graft.RdfTerms.lex(lit(s)).try_cast("double") else lit(s)
       case FIriRef(i) => lit(i)
       case FBindOp(e) =>
         val c = compileBind(e, resolve)
-        if (numeric) c.try_cast("double") else c
+        if (numeric) graft.RdfTerms.lex(c).try_cast("double") else c
     }
     f match {
       case FCmp(l, op, r) =>
@@ -979,11 +987,16 @@ object BgpPlanner {
         case "!=" => lc =!= rc
         case other => throw new IllegalArgumentException(s"bad op $other")
       }
+      // String tests run on the LEXICAL FORM (§17.4.3 defers to XPath
+      // fn:* over the value) — a tagged/typed binding is stripped first.
       case FRegex(v, p, fl) =>
-      resolve(v).rlike(if (fl.isEmpty) p else s"(?$fl)$p")
-      case FContains(v, s) => resolve(v).contains(s)
-      case FStrStarts(v, s) => resolve(v).startsWith(s)
-      case FStrEnds(v, s) => resolve(v).endsWith(s)
+      graft.RdfTerms.lex(resolve(v)).rlike(if (fl.isEmpty) p else s"(?$fl)$p")
+      case FContains(v, s) => graft.RdfTerms.lex(resolve(v)).contains(s)
+      case FStrStarts(v, s) => graft.RdfTerms.lex(resolve(v)).startsWith(s)
+      case FStrEnds(v, s) => graft.RdfTerms.lex(resolve(v)).endsWith(s)
+      case FLangMatches(a, r) =>
+        graft.RdfTerms.langMatches(compileBind(a, resolve),
+          graft.RdfTerms.lex(compileBind(r, resolve)))
       case FBound(v) => resolve(v).isNotNull
       case FIn(o, vals, neg) =>
       // compiled as the spec's own sugar (an `=`-disjunction), which
@@ -1014,10 +1027,17 @@ object BgpPlanner {
 
   private def compileBind(e: Sparql.BExpr, resolve: String => Column): Column = {
     import Sparql._
+    // String/numeric/dateTime builtins operate on the LEXICAL FORM
+    // (§17.4 defers to XPath fn:* over the value): a tagged or typed
+    // input is stripped to its lexical first, so STRLEN("chat"@en) = 4
+    // and YEAR("…"^^xsd:dateTime) works. Results are SIMPLE literals —
+    // the spec's lang-tag carry-through on UCASE/SUBSTR/etc. is
+    // documented out (the rdflib result boundary strips tags anyway).
+    def lexed(x: BExpr): Column = graft.RdfTerms.lex(compileBind(x, resolve))
     e match {
       case BVar(v) => resolve(v)
       case BLit(s) => lit(s)
-      case BConcat(args) => concat(args.map(compileBind(_, resolve)): _*)
+      case BConcat(args) => concat(args.map(lexed): _*)
       case BCoalesce(args) => coalesce(args.map(compileBind(_, resolve)): _*)
       case BIf(c, t, e) =>
         // no .otherwise(): a NULL condition (type error / unbound input)
@@ -1025,11 +1045,19 @@ object BgpPlanner {
         // the whole IF, it does NOT fall through to the else branch
         val cc = compileFilterExpr(c, resolve)
         when(cc, compileBind(t, resolve)).when(!cc, compileBind(e, resolve))
-      case BStrFn("STR", a) => compileBind(a, resolve) // lexical identity
-      case BStrFn("UCASE", a) => upper(compileBind(a, resolve))
-      case BStrFn("LCASE", a) => lower(compileBind(a, resolve))
+      case BStrFn("STR", a) => lexed(a) // §17.4.2.1: the lexical form
+      case BStrFn("LANG", a) =>
+        graft.RdfTerms.langOf(compileBind(a, resolve))
+      case BStrFn("DATATYPE", a) =>
+        graft.RdfTerms.datatypeOf(compileBind(a, resolve))
+      case BStrLang(a, t) =>
+        graft.RdfTerms.strLang(compileBind(a, resolve), lexed(t))
+      case BStrDt(a, d) =>
+        graft.RdfTerms.strDt(compileBind(a, resolve), lexed(d))
+      case BStrFn("UCASE", a) => upper(lexed(a))
+      case BStrFn("LCASE", a) => lower(lexed(a))
       case BStrFn("STRLEN", a) =>
-        length(compileBind(a, resolve)).cast("long").cast("string")
+        length(lexed(a)).cast("long").cast("string")
       case BStrFn(other, _) =>
         throw new IllegalArgumentException(s"bad string builtin $other")
       case BNumFn(fn, a) =>
@@ -1037,7 +1065,7 @@ object BgpPlanner {
         // the exact long path (identity for CEIL/FLOOR/ROUND — no
         // double round-trip, so >2^53 ids are safe); any other numeric
         // lexical evaluates in xsd:double. Non-numeric → NULL = unbound.
-        val s = compileBind(a, resolve)
+        val s = lexed(a)
         val l = s.try_cast("long")
         val d = s.try_cast("double")
         fn match {
@@ -1062,7 +1090,7 @@ object BgpPlanner {
       case BHashFn(fn, a) =>
         // §17.4.6: hash of the UTF-8 lexical form, lowercase hex —
         // exactly Spark's md5/sha1/sha2 over the string's bytes
-        val c = compileBind(a, resolve).cast("binary")
+        val c = lexed(a).cast("binary")
         fn match {
           case "MD5" => md5(c)
           case "SHA1" => sha1(c)
@@ -1071,14 +1099,14 @@ object BgpPlanner {
             throw new IllegalArgumentException(s"bad hash builtin $other")
         }
       case BEncodeUri(a) =>
-        graft.functions.UriEncode.encodeForUri(compileBind(a, resolve))
+        graft.functions.UriEncode.encodeForUri(lexed(a))
       case BDtFn(fn, a) =>
         // §17.4.5 structurally on the canonical xsd:dateTime lexical —
         // XPath component accessors report the literal's OWN timezone's
         // components, so extraction must NOT convert the instant (a
         // timestamp cast would shift into the session zone). Lexicals
         // that don't match the xsd:dateTime shape → NULL = unbound.
-        val s = compileBind(a, resolve)
+        val s = lexed(a)
         val pat = "^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
           "(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$"
         val matched = s.rlike(pat)
@@ -1105,7 +1133,7 @@ object BgpPlanner {
         // §17.4.3.3 = XPath fn:substring, 1-based; Spark's substring has
         // identical 1-based semantics, and the no-length form runs to the
         // end of the string
-        val s = compileBind(a, resolve)
+        val s = lexed(a)
         len match {
           case Some(l) => s.substr(lit(start), lit(l))
           case None => s.substr(lit(start), length(s))
@@ -1114,9 +1142,9 @@ object BgpPlanner {
         // §17.4.3.4 over the portable regex subset (classes, alternation,
         // bounded quantifiers; $1-group references agree between XPath and
         // Java regex replacements)
-        regexp_replace(compileBind(a, resolve), pat, rep)
+        regexp_replace(lexed(a), pat, rep)
       case BStrCut(a, sep, after) =>
-        val s = compileBind(a, resolve)
+        val s = lexed(a)
         if (sep.isEmpty) {
           // SPARQL: STRAFTER(x, "") = x, STRBEFORE(x, "") = ""
           if (after) s else when(s.isNotNull, lit("")) // NULL-propagating ""
@@ -1176,7 +1204,7 @@ object BgpPlanner {
     if (vars.nonEmpty) {
       val inner = evaluateTriples(scoped,
         q.copy(describeTerms = Nil, projection = vars, distinct = true),
-        quadsG)
+        quadsG, boundary = false)
       vars.foreach { v => parts += inner.select(col(v).as("s")) }
     }
     val resources = parts.reduce(_ union _).distinct()
@@ -1212,7 +1240,8 @@ object BgpPlanner {
           .map(v => joined("u_" + vc(v)).as(vc(v))): _*)
   }
 
-  private def finish(acc0: DataFrame, q: Query): DataFrame = {
+  private def finish(acc0: DataFrame, q: Query,
+      boundary: Boolean): DataFrame = {
     if (q.askForm) {
       // one row always: LIMIT 1 bounds the work (any one solution
       // settles it — scans short-circuit), the global count makes the
@@ -1339,6 +1368,20 @@ object BgpPlanner {
       }
     q.offset.foreach(o => out = out.offset(o))
     q.limit.foreach(l => out = out.limit(l))
+    // rdflib-parity result boundary (round 11): the OUTERMOST SELECT
+    // projects terms through str() — tags/datatypes stripped to the
+    // lexical form (reference: client.py:43,53) — AFTER DISTINCT and
+    // ORDER BY, which per §18.5 operate on the terms themselves. Inner
+    // evaluations (subqueries, GRAPH bodies, DESCRIBE resource sets)
+    // pass boundary=false and keep the encoding: their outputs are
+    // still terms mid-query. Only string columns carry encodings;
+    // aggregate numerics pass through untouched.
+    if (boundary)
+      out = out.select(out.schema.fields.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.StringType)
+          graft.RdfTerms.lex(col(f.name)).as(f.name)
+        else col(f.name)
+      }.toIndexedSeq: _*)
     out
   }
 

@@ -149,6 +149,9 @@ object Sparql {
   /** isNumeric(?v) — true iff the lexical form is a numeric literal
     * (double-castable), the only numeric evidence the untyped store has. */
   final case class FIsNumeric(v: String) extends FExpr
+  /** LANGMATCHES(langExpr, rangeExpr) — §17.4.3.1, RFC 4647 basic
+    * filtering over RdfTerms-encoded language tags (round 11). */
+  final case class FLangMatches(arg: BExpr, range: BExpr) extends FExpr
 
   /** A braced sub-group: patterns + its own FILTERs + (since round 9)
     * NESTED sub-structure — OPTIONAL-in-OPTIONAL, UNION-in-OPTIONAL,
@@ -211,6 +214,11 @@ object Sparql {
   final case class BIf(cond: FExpr, thenE: BExpr, elseE: BExpr) extends BExpr
   /** fn ∈ STR (identity on the lexical encoding), UCASE, LCASE, STRLEN. */
   final case class BStrFn(fn: String, arg: BExpr) extends BExpr
+  /** STRLANG(str, tag) / STRDT(str, dt) — §17.4.2.5/.6 term constructors
+    * over the RdfTerms encoding (round 11); annotated or blank inputs are
+    * type errors → NULL. */
+  final case class BStrLang(arg: BExpr, tag: BExpr) extends BExpr
+  final case class BStrDt(arg: BExpr, dt: BExpr) extends BExpr
   /** STRAFTER/STRBEFORE(arg, sep): empty string when `sep` is absent. */
   final case class BStrCut(arg: BExpr, sep: String, after: Boolean) extends BExpr
   /** SUBSTR(source, start[, len]) — §17.4.3.3 (XPath fn:substring),
@@ -441,10 +449,30 @@ object Sparql {
       // let a downstream substring throw a raw StringIndexOutOfBounds
       if (pos >= n) err("unterminated string literal")
       pos += 1
-      // drop optional @lang / ^^type, as in the quads encoding
-      if (peek == '@') { pos += 1; while (pos < n && (in.charAt(pos).isLetterOrDigit || in.charAt(pos) == '-')) pos += 1 }
-      else if (in.startsWith("^^", pos)) { pos += 2; skipWs(); if (peek == '<') parseIriRef() else parsePName() }
-      sb.toString
+      // optional @lang / ^^type — preserved in the quads' RdfTerms
+      // encoding (round 11) so query constants match stored terms; the
+      // same bare-shorthand normalization applies on both sides.
+      if (peek == '@') {
+        pos += 1
+        val st = pos
+        while (pos < n && (in.charAt(pos).isLetterOrDigit || in.charAt(pos) == '-')) pos += 1
+        graft.RdfTerms.encodeLang(sb.toString, in.substring(st, pos))
+      } else if (in.startsWith("^^", pos)) {
+        pos += 2; skipWs()
+        lastLiteralDt = Some(if (peek == '<') parseIriRef() else parsePName())
+        graft.RdfTerms.encodeTyped(sb.toString, lastLiteralDt.get)
+      } else sb.toString
+    }
+
+    /** Datatype IRI of the literal [[parseLiteral]] just returned, when it
+      * carried an explicit `^^dt` — lets parseOperand numeric-dispatch
+      * `"5"^^xsd:integer` like the bare literal 5 (§17.3 operator
+      * mapping), without threading a tuple through every call site. */
+    private var lastLiteralDt: Option[String] = None
+    private def parseLiteralTracked(): (String, Option[String]) = {
+      lastLiteralDt = None
+      val v = parseLiteral()
+      (v, lastLiteralDt)
     }
 
     def parseQuery(): Query = {
@@ -1121,6 +1149,17 @@ object Sparql {
         expect('('); val a = parseBindExpr(); expect(')'); BEncodeUri(a)
       } else if (kw("STR")) {
         expect('('); val a = parseBindExpr(); expect(')'); BStrFn("STR", a)
+      } else if (kw("LANG")) {
+        expect('('); val a = parseBindExpr(); expect(')'); BStrFn("LANG", a)
+      } else if (kw("DATATYPE")) {
+        expect('('); val a = parseBindExpr(); expect(')')
+        BStrFn("DATATYPE", a)
+      } else if (kw("STRLANG")) {
+        expect('('); val a = parseBindExpr(); expect(',')
+        val t = parseBindExpr(); expect(')'); BStrLang(a, t)
+      } else if (kw("STRDT")) {
+        expect('('); val a = parseBindExpr(); expect(',')
+        val d = parseBindExpr(); expect(')'); BStrDt(a, d)
       } else if (NumFns.exists(kwAhead)) {
         val fn = NumFns.find(kwAhead).get; kw(fn)
         expect('('); val a = parseBindExpr(); expect(')'); BNumFn(fn, a)
@@ -1209,6 +1248,12 @@ object Sparql {
       } else if (kw("STRENDS")) {
         expect('('); val v = parseVarArg(); expect(','); val s = parseStrArg()
         expect(')'); FStrEnds(v, s)
+      } else if (kw("LANGMATCHES")) {
+        // §17.4.3.1 — both args are expressions (canonically
+        // LANGMATCHES(LANG(?v), "en"))
+        expect('('); val a = parseBindExpr(); expect(',')
+        val r = parseBindExpr(); expect(')')
+        FLangMatches(a, r)
       } else if (kw("BOUND")) {
         expect('('); val v = parseVarArg(); expect(')'); FBound(v)
       } else if (kw("SAMETERM")) {
@@ -1224,9 +1269,11 @@ object Sparql {
         expect('('); val v = parseVarArg(); expect(')'); FIsNumeric(v)
       } else if (kwAhead("ISIRI") || kwAhead("ISURI") || kwAhead("ISLITERAL")) {
         err("isIRI/isURI/isLiteral are outside the supported subset: the " +
-          "lexical quads encoding stores IRIs and literals identically " +
-          "(SURVEY.md §1.2), so the distinction is unrecoverable at query " +
-          "time; isBlank and isNumeric are supported")
+          "lexical quads encoding stores IRIs and PLAIN literals " +
+          "identically (SURVEY.md §1.2) — tagged/typed literals are " +
+          "distinguishable since round 11, but the bare conflation makes " +
+          "these three unreliable; isBlank/isNumeric/LANG/DATATYPE are " +
+          "supported")
       } else {
         val l = parseOperand()
         skipWs()
@@ -1289,6 +1336,7 @@ object Sparql {
       // FILTER(ABS(?b) >= 10), FILTER(MONTH(?t) = 3)
       val builtinAhead = Seq("CONCAT", "STRLEN", "STRAFTER", "STRBEFORE",
         "SUBSTR", "REPLACE", "UCASE", "LCASE", "COALESCE", "STR",
+        "LANG", "DATATYPE", "STRLANG", "STRDT",
         "ENCODE_FOR_URI", "ABS", "CEIL", "FLOOR", "ROUND",
         "MD5", "SHA1", "SHA256",
         "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ").exists { f =>
@@ -1302,7 +1350,16 @@ object Sparql {
       peek match {
         case '?' | '$' => FVar(parseVar())
         case '<' => FIriRef(parseIriRef())
-        case '"' | '\'' => FStr(parseLiteral())
+        case '"' | '\'' =>
+          // `"5"^^xsd:integer` normalizes to the bare shorthand and
+          // numeric-DISPATCHES like the literal 5 (§17.3 operator
+          // mapping); a non-reconstructible typed/tagged literal stays
+          // encoded and compares as a TERM (codepoint equality — `=` is
+          // term-true, `<` lexical, the documented approximation).
+          val (enc, dt) = parseLiteralTracked()
+          val numericDt = dt.exists(d => d == graft.RdfTerms.XsdInteger ||
+            d == graft.RdfTerms.XsdDecimal || d == graft.RdfTerms.XsdDouble)
+          if (numericDt && !enc.startsWith("\"")) FNum(enc) else FStr(enc)
         case c if c.isDigit || c == '-' || c == '+' =>
           val start = pos
           if (peek == '-' || peek == '+') pos += 1

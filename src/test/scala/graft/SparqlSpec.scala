@@ -1618,4 +1618,125 @@ class SparqlSpec extends AnyFunSuite {
         "BIND(CONCAT(?o, \"!\") AS ?w) }")).collect()
     assert(ok.nonEmpty)
   }
+
+  // ---- typed / language-tagged literals (round 11) -----------------------
+
+  lazy val litQuads = {
+    val s = spark
+    import s.implicits._
+    Turtle.parse(
+      """@prefix p: <urn:p#> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |p:a p:lab "chat"@en ; p:v "1"^^xsd:integer .
+        |p:b p:lab "chat"@fr ; p:v "2.0"^^xsd:float .
+        |p:c p:lab "chat" ; p:v "abc"^^<urn:t#x> .
+        |p:d p:lab "cat"@en-GB .
+        |""".stripMargin, "lit")
+      .map { case (su, pr, o) => Quad("urn:lit#", su, pr, o) }.toDF()
+  }
+  val lp = "PREFIX p: <urn:p#> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+
+  test("a tagged constant matches ONLY the same-tagged term; DISTINCT is on terms") {
+    val en = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:lab \"chat\"@en . }")).collect()
+    assert(en.map(_.getString(0)).toSeq == Seq("urn:p#a"))
+    val plain = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:lab \"chat\" . }")).collect()
+    assert(plain.map(_.getString(0)).toSeq == Seq("urn:p#c"))
+    // DISTINCT counts "chat"@en / "chat"@fr / "chat" as three TERMS even
+    // though all three project to the same lexical at the boundary
+    val d = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT DISTINCT ?l WHERE { ?s p:lab ?l . FILTER(STR(?l) = \"chat\") }"))
+      .collect()
+    assert(d.length == 3 && d.forall(_.getString(0) == "chat"))
+  }
+
+  test("result boundary strips annotations — but only at the OUTERMOST select") {
+    val r = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s ?l WHERE { ?s p:lab ?l . } ORDER BY ?s")).collect()
+    assert(r.map(_.getString(1)).toSeq == Seq("chat", "chat", "chat", "cat"))
+    // a subquery keeps the encoding alive: the outer FILTER still sees
+    // the tag through LANG()
+    val sub = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { { SELECT ?s ?l WHERE { ?s p:lab ?l . } } " +
+        "FILTER LANGMATCHES(LANG(?l), \"fr\") }")).collect()
+    assert(sub.map(_.getString(0)).toSeq == Seq("urn:p#b"))
+  }
+
+  test("LANG / LANGMATCHES: tag extraction, RFC-4647 prefix ranges, '*'") {
+    val en = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:lab ?l . " +
+        "FILTER LANGMATCHES(LANG(?l), \"en\") } ORDER BY ?s")).collect()
+    assert(en.map(_.getString(0)).toSeq == Seq("urn:p#a", "urn:p#d"))
+    val any = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:lab ?l . " +
+        "FILTER LANGMATCHES(LANG(?l), \"*\") } ORDER BY ?s")).collect()
+    assert(any.map(_.getString(0)).toSeq ==
+      Seq("urn:p#a", "urn:p#b", "urn:p#d"))
+    val tag = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s ?t WHERE { ?s p:lab ?l . BIND(LANG(?l) AS ?t) } ORDER BY ?s"))
+      .collect()
+    assert(tag.map(_.getString(1)).toSeq == Seq("en", "fr", "", "en-GB"))
+  }
+
+  test("DATATYPE: annotation, shape shorthand, rdf:langString") {
+    val X = "http://www.w3.org/2001/XMLSchema#"
+    val dt = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s ?d WHERE { ?s p:v ?v . BIND(DATATYPE(?v) AS ?d) } " +
+        "ORDER BY ?s")).collect()
+    // "1"^^xsd:integer normalized bare → shape recovers xsd:integer;
+    // "2.0"^^xsd:float kept annotated (shape says decimal) → the IRI;
+    // custom urn:t#x kept annotated → the IRI
+    assert(dt.map(_.getString(1)).toSeq ==
+      Seq(s"${X}integer", s"${X}float", "urn:t#x"))
+    val lab = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s ?d WHERE { ?s p:lab ?l . BIND(DATATYPE(?l) AS ?d) } " +
+        "ORDER BY ?s")).collect()
+    assert(lab.map(_.getString(1)).toSeq == Seq(
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+      s"${X}string",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+  }
+
+  test("STRLANG / STRDT constructors round-trip their accessors; errors → unbound") {
+    val r = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?t ?d ?bad WHERE { p:c p:lab ?l . " +
+        "BIND(STRLANG(?l, \"de\") AS ?g) BIND(LANG(?g) AS ?t) " +
+        "BIND(STRDT(?l, <urn:t#k>) AS ?k) BIND(DATATYPE(?k) AS ?d) " +
+        // STRLANG over an already-TAGGED literal is a type error → NULL
+        "p:a p:lab ?en . BIND(STRLANG(?en, \"de\") AS ?bad) }")).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "de")
+    assert(r(0).getString(1) == "urn:t#k")
+    assert(r(0).isNullAt(2))
+  }
+
+  test("string/numeric builtins read the LEXICAL form of annotated terms") {
+    val r = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?n ?u WHERE { p:a p:lab ?l . " +
+        "BIND(STRLEN(?l) AS ?n) BIND(UCASE(?l) AS ?u) }")).collect()
+    assert(r(0).getString(0) == "4" && r(0).getString(1) == "CHAT")
+    // FILTER string predicates likewise: the tag is invisible to regex
+    val f = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:lab ?l . FILTER regex(?l, \"^chat$\") } " +
+        "ORDER BY ?s")).collect()
+    assert(f.map(_.getString(0)).toSeq ==
+      Seq("urn:p#a", "urn:p#b", "urn:p#c"))
+    // numeric comparison sees the VALUE of an annotated numeric
+    val n = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:v ?v . FILTER(?v > 1.5) }")).collect()
+    assert(n.map(_.getString(0)).toSeq == Seq("urn:p#b"))
+  }
+
+  test("numeric-typed query constants dispatch numerically; sameTerm is term identity") {
+    val eq = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:v ?v . FILTER(?v = \"1\"^^xsd:integer) }"))
+      .collect()
+    assert(eq.map(_.getString(0)).toSeq == Seq("urn:p#a"))
+    val st = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
+      "SELECT ?s WHERE { ?s p:lab ?l . FILTER sameTerm(?l, \"chat\"@fr) }"))
+      .collect()
+    assert(st.map(_.getString(0)).toSeq == Seq("urn:p#b"))
+  }
 }

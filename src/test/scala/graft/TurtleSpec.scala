@@ -66,11 +66,37 @@ class TurtleSpec extends AnyFunSuite {
         |""".stripMargin
     val m = Turtle.parse(ttl).map { case (s, p, o) => (p, (s, o)) }.toMap
     assert(m("urn:x#lit")._1 == "urn:x#bldg1.AHU.AHU01.CCV")
+    // ^^xsd:string is the shape a bare plain literal already implies →
+    // normalized bare (RdfTerms.encodeTyped round-trip)
     assert(m("urn:x#lit")._2 == "v1")
-    assert(m("urn:x#lang")._2 == "hello")
+    // a language tag is never reconstructible → kept, RdfTerms-encoded
+    // (round 11; stripped only at the SELECT result boundary)
+    assert(m("urn:x#lang")._2 == "\"hello\"@en")
     assert(m("urn:x#num")._2 == "42")
     assert(m("urn:x#dec")._2 == "4.5")
     assert(m("urn:x#bool")._2 == "true")
+  }
+
+  test("typed literals: reconstructible datatypes normalize bare, others keep the annotation") {
+    val ttl =
+      """@prefix ns: <urn:x#> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ns:a ns:int "5"^^xsd:integer ;
+        |  ns:dbl "1e0"^^xsd:double ;
+        |  ns:intAsStr "5"^^xsd:string ;
+        |  ns:date "2020-01-02"^^xsd:date ;
+        |  ns:dblDec "5.0"^^xsd:double .
+        |""".stripMargin
+    val m = Turtle.parse(ttl).map { case (_, p, o) => (p, o) }.toMap
+    // shape == declared type → identical to the Turtle shorthand form
+    assert(m("urn:x#int") == "5")
+    assert(m("urn:x#dbl") == "1e0")
+    // shape DISAGREES with the declaration → annotation preserved, so
+    // `"5"^^xsd:string` stays a distinct term from integer 5, and a
+    // decimal-shaped double keeps its xsd:double identity
+    assert(m("urn:x#intAsStr") == "\"5\"^^<http://www.w3.org/2001/XMLSchema#string>")
+    assert(m("urn:x#dblDec") == "\"5.0\"^^<http://www.w3.org/2001/XMLSchema#double>")
+    assert(m("urn:x#date") == "\"2020-01-02\"^^<http://www.w3.org/2001/XMLSchema#date>")
   }
 
   test("collections become rdf:first/rest chains") {
