@@ -28,3 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The two differential-fuzz suites each execute hundreds of full query
+// plans; run each in its OWN forked JVM (and everything else in a third)
+// so per-JVM heap stays bounded at the stock -Xmx8g. Groups run
+// sequentially — parallel Spark JVMs would skew any timing-sensitive
+// assertions and fight over CPU.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  def group(name: String, ts: Seq[TestDefinition]) =
+    Tests.Group(name, ts, Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  val solo = Set("graft.BgpPropertySpec", "graft.ExprFuzzSpec")
+  val (heavy, rest) = tests.partition(t => solo(t.name))
+  heavy.map(t => group(t.name, Seq(t))) :+ group("main", rest)
+}
+Test / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 1))

@@ -13,6 +13,14 @@ object TestSpark {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .config("spark.ui.enabled", "false")
+      // the status store retains per-execution plan graphs/metrics even
+      // with the UI off (defaults: 1000 executions); the fuzz suites run
+      // ~1000 queries per JVM, so stock retention holds ~the whole run's
+      // plans on heap — keep only a handful
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
