@@ -969,7 +969,12 @@ object BgpPlanner {
       case FIriRef(i) => lit(i)
       case FBindOp(e) =>
         val c = compileBind(e, resolve)
-        if (numeric) graft.RdfTerms.lex(c).try_cast("double") else c
+        if (!numeric) c
+        // builtin outputs are bare lexicals — skip the strip; a compiled
+        // term-producing tree (IF/COALESCE/constructors) binds once so
+        // lex's 5 branches don't copy it 5× (see bindOnce)
+        else if (bareLexical(e)) c.try_cast("double")
+        else bindOnce(c)(graft.RdfTerms.lex).try_cast("double")
     }
     f match {
       case FCmp(l, op, r) =>
@@ -1021,9 +1026,55 @@ object BgpPlanner {
         }
         lex(l) === lex(r)
       case FIsBlank(v) => resolve(v).startsWith("_:")
-      case FIsNumeric(v) => resolve(v).try_cast("double").isNotNull
+      case FIsNumeric(v) =>
+        // §17.4.4: true iff the term is a literal of a NUMERIC datatype
+        // with a valid lexical form — so the datatype dispatch (shape or
+        // ^^-annotation, via datatypeOf) must be numeric AND the STRIPPED
+        // lexical must cast, matching FCmp's lex-strip coercion. A
+        // lang-tagged "5"@en (rdf:langString) is NOT numeric even though
+        // its lexical casts; an annotated "5.0"^^xsd:float IS.
+        val c = resolve(v)
+        graft.RdfTerms.datatypeOf(c).rlike(
+          "\\Ahttp://www\\.w3\\.org/2001/XMLSchema#(integer|decimal|" +
+            "double|float|byte|short|int|long|(negative|positive|" +
+            "non(Negative|Positive))Integer|unsigned(Byte|Short|Int|" +
+            "Long))\\z") &&
+          graft.RdfTerms.lex(c).try_cast("double").isNotNull
     }
     }
+
+  /** Evaluate `c` once and feed the value to a body that references it
+    * several times. Inlining copies the child's whole expression tree per
+    * reference, so nested builtins grow MULTIPLICATIVELY — each `lex`
+    * wrap is 5 copies, a dateTime accessor body ~8 — and a depth-5
+    * expression reaches millions of Catalyst nodes (analyzer/codegen
+    * heap death, the round-12 fuzz-suite OOM). `transform`'s lambda
+    * binds the value to a LambdaVariable leaf instead: tree size becomes
+    * ADDITIVE in expression depth. The one-element array wrap is a
+    * per-row constant; reserved for compiled NON-LEAF children — leaf
+    * (variable/literal) inputs keep the inline form, so every flat
+    * query's plan is unchanged. */
+  private def bindOnce(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
+  /** True when `e` compiles to a column that is ALWAYS a simple (bare)
+    * lexical, so re-stripping with RdfTerms.lex is the identity and the
+    * wrap can be skipped: every string/numeric/hash/dateTime builtin
+    * constructs its result FROM lexical forms (§17.4 — results are
+    * simple literals). Annotated TERMS can still flow through variables,
+    * COALESCE/IF (which pass inputs through), and the STRLANG/STRDT
+    * constructors — those keep the lex boundary. A literal constant is
+    * bare unless its text is itself an encoded term. */
+  private def bareLexical(e: Sparql.BExpr): Boolean = {
+    import Sparql._
+    e match {
+      case BLit(s) => !s.startsWith("\"")
+      case BConcat(_) | BEncodeUri(_) | BSubstr(_, _, _) | BReplace(_, _, _)
+          | BStrCut(_, _, _) | BArith(_, _, _) | BNumFn(_, _) | BHashFn(_, _)
+          | BDtFn(_, _) | BStrFn(_, _) => true
+      case _ => false // BVar, BCoalesce, BIf, BStrLang, BStrDt
+    }
+  }
 
   private def compileBind(e: Sparql.BExpr, resolve: String => Column): Column = {
     import Sparql._
@@ -1033,7 +1084,21 @@ object BgpPlanner {
     // and YEAR("…"^^xsd:dateTime) works. Results are SIMPLE literals —
     // the spec's lang-tag carry-through on UCASE/SUBSTR/etc. is
     // documented out (the rdflib result boundary strips tags anyway).
-    def lexed(x: BExpr): Column = graft.RdfTerms.lex(compileBind(x, resolve))
+    def lexed(x: BExpr): Column = {
+      val c = compileBind(x, resolve)
+      if (bareLexical(x)) c // builtin output: already a simple literal
+      else x match {
+        case BVar(_) | BLit(_) => graft.RdfTerms.lex(c) // leaf: inline
+        case _ => bindOnce(c)(graft.RdfTerms.lex) // term tree: strip once
+      }
+    }
+    /** Multi-reference consumer of a lexed input: leaf children inline
+      * (identical plans to every prior round); compiled subtrees bind
+      * once so the body's k references don't copy the child k times. */
+    def withLexed(x: BExpr)(body: Column => Column): Column = x match {
+      case BVar(_) | BLit(_) => body(lexed(x))
+      case _ => bindOnce(lexed(x))(body)
+    }
     e match {
       case BVar(v) => resolve(v)
       case BLit(s) => lit(s)
@@ -1065,7 +1130,7 @@ object BgpPlanner {
         // the exact long path (identity for CEIL/FLOOR/ROUND — no
         // double round-trip, so >2^53 ids are safe); any other numeric
         // lexical evaluates in xsd:double. Non-numeric → NULL = unbound.
-        val s = lexed(a)
+        withLexed(a) { s =>
         val l = s.try_cast("long")
         val d = s.try_cast("double")
         fn match {
@@ -1087,6 +1152,7 @@ object BgpPlanner {
           case other =>
             throw new IllegalArgumentException(s"bad numeric builtin $other")
         }
+        }
       case BHashFn(fn, a) =>
         // §17.4.6: hash of the UTF-8 lexical form, lowercase hex —
         // exactly Spark's md5/sha1/sha2 over the string's bytes
@@ -1106,37 +1172,53 @@ object BgpPlanner {
         // components, so extraction must NOT convert the instant (a
         // timestamp cast would shift into the session zone). Lexicals
         // that don't match the xsd:dateTime shape → NULL = unbound.
-        val s = lexed(a)
-        val pat = "^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
-          "(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$"
+        // The regex runs ONCE per accessor as the shape guard; component
+        // reads are positional substring arithmetic anchored at the
+        // mandatory 'T' (the variable-width parts — year digits,
+        // fractional seconds, tz designator — resolve from instr/length,
+        // all codegen'd string ops). Round 12: a regexp_extract per
+        // component put q154's seven accessors at 14 full-regex passes
+        // per row (1.39 s for a metadata-scale query).
+        withLexed(a) { s =>
+        val pat = "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:" +
+          "\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:\\d{2})?$"
         val matched = s.rlike(pat)
+        val tPos = instr(s, "T") // date width varies with year digits
+        val slen = length(s)
+        // designator width: "Z" = 1, "+hh:mm"/"-hh:mm" = 6, absent = 0
+        val tzLen = when(s.endsWith("Z"), lit(1))
+          .when(s.substr(slen - lit(5), lit(1)).isin("+", "-"), lit(6))
+          .otherwise(lit(0))
+        def num(start: Column, len: Column): Column =
+          s.substr(start, len).cast("long").cast("string")
         fn match {
           case "TZ" =>
             // §17.4.5.8: the timezone designator as a simple literal,
-            // "" when absent (a non-participating optional group
-            // extracts as "" — exactly the spec's empty-string answer)
-            when(matched, regexp_extract(s, pat, 7))
+            // "" when absent (zero-length substr — the spec's answer)
+            when(matched, s.substr(slen - tzLen + 1, tzLen))
           case "SECONDS" =>
             // xsd:decimal — canonical integer rendering when integral
-            val g = regexp_extract(s, pat, 6).try_cast("double")
+            val g = s.substr(tPos + 7, slen - tzLen - (tPos + 6))
+              .try_cast("double")
             when(matched,
               when(g % 1 === 0, g.cast("long").cast("string"))
                 .otherwise(g.cast("string")))
+          case "YEAR" => when(matched, num(lit(1), tPos - 7))
+          case "MONTH" => when(matched, num(tPos - 5, lit(2)))
+          case "DAY" => when(matched, num(tPos - 2, lit(2)))
+          case "HOURS" => when(matched, num(tPos + 1, lit(2)))
+          case "MINUTES" => when(matched, num(tPos + 4, lit(2)))
           case other =>
-            val grp = Map("YEAR" -> 1, "MONTH" -> 2, "DAY" -> 3,
-              "HOURS" -> 4, "MINUTES" -> 5).getOrElse(other,
-              throw new IllegalArgumentException(s"bad dateTime builtin $other"))
-            when(matched,
-              regexp_extract(s, pat, grp).cast("long").cast("string"))
+            throw new IllegalArgumentException(s"bad dateTime builtin $other")
+        }
         }
       case BSubstr(a, start, len) =>
         // §17.4.3.3 = XPath fn:substring, 1-based; Spark's substring has
         // identical 1-based semantics, and the no-length form runs to the
         // end of the string
-        val s = lexed(a)
         len match {
-          case Some(l) => s.substr(lit(start), lit(l))
-          case None => s.substr(lit(start), length(s))
+          case Some(l) => lexed(a).substr(lit(start), lit(l))
+          case None => withLexed(a)(s => s.substr(lit(start), length(s)))
         }
       case BReplace(a, pat, rep) =>
         // §17.4.3.4 over the portable regex subset (classes, alternation,
@@ -1144,7 +1226,7 @@ object BgpPlanner {
         // Java regex replacements)
         regexp_replace(lexed(a), pat, rep)
       case BStrCut(a, sep, after) =>
-        val s = lexed(a)
+        withLexed(a) { s =>
         if (sep.isEmpty) {
           // SPARQL: STRAFTER(x, "") = x, STRBEFORE(x, "") = ""
           if (after) s else when(s.isNotNull, lit("")) // NULL-propagating ""
@@ -1154,6 +1236,7 @@ object BgpPlanner {
             when(s.isNotNull, lit("")))
           else when(p > 0, s.substr(lit(1), p - 1)).otherwise(
             when(s.isNotNull, lit("")))
+        }
         }
       case BArith(l, op, r) =>
         val (lc, rc) = (compileBind(l, resolve).try_cast("long"),
