@@ -1301,8 +1301,16 @@ object BgpPlanner {
     * CONSTRUCT forms short-circuit here: both consume the raw binding
     * relation instead of a variable projection. */
   /** The §18.2.4.7 trailing-VALUES join (also usable for any vc-named
-    * relation): inner join under the UNDEF-compatible null-or-equal
-    * condition; vars the relation doesn't have yet are appended. */
+    * relation): inner join; shared columns whose rows carry an UNDEF
+    * cell join under the null-or-equal condition (a nested-loop over the
+    * broadcast block — constant work per solution), while UNDEF-free
+    * columns contribute plain equi-keys so an all-defined block plans as
+    * a broadcast HASH join. Vars the relation doesn't have yet are
+    * appended. Divergence note (same family as applyValuesUndef): a
+    * solution var that is NULL (unbound via an earlier OPTIONAL miss)
+    * never matches a DEFINED cell here, where SPARQL would adopt the
+    * cell's value — keep trailing-VALUES vars out of optional-bound
+    * columns. */
   private def joinValuesBlock(acc0: DataFrame,
       vb: Sparql.ValuesBlock): DataFrame = {
     val spark = acc0.sparkSession
@@ -1313,8 +1321,13 @@ object BgpPlanner {
       vb.rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava, schema)
     val accCols = acc0.columns.toSet
     val shared = vb.vars.filter(v => accCols.contains(vc(v)))
+    val undefCols = vb.vars.zipWithIndex.collect {
+      case (v, i) if vb.rows.exists(r => r(i) == null) => v
+    }.toSet
     val cond = shared.map { v =>
-      rel("u_" + vc(v)).isNull || acc0(vc(v)) === rel("u_" + vc(v))
+      if (undefCols(v))
+        rel("u_" + vc(v)).isNull || acc0(vc(v)) === rel("u_" + vc(v))
+      else acc0(vc(v)) === rel("u_" + vc(v))
     }.reduceOption(_ && _).getOrElse(lit(true))
     val joined = acc0.join(rel, cond, "inner")
     joined.select(
