@@ -1436,6 +1436,18 @@ object BgpPlanner {
     // null-or-equal compatibility condition as a group-scoped block
     // (UNDEF compatible with any binding) over a broadcast LocalRelation.
     q.postValues.foreach { vb => acc = joinValuesBlock(acc, vb) }
+    // §18.2.4 Extend for SELECT expressions runs AFTER the trailing-VALUES
+    // join (so an expression over a var bound only by that VALUES computes
+    // from the joined cell). Unbound references evaluate to error → NULL,
+    // the standard BIND rule.
+    q.postSelectExprs.foreach { b =>
+      val cols = acc.columns.toSet
+      if (cols.contains(vc(b.alias))) throw new IllegalArgumentException(
+        s"SELECT expression would rebind ?${b.alias} — already in scope")
+      val resolve: String => Column =
+        v => if (cols.contains(vc(v))) acc(vc(v)) else lit(null).cast("string")
+      acc = acc.withColumn(vc(b.alias), compileBind(b.expr, resolve))
+    }
     // §18.2.5: ORDER BY evaluates BEFORE projection, so keys may be any
     // in-scope variable — sort the pre-projection relation and project
     // after (a narrow projection preserves the global sort). §15.1's one

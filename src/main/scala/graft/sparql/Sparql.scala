@@ -310,7 +310,13 @@ object Sparql {
       fromNamed: List[String] = Nil, // FROM NAMED <g> — GRAPH-visible set
       // trailing `… } VALUES ?v { … }` clause — §18.2.4.7: joins the
       // solution sequence AFTER grouping/HAVING, BEFORE order/slice
-      postValues: List[ValuesBlock] = Nil) {
+      postValues: List[ValuesBlock] = Nil,
+      // SELECT expressions when a trailing VALUES exists — §18.2.4 places
+      // Extend AFTER the §18.2.4.7 join, so they cannot desugar into the
+      // WHERE group (a var bound only by the trailing VALUES must be
+      // visible); the planner evaluates these post-join. Empty when there
+      // is no trailing VALUES (then the BIND desugar is identical algebra).
+      postSelectExprs: List[Bind] = Nil) {
     def selected: List[String] = if (projection.nonEmpty) projection else userVars
   }
 
@@ -683,13 +689,21 @@ object Sparql {
         err("SELECT expressions over a grouped query are outside the " +
           "subset (post-aggregation Extend); compute with BIND before " +
           "grouping or project the aggregate alias")
+      // With a trailing VALUES, §18.2.4 places the SELECT-expression
+      // Extend AFTER the §18.2.4.7 join — carry them separately for the
+      // planner's finish(); without one, the WHERE-group BIND desugar is
+      // identical algebra (and lets group FILTERs etc. compose as before).
+      val (desugared, postSel) =
+        if (postVals.isEmpty) (selectExprs.toList, Nil)
+        else (Nil, selectExprs.toList)
       Query(projection.toList, distinct, b.patterns.toList, order.toList,
         b.filters.toList, b.optionals.toList, b.unions.toList,
         aggs.toList, groupBy.toList, having.toList, orderBy.toList,
         limit, offset, b.values.toList, b.minuses.toList,
-        (b.binds ++ selectExprs).toList, b.exists.toList, b.subqueries.toList,
+        (b.binds ++ desugared).toList, b.exists.toList, b.subqueries.toList,
         groups = b.groups.toList, graphs = b.graphs.toList,
-        fromGraphs = fromG, fromNamed = fromN, postValues = postVals.toList)
+        fromGraphs = fromG, fromNamed = fromN, postValues = postVals.toList,
+        postSelectExprs = postSel)
     }
 
     private def parseInt(): Int = {
