@@ -1169,6 +1169,28 @@ object SparkEntry {
           "VALUES ?m { \"BUILDING\" \"MACHINERY\" \"AUTOMOBILE\" }")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q160_sparql_numeric_minmax" -> ((s, dir) => {
+      // numeric MIN/MAX dispatch (round 12, §18.5.1's ORDER-BY-`<`):
+      // balCents terms are all numeric, so the extremes compare by VALUE
+      // and keep the TERM — codepoint order would answer wrong on any
+      // group whose lexical widths differ ("99999" vs "100000"). Plan:
+      // one hash aggregate (min_by/max_by are map-side-combinable).
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?m (MIN(?b) AS ?lo) (MAX(?b) AS ?hi) " +
+          "(COUNT(?c) AS ?n) WHERE { ?c p:mkt ?m . ?c p:balCents ?b . } " +
+          "GROUP BY ?m ORDER BY ?m")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
+    "q161_sparql_numeric_order" -> ((s, dir) => {
+      // §15.1 numeric ordering (round 12): ORDER BY over an all-numeric
+      // column sorts by VALUE — observable through the LIMIT slice (the
+      // top-5 balances, not the lexically-largest strings). The IRI
+      // secondary key makes ties deterministic on both engines.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?b WHERE { ?c p:balCents ?b . } " +
+          "ORDER BY DESC(?b) ?c LIMIT 5")
+      BgpPlanner.evaluate(custQuads(s, dir), q)
+    }),
     "q114_sparql_values_minus" -> ((s, dir) => {
       // §2.8 VALUES + MINUS + LIMIT/OFFSET: the inline id list becomes a
       // broadcast join into the pattern scan (the parameterized-query
@@ -3751,6 +3773,21 @@ object SparkEntry {
         |  AND c_mktsegment IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
         |GROUP BY c_mktsegment
         |ORDER BY m""".stripMargin,
+    "q160_sparql_numeric_minmax" ->
+      // numeric extremes re-rendered as the canonical term lexical —
+      // identical to the stored balCents term, so value-min == term-min
+      """SELECT c_mktsegment AS m,
+        |  CAST(CAST(min(floor(c_acctbal*100)) AS BIGINT) AS VARCHAR) AS lo,
+        |  CAST(CAST(max(floor(c_acctbal*100)) AS BIGINT) AS VARCHAR) AS hi,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY m""".stripMargin,
+    "q161_sparql_numeric_order" ->
+      """SELECT c, b FROM (
+        |  SELECT 'urn:c#' || c_custkey AS c,
+        |    CAST(CAST(floor(c_acctbal*100) AS BIGINT) AS VARCHAR) AS b,
+        |    floor(c_acctbal*100) AS bn
+        |  FROM customer)
+        |ORDER BY bn DESC, c LIMIT 5""".stripMargin,
     "q114_sparql_values_minus" ->
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
         |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n

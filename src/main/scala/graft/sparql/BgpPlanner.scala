@@ -1383,9 +1383,16 @@ object BgpPlanner {
       // SPARQL numeric aggregates run on xsd numerics; the quads encoding
       // stores lexical strings, so SUM/AVG try_cast — a non-numeric
       // binding contributes NULL (skipped), the pragmatic reading of the
-      // spec's type-error rule. MIN/MAX compare lexically (codepoint
-      // string order, matching the FILTER comparison dispatch); DISTINCT
-      // under MIN/MAX is a semantic no-op.
+      // spec's type-error rule. MIN/MAX dispatch PER GROUP (round 12):
+      // when every non-null term is numeric (shape or ^^-annotation, the
+      // same recognizer as FILTER's `<`), the extreme is taken by numeric
+      // VALUE — min_by/max_by keep the TERM, so no cast-loss — with the
+      // lexical as a deterministic tie-break ("01" vs "1"); any
+      // non-numeric member falls the whole group back to codepoint order
+      // (matching the FILTER comparison dispatch on strings). A Brick
+      // user's MIN(?temp) over readings {"10","9"} is "9", per §18.5.1's
+      // ORDER-BY-`<` definition. DISTINCT under MIN/MAX is a semantic
+      // no-op.
       def aggCol(a: Sparql.Agg): Column = {
         lazy val c = col(vc(a.v.get))
         val out = a.fn match {
@@ -1400,8 +1407,17 @@ object BgpPlanner {
             if (a.distinct) throw new IllegalArgumentException(
               "AVG(DISTINCT) is outside the supported subset")
             avg(c.try_cast("double"))
-          case "MIN" => min(c)
-          case "MAX" => max(c)
+          case "MIN" | "MAX" =>
+            val k = graft.RdfTerms.lex(c).try_cast("double")
+            // null ordering keys are skipped by min_by/max_by, so the
+            // numeric extreme reads only the castable members; struct's
+            // field-wise order makes the lexical a tie-break
+            val numKey = when(k.isNotNull, struct(k, c))
+            val allNum = count(when(c.isNotNull && k.isNull, 1)) === 0
+            if (a.fn == "MIN")
+              when(allNum, min_by(c, numKey)).otherwise(min(c))
+            else
+              when(allNum, max_by(c, numKey)).otherwise(max(c))
           // The spec leaves GROUP_CONCAT's concatenation order
           // implementation-defined (§18.5.1.7); we SORT the collected
           // values (codepoint order, matching MIN/MAX dispatch) so the
@@ -1460,18 +1476,18 @@ object BgpPlanner {
           "ORDER BY keys must be projected variables/aliases under " +
             "SELECT DISTINCT (§15.1)")
         val accCols = acc.columns.toSet
-        val keys = q.orderBy.map { case (v, desc) =>
+        val keys = q.orderBy.flatMap { case (v, desc) =>
           if (!accCols.contains(vc(v))) throw new IllegalArgumentException(
             s"ORDER BY key ?$v is not an in-scope variable/alias")
-          if (desc) col(vc(v)).desc else col(vc(v)).asc
+          orderKeys(acc, vc(v), desc)
         }
         acc.orderBy(keys: _*).select(q.selected.map(v => col(vc(v)).as(v)): _*)
       } else {
         var o = acc.select(q.selected.map(v => col(vc(v)).as(v)): _*)
         if (q.distinct) o = o.distinct()
         if (q.orderBy.nonEmpty)
-          o = o.orderBy(q.orderBy.map { case (v, desc) =>
-            if (desc) col(v).desc else col(v).asc }: _*)
+          o = o.orderBy(q.orderBy.flatMap { case (v, desc) =>
+            orderKeys(o, v, desc) }: _*)
         o
       }
     q.offset.foreach(o => out = out.offset(o))
@@ -1491,6 +1507,29 @@ object BgpPlanner {
         else col(f.name)
       }.toIndexedSeq: _*)
     out
+  }
+
+  /** §15.1 ordering (round 12): numeric literals order by VALUE. A
+    * string sort key expands to three physical keys —
+    * (isNonNumericLiteral, numericValue, lexicalTerm) — so an
+    * all-numeric column sorts numerically, an all-string/IRI column
+    * sorts by codepoint exactly as before (flag and value are constant
+    * null-ish there), and a mixed column orders unbound < numerics <
+    * other terms, a deterministic total-order extension of the spec's
+    * partial order. DESC reverses all three keys (exact reverse of the
+    * ascending order). Non-string columns (aggregate numerics) keep
+    * their native order. */
+  private def orderKeys(d: DataFrame, name: String,
+      desc: Boolean): Seq[Column] = {
+    val c = d(name)
+    val keys =
+      if (d.schema(name).dataType !=
+          org.apache.spark.sql.types.StringType) Seq(c)
+      else {
+        val k = graft.RdfTerms.lex(c).try_cast("double")
+        Seq(c.isNotNull && k.isNull, k, c)
+      }
+    if (desc) keys.map(_.desc) else keys.map(_.asc)
   }
 
   /** HAVING predicate over the aggregated relation: operands resolve to

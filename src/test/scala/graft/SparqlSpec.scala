@@ -792,15 +792,58 @@ class SparqlSpec extends AnyFunSuite {
     assert(r.head.getLong(0) == 4L && r.head.getDouble(1) == 65.0) // n/a -> NULL
   }
 
-  test("GROUP BY with COUNT/SUM/MAX; MAX is lexical like FILTER dispatch") {
+  test("GROUP BY with COUNT/SUM/MAX; MAX dispatches numerically per group, " +
+      "lexical fallback on mixed groups") {
     val q = Sparql.parse(fp + "SELECT ?u (COUNT(?v) AS ?n) (SUM(?v) AS ?s) " +
       "(MAX(?v) AS ?mx) WHERE { ?u p:buy ?v . } GROUP BY ?u ORDER BY ?u")
     val r = BgpPlanner.evaluate(aggQuads, q).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getDouble(2), x.getString(3)))
     assert(r.toSeq == Seq(
       ("urn:u#1", 2L, 10.0, "7"),
-      ("urn:u#2", 2L, 10.0, "x"), // "x" > "10" lexically; SUM skips it
+      ("urn:u#2", 2L, 10.0, "x"), // mixed group -> lexical; SUM skips "x"
       ("urn:u#3", 1L, 2.0, "2")))
+  }
+
+  test("MIN/MAX take the numeric extreme on all-numeric groups (round 12)") {
+    val s = spark
+    import s.implicits._
+    // {"10","9"}: lexical min is "10"; numeric dispatch must say "9" and
+    // keep the TERM ("09" loses to "9" only via the lexical tie-break)
+    val quads = Seq(
+      Quad("urn:g#", "urn:u#1", "urn:p#buy", "10"),
+      Quad("urn:g#", "urn:u#1", "urn:p#buy", "9"),
+      Quad("urn:g#", "urn:u#2", "urn:p#buy", "2.5"),
+      Quad("urn:g#", "urn:u#2", "urn:p#buy", "30"),
+      Quad("urn:g#", "urn:u#3", "urn:p#buy", "a"),
+      Quad("urn:g#", "urn:u#3", "urn:p#buy", "9")).toDF()
+    val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?u (MIN(?v) AS ?lo) " +
+      "(MAX(?v) AS ?hi) WHERE { ?u p:buy ?v . } GROUP BY ?u ORDER BY ?u")
+    val r = BgpPlanner.evaluate(quads, q).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)))
+    assert(r.toSeq == Seq(
+      ("urn:u#1", "9", "10"),   // numeric order, terms kept
+      ("urn:u#2", "2.5", "30"), // decimal shapes included
+      ("urn:u#3", "9", "a")))   // mixed -> lexical fallback
+  }
+
+  test("ORDER BY sorts numeric-literal keys by value (round-12 §15.1)") {
+    val s = spark
+    import s.implicits._
+    val quads = Seq("10", "9", "2.5", "100").zipWithIndex.map {
+      case (v, i) => Quad("urn:g#", s"urn:s#$i", "urn:p#v", v) }.toDF()
+    val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?v WHERE { ?s p:v ?v . } " +
+      "ORDER BY ?v")
+    assert(BgpPlanner.evaluate(quads, q).collect().map(_.getString(0)).toSeq ==
+      Seq("2.5", "9", "10", "100"))
+    val qd = Sparql.parse("PREFIX p: <urn:p#> SELECT ?v WHERE { ?s p:v ?v . } " +
+      "ORDER BY DESC(?v) LIMIT 2")
+    assert(BgpPlanner.evaluate(quads, qd).collect().map(_.getString(0)).toSeq ==
+      Seq("100", "10"))
+    // IRI/string keys keep exact codepoint order (flag/value constant)
+    val sq = Seq("b", "a", "c").zipWithIndex.map {
+      case (v, i) => Quad("urn:g#", s"urn:s#$i", "urn:p#v", v) }.toDF()
+    assert(BgpPlanner.evaluate(sq, q).collect().map(_.getString(0)).toSeq ==
+      Seq("a", "b", "c"))
   }
 
   test("HAVING with an inline aggregate call; COUNT(DISTINCT ?u)") {
