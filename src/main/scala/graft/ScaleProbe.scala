@@ -52,7 +52,9 @@ object ScaleProbe {
     // the codec fan-out (q45 is the heaviest decode pipeline), the
     // histogram-path percentiles, and the ORC format roundtrip
     "q148_dsir_resample", "q45_mjpeg_decode",
-    "q36_percentiles", "q151_orc_roundtrip")
+    "q36_percentiles", "q151_orc_roundtrip",
+    // round-12: PageRank joins the 100× shuffle-heavy probe family
+    "q85_pagerank")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

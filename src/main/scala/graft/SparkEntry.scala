@@ -370,11 +370,12 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
     "q23_embed_ivf" -> ((s, dir) => {
-      // real Lloyd's k-means quantizer (mod-37 seeded, 2 exact-arithmetic
-      // rounds — the oracle recomputes the identical centroids), then the
-      // IVF probe/score path
+      // real Lloyd's k-means quantizer (√N-seeded nlist since round 12 —
+      // a fixed modulus made nlist grow linearly and the assign stage
+      // quadratic; the oracle recomputes the identical ⌈√count⌉ modulus
+      // and centroids), then the IVF probe/score path
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(emb, dim = 64, centroidMod = 37, iters = 2)
+      val cents = Similarity.kmeansCentroids(emb, dim = 64, iters = 2)
       Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 8), cents, k = 5, nProbe = 2)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
@@ -1043,9 +1044,11 @@ object SparkEntry {
       // IVF-PQ, the production two-stage ANN: coarse inverted lists
       // (q23's shape) restrict WHICH vectors each query scores; PQ codes
       // (q74's shape) decide HOW — the raw corpus is never re-read after
-      // the two broadcast encode passes
+      // the two broadcast encode passes. √N-seeded nlist (round 12),
+      // same derivation as q23's quantizer.
       val emb = t(s, dir, "embeddings")
-      val cents = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val cb = Similarity.pqCodebook(emb, m = 8, seedMod = 59)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), cents, cb,
@@ -2077,7 +2080,13 @@ object SparkEntry {
     * c0 … c`iters` over the embeddings table — shared by the q23 IVF and
     * q52 SemDeDup oracles (identical arithmetic to
     * `Similarity.kmeansCentroids`). */
-  private def kmeansRoundsSql(dim: Int, iters: Int, mod: Int): String = {
+  /** `mod` is a SQL expression: a literal ("37") or the √N auto
+    * derivation (the same ⌈√count⌉ as `Similarity.autoCentroidMod` —
+    * correctly-rounded IEEE sqrt, engine-exact). */
+  private def autoModSql(table: String): String =
+    s"(SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $table)"
+
+  private def kmeansRoundsSql(dim: Int, iters: Int, mod: String): String = {
     def meanList = (0 until dim).map(i =>
       s"(sum(floor(nvec[${i + 1}] * 1000000))::DOUBLE / count(*)) / 1000000.0")
       .mkString("[", ", ", "]")
@@ -2096,7 +2105,8 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2, mod: Int = 37,
+  private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2,
+      mod: String = autoModSql("embeddings"),
       nProbe: Int = 2, k: Int = 5): String = {
     s"""WITH ${kmeansRoundsSql(dim, iters, mod)},
        |corpus_assign AS (
@@ -2128,7 +2138,7 @@ object SparkEntry {
   /** q52 oracle, generated: the SAME deterministic k-means (shared rounds
     * fragment), then base+planted assignment and the smaller-id in-cluster
     * cosine prune re-derived exhaustively. */
-  private def semdedupOracle(dim: Int = 64, iters: Int = 2, mod: Int = 37,
+  private def semdedupOracle(dim: Int = 64, iters: Int = 2, mod: String = "37",
       threshold: Double = 0.95): String =
     s"""WITH ${kmeansRoundsSql(dim, iters, mod)},
        |base AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
@@ -2196,7 +2206,8 @@ object SparkEntry {
     * with the q74 fixed-point PQ encode + ADC scoring, restricted to each
     * query's probed inverted lists. */
   private def ivfPqAdcOracle(dim: Int = 64, m: Int = 8, pqMod: Int = 59,
-      ivfMod: Int = 37, nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
+      ivfMod: String = autoModSql("embeddings"),
+      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
     val dsub = dim / m
     s"""WITH fp AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],

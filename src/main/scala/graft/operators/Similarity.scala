@@ -53,10 +53,22 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** √N-scaled seed modulus (round 12): `mod = ⌈√N⌉` puts the list count
+    * nlist = N/mod ≈ √N, so per-probe inverted-list length AND centroid
+    * count both grow as √N. A FIXED modulus makes nlist grow linearly
+    * with the corpus and the k-means/coarse-assign `corpus × centroids`
+    * stage quadratic — the measured q23 6–11× wall at 10× data. One
+    * count() job (columnless parquet scan, row-group-stat cheap); the
+    * ceil(sqrt(·)) is a correctly-rounded IEEE op any engine reproduces,
+    * so the DuckDB oracle derives the identical modulus in SQL. */
+  def autoCentroidMod(corpus: DataFrame): Int =
+    math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
     *
     * Seeding: corpus vectors with `id % centroidMod == 0` (deterministic,
-    * engine-portable). Each of `iters` rounds:
+    * engine-portable); `centroidMod = 0` derives the √N-scaled default
+    * via [[autoCentroidMod]]. Each of `iters` rounds:
     *
     *   1. ASSIGN — every corpus vector to its max-cosine centroid (ties →
     *      smallest cid), as a broadcast cross join + one map-side-combinable
@@ -73,9 +85,10 @@ object Similarity {
     * clusters drop out (standard Lloyd's behavior). Centroids stay a tiny
     * relation (one row per cluster) checkpointed per round. */
   def kmeansCentroids(
-      corpus: DataFrame, dim: Int, centroidMod: Int = 37, iters: Int = 2,
+      corpus: DataFrame, dim: Int, centroidMod: Int = 0, iters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+    val mod = if (centroidMod > 0) centroidMod else autoCentroidMod(corpus)
+    var cents = corpus.filter(pmod(col(idCol), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cvec"))
     for (_ <- 1 to iters) {
@@ -140,9 +153,10 @@ object Similarity {
     * `ivfTopKWith(kmeansCentroids(...), ...)` for data-dependent lists. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidMod: Int = 37, nProbe: Int = 2,
+      centroidMod: Int = 0, nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(pmod(col(idCol), lit(centroidMod)) === 0)
+    val mod = if (centroidMod > 0) centroidMod else autoCentroidMod(corpus)
+    val cents = corpus.filter(pmod(col(idCol), lit(mod)) === 0)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     ivfTopKWith(corpus, queries, cents, k, nProbe, idCol, vecCol)
   }
