@@ -72,9 +72,17 @@ object RdfTerms {
     else XsdString
 
   /** Encode a language-tagged literal (always annotated — a tag is never
-    * reconstructible from the lexical). */
+    * reconstructible from the lexical). The tag is lowercase-normalized
+    * (round 12): RDF 1.1 §3.3 compares language tags case-insensitively
+    * for literal term equality (BCP 47 tags are case-insensitive), and
+    * this store's term identity IS codepoint equality of the encoding —
+    * so `"xyz"@EN` and `"xyz"@en` must encode identically to be one
+    * term (W3C open-eq-07 family). Lowercasing at every entry point
+    * (Turtle load, query constants, STRLANG) is the normalization
+    * oxigraph/Jena apply on parse; LANG() consequently reports the
+    * lowercase form, which LANGMATCHES treats case-insensitively. */
   def encodeLang(lexical: String, tag: String): String =
-    "\"" + lexical + "\"@" + tag
+    "\"" + lexical + "\"@" + tag.toLowerCase(java.util.Locale.ROOT)
 
   /** Encode a typed literal: bare iff the shape already says so
     * (round-trips through [[shapeDatatype]]); annotated otherwise. Note
@@ -125,11 +133,12 @@ object RdfTerms {
       .when(c.isNotNull, lit(XsdString))
 
   /** §17.4.2.5 STRLANG: tag a SIMPLE literal; an already-annotated input
-    * or a malformed tag is a type error → NULL. */
+    * or a malformed tag is a type error → NULL. The tag lowercases like
+    * [[encodeLang]], so constructed terms join stored ones. */
   def strLang(c: Column, tag: Column): Column =
     when(!isAnnotated(c) && !c.startsWith("_:") &&
         tag.rlike("\\A[A-Za-z]+(?:-[A-Za-z0-9]+)*\\z"),
-      concat(lit("\""), c, lit("\"@"), tag))
+      concat(lit("\""), c, lit("\"@"), lower(tag)))
 
   /** §17.4.2.6 STRDT: type a SIMPLE literal; normalizes exactly like
     * [[encodeTyped]] so constructed terms join stored ones. */

@@ -141,7 +141,9 @@ object SparkEntry {
   private def litQuads(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val subj = concat(lit("urn:c#"), col("c_custkey"))
-    val tag = when(pmod(col("c_custkey"), lit(4)) === 1, lit("en-GB"))
+    // tags lowercase-normalized like RdfTerms.encodeLang (round 12) —
+    // "en-GB" in source data stores as en-gb, exactly as Turtle load does
+    val tag = when(pmod(col("c_custkey"), lit(4)) === 1, lit("en-gb"))
       .when(pmod(col("c_custkey"), lit(4)) === 3, lit("de"))
       .otherwise(lit("en"))
     val label = c.select(subj.as("s"), lit("urn:p#label").as("p"),
@@ -3763,11 +3765,12 @@ object SparkEntry {
         |  UNION ALL SELECT 'urn:p#mkt' FROM customer)
         |GROUP BY p ORDER BY p""".stripMargin,
     "q158_sparql_lang_tags" ->
-      // litQuads tags labels en / en-GB / de by c_custkey%4; LANGMATCHES
-      // "en" admits en and en-GB; the result boundary strips the tag
-      // from ?name but ?lang (a BIND of LANG()) is already bare
+      // litQuads tags labels en / en-gb / de by c_custkey%4 (lowercase
+      // store form, round 12); LANGMATCHES "en" admits en and en-gb; the
+      // result boundary strips the tag from ?name but ?lang (a BIND of
+      // LANG()) is already bare
       """SELECT 'urn:c#' || c_custkey AS s, c_name AS name,
-        |  CASE WHEN c_custkey % 4 = 1 THEN 'en-GB' ELSE 'en' END AS lang
+        |  CASE WHEN c_custkey % 4 = 1 THEN 'en-gb' ELSE 'en' END AS lang
         |FROM customer WHERE c_custkey % 4 <> 3 ORDER BY s""".stripMargin,
     "q159_sparql_typed_literals" ->
       // DATATYPE recovers the custom IRI, STR the lexical cents;

@@ -1719,7 +1719,9 @@ class SparqlSpec extends AnyFunSuite {
     val tag = BgpPlanner.evaluate(litQuads, Sparql.parse(lp +
       "SELECT ?s ?t WHERE { ?s p:lab ?l . BIND(LANG(?l) AS ?t) } ORDER BY ?s"))
       .collect()
-    assert(tag.map(_.getString(1)).toSeq == Seq("en", "fr", "", "en-GB"))
+    // tags lowercase at load (round 12, RDF 1.1 case-insensitive term
+    // equality) — LANG reports the normalized form
+    assert(tag.map(_.getString(1)).toSeq == Seq("en", "fr", "", "en-gb"))
   }
 
   test("DATATYPE: annotation, shape shorthand, rdf:langString") {
