@@ -418,7 +418,11 @@ object Events {
       ps: Seq[Double]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
-    val hist = df.groupBy((groupCols :+ valueCol).map(col): _*)
+    // Spark's percentile() IGNORES null values — drop them before the
+    // histogram, or they'd count into _n (and sort first in the window),
+    // silently breaking the bit-identical contract on null-bearing columns.
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("_c"))
     val w = Window.partitionBy(g: _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
