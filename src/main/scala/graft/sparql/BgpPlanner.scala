@@ -1,5 +1,6 @@
 package graft.sparql
 
+import graft.functions.DateTimeParts
 import graft.plans.Closure
 
 import scala.jdk.CollectionConverters._
@@ -1171,47 +1172,18 @@ object BgpPlanner {
         // XPath component accessors report the literal's OWN timezone's
         // components, so extraction must NOT convert the instant (a
         // timestamp cast would shift into the session zone). Lexicals
-        // that don't match the xsd:dateTime shape → NULL = unbound.
-        // The regex runs ONCE per accessor as the shape guard; component
-        // reads are positional substring arithmetic anchored at the
-        // mandatory 'T' (the variable-width parts — year digits,
-        // fractional seconds, tz designator — resolve from instr/length,
-        // all codegen'd string ops). Round 12: a regexp_extract per
-        // component put q154's seven accessors at 14 full-regex passes
-        // per row (1.39 s for a metadata-scale query).
-        withLexed(a) { s =>
-        val pat = "^-?\\d{4,}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:" +
-          "\\d{2}(?:\\.\\d+)?(?:Z|[+-]\\d{2}:\\d{2})?$"
-        val matched = s.rlike(pat)
-        val tPos = instr(s, "T") // date width varies with year digits
-        val slen = length(s)
-        // designator width: "Z" = 1, "+hh:mm"/"-hh:mm" = 6, absent = 0
-        val tzLen = when(s.endsWith("Z"), lit(1))
-          .when(s.substr(slen - lit(5), lit(1)).isin("+", "-"), lit(6))
-          .otherwise(lit(0))
-        def num(start: Column, len: Column): Column =
-          s.substr(start, len).cast("long").cast("string")
-        fn match {
-          case "TZ" =>
-            // §17.4.5.8: the timezone designator as a simple literal,
-            // "" when absent (zero-length substr — the spec's answer)
-            when(matched, s.substr(slen - tzLen + 1, tzLen))
-          case "SECONDS" =>
-            // xsd:decimal — canonical integer rendering when integral
-            val g = s.substr(tPos + 7, slen - tzLen - (tPos + 6))
-              .try_cast("double")
-            when(matched,
-              when(g % 1 === 0, g.cast("long").cast("string"))
-                .otherwise(g.cast("string")))
-          case "YEAR" => when(matched, num(lit(1), tPos - 7))
-          case "MONTH" => when(matched, num(tPos - 5, lit(2)))
-          case "DAY" => when(matched, num(tPos - 2, lit(2)))
-          case "HOURS" => when(matched, num(tPos + 1, lit(2)))
-          case "MINUTES" => when(matched, num(tPos + 4, lit(2)))
-          case other =>
-            throw new IllegalArgumentException(s"bad dateTime builtin $other")
-        }
-        }
+        // that don't match the xsd:dateTime shape → NULL = unbound
+        // (field access on the NULL struct). One native single-scan
+        // parse (DateTimeParts) serves every accessor: the seven
+        // accessors of a q154-shaped query compile to getFields of
+        // STRUCTURALLY EQUAL children, which whole-stage codegen's
+        // subexpression elimination evaluates once per row — the
+        // per-accessor re-validation (regex or substring algebra) was
+        // the measured cost: 14 regex passes/row at 1.6 s, positional
+        // substring rewrite 2.3 s, shared parse 7× cheaper per row.
+        if (!DateTimeParts.schema.fieldNames.contains(fn))
+          throw new IllegalArgumentException(s"bad dateTime builtin $fn")
+        DateTimeParts.parts(lexed(a)).getField(fn)
       case BSubstr(a, start, len) =>
         // §17.4.3.3 = XPath fn:substring, 1-based; Spark's substring has
         // identical 1-based semantics, and the no-length form runs to the
