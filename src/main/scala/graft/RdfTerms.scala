@@ -104,12 +104,14 @@ object RdfTerms {
     quoted(c) && (c.rlike(LangRe) || c.rlike(DtRe))
 
   /** The lexical form — §17.4.2.1 STR, and the rdflib `str()` result
-    * boundary. Identity on bare values (including NULL). */
-  def lex(c: Column): Column =
-    when(!quoted(c), c)
-      .when(c.rlike(LangRe), regexp_extract(c, LangRe, 1))
-      .when(c.rlike(DtRe), regexp_extract(c, DtRe, 1))
-      .otherwise(c)
+    * boundary. Identity on bare values (including NULL). Native
+    * single-scan expression (round 12): the CaseWhen+regex Column form
+    * ran two compiled-regex passes per annotated check and was freely
+    * duplicated by filter pushdown into per-row predicates — lex sits in
+    * every query's result boundary, every FILTER coercion, and every
+    * ORDER BY key, so it must be a cheap scan (see
+    * [[graft.functions.RdfLex]] for the parity contract). */
+  def lex(c: Column): Column = graft.functions.RdfLex.lex(c)
 
   /** §17.4.2.2 LANG: the tag, "" for any untagged literal. Blank nodes
     * are a type error → NULL. (Bare IRIs read "" — the documented
