@@ -1196,6 +1196,16 @@ object SparkEntry {
           "ORDER BY DESC(?b) ?c LIMIT 5")
       BgpPlanner.evaluate(custQuads(s, dir), q)
     }),
+    "q162_substring_dedup" -> ((s, dir) => {
+      // ExactSubstr-style duplicated-span detection (Lee et al.
+      // 2107.06499): maximal per-doc character ranges covered by
+      // 40-grams occurring >= 2 times corpus-wide — the byte ranges the
+      // paper's dedup would cut. Exact gram equality (no hash step), one
+      // gram shuffle + per-doc island windows.
+      TextOps.duplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+          minLen = 40)
+        .orderBy("doc_id", "span_start")
+    }),
     "q114_sparql_values_minus" -> ((s, dir) => {
       // §2.8 VALUES + MINUS + LIMIT/OFFSET: the inline id list becomes a
       // broadcast join into the pattern scan (the parameterized-query
@@ -3802,6 +3812,34 @@ object SparkEntry {
         |    floor(c_acctbal*100) AS bn
         |  FROM customer)
         |ORDER BY bn DESC, c LIMIT 5""".stripMargin,
+    "q162_substring_dedup" ->
+      // same grammar: stride-1 40-grams, corpus-wide count >= 2, per-doc
+      // overlapping-or-contiguous island merge
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(1, length(text) - 40 + 2)) AS BIGINT) AS pos,
+        |    unnest(list_transform(range(1, length(text) - 40 + 2),
+        |      p -> substr(text, CAST(p AS INT), 40))) AS g
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c
+        |    FROM grams) WHERE c >= 2
+        |), flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 39) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits
+        |), islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
+        |FROM islands GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q114_sparql_values_minus" ->
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
         |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n

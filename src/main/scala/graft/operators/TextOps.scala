@@ -429,6 +429,64 @@ object TextOps {
       .select(col("id").as(idCol), col("n_grams"), col("n_distinct"),
         expr("(n_grams - n_distinct) * 10000 DIV n_grams").as("dup_gram_bp"))
 
+  /** Exact duplicated-substring spans (the detection phase of ExactSubstr
+    * dedup, Lee et al. 2107.06499 §4.1): every character position whose
+    * `minLen`-gram occurs ≥ 2 times ANYWHERE in the corpus (other docs or
+    * a self-repeat) is duplicated; overlapping-or-contiguous hit
+    * intervals merge per document into maximal spans — the byte ranges
+    * ExactSubstr would cut. Output: (idCol, span_start, span_end),
+    * 1-based inclusive character positions.
+    *
+    * Shape: one stride-1 gram explode (corpus chars × ~L-byte keys), one
+    * count-window partitioned by the GRAM (exact equality — no hash
+    * collisions in the dedup decision), then per-doc windows for the
+    * islands merge; the final (doc, island) aggregate reuses the per-doc
+    * partitioning (no extra shuffle — hashpartitioning(doc) already
+    * clusters (doc, island)). 100 TB notes: (1) project
+    * `xxhash64(gram)` as the shuffle key and verify equality within the
+    * group to shrink shuffle bytes ~L×; (2) a stop-gram ("the same 40
+    * chars everywhere", boilerplate) makes one partition hot — cap with
+    * a count-then-broadcast skip-list exactly like the q144 domain cap;
+    * (3) to cut the stride-1 volume, anchor on [[winnowFingerprints]]
+    * positions instead — the winnowing guarantee (any shared run ≥
+    * k + w - 1 shares a fingerprint) bounds the missed-span length, the
+    * documented recall trade the paper's suffix array avoids by paying
+    * O(corpus) memory. */
+  def duplicateSpans(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      minLen: Int): org.apache.spark.sql.DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val grams = df
+      .filter(length(col(textCol)) >= L)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1L),
+          (length(col(textCol)) - L + 1).cast("long"))).as("pos"),
+        col(textCol).as("t"))
+      .select(col("id"), col("pos"), col("t").substr(col("pos"), lit(L)).as("g"))
+    val hits = grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("c") >= 2)
+      .select(col("id"), col("pos"))
+    // gaps-and-islands: a hit starts a new span iff it begins past the
+    // running max end of everything before it (+1 keeps contiguous
+    // intervals merged)
+    val before = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("id")).orderBy(col("pos"))
+    hits
+      .withColumn("new_island",
+        when(col("pos") >
+          coalesce(max(col("pos") + L - 1).over(before), lit(-1L)) + 1,
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + L - 1).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the MOSS
     * local fingerprinting scheme): hash every token k-gram, slide a
     * window of `w` consecutive gram hashes, and keep the minimum of each

@@ -15,6 +15,46 @@ class CurationOpsSpec extends AnyFunSuite {
   private def ts(s: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(s)
 
+  // ---- duplicateSpans (ExactSubstr detection, round 12) ----------------
+
+  test("duplicateSpans: cross-doc shared run is found, merged, and positioned exactly") {
+    val s = spark
+    import s.implicits._
+    // doc 1 and 2 share a 12-char run at different offsets; doc 3 is
+    // unique noise. L=8: hit positions inside the run merge into ONE
+    // span covering exactly the shared characters.
+    val shared = "ABCDEFGHIJKL" // 12 chars
+    val d = Seq(
+      (1L, "xxxx" + shared + "yyyyyy"),     // run at 5..16
+      (2L, "qrstuvwxyz" + shared + "zz"),   // run at 11..22
+      (3L, "0123456789abcdefghij")).toDF("doc_id", "text")
+    val r = TextOps.duplicateSpans(d, "text", "doc_id", minLen = 8)
+      .orderBy("doc_id").collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // 12-char run with L=8: gram starts run-start..run-start+4, span end
+    // = last start + 7 = run end — the exact shared range
+    assert(r.toSeq == Seq((1L, 5L, 16L), (2L, 11L, 22L)))
+  }
+
+  test("duplicateSpans: self-repeat within one doc, contiguous islands merge") {
+    val s = spark
+    import s.implicits._
+    // "PATTERN--PATTERN": the 7-gram "PATTERN" occurs twice in the SAME
+    // doc — both occurrences are duplicated spans; the gap (--) keeps
+    // them separate islands
+    val d = Seq((7L, "PATTERNXY" * 2 + "tail padding to pass")).toDF("doc_id", "text")
+    val r = TextOps.duplicateSpans(d, "text", "doc_id", minLen = 9)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    // "PATTERNXY" repeats at 1 and 10 -> grams 1..10 all duplicated
+    // (stride-1 over the doubled region), one merged island 1..18
+    assert(r.toSeq == Seq((1L, 18L)))
+    // and a doc with no duplication yields nothing
+    val none = TextOps.duplicateSpans(
+      Seq((8L, "entirely unique text with no repeats at all"))
+        .toDF("doc_id", "text"), "text", "doc_id", minLen = 9)
+    assert(none.count() == 0)
+  }
+
   // ---- anomalyReport --------------------------------------------------
 
   test("anomalyReport flags strictly-beyond-k-sigma values only") {
