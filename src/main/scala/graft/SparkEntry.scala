@@ -1206,6 +1206,19 @@ object SparkEntry {
           minLen = 40)
         .orderBy("doc_id", "span_start")
     }),
+    "q163_substring_cut" -> ((s, dir) => {
+      // the ExactSubstr CUT phase over q162's spans: every duplicated
+      // range removed from every doc (all occurrences, per the paper),
+      // untouched docs pass through — the output corpus an ExactSubstr
+      // pipeline trains on. n_cut makes the char accounting visible.
+      val docs = t(s, dir, "documents")
+      val spans = TextOps.duplicateSpans(docs, "text", "doc_id", minLen = 40)
+      TextOps.cutSpans(docs, "text", "doc_id", spans)
+        .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("_n")), "doc_id")
+        .select(col("doc_id"), col("clean_text"),
+          (col("_n") - length(col("clean_text"))).as("n_cut"))
+        .orderBy("doc_id")
+    }),
     "q114_sparql_values_minus" -> ((s, dir) => {
       // §2.8 VALUES + MINUS + LIMIT/OFFSET: the inline id list becomes a
       // broadcast join into the pattern scan (the parameterized-query
@@ -3840,6 +3853,62 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
         |FROM islands GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    "q163_substring_cut" ->
+      // q162's span grammar, then keep-segments (lag gap + tail) and an
+      // ordered string_agg rebuild; untouched docs pass through
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(1, length(text) - 40 + 2)) AS BIGINT) AS pos,
+        |    unnest(list_transform(range(1, length(text) - 40 + 2),
+        |      p -> substr(text, CAST(p AS INT), 40))) AS g
+        |  FROM documents
+        |), hits AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM grams)
+        |  WHERE c >= 2
+        |), flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 39) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits
+        |), islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged
+        |), spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
+        |  FROM islands GROUP BY doc_id, island
+        |), mids AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
+        |    span_start - 1 AS seg_end
+        |  FROM spans
+        |), lasts AS (
+        |  SELECT s.doc_id, max(s.span_end) + 1 AS seg_start,
+        |    CAST(length(any_value(d.text)) AS BIGINT) AS seg_end
+        |  FROM spans s JOIN documents d USING (doc_id) GROUP BY s.doc_id
+        |), segs AS (
+        |  SELECT * FROM mids WHERE seg_start <= seg_end
+        |  UNION ALL SELECT * FROM lasts WHERE seg_start <= seg_end
+        |), rebuilt AS (
+        |  SELECT g.doc_id,
+        |    string_agg(substr(d.text, CAST(seg_start AS INT),
+        |      CAST(seg_end - seg_start + 1 AS INT)), '' ORDER BY seg_start) AS clean_text
+        |  FROM segs g JOIN documents d USING (doc_id) GROUP BY g.doc_id
+        |), dupdocs AS (SELECT DISTINCT doc_id FROM spans),
+        |cleaned AS (
+        |  SELECT dd.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |  FROM dupdocs dd LEFT JOIN rebuilt r USING (doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dupdocs)
+        |)
+        |SELECT c.doc_id, c.clean_text,
+        |  CAST(length(d.text) AS BIGINT) - length(c.clean_text) AS n_cut
+        |FROM cleaned c JOIN documents d USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     "q114_sparql_values_minus" ->
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
         |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n

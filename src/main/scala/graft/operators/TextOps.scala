@@ -487,6 +487,52 @@ object TextOps {
       .select(col("id").as(idCol), col("span_start"), col("span_end"))
   }
 
+  /** The cut phase of ExactSubstr dedup (Lee et al. 2107.06499 §4.1):
+    * remove every duplicated span from every document — the paper cuts
+    * ALL occurrences, relying on the surviving unique context — and
+    * return (idCol, clean_text). Docs with no spans pass through
+    * untouched; a fully-covered doc becomes "".
+    *
+    * Shape: the spans relation (tiny — bounded by corpus_chars/minLen)
+    * turns into KEEP segments per doc via one lag window (gap between
+    * consecutive spans) plus a tail segment, then one substr + ordered
+    * array_join per doc rebuilds the text — the corpus is touched once
+    * for the rebuild join and once for the untouched anti-join, never
+    * shuffled by anything wider than the doc id. */
+  def cutSpans(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = spans.select(col(idCol).as("_id"),
+      col("span_start"), col("span_end"))
+    val byDoc = Window.partitionBy(col("_id")).orderBy(col("span_start"))
+    val docs = df.select(col(idCol).as("_id"), col(textCol).as("_t"))
+    // gaps between consecutive spans + the tail after the last span
+    val mids = sp
+      .withColumn("seg_start",
+        coalesce(lag(col("span_end"), 1).over(byDoc), lit(0L)) + 1)
+      .select(col("_id"), col("seg_start"), (col("span_start") - 1).as("seg_end"))
+    val lasts = sp.groupBy(col("_id")).agg(max(col("span_end")).as("m"))
+      .join(docs, "_id")
+      .select(col("_id"), (col("m") + 1).as("seg_start"),
+        length(col("_t")).cast("long").as("seg_end"))
+    val segs = mids.union(lasts).filter(col("seg_start") <= col("seg_end"))
+    val rebuilt = segs.join(docs, "_id")
+      .select(col("_id"), struct(col("seg_start"),
+        col("_t").substr(col("seg_start").cast("int"),
+          (col("seg_end") - col("seg_start") + 1).cast("int")).as("seg")).as("s"))
+      .groupBy(col("_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("s"))),
+        x => x.getField("seg")), "").as("clean_text"))
+    val dupDocs = sp.select(col("_id")).distinct()
+    // fully-covered docs have no KEEP segments — they clean to ""
+    val cleaned = dupDocs.join(rebuilt, Seq("_id"), "left")
+      .select(col("_id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+    val untouched = docs.join(dupDocs, Seq("_id"), "left_anti")
+      .select(col("_id"), col("_t").as("clean_text"))
+    cleaned.union(untouched).select(col("_id").as(idCol), col("clean_text"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken '03, the MOSS
     * local fingerprinting scheme): hash every token k-gram, slide a
     * window of `w` consecutive gram hashes, and keep the minimum of each

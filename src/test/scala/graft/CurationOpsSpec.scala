@@ -55,6 +55,41 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("cutSpans removes exactly the spans; full-cover -> empty; untouched pass through") {
+    val s = spark
+    import s.implicits._
+    val shared = "ABCDEFGHIJKL"
+    val d = Seq(
+      (1L, "xxxx" + shared + "yyyyyy"),
+      (2L, "qrstuvwxyz" + shared + "zz"),
+      (3L, "0123456789abcdefghij"),
+      (4L, shared), (5L, shared)).toDF("doc_id", "text") // 4/5: full cover
+    val spans = TextOps.duplicateSpans(d, "text", "doc_id", minLen = 8)
+    val r = TextOps.cutSpans(d, "text", "doc_id", spans)
+      .orderBy("doc_id").collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(r.toSeq == Seq(
+      (1L, "xxxxyyyyyy"),           // span 5..16 cut
+      (2L, "qrstuvwxyzzz"),         // span 11..22 cut
+      (3L, "0123456789abcdefghij"), // untouched
+      (4L, ""), (5L, "")))          // fully duplicated -> empty
+  }
+
+  test("cutSpans stitches around a MID-doc span and multiple spans correctly") {
+    val s = spark
+    import s.implicits._
+    // two separated shared runs inside one doc -> two spans, three kept
+    // segments (head, middle, tail)
+    val a = "AAAABBBB" // 8
+    val b = "CCCCDDDD"
+    val d = Seq(
+      (1L, "head" + a + "-mid-" + b + "tail"),
+      (2L, "<<" + a + "__" + b + ">>")).toDF("doc_id", "text")
+    val spans = TextOps.duplicateSpans(d, "text", "doc_id", minLen = 8)
+    val r = TextOps.cutSpans(d, "text", "doc_id", spans)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(r.toSeq == Seq("head-mid-tail", "<<__>>"))
+  }
+
   // ---- anomalyReport --------------------------------------------------
 
   test("anomalyReport flags strictly-beyond-k-sigma values only") {
