@@ -53,8 +53,9 @@ object ScaleProbe {
     // histogram-path percentiles, and the ORC format roundtrip
     "q148_dsir_resample", "q45_mjpeg_decode",
     "q36_percentiles", "q151_orc_roundtrip",
-    // round-12: PageRank joins the 100× shuffle-heavy probe family
-    "q85_pagerank")
+    // round-12: PageRank joins the 100× shuffle-heavy probe family;
+    // ExactSubstr span detection is the newest corpus-wide shuffle shape
+    "q85_pagerank", "q162_substring_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -442,16 +442,15 @@ object TextOps {
     * collisions in the dedup decision), then per-doc windows for the
     * islands merge; the final (doc, island) aggregate reuses the per-doc
     * partitioning (no extra shuffle — hashpartitioning(doc) already
-    * clusters (doc, island)). 100 TB notes: (1) project
-    * `xxhash64(gram)` as the shuffle key and verify equality within the
-    * group to shrink shuffle bytes ~L×; (2) a stop-gram ("the same 40
-    * chars everywhere", boilerplate) makes one partition hot — cap with
-    * a count-then-broadcast skip-list exactly like the q144 domain cap;
-    * (3) to cut the stride-1 volume, anchor on [[winnowFingerprints]]
-    * positions instead — the winnowing guarantee (any shared run ≥
-    * k + w - 1 shares a fingerprint) bounds the missed-span length, the
-    * documented recall trade the paper's suffix array avoids by paying
-    * O(corpus) memory. */
+    * clusters (doc, island)). 100 TB notes: (1) a stop-gram ("the same
+    * 40 chars everywhere", boilerplate) makes one partition hot — cap
+    * with a count-then-broadcast skip-list exactly like the q144 domain
+    * cap; (2) to cut the stride-1 explode volume, anchor on
+    * [[winnowFingerprints]] positions instead — the winnowing guarantee
+    * (any shared run ≥ k + w - 1 shares a fingerprint) bounds the
+    * missed-span length, the documented recall trade the paper's suffix
+    * array avoids by paying O(corpus) memory; (3) a hash-first two-phase
+    * count was tried and measured WORSE (see the inline note). */
   def duplicateSpans(
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       minLen: Int): org.apache.spark.sql.DataFrame = {
@@ -465,6 +464,14 @@ object TextOps {
           (length(col(textCol)) - L + 1).cast("long"))).as("pos"),
         col(textCol).as("t"))
       .select(col("id"), col("pos"), col("t").substr(col("pos"), lit(L)).as("g"))
+    // Direct exact count window, deliberately: a two-phase variant
+    // (xxhash64 count-aggregate → broadcast dup-hash set → exact verify
+    // over candidates only) was built and A/B-measured WORSE at both
+    // probe scales (sf0.1 3.1→8.4 s, 100× 108→205 s) — the count guard
+    // and candidate pass re-derive the gram explode from the corpus, and
+    // that recomputation costs more than the string shuffle it saves.
+    // One gram pass beats two at any scale where the explode dominates;
+    // the winnowing-anchor path (scaladoc) is the volume lever instead.
     val hits = grams
       .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("c") >= 2)
