@@ -510,6 +510,12 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the spans relation is consumed three times below (gap segments,
+    // tail segments, pass-through anti-join) — deliberately WITHOUT a
+    // .cache(): the three consumers share one physical plan, so AQE's
+    // exchange reuse already evaluates the expensive derivation once
+    // (measured: q163 ≈ q162's span cost + ~0.2 s), while a cache would
+    // leak plan-keyed entries across invocations and fake later timings
     val sp = spans.select(col(idCol).as("_id"),
       col("span_start"), col("span_end"))
     val byDoc = Window.partitionBy(col("_id")).orderBy(col("span_start"))
