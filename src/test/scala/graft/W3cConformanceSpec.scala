@@ -1086,6 +1086,35 @@ class W3cConformanceSpec extends AnyFunSuite {
         Seq(Some(ex("x2")), Some("BAR"), Some("bar"))))
   }
 
+  test("w3c data-r2/dataset dataset-01/dataset-05/dataset-09b (adapted): FROM / FROM NAMED scoping") {
+    // RDF dataset clause (§13.2): FROM graphs MERGE into the default
+    // graph; FROM NAMED lists the graphs GRAPH may range over; each set
+    // is invisible to the other.
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      Quad("urn:g1#", ex("a"), ex("p"), "1"),
+      Quad("urn:g2#", ex("b"), ex("p"), "2"),
+      Quad("urn:g3#", ex("c"), ex("p"), "3")).toDF()
+    // dataset-01 shape: FROM <g1> — only g1's triples are visible
+    assert(run(d, EX + "SELECT ?s FROM <urn:g1#> WHERE { ?s ex:p ?o . }")
+      .map(_.head.get) == Seq(ex("a")))
+    // dataset-05 shape: two FROM graphs merge
+    assert(run(d, EX +
+      "SELECT ?s FROM <urn:g1#> FROM <urn:g2#> WHERE { ?s ex:p ?o . }")
+      .map(_.head.get).toSet == Set(ex("a"), ex("b")))
+    // dataset-09b shape: FROM NAMED only — the default graph is EMPTY,
+    // and GRAPH ?g ranges over exactly the named set
+    assert(run(d, EX +
+      "SELECT ?s FROM NAMED <urn:g3#> WHERE { ?s ex:p ?o . }").isEmpty)
+    assert(run(d, EX + "SELECT ?g ?s FROM NAMED <urn:g3#> " +
+      "WHERE { GRAPH ?g { ?s ex:p ?o . } }") ==
+      Seq(Seq(Some("urn:g3#"), Some(ex("c")))))
+    // and a FROM graph is NOT GRAPH-visible (disjoint sets)
+    assert(run(d, EX + "SELECT ?g FROM <urn:g1#> " +
+      "WHERE { GRAPH ?g { ?s ex:p ?o . } }").isEmpty)
+  }
+
   test("w3c aggregates agg-min-01 / agg-max-01 (adapted): numeric extremes per group") {
     // sparql11 aggregates data-01 shape: int/decimal/double mixed rows
     // per subject; MIN/MAX must compare by VALUE ({10, 9}: min is 9,
