@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level differential fuzz for the native term expressions that
+  * replaced regex column algebra in round 12 — the parity contract is
+  * "exactly the old recognizers", so the reference here IS the old
+  * regex implementation, evaluated in plain Scala (no Spark needed).
+  *
+  * The ExprFuzzSpec end-to-end fuzzers pin the Spark plumbing but their
+  * value pools deliberately contain no quotes or annotation syntax;
+  * this suite aims generators straight at the encoding's tricky region:
+  * lexicals containing quotes / '@' / '^^<', malformed tags, annotated
+  * forms nested in annotated-looking text. */
+class RdfLexFuzzSpec extends AnyFunSuite {
+
+  /** The pre-round-12 Column semantics, verbatim as Scala regexes. */
+  private def refLex(s: String): String = {
+    if (s == null) return null
+    val lang = RdfTerms.LangRe.r
+    val dt = RdfTerms.DtRe.r
+    if (!s.startsWith("\"")) s
+    else s match {
+      case lang(l, _) => l
+      case _ => s match {
+        case dt(l, _) => l
+        case _ => s
+      }
+    }
+  }
+
+  private def nativeLex(s: String): String = {
+    if (s == null) return null // the expression layer handles null-in
+    val r = graft.functions.RdfLex.lex(UTF8String.fromString(s))
+    if (r == null) null else r.toString
+  }
+
+  test("RdfLex == the LangRe/DtRe regex reference on adversarial strings") {
+    // fragments chosen to build every boundary shape: bare, tagged,
+    // typed, quotes inside lexicals, fake suffixes, multiline lexicals
+    val frag = Gen.oneOf("", "a", "ab", "\"", "\"\"", "@", "@en", "@EN-gb",
+      "@e n", "@-x", "@en-", "^^<t>", "^^<", ">", "<", "^^<urn:t#k>",
+      "chat", "\"x\"@en", "\"y\"^^<urn:q>", "\n", "line\nbreak", "é漢",
+      "5", "-3.2", "_:b0", "urn:ex#iri")
+    val gen = for {
+      n <- Gen.choose(1, 5)
+      parts <- Gen.listOfN(n, frag)
+    } yield parts.mkString
+    val cases = (1 to 600).flatMap { i =>
+      gen(Gen.Parameters.default, Seed(88000L + i))
+    }
+    assert(cases.size >= 550)
+    // plus the canonical constructions over random lexicals (tags both
+    // cases to cover the encoder's lowercase normalization downstream)
+    val canonical = cases.take(150).flatMap { l =>
+      Seq("\"" + l + "\"@en", "\"" + l + "\"@EN-GB",
+        "\"" + l + "\"^^<urn:t#x>", "\"" + l + "\"^^<>")
+    }
+    (cases ++ canonical).foreach { s =>
+      assert(nativeLex(s) == refLex(s),
+        s"lex mismatch on ${s.replace("\n", "\\n")}: " +
+          s"native=${nativeLex(s)} reference=${refLex(s)}")
+    }
+    assert(nativeLex(null) == null)
+  }
+
+  test("DateTimeParts == the shape-regex reference on adversarial lexicals") {
+    // the old guard pattern, verbatim
+    val pat = ("^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
+      "(\\d{2}(?:\\.\\d+)?)(Z|[+-]\\d{2}:\\d{2})?$").r
+    def refParts(s: String): Option[Seq[String]] = s match {
+      case pat(y, mo, da, hh, mi, se, tz) =>
+        // documented boundary: a shape-valid year beyond Long range is
+        // NULL from the native parser (the regex reference would have
+        // thrown in the downstream ANSI cast)
+        val yl = try y.toLong.toString catch {
+          case _: NumberFormatException => return None }
+        val sec = { val d = se.toDouble
+          if (d % 1 == 0) d.toLong.toString else d.toString }
+        Some(Seq(yl, mo.toInt.toString, da.toInt.toString,
+          hh.toInt.toString, mi.toInt.toString, sec,
+          if (tz == null) "" else tz))
+      case _ => None
+    }
+    def native(s: String): Option[Seq[String]] = {
+      val r = graft.functions.DateTimeParts.parse(UTF8String.fromString(s))
+      if (r == null) None
+      else Some((0 until 7).map(i => r.getUTF8String(i).toString))
+    }
+    val digits = Gen.choose(0, 99).map(n => f"$n%02d")
+    val year = Gen.oneOf(Gen.choose(100, 99999).map(_.toString),
+      Gen.choose(100, 9999).map(n => "-" + n), Gen.const("0000"))
+    val frac = Gen.oneOf("", ".5", ".25", ".999", ".", ".x")
+    val tz = Gen.oneOf("", "Z", "+02:00", "-11:30", "+2:00", "Z ", "z")
+    val sep1 = Gen.oneOf("-", ":", "")
+    val wellFormedIsh = for {
+      y <- year; mo <- digits; da <- digits; hh <- digits; mi <- digits
+      se <- digits; f <- frac; z <- tz; s1 <- sep1
+    } yield s"$y-$mo${s1}${da}T$hh:$mi:$se$f$z"
+    val junk = Gen.oneOf("", "T", "2020-01-01", "not a date",
+      "12345678901234567890123-01-01T00:00:00", // year overflows Long
+      "2020-01-01T00:00:00+0200", "2020-01-01 00:00:00")
+    val cases = (1 to 500).flatMap { i =>
+      Gen.frequency(4 -> wellFormedIsh, 1 -> junk)(
+        Gen.Parameters.default, Seed(99000L + i))
+    }
+    assert(cases.size >= 450)
+    cases.foreach { s =>
+      val (n, r) = (native(s), refParts(s))
+      assert(n == r, s"dateTime mismatch on $s: native=$n reference=$r")
+    }
+  }
+}
