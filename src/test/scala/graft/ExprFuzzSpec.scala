@@ -455,6 +455,97 @@ class ExprFuzzSpec extends AnyFunSuite {
 
   // ---- ENCODE_FOR_URI differential vs the JDK's encoder ------------------
 
+  test("numeric MIN/MAX dispatch == reference per-group semantics on random term bags") {
+    val s = spark
+    import s.implicits._
+    // Reference for the round-12 documented rule: a group whose every
+    // member's LEX-STRIPPED form double-parses takes its extreme by
+    // (value, then full ENCODED term codepoint as tie-break), keeping
+    // the term; any non-castable member falls the group to plain
+    // codepoint order over the encoded terms.
+    def lexOf(t: String): String = {
+      val r = graft.functions.RdfLex.lex(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      r.toString
+    }
+    def numOf(t: String): Option[Double] =
+      try Some(lexOf(t).trim.toDouble).filter(_ => {
+        // Spark try_cast(double) accepts leading/trailing spaces and
+        // standard decimal/scientific forms — scala toDouble matches on
+        // the generated pool (no hex/Infinity forms generated)
+        true
+      }) catch { case _: NumberFormatException => None }
+    def refExtreme(terms: Seq[String], isMin: Boolean): String = {
+      val nums = terms.map(numOf)
+      if (nums.forall(_.isDefined)) {
+        val keyed = terms.zip(nums.map(_.get))
+        val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
+        val pick = keyed.map { case (t, v) => (v, t) }
+        if (isMin) pick.min(ord)._2 else pick.max(ord)._2
+      } else if (isMin) terms.min else terms.max
+    }
+    val termGen = Gen.oneOf(
+      Gen.choose(-50L, 10050L).map(_.toString),
+      Gen.oneOf("01", "001", "1", "9", "10", "0009", "-0"),
+      Gen.oneOf("2.5", "2.50", "-3.25", "10.1", "0.2", ".5"),
+      Gen.oneOf("x", "abc", "", " ", "urn:t#A", "10a"),
+      Gen.oneOf("\"5\"@en", "\"05\"@fr", "\"nope\"@en", "\"7.5\"^^<urn:t#k>"))
+    val bagGen = for {
+      nGroups <- Gen.choose(1, 4)
+      bags <- Gen.listOfN(nGroups, Gen.nonEmptyListOf(termGen).map(_.take(8)))
+    } yield bags
+    val cases = (1 to 60).flatMap { i =>
+      bagGen(Gen.Parameters.default, Seed(77000L + i))
+    }
+    assert(cases.size >= 50)
+    cases.foreach { bags =>
+      val quads = bags.zipWithIndex.flatMap { case (bag, gi) =>
+        bag.map(t => Quad("urn:g#", s"urn:u#$gi", "urn:p#v", t))
+      }.toDF()
+      val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?u (MIN(?v) AS ?lo) " +
+        "(MAX(?v) AS ?hi) WHERE { ?u p:v ?v . } GROUP BY ?u ORDER BY ?u")
+      val got = BgpPlanner.evaluate(quads, q).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      val want = bags.zipWithIndex.map { case (bag, gi) =>
+        (s"urn:u#$gi", lexOf(refExtreme(bag, isMin = true)),
+          lexOf(refExtreme(bag, isMin = false)))
+      }.sortBy(_._1)
+      assert(got == want, s"MIN/MAX over $bags: planner=$got reference=$want")
+    }
+  }
+
+  test("ORDER BY over literal terms == the three-key §15.1 reference on random columns") {
+    val s = spark
+    import s.implicits._
+    // reference: per-row key (isNonNumeric, value, encoded term); DESC
+    // is the exact reverse. Mirrors BgpPlanner.orderKeys.
+    def lexOf(t: String): String = graft.functions.RdfLex.lex(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
+    def key(t: String): (Int, Double, String) =
+      try { (0, lexOf(t).trim.toDouble, t) }
+      catch { case _: NumberFormatException => (1, 0.0, t) }
+    val termGen = Gen.oneOf(
+      Gen.choose(-99L, 199L).map(_.toString),
+      Gen.oneOf("01", "1", "10", "9", "2.5", "100", "0.5", "-7"),
+      Gen.oneOf("a", "B", "urn:x#q", "zz", ""),
+      Gen.oneOf("\"3\"@en", "\"03\"@de", "\"w\"@en"))
+    val listGen = Gen.nonEmptyListOf(termGen).map(_.take(12))
+    val cases = (1 to 50).flatMap { i =>
+      listGen(Gen.Parameters.default, Seed(66000L + i))
+    }
+    assert(cases.size >= 40)
+    cases.foreach { terms =>
+      val quads = terms.zipWithIndex.map { case (t, i) =>
+        Quad("urn:g#", s"urn:s#$i", "urn:p#v", t) }.toDF()
+      def run(dir: String) = BgpPlanner.evaluate(quads, Sparql.parse(
+        s"PREFIX p: <urn:p#> SELECT ?v WHERE { ?s p:v ?v . } ORDER BY $dir"))
+        .collect().map(_.getString(0)).toSeq
+      val asc = terms.sorted(Ordering.by(key)).map(lexOf)
+      assert(run("?v") == asc, s"ASC over $terms")
+      assert(run("DESC(?v)") == asc.reverse, s"DESC over $terms")
+    }
+  }
+
   test("ENCODE_FOR_URI == URLEncoder modulo the documented form-encoding deltas") {
     val s = spark
     import s.implicits._
