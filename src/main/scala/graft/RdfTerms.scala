@@ -115,24 +115,16 @@ object RdfTerms {
 
   /** §17.4.2.2 LANG: the tag, "" for any untagged literal. Blank nodes
     * are a type error → NULL. (Bare IRIs read "" — the documented
-    * IRI/plain-literal conflation.) */
-  def langOf(c: Column): Column =
-    when(c.startsWith("_:"), lit(null).cast("string"))
-      .when(quoted(c) && c.rlike(LangRe), regexp_extract(c, LangRe, 2))
-      .when(c.isNotNull, lit(""))
+    * IRI/plain-literal conflation.) Native single-scan expression
+    * (round 12, same rationale and parity contract as [[lex]]). */
+  def langOf(c: Column): Column = graft.functions.RdfLex.langOf(c)
 
   /** §17.4.2.7 DATATYPE as an IRI string: rdf:langString for tagged,
     * the annotation for typed, the shape datatype for bare. Blank nodes
-    * → NULL (type error). */
-  def datatypeOf(c: Column): Column =
-    when(c.startsWith("_:"), lit(null).cast("string"))
-      .when(c.rlike(LangRe), lit(RdfLangString))
-      .when(c.rlike(DtRe), regexp_extract(c, DtRe, 2))
-      .when(c.rlike("\\A" + IntShape + "\\z"), lit(XsdInteger))
-      .when(c.rlike("\\A" + DecShape + "\\z"), lit(XsdDecimal))
-      .when(c.rlike("\\A" + DblShape + "\\z"), lit(XsdDouble))
-      .when(c.isin("true", "false"), lit(XsdBoolean))
-      .when(c.isNotNull, lit(XsdString))
+    * → NULL (type error). Native single-scan expression (round 12) —
+    * the Column form ran up to five full-string regexes per row, and
+    * isNumeric() evaluates this in FILTER predicates. */
+  def datatypeOf(c: Column): Column = graft.functions.RdfLex.datatypeOf(c)
 
   /** §17.4.2.5 STRLANG: tag a SIMPLE literal; an already-annotated input
     * or a malformed tag is a type error → NULL. The tag lowercases like

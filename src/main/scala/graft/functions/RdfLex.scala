@@ -8,82 +8,182 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** The RDF-term lexical form (RdfTerms.lex) as a native expression.
+/** The RDF-term accessors (RdfTerms lex / langOf / datatypeOf) as native
+  * single-scan expressions.
   *
   * `lex` is the hottest term operation in the engine: it sits in the
   * rdflib-parity result boundary of EVERY query's outermost SELECT, in
   * every string/numeric FILTER's coercion, and (since the §15.1 numeric
-  * ordering) in every ORDER BY key over a string column. The Column form
-  * is a 5-branch CaseWhen whose annotated branches each run a full-string
-  * regex (`rlike` + `regexp_extract`, two compiled-regex passes per
-  * match), and Catalyst's filter pushdown freely duplicates it into
-  * predicates evaluated once per scanned row. This expression does one
-  * left-to-right/right-to-left scan, no regex, no allocation on the bare
-  * fast path (the overwhelmingly common case returns the input object).
+  * ordering) in every ORDER BY key over a string column; `datatypeOf`
+  * backs isNumeric() and the numeric MIN/MAX/DATATYPE() paths. The
+  * Column forms were CaseWhens whose annotated branches each ran
+  * full-string compiled regexes (`rlike` + `regexp_extract`, two passes
+  * per match; datatypeOf ran up to five), and Catalyst's filter pushdown
+  * freely duplicates them into predicates evaluated once per scanned
+  * row. These expressions do one left-to-right/right-to-left scan, no
+  * regex, and no allocation on the bare fast path (lex of a bare value
+  * returns the input object).
   *
-  * Exact parity with the encoded-form recognizers (RdfTerms.LangRe/DtRe,
-  * verified by the expression fuzzers and the 161-query oracle):
-  *   - not starting with '"'           → identity (bare value)
+  * Exact parity with the encoded-form recognizers (RdfTerms.LangRe/DtRe
+  * and the Turtle shorthand shapes, verified by RdfLexFuzzSpec's
+  * differential fuzz and the 163-query oracle):
   *   - `"lex"@tag` where tag is [A-Za-z]+(-[A-Za-z0-9]+)* and the closing
-  *     quote is the string's LAST '"' (the regex's greedy group) → lex
+  *     quote is the string's LAST '"' (the regex's greedy group)
   *   - `"lex"^^<iri>` with '>' only at the end ('[^>]*' body), closing
-  *     quote at the last `"^^<` occurrence → lex
-  *   - anything else (including NULL)  → identity
+  *     quote at the last `"^^<` occurrence
+  *   - bare numeric/boolean shorthands per Turtle §2.5.2 (datatypeOf)
   */
 object RdfLex {
+
+  /** Index of the closing quote of a `"lex"@tag` encoding, or -1. */
+  private def langClose(s: String): Int = {
+    val n = s.length
+    if (n == 0 || s.charAt(0) != '"') return -1
+    val q = s.lastIndexOf('"')
+    if (q < 1 || q + 2 >= n || s.charAt(q + 1) != '@') return -1
+    var i = q + 2
+    var ok = false
+    while (i < n && ((s.charAt(i) >= 'A' && s.charAt(i) <= 'Z') ||
+        (s.charAt(i) >= 'a' && s.charAt(i) <= 'z'))) { i += 1; ok = true }
+    while (ok && i < n && s.charAt(i) == '-') {
+      i += 1
+      var seg = false
+      while (i < n && ((s.charAt(i) >= 'A' && s.charAt(i) <= 'Z') ||
+          (s.charAt(i) >= 'a' && s.charAt(i) <= 'z') ||
+          (s.charAt(i) >= '0' && s.charAt(i) <= '9'))) { i += 1; seg = true }
+      ok = seg
+    }
+    if (ok && i == n) q else -1
+  }
+
+  /** Index of the closing quote of a `"lex"^^<iri>` encoding, or -1. */
+  private def dtClose(s: String): Int = {
+    val n = s.length
+    if (n < 5 || s.charAt(0) != '"' || s.charAt(n - 1) != '>') return -1
+    val k = s.lastIndexOf("\"^^<")
+    if (k >= 1 && s.indexOf('>', k + 4) == n - 1) k else -1
+  }
 
   /** One-pass lexical extraction; returns the INPUT OBJECT unchanged for
     * bare/unrecognized values so the common case allocates nothing. */
   def lex(u: UTF8String): UTF8String = {
     if (u.numBytes() == 0 || u.getByte(0) != '"') return u
     val s = u.toString
-    val n = s.length
-    // "lex"@tag — closing quote is the LAST '"' (greedy group), suffix
-    // must be @ + alpha segment + (-alnum segment)*
-    val q = s.lastIndexOf('"')
-    if (q >= 1 && q + 2 < n && s.charAt(q + 1) == '@') {
-      var i = q + 2
-      var ok = false
-      while (i < n && ((s.charAt(i) >= 'A' && s.charAt(i) <= 'Z') ||
-          (s.charAt(i) >= 'a' && s.charAt(i) <= 'z'))) { i += 1; ok = true }
-      while (ok && i < n && s.charAt(i) == '-') {
-        i += 1
-        var seg = false
-        while (i < n && ((s.charAt(i) >= 'A' && s.charAt(i) <= 'Z') ||
-            (s.charAt(i) >= 'a' && s.charAt(i) <= 'z') ||
-            (s.charAt(i) >= '0' && s.charAt(i) <= '9'))) { i += 1; seg = true }
-        ok = seg
-      }
-      if (ok && i == n) return UTF8String.fromString(s.substring(1, q))
-    }
-    // "lex"^^<iri> — terminal '>', '[^>]*' body, closing quote at the
-    // last `"^^<`
-    if (n >= 5 && s.charAt(n - 1) == '>') {
-      val k = s.lastIndexOf("\"^^<")
-      if (k >= 1 && s.indexOf('>', k + 4) == n - 1)
-        return UTF8String.fromString(s.substring(1, k))
-    }
+    val q = langClose(s)
+    if (q >= 0) return UTF8String.fromString(s.substring(1, q))
+    val k = dtClose(s)
+    if (k >= 0) return UTF8String.fromString(s.substring(1, k))
     u
   }
 
-  case class RdfLexExpr(child: Expression) extends UnaryExpression {
-    override def prettyName: String = "rdf_lex"
-    override def dataType: DataType = child.dataType
+  /** §17.4.2.2 LANG: the tag, "" for any untagged non-blank term, null
+    * (type error) for blank nodes. */
+  def langOf(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (s.startsWith("_:")) return null
+    val q = langClose(s)
+    if (q >= 0) UTF8String.fromString(s.substring(q + 2))
+    else UTF8String.EMPTY_UTF8
+  }
+
+  // Turtle §2.5.2 shorthand shapes, hand-parsed (parity with
+  // RdfTerms.IntShape/DecShape/DblShape)
+  private def digits(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    i - from
+  }
+
+  /** xsd datatype implied by a BARE lexical's shape; null for "none of
+    * the shorthands" (caller renders xsd:string). */
+  private def shapeDt(s: String): String = {
+    val n = s.length
+    if (s == "true" || s == "false") return graft.RdfTerms.XsdBoolean
+    var i = if (n > 0 && (s.charAt(0) == '+' || s.charAt(0) == '-')) 1 else 0
+    val d1 = digits(s, i)
+    i += d1
+    if (i == n) return if (d1 > 0) graft.RdfTerms.XsdInteger else null
+    if (s.charAt(i) == '.') {
+      // decimal: \d*\.\d+ END; double mantissa may continue with [eE]
+      val d2 = digits(s, i + 1)
+      i += 1 + d2
+      if (i == n) return if (d2 > 0) graft.RdfTerms.XsdDecimal else null
+      // fall through to exponent check: (\d+\.\d* | \.\d+)[eE]…
+      if (d1 == 0 && d2 == 0) return null
+    } else if (d1 == 0) return null
+    if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+      i += 1
+      if (i < n && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      val de = digits(s, i)
+      if (de > 0 && i + de == n) return graft.RdfTerms.XsdDouble
+    }
+    null
+  }
+
+  /** §17.4.2.7 DATATYPE as an IRI string: rdf:langString for tagged, the
+    * annotation for typed, the shape datatype for bare, xsd:string
+    * otherwise; null (type error) for blank nodes. */
+  def datatypeOf(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (s.startsWith("_:")) return null
+    if (langClose(s) >= 0)
+      return UTF8String.fromString(graft.RdfTerms.RdfLangString)
+    val k = dtClose(s)
+    if (k >= 0) return UTF8String.fromString(s.substring(k + 4, s.length - 1))
+    val shape = shapeDt(s)
+    UTF8String.fromString(
+      if (shape != null) shape else graft.RdfTerms.XsdString)
+  }
+
+  abstract class TermUnary extends UnaryExpression {
+    override def dataType: DataType = StringType
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case _: StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a string input, got ${t.simpleString}")
     }
+  }
 
+  case class RdfLexExpr(child: Expression) extends TermUnary {
+    override def prettyName: String = "rdf_lex"
+    override def dataType: DataType = child.dataType
     override def nullSafeEval(s: Any): Any = lex(s.asInstanceOf[UTF8String])
-
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev,
         c => s"${ev.value} = graft.functions.RdfLex.lex($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 
+  case class RdfLangExpr(child: Expression) extends TermUnary {
+    override def prettyName: String = "rdf_lang"
+    override def nullable: Boolean = true // blank node → type error
+    override def nullSafeEval(s: Any): Any = langOf(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |${ev.value} = graft.functions.RdfLex.langOf($c);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  case class RdfDatatypeExpr(child: Expression) extends TermUnary {
+    override def prettyName: String = "rdf_datatype"
+    override def nullable: Boolean = true // blank node → type error
+    override def nullSafeEval(s: Any): Any = datatypeOf(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+         |${ev.value} = graft.functions.RdfLex.datatypeOf($c);
+         |${ev.isNull} = ${ev.value} == null;
+         |""".stripMargin)
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
 
   def lex(c: Column): Column = Bridge.column(RdfLexExpr(Bridge.expression(c)))
+  def langOf(c: Column): Column =
+    Bridge.column(RdfLangExpr(Bridge.expression(c)))
+  def datatypeOf(c: Column): Column =
+    Bridge.column(RdfDatatypeExpr(Bridge.expression(c)))
 }

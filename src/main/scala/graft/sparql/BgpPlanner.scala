@@ -1035,11 +1035,13 @@ object BgpPlanner {
         // lang-tagged "5"@en (rdf:langString) is NOT numeric even though
         // its lexical casts; an annotated "5.0"^^xsd:float IS.
         val c = resolve(v)
-        graft.RdfTerms.datatypeOf(c).rlike(
-          "\\Ahttp://www\\.w3\\.org/2001/XMLSchema#(integer|decimal|" +
-            "double|float|byte|short|int|long|(negative|positive|" +
-            "non(Negative|Positive))Integer|unsigned(Byte|Short|Int|" +
-            "Long))\\z") &&
+        val xsd = graft.RdfTerms.XsdNs
+        val numericTypes = Seq("integer", "decimal", "double", "float",
+          "byte", "short", "int", "long", "negativeInteger",
+          "positiveInteger", "nonNegativeInteger", "nonPositiveInteger",
+          "unsignedByte", "unsignedShort", "unsignedInt", "unsignedLong")
+          .map(xsd + _)
+        graft.RdfTerms.datatypeOf(c).isin(numericTypes: _*) &&
           graft.RdfTerms.lex(c).try_cast("double").isNotNull
     }
     }

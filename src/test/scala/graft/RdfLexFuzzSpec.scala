@@ -67,6 +67,55 @@ class RdfLexFuzzSpec extends AnyFunSuite {
     assert(nativeLex(null) == null)
   }
 
+  test("RdfLex.langOf / datatypeOf == the regex references on adversarial strings") {
+    // the pre-round-12 Column semantics, verbatim as Scala regexes
+    val lang = RdfTerms.LangRe.r
+    val dt = RdfTerms.DtRe.r
+    def refLang(s: String): String =
+      if (s.startsWith("_:")) null
+      else if (s.startsWith("\"")) s match {
+        case lang(_, t) => t
+        case _ => ""
+      } else ""
+    def refDatatype(s: String): String =
+      if (s.startsWith("_:")) null
+      else s match {
+        case lang(_, _) => RdfTerms.RdfLangString
+        case dt(_, d) => d
+        case _ =>
+          if (s.matches("[+-]?\\d+")) RdfTerms.XsdInteger
+          else if (s.matches("[+-]?\\d*\\.\\d+")) RdfTerms.XsdDecimal
+          else if (s.matches("[+-]?(?:\\d+\\.?\\d*|\\.\\d+)[eE][+-]?\\d+"))
+            RdfTerms.XsdDouble
+          else if (s == "true" || s == "false") RdfTerms.XsdBoolean
+          else RdfTerms.XsdString
+      }
+    def nat(f: UTF8String => UTF8String, s: String): String = {
+      val r = f(UTF8String.fromString(s))
+      if (r == null) null else r.toString
+    }
+    val frag = Gen.oneOf("", "a", "\"", "@en", "@EN-gb", "@e n", "@en-",
+      "^^<t>", "^^<", ">", "\"x\"@en", "\"y\"^^<urn:q>", "_:b0", "_:",
+      "5", "+5", "-5", "5.", ".5", "5.25", "-0.5", "1e5", "5.e3", ".e3",
+      "1E+07", "--5", "true", "false", "truex", "chat", "urn:ex#iri",
+      "\n", "é")
+    val gen = for {
+      n <- Gen.choose(1, 4); parts <- Gen.listOfN(n, frag)
+    } yield parts.mkString
+    val cases = (1 to 700).flatMap { i =>
+      gen(Gen.Parameters.default, Seed(55000L + i))
+    } ++ frag.sample.toSeq
+    assert(cases.size >= 600)
+    cases.foreach { s =>
+      assert(nat(graft.functions.RdfLex.langOf, s) == refLang(s),
+        s"langOf mismatch on ${s.replace("\n", "\\n")}")
+      assert(nat(graft.functions.RdfLex.datatypeOf, s) == refDatatype(s),
+        s"datatypeOf mismatch on ${s.replace("\n", "\\n")}: " +
+          s"native=${nat(graft.functions.RdfLex.datatypeOf, s)} " +
+          s"reference=${refDatatype(s)}")
+    }
+  }
+
   test("DateTimeParts == the shape-regex reference on adversarial lexicals") {
     // the old guard pattern, verbatim
     val pat = ("^(-?\\d{4,})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):" +
