@@ -1206,6 +1206,16 @@ object SparkEntry {
           minLen = 40)
         .orderBy("doc_id", "span_start")
     }),
+    "q164_substring_dedup_anchored" -> ((s, dir) => {
+      // the winnowing-anchored ExactSubstr detector — q162's scale lever
+      // as a first-class query: anchors are the window-min token 3-grams
+      // (w=4), so any shared run of >= 6 tokens is guaranteed found at
+      // ~2/(w+1) of the stride-1 gram volume; anchors count by exact
+      // gram text. Token-position spans.
+      TextOps.duplicateSpansAnchored(t(s, dir, "documents"), "text",
+          "doc_id", k = 3, w = 4)
+        .orderBy("doc_id", "tok_start")
+    }),
     "q163_substring_cut" -> ((s, dir) => {
       // the ExactSubstr CUT phase over q162's spans: every duplicated
       // range removed from every doc (all occurrences, per the paper),
@@ -3853,6 +3863,47 @@ object SparkEntry {
         |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
         |FROM islands GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    "q164_substring_dedup_anchored" ->
+      // winnow selection re-derived with the tie-free key gh*2^21+p
+      // (equivalent to Spark's struct(gh,pos) min since p < 2^21), then
+      // the q162 island grammar with end = pos+k-1 and gap tolerance w
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |gh AS (
+        |  SELECT doc_id, p, array_to_string(toks[p:p+2], ' ') AS gt,
+        |    ('0x' || substr(md5(array_to_string(toks[p:p+2], ' ')), 1, 15))::BIGINT
+        |      % 2147483647 AS gh
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(gh * 2097152 + p) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+        |    lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY p) AS full_w
+        |  FROM gh),
+        |sel AS (SELECT DISTINCT doc_id, selkey % 2097152 AS p1 FROM wm
+        |        WHERE full_w IS NOT NULL),
+        |anch AS (SELECT s.doc_id, s.p1 - 1 AS pos, gh.gt
+        |         FROM sel s JOIN gh ON gh.doc_id = s.doc_id AND gh.p = s.p1),
+        |hits AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY gt) AS c FROM anch)
+        |  WHERE c >= 2),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 2) OVER (
+        |        PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 4
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits),
+        |islands AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM flagged)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS tok_start,
+        |  CAST(max(pos) + 2 AS BIGINT) AS tok_end
+        |FROM islands GROUP BY doc_id, island
+        |ORDER BY doc_id, tok_start""".stripMargin,
     "q163_substring_cut" ->
       // q162's span grammar, then keep-segments (lag gap + tail) and an
       // ordered string_agg rebuild; untouched docs pass through

@@ -90,6 +90,63 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq("head-mid-tail", "<<__>>"))
   }
 
+  test("duplicateSpansAnchored: the k+w-1 winnowing guarantee holds on random plants") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val (k, w) = (3, 4)
+    val guarantee = k + w - 1 // 6 tokens
+    // noise tokens are globally unique (uN prefix per doc), so any gram
+    // touching them occurs once — anchors can only match inside the
+    // planted run, making spans' positions exactly assertable
+    val caseGen = for {
+      runLen <- Gen.choose(guarantee, guarantee + 6)
+      run <- Gen.listOfN(runLen, Gen.oneOf("alpha", "beta", "gamma", "delta",
+        "eps", "zeta", "eta", "theta"))
+      preA <- Gen.choose(0, 8); preB <- Gen.choose(0, 8)
+      sufA <- Gen.choose(k, 8); sufB <- Gen.choose(k, 8)
+    } yield (run, preA, sufA, preB, sufB)
+    val cases = (1 to 25).flatMap { i =>
+      caseGen(Gen.Parameters.default, Seed(44000L + i))
+    }
+    assert(cases.size >= 20)
+    cases.foreach { case (run, preA, sufA, preB, sufB) =>
+      def doc(tag: String, pre: Int, suf: Int) =
+        ((0 until pre).map(j => s"u$tag$j") ++ run ++
+          (0 until suf).map(j => s"v$tag$j")).mkString(" ")
+      val d = Seq((1L, doc("a", preA, sufA)), (2L, doc("b", preB, sufB)))
+        .toDF("doc_id", "text")
+      val spans = TextOps.duplicateSpansAnchored(d, "text", "doc_id", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // guarantee: BOTH docs report a span...
+      assert(Set(1L, 2L).subsetOf(spans.map(_._1).toSet),
+        s"run=${run.mkString(" ")} preA=$preA: spans=${spans.toSeq}")
+      // ...and every span sits inside the planted run's gram range
+      spans.foreach { case (id, st, en) =>
+        val pre = if (id == 1L) preA else preB
+        assert(st >= pre && en <= pre + run.size - 1,
+          s"span ($id,$st,$en) outside plant at $pre..${pre + run.size - 1}")
+      }
+    }
+  }
+
+  test("duplicateSpansAnchored: unique docs are empty; a long run merges to one span") {
+    val s = spark
+    import s.implicits._
+    val unique = Seq(
+      (1L, (0 until 30).map(j => s"a$j").mkString(" ")),
+      (2L, (0 until 30).map(j => s"b$j").mkString(" "))).toDF("doc_id", "text")
+    assert(TextOps.duplicateSpansAnchored(unique, "text", "doc_id", 3, 4).count() == 0)
+    // one 40-token shared run: anchors ≤ w apart merge into ONE island
+    val run = (0 until 40).map(j => s"s${j % 7}").mkString(" ")
+    val d = Seq((1L, "x0 x1 " + run), (2L, run + " y0 y1")).toDF("doc_id", "text")
+    val spans = TextOps.duplicateSpansAnchored(d, "text", "doc_id", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.count(_._1 == 1L) == 1 && spans.count(_._1 == 2L) == 1,
+      s"expected one merged span per doc: ${spans.toSeq}")
+  }
+
   // ---- anomalyReport --------------------------------------------------
 
   test("anomalyReport flags strictly-beyond-k-sigma values only") {
