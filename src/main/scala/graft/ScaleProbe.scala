@@ -55,7 +55,7 @@ object ScaleProbe {
     "q36_percentiles", "q151_orc_roundtrip",
     // round-12: PageRank joins the 100× shuffle-heavy probe family;
     // ExactSubstr span detection is the newest corpus-wide shuffle shape
-    "q85_pagerank", "q162_substring_dedup")
+    "q85_pagerank", "q162_substring_dedup", "q164_substring_dedup_anchored")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
