@@ -1072,9 +1072,12 @@ object BgpPlanner {
     import Sparql._
     e match {
       case BLit(s) => !s.startsWith("\"")
+      // TIMEZONE is the one dateTime accessor that CONSTRUCTS an
+      // annotated term (xsd:dayTimeDuration) rather than a lexical
+      case BDtFn(fn, _) => fn != "TIMEZONE"
       case BConcat(_) | BEncodeUri(_) | BSubstr(_, _, _) | BReplace(_, _, _)
           | BStrCut(_, _, _) | BArith(_, _, _) | BNumFn(_, _) | BHashFn(_, _)
-          | BDtFn(_, _) | BStrFn(_, _) => true
+          | BStrFn(_, _) => true
       case _ => false // BVar, BCoalesce, BIf, BStrLang, BStrDt
     }
   }
@@ -1169,6 +1172,29 @@ object BgpPlanner {
         }
       case BEncodeUri(a) =>
         graft.functions.UriEncode.encodeForUri(lexed(a))
+      case BDtFn("TIMEZONE", a) =>
+        // §17.4.5.7 TIMEZONE: the literal's timezone as an
+        // xsd:dayTimeDuration TERM — "-05:00" → "-PT5H"^^xsd:dayTime-
+        // Duration, "Z"/"±00:00" → "PT0S" — rendered in the XSD 1.1
+        // §3.3.7 canonical form (zero-valued H/M fields dropped, "PT0S"
+        // for the zero duration). A dateTime WITHOUT a designator is a
+        // type error → NULL (unlike TZ, which reads ""), as is a
+        // non-dateTime lexical (NULL TZ field propagates through the
+        // concat). Structural like the other accessors: the shared
+        // DateTimeParts parse already isolated the designator.
+        bindOnce(DateTimeParts.parts(lexed(a)).getField("TZ")) { tz =>
+          val h = substring(tz, 2, 2).try_cast("int")
+          val m = substring(tz, 5, 2).try_cast("int")
+          val dur = when(tz === "Z" || (h === 0 && m === 0), lit("PT0S"))
+            .otherwise(concat(
+              when(tz.startsWith("-"), lit("-")).otherwise(lit("")),
+              lit("PT"),
+              when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+              when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit(""))))
+          when(tz =!= "",
+            concat(lit("\""), dur,
+              lit("\"^^<" + graft.RdfTerms.XsdNs + "dayTimeDuration>")))
+        }
       case BDtFn(fn, a) =>
         // §17.4.5 structurally on the canonical xsd:dateTime lexical —
         // XPath component accessors report the literal's OWN timezone's

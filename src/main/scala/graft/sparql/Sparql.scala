@@ -238,11 +238,14 @@ object Sparql {
   /** ENCODE_FOR_URI — §17.4.3.10 = XPath fn:encode-for-uri (percent-
     * encode all but RFC 3986 unreserved, uppercase hex). */
   final case class BEncodeUri(arg: BExpr) extends BExpr
-  /** fn ∈ YEAR MONTH DAY HOURS MINUTES SECONDS TZ — §17.4.5 dateTime
-    * accessors, evaluated structurally on the xsd:dateTime lexical form
-    * (no instant conversion — XPath components are those of the
-    * literal's own timezone, so extracting from the lexical IS the
-    * faithful semantics; a zone-shifting timestamp cast would not be). */
+  /** fn ∈ YEAR MONTH DAY HOURS MINUTES SECONDS TZ TIMEZONE — §17.4.5
+    * dateTime accessors, evaluated structurally on the xsd:dateTime
+    * lexical form (no instant conversion — XPath components are those of
+    * the literal's own timezone, so extracting from the lexical IS the
+    * faithful semantics; a zone-shifting timestamp cast would not be).
+    * TZ reads the designator string ("" when absent, §17.4.5.8);
+    * TIMEZONE (§17.4.5.7) renders it as a canonical xsd:dayTimeDuration
+    * TERM and type-errors on a designator-less dateTime. */
   final case class BDtFn(fn: String, arg: BExpr) extends BExpr
   /** Integer arithmetic, op ∈ + - *. */
   final case class BArith(l: BExpr, op: Char, r: BExpr) extends BExpr
@@ -1108,7 +1111,8 @@ object Sparql {
     private val NumFns = Seq("ABS", "CEIL", "FLOOR", "ROUND")
     private val HashFns = Seq("MD5", "SHA1", "SHA256")
     private val DtFns =
-      Seq("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ")
+      Seq("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+        "TIMEZONE", "TZ")
 
     private def parseBindPrimary(): BExpr = {
       skipWs()
@@ -1353,7 +1357,8 @@ object Sparql {
         "LANG", "DATATYPE", "STRLANG", "STRDT",
         "ENCODE_FOR_URI", "ABS", "CEIL", "FLOOR", "ROUND",
         "MD5", "SHA1", "SHA256",
-        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ").exists { f =>
+        "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS",
+        "TIMEZONE", "TZ").exists { f =>
         in.regionMatches(true, pos, f, 0, f.length) && {
           var p = pos + f.length
           while (p < n && in.charAt(p).isWhitespace) p += 1

@@ -802,6 +802,37 @@ class W3cConformanceSpec extends AnyFunSuite {
       Some(ex("d3")) -> Some("Z"), Some(ex("d4")) -> Some("")))
   }
 
+  test("w3c functions/timezone-01: TIMEZONE as xsd:dayTimeDuration, error when absent") {
+    // the suite's expected solutions: Z → "PT0S", -08:00 → "-PT8H", a
+    // designator-less dateTime ERRORS (?v unbound) — the row survives,
+    // the binding doesn't (§17.4.5.7 vs TZ's "" in tz-01 above)
+    val got = run(fnDates, EX +
+      "SELECT ?s (TIMEZONE(?date) AS ?v) WHERE { ?s ex:date ?date }")
+      .map(row => row(0) -> row(1)).toMap
+    assert(got == Map(
+      Some(ex("d1")) -> Some("PT0S"), Some(ex("d2")) -> Some("-PT8H"),
+      Some(ex("d3")) -> Some("PT0S"), Some(ex("d4")) -> None))
+    // the result is a TERM, not a bare lexical: mid-query (before the
+    // str() boundary) it carries the duration datatype
+    val dt = run(fnDates, EX + "SELECT ?s ?dt WHERE { ?s ex:date ?date . " +
+      "BIND(DATATYPE(TIMEZONE(?date)) AS ?dt) }")
+      .map(row => row(0) -> row(1)).toMap
+    assert(dt(Some(ex("d2"))) ==
+      Some("http://www.w3.org/2001/XMLSchema#dayTimeDuration"))
+    assert(dt(Some(ex("d4"))).isEmpty)
+    // canonical minute-bearing and sub-hour forms
+    val d = quads(
+      (ex("m1"), ex("date"), "2011-01-10T14:45:13+05:30"),
+      (ex("m2"), ex("date"), "2011-01-10T14:45:13-00:30"),
+      (ex("m3"), ex("date"), "2011-01-10T14:45:13+00:00"))
+    val mids = run(d, EX +
+      "SELECT ?s (TIMEZONE(?date) AS ?v) WHERE { ?s ex:date ?date }")
+      .map(row => row(0) -> row(1)).toMap
+    assert(mids == Map(
+      Some(ex("m1")) -> Some("PT5H30M"), Some(ex("m2")) -> Some("-PT30M"),
+      Some(ex("m3")) -> Some("PT0S")))
+  }
+
   test("w3c data-r2/open-eq (adapted): sameTerm vs = on distinct numeric lexicals") {
     // open-eq-07..11's point in the lexical store: "01" and "1" are
     // DIFFERENT terms that `=` can still numeric-dispatch equal
@@ -1149,8 +1180,6 @@ class W3cConformanceSpec extends AnyFunSuite {
       "counted path quantifiers were dropped from the final REC grammar; not implemented",
     "sparql11 entailment/*" ->
       "RDFS/OWL entailment regimes out of scope (the reference merges the ontology offline instead)",
-    "sparql11 functions/timezone-01 (TIMEZONE as xsd:dayTimeDuration)" ->
-      "no duration value type in the lexical store; TZ (the designator string form) is the supported accessor",
     "sparql11 functions/isiri-isliteral, data-r2/expr-builtin isIRI/isLiteral" ->
       "the lexical quads encoding stores IRIs and literals identically — the distinction is unrecoverable (rejected loudly; isBlank/isNumeric supported)",
     "sparql11 functions/now01, rand01, uuid01, struuid01, bnode01" ->
