@@ -1206,6 +1206,19 @@ object SparkEntry {
           minLen = 40)
         .orderBy("doc_id", "span_start")
     }),
+    "q165_substring_dedup_capped" -> ((s, dir) => {
+      // q162 with the hot-gram cap armed (round 13): grams above the cap
+      // are skip-listed out of the count window and emitted as hits
+      // directly — byte-identical results (cap ≥ 2 ⇒ a capped gram IS a
+      // duplicate), but no window partition can exceed the cap, so
+      // boilerplate ("all rights reserved…" in half the corpus) costs a
+      // broadcast probe instead of a straggler partition. The oracle is
+      // q162's grammar verbatim: the cap is an execution strategy, not a
+      // semantics change.
+      TextOps.duplicateSpans(t(s, dir, "documents"), "text", "doc_id",
+          minLen = 40, hotGramCap = 50L)
+        .orderBy("doc_id", "span_start")
+    }),
     "q164_substring_dedup_anchored" -> ((s, dir) => {
       // the winnowing-anchored ExactSubstr detector — q162's scale lever
       // as a first-class query: anchors are the window-min token 3-grams
@@ -2139,6 +2152,37 @@ object SparkEntry {
        |  FROM embeddings WHERE vec_id % $mod = 0),
        |$rounds""".stripMargin
   }
+
+  /** q162/q165 oracle: stride-1 40-grams, corpus-wide count >= 2, per-doc
+    * overlapping-or-contiguous island merge. Shared verbatim by the
+    * exact (q162) and hot-gram-capped (q165) queries — the cap is an
+    * execution strategy, not a semantics change. */
+  private val exactSpansOracle: String =
+    """WITH grams AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(range(1, length(text) - 40 + 2)) AS BIGINT) AS pos,
+      |    unnest(list_transform(range(1, length(text) - 40 + 2),
+      |      p -> substr(text, CAST(p AS INT), 40))) AS g
+      |  FROM documents
+      |), hits AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c
+      |    FROM grams) WHERE c >= 2
+      |), flagged AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 39) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM hits
+      |), islands AS (
+      |  SELECT doc_id, pos,
+      |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM flagged
+      |)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
+      |FROM islands GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
 
   private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2,
       mod: String = autoModSql("embeddings"),
@@ -3835,34 +3879,11 @@ object SparkEntry {
         |    floor(c_acctbal*100) AS bn
         |  FROM customer)
         |ORDER BY bn DESC, c LIMIT 5""".stripMargin,
-    "q162_substring_dedup" ->
-      // same grammar: stride-1 40-grams, corpus-wide count >= 2, per-doc
-      // overlapping-or-contiguous island merge
-      """WITH grams AS (
-        |  SELECT doc_id,
-        |    CAST(unnest(range(1, length(text) - 40 + 2)) AS BIGINT) AS pos,
-        |    unnest(list_transform(range(1, length(text) - 40 + 2),
-        |      p -> substr(text, CAST(p AS INT), 40))) AS g
-        |  FROM documents
-        |), hits AS (
-        |  SELECT doc_id, pos FROM (
-        |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c
-        |    FROM grams) WHERE c >= 2
-        |), flagged AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN pos > coalesce(max(pos + 39) OVER (
-        |        PARTITION BY doc_id ORDER BY pos
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-        |      THEN 1 ELSE 0 END AS new_island
-        |  FROM hits
-        |), islands AS (
-        |  SELECT doc_id, pos,
-        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM flagged
-        |)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
-        |FROM islands GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+    "q162_substring_dedup" -> exactSpansOracle,
+    // the hot-gram cap is an execution strategy (skip-list vs window),
+    // not a semantics change — the capped query answers to the SAME
+    // exact-span grammar
+    "q165_substring_dedup_capped" -> exactSpansOracle,
     "q164_substring_dedup_anchored" ->
       // winnow selection re-derived with the tie-free key gh*2^21+p
       // (equivalent to Spark's struct(gh,pos) min since p < 2^21), then

@@ -443,18 +443,39 @@ object TextOps {
     * islands merge; the final (doc, island) aggregate reuses the per-doc
     * partitioning (no extra shuffle — hashpartitioning(doc) already
     * clusters (doc, island)). 100 TB notes: (1) a stop-gram ("the same
-    * 40 chars everywhere", boilerplate) makes one partition hot — cap
-    * with a count-then-broadcast skip-list exactly like the q144 domain
-    * cap; (2) to cut the stride-1 explode volume, anchor on
-    * [[winnowFingerprints]] positions instead — the winnowing guarantee
-    * (any shared run ≥ k + w - 1 shares a fingerprint) bounds the
-    * missed-span length, the documented recall trade the paper's suffix
-    * array avoids by paying O(corpus) memory; (3) a hash-first two-phase
-    * count was tried and measured WORSE (see the inline note). */
+    * 40 chars everywhere", boilerplate) makes one window partition hot —
+    * `hotGramCap` (round 13) bounds it with a count-then-broadcast
+    * skip-list, the q144 domain-cap pattern; (2) to cut the stride-1
+    * explode volume, anchor on [[winnowFingerprints]] positions instead —
+    * the winnowing guarantee (any shared run ≥ k + w - 1 shares a
+    * fingerprint) bounds the missed-span length, the documented recall
+    * trade the paper's suffix array avoids by paying O(corpus) memory;
+    * (3) a hash-first two-phase count was tried and measured WORSE (see
+    * the inline note).
+    *
+    * `hotGramCap` (opt-in, 0 = off; otherwise ≥ 2): grams occurring more
+    * than the cap times corpus-wide — boilerplate headers, license
+    * blocks — are skip-listed OUT of the count window and emitted as
+    * hits DIRECTLY. Results are byte-identical to the exact path (a gram
+    * above any cap ≥ 2 is duplicated by definition — it is still
+    * counted as duplicated, just never shuffled to one reducer); the
+    * change is purely physical: no window partition can exceed
+    * `hotGramCap` rows, so a gram appearing in half the corpus costs a
+    * broadcast-hash probe instead of a straggler partition holding half
+    * the corpus. The price is one extra map-side-combinable count
+    * aggregate over the gram explode (a hot gram collapses to one row
+    * per map partition, so the count shuffle itself is skew-free) plus
+    * re-deriving the explode for the second pass; the skip-list stays
+    * broadcast-small because ≤ corpus_grams/cap grams can exceed the
+    * cap. Leave it off when the corpus is known boilerplate-free (the
+    * A/B-measured two-phase penalty applies); turn it on for real crawl
+    * data at scale. */
   def duplicateSpans(
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
-      minLen: Int): org.apache.spark.sql.DataFrame = {
+      minLen: Int, hotGramCap: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(minLen >= 2, "minLen must be >= 2")
+    require(hotGramCap == 0L || hotGramCap >= 2L,
+      "hotGramCap must be 0 (off) or >= 2 (a capped gram must still be a duplicate)")
     import org.apache.spark.sql.expressions.Window
     val L = minLen
     val grams = df
@@ -472,10 +493,23 @@ object TextOps {
     // that recomputation costs more than the string shuffle it saves.
     // One gram pass beats two at any scale where the explode dominates;
     // the winnowing-anchor path (scaladoc) is the volume lever instead.
-    val hits = grams
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("c") >= 2)
-      .select(col("id"), col("pos"))
+    val hits =
+      if (hotGramCap >= 2L) {
+        val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > hotGramCap)
+          .select(col("g"), lit(1).as("_hot"))
+        val tagged = grams.join(broadcast(hot), Seq("g"), "left")
+        val hotHits = tagged.filter(col("_hot").isNotNull)
+          .select(col("id"), col("pos"))
+        val coldHits = tagged.filter(col("_hot").isNull)
+          .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+          .filter(col("c") >= 2)
+          .select(col("id"), col("pos"))
+        hotHits.union(coldHits)
+      } else grams
+        .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .filter(col("c") >= 2)
+        .select(col("id"), col("pos"))
     // gaps-and-islands: a hit starts a new span iff it begins past the
     // running max end of everything before it (+1 keeps contiguous
     // intervals merged)

@@ -84,6 +84,44 @@ class RobustnessSpec extends AnyFunSuite {
       ascii("data") ++ le32(body.length.toLong) ++ body
   }
 
+  test("duplicateSpans hotGramCap: planted boilerplate in >50% of docs " +
+      "yields byte-identical spans with the straggler gram skip-listed") {
+    val s = spark; import s.implicits._
+    val boiler = "ALL RIGHTS RESERVED COPYRIGHT HEADER 2026 " // 42 chars
+    // 120 docs; 70 share the boilerplate header (a hot gram in >50% of
+    // the corpus — the crawl-data straggler shape), plus one genuine
+    // cross-doc duplicate pair and unique tails everywhere
+    val docs = (1 to 120).map { i =>
+      val unique = s"doc$i " + (1 to 6).map(j => s"tok${i * 31 + j}").mkString(" ")
+      val dup = if (i == 3 || i == 77)
+        " THIS EXACT SHARED PASSAGE APPEARS IN TWO DOCUMENTS ONLY" else ""
+      val text = (if (i <= 70) boiler else "") + unique + dup
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val exact = operators.TextOps.duplicateSpans(docs, "text", "doc_id", minLen = 40)
+    val capped = operators.TextOps.duplicateSpans(docs, "text", "doc_id",
+      minLen = 40, hotGramCap = 10L)
+    // semantics: identical output — a capped gram is still duplicated
+    assert(capped.except(exact).isEmpty && exact.except(capped).isEmpty)
+    // the boilerplate produces spans in all 70 docs and the planted pair in 2
+    val got = capped.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every boilerplate doc gets a span anchored at char 1 (doc 3 gets a
+    // SECOND span for the planted passage); the only spans outside the
+    // boilerplate set are the planted pair's
+    assert((1 to 70).forall(i => got.exists(s => s._1 == i && s._2 == 1L)))
+    assert(got.filter(_._1 > 70).map(_._1).distinct.sorted.toSeq == Seq(77L))
+    assert(got.count(_._1 == 3L) == 2)
+    // physical shape: the capped plan carries the broadcast skip-list
+    // (no gram-keyed window partition can exceed the cap), the exact
+    // plan doesn't
+    val cappedPlan = capped.queryExecution.executedPlan.toString
+    assert(cappedPlan.contains("BroadcastHashJoin"))
+    // cap < 2 would let a "capped" gram be a non-duplicate — rejected
+    intercept[IllegalArgumentException] {
+      operators.TextOps.duplicateSpans(docs, "text", "doc_id", 40, hotGramCap = 1L)
+    }
+  }
+
   test("decodeWav: valid PCM16 round-trips; corrupt/truncated/non-PCM16 " +
       "payloads return None") {
     val body = Array[Byte](0x10, 0x00, 0xf0.toByte, 0xff.toByte) // +16, -16
