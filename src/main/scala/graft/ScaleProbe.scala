@@ -55,7 +55,14 @@ object ScaleProbe {
     "q36_percentiles", "q151_orc_roundtrip",
     // round-12: PageRank joins the 100× shuffle-heavy probe family;
     // ExactSubstr span detection is the newest corpus-wide shuffle shape
-    "q85_pagerank", "q162_substring_dedup", "q164_substring_dedup_anchored")
+    "q85_pagerank", "q162_substring_dedup", "q164_substring_dedup_anchored",
+    // round-13: the cut phases (exact and anchored — the anchored one is
+    // the 100 TB path and must stay in the anchored-detect cost class),
+    // the hot-gram-capped detector, and the two expensive entries the
+    // round-12 verdict flagged as still-unprobed
+    "q163_substring_cut", "q166_substring_cut_anchored",
+    "q165_substring_dedup_capped", "q106_canonical_keep",
+    "q109_stream_interval_join")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -591,6 +591,91 @@ object TextOps {
       .select(col("id").as(idCol), col("tok_start"), col("tok_end"))
   }
 
+  /** [[duplicateSpansAnchored]] emitting CHARACTER spans over the
+    * ORIGINAL text — the missing half of the 100 TB ExactSubstr pipeline
+    * (round 13): the anchored detector is the only detection path whose
+    * volume works at corpus scale, but its token-position output could
+    * not feed [[cutSpans]], which cuts byte ranges. This variant carries
+    * each token's char offsets through the explode so the spans come out
+    * as (idCol, span_start, span_end), 1-based inclusive char positions,
+    * directly consumable by [[cutSpans]] — same detection semantics and
+    * same recall guarantee (any shared run of ≥ k + w - 1 tokens is
+    * found; gram text counted exactly, never by hash).
+    *
+    * Token offsets without a per-character explode: the text is split
+    * twice — on `\s+` (the tokens) and on `\S+` (the whitespace runs
+    * BETWEEN them) — after prepending a `"x "` sentinel so both arrays
+    * align from a non-whitespace start regardless of leading whitespace.
+    * Zipping the two posexplodes and one per-doc prefix sum
+    * S_i = Σ_{j≤i}(wsLen_j + tokLen_j) gives every token's char range in
+    * the original text as (S_i - tokLen_i - 1, S_i - 2) — token volume,
+    * not char volume, and every window is per-doc. Tokens lowercase only
+    * inside the gram TEXT (the count key, matching [[tokens]]'
+    * normalization); offsets always index the original text.
+    *
+    * Shape: two aligned token-level explodes + per-doc windows, then the
+    * anchor-count shuffle over the winnowed ~2/(w+1) subset — identical
+    * scale story to [[duplicateSpansAnchored]], plus one extra per-doc
+    * zip join that AQE keeps on the same doc-id partitioning. */
+  def duplicateSpansAnchoredChars(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val sentinel = concat(lit("x "), col(textCol))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(sentinel, "\\s+")).as(Seq("pos", "t")))
+    val wss = df.select(col(idCol).as("id"),
+      posexplode(split(sentinel, "\\S+")).as(Seq("pos", "ws")))
+      .select(col("id"), col("pos"), length(col("ws")).cast("long").as("wsl"))
+    // aligned zip: ws_i is the whitespace run before tok_i (ws_0 = "",
+    // the sentinel start); the trailing ws segment has no token row and
+    // drops out of the inner join
+    val offs = toks.join(wss, Seq("id", "pos"))
+      .withColumn("tl", length(col("t")).cast("long"))
+      .withColumn("s", sum(col("wsl") + col("tl")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("pos") >= 1) // drop the sentinel token
+      .select(col("id"), col("pos"), lower(col("t")).as("t"),
+        (col("s") - col("tl") - 1).as("cs"), (col("s") - 2).as("ce"))
+    val withNexts = (1 until k).foldLeft(offs) { (acc, j) =>
+      acc.withColumn(s"t$j", lead(col("t"), j).over(byDoc))
+    }
+    val gramCols = col("t") +: (1 until k).map(j => col(s"t$j"))
+    val grams = withNexts
+      .withColumn("gce", lead(col("ce"), k - 1).over(byDoc))
+      .filter(col("gce").isNotNull)
+      .select(col("id"), col("pos"), col("cs"), col("gce"),
+        concat_ws(" ", gramCols: _*).as("g"))
+      .withColumn("gh", portableHash60(col("g")) % RollingP)
+    val winSel = byDoc.rowsBetween(Window.currentRow, w - 1)
+    val anchors = grams
+      .withColumn("sel", min(struct(col("gh"), col("pos"), col("g"),
+        col("cs"), col("gce"))).over(winSel))
+      .withColumn("_full", lead(col("gh"), w - 1).over(byDoc))
+      .filter(col("_full").isNotNull)
+      .select(col("id"), col("sel.pos").as("pos"), col("sel.g").as("g"),
+        col("sel.cs").as("cs"), col("sel.gce").as("gce"))
+      .distinct()
+    val hits = anchors
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("c") >= 2)
+      .select(col("id"), col("pos"), col("cs"), col("gce"))
+    val before = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.partitionBy(col("id")).orderBy(col("pos"))
+    hits
+      .withColumn("new_island",
+        when(col("pos") >
+          coalesce(max(col("pos") + k - 1).over(before), lit(-w - k - 1L)) + w,
+          1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("cs")).as("span_start"), max(col("gce")).as("span_end"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
   /** The cut phase of ExactSubstr dedup (Lee et al. 2107.06499 §4.1):
     * remove every duplicated span from every document — the paper cuts
     * ALL occurrences, relying on the surviving unique context — and

@@ -147,6 +147,102 @@ class CurationOpsSpec extends AnyFunSuite {
       s"expected one merged span per doc: ${spans.toSeq}")
   }
 
+  test("duplicateSpansAnchoredChars: char spans are exactly the token spans " +
+      "mapped through a reference offset scanner (random whitespace/case)") {
+    val s = spark
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val (k, w) = (3, 4)
+    // reference tokenizer: maximal non-ws runs with 1-based char ranges
+    def offsets(text: String): Vector[(Int, Int)] = {
+      val out = Vector.newBuilder[(Int, Int)]
+      var i = 0
+      while (i < text.length) {
+        if (!text.charAt(i).isWhitespace) {
+          val st = i
+          while (i < text.length && !text.charAt(i).isWhitespace) i += 1
+          out += ((st + 1, i)) // 1-based inclusive
+        } else i += 1
+      }
+      out.result()
+    }
+    val wsGen = Gen.oneOf(" ", "  ", "   ", "\t", " \t ")
+    val caseGen = for {
+      runLen <- Gen.choose(k + w - 1, k + w + 5)
+      run <- Gen.listOfN(runLen, Gen.oneOf("Alpha", "BETA", "gamma", "Delta",
+        "eps", "ZeTa", "eta", "theta"))
+      pre <- Gen.choose(0, 5); suf <- Gen.choose(k, 6)
+      // leading ws is SPACES only: tokens() trims spaces (not tabs), so a
+      // leading tab gives duplicateSpansAnchored a spurious empty token 0
+      // and shifts ITS indices — the char variant's sentinel tokenization
+      // has no such artifact (verified by the slice test below), but the
+      // differential mapping here needs both sides to agree on indices
+      lead <- Gen.oneOf(" ", "  ", "   ")
+      seps <- Gen.listOfN(runLen + pre + suf + 2, wsGen)
+    } yield (run, pre, suf, lead, seps)
+    (1 to 12).foreach { i =>
+      val (run, pre, suf, lead, seps) =
+        caseGen(Gen.Parameters.default, Seed(77000L + i)).get
+      def doc(tag: String) = {
+        val toks = (0 until pre).map(j => s"u$tag$j") ++ run ++
+          (0 until suf).map(j => s"v$tag$j")
+        lead + toks.zip(seps).map { case (t, sp) => t + sp }.mkString.trim
+      }
+      val d = Seq((1L, doc("a")), (2L, doc("b"))).toDF("doc_id", "text")
+      val tokSpans = TextOps.duplicateSpansAnchored(d, "text", "doc_id", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = tokSpans.map { case (id, ts, te) =>
+        val off = offsets(texts(id))
+        (id, off(ts.toInt)._1.toLong, off(te.toInt)._2.toLong)
+      }.toSet
+      val got = TextOps.duplicateSpansAnchoredChars(d, "text", "doc_id", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"case $i: got=$got expected=$expected")
+      assert(got.nonEmpty) // the >= k+w-1 plant guarantees detection
+    }
+  }
+
+  test("anchored detect -> cutSpans: the 100 TB ExactSubstr pipeline cuts " +
+      "exactly the detected char ranges and passes unique docs through") {
+    val s = spark
+    import s.implicits._
+    val run = "alpha beta gamma delta eps zeta theta kappa" // 8 tokens >= k+w-1
+    val d = Seq(
+      (1L, s"uA0 uA1 $run vA0 vA1 vA2"),
+      (2L, s"$run vB0 vB1 vB2"),
+      (3L, "only unique tokens here w0 w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val spans = TextOps.duplicateSpansAnchoredChars(d, "text", "doc_id", 3, 4)
+    val cut = TextOps.cutSpans(d, "text", "doc_id", spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = spans.collect().groupBy(_.getLong(0))
+    // every detected span sits inside the planted run, in BOTH docs
+    assert(byDoc.keySet == Set(1L, 2L))
+    byDoc.foreach { case (id, ss) =>
+      val base = texts(id).indexOf("alpha") // 0-based
+      ss.foreach { r =>
+        assert(r.getLong(1) >= base + 1 && r.getLong(2) <= base + run.length)
+      }
+    }
+    // the cut output is the original minus exactly the span char ranges
+    def splice(text: String, ss: Seq[(Long, Long)]): String = {
+      val keep = new StringBuilder
+      var next = 1
+      ss.sortBy(_._1).foreach { case (st, en) =>
+        keep ++= text.substring(next - 1, st.toInt - 1); next = en.toInt + 1
+      }
+      keep ++= text.substring(next - 1)
+      keep.toString
+    }
+    (1L to 2L).foreach { id =>
+      val ss = byDoc(id).map(r => (r.getLong(1), r.getLong(2))).toSeq
+      assert(cut(id) == splice(texts(id), ss), s"doc $id")
+    }
+    assert(cut(3L) == texts(3L)) // untouched pass-through
+  }
+
   // ---- anomalyReport --------------------------------------------------
 
   test("anomalyReport flags strictly-beyond-k-sigma values only") {
