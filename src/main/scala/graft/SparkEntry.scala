@@ -372,13 +372,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
     "q23_embed_ivf" -> ((s, dir) => {
-      // real Lloyd's k-means quantizer (√N-seeded nlist since round 12 —
-      // a fixed modulus made nlist grow linearly and the assign stage
-      // quadratic; the oracle recomputes the identical ⌈√count⌉ modulus
-      // and centroids), then the IVF probe/score path
+      // real Lloyd's k-means quantizer (√N-seeded nlist since round 12;
+      // round 13 bounds BOTH superlinear stages: training runs on the
+      // deterministic ⌈√N⌉/8-mod sample — ~8·nlist vectors, data-linear
+      // rounds — and the full-corpus assignment goes through the
+      // two-level quantizer, ~2·N·N^¼ kernel evals instead of N^1.5.
+      // The oracle recomputes the identical moduli, sample, supers and
+      // tie orders, so assignments never drift.
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(emb, dim = 64, iters = 2)
-      Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 8), cents, k = 5, nProbe = 2)
+      val cents = Similarity.kmeansCentroids(emb, dim = 64, iters = 2,
+        trainMod = 0)
+      Similarity.ivfTopKWith(emb, emb.filter(col("vec_id") < 8), cents,
+          k = 5, nProbe = 2, twoLevel = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
@@ -1053,8 +1058,11 @@ object SparkEntry {
           pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val cb = Similarity.pqCodebook(emb, m = 8, seedMod = 59)
+      // two-level coarse assignment (round 13): same hierarchical
+      // quantizer as q23 — the flat corpus × nlist argmax was the one
+      // N^1.5 stage left in the ANN family
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), cents, cb,
-          m = 8, dim = 64, k = 5, nProbe = 2)
+          m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
@@ -2152,17 +2160,28 @@ object SparkEntry {
   private def autoModSql(table: String): String =
     s"(SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $table)"
 
-  private def kmeansRoundsSql(dim: Int, iters: Int, mod: String): String = {
+  /** Mirrors [[Similarity.autoTrainMod]]: ⌈√N⌉ // 8 floored at 1 — the
+    * same correctly-rounded sqrt/ceil and integer division, so both
+    * engines train on the identical id-mod sample. */
+  private def autoTrainModSql(table: String): String =
+    s"(SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT) // 8) FROM $table)"
+
+  /** `trainMod` other than "1" restricts each Lloyd's round to the
+    * deterministic `vec_id % trainMod = 0` sample — the round-13
+    * data-linear training path (Similarity.kmeansCentroids trainMod). */
+  private def kmeansRoundsSql(dim: Int, iters: Int, mod: String,
+      trainMod: String = "1"): String = {
     def meanList = (0 until dim).map(i =>
       s"(sum(floor(nvec[${i + 1}] * 1000000))::DOUBLE / count(*)) / 1000000.0")
       .mkString("[", ", ", "]")
+    val trainFilter = if (trainMod == "1") "" else s" WHERE e.vec_id % $trainMod = 0"
     def assign(prev: String, step: Int): String =
       s"""a$step AS (
          |  SELECT nid, cid, nvec FROM (
          |    SELECT e.vec_id AS nid, c.cid, e.embedding::DOUBLE[] AS nvec,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
-         |    FROM embeddings e, $prev c) WHERE cr = 1),
+         |    FROM (SELECT * FROM embeddings e$trainFilter) e, $prev c) WHERE cr = 1),
          |c$step AS (SELECT cid, $meanList AS cvec FROM a$step GROUP BY cid)""".stripMargin
     val rounds = (1 to iters).map(s => assign(s"c${s - 1}", s)).mkString(",\n")
     s"""c0 AS (
@@ -2170,6 +2189,41 @@ object SparkEntry {
        |  FROM embeddings WHERE vec_id % $mod = 0),
        |$rounds""".stripMargin
   }
+
+  /** The two-level corpus assignment (Similarity.coarseAssignTwoLevel)
+    * re-derived over a centroid relation `cents(cid, cvec)`: supers =
+    * every ⌈√nlist⌉-th centroid in cid rank order, centroid → nearest
+    * super, vector → nearest super → group-local nearest centroid, all
+    * ties to the smallest id. Emits CTEs ending in `corpus_assign(nid,
+    * cid)`. */
+  private def twoLevelAssignSql(cents: String): String =
+    s"""tl_smod AS (
+       |  SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m
+       |  FROM $cents),
+       |tl_crk AS (
+       |  SELECT cid, cvec, row_number() OVER (ORDER BY cid) - 1 AS rk
+       |  FROM $cents),
+       |tl_supers AS (
+       |  SELECT cid AS sid, cvec AS svec FROM tl_crk
+       |  WHERE rk % (SELECT m FROM tl_smod) = 0),
+       |tl_cmap AS (
+       |  SELECT cid, sid, cvec FROM (
+       |    SELECT c.cid, s.sid, c.cvec,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY
+       |        list_cosine_similarity(c.cvec, s.svec) DESC, s.sid) AS r
+       |    FROM $cents c, tl_supers s) WHERE r = 1),
+       |tl_v2s AS (
+       |  SELECT nid, sid, nvec FROM (
+       |    SELECT e.vec_id AS nid, s.sid, e.embedding::DOUBLE[] AS nvec,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], s.svec) DESC, s.sid) AS r
+       |    FROM embeddings e, tl_supers s) WHERE r = 1),
+       |corpus_assign AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT v.nid, m.cid,
+       |      row_number() OVER (PARTITION BY v.nid ORDER BY
+       |        list_cosine_similarity(v.nvec, m.cvec) DESC, m.cid) AS r
+       |    FROM tl_v2s v JOIN tl_cmap m ON m.sid = v.sid) WHERE r = 1)""".stripMargin
 
   /** q162/q165 oracle: stride-1 40-grams, corpus-wide count >= 2, per-doc
     * overlapping-or-contiguous island merge. Shared verbatim by the
@@ -2204,14 +2258,10 @@ object SparkEntry {
 
   private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2,
       mod: String = autoModSql("embeddings"),
+      trainMod: String = autoTrainModSql("embeddings"),
       nProbe: Int = 2, k: Int = 5): String = {
-    s"""WITH ${kmeansRoundsSql(dim, iters, mod)},
-       |corpus_assign AS (
-       |  SELECT nid, cid FROM (
-       |    SELECT e.vec_id AS nid, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
-       |    FROM embeddings e, c$iters c) WHERE cr <= 1),
+    s"""WITH ${kmeansRoundsSql(dim, iters, mod, trainMod)},
+       |${twoLevelAssignSql(s"c$iters")},
        |query_probe AS (
        |  SELECT qid, cid FROM (
        |    SELECT e.vec_id AS qid, c.cid,
@@ -2313,12 +2363,7 @@ object SparkEntry {
        |cb AS (SELECT vec_id AS code, f AS cf FROM fp WHERE vec_id % $pqMod = 0),
        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
        |  FROM embeddings WHERE vec_id % $ivfMod = 0),
-       |corpus_assign AS (
-       |  SELECT nid, cid FROM (
-       |    SELECT e.vec_id AS nid, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
-       |    FROM embeddings e, cents c) WHERE cr <= 1),
+       |${twoLevelAssignSql("cents")},
        |query_probe AS (
        |  SELECT qid, cid FROM (
        |    SELECT e.vec_id AS qid, c.cid,

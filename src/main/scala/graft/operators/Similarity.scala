@@ -64,6 +64,20 @@ object Similarity {
   def autoCentroidMod(corpus: DataFrame): Int =
     math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
 
+  /** √N-scaled TRAINING-sample modulus (round 13): Lloyd's rounds over
+    * the full corpus cost corpus × nlist per round = N^1.5 with the √N
+    * nlist — the round-12 measured 37.8× wall at 100× data. Training on
+    * the deterministic sample `id % trainMod == 0` with
+    * `trainMod = ⌈√N⌉ / 8` caps the sample at ~8·nlist vectors, making
+    * training ~8N per round (data-linear) while each centroid still sees
+    * ~8 sample points on average — the standard bounded-sample k-means
+    * trade (centroids are statistics; they don't need every point).
+    * Engine-portable: integer division of the same correctly-rounded
+    * ⌈√count⌉ the seeding uses, so the DuckDB oracle re-derives the
+    * identical sample. */
+  def autoTrainMod(corpus: DataFrame): Int =
+    math.max(1, math.ceil(math.sqrt(corpus.count().toDouble)).toInt / 8)
+
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer.
     *
     * Seeding: corpus vectors with `id % centroidMod == 0` (deterministic,
@@ -83,16 +97,26 @@ object Similarity {
     * The update is `dim` codegen'd sum aggregates over the assignment — one
     * shuffle per round keyed by cid, map-side partials, no collect; empty
     * clusters drop out (standard Lloyd's behavior). Centroids stay a tiny
-    * relation (one row per cluster) checkpointed per round. */
+    * relation (one row per cluster) checkpointed per round.
+    *
+    * `trainMod` (round 13): > 1 trains each round on the deterministic
+    * sample `id % trainMod == 0` instead of the full corpus — the
+    * data-linear path at scale (see [[autoTrainMod]], which `0`
+    * derives); 1 keeps the exact full-corpus rounds. */
   def kmeansCentroids(
       corpus: DataFrame, dim: Int, centroidMod: Int = 0, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainMod: Int = 1): DataFrame = {
     val mod = if (centroidMod > 0) centroidMod else autoCentroidMod(corpus)
+    val tmod = if (trainMod > 0) trainMod else autoTrainMod(corpus)
+    val trainSet =
+      if (tmod > 1) corpus.filter(pmod(col(idCol), lit(tmod)) === 0)
+      else corpus
     var cents = corpus.filter(pmod(col(idCol), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cvec"))
     for (_ <- 1 to iters) {
-      val assigned = corpus
+      val assigned = trainSet
         .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
         .crossJoin(broadcast(cents))
         .withColumn("csim", cosine(col("nvec"), col("cvec")))
@@ -181,6 +205,50 @@ object Similarity {
     else scored.agg(cid)
   }
 
+  /** Two-level coarse assignment (round 13) — the flat argmax is
+    * corpus × nlist kernel evaluations; with the (correct) √N nlist that
+    * is N^1.5, the one superlinear residue of the round-12 probe table
+    * (q23: 37.8× wall at 100× data). Here the nlist centroids are
+    * grouped under ~√nlist SUPER-centroids (every ⌈√nlist⌉-th centroid
+    * in cid rank order — deterministic, no training), each centroid maps
+    * to its nearest super (a tiny nlist × √nlist broadcast argmax), and
+    * a corpus vector resolves nearest-super (N × √nlist) then
+    * nearest-centroid WITHIN that super's member group (N × avg-group ≈
+    * N × √nlist) — ~2·N·N^¼ total, data-linear in practice. The price is
+    * the standard hierarchical-quantizer approximation: a vector whose
+    * true nearest centroid lives under a different super lands on its
+    * group-local argmax instead (list quality, not correctness — the
+    * oracle re-derives the identical two-level choice). Ties at every
+    * level break to the smallest id, so both engines agree exactly. */
+  private def coarseAssignTwoLevel(corpus: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nlist = cents.count() // tiny relation (≈ √N rows)
+    val smod = math.max(1L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
+    // rank on the unpartitioned window: nlist rows, one task, fine
+    val ranked = cents.withColumn("rk",
+      row_number().over(Window.orderBy(col("cid"))) - 1)
+    val supers = ranked.filter(pmod(col("rk"), lit(smod)) === 0)
+      .select(col("cid").as("sid"), col("cvec").as("svec"))
+    val cmap = cents.crossJoin(broadcast(supers))
+      .withColumn("ssim", cosine(col("cvec"), col("svec")))
+      .groupBy(col("cid"))
+      .agg(max_by(col("sid"), struct(col("ssim"), (-col("sid")).as("ns"))).as("sid"),
+        first(col("cvec")).as("cvec"))
+    val v2s = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(supers))
+      .withColumn("ssim", cosine(col("nvec"), col("svec")))
+      .groupBy(col("nid"))
+      .agg(max_by(col("sid"), struct(col("ssim"), (-col("sid")).as("ns"))).as("sid"),
+        first(col("nvec")).as("nvec"))
+    val scored = v2s.join(broadcast(cmap), "sid")
+      .withColumn("csim", cosine(col("nvec"), col("cvec")))
+      .groupBy(col("nid"))
+    val cid = max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid")
+    if (carryVec) scored.agg(cid, first(col("nvec")).as("nvec"))
+    else scored.agg(cid)
+  }
+
   /** Each query's `nProbe` nearest inverted lists: (qid[, qvec], cid).
     * Query side is small; a ranking window is fine here. */
   private def queryProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,
@@ -196,12 +264,18 @@ object Similarity {
       .drop("cvec", "csim", "crank")
   }
 
+  /** `twoLevel` routes the corpus assignment through the hierarchical
+    * quantizer ([[coarseAssignTwoLevel]]) — the 100 TB path; queries stay
+    * on the flat probe (few rows, better recall). */
   def ivfTopKWith(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
       nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      twoLevel: Boolean = false): DataFrame = {
     val cents = centroids.select(col("cid"), col("cvec"))
-    val corpusAssigned = coarseAssign(corpus, cents, idCol, vecCol, carryVec = true)
+    val corpusAssigned =
+      if (twoLevel) coarseAssignTwoLevel(corpus, cents, idCol, vecCol, carryVec = true)
+      else coarseAssign(corpus, cents, idCol, vecCol, carryVec = true)
     val probes = queryProbes(queries, cents, nProbe, idCol, vecCol)
     val scored = probes.join(corpusAssigned, "cid")
       .filter(col("nid") =!= col("qid"))
@@ -297,13 +371,16 @@ object Similarity {
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       codebook: DataFrame, m: Int, dim: Int, k: Int, nProbe: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      twoLevel: Boolean = false): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
     val dsub = dim / m
     val cents = centroids.select(col("cid"), col("cvec"))
     val cb = broadcast(codebook.select(col("j"), col("code"), col("cvec")))
 
-    val assign = coarseAssign(corpus, cents, idCol, vecCol, carryVec = false)
+    val assign =
+      if (twoLevel) coarseAssignTwoLevel(corpus, cents, idCol, vecCol, carryVec = false)
+      else coarseAssign(corpus, cents, idCol, vecCol, carryVec = false)
     val probes = queryProbes(queries, cents, nProbe, idCol, vecCol)
       .select(col("qid"), col("cid"))
 
