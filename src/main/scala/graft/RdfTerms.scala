@@ -35,10 +35,16 @@ import org.apache.spark.sql.functions._
   * DISTINCT/ORDER BY, which per §18.5 operate on TERMS — mirroring where
   * the reference's `str()` sits (client.py:43).
   *
-  * Documented conflations that remain (inherited from the bare store,
-  * not introduced here): a bare IRI vs a plain literal with the same
-  * characters; plain `"5"` (xsd:string) vs shorthand integer `5`.
-  * `isIRI`/`isLiteral` stay rejected for exactly this reason.
+  * Encoding (round 13): string literals are ALWAYS quoted — a plain /
+  * xsd:string literal stores as `"chat"` (no suffix) — so the bare
+  * namespace holds ONLY IRIs, numeric/boolean Turtle shorthands, and
+  * `_:` blank nodes, and those three never collide (an absolute IRI
+  * cannot match a shorthand shape). This removes the long-documented
+  * IRI/plain-literal conflation: `isIRI`/`isLiteral` are now decidable
+  * from the stored bytes, and LANG/DATATYPE type-error (NULL) on IRIs
+  * per §17.4.2. The one remaining (deliberate) normalization: shorthand
+  * numerics store bare, so `"5"^^xsd:integer` ≡ shorthand `5` — both
+  * bare — while the STRING five is the distinct term `"5"`.
   */
 object RdfTerms {
 
@@ -84,13 +90,26 @@ object RdfTerms {
   def encodeLang(lexical: String, tag: String): String =
     "\"" + lexical + "\"@" + tag.toLowerCase(java.util.Locale.ROOT)
 
-  /** Encode a typed literal: bare iff the shape already says so
-    * (round-trips through [[shapeDatatype]]); annotated otherwise. Note
-    * `"5"^^xsd:string` stays ANNOTATED (shape says integer) — keeping it
-    * distinct from shorthand integer 5, which is MORE faithful than
-    * collapsing, while plain unannotated literals are untouched. */
+  /** Encode a simple / xsd:string literal (round 13): ALWAYS quoted,
+    * N-Triples style without a suffix — `"chat"` — so a string literal
+    * is never byte-equal to the bare IRI with the same characters. This
+    * is what makes isIRI/isLiteral decidable and LANG/DATATYPE type-
+    * errors on IRIs possible (the round-12 ledger's last semantic wart).
+    * RDF 1.1 §3.3: a simple literal IS an xsd:string literal, so both
+    * encode identically (including `"5"^^xsd:string` — the string five,
+    * distinct from bare shorthand integer `5`). */
+  def encodePlain(lexical: String): String = "\"" + lexical + "\""
+
+  /** Encode a typed literal: xsd:string → quoted-plain ([[encodePlain]],
+    * round 13); bare iff the shape already says the datatype
+    * (round-trips through [[shapeDatatype]] — numeric/boolean Turtle
+    * shorthands); annotated otherwise. After round 13 a BARE stored
+    * value is therefore either a numeric/boolean shorthand literal or an
+    * IRI (blank nodes keep `_:`) — and the two never collide, because an
+    * absolute IRI cannot match a shorthand shape. */
   def encodeTyped(lexical: String, dt: String): String =
-    if (dt == shapeDatatype(lexical)) lexical
+    if (dt == XsdString) encodePlain(lexical)
+    else if (dt == shapeDatatype(lexical)) lexical
     else "\"" + lexical + "\"^^<" + dt + ">"
 
   // ------------------------------------------------------------------
@@ -102,6 +121,34 @@ object RdfTerms {
 
   def isAnnotated(c: Column): Column =
     quoted(c) && (c.rlike(LangRe) || c.rlike(DtRe))
+
+  /** Quoted-PLAIN recognizer (round 13): `"lex"` with no suffix. The
+    * endsWith check suffices to exclude the annotated forms — a lang
+    * encoding ends in a tag character and a datatype encoding in '>',
+    * never in the closing quote. */
+  def isPlain(c: Column): Column =
+    quoted(c) && c.endsWith("\"") && length(c) >= 2
+
+  /** The lexical inside a quoted-plain encoding (caller guarantees
+    * [[isPlain]]). */
+  private def stripPlain(c: Column): Column = c.substr(lit(2), length(c) - 2)
+
+  /** Scala-side lexical extraction (the static mirror of [[lex]]) — for
+    * parser-held strings that compile into LEXICAL positions (regex
+    * patterns, CONTAINS needles, GROUP_CONCAT separators). */
+  def lexicalOf(s: String): String =
+    graft.functions.RdfLex.lex(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  /** §17.4.1.1 isIRI (round 13): not a blank node and not any literal
+    * form. [[datatypeOf]] is NULL exactly for IRIs and blank nodes, so
+    * one native scan decides. */
+  def isIri(c: Column): Column =
+    datatypeOf(c).isNull && !c.startsWith("_:")
+
+  /** §17.4.1.3 isLiteral (round 13): any term with a datatype — quoted
+    * (plain/tagged/typed) or bare numeric/boolean shorthand. */
+  def isLiteral(c: Column): Column = datatypeOf(c).isNotNull
 
   /** The lexical form — §17.4.2.1 STR, and the rdflib `str()` result
     * boundary. Identity on bare values (including NULL). Native
@@ -126,26 +173,32 @@ object RdfTerms {
     * isNumeric() evaluates this in FILTER predicates. */
   def datatypeOf(c: Column): Column = graft.functions.RdfLex.datatypeOf(c)
 
-  /** §17.4.2.5 STRLANG: tag a SIMPLE literal; an already-annotated input
-    * or a malformed tag is a type error → NULL. The tag lowercases like
-    * [[encodeLang]], so constructed terms join stored ones. */
+  /** §17.4.2.5 STRLANG: tag a SIMPLE literal — in the round-13 encoding
+    * exactly the quoted-plain terms; an IRI, blank node, shorthand-typed
+    * or already-annotated input is a type error → NULL (the spec's
+    * simple-literal domain, now actually checkable). The tag lowercases
+    * like [[encodeLang]], so constructed terms join stored ones. */
   def strLang(c: Column, tag: Column): Column =
-    when(!isAnnotated(c) && !c.startsWith("_:") &&
-        tag.rlike("\\A[A-Za-z]+(?:-[A-Za-z0-9]+)*\\z"),
-      concat(lit("\""), c, lit("\"@"), lower(tag)))
+    when(isPlain(c) && tag.rlike("\\A[A-Za-z]+(?:-[A-Za-z0-9]+)*\\z"),
+      concat(lit("\""), stripPlain(c), lit("\"@"), lower(tag)))
 
-  /** §17.4.2.6 STRDT: type a SIMPLE literal; normalizes exactly like
-    * [[encodeTyped]] so constructed terms join stored ones. */
+  /** §17.4.2.6 STRDT: type a SIMPLE literal (quoted-plain input, as
+    * [[strLang]]); normalizes exactly like [[encodeTyped]] so
+    * constructed terms join stored ones — xsd:string keeps the
+    * quoted-plain form, a shape-matching numeric datatype goes bare,
+    * anything else annotates. */
   def strDt(c: Column, dt: Column): Column = {
+    val l = stripPlain(c)
     val shape =
-      when(c.rlike("\\A" + IntShape + "\\z"), lit(XsdInteger))
-        .when(c.rlike("\\A" + DecShape + "\\z"), lit(XsdDecimal))
-        .when(c.rlike("\\A" + DblShape + "\\z"), lit(XsdDouble))
-        .when(c.isin("true", "false"), lit(XsdBoolean))
+      when(l.rlike("\\A" + IntShape + "\\z"), lit(XsdInteger))
+        .when(l.rlike("\\A" + DecShape + "\\z"), lit(XsdDecimal))
+        .when(l.rlike("\\A" + DblShape + "\\z"), lit(XsdDouble))
+        .when(l.isin("true", "false"), lit(XsdBoolean))
         .otherwise(lit(XsdString))
-    when(!isAnnotated(c) && !c.startsWith("_:"),
-      when(shape === dt, c)
-        .otherwise(concat(lit("\""), c, lit("\"^^<"), dt, lit(">"))))
+    when(isPlain(c),
+      when(lit(XsdString) === dt, c)
+        .when(shape === dt, l)
+        .otherwise(concat(lit("\""), l, lit("\"^^<"), dt, lit(">"))))
   }
 
   /** §17.4.3.1 LANGMATCHES = RFC 4647 basic filtering: "*" matches any

@@ -92,8 +92,10 @@ object SparkEntry {
     val subj = concat(lit("urn:c#"), col("c_custkey"))
     val bal = c.select(subj.as("s"), lit("urn:p#balCents").as("p"),
       floor(col("c_acctbal") * 100).cast("long").cast("string").as("o"))
+    // string literals quote per the round-13 term encoding (numeric
+    // shorthands like balCents stay bare — that IS their encoding)
     val mkt = c.select(subj.as("s"), lit("urn:p#mkt").as("p"),
-      col("c_mktsegment").as("o"))
+      concat(lit("\""), col("c_mktsegment"), lit("\"")).as("o"))
     val nat = c.select(subj.as("s"), lit("urn:p#inNation").as("p"),
       concat(lit("urn:n#"), col("c_nationkey")).as("o"))
     bal.union(mkt).union(nat).withColumn("graph", lit("urn:tpch#"))
@@ -111,9 +113,11 @@ object SparkEntry {
       lpad(pmod(col("o_orderkey"), lit(60)).cast("string"), 2, "0"), lit(":"),
       lpad(pmod(col("o_custkey"), lit(60)).cast("string"), 2, "0"), lit("Z"))
     val placed = o.select(subj.as("s"),
-      lit("urn:p#placedAt").as("p"), ts.as("o"))
+      lit("urn:p#placedAt").as("p"),
+      concat(lit("\""), ts, lit("\"")).as("o"))
     val pri = o.select(subj.as("s"),
-      lit("urn:p#prio").as("p"), col("o_orderpriority").as("o"))
+      lit("urn:p#prio").as("p"),
+      concat(lit("\""), col("o_orderpriority"), lit("\"")).as("o"))
     placed.union(pri).withColumn("graph", lit("urn:tpch#"))
       .select("graph", "s", "p", "o")
   }
@@ -129,7 +133,8 @@ object SparkEntry {
       lit("urn:p#balCents").as("p"),
       floor(col("c_acctbal") * 100).cast("long").cast("string").as("o"))
     val mkt = c.select(g.as("graph"), subj.as("s"),
-      lit("urn:p#mkt").as("p"), col("c_mktsegment").as("o"))
+      lit("urn:p#mkt").as("p"),
+      concat(lit("\""), col("c_mktsegment"), lit("\"")).as("o"))
     bal.union(mkt).select("graph", "s", "p", "o")
   }
 
@@ -152,7 +157,7 @@ object SparkEntry {
       concat(lit("\""), floor(col("c_acctbal") * 100).cast("long"),
         lit("\"^^<urn:t#cents>")).as("o"))
     val code = c.select(subj.as("s"), lit("urn:p#code").as("p"),
-      concat(lit("CUST"), col("c_custkey")).as("o"))
+      concat(lit("\"CUST"), col("c_custkey"), lit("\"")).as("o"))
     label.union(bal).union(code).withColumn("graph", lit("urn:tpch#"))
       .select("graph", "s", "p", "o")
   }
@@ -1267,6 +1272,18 @@ object SparkEntry {
         .select(col("doc_id"), col("clean_text"),
           (col("_n") - length(col("clean_text"))).as("n_cut"))
         .orderBy("doc_id")
+    }),
+    "q167_sparql_isiri" -> ((s, dir) => {
+      // §17.4.1 term-class tests (round 13): the quoted string-literal
+      // encoding makes isIRI/isLiteral decidable from stored bytes — the
+      // classic Brick idiom of separating POINTS (IRIs) from LABELS
+      // (literals) in one variable-predicate scan. Keeps IRI objects
+      // (inNation edges) plus non-numeric literals (market segments);
+      // numeric literals (balCents) drop via isNumeric.
+      val q = Sparql.parse(
+        "PREFIX p: <urn:p#> SELECT ?c ?o WHERE { ?c ?p ?o . " +
+          "FILTER(isIRI(?o) || (isLiteral(?o) && !isNumeric(?o))) }")
+      BgpPlanner.evaluate(custQuads(s, dir), q).orderBy("c", "o")
     }),
     "q114_sparql_values_minus" -> ((s, dir) => {
       // §2.8 VALUES + MINUS + LIMIT/OFFSET: the inline id list becomes a
@@ -4135,6 +4152,17 @@ object SparkEntry {
         |  CAST(length(d.text) AS BIGINT) - length(c.clean_text) AS n_cut
         |FROM cleaned c JOIN documents d USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
+    "q167_sparql_isiri" ->
+      // IRI objects = the nation edges; non-numeric literals = the
+      // market segments (str boundary strips their quotes); the numeric
+      // balCents rows are excluded by !isNumeric
+      """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
+        |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS o
+        |FROM customer
+        |UNION ALL
+        |SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c, c_mktsegment AS o
+        |FROM customer
+        |ORDER BY c, o""".stripMargin,
     "q114_sparql_values_minus" ->
       """SELECT 'urn:c#' || CAST(c_custkey AS VARCHAR) AS c,
         |  'urn:n#' || CAST(c_nationkey AS VARCHAR) AS n

@@ -31,7 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     quote is the string's LAST '"' (the regex's greedy group)
   *   - `"lex"^^<iri>` with '>' only at the end ('[^>]*' body), closing
   *     quote at the last `"^^<` occurrence
-  *   - bare numeric/boolean shorthands per Turtle §2.5.2 (datatypeOf)
+  *   - `"lex"` quoted-PLAIN (round 13, string literals) — checked after
+  *     lang/dt, which never end in '"'
+  *   - bare numeric/boolean shorthands per Turtle §2.5.2 (datatypeOf);
+  *     bare NON-shorthands are IRIs since round 13 — LANG/DATATYPE
+  *     type-error (null) on them
   */
 object RdfLex {
 
@@ -65,7 +69,11 @@ object RdfLex {
   }
 
   /** One-pass lexical extraction; returns the INPUT OBJECT unchanged for
-    * bare/unrecognized values so the common case allocates nothing. */
+    * bare/unrecognized values so the common case allocates nothing.
+    * Round 13: quoted-PLAIN encodings (`"lex"`, no suffix — string
+    * literals) strip their outer quotes; the check order (lang → dt →
+    * plain) mirrors the encoders' injectivity argument: a lang form ends
+    * in a tag character and a dt form in '>', never in '"'. */
   def lex(u: UTF8String): UTF8String = {
     if (u.numBytes() == 0 || u.getByte(0) != '"') return u
     val s = u.toString
@@ -73,17 +81,25 @@ object RdfLex {
     if (q >= 0) return UTF8String.fromString(s.substring(1, q))
     val k = dtClose(s)
     if (k >= 0) return UTF8String.fromString(s.substring(1, k))
+    if (s.length >= 2 && s.charAt(s.length - 1) == '"')
+      return UTF8String.fromString(s.substring(1, s.length - 1))
     u
   }
 
-  /** §17.4.2.2 LANG: the tag, "" for any untagged non-blank term, null
-    * (type error) for blank nodes. */
+  /** §17.4.2.2 LANG: the tag; "" for any untagged LITERAL (quoted-plain,
+    * typed, or bare shorthand); null (type error) for blank nodes and —
+    * round 13 — for bare IRIs, per the spec's literal-only domain. */
   def langOf(u: UTF8String): UTF8String = {
     val s = u.toString
     if (s.startsWith("_:")) return null
     val q = langClose(s)
-    if (q >= 0) UTF8String.fromString(s.substring(q + 2))
-    else UTF8String.EMPTY_UTF8
+    if (q >= 0) return UTF8String.fromString(s.substring(q + 2))
+    if (s.length >= 2 && s.charAt(0) == '"' &&
+        (s.charAt(s.length - 1) == '"' || dtClose(s) >= 0))
+      return UTF8String.EMPTY_UTF8
+    if (s.length >= 1 && s.charAt(0) != '"' && shapeDt(s) != null)
+      return UTF8String.EMPTY_UTF8
+    null // bare IRI (or malformed quoted form) — type error
   }
 
   // Turtle §2.5.2 shorthand shapes, hand-parsed (parity with
@@ -121,8 +137,11 @@ object RdfLex {
   }
 
   /** §17.4.2.7 DATATYPE as an IRI string: rdf:langString for tagged, the
-    * annotation for typed, the shape datatype for bare, xsd:string
-    * otherwise; null (type error) for blank nodes. */
+    * annotation for typed, xsd:string for quoted-plain, the shape
+    * datatype for bare shorthands; null (type error) for blank nodes
+    * and — round 13 — for bare IRIs. NULL-ness of this function is
+    * exactly the "not a literal" predicate (RdfTerms.isIri/isLiteral
+    * build on it). */
   def datatypeOf(u: UTF8String): UTF8String = {
     val s = u.toString
     if (s.startsWith("_:")) return null
@@ -130,9 +149,22 @@ object RdfLex {
       return UTF8String.fromString(graft.RdfTerms.RdfLangString)
     val k = dtClose(s)
     if (k >= 0) return UTF8String.fromString(s.substring(k + 4, s.length - 1))
+    if (s.length >= 2 && s.charAt(0) == '"' && s.charAt(s.length - 1) == '"')
+      return UTF8String.fromString(graft.RdfTerms.XsdString)
+    if (s.length >= 1 && s.charAt(0) == '"') return null // malformed quote form
     val shape = shapeDt(s)
-    UTF8String.fromString(
-      if (shape != null) shape else graft.RdfTerms.XsdString)
+    if (shape != null) UTF8String.fromString(shape) else null // bare IRI
+  }
+
+  /** The TERM encoding of a constructed simple literal (round 13): the
+    * same shape-normalization the Turtle loader and the query parser
+    * apply — shorthand-shaped text stays bare (it IS the numeric/boolean
+    * term), anything else quotes. Exactly
+    * `RdfTerms.encodeTyped(l, RdfTerms.shapeDatatype(l))`, as one scan. */
+  def encodeSimple(u: UTF8String): UTF8String = {
+    val s = u.toString
+    if (shapeDt(s) != null) u
+    else UTF8String.fromString("\"" + s + "\"")
   }
 
   abstract class TermUnary extends UnaryExpression {
@@ -181,7 +213,20 @@ object RdfLex {
       copy(child = newChild)
   }
 
+  case class RdfEncodeSimpleExpr(child: Expression) extends TermUnary {
+    override def prettyName: String = "rdf_encode_simple"
+    override def nullSafeEval(s: Any): Any =
+      encodeSimple(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev,
+        c => s"${ev.value} = graft.functions.RdfLex.encodeSimple($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def lex(c: Column): Column = Bridge.column(RdfLexExpr(Bridge.expression(c)))
+  def encodeSimple(c: Column): Column =
+    Bridge.column(RdfEncodeSimpleExpr(Bridge.expression(c)))
   def langOf(c: Column): Column =
     Bridge.column(RdfLangExpr(Bridge.expression(c)))
   def datatypeOf(c: Column): Column =

@@ -235,7 +235,14 @@ object Turtle {
         skipWs()
         val dt = if (peek == '<') parseIriRef() else parsePName()
         graft.RdfTerms.encodeTyped(sb.toString, dt)
-      } else sb.toString
+      } else {
+        // round 13: plain literals take the shape-normalized term
+        // encoding — non-shorthand strings QUOTE (so they never collide
+        // with a bare IRI), while shorthand-shaped text ("5", "true")
+        // keeps the historic bare numeric/boolean normalization
+        val l = sb.toString
+        graft.RdfTerms.encodeTyped(l, graft.RdfTerms.shapeDatatype(l))
+      }
     }
 
     private def parseNumberOrBoolean(): String = {

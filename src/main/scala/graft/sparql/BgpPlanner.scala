@@ -625,7 +625,7 @@ object BgpPlanner {
           v => if (seen.contains(v)) resolve0(v) else lit(null).cast("string")
         case None => resolve0
       }
-      val c = compileBind(b.expr, resolve)
+      val c = compileBindTerm(b.expr, resolve)
       if (cols.contains(vc(b.alias))) b.priorVars match {
         case Some(_) =>
           // The alias is bound by a LATER triple pattern: BIND ends the
@@ -969,21 +969,35 @@ object BgpPlanner {
         if (numeric) graft.RdfTerms.lex(lit(s)).try_cast("double") else lit(s)
       case FIriRef(i) => lit(i)
       case FBindOp(e) =>
-        val c = compileBind(e, resolve)
-        if (!numeric) c
-        // builtin outputs are bare lexicals — skip the strip; a compiled
-        // term-producing tree (IF/COALESCE/constructors) binds once so
-        // lex's 5 branches don't copy it 5× (see bindOnce)
-        else if (bareLexical(e)) c.try_cast("double")
-        else bindOnce(c)(graft.RdfTerms.lex).try_cast("double")
+        // non-numeric comparisons are TERM-level (round 13: a string
+        // builtin's result wraps once so it matches stored/constant
+        // string-literal terms); numeric coercion stays on the lexical
+        if (!numeric) compileBindTerm(e, resolve)
+        else {
+          val c = compileBind(e, resolve)
+          // builtin outputs are bare lexicals — skip the strip; a
+          // compiled term-producing tree (IF/COALESCE/constructors)
+          // binds once so lex's branches don't copy it (see bindOnce)
+          if (bareLexical(e)) c.try_cast("double")
+          else bindOnce(c)(graft.RdfTerms.lex).try_cast("double")
+        }
     }
     f match {
       case FCmp(l, op, r) =>
       // numeric dispatch: a numeric literal on either side forces a
       // numeric comparison (SPARQL operator dispatch on xsd numerics);
-      // otherwise simple codepoint string comparison
+      // otherwise `=`/`!=` compare TERMS (tagged/typed stay distinct)
+      // while the ORDERING ops compare the LEXICAL forms — §17.3's
+      // string `<` orders the VALUE, and under round 13's encoding the
+      // codepoint order of quoted and bare terms would differ from the
+      // value order exactly where literals mix with shorthand numerics
       val numeric = l.isInstanceOf[FNum] || r.isInstanceOf[FNum]
-      val (lc, rc) = (opCol(l, numeric), opCol(r, numeric))
+      val ordering = op != "=" && op != "!="
+      def side(o: FOperand): Column = {
+        val c = opCol(o, numeric)
+        if (!numeric && ordering) graft.RdfTerms.lex(c) else c
+      }
+      val (lc, rc) = (side(l), side(r))
       op match {
         case "<" => lc < rc
         case "<=" => lc <= rc
@@ -1027,6 +1041,8 @@ object BgpPlanner {
         }
         lex(l) === lex(r)
       case FIsBlank(v) => resolve(v).startsWith("_:")
+      case FIsIri(v) => graft.RdfTerms.isIri(resolve(v))
+      case FIsLiteral(v) => graft.RdfTerms.isLiteral(resolve(v))
       case FIsNumeric(v) =>
         // §17.4.4: true iff the term is a literal of a NUMERIC datatype
         // with a valid lexical form — so the datatype dispatch (shape or
@@ -1082,6 +1098,37 @@ object BgpPlanner {
     }
   }
 
+  /** TERM encoding of a compiled BIND expression (round 13): builtins
+    * compose internally over LEXICALS (compileBind — the additive-tree
+    * property the round-12 OOM fix established), and the re-encode
+    * happens ONCE where a value becomes a term: simple-literal-producing
+    * builtins (§17.4: string functions return simple literals) wrap in
+    * quotes; numeric/boolean producers keep the bare shorthand (which IS
+    * their term encoding); DATATYPE yields an IRI (bare); everything
+    * else (vars, constants, the pass-through and constructor forms)
+    * already carries terms. The quote wrap references the child once —
+    * no multiplicative tree growth. */
+  private def termEncode(e: Sparql.BExpr, c: Column): Column = {
+    import Sparql._
+    e match {
+      case BConcat(_) | BEncodeUri(_) | BSubstr(_, _, _) | BReplace(_, _, _)
+          | BStrCut(_, _, _) | BHashFn(_, _)
+          | BStrFn("STR", _) | BStrFn("UCASE", _) | BStrFn("LCASE", _)
+          | BStrFn("LANG", _) | BDtFn("TZ", _) =>
+        // shape-normalized like every other simple-literal entry point
+        // (loader, parser): STRAFTER(…) yielding "3" IS the term 3 —
+        // single-scan native expression, one child reference
+        graft.functions.RdfLex.encodeSimple(c)
+      case _ => c
+    }
+  }
+
+  /** compileBind + [[termEncode]] — the form every TERM position
+    * (BIND/SELECT-expression binding, non-numeric FILTER operand,
+    * COALESCE/IF branch, LANG/DATATYPE/constructor argument) consumes. */
+  private def compileBindTerm(e: Sparql.BExpr, resolve: String => Column): Column =
+    termEncode(e, compileBind(e, resolve))
+
   private def compileBind(e: Sparql.BExpr, resolve: String => Column): Column = {
     import Sparql._
     // String/numeric/dateTime builtins operate on the LEXICAL FORM
@@ -1109,22 +1156,29 @@ object BgpPlanner {
       case BVar(v) => resolve(v)
       case BLit(s) => lit(s)
       case BConcat(args) => concat(args.map(lexed): _*)
-      case BCoalesce(args) => coalesce(args.map(compileBind(_, resolve)): _*)
+      // COALESCE/IF pass TERMS through (their result can feed joins and
+      // further term operations), so branch/argument expressions compile
+      // at the TERM level — one quote-wrap per builtin arg, still
+      // additive in tree size
+      case BCoalesce(args) => coalesce(args.map(compileBindTerm(_, resolve)): _*)
       case BIf(c, t, e) =>
         // no .otherwise(): a NULL condition (type error / unbound input)
         // must yield NULL — §17.4.1.2 says an erroring condition errors
         // the whole IF, it does NOT fall through to the else branch
         val cc = compileFilterExpr(c, resolve)
-        when(cc, compileBind(t, resolve)).when(!cc, compileBind(e, resolve))
+        when(cc, compileBindTerm(t, resolve)).when(!cc, compileBindTerm(e, resolve))
       case BStrFn("STR", a) => lexed(a) // §17.4.2.1: the lexical form
+      // LANG/DATATYPE and the constructors read their argument's TERM
+      // encoding (a lexical would make every builtin result look like a
+      // bare IRI under round 13's encoding)
       case BStrFn("LANG", a) =>
-        graft.RdfTerms.langOf(compileBind(a, resolve))
+        graft.RdfTerms.langOf(compileBindTerm(a, resolve))
       case BStrFn("DATATYPE", a) =>
-        graft.RdfTerms.datatypeOf(compileBind(a, resolve))
+        graft.RdfTerms.datatypeOf(compileBindTerm(a, resolve))
       case BStrLang(a, t) =>
-        graft.RdfTerms.strLang(compileBind(a, resolve), lexed(t))
+        graft.RdfTerms.strLang(compileBindTerm(a, resolve), lexed(t))
       case BStrDt(a, d) =>
-        graft.RdfTerms.strDt(compileBind(a, resolve), lexed(d))
+        graft.RdfTerms.strDt(compileBindTerm(a, resolve), lexed(d))
       case BStrFn("UCASE", a) => upper(lexed(a))
       case BStrFn("LCASE", a) => lower(lexed(a))
       case BStrFn("STRLEN", a) =>
@@ -1239,8 +1293,10 @@ object BgpPlanner {
         }
         }
       case BArith(l, op, r) =>
-        val (lc, rc) = (compileBind(l, resolve).try_cast("long"),
-          compileBind(r, resolve).try_cast("long"))
+        // operands coerce through the LEXICAL (round 13: a quoted or
+        // annotated numeric still computes; lexed is a no-op on builtin
+        // outputs and a single-reference native strip otherwise)
+        val (lc, rc) = (lexed(l).try_cast("long"), lexed(r).try_cast("long"))
         op match {
           case '+' => (lc + rc).cast("long").cast("string")
           case '-' => (lc - rc).cast("long").cast("string")
@@ -1291,8 +1347,11 @@ object BgpPlanner {
       vars.foreach { v => parts += inner.select(col(v).as("s")) }
     }
     val resources = parts.reduce(_ union _).distinct()
+    // set semantics on TERMS, then the str() result boundary (round 13:
+    // strips quoted-plain string literals like every other encoding)
     scoped.join(resources, Seq("s"), "left_semi")
       .select("s", "p", "o").distinct()
+      .select(col("s"), col("p"), graft.RdfTerms.lex(col("o")).as("o"))
   }
 
   /** Aggregation, HAVING, projection, DISTINCT, and the solution
@@ -1359,12 +1418,18 @@ object BgpPlanner {
         case Sparql.I(i) => lit(i)
         case Sparql.L(l) => lit(l)
       }
+      // DISTINCT runs on TERMS (tagged/typed literals stay distinct);
+      // the rdflib-parity str() boundary then strips the result columns
+      // exactly as SELECT's finish does (round 13: quoted-plain strings
+      // strip too)
       return q.template.map { tp =>
         acc0.select(termCol(tp.s).as("s"),
           lit(tp.path.head.alts.head._1).as("p"), termCol(tp.o).as("o"))
       }.reduce(_ union _)
         .filter(col("s").isNotNull && col("o").isNotNull)
         .distinct()
+        .select(graft.RdfTerms.lex(col("s")).as("s"), col("p"),
+          graft.RdfTerms.lex(col("o")).as("o"))
     }
     var acc = acc0
     if (q.aggregates.nonEmpty || q.groupBy.nonEmpty) {
@@ -1401,12 +1466,15 @@ object BgpPlanner {
             case Some(_) => if (a.distinct) count_distinct(c) else count(c)
           }
           case "SUM" =>
-            if (a.distinct) sum_distinct(c.try_cast("double"))
-            else sum(c.try_cast("double"))
+            // coerce via the lexical (round 13): matches FILTER's
+            // numeric dispatch, and a quoted or annotated numeric like
+            // "5"^^xsd:float still contributes
+            if (a.distinct) sum_distinct(graft.RdfTerms.lex(c).try_cast("double"))
+            else sum(graft.RdfTerms.lex(c).try_cast("double"))
           case "AVG" =>
             if (a.distinct) throw new IllegalArgumentException(
               "AVG(DISTINCT) is outside the supported subset")
-            avg(c.try_cast("double"))
+            avg(graft.RdfTerms.lex(c).try_cast("double"))
           case "MIN" | "MAX" =>
             val k = graft.RdfTerms.lex(c).try_cast("double")
             // null ordering keys are skipped by min_by/max_by, so the
@@ -1414,10 +1482,15 @@ object BgpPlanner {
             // field-wise order makes the lexical a tie-break
             val numKey = when(k.isNotNull, struct(k, c))
             val allNum = count(when(c.isNotNull && k.isNull, 1)) === 0
+            // the mixed-group fallback orders by the LEXICAL (§18.5.1's
+            // ORDER-BY-`<` definition; round 13: quoted and bare terms
+            // would codepoint-order by encoding, not value), with the
+            // term as the deterministic tie-break
+            val lexKey = struct(graft.RdfTerms.lex(c), c)
             if (a.fn == "MIN")
-              when(allNum, min_by(c, numKey)).otherwise(min(c))
+              when(allNum, min_by(c, numKey)).otherwise(min_by(c, lexKey))
             else
-              when(allNum, max_by(c, numKey)).otherwise(max(c))
+              when(allNum, max_by(c, numKey)).otherwise(max_by(c, lexKey))
           // The spec leaves GROUP_CONCAT's concatenation order
           // implementation-defined (§18.5.1.7); we SORT the collected
           // values (codepoint order, matching MIN/MAX dispatch) so the
@@ -1426,11 +1499,19 @@ object BgpPlanner {
           // collect_list/collect_set skip NULLs, = the spec's rule that
           // unbound values don't contribute.
           case "GROUP_CONCAT" =>
-            array_join(array_sort(
-              if (a.distinct) collect_set(c) else collect_list(c)), a.sep)
-          // SAMPLE returns "an arbitrary value" from the group — MIN is a
-          // valid, deterministic arbiter (DISTINCT is a semantic no-op)
-          case "SAMPLE" => min(c)
+            // §18.5.1.7 concatenates STR(x) — the LEXICALS — and returns
+            // a simple literal: collect lex(c) (round 13: quoted/tagged
+            // members contribute their lexical form, not the encoding)
+            // and quote-wrap the result into a string-literal TERM so
+            // HAVING/joins over it compare like any other simple literal
+            concat(lit("\""), array_join(array_sort(
+              if (a.distinct) collect_set(graft.RdfTerms.lex(c))
+              else collect_list(graft.RdfTerms.lex(c))), a.sep), lit("\""))
+          // SAMPLE returns "an arbitrary value" from the group — the
+          // lexical-MIN term is a valid, deterministic arbiter (DISTINCT
+          // is a semantic no-op; lexical key so round 13's quoted terms
+          // pick the same representative bare ones always did)
+          case "SAMPLE" => min_by(c, struct(graft.RdfTerms.lex(c), c))
           case other => throw new IllegalArgumentException(s"bad aggregate $other")
         }
         out.as(vc(a.alias))
@@ -1462,7 +1543,7 @@ object BgpPlanner {
         s"SELECT expression would rebind ?${b.alias} — already in scope")
       val resolve: String => Column =
         v => if (cols.contains(vc(v))) acc(vc(v)) else lit(null).cast("string")
-      acc = acc.withColumn(vc(b.alias), compileBind(b.expr, resolve))
+      acc = acc.withColumn(vc(b.alias), compileBindTerm(b.expr, resolve))
     }
     // §18.2.5: ORDER BY evaluates BEFORE projection, so keys may be any
     // in-scope variable — sort the pre-projection relation and project
@@ -1527,7 +1608,11 @@ object BgpPlanner {
           org.apache.spark.sql.types.StringType) Seq(c)
       else {
         val k = graft.RdfTerms.lex(c).try_cast("double")
-        Seq(c.isNotNull && k.isNull, k, c)
+        // third key: the LEXICAL (round 13 — string terms order by value,
+        // exactly the order bare encodings always gave); the raw term
+        // stays as the final tie-break so tagged/typed twins order
+        // deterministically
+        Seq(c.isNotNull && k.isNull, k, graft.RdfTerms.lex(c), c)
       }
     if (desc) keys.map(_.desc) else keys.map(_.asc)
   }

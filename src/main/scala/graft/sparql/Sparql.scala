@@ -149,6 +149,12 @@ object Sparql {
   /** isNumeric(?v) — true iff the lexical form is a numeric literal
     * (double-castable), the only numeric evidence the untyped store has. */
   final case class FIsNumeric(v: String) extends FExpr
+  /** isIRI/isURI(?v) — §17.4.1.1, decidable since round 13's quoted
+    * string-literal encoding: bare ∧ not blank ∧ not a shorthand shape. */
+  final case class FIsIri(v: String) extends FExpr
+  /** isLiteral(?v) — §17.4.1.3: any term carrying a datatype (quoted
+    * plain/tagged/typed, or bare numeric/boolean shorthand). */
+  final case class FIsLiteral(v: String) extends FExpr
   /** LANGMATCHES(langExpr, rangeExpr) — §17.4.3.1, RFC 4647 basic
     * filtering over RdfTerms-encoded language tags (round 11). */
   final case class FLangMatches(arg: BExpr, range: BExpr) extends FExpr
@@ -470,7 +476,13 @@ object Sparql {
         pos += 2; skipWs()
         lastLiteralDt = Some(if (peek == '<') parseIriRef() else parsePName())
         graft.RdfTerms.encodeTyped(sb.toString, lastLiteralDt.get)
-      } else sb.toString
+      } else {
+        // round 13: shape-normalized like the Turtle loader — so query
+        // constants match stored terms: non-shorthand strings quote,
+        // shorthand shapes keep the bare numeric/boolean normalization
+        val l = sb.toString
+        graft.RdfTerms.encodeTyped(l, graft.RdfTerms.shapeDatatype(l))
+      }
     }
 
     /** Datatype IRI of the literal [[parseLiteral]] just returned, when it
@@ -1285,13 +1297,12 @@ object Sparql {
         expect('('); val v = parseVarArg(); expect(')'); FIsBlank(v)
       } else if (kw("ISNUMERIC")) {
         expect('('); val v = parseVarArg(); expect(')'); FIsNumeric(v)
-      } else if (kwAhead("ISIRI") || kwAhead("ISURI") || kwAhead("ISLITERAL")) {
-        err("isIRI/isURI/isLiteral are outside the supported subset: the " +
-          "lexical quads encoding stores IRIs and PLAIN literals " +
-          "identically (SURVEY.md §1.2) — tagged/typed literals are " +
-          "distinguishable since round 11, but the bare conflation makes " +
-          "these three unreliable; isBlank/isNumeric/LANG/DATATYPE are " +
-          "supported")
+      } else if (kw("ISIRI") || kw("ISURI")) {
+        // supported since round 13: quoted string-literal encoding makes
+        // the IRI/literal distinction decidable from the stored bytes
+        expect('('); val v = parseVarArg(); expect(')'); FIsIri(v)
+      } else if (kw("ISLITERAL")) {
+        expect('('); val v = parseVarArg(); expect(')'); FIsLiteral(v)
       } else {
         val l = parseOperand()
         skipWs()
@@ -1327,7 +1338,9 @@ object Sparql {
     private def parseStrArg(): String = {
       skipWs()
       if (peek != '"' && peek != '\'') err("expected a string literal argument")
-      parseLiteral()
+      // LEXICAL position (regex patterns, CONTAINS needles, SEPARATOR):
+      // strip the round-13 term encoding — these are not term operands
+      graft.RdfTerms.lexicalOf(parseLiteral())
     }
 
     /** In OPERAND position `<` introduces an IRIREF; the less-than

@@ -193,8 +193,12 @@ class CorpusE2ESpec extends AnyFunSuite {
             (s2, p2, o2) <- t if s2 == o1 && p2 == s"${B}timeseries"
             (s3, p3, o3) <- t if s3 == o2 && p3 == s"${B}hasTimeseriesId"
           } yield o3
+          // the planner output is boundary-stripped (round 13: stored
+          // uuid literals are quoted) — strip the reference the same way
+          def lexOf(t: String): String = graft.functions.RdfLex.lex(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
           if (sens.isEmpty) Set((g, v, Option.empty[String]))
-          else sens.map(x => (g, v, Option(x)))
+          else sens.map(x => (g, v, Option(lexOf(x))))
         }
       }.toSet
       assert(got == expected,

@@ -482,7 +482,14 @@ class ExprFuzzSpec extends AnyFunSuite {
         val ord = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.String)
         val pick = keyed.map { case (t, v) => (v, t) }
         if (isMin) pick.min(ord)._2 else pick.max(ord)._2
-      } else if (isMin) terms.min else terms.max
+      } else {
+        // round 13: the mixed-group fallback orders by the LEXICAL with
+        // the term as tie-break (quoted/bare encodings would otherwise
+        // codepoint-order by encoding, not value)
+        val ord = Ordering.Tuple2(Ordering.String, Ordering.String)
+        val pick = terms.map(t => (lexOf(t), t))
+        if (isMin) pick.min(ord)._2 else pick.max(ord)._2
+      }
     }
     val termGen = Gen.oneOf(
       Gen.choose(-50L, 10050L).map(_.toString),
@@ -517,13 +524,16 @@ class ExprFuzzSpec extends AnyFunSuite {
   test("ORDER BY over literal terms == the three-key §15.1 reference on random columns") {
     val s = spark
     import s.implicits._
-    // reference: per-row key (isNonNumeric, value, encoded term); DESC
-    // is the exact reverse. Mirrors BgpPlanner.orderKeys.
+    // reference: per-row key (isNonNumeric, value, lexical, encoded
+    // term); DESC is the exact reverse. Mirrors BgpPlanner.orderKeys
+    // (round 13: the lexical third key keeps string terms ordering by
+    // VALUE — the order bare encodings always gave — with the raw term
+    // as the final tie-break).
     def lexOf(t: String): String = graft.functions.RdfLex.lex(
       org.apache.spark.unsafe.types.UTF8String.fromString(t)).toString
-    def key(t: String): (Int, Double, String) =
-      try { (0, lexOf(t).trim.toDouble, t) }
-      catch { case _: NumberFormatException => (1, 0.0, t) }
+    def key(t: String): (Int, Double, String, String) =
+      try { (0, lexOf(t).trim.toDouble, lexOf(t), t) }
+      catch { case _: NumberFormatException => (1, 0.0, lexOf(t), t) }
     val termGen = Gen.oneOf(
       Gen.choose(-99L, 199L).map(_.toString),
       Gen.oneOf("01", "1", "10", "9", "2.5", "100", "0.5", "-7"),

@@ -17,7 +17,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * forms nested in annotated-looking text. */
 class RdfLexFuzzSpec extends AnyFunSuite {
 
-  /** The pre-round-12 Column semantics, verbatim as Scala regexes. */
+  /** The Column-recognizer semantics as Scala regexes: the round-12
+    * LangRe/DtRe contract plus round 13's quoted-plain rule (checked
+    * last, exactly the native order — a plain form can't also match
+    * lang/dt because those never END in '"'). */
   private def refLex(s: String): String = {
     if (s == null) return null
     val lang = RdfTerms.LangRe.r
@@ -27,7 +30,9 @@ class RdfLexFuzzSpec extends AnyFunSuite {
       case lang(l, _) => l
       case _ => s match {
         case dt(l, _) => l
-        case _ => s
+        case _ =>
+          if (s.length >= 2 && s.endsWith("\"")) s.substring(1, s.length - 1)
+          else s
       }
     }
   }
@@ -71,24 +76,36 @@ class RdfLexFuzzSpec extends AnyFunSuite {
     // the pre-round-12 Column semantics, verbatim as Scala regexes
     val lang = RdfTerms.LangRe.r
     val dt = RdfTerms.DtRe.r
+    // round-13 semantics: LITERALS answer (quoted plain/tagged/typed,
+    // bare shorthands); bare IRIs, blank nodes, and malformed quote
+    // forms are type errors (null)
+    def shapeOf(s: String): String =
+      if (s.matches("[+-]?\\d+")) RdfTerms.XsdInteger
+      else if (s.matches("[+-]?\\d*\\.\\d+")) RdfTerms.XsdDecimal
+      else if (s.matches("[+-]?(?:\\d+\\.?\\d*|\\.\\d+)[eE][+-]?\\d+"))
+        RdfTerms.XsdDouble
+      else if (s == "true" || s == "false") RdfTerms.XsdBoolean
+      else null
+    def plain(s: String): Boolean =
+      s.length >= 2 && s.startsWith("\"") && s.endsWith("\"")
     def refLang(s: String): String =
       if (s.startsWith("_:")) null
       else if (s.startsWith("\"")) s match {
         case lang(_, t) => t
-        case _ => ""
-      } else ""
+        case dt(_, _) => ""
+        case _ => if (plain(s)) "" else null
+      }
+      else if (shapeOf(s) != null) ""
+      else null
     def refDatatype(s: String): String =
       if (s.startsWith("_:")) null
       else s match {
         case lang(_, _) => RdfTerms.RdfLangString
         case dt(_, d) => d
         case _ =>
-          if (s.matches("[+-]?\\d+")) RdfTerms.XsdInteger
-          else if (s.matches("[+-]?\\d*\\.\\d+")) RdfTerms.XsdDecimal
-          else if (s.matches("[+-]?(?:\\d+\\.?\\d*|\\.\\d+)[eE][+-]?\\d+"))
-            RdfTerms.XsdDouble
-          else if (s == "true" || s == "false") RdfTerms.XsdBoolean
-          else RdfTerms.XsdString
+          if (plain(s)) RdfTerms.XsdString
+          else if (s.startsWith("\"")) null // malformed quote form
+          else shapeOf(s) // null = bare IRI (type error)
       }
     def nat(f: UTF8String => UTF8String, s: String): String = {
       val r = f(UTF8String.fromString(s))

@@ -36,7 +36,7 @@ class SparqlSpec extends AnyFunSuite {
     import s.implicits._
     Turtle.parse(fixtureTtl, "bldg1")
       .map { case (su, p, o) => Quad("urn:bldg1#", su, p, o) }
-      .toDF()
+      .map(TestTerms.t).toDF()
   }
 
   val prefix =
@@ -84,7 +84,7 @@ class SparqlSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val direct = Seq(
-      Quad("urn:g#", "urn:x#n1", Model.RdfType, "https://brickschema.org/schema/Brick#Point")).toDF()
+      Quad("urn:g#", "urn:x#n1", Model.RdfType, "https://brickschema.org/schema/Brick#Point")).map(TestTerms.t).toDF()
     val q = Sparql.parse(prefix +
       "SELECT ?p WHERE { ?p rdf:type/rdfs:subClassOf* brick:Point . }")
     val rows = BgpPlanner.evaluate(direct, q).collect()
@@ -96,7 +96,7 @@ class SparqlSpec extends AnyFunSuite {
     import s.implicits._
     val twoSites = Seq(
       Quad("urn:a#", "urn:a#x", "urn:p#t", "1"),
-      Quad("urn:b#", "urn:b#y", "urn:p#t", "2")).toDF()
+      Quad("urn:b#", "urn:b#y", "urn:p#t", "2")).map(TestTerms.t).toDF()
     val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?s ?v WHERE { ?s p:t ?v . }")
     assert(BgpPlanner.evaluate(twoSites, q, Some("urn:a#")).collect().map(_.getString(0)).toSeq == Seq("urn:a#x"))
     assert(BgpPlanner.evaluate(twoSites, q, None).count() == 2)
@@ -107,7 +107,7 @@ class SparqlSpec extends AnyFunSuite {
     import s.implicits._
     val dup = Seq(
       Quad("urn:a#", "urn:x#c1", Model.RdfsSubClassOf, "urn:x#c2"),
-      Quad("urn:b#", "urn:x#c1", Model.RdfsSubClassOf, "urn:x#c2")).toDF()
+      Quad("urn:b#", "urn:x#c1", Model.RdfsSubClassOf, "urn:x#c2")).map(TestTerms.t).toDF()
     val q = Sparql.parse("PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#> SELECT ?a ?b WHERE { ?a rdfs:subClassOf ?b . }")
     assert(BgpPlanner.evaluate(dup, q, None).count() == 1)
   }
@@ -145,7 +145,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#2", "urn:p#t", "beta"),
       Quad("urn:g#", "urn:d#1", "urn:p#buy", "urn:i#1"),
       Quad("urn:g#", "urn:d#1", "urn:p#buy", "urn:i#2"),
-      Quad("urn:g#", "urn:d#2", "urn:p#buy", "urn:i#3")).toDF()
+      Quad("urn:g#", "urn:d#2", "urn:p#buy", "urn:i#3")).map(TestTerms.t).toDF()
     // an aggregated subquery INSIDE an OPTIONAL: the per-subject count
     // extends the left rows through the left join
     val q2 = Sparql.parse(
@@ -166,7 +166,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
       Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
       Quad("urn:g#", "urn:d#3", "urn:p#tag", "gamma"),
-      Quad("urn:g#", "urn:d#1", "urn:p#val", "7")).toDF()
+      Quad("urn:g#", "urn:d#1", "urn:p#val", "7")).map(TestTerms.t).toDF()
     // VALUES inside OPTIONAL conditions the optional match; BIND inside
     // computes an alias visible outside through the left join
     val q = Sparql.parse(
@@ -187,7 +187,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
       Quad("urn:g#", "urn:d#3", "urn:p#tag", "gamma"),
       Quad("urn:g#", "urn:d#1", "urn:p#a", "urn:x#1"),
-      Quad("urn:g#", "urn:d#2", "urn:p#b", "urn:x#2")).toDF()
+      Quad("urn:g#", "urn:d#2", "urn:p#b", "urn:x#2")).map(TestTerms.t).toDF()
     // MINUS { {A} UNION {B} }: drops subjects matching either arm
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?s WHERE { ?s p:tag ?t . " +
@@ -216,7 +216,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
       Quad("urn:g#", "urn:d#3", "urn:p#tag", "gamma"),
       Quad("urn:g#", "urn:d#1", "urn:p#flag", "x"),
-      Quad("urn:g#", "urn:d#2", "urn:p#val", "9")).toDF()
+      Quad("urn:g#", "urn:d#2", "urn:p#val", "9")).map(TestTerms.t).toDF()
     // MINUS inside OPTIONAL: the optional extends only where the minus
     // keeps the inner solution (d1 dropped by its flag, d3 survives)
     val q = Sparql.parse(
@@ -247,7 +247,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#3", "urn:p#val", "50"),
       Quad("urn:g#", "urn:d#4", "urn:p#val", "n/a"),
       Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
-      Quad("urn:g#", "urn:d#3", "urn:p#tag", "beta")).toDF()
+      Quad("urn:g#", "urn:d#3", "urn:p#tag", "beta")).map(TestTerms.t).toDF()
   }
   val fp = "PREFIX p: <urn:p#> "
 
@@ -335,7 +335,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#1", "urn:p#val", "5"),
       Quad("urn:g#", "urn:d#2", "urn:p#val", "50"),
       Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
-      Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta")).toDF()
+      Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta")).map(TestTerms.t).toDF()
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?s ?t WHERE { ?s p:tag ?t . { ?s p:val ?v . FILTER(?v > 9) } }")
     val rows = BgpPlanner.evaluate(g, q).collect().map(r => (r.getString(0), r.getString(1)))
@@ -352,7 +352,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#3", "urn:p#val", "3"),
       Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
       Quad("urn:g#", "urn:d#2", "urn:p#tag", "beta"),
-      Quad("urn:g#", "urn:d#1", "urn:p#note", "nb1")).toDF()
+      Quad("urn:g#", "urn:d#1", "urn:p#note", "nb1")).map(TestTerms.t).toDF()
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?s ?t ?n WHERE { ?s p:val ?v . " +
         "OPTIONAL { ?s p:tag ?t . OPTIONAL { ?s p:note ?n } } } ORDER BY ?s")
@@ -373,7 +373,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#3", "urn:p#val", "3"),
       Quad("urn:g#", "urn:d#1", "urn:p#tag", "alpha"),
       Quad("urn:g#", "urn:d#2", "urn:p#label", "beta"),
-      Quad("urn:g#", "urn:d#1", "urn:p#note", "nb1")).toDF()
+      Quad("urn:g#", "urn:d#1", "urn:p#note", "nb1")).map(TestTerms.t).toDF()
     // UNION inside OPTIONAL: name comes from tag or label; d3 stays unbound
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?s ?nm WHERE { ?s p:val ?v . " +
@@ -397,7 +397,7 @@ class SparqlSpec extends AnyFunSuite {
     val g = Seq(
       Quad("urn:g#", "urn:d#1", "urn:p#a", "urn:o#1"),
       Quad("urn:g#", "urn:d#1", "urn:p#b", "urn:x#1"),
-      Quad("urn:g#", "urn:d#2", "urn:p#a", "urn:o#2")).toDF()
+      Quad("urn:g#", "urn:d#2", "urn:p#a", "urn:o#2")).map(TestTerms.t).toDF()
     // OPTIONAL whose body is ONLY a nested OPTIONAL: the inner extension
     // must still run (regression: an early {μ0} return used to discard it)
     val q = Sparql.parse(
@@ -423,7 +423,7 @@ class SparqlSpec extends AnyFunSuite {
     import s.implicits._
     val g = Seq(
       Quad("urn:g#", "urn:a", "urn:b", "urn:c"),
-      Quad("urn:g#", "urn:d#1", "urn:p#v", "1")).toDF()
+      Quad("urn:g#", "urn:d#1", "urn:p#v", "1")).map(TestTerms.t).toDF()
     // branch 1 matches (empty mapping), branch 2's ground atom fails:
     // the union contributes {μ0} — every outer solution survives
     // (regression: this used to empty the whole query)
@@ -450,7 +450,7 @@ class SparqlSpec extends AnyFunSuite {
   test("EXISTS/MINUS over an otherwise-empty WHERE evaluate from {mu0} (round-10 fix)") {
     val s = spark
     import s.implicits._
-    val g = Seq(Quad("urn:g#", "urn:d#1", "urn:p#v", "1")).toDF()
+    val g = Seq(Quad("urn:g#", "urn:d#1", "urn:p#v", "1")).map(TestTerms.t).toDF()
     // formerly short-circuited to the empty relation -> always false
     val ask1 = Sparql.parse("ASK { FILTER EXISTS { ?s <urn:p#v> ?o } }")
     assert(BgpPlanner.evaluate(g, ask1).collect().head.getString(0) == "true")
@@ -469,7 +469,7 @@ class SparqlSpec extends AnyFunSuite {
     import s.implicits._
     val g = Seq(
       Quad("urn:g#", "urn:d#1", "urn:p#v", "1"),
-      Quad("urn:g#", "urn:d#2", "urn:p#w", "2")).toDF()
+      Quad("urn:g#", "urn:d#2", "urn:p#w", "2")).map(TestTerms.t).toDF()
     // branch 2's ground atom fails -> the whole branch has no solutions,
     // but ?x must still exist in the output schema as unbound
     val q = Sparql.parse(
@@ -491,7 +491,7 @@ class SparqlSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val g = Seq(
-      Quad("urn:A#", "urn:x#a", "urn:p#sub", "badname")).toDF()
+      Quad("urn:A#", "urn:x#a", "urn:p#sub", "badname")).map(TestTerms.t).toDF()
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s p:sub+ ?o } }")
     val e = intercept[Throwable] {
@@ -511,7 +511,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g1#", "urn:s#0", "urn:p#v", "shared"),
       Quad("urn:g2#", "urn:s#0", "urn:p#v", "shared"), // same triple, 2 graphs
       Quad("urn:g2#", "urn:s#2", "urn:p#v", "b"),
-      Quad("urn:g3#", "urn:s#3", "urn:p#v", "c")).toDF()
+      Quad("urn:g3#", "urn:s#3", "urn:p#v", "c")).map(TestTerms.t).toDF()
     // FROM merge: g1 ∪ g2 as the default graph, set semantics (the
     // shared triple appears once)
     val q1 = Sparql.parse(
@@ -558,7 +558,7 @@ class SparqlSpec extends AnyFunSuite {
     val g = Seq(
       Quad("urn:siteA#", "urn:x#1", "urn:p#t", "a1"),
       Quad("urn:siteB#", "urn:x#2", "urn:p#t", "b1"),
-      Quad("urn:siteB#", "urn:x#2", "urn:p#u", "b2")).toDF()
+      Quad("urn:siteB#", "urn:x#2", "urn:p#u", "b2")).map(TestTerms.t).toDF()
     def ask(q: String): String =
       BgpPlanner.evaluate(g, Sparql.parse("PREFIX p: <urn:p#> " + q))
         .collect().head.getString(0)
@@ -586,7 +586,7 @@ class SparqlSpec extends AnyFunSuite {
     val g = Seq(
       Quad("urn:gA#", "urn:s#1", "urn:p#x", "urn:gA#"), // object == graph name
       Quad("urn:gB#", "urn:s#1", "urn:p#x", "urn:gA#"), // object != its graph
-      Quad("urn:gB#", "urn:s#2", "urn:p#x", "urn:o#1")).toDF()
+      Quad("urn:gB#", "urn:s#2", "urn:p#x", "urn:o#1")).map(TestTerms.t).toDF()
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?g WHERE { GRAPH ?g { <urn:s#1> p:x ?g } }")
     assert(BgpPlanner.evaluate(g, q).collect().map(_.getString(0)).toSeq
@@ -600,7 +600,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:siteA#", "urn:x#1", "urn:p#t", "a1"),
       Quad("urn:siteB#", "urn:x#2", "urn:p#t", "b1"),
       Quad("urn:siteB#", "urn:x#2", "urn:p#u", "b2"),
-      Quad("urn:siteC#", "urn:x#3", "urn:p#u", "c1")).toDF()
+      Quad("urn:siteC#", "urn:x#3", "urn:p#u", "c1")).map(TestTerms.t).toDF()
     // constant graph: only siteB's triples match
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?s ?v WHERE { GRAPH <urn:siteB#> { ?s p:t ?v } }")
@@ -632,7 +632,7 @@ class SparqlSpec extends AnyFunSuite {
     val g = Seq(
       Quad("urn:A#", "urn:x#a", "urn:p#sub", "urn:x#b"),
       Quad("urn:A#", "urn:x#b", "urn:p#sub", "urn:x#c"),
-      Quad("urn:B#", "urn:x#b", "urn:p#sub", "urn:x#c")).toDF()
+      Quad("urn:B#", "urn:x#b", "urn:p#sub", "urn:x#c")).map(TestTerms.t).toDF()
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?g ?s WHERE { GRAPH ?g { ?s p:sub+ <urn:x#c> } } ORDER BY ?g ?s")
     val rows = BgpPlanner.evaluate(g, q).collect().map(r => (r.getString(0), r.getString(1)))
@@ -656,7 +656,7 @@ class SparqlSpec extends AnyFunSuite {
     val g = Seq(
       Quad("urn:A#", "urn:x#a", "urn:p#sub", "urn:x#b"),
       Quad("urn:A#", "urn:x#a", "urn:p#u", "ua"),
-      Quad("urn:B#", "urn:x#a", "urn:p#sub", "urn:x#c")).toDF()
+      Quad("urn:B#", "urn:x#a", "urn:p#sub", "urn:x#c")).map(TestTerms.t).toDF()
     val q = Sparql.parse(
       "PREFIX p: <urn:p#> SELECT ?g ?o ?w WHERE { " +
         "GRAPH ?g { ?s p:sub ?o . OPTIONAL { ?s p:u ?w } } } ORDER BY ?g")
@@ -689,7 +689,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:siteA#", "urn:x#1", "urn:p#t", "a1"),
       Quad("urn:siteB#", "urn:x#2", "urn:p#t", "b1"),
       Quad("urn:siteB#", "urn:x#2", "urn:p#u", "b2"),
-      Quad("urn:siteC#", "urn:x#3", "urn:p#u", "c1")).toDF()
+      Quad("urn:siteC#", "urn:x#3", "urn:p#u", "c1")).map(TestTerms.t).toDF()
     // OPTIONAL { GRAPH ?g { … } }: find the site that has the point, if
     // any — x#1 has no u-triple anywhere → ?g/?w unbound, row kept
     val q = Sparql.parse(
@@ -781,7 +781,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:u#1", "urn:p#buy", "7"),
       Quad("urn:g#", "urn:u#2", "urn:p#buy", "10"),
       Quad("urn:g#", "urn:u#2", "urn:p#buy", "x"),
-      Quad("urn:g#", "urn:u#3", "urn:p#buy", "2")).toDF()
+      Quad("urn:g#", "urn:u#3", "urn:p#buy", "2")).map(TestTerms.t).toDF()
   }
 
   test("global aggregates: COUNT(*), SUM skips non-numeric (type-error) bindings") {
@@ -815,7 +815,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:u#2", "urn:p#buy", "2.5"),
       Quad("urn:g#", "urn:u#2", "urn:p#buy", "30"),
       Quad("urn:g#", "urn:u#3", "urn:p#buy", "a"),
-      Quad("urn:g#", "urn:u#3", "urn:p#buy", "9")).toDF()
+      Quad("urn:g#", "urn:u#3", "urn:p#buy", "9")).map(TestTerms.t).toDF()
     val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?u (MIN(?v) AS ?lo) " +
       "(MAX(?v) AS ?hi) WHERE { ?u p:buy ?v . } GROUP BY ?u ORDER BY ?u")
     val r = BgpPlanner.evaluate(quads, q).collect()
@@ -830,7 +830,7 @@ class SparqlSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val quads = Seq("10", "9", "2.5", "100").zipWithIndex.map {
-      case (v, i) => Quad("urn:g#", s"urn:s#$i", "urn:p#v", v) }.toDF()
+      case (v, i) => Quad("urn:g#", s"urn:s#$i", "urn:p#v", v) }.map(TestTerms.t).toDF()
     val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?v WHERE { ?s p:v ?v . } " +
       "ORDER BY ?v")
     assert(BgpPlanner.evaluate(quads, q).collect().map(_.getString(0)).toSeq ==
@@ -841,7 +841,7 @@ class SparqlSpec extends AnyFunSuite {
       Seq("100", "10"))
     // IRI/string keys keep exact codepoint order (flag/value constant)
     val sq = Seq("b", "a", "c").zipWithIndex.map {
-      case (v, i) => Quad("urn:g#", s"urn:s#$i", "urn:p#v", v) }.toDF()
+      case (v, i) => Quad("urn:g#", s"urn:s#$i", "urn:p#v", v) }.map(TestTerms.t).toDF()
     assert(BgpPlanner.evaluate(sq, q).collect().map(_.getString(0)).toSeq ==
       Seq("a", "b", "c"))
   }
@@ -1295,7 +1295,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:u#1", "urn:p#score", "1"),
       Quad("urn:g#", "urn:u#2", "urn:p#score", "2"),
       Quad("urn:g#", "urn:u#1", "urn:p#name", "A"),
-      Quad("urn:g#", "urn:u#2", "urn:p#name", "B")).toDF()
+      Quad("urn:g#", "urn:u#2", "urn:p#name", "B")).map(TestTerms.t).toDF()
     val got = BgpPlanner.evaluate(d, Sparql.parse(
         "PREFIX p: <urn:p#> SELECT ?n WHERE { ?u p:name ?n . ?u p:score ?sc . } " +
           "ORDER BY DESC(?sc)"))
@@ -1320,7 +1320,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:d#1", "urn:p#hasPoint", "urn:pt#1"),
       Quad("urn:g#", "urn:d#1", "urn:p#hasPart", "urn:pt#2"),
       Quad("urn:g#", "urn:d#1", "urn:p#label", "x"),
-      Quad("urn:g#", "urn:pt#2", "urn:p#feeds", "urn:d#2")).toDF()
+      Quad("urn:g#", "urn:pt#2", "urn:p#feeds", "urn:d#2")).map(TestTerms.t).toDF()
   }
   val npsPrefix = "PREFIX p: <urn:p#> "
 
@@ -1369,7 +1369,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:ga#", "urn:d#a", "urn:p#p", "urn:d#b"),
       Quad("urn:ga#", "urn:d#a", "urn:p#q", "urn:d#c"),
       Quad("urn:ga#", "urn:d#b", "urn:p#r", "urn:d#e"),
-      Quad("urn:gb#", "urn:d#a", "urn:p#p", "urn:d#f")).toDF()
+      Quad("urn:gb#", "urn:d#a", "urn:p#p", "urn:d#f")).map(TestTerms.t).toDF()
     // plain step: per-graph non-q edges from a
     val plain = BgpPlanner.evaluate(d, Sparql.parse(npsPrefix +
         "SELECT ?g ?o WHERE { GRAPH ?g { <urn:d#a> !p:q ?o . } }"))
@@ -1412,7 +1412,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:x#4", "urn:p#when", "not-a-date"),
       Quad("urn:g#", "urn:x#1", "urn:p#s", "abc"),
       Quad("urn:g#", "urn:x#2", "urn:p#s", "Los Angeles"),
-      Quad("urn:g#", "urn:x#3", "urn:p#s", "01")).toDF()
+      Quad("urn:g#", "urn:x#3", "urn:p#s", "01")).map(TestTerms.t).toDF()
   }
   private def fnRows(query: String): Map[String, String] =
     BgpPlanner.evaluate(fnQuads, Sparql.parse(npsPrefix + query))
@@ -1518,12 +1518,47 @@ class SparqlSpec extends AnyFunSuite {
     assert(none.length == 2) // subjects are IRIs, never blank-encoded
   }
 
-  test("isIRI/isLiteral are rejected loudly: the lexical store can't answer") {
-    val e = intercept[IllegalArgumentException] {
-      Sparql.parse(npsPrefix +
-        "SELECT ?s WHERE { ?s p:s ?v . FILTER(isIRI(?v)) }")
-    }
-    assert(e.getMessage.contains("lexical"), e.getMessage)
+  test("isIRI/isLiteral decide from the round-13 encoding; LANG/DATATYPE " +
+      "type-error on IRIs") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      Quad("urn:g#", "urn:x#1", "urn:p#v", "urn:other#iri"),
+      Quad("urn:g#", "urn:x#2", "urn:p#v", "plain string"),
+      Quad("urn:g#", "urn:x#3", "urn:p#v", "5"),
+      Quad("urn:g#", "urn:x#4", "urn:p#v", "\"tagged\"@en"),
+      Quad("urn:g#", "urn:x#5", "urn:p#v", "\"P1Y\"^^<urn:t#dur>"),
+      Quad("urn:g#", "urn:x#6", "urn:p#v", "_:b0")).map(TestTerms.t).toDF()
+    def ids(q: String): Set[String] =
+      BgpPlanner.evaluate(d, Sparql.parse(npsPrefix + q))
+        .collect().map(_.getString(0)).toSet
+    // isIRI: exactly the bare-IRI object (subjects/IRI objects only);
+    // isURI is the synonym
+    assert(ids("SELECT ?s WHERE { ?s p:v ?o . FILTER(isIRI(?o)) }") ==
+      Set("urn:x#1"))
+    assert(ids("SELECT ?s WHERE { ?s p:v ?o . FILTER(isURI(?o)) }") ==
+      Set("urn:x#1"))
+    // isLiteral: quoted plain/tagged/typed + the bare numeric shorthand;
+    // never the IRI or the blank node
+    assert(ids("SELECT ?s WHERE { ?s p:v ?o . FILTER(isLiteral(?o)) }") ==
+      Set("urn:x#2", "urn:x#3", "urn:x#4", "urn:x#5"))
+    // the three term-class tests partition every term
+    assert(ids("SELECT ?s WHERE { ?s p:v ?o . " +
+      "FILTER(!isLiteral(?o) && !isIRI(?o) && !isBlank(?o)) }").isEmpty)
+    // LANG/DATATYPE on an IRI are type errors: the BIND alias stays
+    // unbound where a literal (even an untagged one) binds
+    val lang = BgpPlanner.evaluate(d, Sparql.parse(npsPrefix +
+      "SELECT ?s ?l WHERE { ?s p:v ?o . BIND(LANG(?o) AS ?l) }"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(lang("urn:x#1").isEmpty && lang("urn:x#6").isEmpty)
+    assert(lang("urn:x#2") == Some("") && lang("urn:x#4") == Some("en"))
+    val dt = BgpPlanner.evaluate(d, Sparql.parse(npsPrefix +
+      "SELECT ?s ?t WHERE { ?s p:v ?o . BIND(DATATYPE(?o) AS ?t) }"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(dt("urn:x#1").isEmpty && dt("urn:x#6").isEmpty)
+    assert(dt("urn:x#2") == Some("http://www.w3.org/2001/XMLSchema#string"))
+    assert(dt("urn:x#3") == Some("http://www.w3.org/2001/XMLSchema#integer"))
+    assert(dt("urn:x#5") == Some("urn:t#dur"))
   }
 
   // ---- §18.2.2.6 BIND positional scope (round 11) -----------------------
@@ -1536,7 +1571,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:g#", "urn:b#2", "urn:p#p", "2"),
       Quad("urn:g#", "urn:b#3", "urn:p#p", "abc"),
       Quad("urn:g#", "urn:x#1", "urn:p#q", "2"),
-      Quad("urn:g#", "urn:x#2", "urn:p#q", "3")).toDF()
+      Quad("urn:g#", "urn:x#2", "urn:p#q", "3")).map(TestTerms.t).toDF()
   }
 
   test("BIND alias joins a LATER pattern in the group (Extend-then-Join)") {
@@ -1585,7 +1620,7 @@ class SparqlSpec extends AnyFunSuite {
       Quad("urn:ga#", "urn:v#1", "urn:p#knows", "urn:v#2"),
       Quad("urn:ga#", "urn:v#1", "urn:p#likes", "urn:v#3"),
       Quad("urn:ga#", "urn:v#2", "urn:p#knows", "urn:v#1"),
-      Quad("urn:gb#", "urn:v#3", "urn:p#self", "urn:v#3")).toDF()
+      Quad("urn:gb#", "urn:v#3", "urn:p#self", "urn:v#3")).map(TestTerms.t).toDF()
   }
 
   test("variable predicate: ?s ?p ?o scans the store; constants restrict") {
@@ -1675,7 +1710,7 @@ class SparqlSpec extends AnyFunSuite {
         |p:c p:lab "chat" ; p:v "abc"^^<urn:t#x> .
         |p:d p:lab "cat"@en-GB .
         |""".stripMargin, "lit")
-      .map { case (su, pr, o) => Quad("urn:lit#", su, pr, o) }.toDF()
+      .map { case (su, pr, o) => Quad("urn:lit#", su, pr, o) }.map(TestTerms.t).toDF()
   }
   val lp = "PREFIX p: <urn:p#> PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
 

@@ -26,3 +26,20 @@ object TestSpark {
     s
   }
 }
+
+/** Test-fixture term encoding (round 13): specs build quads from raw
+  * strings; literal OBJECTS must carry the store's term encoding exactly
+  * as a Turtle load of the same data would produce — the shape-normalized
+  * rule: non-shorthand strings QUOTE (`"alpha"`), shorthand-shaped text
+  * ("5", "2.5", "true") keeps the historic bare numeric/boolean
+  * normalization. IRIs (the fixtures' urn:/http(s): namespaces), blank
+  * nodes, and pre-encoded values pass through. */
+object TestTerms {
+  def enc(o: String): String =
+    if (o.startsWith("urn:") || o.startsWith("http://") ||
+        o.startsWith("https://") || o.startsWith("_:") ||
+        o.startsWith("\"")) o
+    else RdfTerms.encodeTyped(o, RdfTerms.shapeDatatype(o))
+
+  def t(q: Model.Quad): Model.Quad = q.copy(o = enc(q.o))
+}

@@ -64,8 +64,16 @@ class TurtleFuzzSpec extends AnyFunSuite {
       // literals can't be subjects/predicates: tripleGen already guarantees
       val ttl = serialize(triples, new scala.util.Random(seed))
       val parsed = Turtle.parse(ttl, s"fuzz$seed").toSet
-      assert(parsed == triples.toSet,
-        s"seed=$seed\nttl:\n$ttl\nmissing=${triples.toSet -- parsed}\nextra=${parsed -- triples.toSet}")
+      // the loader stores literal objects in the round-13 term encoding
+      // (shape-normalized: "42" bare, other strings quoted) — the
+      // round-trip is up to that encoding
+      val expected = triples.map { case (s, p, o) =>
+        (s, p,
+          if (o.startsWith(ns)) o
+          else RdfTerms.encodeTyped(o, RdfTerms.shapeDatatype(o)))
+      }.toSet
+      assert(parsed == expected,
+        s"seed=$seed\nttl:\n$ttl\nmissing=${expected -- parsed}\nextra=${parsed -- expected}")
     }
   }
 }

@@ -40,7 +40,9 @@ class TurtleSpec extends AnyFunSuite {
     val bn = areaObj.head
     assert(ts.contains((bn, s"${Brick}hasUnits", "http://qudt.org/vocab/unit/FT_2")))
     // the odd embedded ^^ is INSIDE the quotes → part of the string value
-    assert(ts.contains((bn, s"${Brick}value", "9973^^<http://www.w3.org/2001/XMLSchema#integer>")))
+    // (round 13: stored quoted, like every non-shorthand string literal)
+    assert(ts.contains((bn, s"${Brick}value",
+      "\"9973^^<http://www.w3.org/2001/XMLSchema#integer>\"")))
   }
 
   test("timeseries blank node + full IRI subject (bldg1.ttl:82 shape)") {
@@ -51,7 +53,9 @@ class TurtleSpec extends AnyFunSuite {
     val ts = Turtle.parse(ttl, "g")
     assert(ts.size == 2)
     val id = ts.collect { case (_, p, o) if p == s"${Brick}hasTimeseriesId" => o }
-    assert(id == Seq("c632b4c5-8744-4540-aa70-9b2d095cf6c3"))
+    // round 13: string literals store quoted (stripped at the SELECT
+    // result boundary, so query outputs are unchanged)
+    assert(id == Seq("\"c632b4c5-8744-4540-aa70-9b2d095cf6c3\""))
   }
 
   test("datatyped/lang literals, numbers, booleans, dotted local names") {
@@ -66,9 +70,9 @@ class TurtleSpec extends AnyFunSuite {
         |""".stripMargin
     val m = Turtle.parse(ttl).map { case (s, p, o) => (p, (s, o)) }.toMap
     assert(m("urn:x#lit")._1 == "urn:x#bldg1.AHU.AHU01.CCV")
-    // ^^xsd:string is the shape a bare plain literal already implies →
-    // normalized bare (RdfTerms.encodeTyped round-trip)
-    assert(m("urn:x#lit")._2 == "v1")
+    // ^^xsd:string ≡ a plain literal (RDF 1.1) → the round-13 quoted
+    // string-literal encoding
+    assert(m("urn:x#lit")._2 == "\"v1\"")
     // a language tag is never reconstructible → kept, RdfTerms-encoded
     // (round 11; stripped only at the SELECT result boundary)
     assert(m("urn:x#lang")._2 == "\"hello\"@en")
@@ -91,10 +95,11 @@ class TurtleSpec extends AnyFunSuite {
     // shape == declared type → identical to the Turtle shorthand form
     assert(m("urn:x#int") == "5")
     assert(m("urn:x#dbl") == "1e0")
-    // shape DISAGREES with the declaration → annotation preserved, so
-    // `"5"^^xsd:string` stays a distinct term from integer 5, and a
-    // decimal-shaped double keeps its xsd:double identity
-    assert(m("urn:x#intAsStr") == "\"5\"^^<http://www.w3.org/2001/XMLSchema#string>")
+    // xsd:string folds into the quoted-plain form (round 13): the STRING
+    // five stays a distinct term from integer 5 via its quotes, no
+    // annotation needed; a decimal-shaped double keeps its xsd:double
+    // identity through the annotation
+    assert(m("urn:x#intAsStr") == "\"5\"")
     assert(m("urn:x#dblDec") == "\"5.0\"^^<http://www.w3.org/2001/XMLSchema#double>")
     assert(m("urn:x#date") == "\"2020-01-02\"^^<http://www.w3.org/2001/XMLSchema#date>")
   }
@@ -115,6 +120,6 @@ class TurtleSpec extends AnyFunSuite {
         |ns:a ns:p "line\nbreak \"quoted\"" .
         |""".stripMargin
     val ts = Turtle.parse(ttl)
-    assert(ts == Seq(("urn:x#a", "urn:x#p", "line\nbreak \"quoted\"")))
+    assert(ts == Seq(("urn:x#a", "urn:x#p", "\"line\nbreak \"quoted\"\"")))
   }
 }

@@ -29,7 +29,9 @@ class W3cConformanceSpec extends AnyFunSuite {
   private def quads(triples: (String, String, String)*) = {
     val s = spark
     import s.implicits._
-    triples.map { case (su, p, o) => Quad(G, su, p, o) }.toDF()
+    // TestTerms.t: string-literal objects take the round-13 quoted term
+    // encoding, exactly as a Turtle load of the suite data would store
+    triples.map { case (su, p, o) => TestTerms.t(Quad(G, su, p, o)) }.toDF()
   }
 
   /** Collected SELECT solutions as bags of per-column Option[String], in
@@ -833,6 +835,35 @@ class W3cConformanceSpec extends AnyFunSuite {
       Some(ex("m3")) -> Some("PT0S")))
   }
 
+  test("w3c data-r2/expr-builtin isIRI/isLiteral (isiri-01, isliteral-01): " +
+      "term classes decide; LANG/DATATYPE type-error on IRIs (round 13)") {
+    // the suite's data mixes IRIs, plain and tagged literals on one
+    // predicate — exactly the shape the old encoding could not answer
+    val d = quads(
+      (ex("s1"), ex("p"), "foo"),
+      (ex("s2"), ex("p"), "\"bar\"@en"),
+      (ex("s3"), ex("p"), ex("obj")),
+      (ex("s4"), ex("p"), "_:b7"))
+    assert(run(d, EX + "SELECT ?s WHERE { ?s ex:p ?o . FILTER(isIRI(?o)) }")
+      .toSet == Set(Seq(Some(ex("s3")))))
+    assert(run(d, EX + "SELECT ?s WHERE { ?s ex:p ?o . FILTER(isLiteral(?o)) }")
+      .toSet == Set(Seq(Some(ex("s1"))), Seq(Some(ex("s2")))))
+    // lang-3 / datatype type-error family: LANG/DATATYPE of an IRI or
+    // blank node leaves the alias unbound; the plain literal answers
+    val lang = run(d, EX +
+      "SELECT ?s ?l WHERE { ?s ex:p ?o . BIND(LANG(?o) AS ?l) }")
+      .map(r => r(0) -> r(1)).toMap
+    assert(lang(Some(ex("s1"))) == Some("") &&
+      lang(Some(ex("s2"))) == Some("en"))
+    assert(lang(Some(ex("s3"))).isEmpty && lang(Some(ex("s4"))).isEmpty)
+    val dt = run(d, EX +
+      "SELECT ?s ?t WHERE { ?s ex:p ?o . BIND(DATATYPE(?o) AS ?t) }")
+      .map(r => r(0) -> r(1)).toMap
+    assert(dt(Some(ex("s1"))) ==
+      Some("http://www.w3.org/2001/XMLSchema#string"))
+    assert(dt(Some(ex("s3"))).isEmpty && dt(Some(ex("s4"))).isEmpty)
+  }
+
   test("w3c data-r2/open-eq (adapted): sameTerm vs = on distinct numeric lexicals") {
     // open-eq-07..11's point in the lexical store: "01" and "1" are
     // DIFFERENT terms that `=` can still numeric-dispatch equal
@@ -1168,8 +1199,6 @@ class W3cConformanceSpec extends AnyFunSuite {
   val documentedSkips: Seq[(String, String)] = Seq(
     "property paths over variable predicates (?p*, ?p/iri)" ->
       "the SPARQL Path grammar itself has no variables (§9.1) — rejected loudly; plain variable verbs (dawg-tp-03, ?s ?p ?o) are SUPPORTED since round 11",
-    "data-r2/expr-builtin lang()/datatype() type-error cases (lang of an IRI)" ->
-      "the lexical encoding conflates bare IRIs with plain literals (documented in RdfTerms), so LANG(<iri>) reads \"\" instead of a type error; the evaluation families themselves (q-lang, q-langMatches, q-datatype) are TRANSCRIBED ABOVE since round 12",
     "data-r2/type-promotion" ->
       "no typed-literal lattice; numeric dispatch is syntactic (literal operand forces numeric comparison)",
     "sparql11 aggregates/agg-empty-group" ->
@@ -1180,8 +1209,6 @@ class W3cConformanceSpec extends AnyFunSuite {
       "counted path quantifiers were dropped from the final REC grammar; not implemented",
     "sparql11 entailment/*" ->
       "RDFS/OWL entailment regimes out of scope (the reference merges the ontology offline instead)",
-    "sparql11 functions/isiri-isliteral, data-r2/expr-builtin isIRI/isLiteral" ->
-      "the lexical quads encoding stores IRIs and literals identically — the distinction is unrecoverable (rejected loudly; isBlank/isNumeric supported)",
     "sparql11 functions/now01, rand01, uuid01, struuid01, bnode01" ->
       "non-deterministic builtins have no oracle-checkable value; out of subset")
 
