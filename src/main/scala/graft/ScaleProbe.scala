@@ -61,8 +61,8 @@ object ScaleProbe {
     // the hot-gram-capped detector, and the two expensive entries the
     // round-12 verdict flagged as still-unprobed
     "q163_substring_cut", "q166_substring_cut_anchored",
-    "q165_substring_dedup_capped", "q106_canonical_keep",
-    "q109_stream_interval_join")
+    "q165_substring_dedup_capped", "q168_substring_cut_anchored_capped",
+    "q106_canonical_keep", "q109_stream_interval_join")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

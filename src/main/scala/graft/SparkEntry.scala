@@ -1273,6 +1273,23 @@ object SparkEntry {
           (col("_n") - length(col("clean_text"))).as("n_cut"))
         .orderBy("doc_id")
     }),
+    "q168_substring_cut_anchored_capped" -> ((s, dir) => {
+      // q166 with the hot-ANCHOR cap armed (round 13): winnowing reduces
+      // gram volume but does not de-skew — every copy of a boilerplate
+      // header selects the same anchor — so the 100 TB deployment runs
+      // the anchored detector WITH the skip-list. Byte-identical results
+      // (cap ≥ 2 ⇒ a capped anchor is a duplicate); the oracle is q166's
+      // grammar verbatim.
+      val docs = t(s, dir, "documents")
+      val spans = TextOps.duplicateSpansAnchoredChars(docs, "text",
+        "doc_id", k = 3, w = 4, hotAnchorCap = 50L)
+      TextOps.cutSpans(docs, "text", "doc_id", spans)
+        .join(docs.select(col("doc_id"),
+          length(col("text")).cast("long").as("_n")), "doc_id")
+        .select(col("doc_id"), col("clean_text"),
+          (col("_n") - length(col("clean_text"))).as("n_cut"))
+        .orderBy("doc_id")
+    }),
     "q167_sparql_isiri" -> ((s, dir) => {
       // §17.4.1 term-class tests (round 13): the quoted string-literal
       // encoding makes isIRI/isLiteral decidable from stored bytes — the
@@ -2272,6 +2289,100 @@ object SparkEntry {
       |SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
       |FROM islands GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** q166/q168 oracle: the full anchored pipeline re-derived - token
+    * char offsets via the "x " sentinel double-split (tokens on \\s+,
+    * whitespace runs on \\S+, one prefix sum; the row filter drops the
+    * sentinel and DuckDB's trailing-empty split artifact), the q164
+    * winnow selection with the tie-free key gh*2^21+i, anchor counting
+    * by gram TEXT, gap-w island merge aggregating CHAR extents, then the
+    * q163 cut grammar verbatim over those char spans. Shared verbatim by
+    * the plain (q166) and hot-anchor-capped (q168) pipelines - the cap
+    * is an execution strategy, not a semantics change. */
+  private val anchoredCutOracle: String =
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array('x ' || text, '\s+') AS toks,
+        |    regexp_split_to_array('x ' || text, '\S+') AS wss
+        |  FROM documents),
+        |tokrows AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, lower(toks[i]) AS t,
+        |    CAST(length(toks[i]) AS BIGINT) AS tl,
+        |    CAST(length(wss[i]) AS BIGINT) AS wsl
+        |  FROM tk, unnest(generate_series(1, len(toks))) u(i)),
+        |offs AS (
+        |  SELECT doc_id, i, t,
+        |    sum(wsl + tl) OVER (PARTITION BY doc_id ORDER BY i) - tl - 1 AS cs,
+        |    sum(wsl + tl) OVER (PARTITION BY doc_id ORDER BY i) - 2 AS ce
+        |  FROM tokrows),
+        |tok2 AS (SELECT * FROM offs WHERE i >= 2 AND t <> ''),
+        |gr AS (
+        |  SELECT doc_id, i, cs, t,
+        |    lead(t, 1) OVER w AS t1, lead(t, 2) OVER w AS t2,
+        |    lead(ce, 2) OVER w AS gce
+        |  FROM tok2 WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |g AS (
+        |  SELECT doc_id, i, cs, gce, t || ' ' || t1 || ' ' || t2 AS gt
+        |  FROM gr WHERE t2 IS NOT NULL),
+        |gh AS (
+        |  SELECT doc_id, i, cs, gce, gt,
+        |    ('0x' || substr(md5(gt), 1, 15))::BIGINT % 2147483647 AS gh
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id,
+        |    min(gh * 2097152 + i) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
+        |    lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY i) AS full_w
+        |  FROM gh),
+        |sel AS (SELECT DISTINCT doc_id, selkey % 2097152 AS si FROM wm
+        |        WHERE full_w IS NOT NULL),
+        |anch AS (SELECT s.doc_id, g.i, g.gt, g.cs, g.gce
+        |         FROM sel s JOIN gh g ON g.doc_id = s.doc_id AND g.i = s.si),
+        |hits AS (SELECT doc_id, i, cs, gce FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY gt) AS c FROM anch)
+        |  WHERE c >= 2),
+        |flagged AS (
+        |  SELECT doc_id, i, cs, gce,
+        |    CASE WHEN i > coalesce(max(i + 2) OVER (
+        |        PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 4
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits),
+        |islands AS (
+        |  SELECT doc_id, cs, gce,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM flagged),
+        |spans AS (
+        |  SELECT doc_id, min(cs) AS span_start, max(gce) AS span_end
+        |  FROM islands GROUP BY doc_id, island),
+        |mids AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
+        |    span_start - 1 AS seg_end
+        |  FROM spans),
+        |lasts AS (
+        |  SELECT s.doc_id, max(s.span_end) + 1 AS seg_start,
+        |    CAST(length(any_value(d.text)) AS BIGINT) AS seg_end
+        |  FROM spans s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+        |segs AS (
+        |  SELECT * FROM mids WHERE seg_start <= seg_end
+        |  UNION ALL SELECT * FROM lasts WHERE seg_start <= seg_end),
+        |rebuilt AS (
+        |  SELECT g2.doc_id,
+        |    string_agg(substr(d.text, CAST(seg_start AS INT),
+        |      CAST(seg_end - seg_start + 1 AS INT)), '' ORDER BY seg_start) AS clean_text
+        |  FROM segs g2 JOIN documents d USING (doc_id) GROUP BY g2.doc_id),
+        |dupdocs AS (SELECT DISTINCT doc_id FROM spans),
+        |cleaned AS (
+        |  SELECT dd.doc_id, coalesce(r.clean_text, '') AS clean_text
+        |  FROM dupdocs dd LEFT JOIN rebuilt r USING (doc_id)
+        |  UNION ALL
+        |  SELECT d.doc_id, d.text FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dupdocs)
+        |)
+        |SELECT c.doc_id, c.clean_text,
+        |  CAST(length(d.text) AS BIGINT) - length(c.clean_text) AS n_cut
+        |FROM cleaned c JOIN documents d USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin
 
   private def ivfKmeansOracle(dim: Int = 64, iters: Int = 2,
       mod: String = autoModSql("embeddings"),
@@ -4061,97 +4172,11 @@ object SparkEntry {
         |  CAST(length(d.text) AS BIGINT) - length(c.clean_text) AS n_cut
         |FROM cleaned c JOIN documents d USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
-    "q166_substring_cut_anchored" ->
-      // the full anchored pipeline re-derived: token char offsets via the
-      // "x " sentinel double-split (tokens on \s+, whitespace runs on
-      // \S+, one prefix sum; the row filter drops the sentinel and
-      // DuckDB's trailing-empty split artifact), the q164 winnow
-      // selection with the tie-free key gh*2^21+i, anchor counting by
-      // gram TEXT, gap-w island merge aggregating CHAR extents, then the
-      // q163 cut grammar verbatim over those char spans
-      """WITH tk AS (
-        |  SELECT doc_id, regexp_split_to_array('x ' || text, '\s+') AS toks,
-        |    regexp_split_to_array('x ' || text, '\S+') AS wss
-        |  FROM documents),
-        |tokrows AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS i, lower(toks[i]) AS t,
-        |    CAST(length(toks[i]) AS BIGINT) AS tl,
-        |    CAST(length(wss[i]) AS BIGINT) AS wsl
-        |  FROM tk, unnest(generate_series(1, len(toks))) u(i)),
-        |offs AS (
-        |  SELECT doc_id, i, t,
-        |    sum(wsl + tl) OVER (PARTITION BY doc_id ORDER BY i) - tl - 1 AS cs,
-        |    sum(wsl + tl) OVER (PARTITION BY doc_id ORDER BY i) - 2 AS ce
-        |  FROM tokrows),
-        |tok2 AS (SELECT * FROM offs WHERE i >= 2 AND t <> ''),
-        |gr AS (
-        |  SELECT doc_id, i, cs, t,
-        |    lead(t, 1) OVER w AS t1, lead(t, 2) OVER w AS t2,
-        |    lead(ce, 2) OVER w AS gce
-        |  FROM tok2 WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
-        |g AS (
-        |  SELECT doc_id, i, cs, gce, t || ' ' || t1 || ' ' || t2 AS gt
-        |  FROM gr WHERE t2 IS NOT NULL),
-        |gh AS (
-        |  SELECT doc_id, i, cs, gce, gt,
-        |    ('0x' || substr(md5(gt), 1, 15))::BIGINT % 2147483647 AS gh
-        |  FROM g),
-        |wm AS (
-        |  SELECT doc_id,
-        |    min(gh * 2097152 + i) OVER (PARTITION BY doc_id ORDER BY i
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey,
-        |    lead(gh, 3) OVER (PARTITION BY doc_id ORDER BY i) AS full_w
-        |  FROM gh),
-        |sel AS (SELECT DISTINCT doc_id, selkey % 2097152 AS si FROM wm
-        |        WHERE full_w IS NOT NULL),
-        |anch AS (SELECT s.doc_id, g.i, g.gt, g.cs, g.gce
-        |         FROM sel s JOIN gh g ON g.doc_id = s.doc_id AND g.i = s.si),
-        |hits AS (SELECT doc_id, i, cs, gce FROM (
-        |    SELECT *, count(*) OVER (PARTITION BY gt) AS c FROM anch)
-        |  WHERE c >= 2),
-        |flagged AS (
-        |  SELECT doc_id, i, cs, gce,
-        |    CASE WHEN i > coalesce(max(i + 2) OVER (
-        |        PARTITION BY doc_id ORDER BY i
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 4
-        |      THEN 1 ELSE 0 END AS new_island
-        |  FROM hits),
-        |islands AS (
-        |  SELECT doc_id, cs, gce,
-        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
-        |  FROM flagged),
-        |spans AS (
-        |  SELECT doc_id, min(cs) AS span_start, max(gce) AS span_end
-        |  FROM islands GROUP BY doc_id, island),
-        |mids AS (
-        |  SELECT doc_id,
-        |    coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) + 1 AS seg_start,
-        |    span_start - 1 AS seg_end
-        |  FROM spans),
-        |lasts AS (
-        |  SELECT s.doc_id, max(s.span_end) + 1 AS seg_start,
-        |    CAST(length(any_value(d.text)) AS BIGINT) AS seg_end
-        |  FROM spans s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
-        |segs AS (
-        |  SELECT * FROM mids WHERE seg_start <= seg_end
-        |  UNION ALL SELECT * FROM lasts WHERE seg_start <= seg_end),
-        |rebuilt AS (
-        |  SELECT g2.doc_id,
-        |    string_agg(substr(d.text, CAST(seg_start AS INT),
-        |      CAST(seg_end - seg_start + 1 AS INT)), '' ORDER BY seg_start) AS clean_text
-        |  FROM segs g2 JOIN documents d USING (doc_id) GROUP BY g2.doc_id),
-        |dupdocs AS (SELECT DISTINCT doc_id FROM spans),
-        |cleaned AS (
-        |  SELECT dd.doc_id, coalesce(r.clean_text, '') AS clean_text
-        |  FROM dupdocs dd LEFT JOIN rebuilt r USING (doc_id)
-        |  UNION ALL
-        |  SELECT d.doc_id, d.text FROM documents d
-        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dupdocs)
-        |)
-        |SELECT c.doc_id, c.clean_text,
-        |  CAST(length(d.text) AS BIGINT) - length(c.clean_text) AS n_cut
-        |FROM cleaned c JOIN documents d USING (doc_id)
-        |ORDER BY c.doc_id""".stripMargin,
+    "q166_substring_cut_anchored" -> anchoredCutOracle,
+    // the hot-anchor cap is an execution strategy (skip-list vs window),
+    // not a semantics change — the capped pipeline answers to the SAME
+    // anchored-cut grammar
+    "q168_substring_cut_anchored_capped" -> anchoredCutOracle,
     "q167_sparql_isiri" ->
       // IRI objects = the nation edges; non-numeric literals = the
       // market segments (str boundary strips their quotes); the numeric

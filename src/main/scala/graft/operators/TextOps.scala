@@ -493,23 +493,7 @@ object TextOps {
     // that recomputation costs more than the string shuffle it saves.
     // One gram pass beats two at any scale where the explode dominates;
     // the winnowing-anchor path (scaladoc) is the volume lever instead.
-    val hits =
-      if (hotGramCap >= 2L) {
-        val hot = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
-          .filter(col("c") > hotGramCap)
-          .select(col("g"), lit(1).as("_hot"))
-        val tagged = grams.join(broadcast(hot), Seq("g"), "left")
-        val hotHits = tagged.filter(col("_hot").isNotNull)
-          .select(col("id"), col("pos"))
-        val coldHits = tagged.filter(col("_hot").isNull)
-          .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
-          .filter(col("c") >= 2)
-          .select(col("id"), col("pos"))
-        hotHits.union(coldHits)
-      } else grams
-        .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
-        .filter(col("c") >= 2)
-        .select(col("id"), col("pos"))
+    val hits = dupByKey(grams, "g", hotGramCap).select(col("id"), col("pos"))
     // gaps-and-islands: a hit starts a new span iff it begins past the
     // running max end of everything before it (+1 keeps contiguous
     // intervals merged)
@@ -526,6 +510,36 @@ object TextOps {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + L - 1).as("span_end"))
       .select(col("id").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Corpus-wide duplicate filter over a keyed relation: rows whose `key`
+    * value occurs ≥ 2 times ANYWHERE survive, other columns carried
+    * through. `cap` ≥ 2 arms the count-then-broadcast skip-list (the
+    * q144 domain-cap pattern): keys above the cap are emitted as
+    * duplicates DIRECTLY — they are duplicates by definition — so no
+    * count-window partition can exceed `cap` rows, making a boilerplate
+    * key (a header gram shared by half the corpus) a broadcast-hash
+    * probe instead of a straggler partition. Results are byte-identical
+    * with the cap on or off; the price is one extra map-side-combinable
+    * count aggregate (skew-free — a hot key collapses to one row per map
+    * partition) plus re-deriving the input for the second pass. Shared
+    * by the exact and both winnowing-anchored span detectors. */
+  private def dupByKey(rows: org.apache.spark.sql.DataFrame, key: String,
+      cap: Long): org.apache.spark.sql.DataFrame = {
+    require(cap == 0L || cap >= 2L,
+      "cap must be 0 (off) or >= 2 (a capped key must still be a duplicate)")
+    import org.apache.spark.sql.expressions.Window
+    if (cap >= 2L) {
+      val hot = rows.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") > cap).select(col(key), lit(1).as("_hot"))
+      val tagged = rows.join(broadcast(hot), Seq(key), "left")
+      tagged.filter(col("_hot").isNotNull).drop("_hot")
+        .union(tagged.filter(col("_hot").isNull).drop("_hot")
+          .withColumn("_c", count(lit(1)).over(Window.partitionBy(col(key))))
+          .filter(col("_c") >= 2).drop("_c"))
+    } else rows
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy(col(key))))
+      .filter(col("_c") >= 2).drop("_c")
   }
 
   /** Winnowing-anchored duplicated-span detection — [[duplicateSpans]]'s
@@ -550,7 +564,8 @@ object TextOps {
     * exact operator's, and everything else is per-doc. */
   def duplicateSpansAnchored(
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
-      k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+      k: Int = 5, w: Int = 4,
+      hotAnchorCap: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -572,9 +587,11 @@ object TextOps {
       .filter(col("_full").isNotNull)
       .select(col("id"), col("sel.pos").as("pos"), col("sel.g").as("g"))
       .distinct()
-    val hits = anchors
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("c") >= 2)
+    // hotAnchorCap: boilerplate anchors skew this count exactly like the
+    // exact detector's grams (winnowing REDUCES volume, it does not
+    // de-skew — every copy of a shared header selects the same anchor);
+    // the dupByKey skip-list bounds the partition, byte-identical output
+    val hits = dupByKey(anchors, "g", hotAnchorCap)
       .select(col("id"), col("pos"))
     val before = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -619,7 +636,8 @@ object TextOps {
     * zip join that AQE keeps on the same doc-id partitioning. */
   def duplicateSpansAnchoredChars(
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
-      k: Int = 5, w: Int = 4): org.apache.spark.sql.DataFrame = {
+      k: Int = 5, w: Int = 4,
+      hotAnchorCap: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -658,9 +676,8 @@ object TextOps {
       .select(col("id"), col("sel.pos").as("pos"), col("sel.g").as("g"),
         col("sel.cs").as("cs"), col("sel.gce").as("gce"))
       .distinct()
-    val hits = anchors
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("c") >= 2)
+    // same skew exposure and same cure as [[duplicateSpansAnchored]]
+    val hits = dupByKey(anchors, "g", hotAnchorCap)
       .select(col("id"), col("pos"), col("cs"), col("gce"))
     val before = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)

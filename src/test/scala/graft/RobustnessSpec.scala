@@ -122,6 +122,31 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateSpansAnchoredChars hotAnchorCap: planted boilerplate " +
+      "yields byte-identical spans with the hot anchor skip-listed") {
+    val s = spark; import s.implicits._
+    // 6 shared tokens >= k+w-1 guarantee an anchor in every copy — the
+    // SAME anchor (winnowing is content-determined), i.e. the hot key
+    val boiler = "all rights reserved unauthorized reproduction prohibited "
+    val docs = (1 to 120).map { i =>
+      val unique = (1 to 8).map(j => s"tok${i * 37 + j}").mkString(" ")
+      ((if (i <= 70) boiler else "") + unique, i.toLong)
+    }.map(_.swap).toDF("doc_id", "text")
+    val exact = operators.TextOps.duplicateSpansAnchoredChars(
+      docs, "text", "doc_id", k = 3, w = 4)
+    val capped = operators.TextOps.duplicateSpansAnchoredChars(
+      docs, "text", "doc_id", k = 3, w = 4, hotAnchorCap = 10L)
+    assert(capped.except(exact).isEmpty && exact.except(capped).isEmpty)
+    val got = capped.collect().map(_.getLong(0)).distinct.sorted
+    assert(got.toSeq == (1L to 70L), s"got=${got.toSeq}")
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    intercept[IllegalArgumentException] {
+      operators.TextOps.duplicateSpansAnchored(docs, "text", "doc_id",
+        3, 4, hotAnchorCap = 1L)
+    }
+  }
+
   test("decodeWav: valid PCM16 round-trips; corrupt/truncated/non-PCM16 " +
       "payloads return None") {
     val body = Array[Byte](0x10, 0x00, 0xf0.toByte, 0xff.toByte) // +16, -16
