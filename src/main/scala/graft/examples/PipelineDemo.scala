@@ -92,6 +92,18 @@ object PipelineDemo {
       maxOccurrences = 10000)
     println(s"[pipeline] duplicate n-gram spans (n=5): ${spans.count()}")
 
+    // ExactSubstr dedup (Lee et al.), the 100 TB configuration: the
+    // winnowing-anchored char-span detector with the hot-anchor cap
+    // armed, feeding the cut phase — duplicated passages REMOVED from
+    // the corpus, not just reported
+    val esSpans = TextOps.duplicateSpansAnchoredChars(docs, "text",
+      "doc_id", k = 3, w = 4, hotAnchorCap = 1000L)
+    val esCut = TextOps.cutSpans(docs, "text", "doc_id", esSpans)
+    val cutChars = docs.agg(sum(length(col("text")))).head().getLong(0) -
+      esCut.agg(sum(length(col("clean_text")))).head().getLong(0)
+    println(s"[pipeline] ExactSubstr anchored cut: " +
+      s"${esSpans.count()} spans, $cutChars chars removed")
+
     // multimodal: real decoders end-to-end (PNG pixels, WAV samples,
     // JPEG entropy pipeline, MJPEG frames)
     val png = Multimodal.pngFeatures(Multimodal.packPng(docs, "doc_id").toDF())

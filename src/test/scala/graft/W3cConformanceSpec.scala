@@ -1135,6 +1135,55 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq(Seq(Some(ex("x3")))))
   }
 
+  test("w3c functions/strlang03 + strdt03 (adapted): non-simple-literal " +
+      "inputs are type errors (round 13)") {
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val d = quads(
+      (ex("x1"), ex("p"), ex("iri-object")),   // IRI
+      (ex("x2"), ex("p"), tagged("chat", "en")), // already tagged
+      (ex("x3"), ex("p"), "5"),                  // shorthand integer term
+      (ex("x4"), ex("p"), "plain"))              // simple literal
+    // STRLANG: only the simple literal binds; IRI / tagged / typed
+    // inputs leave ?c unbound (the suite's strlang03 error family —
+    // previously unanswerable because an IRI looked like a plain literal)
+    val sl = run(d, EX + "SELECT ?s ?c WHERE { ?s ex:p ?v . " +
+      "BIND(STRLANG(?v, \"en\") AS ?c) }")
+      .map(r => r(0) -> r(1)).toMap
+    assert(sl(Some(ex("x4"))) == Some("plain"))
+    assert(sl(Some(ex("x1"))).isEmpty && sl(Some(ex("x2"))).isEmpty &&
+      sl(Some(ex("x3"))).isEmpty)
+    // STRDT: same domain rule
+    val sd = run(d, EX + "SELECT ?s ?c WHERE { ?s ex:p ?v . " +
+      s"BIND(STRDT(?v, <${xsd}duration>) AS ?c) }")
+      .map(r => r(0) -> r(1)).toMap
+    assert(sd(Some(ex("x4"))) == Some("plain"))
+    assert(sd(Some(ex("x1"))).isEmpty && sd(Some(ex("x2"))).isEmpty &&
+      sd(Some(ex("x3"))).isEmpty)
+  }
+
+  test("w3c data-r2/expr-builtin str-1/str-2 (adapted): STR of IRIs and " +
+      "literals is the simple lexical") {
+    val d = quads(
+      (ex("x1"), ex("p"), ex("v1")),
+      (ex("x2"), ex("p"), tagged("chat", "fr")),
+      (ex("x3"), ex("p"), "1"))
+    // STR(<iri>) = the IRI string as a SIMPLE literal: it joins string
+    // constants (str-1), and its DATATYPE is xsd:string, never an error
+    assert(run(d, EX + "SELECT ?s WHERE { ?s ex:p ?v . " +
+      s"""FILTER(STR(?v) = "${ex("v1")}") }""") == Seq(Seq(Some(ex("x1")))))
+    val dt = run(d, EX + "SELECT ?s ?t WHERE { ?s ex:p ?v . " +
+      "BIND(DATATYPE(STR(?v)) AS ?t) }").map(r => r(0) -> r(1)).toMap
+    assert(dt(Some(ex("x1"))) ==
+      Some("http://www.w3.org/2001/XMLSchema#string"))
+    // str-2: STR of a tagged literal drops the tag
+    assert(run(d, EX + "SELECT ?s WHERE { ?s ex:p ?v . " +
+      "FILTER(STR(?v) = \"chat\") }") == Seq(Seq(Some(ex("x2")))))
+    // shape note: STR("1") normalizes like every simple-literal entry
+    // point — it numeric-joins the shorthand term
+    assert(run(d, EX + "SELECT ?s WHERE { ?s ex:p ?v . " +
+      "FILTER(sameTerm(STR(?v), 1)) }") == Seq(Seq(Some(ex("x3")))))
+  }
+
   test("w3c functions/ucase01 + lcase01 (adapted): case mapping over the lexical form") {
     val d = quads(
       (ex("x1"), ex("p"), "foo"),
