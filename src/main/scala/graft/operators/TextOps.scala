@@ -525,14 +525,25 @@ object TextOps {
     * partition) plus re-deriving the input for the second pass. Shared
     * by the exact and both winnowing-anchored span detectors. */
   private def dupByKey(rows: org.apache.spark.sql.DataFrame, key: String,
-      cap: Long): org.apache.spark.sql.DataFrame = {
+      cap: Long, materialize: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(cap == 0L || cap >= 2L,
       "cap must be 0 (off) or >= 2 (a capped key must still be a duplicate)")
     import org.apache.spark.sql.expressions.Window
     if (cap >= 2L) {
-      val hot = rows.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      // the capped plan consumes `rows` from three subplans (count agg,
+      // hot branch, cold branch) whose exchanges are NOT shared by AQE
+      // reuse — and downstream consumers (cutSpans reads spans three
+      // times) multiply that. `materialize` cuts the re-derivation once
+      // with an eager localCheckpoint: right when `rows` is the REDUCED
+      // anchor relation (~2/(w+1) of tokens — the 100× probe measured
+      // the capped anchored cut 145 s recomputed vs ~20 s materialized);
+      // wrong for the exact detector's full gram explode (corpus × L
+      // bytes — recomputation is cheaper than storing it, the same
+      // trade the round-12 two-phase A/B measured).
+      val r = if (materialize) rows.localCheckpoint() else rows
+      val hot = r.groupBy(col(key)).agg(count(lit(1)).as("_c"))
         .filter(col("_c") > cap).select(col(key), lit(1).as("_hot"))
-      val tagged = rows.join(broadcast(hot), Seq(key), "left")
+      val tagged = r.join(broadcast(hot), Seq(key), "left")
       tagged.filter(col("_hot").isNotNull).drop("_hot")
         .union(tagged.filter(col("_hot").isNull).drop("_hot")
           .withColumn("_c", count(lit(1)).over(Window.partitionBy(col(key))))
@@ -590,8 +601,10 @@ object TextOps {
     // hotAnchorCap: boilerplate anchors skew this count exactly like the
     // exact detector's grams (winnowing REDUCES volume, it does not
     // de-skew — every copy of a shared header selects the same anchor);
-    // the dupByKey skip-list bounds the partition, byte-identical output
-    val hits = dupByKey(anchors, "g", hotAnchorCap)
+    // the dupByKey skip-list bounds the partition, byte-identical output.
+    // materialize = the anchor relation is the REDUCED set, cheap to
+    // checkpoint and consumed by several subplans
+    val hits = dupByKey(anchors, "g", hotAnchorCap, materialize = true)
       .select(col("id"), col("pos"))
     val before = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -677,7 +690,7 @@ object TextOps {
         col("sel.cs").as("cs"), col("sel.gce").as("gce"))
       .distinct()
     // same skew exposure and same cure as [[duplicateSpansAnchored]]
-    val hits = dupByKey(anchors, "g", hotAnchorCap)
+    val hits = dupByKey(anchors, "g", hotAnchorCap, materialize = true)
       .select(col("id"), col("pos"), col("cs"), col("gce"))
     val before = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)

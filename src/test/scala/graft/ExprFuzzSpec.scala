@@ -106,10 +106,13 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
     assert(cases.size >= 50)
     cases.foreach { case (env, ex) =>
+      // TestTerms.t (round 13): fuzz values store as the loader would
+      // encode them — string values quoted, shorthand numerics bare — so
+      // the differential covers the quoted-term builtin paths end-to-end
       val quads = Seq(
         Quad("urn:g#", "urn:s#1", "urn:p#a", env("a")),
         Quad("urn:g#", "urn:s#1", "urn:p#b", env("b")),
-        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).toDF()
+        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).map(TestTerms.t).toDF()
       val q = Sparql.parse(
         "PREFIX p: <urn:p#> SELECT ?r WHERE { ?s p:a ?a . ?s p:b ?b . " +
           s"?s p:c ?c . BIND($ex AS ?r) }")
@@ -207,10 +210,13 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
     assert(cases.size >= 70)
     cases.foreach { case (env, e) =>
+      // TestTerms.t (round 13): fuzz values store as the loader would
+      // encode them — string values quoted, shorthand numerics bare — so
+      // the differential covers the quoted-term builtin paths end-to-end
       val quads = Seq(
         Quad("urn:g#", "urn:s#1", "urn:p#a", env("a")),
         Quad("urn:g#", "urn:s#1", "urn:p#b", env("b")),
-        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).toDF()
+        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).map(TestTerms.t).toDF()
       val ex = renderSE(e)
       val q = Sparql.parse(
         "PREFIX p: <urn:p#> SELECT ?r WHERE { ?s p:a ?a . ?s p:b ?b . " +
@@ -387,10 +393,13 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
     assert(cases.size >= 70)
     cases.foreach { case (env, e) =>
+      // TestTerms.t (round 13): fuzz values store as the loader would
+      // encode them — string values quoted, shorthand numerics bare — so
+      // the differential covers the quoted-term builtin paths end-to-end
       val quads = Seq(
         Quad("urn:g#", "urn:s#1", "urn:p#a", env("a")),
         Quad("urn:g#", "urn:s#1", "urn:p#b", env("b")),
-        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).toDF()
+        Quad("urn:g#", "urn:s#1", "urn:p#c", env("c"))).map(TestTerms.t).toDF()
       val ex = renderNE(e)
       val q = Sparql.parse(
         "PREFIX p: <urn:p#> SELECT ?r WHERE { ?s p:a ?a . ?s p:b ?b . " +
@@ -443,7 +452,10 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
     assert(cases.size >= 50)
     cases.foreach { case (lex, fn) =>
-      val quads = Seq(Quad("urn:g#", "urn:s#1", "urn:p#t", lex)).toDF()
+      // round-13 encoding: dateTime lexicals are string literals — the
+      // accessors must answer through the quoted term exactly as they
+      // did over the bare one
+      val quads = Seq(TestTerms.t(Quad("urn:g#", "urn:s#1", "urn:p#t", lex))).toDF()
       val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?r WHERE { " +
         s"?s p:t ?t . BIND($fn(?t) AS ?r) }")
       val got = BgpPlanner.evaluate(quads, q).collect()
@@ -573,7 +585,10 @@ class ExprFuzzSpec extends AnyFunSuite {
     }
     assert(cases.size >= 35)
     cases.foreach { v =>
-      val quads = Seq(Quad("urn:g#", "urn:s#1", "urn:p#v", v)).toDF()
+      // round-13 encoding via TestTerms.t: the operand lexes out of the
+      // quoted term ("urn:x#1" stays an IRI — ENCODE_FOR_URI reads ITS
+      // lexical identically)
+      val quads = Seq(TestTerms.t(Quad("urn:g#", "urn:s#1", "urn:p#v", v))).toDF()
       val q = Sparql.parse("PREFIX p: <urn:p#> SELECT ?r WHERE { " +
         "?s p:v ?v . BIND(ENCODE_FOR_URI(?v) AS ?r) }")
       val got = BgpPlanner.evaluate(quads, q).collect().head.getString(0)
