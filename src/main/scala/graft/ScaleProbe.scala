@@ -62,7 +62,8 @@ object ScaleProbe {
     // round-12 verdict flagged as still-unprobed
     "q163_substring_cut", "q166_substring_cut_anchored",
     "q165_substring_dedup_capped", "q168_substring_cut_anchored_capped",
-    "q106_canonical_keep", "q109_stream_interval_join")
+    "q106_canonical_keep", "q109_stream_interval_join", "q102_ivf_pq",
+    "q169_token_budget_mix")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -842,6 +842,23 @@ object SparkEntry {
         .groupBy("canonical").agg(count(lit(1)).as("n_urls"))
         .orderBy("canonical")
     }),
+    "q169_token_budget_mix" -> ((s, dir) => {
+      // the EXECUTION half of data mixing (round 13): per-source TOKEN
+      // budgets (here a third of each source's token mass — the
+      // DECISION half is temperatureMixture's apportionment) covered by
+      // a deterministic md5-ordered document prefix; the budget-crossing
+      // doc is included, so coverage ≥ budget and allocations are
+      // monotone in the budget.
+      val docs = t(s, dir, "documents")
+      val budgets = docs
+        .groupBy(col("source"))
+        .agg(sum(size(split(trim(lower(col("text"))), "\\s+"))
+          .cast("long")).as("_toks"))
+        .select(col("source"), expr("_toks DIV 3").as("token_budget"))
+      operators.Sampling.tokenBudgetSelect(docs, "text", "doc_id",
+          "source", budgets)
+        .orderBy("source", "doc_id")
+    }),
     "q144_domain_cap" -> ((s, dir) => {
       // per-domain document cap (round 10, C4/RefinedWeb host-domination
       // rule): at most 50 docs per synthesized domain, lowest ids kept
@@ -1046,7 +1063,10 @@ object SparkEntry {
       // the raw vectors) — exact fixed-point distances, oracle re-derives
       // identical codes
       val emb = t(s, dir, "embeddings")
-      val cb = Similarity.pqCodebook(emb, m = 8, seedMod = 59)
+      // fixed-cell codebook (round 13): seedMod derives as N/256, so
+      // the encode stage stays data-linear (a fixed mod measured 346x
+      // wall at 100x data — the codebook itself was growing with N)
+      val cb = Similarity.pqCodebook(emb, m = 8)
       Similarity.pqTopKWith(emb, emb.filter(col("vec_id") < 8), cb,
           m = 8, dim = 64, k = 5)
         .withColumn("rank", col("rank").cast("long"))
@@ -1062,7 +1082,10 @@ object SparkEntry {
       val cents = emb.filter(
           pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val cb = Similarity.pqCodebook(emb, m = 8, seedMod = 59)
+      // fixed-cell codebook (round 13): seedMod derives as N/256, so
+      // the encode stage stays data-linear (a fixed mod measured 346x
+      // wall at 100x data — the codebook itself was growing with N)
+      val cb = Similarity.pqCodebook(emb, m = 8)
       // two-level coarse assignment (round 13): same hierarchical
       // quantizer as q23 — the flat corpus × nlist argmax was the one
       // N^1.5 stage left in the ANN family
@@ -2197,6 +2220,11 @@ object SparkEntry {
   /** Mirrors [[Similarity.autoTrainMod]]: ⌈√N⌉ // 8 floored at 1 — the
     * same correctly-rounded sqrt/ceil and integer division, so both
     * engines train on the identical id-mod sample. */
+  /** Mirrors [[Similarity.autoPqSeedMod]]: count // 256 floored at 1 —
+    * the fixed-cell PQ codebook modulus. */
+  private def autoPqModSql(table: String): String =
+    s"(SELECT GREATEST(1, count(*) // 256) FROM $table)"
+
   private def autoTrainModSql(table: String): String =
     s"(SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT) // 8) FROM $table)"
 
@@ -2443,7 +2471,8 @@ object SparkEntry {
     * mod-seeded codebook, argmin encode with (dist, code) tie order, and
     * ADC scoring as the sum of the query's table entries at each vector's
     * codes. All-integer distances make the scores engine-exact. */
-  private def pqAdcOracle(dim: Int = 64, m: Int = 8, mod: Int = 59,
+  private def pqAdcOracle(dim: Int = 64, m: Int = 8,
+      mod: String = autoPqModSql("embeddings"),
       k: Int = 5, nQueries: Int = 8): String = {
     val dsub = dim / m
     s"""WITH fp AS (
@@ -2480,7 +2509,8 @@ object SparkEntry {
     * cosine argmax assignment/probing over mod-seeded centroids composed
     * with the q74 fixed-point PQ encode + ADC scoring, restricted to each
     * query's probed inverted lists. */
-  private def ivfPqAdcOracle(dim: Int = 64, m: Int = 8, pqMod: Int = 59,
+  private def ivfPqAdcOracle(dim: Int = 64, m: Int = 8,
+      pqMod: String = autoPqModSql("embeddings"),
       ivfMod: String = autoModSql("embeddings"),
       nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
     val dsub = dim / m
@@ -2779,6 +2809,29 @@ object SparkEntry {
         |    '?id=' || CAST(doc_id % 50 AS VARCHAR) AS canonical,
         |  CAST(count(*) AS BIGINT) AS n_urls
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q169_token_budget_mix" ->
+      // the same deterministic construction: whitespace token counts,
+      // per-source md5-ordered prefix sums, budget = token mass DIV 3,
+      // keep while the tokens BEFORE the doc fall short of the budget
+      """WITH tk AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |bud AS (
+        |  SELECT source, sum(n_tokens) // 3 AS token_budget
+        |  FROM tk GROUP BY source),
+        |cum AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM tk)
+        |SELECT c.source, c.doc_id, c.n_tokens, c.cum_before
+        |FROM cum c JOIN bud b USING (source)
+        |WHERE c.cum_before < b.token_budget
+        |ORDER BY c.source, c.doc_id""".stripMargin,
     "q144_domain_cap" ->
       // the window formulation IS the oracle (correct, just not the
       // scale shape): lowest 50 ids per domain

@@ -142,4 +142,47 @@ object Sampling {
       .select(col(domainCol), explode(col("_top")).as("_e"))
       .select(col(domainCol), col("_e.nid").as(idCol))
   }
+
+  /** TOKEN-BUDGET mixture selection (round 13) — the EXECUTION half of
+    * data mixing: [[temperatureMixture]] decides how much each source
+    * contributes; this op actually assembles the mix, keeping a
+    * deterministic prefix of each source's documents until its TOKEN
+    * budget is covered. Training budgets are token counts, not document
+    * counts — a source of long documents must contribute fewer of them.
+    *
+    * Selection rule: documents order per source by (md5-hash of id, id)
+    * — a deterministic shuffle that is stable across runs and engines —
+    * and a document is kept iff the tokens BEFORE it in that order fall
+    * short of the budget, so the budget-crossing document is included
+    * (coverage ≥ budget whenever the source has enough tokens; a bigger
+    * budget never un-picks a document — allocations are monotone).
+    *
+    * Output: (domainCol, idCol, n_tokens, cum_before), one row per kept
+    * document. `budgets` is a (domainCol, token_budget) relation — one
+    * row per source, broadcast.
+    *
+    * Shape: one narrow token-count pass, one per-source running-sum
+    * window, one broadcast join. The window partitions by SOURCE, so a
+    * single mega-source concentrates in one partition — at crawl scale
+    * swap the cumsum for the two-phase distributed prefix sum (per-
+    * partition subtotal → broadcast offsets → local prefix, the
+    * Packing.packGreedy construction); at the thousands-of-sources
+    * scale this targets, per-source windows are the simpler exact
+    * plan. */
+  def tokenBudgetSelect(
+      df: DataFrame, textCol: String, idCol: String, domainCol: String,
+      budgets: DataFrame): DataFrame = {
+    val toks = df.select(col(domainCol), col(idCol),
+      size(split(trim(lower(col(textCol))), "\\s+")).cast("long").as("n_tokens"),
+      hashKey(col(idCol)).as("_h"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("_h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(broadcast(budgets.select(col(domainCol), col("token_budget"))),
+        Seq(domainCol))
+      .filter(col("cum_before") < col("token_budget"))
+      .select(col(domainCol), col(idCol), col("n_tokens"), col("cum_before"))
+  }
 }

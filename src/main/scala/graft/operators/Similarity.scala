@@ -283,19 +283,35 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Fixed-CELL-COUNT seed modulus for the PQ codebook (round 13): a
+    * fixed seedMod makes the cell count grow linearly with the corpus
+    * and the encode stage (corpus × cells × m kernels) QUADRATIC — the
+    * measured q102 346× wall at 100× data, the same disease the IVF
+    * quantizer's fixed modulus had in round 11. Real PQ codebooks have a
+    * FIXED number of cells per subspace (classically 256 = one byte per
+    * code), so the modulus scales as N/cells: encode stays
+    * corpus × 256 × m = data-linear, and the broadcast codebook is
+    * constant-size at any corpus. One columnless count job; integer
+    * division both engines reproduce. */
+  def autoPqSeedMod(corpus: DataFrame, cells: Int = 256): Int =
+    math.max(1, (corpus.count() / cells.toLong).toInt)
+
   /** Seeded product-quantization codebook: one row per (subspace j, code),
     * where the code entries are the corpus vectors with
     * `id % seedMod == 0` (deterministic, engine-portable — the same seeding
-    * basis as the IVF quantizer). Each row carries the FULL seed vector;
+    * basis as the IVF quantizer); `seedMod = 0` derives the fixed-cell
+    * default via [[autoPqSeedMod]]. Each row carries the FULL seed vector;
     * the subspace kernel reads only its own subrange, so no slicing copies
     * are materialized. Swap in a learned codebook (same schema: j, code,
     * cvec) for data-dependent cells. */
   def pqCodebook(
-      corpus: DataFrame, m: Int, seedMod: Int = 59,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    corpus.filter(pmod(col(idCol), lit(seedMod)) === 0)
+      corpus: DataFrame, m: Int, seedMod: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mod = if (seedMod > 0) seedMod else autoPqSeedMod(corpus)
+    corpus.filter(pmod(col(idCol), lit(mod)) === 0)
       .select(col(idCol).cast("long").as("code"), col(vecCol).as("cvec"))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+  }
 
   /** Product-quantization approximate top-k (ADC — asymmetric distance
     * computation). Each corpus vector is ENCODED once as `m` codebook codes

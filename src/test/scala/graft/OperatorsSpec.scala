@@ -351,6 +351,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptBig == Seq(base, base + 1L, base + 2L), keptBig)
   }
 
+  test("tokenBudgetSelect: deterministic md5-prefix per source, budget-" +
+      "crossing doc included, allocations monotone in the budget") {
+    val s = spark; import s.implicits._
+    // source A: 10 docs of 4 tokens each (40 total); source B: 3 docs
+    val docs = ((1L to 10L).map(i => (i, "A", s"a$i b c d")) ++
+      (11L to 13L).map(i => (i, "B", s"x$i y"))).toDF("doc_id", "source", "text")
+    def sel(budA: Long, budB: Long) = Sampling.tokenBudgetSelect(
+      docs, "text", "doc_id", "source",
+      Seq(("A", budA), ("B", budB)).toDF("source", "token_budget"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val out = sel(10L, 3L)
+    val a = out.filter(_._1 == "A").sortBy(_._4)
+    // 4-token docs against a 10-token budget: cum_before 0,4,8 < 10 —
+    // exactly 3 docs, the third CROSSES the budget and is included
+    assert(a.length == 3 && a.map(_._4).toSeq == Seq(0L, 4L, 8L))
+    assert(a.forall(_._3 == 4L))
+    // B: 2-token docs, budget 3 — two docs (0 < 3, 2 < 3), not one
+    assert(out.count(_._1 == "B") == 2)
+    // determinism + monotonicity: a bigger budget keeps a SUPERSET in
+    // the same order (the md5 order is data-derived, never random)
+    val bigger = sel(20L, 3L)
+    assert(a.map(_._2).toSet.subsetOf(
+      bigger.filter(_._1 == "A").map(_._2).toSet))
+    assert(bigger.filter(_._1 == "A").sortBy(_._4).map(_._2).take(3).toSeq ==
+      a.map(_._2).toSeq)
+    // zero budget keeps nothing; oversized budget keeps everything
+    assert(sel(0L, 0L).isEmpty)
+    assert(sel(1000L, 1000L).length == 13)
+  }
+
   test("NfcNormalize: composes decomposed forms; ASCII/NFC inputs pass through; null-safe") {
     val s = spark; import s.implicits._
     val composedE = "\u00e9" // precomposed e-acute
