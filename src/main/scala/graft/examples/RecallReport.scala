@@ -40,7 +40,10 @@ object RecallReport {
     Seq(1, 2, 4).foreach { p =>
       recall(s"ivf nProbe=$p", Similarity.ivfTopKWith(emb, queries, cents, k = k, nProbe = p))
     }
-    val cb = Similarity.pqCodebook(emb, m = 8, seedMod = 59)
+    // round 13: the production default — fixed ~256-cell codebook
+    // (seedMod = N/256); recall numbers are therefore vs the shipped
+    // configuration, not the old fixed-mod one
+    val cb = Similarity.pqCodebook(emb, m = 8)
     recall("pq m=8", Similarity.pqTopKWith(emb, queries, cb, m = 8, dim = 64, k = k))
     val fcents = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
