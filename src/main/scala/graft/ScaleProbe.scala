@@ -63,7 +63,7 @@ object ScaleProbe {
     "q163_substring_cut", "q166_substring_cut_anchored",
     "q165_substring_dedup_capped", "q168_substring_cut_anchored_capped",
     "q106_canonical_keep", "q109_stream_interval_join", "q102_ivf_pq",
-    "q169_token_budget_mix")
+    "q169_token_budget_mix", "q170_canonical_keep_lsh")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

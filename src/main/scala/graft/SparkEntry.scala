@@ -1094,6 +1094,27 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    "q170_canonical_keep_lsh" -> ((s, dir) => {
+      // the 100 TB configuration of q106 (round 13): the SAME keep rule
+      // (one survivor per component — longest text, ties → smallest id)
+      // but candidates from the banded-minhash pipeline instead of the
+      // exact block-scoped prefix join. The exact join is
+      // output-proportional (q106's 185 s / 49× probe row is its
+      // documented boundary); the LSH path absorbs 100× data in ~5×
+      // wall (q19/q40 family). The DuckDB oracle re-derives TRUE 3-gram
+      // Jaccard pairs at the same threshold, which simultaneously
+      // recall-gates the candidate generator.
+      val docs = t(s, dir, "documents")
+      val nearDups = Dedup.ngramJaccard(
+          Dedup.minhashCandidates(docs, "text", "doc_id", k = 64, bands = 16),
+          docs, "text", "doc_id", shingleN = 3, minThetaBp = Some(5000L))
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(docs, "doc_id", nearDups)
+      Dedup.canonicalKeep(comp, docs, "doc_id", "n_chars")
+        .select(col("component"), col("group_size"), col("kept_id"),
+          col("kept_quality").cast("long").as("kept_quality"))
+        .orderBy("component")
+    }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
@@ -4564,6 +4585,33 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q170_canonical_keep_lsh" ->
+      // the q137 TRUE-pair component grammar (3-gram Jaccard >= 0.5 —
+      // also the recall gate on the LSH candidate path) + the q106 keep
+      // grammar (longest n_chars, ties -> smallest id, per component)
+      s"""WITH RECURSIVE $shingleStatsCte,
+        |near AS (SELECT id_a, id_b FROM stats WHERE jaccard_bp >= 5000),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM near
+        |  UNION ALL SELECT id_b, id_a FROM near),
+        |reach(s, t) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN edges e ON r.t = e.a),
+        |comp AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.t), d.doc_id)) AS component
+        |  FROM documents d LEFT JOIN reach r ON r.s = d.doc_id
+        |  GROUP BY d.doc_id),
+        |ranked AS (
+        |  SELECT c.component, c.doc_id, d.n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY c.component ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY c.component) AS group_size
+        |  FROM comp c JOIN documents d USING (doc_id))
+        |SELECT component, CAST(group_size AS BIGINT) AS group_size,
+        |  doc_id AS kept_id, CAST(n_chars AS BIGINT) AS kept_quality
+        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
     "q106_canonical_keep" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, lang, source,
