@@ -90,23 +90,42 @@ object RdfTerms {
   def encodeLang(lexical: String, tag: String): String =
     "\"" + lexical + "\"@" + tag.toLowerCase(java.util.Locale.ROOT)
 
-  /** Encode a simple / xsd:string literal (round 13): ALWAYS quoted,
-    * N-Triples style without a suffix — `"chat"` — so a string literal
-    * is never byte-equal to the bare IRI with the same characters. This
-    * is what makes isIRI/isLiteral decidable and LANG/DATATYPE type-
-    * errors on IRIs possible (the round-12 ledger's last semantic wart).
-    * RDF 1.1 §3.3: a simple literal IS an xsd:string literal, so both
-    * encode identically (including `"5"^^xsd:string` — the string five,
-    * distinct from bare shorthand integer `5`). */
-  def encodePlain(lexical: String): String = "\"" + lexical + "\""
+  /** Encode a simple / xsd:string literal (round 13): quoted, N-Triples
+    * style without a suffix — `"chat"` — so a string literal is never
+    * byte-equal to the bare IRI with the same characters. This is what
+    * makes isIRI/isLiteral decidable and LANG/DATATYPE type-errors on
+    * IRIs possible (the round-12 ledger's last semantic wart).
+    *
+    * Round 14 (ADVICE r13): a SHORTHAND-SHAPED lexical normalizes
+    * through [[shapeDatatype]] exactly like a Turtle/query plain
+    * literal does, so `"5"^^xsd:string` and plain `"5"` encode to the
+    * SAME stored bytes (the bare numeric term `5`) — RDF 1.1 §3.3 makes
+    * them one term, and term identity here IS codepoint equality, so
+    * the two surface spellings must not produce different terms (BGP
+    * joins / DISTINCT / sameTerm all depend on it). This is the
+    * documented numeric-shape conflation, applied consistently at every
+    * literal entry point rather than at all but one.
+    *
+    * Conflation ledger (the deliberate residue): a shorthand-shaped
+    * STRING five is indistinguishable from the INTEGER five in the
+    * store. Consequently DATATYPE("5"^^xsd:string) answers xsd:integer,
+    * and STRLANG("5","en") / STRDT("5", xsd:byte) type-error (the bare
+    * term fails the simple-literal test) where the spec accepts the
+    * simple literal "5" — the W3cConformanceSpec skip ledger carries
+    * the row. Non-shorthand lexicals (the overwhelming majority of real
+    * strings) are exact. */
+  def encodePlain(lexical: String): String =
+    if (shapeDatatype(lexical) == XsdString) "\"" + lexical + "\""
+    else lexical
 
-  /** Encode a typed literal: xsd:string → quoted-plain ([[encodePlain]],
-    * round 13); bare iff the shape already says the datatype
-    * (round-trips through [[shapeDatatype]] — numeric/boolean Turtle
-    * shorthands); annotated otherwise. After round 13 a BARE stored
-    * value is therefore either a numeric/boolean shorthand literal or an
-    * IRI (blank nodes keep `_:`) — and the two never collide, because an
-    * absolute IRI cannot match a shorthand shape. */
+  /** Encode a typed literal: xsd:string → the plain-literal shape rule
+    * ([[encodePlain]] — quoted unless shorthand-shaped, round 14); bare
+    * iff the shape already says the datatype (round-trips through
+    * [[shapeDatatype]] — numeric/boolean Turtle shorthands); annotated
+    * otherwise. A BARE stored value is therefore either a
+    * numeric/boolean shorthand literal or an IRI (blank nodes keep
+    * `_:`) — and the two never collide, because an absolute IRI cannot
+    * match a shorthand shape. */
   def encodeTyped(lexical: String, dt: String): String =
     if (dt == XsdString) encodePlain(lexical)
     else if (dt == shapeDatatype(lexical)) lexical

@@ -66,6 +66,28 @@ object SparkEntry {
       out
     })
 
+  /** Persisted dedup indexes per (sf dir, JVM) — round 14 (q171–q173):
+    * the CORPUS split's (doc_id % 5 != 0) three index families written
+    * once; the timed query bodies are the incremental BATCH queries,
+    * which is the operational shape (an index is built once and
+    * amortized over every daily batch — same rationale as q111's stats
+    * store fixture). TempDirs-registered for end-of-JVM cleanup. */
+  private val dedupIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def dedupIndexes(s: SparkSession, dir: String): String =
+    dedupIndexCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_dedupidx_${java.util.UUID.randomUUID()}")
+      val corpus = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      operators.DedupIndex.writeAnchorIndex(corpus, "text", "doc_id",
+        s"$root/anchor", k = 3, w = 4)
+      operators.DedupIndex.writeMinHashIndex(corpus, "text", "doc_id",
+        s"$root/minhash", k = 64, bands = 16, shingleN = 3)
+      operators.DedupIndex.writeExactIndex(corpus, "text", "doc_id",
+        s"$root/exact")
+      root
+    })
+
   /** TPC-H-derived RDF quads in one named graph: customer --p1--> nation
     * --p2--> region. With distinct predicates this is the BGP corpus; with
     * one shared predicate it exercises the `p*` closure path. */
@@ -1114,6 +1136,63 @@ object SparkEntry {
         .select(col("component"), col("group_size"), col("kept_id"),
           col("kept_quality").cast("long").as("kept_quality"))
         .orderBy("component")
+    }),
+    "q171_anchor_index_batch" -> ((s, dir) => {
+      // PERSISTED ExactSubstr index + incremental batch query (round
+      // 14) — the operational 100 TB pattern: the corpus's winnowed
+      // anchor grams live in a parquet index (built once, amortized
+      // over every daily batch — the cached fixture here, like q111's
+      // stats store); the timed body derives anchors for the BATCH
+      // only (doc_id % 5 == 0, 20% of docs) and streams the index once
+      // through a broadcast batch-gram probe. Cost ∝ batch + one index
+      // scan; the corpus is never re-exploded.
+      val root = dedupIndexes(s, dir)
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      operators.DedupIndex.duplicateSpansAgainstIndex(batch, "text",
+          "doc_id", s"$root/anchor", k = 3, w = 4)
+        .orderBy("doc_id", "span_start")
+    }),
+    "q172_minhash_index_batch" -> ((s, dir) => {
+      // doc-level analogue (round 14): the corpus's LSH band buckets
+      // persisted; batch band rows probe the index for candidate
+      // (batch, corpus) pairs, then exact 3-gram Jaccard verifies at
+      // θ=0.5 over candidates only. The DuckDB oracle computes the
+      // TRUE cross-split pair set exhaustively, so the hash matches
+      // iff index candidates ⊇ truth — the q19 recall gate, applied
+      // to the persisted-index path.
+      val root = dedupIndexes(s, dir)
+      val docs = t(s, dir, "documents")
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val cands = operators.DedupIndex.minhashCandidatesAgainstIndex(
+        batch, "text", "doc_id", s"$root/minhash", k = 64, bands = 16)
+      Dedup.ngramJaccard(cands, docs, "text", "doc_id", shingleN = 3,
+          minThetaBp = Some(5000L))
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard_bp")
+        .orderBy("id_a", "id_b")
+    }),
+    "q173_exact_index_batch" -> ((s, dir) => {
+      // exact membership against the persisted key index (round 14):
+      // the synthetic corpus has NO exact duplicates, so the batch
+      // models a crawler re-fetching known pages — every doc_id % 10
+      // == 0 batch doc carries the TEXT of its corpus neighbor
+      // (doc_id + 1, which is % 5 == 1 → indexed). Output: the batch
+      // docs the index already holds, with the surviving corpus id —
+      // anti-join against this to admit only novel docs.
+      val root = dedupIndexes(s, dir)
+      val docs = t(s, dir, "documents")
+      val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_nt"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("_nt").isNotNull,
+            col("_nt")).otherwise(col("text")).as("text"))
+      operators.DedupIndex.exactDuplicatesAgainstIndex(batch, "text",
+          "doc_id", s"$root/exact")
+        .select(col("doc_id"), col("text_key"),
+          col("keep_id").cast("long").as("keep_id"))
+        .orderBy("doc_id")
     }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
@@ -2348,8 +2427,11 @@ object SparkEntry {
     * q163 cut grammar verbatim over those char spans. Shared verbatim by
     * the plain (q166) and hot-anchor-capped (q168) pipelines - the cap
     * is an execution strategy, not a semantics change. */
-  private val anchoredCutOracle: String =
-      """WITH tk AS (
+  /** The anchor-derivation prefix (tk … anch), shared by the q166/q168
+    * cut oracle and the q171 against-index oracle: every doc's winnowed
+    * anchors with char offsets, k=3 / w=4. */
+  private val anchorDerivationCte: String =
+      """tk AS (
         |  SELECT doc_id, regexp_split_to_array('x ' || text, '\s+') AS toks,
         |    regexp_split_to_array('x ' || text, '\S+') AS wss
         |  FROM documents),
@@ -2385,7 +2467,10 @@ object SparkEntry {
         |sel AS (SELECT DISTINCT doc_id, selkey % 2097152 AS si FROM wm
         |        WHERE full_w IS NOT NULL),
         |anch AS (SELECT s.doc_id, g.i, g.gt, g.cs, g.gce
-        |         FROM sel s JOIN gh g ON g.doc_id = s.doc_id AND g.i = s.si),
+        |         FROM sel s JOIN gh g ON g.doc_id = s.doc_id AND g.i = s.si)""".stripMargin
+
+  private val anchoredCutOracle: String =
+      s"""WITH $anchorDerivationCte,
         |hits AS (SELECT doc_id, i, cs, gce FROM (
         |    SELECT *, count(*) OVER (PARTITION BY gt) AS c FROM anch)
         |  WHERE c >= 2),
@@ -4251,6 +4336,79 @@ object SparkEntry {
     // not a semantics change — the capped pipeline answers to the SAME
     // anchored-cut grammar
     "q168_substring_cut_anchored_capped" -> anchoredCutOracle,
+    "q171_anchor_index_batch" ->
+      // the index path re-derived from first principles: corpus-side
+      // winnowed anchor grams (doc_id % 5 <> 0) are the "index"; a
+      // batch anchor hits iff its gram text appears there; islands
+      // merge with the same gap-w grammar as q166
+      s"""WITH $anchorDerivationCte,
+        |corpusg AS (SELECT DISTINCT gt FROM anch WHERE doc_id % 5 <> 0),
+        |bhits AS (
+        |  SELECT a.doc_id, a.i, a.cs, a.gce FROM anch a
+        |  WHERE a.doc_id % 5 = 0 AND a.gt IN (SELECT gt FROM corpusg)),
+        |flagged AS (
+        |  SELECT doc_id, i, cs, gce,
+        |    CASE WHEN i > coalesce(max(i + 2) OVER (
+        |        PARTITION BY doc_id ORDER BY i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 4
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM bhits),
+        |islands AS (
+        |  SELECT doc_id, cs, gce,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        |  FROM flagged)
+        |SELECT doc_id, CAST(min(cs) AS BIGINT) AS span_start,
+        |  CAST(max(gce) AS BIGINT) AS span_end
+        |FROM islands GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+    "q172_minhash_index_batch" ->
+      // TRUE cross-split pair set (batch × corpus, 3-gram Jaccard ≥
+      // 0.5), computed exhaustively — the recall gate over the
+      // persisted-index LSH candidates, exactly q19's construction
+      // with the self-join split batch-vs-corpus
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) END AS sh
+        |  FROM tk),
+        |sh AS (SELECT doc_id, unnest(list_distinct(sh0.sh)) AS g FROM sh0),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.g = b.g
+        |    AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT id_a, id_b, n_inter, sa.sz + sb.sz - n_inter AS n_union,
+        |    n_inter * 10000 // (sa.sz + sb.sz - n_inter) AS jaccard_bp
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, n_inter, n_union, jaccard_bp
+        |FROM stats WHERE jaccard_bp >= 5000 ORDER BY id_a, id_b""".stripMargin,
+    "q173_exact_index_batch" ->
+      // index = corpus-side normalized-text keys with their keep ids;
+      // batch = the re-fetch plant (doc_id % 10 == 0 docs carry the
+      // corpus neighbor's text); output = batch docs the index holds
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+        |      THEN n.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 5 = 0),
+        |ckg AS (
+        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+        |    min(doc_id) AS keep_id
+        |  FROM corpus GROUP BY 1),
+        |bk AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
+        |  FROM batch)
+        |SELECT b.doc_id, b.text_key, CAST(g.keep_id AS BIGINT) AS keep_id
+        |FROM bk b JOIN ckg g USING (text_key)
+        |ORDER BY b.doc_id""".stripMargin,
     "q167_sparql_isiri" ->
       // IRI objects = the nation edges; non-numeric literals = the
       // market segments (str boundary strips their quotes); the numeric

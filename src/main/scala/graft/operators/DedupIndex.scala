@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED dedup / decontamination indexes + incremental batch queries
+  * (round 14) — the operational 100 TB pattern.
+  *
+  * Every corpus-level dedup operator in [[Dedup]]/[[TextOps]] re-derives
+  * its candidate structure (gram explodes, minhash signatures) from the
+  * FULL corpus on every run. A production training-data pipeline does
+  * not work that way: the corpus is deduped once, and from then on a NEW
+  * crawl batch arrives daily with the question "which of these new docs
+  * duplicate the existing corpus?" — a query whose cost must be
+  * proportional to the BATCH, not the corpus. (The reference applies the
+  * same idea to scans: `make-metadata.py:8-22` persists per-file footer
+  * stats once so every later query plans against the index instead of
+  * re-opening the dataset; this module is that pattern for dedup state.)
+  *
+  * Three index families, one per dedup granularity:
+  *
+  *   - **exact**: normalized-text md5 keys, one row per distinct text —
+  *     the O(1)-per-doc membership filter;
+  *   - **minhash bands**: (band, key) LSH bucket rows per corpus doc —
+  *     doc-level NEAR-dup candidates, verified by exact n-gram Jaccard
+  *     over the candidates only;
+  *   - **winnowed anchors**: the [[TextOps.anchorOffsets]] gram relation
+  *     aggregated to one row per distinct gram text — substring-level
+  *     (ExactSubstr) detection, feeding [[TextOps.cutSpans]].
+  *
+  * Batch-query join shape, shared by all three: the index parquet is
+  * STREAMED exactly once through a broadcast-hash probe against the
+  * batch's (much smaller) key set — never shuffled, never re-derived.
+  * Concretely `index JOIN broadcast(batch keys) LEFTSEMI`: Spark builds
+  * the hash table from the broadcast batch side and streams index
+  * splits through it in parallel, so corpus growth adds sequential
+  * column scan only (narrow key columns, dictionary-encoded parquet),
+  * while every shuffle in the plan carries batch-sized relations. When
+  * a batch is too large for one broadcast (a backfill, not a daily
+  * increment), split it into broadcastable chunks or fall back to a
+  * shuffle join — the semantics are join-order independent.
+  *
+  * Index maintenance is append-only: after a batch is deduped and
+  * admitted, [[appendToIndex]] appends its keys (parquet append — new
+  * files only, no rewrite of existing index data). Duplicate key rows
+  * across appends are harmless to every query here (semi-join /
+  * membership semantics); compact opportunistically by rewriting with
+  * the same builder when file counts grow.
+  */
+object DedupIndex {
+
+  // ------------------------------------------------------------------
+  // Exact (normalized-text hash) index
+  // ------------------------------------------------------------------
+
+  /** Persist the exact-dedup key set: one row per DISTINCT normalized
+    * text — (text_key, keep_id, n_copies), the [[Dedup.exactGroups]]
+    * relation. Index size ∝ distinct corpus texts, never doc count. */
+  def writeExactIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String): Unit =
+    Dedup.exactGroups(df, textCol, idCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Batch docs that exact-duplicate the INDEXED corpus: (idCol,
+    * text_key, keep_id) — the surviving corpus doc each batch doc
+    * repeats. Anti-join against this to admit only novel docs.
+    *
+    * Plan: batch keys (distinct, batch-sized) broadcast; the index
+    * streams through the probe unshuffled. */
+  def exactDuplicatesAgainstIndex(
+      newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val batchKeys = newDocs.select(col(idCol),
+      md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
+    val matched = spark.read.parquet(indexPath)
+      .join(broadcast(batchKeys.select(col("text_key")).distinct()),
+        Seq("text_key"), "leftsemi")
+    batchKeys.join(broadcast(matched), Seq("text_key"))
+      .select(col(idCol), col("text_key"), col("keep_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash band index (doc-level near-dup)
+  // ------------------------------------------------------------------
+
+  /** Persist the LSH band-bucket relation for the corpus: one (band,
+    * key, id) row per doc per band — exactly the exploded relation
+    * [[Dedup.minhashCandidates]] self-joins, minus the self-join. The
+    * fused one-pass kernel computes each doc's band keys inside the
+    * scan's codegen, so the write is scan → explode → sink: zero
+    * shuffles. Index size = `bands` longs per corpus doc. */
+  def writeMinHashIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    df.select(col(idCol).as("id"),
+        Bridge.column(graft.functions.MinHashBandKeys(
+          Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,
+          bands)).as("bk"))
+      .select(col("id"), posexplode_outer(col("bk")).as(Seq("band", "key")))
+      .filter(col("band").isNotNull)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Candidate near-dup pairs between a new batch and the INDEXED
+    * corpus: (id_a = batch doc, id_b = corpus doc) sharing ≥ 1 LSH
+    * band bucket. Same (k, bands, shingleN) as the index write — the
+    * S-curve tuning notes on q19 apply unchanged. Verify the output
+    * with [[Dedup.ngramJaccard]] over batch ∪ candidate corpus docs
+    * (the verify fetch is ∝ candidates, not corpus).
+    *
+    * Plan: batch band rows (bands per batch doc) broadcast; the index
+    * streams once through the (band, key) probe; only MATCHED index
+    * rows (≤ candidate pairs) reach the final batch-sized join. */
+  def minhashCandidatesAgainstIndex(
+      newDocs: DataFrame, textCol: String, idCol: String, indexPath: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spark = newDocs.sparkSession
+    val batchRows = newDocs.select(col(idCol).as("id"),
+        Bridge.column(graft.functions.MinHashBandKeys(
+          Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,
+          bands)).as("bk"))
+      .select(col("id"), posexplode_outer(col("bk")).as(Seq("band", "key")))
+      .filter(col("band").isNotNull)
+    val matched = spark.read.parquet(indexPath)
+      .join(broadcast(batchRows.select(col("band"), col("key")).distinct()),
+        Seq("band", "key"), "leftsemi")
+    batchRows.join(broadcast(matched
+        .withColumnRenamed("id", "id_b")), Seq("band", "key"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // Winnowed anchor index (substring-level / ExactSubstr)
+  // ------------------------------------------------------------------
+
+  /** Persist the winnowed anchor GRAM SET of the corpus: one row per
+    * distinct anchor gram text — (g, n_docs, min_doc_id). Aggregating
+    * to distinct grams does two jobs at once: the index shrinks to the
+    * distinct-gram count, and a boilerplate gram shared by a million
+    * corpus docs is ONE index row, so the batch probe can never fan
+    * out on a hot gram (the persisted form of the hotAnchorCap
+    * insurance, free). n_docs/min_doc_id keep attribution queryable
+    * without a second relation. Same (k, w) must be used at query
+    * time — the winnowing guarantee (any shared run of ≥ k + w − 1
+    * tokens selects an identical anchor in both copies) is what makes
+    * index-vs-batch gram equality a detection. */
+  def writeAnchorIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      k: Int = 5, w: Int = 4): Unit =
+    TextOps.anchorOffsets(df, textCol, idCol, k, w)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc_id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Duplicated CHAR spans of a new batch AGAINST the indexed corpus —
+    * [[TextOps.duplicateSpansAnchoredChars]] with the corpus side
+    * replaced by the persisted index: a batch anchor is a hit iff its
+    * gram text appears in the index (counted by TEXT, so a hash
+    * collision can never fabricate a duplicate), hits merge into
+    * islands with the same gap-w grammar, and the output (idCol,
+    * span_start, span_end) feeds [[TextOps.cutSpans]] unchanged.
+    *
+    * Cost ∝ batch: the anchor derivation runs over the BATCH only
+    * (per-doc windows), the index streams once through the broadcast
+    * batch-gram probe, and the islands windows are per-batch-doc. The
+    * corpus is never re-exploded — that is the entire point. */
+  def duplicateSpansAgainstIndex(
+      newDocs: DataFrame, textCol: String, idCol: String, indexPath: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    val spark = newDocs.sparkSession
+    val batchAnchors = TextOps.anchorOffsets(newDocs, textCol, idCol, k, w)
+    val matched = spark.read.parquet(indexPath).select(col("g"))
+      .join(broadcast(batchAnchors.select(col("g")).distinct()),
+        Seq("g"), "leftsemi")
+    val hits = batchAnchors.join(broadcast(matched), Seq("g"), "leftsemi")
+      .select(col("id"), col("pos"), col("cs"), col("gce"))
+    TextOps.anchoredCharIslands(hits, idCol, k, w)
+  }
+
+  /** Append a new batch's keys to an existing index (parquet append —
+    * new files only; existing index data is never rewritten). Call
+    * AFTER the batch is deduped and admitted, with the SAME builder
+    * parameters as the original write. `kind` selects the key
+    * derivation: "exact" | "minhash" | "anchor". */
+  def appendToIndex(
+      df: DataFrame, textCol: String, idCol: String, path: String,
+      kind: String, k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      anchorK: Int = 5, anchorW: Int = 4): Unit = kind match {
+    case "exact" =>
+      Dedup.exactGroups(df, textCol, idCol)
+        .write.mode("append").parquet(path)
+    case "minhash" =>
+      import org.apache.spark.sql.graftbridge.Bridge
+      df.select(col(idCol).as("id"),
+          Bridge.column(graft.functions.MinHashBandKeys(
+            Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,
+            bands)).as("bk"))
+        .select(col("id"), posexplode_outer(col("bk")).as(Seq("band", "key")))
+        .filter(col("band").isNotNull)
+        .write.mode("append").parquet(path)
+    case "anchor" =>
+      TextOps.anchorOffsets(df, textCol, idCol, anchorK, anchorW)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc_id"))
+        .write.mode("append").parquet(path)
+    case other => throw new IllegalArgumentException(
+      s"appendToIndex: unknown kind '$other' (exact | minhash | anchor)")
+  }
+}

@@ -161,25 +161,56 @@ object Sampling {
     * document. `budgets` is a (domainCol, token_budget) relation — one
     * row per source, broadcast.
     *
-    * Shape: one narrow token-count pass, one per-source running-sum
-    * window, one broadcast join. The window partitions by SOURCE, so a
-    * single mega-source concentrates in one partition — at crawl scale
-    * swap the cumsum for the two-phase distributed prefix sum (per-
-    * partition subtotal → broadcast offsets → local prefix, the
-    * Packing.packGreedy construction); at the thousands-of-sources
-    * scale this targets, per-source windows are the simpler exact
-    * plan. */
+    * Shape (round 14): the per-source running sum is a TWO-PHASE
+    * distributed prefix sum (the Packing.prefixSum construction,
+    * generalized to per-source) rather than a `PARTITION BY source`
+    * window — a real training mix has tens of sources and a crawl
+    * source can be 30–50% of the corpus, so the per-source window
+    * would put ~10⁸ rows in ONE task at 100 TB. Instead:
+    *
+    *   1. range-repartition the narrow (source, id, n_tokens, h)
+    *      relation by (source, h, id) — order-preserving partition
+    *      boundaries over the composite selection key, so a mega-source
+    *      spans MANY partitions (equal keys never straddle);
+    *   2. local pass: running sums inside each (physical partition,
+    *      source) cell — the window key includes spark_partition_id(),
+    *      so no window group can exceed one range partition, whatever
+    *      the source skew;
+    *   3. per-cell totals (≤ nParts + sources − 1 rows — each partition
+    *      holds a contiguous key range) prefix-sum per source over the
+    *      tiny totals relation and broadcast back as offsets;
+    *   4. cum_before = cell offset + local running sum — bit-identical
+    *      to the window formulation the DuckDB oracle runs.
+    *
+    * The relation is localCheckpointed once right after the range
+    * shuffle: spark_partition_id() must agree across the two consumers
+    * (local sums, cell totals), and the checkpoint pins the partition
+    * layout; the relation is 4 narrow columns, not the corpus. */
   def tokenBudgetSelect(
       df: DataFrame, textCol: String, idCol: String, domainCol: String,
       budgets: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
     val toks = df.select(col(domainCol), col(idCol),
-      size(split(trim(lower(col(textCol))), "\\s+")).cast("long").as("n_tokens"),
-      hashKey(col(idCol)).as("_h"))
-    val w = Window.partitionBy(col(domainCol))
+        size(split(trim(lower(col(textCol))), "\\s+")).cast("long").as("n_tokens"),
+        hashKey(col(idCol)).as("_h"))
+      .repartitionByRange(nParts, col(domainCol), col("_h"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy(col("_pid"), col(domainCol))
       .orderBy(col("_h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.partitionBy(col(domainCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // tiny: one row per (partition, source) cell actually present
+    val offsets = toks.groupBy(col("_pid"), col(domainCol))
+      .agg(sum(col("n_tokens")).as("_tot"))
+      .withColumn("_off", coalesce(sum(col("_tot")).over(wOff), lit(0L)))
+      .select(col("_pid"), col(domainCol), col("_off"))
     toks
-      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("_lb", coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq("_pid", domainCol))
+      .withColumn("cum_before", col("_off") + col("_lb"))
       .join(broadcast(budgets.select(col(domainCol), col("token_budget"))),
         Seq(domainCol))
       .filter(col("cum_before") < col("token_budget"))

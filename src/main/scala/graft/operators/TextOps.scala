@@ -651,6 +651,25 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       k: Int = 5, w: Int = 4,
       hotAnchorCap: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val anchors = anchorOffsets(df, textCol, idCol, k, w)
+    // same skew exposure and same cure as [[duplicateSpansAnchored]]
+    val hits = dupByKey(anchors, "g", hotAnchorCap, materialize = true)
+      .select(col("id"), col("pos"), col("cs"), col("gce"))
+    anchoredCharIslands(hits, idCol, k, w)
+  }
+
+  /** The winnowed anchor relation WITH char offsets — the shared
+    * derivation of [[duplicateSpansAnchoredChars]] and the persisted
+    * anchor index ([[DedupIndex.writeAnchorIndex]], round 14): the "x "
+    * sentinel double-split token-offset trick, k-gram formation, and
+    * the winnowing selection, exactly as documented on
+    * [[duplicateSpansAnchoredChars]]. Output: (id, pos, g, cs, gce) —
+    * token position, gram TEXT (the count/join key; hash collisions can
+    * never fabricate a duplicate), and the gram's 1-based inclusive
+    * char range in the ORIGINAL text. */
+  private[operators] def anchorOffsets(
+      df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -667,7 +686,11 @@ object TextOps {
       .withColumn("tl", length(col("t")).cast("long"))
       .withColumn("s", sum(col("wsl") + col("tl")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter(col("pos") >= 1) // drop the sentinel token
+      // drop the sentinel token AND the trailing empty token split(-1)
+      // keeps for text ending in whitespace (the oracle's tok2 filters
+      // t <> ''); filtering AFTER the prefix-sum window keeps every
+      // surviving token's offsets untouched
+      .filter(col("pos") >= 1 && col("t") =!= "")
       .select(col("id"), col("pos"), lower(col("t")).as("t"),
         (col("s") - col("tl") - 1).as("cs"), (col("s") - 2).as("ce"))
     val withNexts = (1 until k).foldLeft(offs) { (acc, j) =>
@@ -681,7 +704,7 @@ object TextOps {
         concat_ws(" ", gramCols: _*).as("g"))
       .withColumn("gh", portableHash60(col("g")) % RollingP)
     val winSel = byDoc.rowsBetween(Window.currentRow, w - 1)
-    val anchors = grams
+    grams
       .withColumn("sel", min(struct(col("gh"), col("pos"), col("g"),
         col("cs"), col("gce"))).over(winSel))
       .withColumn("_full", lead(col("gh"), w - 1).over(byDoc))
@@ -689,9 +712,16 @@ object TextOps {
       .select(col("id"), col("sel.pos").as("pos"), col("sel.g").as("g"),
         col("sel.cs").as("cs"), col("sel.gce").as("gce"))
       .distinct()
-    // same skew exposure and same cure as [[duplicateSpansAnchored]]
-    val hits = dupByKey(anchors, "g", hotAnchorCap, materialize = true)
-      .select(col("id"), col("pos"), col("cs"), col("gce"))
+  }
+
+  /** Gap-w island merge of matched anchors into char spans — the shared
+    * tail of [[duplicateSpansAnchoredChars]] and the against-index batch
+    * detector: `hits` is (id, pos, cs, gce) anchor rows already known
+    * duplicated; output (idCol, span_start, span_end). */
+  private[operators] def anchoredCharIslands(
+      hits: org.apache.spark.sql.DataFrame, idCol: String,
+      k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val before = Window.partitionBy(col("id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val run = Window.partitionBy(col("id")).orderBy(col("pos"))

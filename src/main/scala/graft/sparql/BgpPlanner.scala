@@ -1502,11 +1502,14 @@ object BgpPlanner {
             // §18.5.1.7 concatenates STR(x) — the LEXICALS — and returns
             // a simple literal: collect lex(c) (round 13: quoted/tagged
             // members contribute their lexical form, not the encoding)
-            // and quote-wrap the result into a string-literal TERM so
-            // HAVING/joins over it compare like any other simple literal
-            concat(lit("\""), array_join(array_sort(
+            // and encode the result through the SAME shape rule as every
+            // other simple-literal producer (round 14, ADVICE): a
+            // shorthand-shaped concatenation ("1"+"2" → 12) must yield
+            // the bare numeric term so it term-equals parsed constants
+            // in HAVING/joins; manual quote-wrap broke exactly that
+            graft.functions.RdfLex.encodeSimple(array_join(array_sort(
               if (a.distinct) collect_set(graft.RdfTerms.lex(c))
-              else collect_list(graft.RdfTerms.lex(c))), a.sep), lit("\""))
+              else collect_list(graft.RdfTerms.lex(c))), a.sep))
           // SAMPLE returns "an arbitrary value" from the group — the
           // lexical-MIN term is a valid, deterministic arbiter (DISTINCT
           // is a semantic no-op; lexical key so round 13's quoted terms

@@ -179,15 +179,19 @@ class CurationOpsSpec extends AnyFunSuite {
       // has no such artifact (verified by the slice test below), but the
       // differential mapping here needs both sides to agree on indices
       lead <- Gen.oneOf(" ", "  ", "   ")
+      // trailing ws (SPACES only, same index-alignment constraint as
+      // lead): split(-1) emits a trailing empty token for these docs —
+      // the regression ADVICE r13 flagged; the oracle filters it out
+      trail <- Gen.oneOf("", " ", "  ")
       seps <- Gen.listOfN(runLen + pre + suf + 2, wsGen)
-    } yield (run, pre, suf, lead, seps)
+    } yield (run, pre, suf, lead, trail, seps)
     (1 to 12).foreach { i =>
-      val (run, pre, suf, lead, seps) =
+      val (run, pre, suf, lead, trail, seps) =
         caseGen(Gen.Parameters.default, Seed(77000L + i)).get
       def doc(tag: String) = {
         val toks = (0 until pre).map(j => s"u$tag$j") ++ run ++
           (0 until suf).map(j => s"v$tag$j")
-        lead + toks.zip(seps).map { case (t, sp) => t + sp }.mkString.trim
+        lead + toks.zip(seps).map { case (t, sp) => t + sp }.mkString.trim + trail
       }
       val d = Seq((1L, doc("a")), (2L, doc("b"))).toDF("doc_id", "text")
       val tokSpans = TextOps.duplicateSpansAnchored(d, "text", "doc_id", k, w)

@@ -381,6 +381,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sel(1000L, 1000L).length == 13)
   }
 
+  test("tokenBudgetSelect two-phase prefix sum: bit-identical to the " +
+      "window formulation on a planted mega-source (60% of the corpus)") {
+    val s = spark; import s.implicits._
+    // crawl-like skew: source "crawl" holds 120 of 200 docs with varied
+    // token counts; 4 small curated sources share the rest — the shape
+    // that makes a PARTITION BY source window a single-task straggler
+    val rnd = new scala.util.Random(42)
+    val docs = ((1L to 120L).map { i =>
+      (i, "crawl", (0 until 1 + rnd.nextInt(9)).map(j => s"w$i-$j").mkString(" "))
+    } ++ (121L to 200L).map { i =>
+      (i, s"cur${i % 4}", (0 until 1 + rnd.nextInt(5)).map(j => s"c$i-$j").mkString(" "))
+    }).toDF("doc_id", "source", "text")
+    val budgets = Seq(("crawl", 200L), ("cur0", 20L), ("cur1", 15L),
+      ("cur2", 10L), ("cur3", 5L)).toDF("source", "token_budget")
+    val got = Sampling.tokenBudgetSelect(docs, "text", "doc_id", "source", budgets)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the reference: the naive per-source window cumsum, same keys
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = docs.select(col("source"), col("doc_id"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(budgets, "source").filter(col("cum_before") < col("token_budget"))
+      .select("source", "doc_id", "n_tokens", "cum_before")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    assert(got.count(_._1 == "crawl") > 10) // the mega-source really selects
+  }
+
   test("NfcNormalize: composes decomposed forms; ASCII/NFC inputs pass through; null-safe") {
     val s = spark; import s.implicits._
     val composedE = "\u00e9" // precomposed e-acute

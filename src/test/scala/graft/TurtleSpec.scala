@@ -95,11 +95,13 @@ class TurtleSpec extends AnyFunSuite {
     // shape == declared type → identical to the Turtle shorthand form
     assert(m("urn:x#int") == "5")
     assert(m("urn:x#dbl") == "1e0")
-    // xsd:string folds into the quoted-plain form (round 13): the STRING
-    // five stays a distinct term from integer 5 via its quotes, no
-    // annotation needed; a decimal-shaped double keeps its xsd:double
-    // identity through the annotation
-    assert(m("urn:x#intAsStr") == "\"5\"")
+    // xsd:string goes through the SAME shape rule as a plain literal
+    // (round 14): RDF 1.1 §3.3 makes "5"^^xsd:string and plain "5" one
+    // term, and plain "5" normalizes to the bare shorthand — so both
+    // spellings must land on identical stored bytes (the documented
+    // numeric-shape conflation, applied consistently); a decimal-shaped
+    // double keeps its xsd:double identity through the annotation
+    assert(m("urn:x#intAsStr") == "5")
     assert(m("urn:x#dblDec") == "\"5.0\"^^<http://www.w3.org/2001/XMLSchema#double>")
     assert(m("urn:x#date") == "\"2020-01-02\"^^<http://www.w3.org/2001/XMLSchema#date>")
   }
