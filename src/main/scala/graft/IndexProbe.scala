@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 probes for the two scale claims the round-13 verdict asked
+  * to MEASURE rather than argue:
+  *
+  *  1. **Persisted-index batch queries are ∝ batch, not corpus**: a
+  *     FIXED batch (the sf0.1 batch split) queries the anchor and
+  *     minhash indexes built over the 1× corpus and the 10× corpus
+  *     (ScaleProbe's token-suffixed build — zero cross-copy overlap, so
+  *     the batch's true match set is identical at both scales). Flat
+  *     batch-query wall across the two index scales is the claim; the
+  *     index BUILD is expected ∝ corpus and is reported for honesty.
+  *
+  *  2. **tokenBudgetSelect's two-phase prefix sum bounds the per-task
+  *     row count under a planted mega-source**: half the 10× corpus is
+  *     relabeled into ONE source; the probe reports the largest
+  *     (partition, source) window cell the two-phase plan actually
+  *     created vs the mega-source's total rows (what a PARTITION BY
+  *     source window would put in one task), plus wall time.
+  *
+  * Usage: runMain graft.IndexProbe [srcDir] [bigDir] [mult]
+  * Results land in PLANS.md by hand (round-14 table).
+  */
+object IndexProbe {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val big = if (args.length > 1) args(1) else "/tmp/graft-scaleprobe/sf1"
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    if (!new java.io.File(s"$big/_BUILT").exists())
+      ScaleProbe.build(spark, src, big, mult)
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val docs1 = spark.read.parquet(s"$src/documents.parquet")
+    val docsN = spark.read.parquet(s"$big/documents.parquet")
+    // the FIXED batch: sf0.1's batch split, identical in every row
+    val batch = docs1.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .localCheckpoint() // pin: batch derivation must not re-read at probe time
+    println(s"fixed batch docs = ${batch.count()}")
+
+    println(f"${"index"}%-14s ${"corpus"}%8s ${"build(s)"}%9s " +
+      f"${"q1st(s)"}%8s ${"qwarm(s)"}%9s ${"rows"}%8s")
+    Seq(("1x", docs1), (s"${mult}x", docsN)).foreach { case (tag, docs) =>
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val nCorpus = corpus.count()
+      // ---- anchor index
+      val aPath = TempDirs.register(s"/tmp/graft-indexprobe/anchor-$tag")
+      val aBuild = time(operators.DedupIndex.writeAnchorIndex(
+        corpus, "text", "doc_id", aPath, k = 3, w = 4))
+      def aQuery() = operators.DedupIndex.duplicateSpansAgainstIndex(
+        batch, "text", "doc_id", aPath, k = 3, w = 4)
+      var aRows = 0L
+      val a1 = time { aRows = aQuery().count() }
+      val aW = time(aQuery().count())
+      println(f"anchor$tag%-14s $nCorpus%8d $aBuild%9.1f $a1%8.2f $aW%9.2f $aRows%8d")
+      // ---- minhash index
+      val mPath = TempDirs.register(s"/tmp/graft-indexprobe/minhash-$tag")
+      val mBuild = time(operators.DedupIndex.writeMinHashIndex(
+        corpus, "text", "doc_id", mPath, k = 64, bands = 16))
+      def mQuery() = operators.DedupIndex.minhashCandidatesAgainstIndex(
+        batch, "text", "doc_id", mPath, k = 64, bands = 16)
+      var mRows = 0L
+      val m1 = time { mRows = mQuery().count() }
+      val mW = time(mQuery().count())
+      println(f"minhash$tag%-13s $nCorpus%8d $mBuild%9.1f $m1%8.2f $mW%9.2f $mRows%8d")
+    }
+
+    // ---- mega-source cell bound (two-phase tokenBudgetSelect) --------
+    val mega = docsN.withColumn("source",
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("megacrawl"))
+        .otherwise(col("source")))
+    val budgets = mega.groupBy(col("source"))
+      .agg(sum(size(split(trim(lower(col("text"))), "\\s+"))
+        .cast("long")).as("_toks"))
+      .select(col("source"), expr("_toks DIV 3").as("token_budget"))
+      .localCheckpoint()
+    var selRows = 0L
+    val tSel = time { selRows = operators.Sampling.tokenBudgetSelect(
+      mega, "text", "doc_id", "source", budgets).count() }
+    // the cell relation the two-phase plan windows over: re-derive it the
+    // same way (range partition by (source, h, id) → per-(pid, source)
+    // counts) and report the worst cell vs what one source-window task
+    // would have held
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val toks = mega.select(col("source"), col("doc_id"),
+        operators.Sampling.hashKey(col("doc_id")).as("_h"))
+      .repartitionByRange(nParts, col("source"), col("_h"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    val cells = toks.groupBy(col("_pid"), col("source")).count()
+    val maxCell = cells.agg(max(col("count"))).head().getLong(0)
+    val megaRows = mega.filter(col("source") === "megacrawl").count()
+    val totalRows = mega.count()
+    println(f"tokenBudgetSelect(mega): ${tSel}%.2f s, kept=$selRows; " +
+      f"mega-source rows=$megaRows of $totalRows; " +
+      f"largest window cell=$maxCell rows " +
+      f"(single-task bound would be $megaRows)")
+    spark.stop()
+  }
+}

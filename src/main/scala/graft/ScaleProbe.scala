@@ -113,8 +113,9 @@ object ScaleProbe {
   }
 
   /** Write the mult× dataset. Copy 0 is the source verbatim, so sf1
-    * results are a strict superset of sf0.1's per-copy structure. */
-  private def build(spark: SparkSession, src: String, out: String,
+    * results are a strict superset of sf0.1's per-copy structure.
+    * (private[graft]: IndexProbe reuses the same build.) */
+  private[graft] def build(spark: SparkSession, src: String, out: String,
       mult: Int): Unit = {
     def copies(df: DataFrame)(rekey: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until mult).map(i => rekey(df, i)).reduce(_ union _)
