@@ -192,6 +192,26 @@ object RdfTerms {
     * isNumeric() evaluates this in FILTER predicates. */
   def datatypeOf(c: Column): Column = graft.functions.RdfLex.datatypeOf(c)
 
+  /** Every xsd numeric datatype of the §17.3 operand lattice —
+    * integer/decimal/double/float plus all the integer-derived subtypes
+    * XPath promotes through them. Shared by isNUMERIC (§17.4.4) and the
+    * round-14 per-row comparison dispatch. */
+  val NumericDatatypes: Seq[String] = Seq(
+    "integer", "decimal", "double", "float",
+    "byte", "short", "int", "long", "negativeInteger",
+    "positiveInteger", "nonNegativeInteger", "nonPositiveInteger",
+    "unsignedByte", "unsignedShort", "unsignedInt", "unsignedLong")
+    .map(XsdNs + _)
+
+  /** True iff the term is a literal of a NUMERIC datatype with a
+    * castable lexical form — the per-row operand test behind isNUMERIC
+    * and the round-14 promotion dispatch (two numeric terms of ANY xsd
+    * subtype compare by VALUE, promoted through double, per §17.3 +
+    * the XPath promotion lattice). NULL-in → NULL-out. */
+  def isNumericTerm(c: Column): Column =
+    datatypeOf(c).isin(NumericDatatypes: _*) &&
+      lex(c).try_cast("double").isNotNull
+
   /** §17.4.2.5 STRLANG: tag a SIMPLE literal — in the round-13 encoding
     * exactly the quoted-plain terms; an IRI, blank node, shorthand-typed
     * or already-annotated input is a type error → NULL (the spec's

@@ -404,8 +404,10 @@ object SparkEntry {
       // deterministic ⌈√N⌉/8-mod sample — ~8·nlist vectors, data-linear
       // rounds — and the full-corpus assignment goes through the
       // two-level quantizer, ~2·N·N^¼ kernel evals instead of N^1.5.
-      // The oracle recomputes the identical moduli, sample, supers and
-      // tie orders, so assignments never drift.
+      // Round 14 routes the QUERY probe through the same super level,
+      // so nothing √N-sized is force-broadcast anywhere in the plan.
+      // The oracle recomputes the identical moduli, sample, supers,
+      // probe routing and tie orders, so assignments never drift.
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(emb, dim = 64, iters = 2,
         trainMod = 0)
@@ -1110,7 +1112,8 @@ object SparkEntry {
       val cb = Similarity.pqCodebook(emb, m = 8)
       // two-level coarse assignment (round 13): same hierarchical
       // quantizer as q23 — the flat corpus × nlist argmax was the one
-      // N^1.5 stage left in the ANN family
+      // N^1.5 stage left in the ANN family; round 14 routes the query
+      // probe through the super level too (no √N broadcast anywhere)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), cents, cb,
           m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
         .withColumn("rank", col("rank").cast("long"))
@@ -2387,6 +2390,25 @@ object SparkEntry {
        |        list_cosine_similarity(v.nvec, m.cvec) DESC, m.cid) AS r
        |    FROM tl_v2s v JOIN tl_cmap m ON m.sid = v.sid) WHERE r = 1)""".stripMargin
 
+  /** The two-level QUERY probe (Similarity.queryProbesTwoLevel, round 14)
+    * re-derived over the tl_supers/tl_cmap CTEs [[twoLevelAssignSql]]
+    * emits: each query maps to its nearest super (ties → smallest sid),
+    * then takes its `nProbe` nearest centroids within that super's
+    * member group. Emits a CTE `query_probe(qid, cid)`. */
+  private def twoLevelProbeSql(nQueries: Int, nProbe: Int): String =
+    s"""tl_qsup AS (
+       |  SELECT qid, sid, qvec FROM (
+       |    SELECT e.vec_id AS qid, s.sid, e.embedding::DOUBLE[] AS qvec,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], s.svec) DESC, s.sid) AS r
+       |    FROM embeddings e, tl_supers s WHERE e.vec_id < $nQueries) WHERE r = 1),
+       |query_probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, m.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_cosine_similarity(q.qvec, m.cvec) DESC, m.cid) AS cr
+       |    FROM tl_qsup q JOIN tl_cmap m ON m.sid = q.sid) WHERE cr <= $nProbe)""".stripMargin
+
   /** q162/q165 oracle: stride-1 40-grams, corpus-wide count >= 2, per-doc
     * overlapping-or-contiguous island merge. Shared verbatim by the
     * exact (q162) and hot-gram-capped (q165) queries — the cap is an
@@ -2524,12 +2546,7 @@ object SparkEntry {
       nProbe: Int = 2, k: Int = 5): String = {
     s"""WITH ${kmeansRoundsSql(dim, iters, mod, trainMod)},
        |${twoLevelAssignSql(s"c$iters")},
-       |query_probe AS (
-       |  SELECT qid, cid FROM (
-       |    SELECT e.vec_id AS qid, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
-       |    FROM embeddings e, c$iters c WHERE e.vec_id < 8) WHERE cr <= $nProbe),
+       |${twoLevelProbeSql(nQueries = 8, nProbe = nProbe)},
        |scored AS (
        |  SELECT p.qid, a.nid,
        |    list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS score
@@ -2628,12 +2645,7 @@ object SparkEntry {
        |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
        |  FROM embeddings WHERE vec_id % $ivfMod = 0),
        |${twoLevelAssignSql("cents")},
-       |query_probe AS (
-       |  SELECT qid, cid FROM (
-       |    SELECT e.vec_id AS qid, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
-       |    FROM embeddings e, cents c WHERE e.vec_id < $nQueries) WHERE cr <= $nProbe),
+       |${twoLevelProbeSql(nQueries = nQueries, nProbe = nProbe)},
        |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
        |cd AS (
        |  SELECT p.vec_id AS nid, js.j, c.code,

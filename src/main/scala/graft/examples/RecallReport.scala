@@ -40,6 +40,14 @@ object RecallReport {
     Seq(1, 2, 4).foreach { p =>
       recall(s"ivf nProbe=$p", Similarity.ivfTopKWith(emb, queries, cents, k = k, nProbe = p))
     }
+    // round 14: the shipped q23 configuration — two-level corpus assign
+    // AND two-level query probe (probes come from the query's super's
+    // member group, so boundary queries trade some recall for the
+    // bounded ~N^¼ broadcasts; compare against the flat rows above)
+    Seq(1, 2, 4).foreach { p =>
+      recall(s"ivf 2L nProbe=$p", Similarity.ivfTopKWith(emb, queries, cents,
+        k = k, nProbe = p, twoLevel = true))
+    }
     // round 13: the production default — fixed ~256-cell codebook
     // (seedMod = N/256); recall numbers are therefore vs the shipped
     // configuration, not the old fixed-mod one
@@ -50,6 +58,10 @@ object RecallReport {
     Seq(2, 4, 8).foreach { p =>
       recall(s"ivfpq nProbe=$p", Similarity.ivfPqTopK(emb, queries, fcents, cb,
         m = 8, dim = 64, k = k, nProbe = p))
+    }
+    Seq(2, 4, 8).foreach { p =>
+      recall(s"ivfpq 2L nProbe=$p", Similarity.ivfPqTopK(emb, queries, fcents, cb,
+        m = 8, dim = 64, k = k, nProbe = p, twoLevel = true))
     }
     spark.stop()
   }

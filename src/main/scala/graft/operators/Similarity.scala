@@ -205,23 +205,19 @@ object Similarity {
     else scored.agg(cid)
   }
 
-  /** Two-level coarse assignment (round 13) — the flat argmax is
-    * corpus × nlist kernel evaluations; with the (correct) √N nlist that
-    * is N^1.5, the one superlinear residue of the round-12 probe table
-    * (q23: 37.8× wall at 100× data). Here the nlist centroids are
-    * grouped under ~√nlist SUPER-centroids (every ⌈√nlist⌉-th centroid
-    * in cid rank order — deterministic, no training), each centroid maps
-    * to its nearest super (a tiny nlist × √nlist broadcast argmax), and
-    * a corpus vector resolves nearest-super (N × √nlist) then
-    * nearest-centroid WITHIN that super's member group (N × avg-group ≈
-    * N × √nlist) — ~2·N·N^¼ total, data-linear in practice. The price is
-    * the standard hierarchical-quantizer approximation: a vector whose
-    * true nearest centroid lives under a different super lands on its
-    * group-local argmax instead (list quality, not correctness — the
-    * oracle re-derives the identical two-level choice). Ties at every
-    * level break to the smallest id, so both engines agree exactly. */
-  private def coarseAssignTwoLevel(corpus: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
+  /** Super-level structure over a centroid table (round 14, factored so
+    * BOTH the corpus assignment and the query probe route through it):
+    * `supers` = every ⌈√nlist⌉-th centroid in cid rank order
+    * (deterministic, no training — ~N^¼ rows for the √N nlist), and
+    * `cmap` = each centroid mapped to its nearest super (ties → smallest
+    * sid; a tiny nlist × √nlist broadcast argmax). `supers` is the ONLY
+    * relation the plans below broadcast unconditionally — it stays
+    * ~N^¼-sized at any corpus. `cmap` is nlist-row (√N): consumers join
+    * it UNHINTED, so Catalyst/AQE broadcasts it while it fits (every
+    * practical scale up to ~10¹⁰ vectors) and falls back to a sid-keyed
+    * shuffle join beyond, where each super's member group (~N^¼ rows)
+    * is the join-partition granularity AQE can split on. */
+  private def superStructure(cents: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nlist = cents.count() // tiny relation (≈ √N rows)
     val smod = math.max(1L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
@@ -235,13 +231,33 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(max_by(col("sid"), struct(col("ssim"), (-col("sid")).as("ns"))).as("sid"),
         first(col("cvec")).as("cvec"))
+    (supers, cmap)
+  }
+
+  /** Two-level coarse assignment (round 13) — the flat argmax is
+    * corpus × nlist kernel evaluations; with the (correct) √N nlist that
+    * is N^1.5, the one superlinear residue of the round-12 probe table
+    * (q23: 37.8× wall at 100× data). A corpus vector resolves
+    * nearest-super (N × N^¼, broadcast) then nearest-centroid WITHIN
+    * that super's member group (N × avg-group ≈ N × N^¼) — ~2·N·N^¼
+    * total, data-linear in practice; the member lookup joins `cmap`
+    * unhinted (see [[superStructure]] for the scale story — round 14
+    * removed the forced √N-row broadcast). The price is the standard
+    * hierarchical-quantizer approximation: a vector whose true nearest
+    * centroid lives under a different super lands on its group-local
+    * argmax instead (list quality, not correctness — the oracle
+    * re-derives the identical two-level choice). Ties at every level
+    * break to the smallest id, so both engines agree exactly. */
+  private def coarseAssignTwoLevel(corpus: DataFrame,
+      supers: DataFrame, cmap: DataFrame,
+      idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
     val v2s = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(supers))
       .withColumn("ssim", cosine(col("nvec"), col("svec")))
       .groupBy(col("nid"))
       .agg(max_by(col("sid"), struct(col("ssim"), (-col("sid")).as("ns"))).as("sid"),
         first(col("nvec")).as("nvec"))
-    val scored = v2s.join(broadcast(cmap), "sid")
+    val scored = v2s.join(cmap, "sid")
       .withColumn("csim", cosine(col("nvec"), col("cvec")))
       .groupBy(col("nid"))
     val cid = max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid")
@@ -250,7 +266,9 @@ object Similarity {
   }
 
   /** Each query's `nProbe` nearest inverted lists: (qid[, qvec], cid).
-    * Query side is small; a ranking window is fine here. */
+    * Query side is small; a ranking window is fine here. The FLAT probe:
+    * scores every query against the full centroid table — best recall,
+    * but the broadcast grows as √N with the corpus. */
   private def queryProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,
       idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -264,19 +282,58 @@ object Similarity {
       .drop("cvec", "csim", "crank")
   }
 
-  /** `twoLevel` routes the corpus assignment through the hierarchical
-    * quantizer ([[coarseAssignTwoLevel]]) — the 100 TB path; queries stay
-    * on the flat probe (few rows, better recall). */
+  /** Two-level query probe (round 14): a query resolves its nearest
+    * SUPER (broadcast `supers`, ~N^¼ rows — ties → smallest sid), then
+    * takes its `nProbe` nearest centroids WITHIN that super's member
+    * group — the same hierarchical routing the corpus assignment uses,
+    * so no √N-row relation is broadcast anywhere in the two-level plan
+    * (the round-13 flat probe shipped the full nlist centroid table to
+    * every executor). The query side of the member join IS broadcast —
+    * it is genuinely tiny — so `cmap` streams once, never shuffles the
+    * corpus. Recall trade: probes come from one member group, so a
+    * query on a super boundary can miss a neighboring group's list
+    * (measured in PLANS.md §ANN recall); the corpus-side assignment has
+    * the same boundary behavior, which keeps probe and list geometry
+    * consistent. */
+  private def queryProbesTwoLevel(queries: DataFrame,
+      supers: DataFrame, cmap: DataFrame, nProbe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qsup = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(broadcast(supers))
+      .withColumn("ssim", cosine(col("qvec"), col("svec")))
+      .groupBy(col("qid"))
+      .agg(max_by(col("sid"), struct(col("ssim"), (-col("sid")).as("ns"))).as("sid"),
+        first(col("qvec")).as("qvec"))
+    val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
+    cmap.join(broadcast(qsup), "sid")
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(qw))
+      .filter(col("crank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cid"))
+  }
+
+  /** `twoLevel` routes BOTH the corpus assignment and the query probe
+    * through the hierarchical quantizer ([[coarseAssignTwoLevel]] /
+    * [[queryProbesTwoLevel]]) — the 100 TB path: nothing √N-sized is
+    * force-broadcast anywhere in that plan (round 14; round 13 routed
+    * only the corpus side and still shipped the full nlist table for
+    * the probe). */
   def ivfTopKWith(
       corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
       nProbe: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding",
       twoLevel: Boolean = false): DataFrame = {
     val cents = centroids.select(col("cid"), col("cvec"))
-    val corpusAssigned =
-      if (twoLevel) coarseAssignTwoLevel(corpus, cents, idCol, vecCol, carryVec = true)
-      else coarseAssign(corpus, cents, idCol, vecCol, carryVec = true)
-    val probes = queryProbes(queries, cents, nProbe, idCol, vecCol)
+    val (corpusAssigned, probes) =
+      if (twoLevel) {
+        val (supers, cmap) = superStructure(cents)
+        (coarseAssignTwoLevel(corpus, supers, cmap, idCol, vecCol, carryVec = true),
+          queryProbesTwoLevel(queries, supers, cmap, nProbe, idCol, vecCol))
+      } else
+        (coarseAssign(corpus, cents, idCol, vecCol, carryVec = true),
+          queryProbes(queries, cents, nProbe, idCol, vecCol))
     val scored = probes.join(corpusAssigned, "cid")
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
@@ -394,11 +451,15 @@ object Similarity {
     val cents = centroids.select(col("cid"), col("cvec"))
     val cb = broadcast(codebook.select(col("j"), col("code"), col("cvec")))
 
-    val assign =
-      if (twoLevel) coarseAssignTwoLevel(corpus, cents, idCol, vecCol, carryVec = false)
-      else coarseAssign(corpus, cents, idCol, vecCol, carryVec = false)
-    val probes = queryProbes(queries, cents, nProbe, idCol, vecCol)
-      .select(col("qid"), col("cid"))
+    val (assign, probes0) =
+      if (twoLevel) {
+        val (supers, cmap) = superStructure(cents)
+        (coarseAssignTwoLevel(corpus, supers, cmap, idCol, vecCol, carryVec = false),
+          queryProbesTwoLevel(queries, supers, cmap, nProbe, idCol, vecCol))
+      } else
+        (coarseAssign(corpus, cents, idCol, vecCol, carryVec = false),
+          queryProbes(queries, cents, nProbe, idCol, vecCol))
+    val probes = probes0.select(col("qid"), col("cid"))
 
     val corpusCodes = pqEncode(corpus, cb, dsub, idCol, vecCol)
     val qtab = pqQueryTable(queries, cb, dsub, idCol, vecCol)

@@ -444,8 +444,8 @@ object TextOps {
     * partitioning (no extra shuffle — hashpartitioning(doc) already
     * clusters (doc, island)). 100 TB notes: (1) a stop-gram ("the same
     * 40 chars everywhere", boilerplate) makes one window partition hot —
-    * `hotGramCap` (round 13) bounds it with a count-then-broadcast
-    * skip-list, the q144 domain-cap pattern; (2) to cut the stride-1
+    * `hotGramCap` (round 14) swaps the window for a reused-exchange
+    * agg+join plan whose skewed partitions AQE splits; (2) to cut the stride-1
     * explode volume, anchor on [[winnowFingerprints]] positions instead —
     * the winnowing guarantee (any shared run ≥ k + w - 1 shares a
     * fingerprint) bounds the missed-span length, the documented recall
@@ -453,23 +453,17 @@ object TextOps {
     * (3) a hash-first two-phase count was tried and measured WORSE (see
     * the inline note).
     *
-    * `hotGramCap` (opt-in, 0 = off; otherwise ≥ 2): grams occurring more
-    * than the cap times corpus-wide — boilerplate headers, license
-    * blocks — are skip-listed OUT of the count window and emitted as
-    * hits DIRECTLY. Results are byte-identical to the exact path (a gram
-    * above any cap ≥ 2 is duplicated by definition — it is still
-    * counted as duplicated, just never shuffled to one reducer); the
-    * change is purely physical: no window partition can exceed
-    * `hotGramCap` rows, so a gram appearing in half the corpus costs a
-    * broadcast-hash probe instead of a straggler partition holding half
-    * the corpus. The price is one extra map-side-combinable count
-    * aggregate over the gram explode (a hot gram collapses to one row
-    * per map partition, so the count shuffle itself is skew-free) plus
-    * re-deriving the explode for the second pass; the skip-list stays
-    * broadcast-small because ≤ corpus_grams/cap grams can exceed the
-    * cap. Leave it off when the corpus is known boilerplate-free (the
-    * A/B-measured two-phase penalty applies); turn it on for real crawl
-    * data at scale. */
+    * `hotGramCap` (opt-in, 0 = off; otherwise ≥ 2): arms the skew-proof
+    * plan for corpora with boilerplate headers / license blocks — the
+    * count WINDOW (whose hot-gram partition must hold every copy in one
+    * task) is replaced by ONE repartition-by-gram exchange read twice
+    * (ReuseExchange: the explode is derived once) — a dup-key count
+    * aggregate plus a decision join that AQE skew-splits, so no task
+    * ever holds a whole hot gram. Results are byte-identical either
+    * way; the price is one extra read of the shuffled grams (round 14 —
+    * the round-13 skip-list variant re-derived the explode from three
+    * subplans and cost 1.3–4×). Leave it off when the corpus is known
+    * boilerplate-free; turn it on for real crawl data at scale. */
   def duplicateSpans(
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       minLen: Int, hotGramCap: Long = 0L): org.apache.spark.sql.DataFrame = {
@@ -514,40 +508,40 @@ object TextOps {
 
   /** Corpus-wide duplicate filter over a keyed relation: rows whose `key`
     * value occurs ≥ 2 times ANYWHERE survive, other columns carried
-    * through. `cap` ≥ 2 arms the count-then-broadcast skip-list (the
-    * q144 domain-cap pattern): keys above the cap are emitted as
-    * duplicates DIRECTLY — they are duplicates by definition — so no
-    * count-window partition can exceed `cap` rows, making a boilerplate
-    * key (a header gram shared by half the corpus) a broadcast-hash
-    * probe instead of a straggler partition. Results are byte-identical
-    * with the cap on or off; the price is one extra map-side-combinable
-    * count aggregate (skew-free — a hot key collapses to one row per map
-    * partition) plus re-deriving the input for the second pass. Shared
-    * by the exact and both winnowing-anchored span detectors. */
+    * through. `cap` ≥ 2 arms the skew-proof plan (round 14 — the
+    * round-13 count-then-broadcast skip-list re-derived the input from
+    * THREE subplans and measured a 1.3–4× premium): ONE explicit
+    * exchange repartitions the rows by key, and both consumers — the
+    * dup-key count aggregate and the decision join — read that SAME
+    * exchange (Catalyst's ReuseExchange: the input is derived once, the
+    * shuffle written once). The join back to the distinct dup-key set
+    * replaces the count WINDOW, so there is no partition that must hold
+    * every copy of a hot key in one task: a boilerplate key (a header
+    * gram shared by half the corpus) lands in a skewed JOIN partition,
+    * which AQE's skew-join splits into bounded chunks — the property the
+    * old cap bought by skip-listing, now without the extra derivations
+    * (`cap`'s VALUE no longer tunes anything; ≥ 2 arms the plan, the
+    * signature is kept for the q165/q168 call sites). Results are
+    * byte-identical with the cap on or off. Shared by the exact and
+    * both winnowing-anchored span detectors. */
   private def dupByKey(rows: org.apache.spark.sql.DataFrame, key: String,
       cap: Long, materialize: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(cap == 0L || cap >= 2L,
       "cap must be 0 (off) or >= 2 (a capped key must still be a duplicate)")
     import org.apache.spark.sql.expressions.Window
     if (cap >= 2L) {
-      // the capped plan consumes `rows` from three subplans (count agg,
-      // hot branch, cold branch) whose exchanges are NOT shared by AQE
-      // reuse — and downstream consumers (cutSpans reads spans three
-      // times) multiply that. `materialize` cuts the re-derivation once
-      // with an eager localCheckpoint: right when `rows` is the REDUCED
-      // anchor relation (~2/(w+1) of tokens — the 100× probe measured
-      // the capped anchored cut 145 s recomputed vs ~20 s materialized);
+      // `materialize` cuts re-derivation by DOWNSTREAM consumers
+      // (cutSpans reads the span relation three times) with an eager
+      // localCheckpoint: right when `rows` is the REDUCED anchor
+      // relation (~2/(w+1) of tokens — the 100× probe measured the
+      // capped anchored cut 145 s recomputed vs ~20 s materialized);
       // wrong for the exact detector's full gram explode (corpus × L
-      // bytes — recomputation is cheaper than storing it, the same
-      // trade the round-12 two-phase A/B measured).
+      // bytes — recomputation is cheaper than storing it).
       val r = if (materialize) rows.localCheckpoint() else rows
-      val hot = r.groupBy(col(key)).agg(count(lit(1)).as("_c"))
-        .filter(col("_c") > cap).select(col(key), lit(1).as("_hot"))
-      val tagged = r.join(broadcast(hot), Seq(key), "left")
-      tagged.filter(col("_hot").isNotNull).drop("_hot")
-        .union(tagged.filter(col("_hot").isNull).drop("_hot")
-          .withColumn("_c", count(lit(1)).over(Window.partitionBy(col(key))))
-          .filter(col("_c") >= 2).drop("_c"))
+      val parted = r.repartition(col(key))
+      val dupKeys = parted.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2).select(col(key))
+      parted.join(dupKeys, Seq(key))
     } else rows
       .withColumn("_c", count(lit(1)).over(Window.partitionBy(col(key))))
       .filter(col("_c") >= 2).drop("_c")
@@ -601,9 +595,9 @@ object TextOps {
     // hotAnchorCap: boilerplate anchors skew this count exactly like the
     // exact detector's grams (winnowing REDUCES volume, it does not
     // de-skew — every copy of a shared header selects the same anchor);
-    // the dupByKey skip-list bounds the partition, byte-identical output.
-    // materialize = the anchor relation is the REDUCED set, cheap to
-    // checkpoint and consumed by several subplans
+    // dupByKey's skew-proof agg+join plan bounds the per-task volume,
+    // byte-identical output. materialize = the anchor relation is the
+    // REDUCED set, cheap to checkpoint and consumed by several subplans
     val hits = dupByKey(anchors, "g", hotAnchorCap, materialize = true)
       .select(col("id"), col("pos"))
     val before = Window.partitionBy(col("id")).orderBy(col("pos"))

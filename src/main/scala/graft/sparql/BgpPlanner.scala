@@ -871,31 +871,21 @@ object BgpPlanner {
 
     // Assemble the required group: triple-pattern relations + one
     // relation per UNION group + VALUES blocks + subqueries, greedily
-    // joined. Ground-atom failure, an all-branches-failed union, or a
-    // query with nothing to bind → empty.
+    // joined. The empty path fires ONLY on actual failure (a ground atom
+    // with no match, an all-branches-failed union, a failed nested
+    // group): a WHERE whose constructs are simply ABSENT — the empty
+    // group pattern {}, or an all-ground group that MATCHED — is the
+    // one-empty-solution relation {μ0} per §18.2.2.2 (round 14: this
+    // made `SELECT (COUNT(*) AS ?c) WHERE {}` count 0, and a matched
+    // ground SELECT group produce no row; the W3C agg-empty-group
+    // region needs exactly the {μ0} reading). ASK over a matched ground
+    // group now falls out of the same {μ0} start + finish's count.
     val reqParts = buildParts(atoms)
     val selected = q.selected
     val baseParts: Seq[(Int, DataFrame)] =
       reqParts.getOrElse(Nil) ++ unionRels.map(r => (0, r)) ++ valuesParts ++
         subParts ++ topGroupParts ++ graphParts
-    // ASK over an all-ground group that MATCHED: exactly one solution —
-    // the empty mapping (§18.3.1) — so the answer is true, not the empty
-    // relation the var-projection path below would produce. (Scoped to
-    // plain ASK: with EXISTS/MINUS/FILTER/BIND attached the general paths
-    // below apply.)
-    if (q.askForm && reqParts.nonEmpty && !unionFailed && !groupFailed &&
-        baseParts.isEmpty && undefVals.isEmpty &&
-        q.exists.isEmpty && q.minuses.isEmpty && q.filters.isEmpty &&
-        q.binds.isEmpty)
-      return finish(spark.range(1).select(), q, boundary)
-    // The {μ0}-start condition must mirror evalGroup's: EXISTS/MINUS over
-    // an otherwise-empty WHERE (e.g. ASK { FILTER EXISTS { ?s ?p ?o } })
-    // still evaluates over the one-row empty mapping — short-circuiting
-    // them to the empty relation answered every such ASK false (round-9
-    // advisory).
-    if (reqParts.isEmpty || unionFailed || groupFailed ||
-        (baseParts.isEmpty && undefVals.isEmpty && q.optionals.isEmpty &&
-          q.binds.isEmpty && q.exists.isEmpty && q.minuses.isEmpty)) {
+    if (reqParts.isEmpty || unionFailed || groupFailed) {
       if (q.aggregates.isEmpty && q.groupBy.isEmpty)
         return finish(spark.range(0)
           .select(selected.map(v => lit(null).cast("string").as(vc(v))): _*),
@@ -934,6 +924,22 @@ object BgpPlanner {
     // scope), so BOUND/!BOUND over optional vars behaves correctly.
     q.filters.foreach { f =>
       acc = acc.filter(compileFilter(f, resolveIn(acc, acc.columns.toSet)))
+    }
+
+    // {μ0}-start queries (empty/all-ground WHERE): a projected or
+    // aggregated variable that nothing bound is UNBOUND, not an error —
+    // `SELECT ?x WHERE {}` is one row with ?x null, COUNT(?x) is 0
+    // (§18.2.4.4). Scoped to baseParts-empty so normal queries keep the
+    // loud unknown-variable projection error.
+    if (baseParts.isEmpty) {
+      val aliasish = (q.aggregates.map(_.alias) ++
+        q.postSelectExprs.map(_.alias)).toSet
+      val needed = (q.selected ++ q.groupBy ++ q.aggregates.flatMap(_.v) ++
+        q.orderBy.map(_._1)).distinct.filterNot(aliasish)
+      val have = acc.columns.toSet
+      needed.filterNot(v => have(vc(v))).foreach { v =>
+        acc = acc.withColumn(vc(v), lit(null).cast("string"))
+      }
     }
 
     finish(acc, q, boundary)
@@ -984,21 +990,20 @@ object BgpPlanner {
     }
     f match {
       case FCmp(l, op, r) =>
-      // numeric dispatch: a numeric literal on either side forces a
-      // numeric comparison (SPARQL operator dispatch on xsd numerics);
-      // otherwise `=`/`!=` compare TERMS (tagged/typed stay distinct)
-      // while the ORDERING ops compare the LEXICAL forms — §17.3's
-      // string `<` orders the VALUE, and under round 13's encoding the
-      // codepoint order of quoted and bare terms would differ from the
-      // value order exactly where literals mix with shorthand numerics
+      // Numeric dispatch, two tiers. (1) Syntactic: a numeric literal on
+      // either side forces a numeric comparison (SPARQL operator dispatch
+      // on xsd numerics) — the cheap, statically-typed path. (2) Per-row
+      // (round 14, §17.3 + the XPath promotion lattice of the W3C
+      // data-r2/type-promotion region): with no literal forcing it, read
+      // the operand DATATYPES at evaluation — when BOTH sides are numeric
+      // literals of ANY xsd numeric subtype ("5"^^xsd:byte, xsd:long,
+      // shorthand-encoded bare terms…) they compare by VALUE, promoted
+      // through double; every other pairing keeps the prior semantics —
+      // `=`/`!=` compare TERMS (tagged/typed stay distinct), ordering ops
+      // compare the LEXICAL forms (§17.3's string `<`).
       val numeric = l.isInstanceOf[FNum] || r.isInstanceOf[FNum]
       val ordering = op != "=" && op != "!="
-      def side(o: FOperand): Column = {
-        val c = opCol(o, numeric)
-        if (!numeric && ordering) graft.RdfTerms.lex(c) else c
-      }
-      val (lc, rc) = (side(l), side(r))
-      op match {
+      def cmpOp(lc: Column, rc: Column): Column = op match {
         case "<" => lc < rc
         case "<=" => lc <= rc
         case ">" => lc > rc
@@ -1006,6 +1011,31 @@ object BgpPlanner {
         case "=" => lc === rc
         case "!=" => lc =!= rc
         case other => throw new IllegalArgumentException(s"bad op $other")
+      }
+      if (numeric) cmpOp(opCol(l, numeric = true), opCol(r, numeric = true))
+      else {
+        // each side is referenced by the datatype test, the value cast,
+        // and the fallback comparison — compiled builtin trees bind once
+        // so the Catalyst tree stays additive (see bindOnce)
+        def once(o: FOperand, c: Column)(f: Column => Column): Column =
+          o match {
+            case FBindOp(_) => bindOnce(c)(f)
+            case _ => f(c)
+          }
+        once(l, opCol(l, numeric = false)) { lt =>
+          once(r, opCol(r, numeric = false)) { rt =>
+            val bothNum = graft.RdfTerms.isNumericTerm(lt) &&
+              graft.RdfTerms.isNumericTerm(rt)
+            val valueCmp = cmpOp(
+              graft.RdfTerms.lex(lt).try_cast("double"),
+              graft.RdfTerms.lex(rt).try_cast("double"))
+            val termCmp =
+              if (ordering)
+                cmpOp(graft.RdfTerms.lex(lt), graft.RdfTerms.lex(rt))
+              else cmpOp(lt, rt)
+            when(bothNum, valueCmp).otherwise(termCmp)
+          }
+        }
       }
       // String tests run on the LEXICAL FORM (§17.4.3 defers to XPath
       // fn:* over the value) — a tagged/typed binding is stripped first.
@@ -1049,16 +1079,9 @@ object BgpPlanner {
         // ^^-annotation, via datatypeOf) must be numeric AND the STRIPPED
         // lexical must cast, matching FCmp's lex-strip coercion. A
         // lang-tagged "5"@en (rdf:langString) is NOT numeric even though
-        // its lexical casts; an annotated "5.0"^^xsd:float IS.
-        val c = resolve(v)
-        val xsd = graft.RdfTerms.XsdNs
-        val numericTypes = Seq("integer", "decimal", "double", "float",
-          "byte", "short", "int", "long", "negativeInteger",
-          "positiveInteger", "nonNegativeInteger", "nonPositiveInteger",
-          "unsignedByte", "unsignedShort", "unsignedInt", "unsignedLong")
-          .map(xsd + _)
-        graft.RdfTerms.datatypeOf(c).isin(numericTypes: _*) &&
-          graft.RdfTerms.lex(c).try_cast("double").isNotNull
+        // its lexical casts; an annotated "5.0"^^xsd:float IS. (Shared
+        // with FCmp's round-14 per-row promotion dispatch.)
+        graft.RdfTerms.isNumericTerm(resolve(v))
     }
     }
 

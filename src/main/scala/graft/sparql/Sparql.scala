@@ -919,7 +919,14 @@ object Sparql {
       pos += 1
       val b = new GroupBufs
       parseGroupBody(b, nested = true)
-      if (!b.bindsAnything) err(s"empty $keyword group")
+      // The empty GroupGraphPattern {} is the one-empty-solution relation
+      // {μ0} (§18.2.2.2) — legal standing alone (the planner's evalGroup
+      // joins it as identity) and at the top-level WHERE. Inside
+      // OPTIONAL/UNION/MINUS/EXISTS/GRAPH the {μ0} algebra has sharper
+      // corners (MINUS {} keeps everything by the disjoint-domain rule,
+      // OPTIONAL {} is a no-op) — rejected loudly there, per house rule.
+      if (!b.bindsAnything && keyword != "group")
+        err(s"empty $keyword group")
       b.toGroup
     }
 

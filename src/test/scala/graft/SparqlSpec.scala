@@ -258,10 +258,16 @@ class SparqlSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("urn:d#2", "urn:d#3"))
   }
 
-  test("FILTER string comparison stays lexical; = and != on IRIs") {
+  test("FILTER comparison dispatches per row: numeric pairs by value, mixed pairs lexically; = and != on IRIs") {
+    // round 14 (type-promotion dispatch): the quoted "10" stores as the
+    // bare integer term under the shorthand conflation, so numeric
+    // bindings compare to it by VALUE (50 > 10 only) while the
+    // non-numeric "n/a" keeps the documented lexical-fallback compare
+    // ("n/a" > "10" codepoint-wise). Pre-round-14 the whole comparison
+    // was lexical ("5" > "10" included).
     val q = Sparql.parse(fp + "SELECT ?s WHERE { ?s p:val ?v . FILTER(?v > \"10\") }")
     val got = BgpPlanner.evaluate(filterQuads, q).collect().map(_.getString(0)).sorted
-    assert(got.toSeq == Seq("urn:d#1", "urn:d#3", "urn:d#4")) // "5","50","n/a" lexically > "10"
+    assert(got.toSeq == Seq("urn:d#3", "urn:d#4")) // 50 > 10; "n/a" lexical fallback
     val q2 = Sparql.parse(fp + "SELECT ?v WHERE { ?s p:tag ?t . ?s p:val ?v . FILTER(?s != <urn:d#1>) }")
     assert(BgpPlanner.evaluate(filterQuads, q2).collect().map(_.getString(0)).toSeq == Seq("50"))
   }

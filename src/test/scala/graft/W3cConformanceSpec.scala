@@ -866,7 +866,11 @@ class W3cConformanceSpec extends AnyFunSuite {
 
   test("w3c data-r2/open-eq (adapted): sameTerm vs = on distinct numeric lexicals") {
     // open-eq-07..11's point in the lexical store: "01" and "1" are
-    // DIFFERENT terms that `=` can still numeric-dispatch equal
+    // DIFFERENT terms (sameTerm is false across them) that `=`
+    // numeric-dispatches EQUAL — both are xsd:integer terms, and the
+    // round-14 per-row promotion dispatch compares them by VALUE even
+    // with no numeric literal operand forcing it (pre-round-14 the
+    // var-var form compared terms and missed the cross pairs).
     val d = quads(
       (ex("x1"), ex("p"), "1"), (ex("x2"), ex("p"), "01"))
     assert(run(d, EX + "SELECT ?a ?b WHERE { ?a ex:p ?v1 . ?b ex:p ?v2 . " +
@@ -874,7 +878,7 @@ class W3cConformanceSpec extends AnyFunSuite {
       Set(Seq(Some(ex("x1")), Some(ex("x1"))),
         Seq(Some(ex("x2")), Some(ex("x2")))))
     assert(run(d, EX + "SELECT ?a ?b WHERE { ?a ex:p ?v1 . ?b ex:p ?v2 . " +
-      "FILTER(?v1 = ?v2) }").toSet.size == 2) // string = : no cross pair
+      "FILTER(?v1 = ?v2) }").toSet.size == 4) // numeric = : cross pairs too
   }
 
   // ---- BIND positional scope (sparql11/data-sparql11/bind) ----------------
@@ -1241,6 +1245,88 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq(Some(ex("mixed")), Some("0.2"), Some("1"))))
   }
 
+  test("w3c data-r2/type-promotion tP-* (adapted): xsd numeric subtypes compare by promoted value") {
+    // §17.3 + XPath promotion lattice: operands of ANY two xsd numeric
+    // datatypes (byte, short, int, long, integer, decimal, float,
+    // double, the unsigned/negative families) promote to a common
+    // numeric type and compare by VALUE — "5"^^xsd:byte = "5"^^xsd:short
+    // is true, "05"^^xsd:int = "5"^^xsd:long is true despite distinct
+    // lexicals/terms. Pre-round-14 the dispatch was syntactic (a numeric
+    // LITERAL operand forced it) so all of these compared as terms.
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    def typed(l: String, dt: String) = RdfTerms.encodeTyped(l, xsd + dt)
+    val d = quads(
+      (ex("b5"), ex("p"), typed("5", "byte")),
+      (ex("s5"), ex("p"), typed("5", "short")),
+      (ex("i05"), ex("p"), typed("05", "int")),
+      (ex("l5"), ex("p"), typed("5", "long")),
+      (ex("f51"), ex("p"), typed("5.1", "float")),
+      (ex("d51"), ex("p"), typed("5.1", "decimal")),
+      (ex("i10"), ex("p"), typed("10", "int")),
+      (ex("u9"), ex("p"), typed("9", "unsignedByte")),
+      (ex("en5"), ex("p"), tagged("5", "en")),
+      (ex("str"), ex("p"), "notanumber"))
+    // tP-byte-short shape: cross-subtype value equality via a typed
+    // FILTER constant (neither side is a bare numeric literal)
+    assert(run(d, EX + "ASK { ?s ex:p ?v . " +
+      s"""FILTER(?s = <${ex("b5")}> && ?v = "5"^^<${xsd}short>) }""") ==
+      Seq(Seq(Some("true"))))
+    // lexically distinct, value-equal across subtypes ("05"^^int = "5"^^long)
+    assert(run(d, EX + "ASK { <" + ex("i05") + "> ex:p ?a . <" +
+      ex("l5") + "> ex:p ?b . FILTER(?a = ?b) }") ==
+      Seq(Seq(Some("true"))))
+    // tP-float-decimal shape
+    assert(run(d, EX + "ASK { <" + ex("f51") + "> ex:p ?a . <" +
+      ex("d51") + "> ex:p ?b . FILTER(?a = ?b) }") ==
+      Seq(Seq(Some("true"))))
+    // ordering promotes too: "9"^^unsignedByte < "10"^^int (codepoint
+    // order of the lexicals says the opposite)
+    assert(run(d, EX + "ASK { <" + ex("u9") + "> ex:p ?a . <" +
+      ex("i10") + "> ex:p ?b . FILTER(?a < ?b) }") ==
+      Seq(Seq(Some("true"))))
+    // value-UNEQUAL subtypes stay unequal
+    assert(run(d, EX + "ASK { <" + ex("b5") + "> ex:p ?a . <" +
+      ex("i10") + "> ex:p ?b . FILTER(?a = ?b) }") ==
+      Seq(Seq(Some("false"))))
+    // a lang-tagged "5"@en is rdf:langString, NOT numeric — term
+    // comparison applies and the typed twin stays distinct
+    assert(run(d, EX + "ASK { <" + ex("en5") + "> ex:p ?a . <" +
+      ex("b5") + "> ex:p ?b . FILTER(?a = ?b) }") ==
+      Seq(Seq(Some("false"))))
+    // a numeric-typed term with a non-castable partner falls back to
+    // term comparison (no spurious numeric coercion of plain strings)
+    assert(run(d, EX + "ASK { <" + ex("str") + "> ex:p ?a . <" +
+      ex("b5") + "> ex:p ?b . FILTER(?a = ?b) }") ==
+      Seq(Seq(Some("false"))))
+  }
+
+  test("w3c sparql11 aggregates/agg-empty-group (adapted): empty group pattern {} is {mu0}") {
+    // §18.2.2.2: the empty GroupGraphPattern evaluates to the
+    // one-empty-solution relation {μ0}, so a global aggregate sees ONE
+    // solution — COUNT(*) is 1, COUNT(?x) of the unbound ?x is 0, and a
+    // projected variable nothing binds comes back unbound, not an error.
+    val d = quads((ex("a"), ex("p"), "1"))
+    assert(run(d, "SELECT (COUNT(*) AS ?c) WHERE {}") ==
+      Seq(Seq(Some("1"))))
+    assert(run(d, "SELECT (COUNT(?x) AS ?c) WHERE {}") ==
+      Seq(Seq(Some("0"))))
+    assert(run(d, "SELECT ?x WHERE {}") == Seq(Seq(None)))
+    // a nested {} joins its enclosing group as the identity
+    assert(run(d, EX + "SELECT ?s WHERE { ?s ex:p ?o . {} }") ==
+      Seq(Seq(Some(ex("a")))))
+    // an all-ground group that MATCHED is the same one-empty-solution
+    // relation (§18.3.1), not the empty relation
+    assert(run(d, EX +
+      "SELECT (COUNT(*) AS ?c) WHERE { <urn:ex#a> ex:p \"1\" }") ==
+      Seq(Seq(Some("1"))))
+    assert(run(d, EX +
+      "SELECT (COUNT(*) AS ?c) WHERE { <urn:ex#a> ex:p \"2\" }") ==
+      Seq(Seq(Some("0"))))
+    // {μ0} flows through FILTER with normal three-valued semantics
+    assert(run(d, "ASK { FILTER(1 = 1) }") == Seq(Seq(Some("true"))))
+    assert(run(d, "ASK { FILTER(1 = 2) }") == Seq(Seq(Some("false"))))
+  }
+
   /** Suite regions NOT runnable here, each with the blocking reason —
     * the honest skip ledger the pass counts above must be read against.
     * (Features marked "rejected loudly" raise a named error at parse
@@ -1248,10 +1334,6 @@ class W3cConformanceSpec extends AnyFunSuite {
   val documentedSkips: Seq[(String, String)] = Seq(
     "property paths over variable predicates (?p*, ?p/iri)" ->
       "the SPARQL Path grammar itself has no variables (§9.1) — rejected loudly; plain variable verbs (dawg-tp-03, ?s ?p ?o) are SUPPORTED since round 11",
-    "data-r2/type-promotion" ->
-      "no typed-literal lattice; numeric dispatch is syntactic (literal operand forces numeric comparison)",
-    "sparql11 aggregates/agg-empty-group" ->
-      "empty group pattern {} is rejected by the grammar",
     "sparql11 service/*" ->
       "SERVICE rejected by design (no federation endpoint in a batch engine)",
     "sparql11 property-path/pp09 (p{n,m} bounds)" ->
