@@ -1197,6 +1197,53 @@ object SparkEntry {
           col("keep_id").cast("long").as("keep_id"))
         .orderBy("doc_id")
     }),
+    "q174_stream_dedup_ingest" -> ((s, dir) => {
+      // §2.9 × round-14 index story: STREAMING dedup-ingest — documents
+      // arrive through a real file-source streaming query, each
+      // micro-batch is admitted against the persisted exact index
+      // (dup_corpus / dup_batch / admitted per doc), admitted keys are
+      // appended so later batches dedup against earlier ones, and the
+      // per-doc status relation is the output. Plants make all three
+      // statuses observable: doc_id % 10 == 0 batch docs carry their
+      // corpus neighbor's text (dup_corpus, q173's re-fetch plant);
+      // doc_id % 20 == 15 docs carry batch sibling (doc_id − 10)'s text
+      // (novel key seen twice IN the stream → the sibling admits, the
+      // copy is dup_batch). Stream-static left joins plant against the
+      // static table; the index is built fresh per invocation (the
+      // stream APPENDS to it — the shared q171–q173 fixture must not
+      // mutate). Single AvailableNow batch here = deterministic,
+      // oracle-able; cross-batch admission is spec-tested with explicit
+      // multi-batch runs (DedupIndexSpec).
+      val root = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q174_${java.util.UUID.randomUUID()}")
+      val docs = t(s, dir, "documents")
+      operators.DedupIndex.writeExactIndex(
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id",
+        s"$root/exact")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+      val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_nt"))
+      val sib = docs.select((col("doc_id") + 10).as("doc_id"),
+        col("text").as("_bt"))
+      val planted = stream
+        .join(neigh, Seq("doc_id"), "left")
+        .join(sib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("_nt").isNotNull,
+            col("_nt"))
+            .when(pmod(col("doc_id"), lit(20)) === 15 && col("_bt").isNotNull,
+              col("_bt"))
+            .otherwise(col("text")).as("text"))
+      graft.streaming.StreamingOps.dedupIngestStream(planted, "text",
+        "doc_id", s"$root/exact", s"$root/out")
+      s.read.parquet(s"$root/out/status")
+        .select(col("doc_id"), col("text_key"), col("status"),
+          col("keep_id").cast("long").as("keep_id"))
+        .orderBy("doc_id")
+    }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
@@ -4421,6 +4468,43 @@ object SparkEntry {
         |SELECT b.doc_id, b.text_key, CAST(g.keep_id AS BIGINT) AS keep_id
         |FROM bk b JOIN ckg g USING (text_key)
         |ORDER BY b.doc_id""".stripMargin,
+    "q174_stream_dedup_ingest" ->
+      // the streaming ingest's one AvailableNow batch re-derived: corpus
+      // index keys (doc_id % 5 <> 0), the planted batch (re-fetch plant
+      // % 10 == 0 → neighbor text; intra-stream plant % 20 == 15 →
+      // batch sibling doc_id − 10's text), then the admission rule —
+      // indexed key → dup_corpus with the corpus keeper; else the
+      // smallest batch doc per key admits and later copies are
+      // dup_batch
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |ckg AS (
+        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+        |    min(doc_id) AS keep_id
+        |  FROM corpus GROUP BY 1),
+        |batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL THEN n.text
+        |         WHEN d.doc_id % 20 = 15 AND b.text IS NOT NULL THEN b.text
+        |         ELSE d.text END AS text
+        |  FROM documents d
+        |  LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+        |  LEFT JOIN documents b ON b.doc_id = d.doc_id - 10
+        |  WHERE d.doc_id % 5 = 0),
+        |bk AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
+        |  FROM batch),
+        |bmin AS (SELECT text_key, min(doc_id) AS batch_keep FROM bk GROUP BY 1)
+        |SELECT k.doc_id, k.text_key,
+        |  CASE WHEN g.keep_id IS NOT NULL THEN 'dup_corpus'
+        |       WHEN k.doc_id <> m.batch_keep THEN 'dup_batch'
+        |       ELSE 'admitted' END AS status,
+        |  CAST(coalesce(g.keep_id, m.batch_keep) AS BIGINT) AS keep_id
+        |FROM bk k
+        |LEFT JOIN ckg g USING (text_key)
+        |JOIN bmin m USING (text_key)
+        |ORDER BY k.doc_id""".stripMargin,
     "q167_sparql_isiri" ->
       // IRI objects = the nation edges; non-numeric literals = the
       // market segments (str boundary strips their quotes); the numeric

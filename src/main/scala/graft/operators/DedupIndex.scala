@@ -181,6 +181,41 @@ object DedupIndex {
     TextOps.anchoredCharIslands(hits, idCol, k, w)
   }
 
+  /** Per-doc ADMISSION status of a batch against the exact index — the
+    * decision relation a dedup-ingest pipeline acts on. For every batch
+    * doc: `dup_corpus` (its normalized text is already indexed;
+    * `keep_id` = the surviving corpus doc), `dup_batch` (novel key, but
+    * an earlier batch doc — smallest id — has the same text; `keep_id` =
+    * that doc), or `admitted` (first sight of the key anywhere;
+    * `keep_id` = itself). Admission is decided per batch, so streaming
+    * it per micro-batch with index appends in between gives cross-batch
+    * dedup (see [[graft.streaming.StreamingOps.dedupIngestStream]]).
+    *
+    * Plan: same index-streams-once broadcast probe as
+    * [[exactDuplicatesAgainstIndex]]; matched index rows aggregate to
+    * min keep_id per key (append-duplicated index rows stay harmless);
+    * the intra-batch min and the status joins are batch-sized. */
+  def admitAgainstIndex(
+      newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val keys = newDocs.select(col(idCol).as("id"),
+      md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
+    val corpusDup = spark.read.parquet(indexPath)
+      .join(broadcast(keys.select(col("text_key")).distinct()),
+        Seq("text_key"), "leftsemi")
+      .groupBy(col("text_key")).agg(min(col("keep_id")).as("_corpus_keep"))
+    val batchMin = keys.groupBy(col("text_key"))
+      .agg(min(col("id")).as("_batch_keep"))
+    keys.join(broadcast(corpusDup), Seq("text_key"), "left")
+      .join(batchMin, Seq("text_key"))
+      .select(col("id").as(idCol), col("text_key"),
+        when(col("_corpus_keep").isNotNull, lit("dup_corpus"))
+          .when(col("id") =!= col("_batch_keep"), lit("dup_batch"))
+          .otherwise(lit("admitted")).as("status"),
+        coalesce(col("_corpus_keep"), col("_batch_keep")).as("keep_id"))
+  }
+
   /** Append a new batch's keys to an existing index (parquet append —
     * new files only; existing index data is never rewritten). Call
     * AFTER the batch is deduped and admitted, with the SAME builder

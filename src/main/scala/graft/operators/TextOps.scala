@@ -537,11 +537,25 @@ object TextOps {
       // capped anchored cut 145 s recomputed vs ~20 s materialized);
       // wrong for the exact detector's full gram explode (corpus × L
       // bytes — recomputation is cheaper than storing it).
+      // Plan (measured at 100×, see PLANS.md round 14): the dup-key set
+      // from ONE map-side-combinable count aggregate (partial agg below
+      // the exchange — a hot gram collapses to one row per map
+      // partition, so the count shuffle is skew-free), then the rows
+      // join that set UNHINTED: on boilerplate-light corpora the ≥2 set
+      // is tiny and AQE broadcasts it (the join costs a probe, no
+      // shuffle of the rows AT ALL — the uncapped window can never skip
+      // that shuffle); on boilerplate-heavy corpora it falls to a
+      // shuffle join whose skewed partitions AQE splits into bounded
+      // chunks — the insurance property, without the window's
+      // one-task-per-gram straggler. (An explicit repartition-and-reuse
+      // variant was built and rejected: column pruning specializes the
+      // two consumers' exchanges so ReuseExchange cannot fire, and the
+      // explicit exchange defeats the aggregate's map-side combine —
+      // it measured 214 s vs this plan at 100×.)
       val r = if (materialize) rows.localCheckpoint() else rows
-      val parted = r.repartition(col(key))
-      val dupKeys = parted.groupBy(col(key)).agg(count(lit(1)).as("_c"))
+      val dupKeys = r.groupBy(col(key)).agg(count(lit(1)).as("_c"))
         .filter(col("_c") >= 2).select(col(key))
-      parted.join(dupKeys, Seq(key))
+      r.join(dupKeys, Seq(key))
     } else rows
       .withColumn("_c", count(lit(1)).over(Window.partitionBy(col(key))))
       .filter(col("_c") >= 2).drop("_c")

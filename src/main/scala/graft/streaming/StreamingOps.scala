@@ -208,6 +208,49 @@ object StreamingOps {
         col(s"r_$tsCol") <= col(s"l_$tsCol"))
   }
 
+  /** STREAMING dedup-ingest against a persisted exact index
+    * ([[graft.operators.DedupIndex]]) — the online form of the round-14
+    * daily-batch pattern: documents arrive as a stream, each micro-batch
+    * is admitted against the CURRENT index
+    * ([[graft.operators.DedupIndex.admitAgainstIndex]] — dup_corpus /
+    * dup_batch / admitted per doc), the admitted docs' keys are APPENDED
+    * to the index, and the per-doc status relation lands in
+    * `statusPath/status`. Because the append happens between batches, a
+    * later micro-batch sees every earlier batch's admissions — cross-
+    * batch dedup at batch-proportional cost, the corpus never
+    * re-derived (spec-tested across explicit batches in DedupIndexSpec).
+    *
+    * Ordering/consistency notes: the status relation is materialized
+    * (localCheckpoint) BEFORE the index append, so a batch never
+    * observes its own admissions mid-decision; the append is
+    * at-least-once under foreachBatch replay — duplicate key rows are
+    * harmless to every index query (membership semantics, min keep_id),
+    * the same property [[graft.operators.DedupIndex.appendToIndex]]
+    * documents. Runs synchronously over all currently-available input
+    * (AvailableNow) — call again as new files land, or swap the trigger
+    * for a continuous deployment. */
+  def dedupIngestStream(docs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, statusPath: String): Unit = {
+    val handler: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val status = graft.operators.DedupIndex
+        .admitAgainstIndex(batch, textCol, idCol, indexPath)
+        .localCheckpoint()
+      status.filter(col("status") === "admitted")
+        .select(col("text_key"), col(idCol).cast("long").as("keep_id"),
+          lit(1L).as("n_copies"))
+        .write.mode("append").parquet(indexPath)
+      status.withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$statusPath/status")
+    }
+    val q = docs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$statusPath/_chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(handler)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append",

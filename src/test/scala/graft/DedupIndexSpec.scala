@@ -135,4 +135,50 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(DedupIndex.duplicateSpansAgainstIndex(batch, "text", "doc_id",
       path, k = 3, w = 4).count() == 0L)
   }
+
+  // ---- streaming dedup-ingest ------------------------------------------
+
+  test("streaming dedup-ingest: per-doc statuses match the admission rule; " +
+      "the second run dedups against the first run's admissions and " +
+      "re-processes nothing (exactly-once file source)") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "alpha text one"), (2L, "beta text two"))
+      .toDF("doc_id", "text")
+    val idx = tmp("ingest_idx")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", idx)
+    val srcDir = tmp("ingest_src")
+    val outDir = tmp("ingest_out")
+    // batch 1: 11 re-fetches corpus doc 1 (case/whitespace-normalized
+    // key); 12 and 13 share a NOVEL text (12 admits, 13 is dup_batch);
+    // 14 is novel
+    Seq((11L, "ALPHA  text one"), (12L, "novel gamma"),
+      (13L, "novel GAMMA"), (14L, "delta unique"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def stream = s.readStream
+      .schema(s.read.parquet(srcDir).schema).parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir)
+    def statuses() = s.read.parquet(s"$outDir/status").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("keep_id"))))
+    val st1 = statuses()
+    assert(st1.length == 4) // one row per batch doc, none duplicated
+    assert(st1.toMap == Map(
+      11L -> (("dup_corpus", 1L)), 12L -> (("admitted", 12L)),
+      13L -> (("dup_batch", 12L)), 14L -> (("admitted", 14L))))
+    // batch 2, NEW file in the same source dir: 21 repeats batch 1's
+    // admitted novel text — the stream's own earlier admission, now in
+    // the index → dup_corpus with keep_id 12; 22 is novel. The shared
+    // checkpoint means the batch-1 file is NOT reprocessed.
+    Seq((21L, "novel gamma"), (22L, "epsilon fresh"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir)
+    val st2 = statuses()
+    assert(st2.length == 6) // 4 old rows + 2 new, no replays
+    assert(st2.toMap ++ Map() == st1.toMap ++ Map(
+      21L -> (("dup_corpus", 12L)), 22L -> (("admitted", 22L))))
+  }
 }
