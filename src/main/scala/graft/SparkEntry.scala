@@ -1244,6 +1244,26 @@ object SparkEntry {
           col("keep_id").cast("long").as("keep_id"))
         .orderBy("doc_id")
     }),
+    "q175_pq_rerank" -> ((s, dir) => {
+      // exact re-rank over the PQ shortlist (round 14) — the standard
+      // production two-stage retrieval: ADC proposes 4k candidates per
+      // query (q74's integer-exact machinery, shortlist k=20), then only
+      // those pairs are scored exactly on the raw vectors and re-ranked
+      // to the final top-5. Attacks the measured ADC ranking-distortion
+      // ceiling (PLANS.md §ANN recall) at candidate-bounded cost: one
+      // corpus scan fetches the shortlist vectors by broadcast probe.
+      // The oracle re-derives the identical shortlist and the exact
+      // cosine re-rank.
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      val shortlist = Similarity.pqTopKWith(emb, queries, cb,
+        m = 8, dim = 64, k = 20)
+      Similarity.rerankTopK(emb, queries,
+          shortlist.select(col("qid"), col("nid")), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
@@ -2675,6 +2695,56 @@ object SparkEntry {
        |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q175 oracle, generated: the q74 fixed-point ADC pipeline verbatim,
+    * ranked to a k=20 shortlist per query, then the exact-cosine re-rank
+    * over raw vectors restricted to shortlist pairs — the same two-stage
+    * retrieval the engine runs (rankings by full doubles, display
+    * rounded to 4, ties → smallest nid at both stages). */
+  private def pqRerankOracle(dim: Int = 64, m: Int = 8,
+      mod: String = autoPqModSql("embeddings"),
+      shortK: Int = 20, k: Int = 5, nQueries: Int = 8): String = {
+    val dsub = dim / m
+    s"""WITH fp AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fp WHERE vec_id % $mod = 0),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.vec_id AS nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM fp p, js, cb c),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |adc AS (
+       |  SELECT q.nid AS qid, codes.nid, CAST(-sum(q.dist) AS DOUBLE) AS score
+       |  FROM codes JOIN cd q ON q.j = codes.j AND q.code = codes.code
+       |    AND q.nid < $nQueries
+       |  WHERE codes.nid <> q.nid
+       |  GROUP BY q.nid, codes.nid),
+       |shortlist AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS r
+       |    FROM adc) WHERE r <= $shortK),
+       |rer AS (
+       |  SELECT s.qid, s.nid,
+       |    list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS score
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.qid
+       |  JOIN embeddings en ON en.vec_id = s.nid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM rer) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** q102 oracle, generated: IVF-PQ re-derived end-to-end — the q23-style
     * cosine argmax assignment/probing over mod-seeded centroids composed
     * with the q74 fixed-point PQ encode + ADC scoring, restricted to each
@@ -3898,6 +3968,7 @@ object SparkEntry {
         |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     "q74_embed_pq" -> pqAdcOracle(),
     "q102_ivf_pq" -> ivfPqAdcOracle(),
+    "q175_pq_rerank" -> pqRerankOracle(),
     "q75_bm25" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

@@ -53,6 +53,13 @@ object RecallReport {
     // configuration, not the old fixed-mod one
     val cb = Similarity.pqCodebook(emb, m = 8)
     recall("pq m=8", Similarity.pqTopKWith(emb, queries, cb, m = 8, dim = 64, k = k))
+    // round 14: exact re-rank over the PQ shortlist (c=4) — if ADC
+    // ranking distortion (not candidate coverage) is the ceiling, this
+    // row should recover most of it at shortlist-bounded exact cost
+    val pqShort = Similarity.pqTopKWith(emb, queries, cb,
+      m = 8, dim = 64, k = 4 * k)
+    recall("pq m=8 rerank4k", Similarity.rerankTopK(emb, queries,
+      pqShort.select(col("qid"), col("nid")), k))
     val fcents = emb.filter(pmod(col("vec_id"), lit(37)) === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     Seq(2, 4, 8).foreach { p =>

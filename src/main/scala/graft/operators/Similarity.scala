@@ -474,6 +474,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Exact re-rank of an ANN shortlist — the standard production second
+    * stage (round 14): a cheap approximate retriever (PQ / IVF-PQ)
+    * proposes c·k candidates per query; only THOSE (query, candidate)
+    * pairs are scored exactly on the raw vectors and re-ranked to the
+    * final top-k. This directly attacks the measured ANN ceiling on
+    * structureless vectors (PLANS.md §ANN recall: ADC *ranking*
+    * distortion, not candidate coverage, caps PQ recall) at
+    * candidate-bounded cost.
+    *
+    * Scale shape: the shortlist joins the query vectors (both tiny) and
+    * is broadcast against ONE corpus scan — the raw vectors are fetched
+    * by the candidate-keyed probe, never shuffled, never re-scanned per
+    * query; scoring is ∝ shortlist, ranking is the k-bounded heap
+    * aggregate. Input shortlist: (qid, nid). */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame,
+      shortlist: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sl = shortlist.select(col("qid"), col("nid"))
+      .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+        "qid")
+    val scored = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .join(broadcast(sl), "nid")
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", cosine(col("qvec"), col("nvec")))
+    rankTopK(scored, k)
+  }
+
   /** Reciprocal Rank Fusion of several retrieval rankings — the standard
     * hybrid-retrieval combiner (lexical BM25 + dense embedding lists into
     * one ranking). Each input is (id, rank); a document's fused score is

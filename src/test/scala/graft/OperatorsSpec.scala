@@ -169,6 +169,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids.size == 2)
   }
 
+  test("rerankTopK over a full shortlist equals brute force; over a partial " +
+      "shortlist it is the exact ranking of exactly those candidates") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 30).map { i =>
+      val a = 2 * math.Pi * i / 30.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    // full shortlist (every candidate) → identical to bruteForceTopK
+    val full = queries.select(col("vec_id").as("qid"))
+      .crossJoin(vecs.select(col("vec_id").as("nid")))
+    val reranked = Similarity.rerankTopK(vecs, queries, full, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(vecs, queries, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(reranked == brute)
+    // partial shortlist: the TRUE nearest (id 1 for query 0) withheld —
+    // rerank ranks only what the retriever proposed, exactly
+    val partial = Seq((0L, 5L), (0L, 2L), (0L, 15L)).toDF("qid", "nid")
+    val got = Similarity.rerankTopK(vecs, queries.filter(col("vec_id") === 0),
+        partial, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((2L, 1), (5L, 2))) // ring distance: 2 nearer than 5
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
