@@ -81,6 +81,31 @@ object IndexProbe {
       println(f"minhash$tag%-13s $nCorpus%8d $mBuild%9.1f $m1%8.2f $mW%9.2f $mRows%8d")
     }
 
+    // ---- ANN index: serve a FIXED query batch against 1x and 10x
+    // indexes (round 14, q176). Serving is expected ∝ probed lists —
+    // with the √N nlist each list is ~√N vectors, so ~√mult growth
+    // (≈3.2× at 10×), vs the corpus-linear re-encode the in-memory
+    // operator pays per run. Build is ∝ corpus (reported for honesty).
+    val emb1 = spark.read.parquet(s"$src/embeddings.parquet")
+    val embN = spark.read.parquet(s"$big/embeddings.parquet")
+    val qBatch = emb1.filter(col("vec_id") < 8).localCheckpoint()
+    Seq(("1x", emb1), (s"${mult}x", embN)).foreach { case (tag, emb) =>
+      val nCorpus = emb.count()
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(operators.Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = operators.Similarity.pqCodebook(emb, m = 8)
+      val vPath = TempDirs.register(s"/tmp/graft-indexprobe/ann-$tag")
+      val vBuild = time(operators.AnnIndex.writeIvfPqIndex(
+        emb, cents, cb, m = 8, dim = 64, vPath, twoLevel = true))
+      def vQuery() = operators.AnnIndex.queryIvfPqIndex(
+        qBatch, vPath, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
+      var vRows = 0L
+      val v1 = time { vRows = vQuery().count() }
+      val vW = time(vQuery().count())
+      println(f"ann$tag%-14s $nCorpus%8d $vBuild%9.1f $v1%8.2f $vW%9.2f $vRows%8d")
+    }
+
     // ---- mega-source cell bound (two-phase tokenBudgetSelect) --------
     val mega = docsN.withColumn("source",
       when(pmod(col("doc_id"), lit(2)) === 0, lit("megacrawl"))

@@ -88,6 +88,28 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir persisted ANN index fixture (round 14, q176): q102's
+    * IVF-PQ corpus structure — mod-seeded centroids, fixed-cell
+    * codebook, two-level assignment fused with the PQ codes and laid
+    * out partitionBy(cid) — built ONCE; the timed body is the query
+    * batch served against it (the operational split: index build is
+    * offline and corpus-proportional, serving is probed-fraction).
+    * TempDirs-registered for end-of-JVM cleanup. */
+  private val annIndexCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annIndex(s: SparkSession, dir: String): String =
+    annIndexCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_annidx_${java.util.UUID.randomUUID()}")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(emb, cents, cb, m = 8, dim = 64,
+        root, twoLevel = true)
+      root
+    })
+
   /** TPC-H-derived RDF quads in one named graph: customer --p1--> nation
     * --p2--> region. With distinct predicates this is the BGP corpus; with
     * one shared predicate it exercises the `p*` closure path. */
@@ -1261,6 +1283,23 @@ object SparkEntry {
         m = 8, dim = 64, k = 20)
       Similarity.rerankTopK(emb, queries,
           shortlist.select(col("qid"), col("nid")), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
+    "q176_ann_index_serve" -> ((s, dir) => {
+      // PERSISTED ANN index + query serving (round 14) — q102's IVF-PQ
+      // retrieval split into its operational halves: the corpus-side
+      // structure is a parquet index built once (cached fixture, like
+      // q111's stats store and q171's dedup indexes), and the timed
+      // body SERVES the 8-query batch against it — broadcast probes +
+      // ADC table, the codes relation read only at the probed inverted
+      // lists (partitionBy(cid) layout → dynamic partition pruning),
+      // no corpus re-encode, no raw-vector re-read. Byte-identical to
+      // q102's in-memory operator, so the oracle is q102's verbatim.
+      val root = annIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
+          root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
@@ -3969,6 +4008,10 @@ object SparkEntry {
     "q74_embed_pq" -> pqAdcOracle(),
     "q102_ivf_pq" -> ivfPqAdcOracle(),
     "q175_pq_rerank" -> pqRerankOracle(),
+    // q176 serves q102's retrieval from the persisted index — the index
+    // content is deterministic (mod-seeded centroids, fixed-cell
+    // codebook, two-level assignment), so the oracle is q102's verbatim
+    "q176_ann_index_serve" -> ivfPqAdcOracle(),
     "q75_bm25" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

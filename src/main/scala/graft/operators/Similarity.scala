@@ -31,7 +31,7 @@ object Similarity {
     * the aggregate's map-side partials put at most k rows per query per
     * input partition on the wire. Ties broken by ascending id, identical
     * to `ORDER BY score DESC, nid`. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopK.top_k_by_score(
         col("nid").cast("long"), col("score"), k).as("top"))
@@ -193,7 +193,7 @@ object Similarity {
     * as a map-side-combinable max_by aggregate (ties → smallest cid), NOT
     * a ranking window — a window would shuffle corpus×centroids scored
     * rows by vector id. Shared by the raw-vector and PQ-scored paths. */
-  private def coarseAssign(corpus: DataFrame, cents: DataFrame,
+  private[operators] def coarseAssign(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
     val scored = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
@@ -217,7 +217,7 @@ object Similarity {
     * practical scale up to ~10¹⁰ vectors) and falls back to a sid-keyed
     * shuffle join beyond, where each super's member group (~N^¼ rows)
     * is the join-partition granularity AQE can split on. */
-  private def superStructure(cents: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def superStructure(cents: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val nlist = cents.count() // tiny relation (≈ √N rows)
     val smod = math.max(1L, math.ceil(math.sqrt(nlist.toDouble)).toLong)
@@ -248,7 +248,7 @@ object Similarity {
     * argmax instead (list quality, not correctness — the oracle
     * re-derives the identical two-level choice). Ties at every level
     * break to the smallest id, so both engines agree exactly. */
-  private def coarseAssignTwoLevel(corpus: DataFrame,
+  private[operators] def coarseAssignTwoLevel(corpus: DataFrame,
       supers: DataFrame, cmap: DataFrame,
       idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
     val v2s = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
@@ -269,7 +269,7 @@ object Similarity {
     * Query side is small; a ranking window is fine here. The FLAT probe:
     * scores every query against the full centroid table — best recall,
     * but the broadcast grows as √N with the corpus. */
-  private def queryProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,
+  private[operators] def queryProbes(queries: DataFrame, cents: DataFrame, nProbe: Int,
       idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qw = Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))
@@ -295,7 +295,7 @@ object Similarity {
     * (measured in PLANS.md §ANN recall); the corpus-side assignment has
     * the same boundary behavior, which keeps probe and list geometry
     * consistent. */
-  private def queryProbesTwoLevel(queries: DataFrame,
+  private[operators] def queryProbesTwoLevel(queries: DataFrame,
       supers: DataFrame, cmap: DataFrame, nProbe: Int,
       idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -395,7 +395,7 @@ object Similarity {
 
   /** PQ encode: argmin cell per (vector, subspace); ties → smallest code.
     * One broadcast of the codebook + one map-side-combinable aggregate. */
-  private def pqEncode(corpus: DataFrame, cb: DataFrame, dsub: Int,
+  private[operators] def pqEncode(corpus: DataFrame, cb: DataFrame, dsub: Int,
       idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(cb)
@@ -405,7 +405,7 @@ object Similarity {
         struct((-col("dist")).as("nd"), (-col("code")).as("nc"))).as("code"))
 
   /** ADC table: every (query, subspace, cell) distance — small, broadcast. */
-  private def pqQueryTable(queries: DataFrame, cb: DataFrame, dsub: Int,
+  private[operators] def pqQueryTable(queries: DataFrame, cb: DataFrame, dsub: Int,
       idCol: String, vecCol: String): DataFrame =
     queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .crossJoin(cb)

@@ -194,6 +194,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((2L, 1), (5L, 2))) // ring distance: 2 nearer than 5
   }
 
+  test("persisted ANN index serves byte-identical results to the in-memory " +
+      "IVF-PQ, flat and two-level; the codes scan is list-partitioned") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    Seq(false, true).foreach { twoLevel =>
+      val path = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_annidx_spec_${twoLevel}_${java.util.UUID.randomUUID()}")
+      AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, path,
+        twoLevel = twoLevel)
+      val served = AnnIndex.queryIvfPqIndex(queries, path, m = 2, dim = 4,
+        k = 4, nProbe = 2, twoLevel = twoLevel)
+      val mem = Similarity.ivfPqTopK(vecs, queries, cents, cb, m = 2,
+        dim = 4, k = 4, nProbe = 2, twoLevel = twoLevel)
+      assert(rows(served) == rows(mem), s"twoLevel=$twoLevel")
+      // layout: the codes relation is physically partitioned by cid, so
+      // a probe set prunes the serving scan to its inverted lists
+      val dirs = new java.io.File(s"$path/codes").listFiles()
+        .filter(_.getName.startsWith("cid="))
+      assert(dirs.nonEmpty)
+    }
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
