@@ -1303,6 +1303,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    "q177_ivfpq_residual" -> ((s, dir) => {
+      // residual IVF-PQ (round 14) — the PRODUCTION encoding: PQ codes
+      // over each vector's residual to its assigned centroid (v − c),
+      // query tables per probed list from (q − c). Residuals
+      // concentrate the energy the coarse stage already explained, so
+      // the same codebook budget resolves finer structure (measured
+      // recall: PLANS.md §ANN). All residuals are IEEE double
+      // subtractions and all distances integer fixed-point, so the
+      // oracle re-derives identical codes and scores.
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 8),
+          cents, m = 8, dim = 64, k = 5, nProbe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
@@ -2784,6 +2802,80 @@ object SparkEntry {
        |  FROM rer) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q177 oracle, generated: residual IVF-PQ re-derived end-to-end —
+    * flat cosine assignment over mod-seeded centroids, residual vectors
+    * as IEEE double subtractions floored into the same 10⁶ fixed point
+    * as q74, the residual-seeded codebook, argmin encode, per-probed-
+    * list query tables from the query's residual, ADC scoring. */
+  private def ivfPqResidualOracle(dim: Int = 64, m: Int = 8,
+      pqMod: String = autoPqModSql("embeddings"),
+      ivfMod: String = autoModSql("embeddings"),
+      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
+    val dsub = dim / m
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id % $ivfMod = 0),
+       |asg AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT e.vec_id AS nid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS r
+       |    FROM embeddings e, cents c) WHERE r = 1),
+       |rv AS (
+       |  SELECT a.nid, a.cid,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(floor(((e.embedding::DOUBLE[])[CAST(i AS INTEGER)]
+       |        - c.cvec[CAST(i AS INTEGER)]) * 1000000) AS BIGINT)) AS f
+       |  FROM asg a
+       |  JOIN embeddings e ON e.vec_id = a.nid
+       |  JOIN cents c ON c.cid = a.cid),
+       |cbr AS (SELECT nid AS code, f AS cf FROM rv WHERE nid % $pqMod = 0),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM rv p, js, cbr c),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |query_probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
+       |    FROM embeddings e, cents c WHERE e.vec_id < $nQueries) WHERE cr <= $nProbe),
+       |qrv AS (
+       |  SELECT p.qid, p.cid,
+       |    list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(floor(((eq.embedding::DOUBLE[])[CAST(i AS INTEGER)]
+       |        - c.cvec[CAST(i AS INTEGER)]) * 1000000) AS BIGINT)) AS f
+       |  FROM query_probe p
+       |  JOIN embeddings eq ON eq.vec_id = p.qid
+       |  JOIN cents c ON c.cid = p.cid),
+       |qcd AS (
+       |  SELECT q.qid, q.cid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (q.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (q.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS qdist
+       |  FROM qrv q, js, cbr c),
+       |scored AS (
+       |  SELECT q.qid, codes.nid, CAST(-sum(q.qdist) AS DOUBLE) AS score
+       |  FROM codes
+       |  JOIN asg a ON a.nid = codes.nid
+       |  JOIN qcd q ON q.cid = a.cid AND q.j = codes.j AND q.code = codes.code
+       |  WHERE codes.nid <> q.qid
+       |  GROUP BY q.qid, codes.nid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** q102 oracle, generated: IVF-PQ re-derived end-to-end — the q23-style
     * cosine argmax assignment/probing over mod-seeded centroids composed
     * with the q74 fixed-point PQ encode + ADC scoring, restricted to each
@@ -4012,6 +4104,7 @@ object SparkEntry {
     // content is deterministic (mod-seeded centroids, fixed-cell
     // codebook, two-level assignment), so the oracle is q102's verbatim
     "q176_ann_index_serve" -> ivfPqAdcOracle(),
+    "q177_ivfpq_residual" -> ivfPqResidualOracle(),
     "q75_bm25" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

@@ -70,6 +70,12 @@ object RecallReport {
       recall(s"ivfpq 2L nProbe=$p", Similarity.ivfPqTopK(emb, queries, fcents, cb,
         m = 8, dim = 64, k = k, nProbe = p, twoLevel = true))
     }
+    // round 14: residual encoding — PQ over (v − assigned centroid); the
+    // same codebook budget spent on the residual distribution
+    Seq(2, 4, 8).foreach { p =>
+      recall(s"ivfpq resid nP=$p", Similarity.ivfPqResidualTopK(emb, queries,
+        fcents, m = 8, dim = 64, k = k, nProbe = p))
+    }
     spark.stop()
   }
 }

@@ -474,6 +474,71 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Residual IVF-PQ (round 14) — the PRODUCTION encoding: each vector
+    * is PQ-coded on its RESIDUAL to its assigned coarse centroid
+    * (v − c), not on the raw vector, and each query builds a distance
+    * table per probed list from ITS residual to that list's centroid
+    * (q − c). Residuals concentrate the energy the coarse quantizer
+    * already explained away, so the same codebook budget resolves much
+    * finer structure — the measured recall gain is in PLANS.md §ANN.
+    *
+    * Arithmetic contract: residuals are IEEE double subtractions
+    * (exact, engine-portable — computed ONCE per vector by zip_with;
+    * interpreted per-element, but per-ROW not per-cell, so the encode
+    * hot loop stays the codegen'd fixed-point kernel), and every
+    * distance is the integer Σ(floor(r·10⁶)−floor(cell·10⁶))² of
+    * [[graft.functions.VectorExpressions.vec_subl2sq_fp6]] — the DuckDB
+    * oracle re-derives identical codes and scores. The residual
+    * codebook seeds from the residuals of `id % seedMod == 0` (0 →
+    * fixed-cell [[autoPqSeedMod]]).
+    *
+    * Scale shape: identical to [[ivfPqTopK]] plus one broadcast-cents
+    * join to form residuals — the corpus is touched by broadcast-only
+    * passes, scoring joins the m-codes relation, ranking is the heap
+    * aggregate. `twoLevel` routes assignment AND probe hierarchically,
+    * exactly as in [[ivfPqTopK]]. */
+  def ivfPqResidualTopK(
+      corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      m: Int, dim: Int, k: Int, nProbe: Int = 2, seedMod: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      twoLevel: Boolean = false): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    val dsub = dim / m
+    val cents = centroids.select(col("cid"), col("cvec"))
+    val (assign, probes0) =
+      if (twoLevel) {
+        val (supers, cmap) = superStructure(cents)
+        (coarseAssignTwoLevel(corpus, supers, cmap, idCol, vecCol, carryVec = true),
+          queryProbesTwoLevel(queries, supers, cmap, nProbe, idCol, vecCol))
+      } else
+        (coarseAssign(corpus, cents, idCol, vecCol, carryVec = true),
+          queryProbes(queries, cents, nProbe, idCol, vecCol))
+    def residual(v: Column, c: Column): Column =
+      zip_with(v.cast("array<double>"), c.cast("array<double>"), (a, b) => a - b)
+    val resid = assign.join(broadcast(cents), "cid")
+      .select(col("nid"), col("cid"),
+        residual(col("nvec"), col("cvec")).as("rvec"))
+    val mod = if (seedMod > 0) seedMod else autoPqSeedMod(corpus)
+    val cbr = broadcast(resid.filter(pmod(col("nid"), lit(mod)) === 0)
+      .select(col("nid").cast("long").as("code"), col("rvec").as("cvec"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1)))))
+    val codes = pqEncode(resid, cbr, dsub, "nid", "rvec")
+    val qresid = probes0.join(broadcast(cents), "cid")
+      .select(col("qid"), col("cid"),
+        residual(col("qvec"), col("cvec")).as("rqvec"))
+    val qtab = qresid.crossJoin(cbr)
+      .withColumn("qdist", subDistOn(col("rqvec"), dsub))
+      .select(col("qid"), col("cid"), col("j"), col("code"), col("qdist"))
+    val scored = codes.join(resid.select(col("nid"), col("cid")), "nid")
+      .join(broadcast(qtab), Seq("cid", "j", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(sum(col("qdist")).as("adist"))
+      .select(col("qid"), col("nid"),
+        (-col("adist")).cast("double").as("score"))
+    rankTopK(scored, k)
+  }
+
   /** Exact re-rank of an ANN shortlist — the standard production second
     * stage (round 14): a cheap approximate retriever (PQ / IVF-PQ)
     * proposes c·k candidates per query; only THOSE (query, candidate)
