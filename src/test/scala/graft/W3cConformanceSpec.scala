@@ -1300,6 +1300,48 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq(Seq(Some("false"))))
   }
 
+  test("w3c data-r2/expr-equals eq-1/eq-2 (adapted): = across lexical forms of one numeric value") {
+    // eq-1: xsd:integer "1" vs "01" — value-equal, term-distinct; eq-2:
+    // the double/decimal spellings of 1 — all numeric-equal under the
+    // §17.3 promotion. The graph-level BGP match (same constant) stays
+    // TERM-level: only the exact term matches the pattern.
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    val d = quads(
+      (ex("i1"), ex("p"), "1"),
+      (ex("i01"), ex("p"), RdfTerms.encodeTyped("01", xsd + "integer")),
+      (ex("d1"), ex("p"), RdfTerms.encodeTyped("1.0e0", xsd + "double")),
+      (ex("c1"), ex("p"), "1.0"))
+    // all four values are numerically 1 → every ordered pair is =
+    assert(run(d, EX + "SELECT (COUNT(*) AS ?n) WHERE { ?a ex:p ?v1 . " +
+      "?b ex:p ?v2 . FILTER(?v1 = ?v2) }") == Seq(Seq(Some("16"))))
+    // sameTerm keeps them apart (4 reflexive pairs only)
+    assert(run(d, EX + "SELECT (COUNT(*) AS ?n) WHERE { ?a ex:p ?v1 . " +
+      "?b ex:p ?v2 . FILTER(sameTerm(?v1, ?v2)) }") == Seq(Seq(Some("4"))))
+    // BGP constant matching is term-level: the bare shorthand constant 1
+    // matches only the bare term
+    assert(run(d, EX + "SELECT ?a WHERE { ?a ex:p 1 . }") ==
+      Seq(Seq(Some(ex("i1")))))
+  }
+
+  test("w3c pp/path sequence with inverse step (adapted): ^p/q composes") {
+    // friends-graph shape: x --p--> y --q--> z; from y, ^p reaches x's
+    // subject position... from z's perspective: ?s (^q/^p) finds x.
+    val d = quads(
+      (ex("x"), ex("p"), ex("y")),
+      (ex("y"), ex("q"), ex("z")),
+      (ex("x2"), ex("p"), ex("y2")))
+    // forward sequence p/q
+    assert(run(d, EX + "SELECT ?s ?o WHERE { ?s ex:p/ex:q ?o . }") ==
+      Seq(Seq(Some(ex("x")), Some(ex("z")))))
+    // inverse composed with forward: start at y, ^p back to x, then p
+    // forward again to y (round trip)
+    assert(run(d, EX + "SELECT ?o WHERE { <" + ex("y") + "> ^ex:p/ex:p ?o . }") ==
+      Seq(Seq(Some(ex("y")))))
+    // pure inverse sequence from the far end: z (^q/^p) x
+    assert(run(d, EX + "SELECT ?o WHERE { <" + ex("z") + "> ^ex:q/^ex:p ?o . }") ==
+      Seq(Seq(Some(ex("x")))))
+  }
+
   test("w3c sparql11 aggregates/agg-empty-group (adapted): empty group pattern {} is {mu0}") {
     // §18.2.2.2: the empty GroupGraphPattern evaluates to the
     // one-empty-solution relation {μ0}, so a global aggregate sees ONE
