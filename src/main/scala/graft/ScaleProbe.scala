@@ -63,7 +63,13 @@ object ScaleProbe {
     "q163_substring_cut", "q166_substring_cut_anchored",
     "q165_substring_dedup_capped", "q168_substring_cut_anchored_capped",
     "q106_canonical_keep", "q109_stream_interval_join", "q102_ivf_pq",
-    "q169_token_budget_mix", "q170_canonical_keep_lsh")
+    "q169_token_budget_mix", "q170_canonical_keep_lsh",
+    // round-14 entries: streaming dedup-ingest (builds its own index per
+    // invocation — the probe row includes the build), PQ re-rank, the
+    // persisted-ANN serve (fixture cached per dir; IndexProbe has the
+    // batch-vs-corpus rows), residual IVF-PQ
+    "q174_stream_dedup_ingest", "q175_pq_rerank", "q176_ann_index_serve",
+    "q177_ivfpq_residual")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

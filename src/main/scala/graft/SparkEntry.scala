@@ -1243,8 +1243,17 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id",
         s"$root/exact")
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val stream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // stream source by table SHAPE: a directory-shaped table (the
+      // scale-probe builds, any real warehouse) streams by its path —
+      // the dir+pathGlobFilter form matches leaf FILE names and would
+      // silently see ZERO input files; a flat single-file table (the
+      // sf fixtures) must keep the glob-filter form because the file
+      // source requires a directory basePath
+      val tablePath = s"$dir/documents.parquet"
+      val stream = (if (new java.io.File(tablePath).isDirectory)
+          s.readStream.schema(schema).parquet(tablePath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir))
         .filter(pmod(col("doc_id"), lit(5)) === 0)
       val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
         col("text").as("_nt"))
@@ -1998,10 +2007,18 @@ object SparkEntry {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       def side(tp: String) = {
-        // the file STREAM source wants a directory; glob-filter the one
-        // table file out of the sf dir
-        val raw = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // stream source by table SHAPE (round 14, same fix as q174): a
+        // directory-shaped events table streams by its path — the
+        // dir+pathGlobFilter form matches leaf FILE names and silently
+        // saw ZERO input files at the scale-probe builds (the real cause
+        // of the distrusted r13 q109 0.24 s probe row); the flat
+        // single-file fixtures keep the glob-filter form because the
+        // file source requires a directory basePath
+        val evPath = s"$dir/events.parquet"
+        val raw = (if (new java.io.File(evPath).isDirectory)
+            s.readStream.schema(schema).parquet(evPath)
+          else s.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet").parquet(dir))
         // withWatermark wants TimestampType: NANOS files read as long
         // (floored to µs), µs-NTZ files cast (session tz is a label only —
         // the join bound and the grouped output are tz-invariant)
