@@ -69,7 +69,7 @@ object ScaleProbe {
     // persisted-ANN serve (fixture cached per dir; IndexProbe has the
     // batch-vs-corpus rows), residual IVF-PQ
     "q174_stream_dedup_ingest", "q175_pq_rerank", "q176_ann_index_serve",
-    "q177_ivfpq_residual")
+    "q177_ivfpq_residual", "q178_ann_serve_rerank")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -1312,6 +1312,23 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
+    "q178_ann_serve_rerank" -> ((s, dir) => {
+      // the COMPLETE production serving stack (round 14): persisted
+      // IVF-PQ index → ADC shortlist (4k candidates per query, q176's
+      // probed-fraction serving) → exact re-rank on raw vectors (q175's
+      // candidate-bounded second stage). One parquet-index read at the
+      // probed lists + one corpus scan for the shortlist vectors —
+      // the two-stage retrieval a real deployment runs end-to-end.
+      val root = annIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 8)
+      val shortlist = operators.AnnIndex.queryIvfPqIndex(queries, root,
+        m = 8, dim = 64, k = 20, nProbe = 2, twoLevel = true)
+      Similarity.rerankTopK(emb, queries,
+          shortlist.select(col("qid"), col("nid")), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
     "q177_ivfpq_residual" -> ((s, dir) => {
       // residual IVF-PQ (round 14) — the PRODUCTION encoding: PQ codes
       // over each vector's residual to its assigned centroid (v − c),
@@ -2819,6 +2836,63 @@ object SparkEntry {
        |  FROM rer) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q178 oracle, generated: the full serving stack — q102's IVF-PQ
+    * pipeline (two-level assignment AND two-level query probe, fixed-
+    * point ADC) ranked to a k=20 shortlist per query, then q175's exact
+    * cosine re-rank over raw vectors restricted to shortlist pairs. */
+  private def ivfPqServeRerankOracle(dim: Int = 64, m: Int = 8,
+      pqMod: String = autoPqModSql("embeddings"),
+      ivfMod: String = autoModSql("embeddings"),
+      nProbe: Int = 2, shortK: Int = 20, k: Int = 5,
+      nQueries: Int = 8): String = {
+    val dsub = dim / m
+    s"""WITH fp AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fp WHERE vec_id % $pqMod = 0),
+       |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id % $ivfMod = 0),
+       |${twoLevelAssignSql("cents")},
+       |${twoLevelProbeSql(nQueries = nQueries, nProbe = nProbe)},
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.vec_id AS nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM fp p, js, cb c),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |adc AS (
+       |  SELECT p.qid, codes.nid, CAST(-sum(q.dist) AS DOUBLE) AS score
+       |  FROM query_probe p
+       |  JOIN corpus_assign a ON a.cid = p.cid
+       |  JOIN codes ON codes.nid = a.nid
+       |  JOIN cd q ON q.j = codes.j AND q.code = codes.code AND q.nid = p.qid
+       |  WHERE codes.nid <> p.qid
+       |  GROUP BY p.qid, codes.nid),
+       |shortlist AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS r
+       |    FROM adc) WHERE r <= $shortK),
+       |rer AS (
+       |  SELECT s.qid, s.nid,
+       |    list_cosine_similarity(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]) AS score
+       |  FROM shortlist s
+       |  JOIN embeddings eq ON eq.vec_id = s.qid
+       |  JOIN embeddings en ON en.vec_id = s.nid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM rer) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** q177 oracle, generated: residual IVF-PQ re-derived end-to-end —
     * flat cosine assignment over mod-seeded centroids, residual vectors
     * as IEEE double subtractions floored into the same 10⁶ fixed point
@@ -4122,6 +4196,7 @@ object SparkEntry {
     // codebook, two-level assignment), so the oracle is q102's verbatim
     "q176_ann_index_serve" -> ivfPqAdcOracle(),
     "q177_ivfpq_residual" -> ivfPqResidualOracle(),
+    "q178_ann_serve_rerank" -> ivfPqServeRerankOracle(),
     "q75_bm25" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

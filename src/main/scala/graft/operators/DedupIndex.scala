@@ -63,10 +63,16 @@ object DedupIndex {
 
   /** Batch docs that exact-duplicate the INDEXED corpus: (idCol,
     * text_key, keep_id) — the surviving corpus doc each batch doc
-    * repeats. Anti-join against this to admit only novel docs.
+    * repeats, exactly ONE row per batch doc. Anti-join against this to
+    * admit only novel docs.
     *
     * Plan: batch keys (distinct, batch-sized) broadcast; the index
-    * streams through the probe unshuffled. */
+    * streams through the probe unshuffled; the matched rows (≤ batch
+    * keys) aggregate to min keep_id per key — which is also what makes
+    * append-duplicated index rows (the same key admitted by different
+    * appends) harmless here rather than output-duplicating (round 14:
+    * the compactIndex spec caught the raw join emitting one row per
+    * index row). */
   def exactDuplicatesAgainstIndex(
       newDocs: DataFrame, textCol: String, idCol: String,
       indexPath: String): DataFrame = {
@@ -76,6 +82,7 @@ object DedupIndex {
     val matched = spark.read.parquet(indexPath)
       .join(broadcast(batchKeys.select(col("text_key")).distinct()),
         Seq("text_key"), "leftsemi")
+      .groupBy(col("text_key")).agg(min(col("keep_id")).as("keep_id"))
     batchKeys.join(broadcast(matched), Seq("text_key"))
       .select(col(idCol), col("text_key"), col("keep_id"))
   }
@@ -244,5 +251,35 @@ object DedupIndex {
         .write.mode("append").parquet(path)
     case other => throw new IllegalArgumentException(
       s"appendToIndex: unknown kind '$other' (exact | minhash | anchor)")
+  }
+
+  /** Compact an append-accumulated index back to its canonical builder
+    * form — the maintenance op the append-only design defers to: repeated
+    * appends leave duplicate key rows (harmless to every query here, but
+    * they grow the scan) and many small files. Per kind: exact keys merge
+    * to (min keep_id, Σ n_copies), minhash band rows dedupe, anchor grams
+    * merge to (Σ n_docs, min min_doc_id) — each EXACTLY the relation the
+    * original writer would produce over the union of the appended
+    * corpora, so queries are byte-identical before and after (spec-
+    * asserted). The compacted relation is materialized (localCheckpoint)
+    * BEFORE the overwrite — Spark cannot otherwise overwrite a path it
+    * is still reading. Run it off the serving path; queries tolerate the
+    * uncompacted form indefinitely. */
+  def compactIndex(spark: SparkSession, path: String, kind: String): Unit = {
+    val df = spark.read.parquet(path)
+    val compacted = kind match {
+      case "exact" =>
+        df.groupBy(col("text_key"))
+          .agg(min(col("keep_id")).as("keep_id"),
+            sum(col("n_copies")).as("n_copies"))
+      case "minhash" => df.distinct()
+      case "anchor" =>
+        df.groupBy(col("g"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            min(col("min_doc_id")).as("min_doc_id"))
+      case other => throw new IllegalArgumentException(
+        s"compactIndex: unknown kind '$other' (exact | minhash | anchor)")
+    }
+    compacted.localCheckpoint().write.mode("overwrite").parquet(path)
   }
 }

@@ -136,6 +136,48 @@ class DedupIndexSpec extends AnyFunSuite {
       path, k = 3, w = 4).count() == 0L)
   }
 
+  test("compactIndex merges append-accumulated rows back to canonical form; " +
+      "queries are byte-identical before and after") {
+    val s = spark; import s.implicits._
+    val c1 = Seq((1L, "first corpus text"), (2L, "second corpus text"))
+      .toDF("doc_id", "text")
+    val c2 = Seq((10L, "first corpus text"), (11L, "third batch text"))
+      .toDF("doc_id", "text")
+    val path = tmp("compact")
+    DedupIndex.writeExactIndex(c1, "text", "doc_id", path)
+    DedupIndex.appendToIndex(c2, "text", "doc_id", path, kind = "exact")
+    // "first corpus text" now has TWO index rows (keep 1 and keep 10)
+    val probe = Seq((100L, "FIRST corpus text"), (101L, "third batch text"))
+      .toDF("doc_id", "text")
+    def query() = DedupIndex.exactDuplicatesAgainstIndex(
+        probe, "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val before = query()
+    val preRows = s.read.parquet(path).count()
+    DedupIndex.compactIndex(s, path, kind = "exact")
+    assert(query() == before) // byte-identical membership + keep ids
+    assert(before == Set((100L, 1L), (101L, 11L))) // min keep_id wins
+    val post = s.read.parquet(path)
+    assert(post.count() < preRows) // duplicate key rows merged
+    assert(post.groupBy("text_key").count().agg(max("count"))
+      .head().getLong(0) == 1L) // one row per key
+    // anchor kind: duplicate gram rows merge with summed attribution
+    val aPath = tmp("compact_anchor")
+    val run = (0 until 10).map(j => s"tok$j").mkString(" ")
+    val docs = Seq((1L, s"a $run"), (2L, s"b $run")).toDF("doc_id", "text")
+    DedupIndex.writeAnchorIndex(docs, "text", "doc_id", aPath, k = 3, w = 4)
+    DedupIndex.appendToIndex(docs, "text", "doc_id", aPath, kind = "anchor",
+      anchorK = 3, anchorW = 4)
+    val spansBefore = DedupIndex.duplicateSpansAgainstIndex(
+      Seq((50L, s"x $run")).toDF("doc_id", "text"), "text", "doc_id",
+      aPath, k = 3, w = 4).collect().map(_.toSeq).toSet
+    DedupIndex.compactIndex(s, aPath, kind = "anchor")
+    val spansAfter = DedupIndex.duplicateSpansAgainstIndex(
+      Seq((50L, s"x $run")).toDF("doc_id", "text"), "text", "doc_id",
+      aPath, k = 3, w = 4).collect().map(_.toSeq).toSet
+    assert(spansAfter == spansBefore && spansAfter.nonEmpty)
+  }
+
   // ---- streaming dedup-ingest ------------------------------------------
 
   test("streaming dedup-ingest: per-doc statuses match the admission rule; " +
