@@ -522,14 +522,23 @@ object Similarity {
     val cbr = broadcast(resid.filter(pmod(col("nid"), lit(mod)) === 0)
       .select(col("nid").cast("long").as("code"), col("rvec").as("cvec"))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1)))))
-    val codes = pqEncode(resid, cbr, dsub, "nid", "rvec")
+    // encode with cid IN the group key (functionally dependent on nid):
+    // the scoring join then needs no second corpus pass — joining the
+    // cid lookup back through `resid` would re-derive the whole
+    // assignment subtree per consumer (measured: ~3× q102's wall at
+    // 100× before this, 171.7 s → re-probed after)
+    val codes = resid.crossJoin(cbr)
+      .withColumn("dist", subDistOn(col("rvec"), dsub))
+      .groupBy(col("nid"), col("cid"), col("j"))
+      .agg(max_by(col("code"),
+        struct((-col("dist")).as("nd"), (-col("code")).as("nc"))).as("code"))
     val qresid = probes0.join(broadcast(cents), "cid")
       .select(col("qid"), col("cid"),
         residual(col("qvec"), col("cvec")).as("rqvec"))
     val qtab = qresid.crossJoin(cbr)
       .withColumn("qdist", subDistOn(col("rqvec"), dsub))
       .select(col("qid"), col("cid"), col("j"), col("code"), col("qdist"))
-    val scored = codes.join(resid.select(col("nid"), col("cid")), "nid")
+    val scored = codes
       .join(broadcast(qtab), Seq("cid", "j", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy(col("qid"), col("nid"))
