@@ -212,6 +212,32 @@ object RdfTerms {
     datatypeOf(c).isin(NumericDatatypes: _*) &&
       lex(c).try_cast("double").isNotNull
 
+  /** The integer-DERIVED subset of [[NumericDatatypes]] — xsd:integer
+    * and everything XPath derives from it (no decimal/float/double).
+    * §17.3 says integer/integer comparison is exact; promoting through
+    * double (the general lattice path) silently rounds past 2^53, so
+    * the round-15 dispatch routes integer/integer pairs through
+    * decimal(38,0) instead. */
+  val IntegerDatatypes: Seq[String] = Seq(
+    "integer", "byte", "short", "int", "long", "negativeInteger",
+    "positiveInteger", "nonNegativeInteger", "nonPositiveInteger",
+    "unsignedByte", "unsignedShort", "unsignedInt", "unsignedLong")
+    .map(XsdNs + _)
+
+  /** True iff the term is an integer-derived numeric literal whose
+    * lexical form fits decimal(38,0) — the round-15 exact-comparison
+    * guard: when BOTH operands pass, comparison runs on decimal(38,0)
+    * values (exact to 38 digits, covering the full 2^63 lexical range
+    * and far beyond); otherwise the pair falls to the double-promoted
+    * path, whose 2^53 rounding bound then only applies to mixes that
+    * genuinely involve a floating/decimal operand (documented next to
+    * the 2^63 BIND-arithmetic wrap). A >38-digit integer fails the
+    * cast → falls back to double, degrading gracefully rather than
+    * erroring. NULL-in → NULL-out. */
+  def isIntegerTerm(c: Column): Column =
+    datatypeOf(c).isin(IntegerDatatypes: _*) &&
+      lex(c).try_cast("decimal(38,0)").isNotNull
+
   /** §17.4.2.5 STRLANG: tag a SIMPLE literal — in the round-13 encoding
     * exactly the quoted-plain terms; an IRI, blank node, shorthand-typed
     * or already-annotated input is a type error → NULL (the spec's

@@ -68,6 +68,72 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
   }
 
+  /** Append a NEW vector batch to a persisted index (round 15 — closes
+    * the build-once gap: a production retrieval system adds vectors
+    * daily and cannot re-encode the corpus each time). The batch is
+    * coarse-assigned and PQ-encoded against the index's OWN persisted
+    * centroids/codebook — the structure is read back, never retrained —
+    * so appended codes are byte-identical to what a full rebuild over
+    * the union corpus would produce, and serving over base + appends
+    * hash-matches [[Similarity.ivfPqTopK]] over the union (q179's
+    * oracle is exactly that). Cost ∝ batch: the centroids (√N, or N^¼
+    * routed two-level) and the fixed-size codebook broadcast against
+    * ONE batch scan; the write appends new files under the existing
+    * `codes/cid=` partitions (existing index data is never rewritten).
+    *
+    * `twoLevel` must match the build — corpus rows assigned by a
+    * different quantizer routing would sit in different lists than the
+    * query probe expects. NOT idempotent: replaying an append
+    * double-counts the batch's (nid, j) rows in the ADC sum (unlike the
+    * dedup indexes, where duplicate key rows are harmless) — run it
+    * exactly-once (a scheduled maintenance job, not a foreachBatch), or
+    * [[compactIvfPqCodes]] to repair.
+    *
+    * Maintenance policy (documented, not automated): appends reuse the
+    * FROZEN coarse quantizer, so centroid drift — a new-data
+    * distribution the old centroids explain poorly — degrades list
+    * balance, not correctness (every vector still lands in some list;
+    * ADC stays integer-exact). Monitor the appended batches' list-size
+    * skew (`codes` group-by cid) and assignment similarity; when the
+    * hot-list fraction grows past the serving budget, re-train and
+    * rebuild offline ([[writeIvfPqIndex]]) and cut queries over — the
+    * standard IVF re-index cycle (Jégou et al., PAMI 2011 §V treat the
+    * quantizer as fixed at add time for the same reason). */
+  def appendToIvfPqIndex(
+      newVecs: DataFrame, path: String, m: Int, dim: Int,
+      twoLevel: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    val spark = newVecs.sparkSession
+    val dsub = dim / m
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = broadcast(spark.read.parquet(s"$path/codebook"))
+    val assign =
+      if (twoLevel) {
+        val (supers, cmap) = Similarity.superStructure(cents)
+        Similarity.coarseAssignTwoLevel(newVecs, supers, cmap,
+          idCol, vecCol, carryVec = false)
+      } else Similarity.coarseAssign(newVecs, cents, idCol, vecCol,
+        carryVec = false)
+    Similarity.pqEncode(newVecs, cb, dsub, idCol, vecCol)
+      .join(assign, "nid")
+      .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
+  }
+
+  /** Compact the `codes/` relation of an append-accumulated index:
+    * dedupes (nid, j, code) rows — an accidentally-replayed append
+    * would otherwise double-count in the ADC sum — and merges the small
+    * files appends accrete, preserving the `cid=` serving layout.
+    * Crash-safe via [[DedupIndex.atomicRewrite]]: the compacted
+    * relation is fully written to a sibling tmp directory before two
+    * FS-metadata renames swap it in, so the live index is never in a
+    * deleted state and a crash at any point leaves a complete copy
+    * recoverable (the next call restores it). Run off the serving
+    * path. */
+  def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    DedupIndex.atomicRewrite(spark, s"$path/codes", Seq("cid"))(_.distinct())
+
   /** Serve a query batch against the persisted index: top-k per query,
     * identical output contract (qid, nid, rank, score) and identical
     * results to [[Similarity.ivfPqTopK]] over the same corpus/centroids/

@@ -201,7 +201,17 @@ object DedupIndex {
     * Plan: same index-streams-once broadcast probe as
     * [[exactDuplicatesAgainstIndex]]; matched index rows aggregate to
     * min keep_id per key (append-duplicated index rows stay harmless);
-    * the intra-batch min and the status joins are batch-sized. */
+    * the intra-batch min and the status joins are batch-sized.
+    *
+    * Replay safety (round 15): index rows whose keep_id IS one of this
+    * batch's doc ids are ignored — under the contract's globally-unique
+    * doc ids the only way such a row exists is that THIS batch already
+    * appended it (an at-least-once foreachBatch replay that crashed
+    * after the index append), and counting it would flip the replayed
+    * batch's 'admitted' rows to 'dup_corpus'. With the exclusion a
+    * replay recomputes the byte-identical status relation, which is
+    * what lets [[graft.streaming.StreamingOps.dedupIngestStream]] make
+    * its status write idempotent. */
   def admitAgainstIndex(
       newDocs: DataFrame, textCol: String, idCol: String,
       indexPath: String): DataFrame = {
@@ -211,6 +221,8 @@ object DedupIndex {
     val corpusDup = spark.read.parquet(indexPath)
       .join(broadcast(keys.select(col("text_key")).distinct()),
         Seq("text_key"), "leftsemi")
+      .join(broadcast(keys.select(col("id").as("_bid"))),
+        col("keep_id") === col("_bid"), "left_anti")
       .groupBy(col("text_key")).agg(min(col("keep_id")).as("_corpus_keep"))
     val batchMin = keys.groupBy(col("text_key"))
       .agg(min(col("id")).as("_batch_keep"))
@@ -221,6 +233,80 @@ object DedupIndex {
           .when(col("id") =!= col("_batch_keep"), lit("dup_batch"))
           .otherwise(lit("admitted")).as("status"),
         coalesce(col("_corpus_keep"), col("_batch_keep")).as("keep_id"))
+  }
+
+  /** Per-doc NEAR-dup admission of a batch against the minhash band
+    * index (round 15 — the missing half of the ingest story: a daily
+    * crawl dedups near-dups, not just exact re-fetches). For every
+    * batch doc: `dup_corpus` (exact `shingleN`-gram Jaccard ≥
+    * `thetaBp`/10000 with ≥ 1 INDEXED corpus doc; `keep_id` = the
+    * smallest matching corpus id), `dup_batch` (not a corpus dup, but
+    * verified ≥ θ against an earlier — smaller-id — batch doc;
+    * `keep_id` = the smallest such partner; note the partner keeps its
+    * OWN status, so a chain d2~d1~corpus marks d1 dup_corpus and d2
+    * dup_batch pointing at d1, whose keep chain leads on to the corpus
+    * keeper), or `admitted` (`keep_id` = itself). Output: (idCol,
+    * status, keep_id).
+    *
+    * Candidates come from the LSH probe ([[minhashCandidatesAgainstIndex]]
+    * — index streams once, cost ∝ batch) and are then VERIFIED by exact
+    * n-gram Jaccard, so an LSH false positive can never mark a dup; the
+    * usual LSH recall trade applies to misses (tune k/bands via the
+    * S-curve, q19/q172 notes). Verification needs candidate corpus
+    * TEXTS: the band index stores only ids, so they are fetched from
+    * `docStorePath` — a parquet (idCol, textCol) relation maintained
+    * alongside the index (the ingest stream appends admitted docs to
+    * it) — by a broadcast candidate-id semi-join: fetch ∝ candidates,
+    * never a corpus scan. Intra-batch near-dups are a batch-only LSH
+    * self-join + verify (batch-sized).
+    *
+    * Replay safety mirrors [[admitAgainstIndex]]: candidate corpus ids
+    * that are THIS batch's own ids (its earlier appends, seen on an
+    * at-least-once replay) are excluded, so a replay recomputes the
+    * byte-identical status relation. Duplicate doc-store rows from a
+    * replayed append are harmless — verification dedupes (id, shingle)
+    * pairs. Requires globally-unique doc ids. */
+  def admitNearDupAgainstIndex(
+      newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, docStorePath: String,
+      k: Int = 64, bands: Int = 16, shingleN: Int = 3,
+      thetaBp: Long = 5000L): DataFrame = {
+    val spark = newDocs.sparkSession
+    val batch = newDocs.select(col(idCol), col(textCol))
+    // candidate (batch, corpus) pairs, own-append ids excluded; the LSH
+    // probe feeds two consumers (text fetch + verify) — materialize once
+    val cands = minhashCandidatesAgainstIndex(newDocs, textCol, idCol,
+        indexPath, k, bands, shingleN)
+      .join(broadcast(batch.select(col(idCol).as("_bid"))),
+        col("id_b") === col("_bid"), "left_anti")
+      .localCheckpoint()
+    val corpusTexts = spark.read.parquet(docStorePath)
+      .join(broadcast(cands.select(col("id_b").as(idCol)).distinct()),
+        Seq(idCol), "leftsemi")
+      .select(col(idCol), col(textCol))
+    val verified = Dedup.ngramJaccard(cands,
+      batch.unionByName(corpusTexts), textCol, idCol, shingleN,
+      minThetaBp = Some(thetaBp))
+    val corpusKeep = verified.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("_corpus_keep"))
+      .withColumnRenamed("id_a", "id")
+    // intra-batch: LSH self-join over the batch only (id_a < id_b by
+    // construction), verified with the same exact-Jaccard gate
+    val bcands = Dedup.minhashCandidates(batch, textCol, idCol,
+      k, bands, shingleN)
+    val batchKeep = Dedup.ngramJaccard(bcands, batch, textCol, idCol,
+        shingleN, minThetaBp = Some(thetaBp))
+      .groupBy(col("id_b")).agg(min(col("id_a")).as("_batch_keep"))
+      .withColumnRenamed("id_b", "id")
+    batch.select(col(idCol).as("id"))
+      .join(broadcast(corpusKeep), Seq("id"), "left")
+      .join(broadcast(batchKeep), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("_corpus_keep").isNotNull, lit("dup_corpus"))
+          .when(col("_batch_keep").isNotNull, lit("dup_batch"))
+          .otherwise(lit("admitted")).as("status"),
+        coalesce(col("_corpus_keep"), col("_batch_keep"), col("id"))
+          .as("keep_id"))
   }
 
   /** Append a new batch's keys to an existing index (parquet append —
@@ -261,25 +347,80 @@ object DedupIndex {
     * merge to (Σ n_docs, min min_doc_id) — each EXACTLY the relation the
     * original writer would produce over the union of the appended
     * corpora, so queries are byte-identical before and after (spec-
-    * asserted). The compacted relation is materialized (localCheckpoint)
-    * BEFORE the overwrite — Spark cannot otherwise overwrite a path it
-    * is still reading. Run it off the serving path; queries tolerate the
-    * uncompacted form indefinitely. */
-  def compactIndex(spark: SparkSession, path: String, kind: String): Unit = {
-    val df = spark.read.parquet(path)
-    val compacted = kind match {
-      case "exact" =>
-        df.groupBy(col("text_key"))
-          .agg(min(col("keep_id")).as("keep_id"),
-            sum(col("n_copies")).as("n_copies"))
-      case "minhash" => df.distinct()
-      case "anchor" =>
-        df.groupBy(col("g"))
-          .agg(sum(col("n_docs")).as("n_docs"),
-            min(col("min_doc_id")).as("min_doc_id"))
-      case other => throw new IllegalArgumentException(
-        s"compactIndex: unknown kind '$other' (exact | minhash | anchor)")
+    * asserted).
+    *
+    * Durability (round 15 — replaces the round-14
+    * localCheckpoint-then-overwrite-in-place, which pinned the whole
+    * index in executor storage and deleted the only copy before the
+    * rewrite committed): the compacted relation is written to a sibling
+    * `._compact_tmp` directory — a plain distributed parquet job
+    * reading the LIVE path, no executor-storage materialization, fully
+    * recomputable on task failure — and only after that write commits
+    * is the live path swapped via two FS-metadata renames (live →
+    * `._compact_old`, tmp → live; old deleted last). A crash at any
+    * point leaves a complete index recoverable: before the swap the
+    * live path is untouched (the orphan tmp is cleaned by the next
+    * run); between the renames the previous index sits at
+    * `._compact_old`, and the next [[compactIndex]] call restores it
+    * before doing anything else. Serving unavailability shrinks from
+    * the whole rewrite to the two-rename metadata window — still run it
+    * off the serving path; queries tolerate the uncompacted form
+    * indefinitely. */
+  def compactIndex(spark: SparkSession, path: String, kind: String): Unit =
+    atomicRewrite(spark, path) { df =>
+      kind match {
+        case "exact" =>
+          df.groupBy(col("text_key"))
+            .agg(min(col("keep_id")).as("keep_id"),
+              sum(col("n_copies")).as("n_copies"))
+        case "minhash" => df.distinct()
+        case "anchor" =>
+          df.groupBy(col("g"))
+            .agg(sum(col("n_docs")).as("n_docs"),
+              min(col("min_doc_id")).as("min_doc_id"))
+        case other => throw new IllegalArgumentException(
+          s"compactIndex: unknown kind '$other' (exact | minhash | anchor)")
+      }
     }
-    compacted.localCheckpoint().write.mode("overwrite").parquet(path)
+
+  /** Crash-safe in-place parquet rewrite: read `path`, transform, write
+    * the result to `path._compact_tmp` (a normal distributed job — the
+    * live data is the lineage source, so nothing is pinned in executor
+    * storage and task loss just recomputes), then swap with two
+    * FS-metadata renames and delete the old data LAST. Idempotent
+    * recovery on entry: a live path missing with `._compact_old`
+    * present (crash between the renames) is restored first; orphan
+    * tmp/old dirs from failed runs are cleaned. `partitionCols` lays
+    * the rewritten relation out partitioned (the ANN codes compaction
+    * keeps its `cid=` serving layout). Shared by [[compactIndex]] and
+    * [[AnnIndex.compactIvfPqCodes]]. */
+  private[operators] def atomicRewrite(
+      spark: SparkSession, path: String,
+      partitionCols: Seq[String] = Nil)(
+      transform: DataFrame => DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + "._compact_tmp")
+    val old = new Path(path + "._compact_old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      // crash window between the two renames of a previous run: the
+      // previous index is intact at old — restore, then compact normally
+      require(fs.rename(old, live),
+        s"atomicRewrite: could not restore $old to $live")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a failed write
+    if (fs.exists(old)) fs.delete(old, true) // leftover of a done swap
+    val writer = transform(spark.read.parquet(path)).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
+    require(fs.rename(live, old),
+      s"atomicRewrite: could not rename $live away (tmp left at $tmp)")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // undo: put the previous index back
+      throw new java.io.IOException(
+        s"atomicRewrite: could not rename $tmp to $live; previous index restored")
+    }
+    fs.delete(old, true)
   }
 }

@@ -456,14 +456,19 @@ object TextOps {
     * `hotGramCap` (opt-in, 0 = off; otherwise ≥ 2): arms the skew-proof
     * plan for corpora with boilerplate headers / license blocks — the
     * count WINDOW (whose hot-gram partition must hold every copy in one
-    * task) is replaced by ONE repartition-by-gram exchange read twice
-    * (ReuseExchange: the explode is derived once) — a dup-key count
-    * aggregate plus a decision join that AQE skew-splits, so no task
-    * ever holds a whole hot gram. Results are byte-identical either
-    * way; the price is one extra read of the shuffled grams (round 14 —
-    * the round-13 skip-list variant re-derived the explode from three
-    * subplans and cost 1.3–4×). Leave it off when the corpus is known
-    * boilerplate-free; turn it on for real crawl data at scale. */
+    * task) is replaced by a map-side-combinable count AGGREGATE (a hot
+    * gram collapses to one row per map partition, so its shuffle is
+    * skew-free) whose ≥2 key set the grams then join UNHINTED: AQE
+    * broadcasts it when tiny (no gram shuffle at all) and skew-splits
+    * the join when boilerplate-heavy, so no task ever holds a whole hot
+    * gram. Results are byte-identical either way; the price is deriving
+    * the gram explode twice (round 14 — an explicit
+    * repartition+ReuseExchange variant was built and REJECTED at 214 s
+    * vs this plan's 108 s at 100×: column pruning specializes the two
+    * consumers' exchanges so ReuseExchange can't fire, and the explicit
+    * exchange defeats the aggregate's map-side combine). Leave it off
+    * when the corpus is known boilerplate-free; turn it on for real
+    * crawl data at scale. */
   def duplicateSpans(
       df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
       minLen: Int, hotGramCap: Long = 0L): org.apache.spark.sql.DataFrame = {
@@ -508,22 +513,26 @@ object TextOps {
 
   /** Corpus-wide duplicate filter over a keyed relation: rows whose `key`
     * value occurs ≥ 2 times ANYWHERE survive, other columns carried
-    * through. `cap` ≥ 2 arms the skew-proof plan (round 14 — the
-    * round-13 count-then-broadcast skip-list re-derived the input from
-    * THREE subplans and measured a 1.3–4× premium): ONE explicit
-    * exchange repartitions the rows by key, and both consumers — the
-    * dup-key count aggregate and the decision join — read that SAME
-    * exchange (Catalyst's ReuseExchange: the input is derived once, the
-    * shuffle written once). The join back to the distinct dup-key set
-    * replaces the count WINDOW, so there is no partition that must hold
-    * every copy of a hot key in one task: a boilerplate key (a header
-    * gram shared by half the corpus) lands in a skewed JOIN partition,
-    * which AQE's skew-join splits into bounded chunks — the property the
-    * old cap bought by skip-listing, now without the extra derivations
-    * (`cap`'s VALUE no longer tunes anything; ≥ 2 arms the plan, the
-    * signature is kept for the q165/q168 call sites). Results are
-    * byte-identical with the cap on or off. Shared by the exact and
-    * both winnowing-anchored span detectors. */
+    * through. `cap` ≥ 2 arms the skew-proof plan (round 14): the dup-key
+    * set comes from ONE map-side-combinable count aggregate — partial
+    * aggregation below the exchange collapses a hot key to one row per
+    * map partition, so the count shuffle is skew-free — and the rows
+    * then join that set UNHINTED: on boilerplate-light corpora the ≥2
+    * set is tiny and AQE broadcasts it (the join costs a probe, no
+    * shuffle of the rows at all — the uncapped window can never skip
+    * that shuffle); on boilerplate-heavy corpora it falls to a shuffle
+    * join whose skewed partitions AQE splits into bounded chunks. The
+    * join replaces the count WINDOW, so there is no partition that must
+    * hold every copy of a hot key in one task. (Two rejected
+    * iterations, both measured: the round-13 count-then-broadcast
+    * skip-list re-derived the input from THREE subplans at a 1.3–4×
+    * premium; a round-14 explicit repartition+ReuseExchange variant hit
+    * 214 s vs 108 s at 100× — column pruning specializes the consumers'
+    * exchanges so ReuseExchange can't fire, and the explicit exchange
+    * defeats map-side combine. `cap`'s VALUE no longer tunes anything;
+    * ≥ 2 arms the plan, the signature is kept for the q165/q168 call
+    * sites.) Results are byte-identical with the cap on or off. Shared
+    * by the exact and both winnowing-anchored span detectors. */
   private def dupByKey(rows: org.apache.spark.sql.DataFrame, key: String,
       cap: Long, materialize: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(cap == 0L || cap >= 2L,

@@ -1024,8 +1024,20 @@ object BgpPlanner {
           }
         once(l, opCol(l, numeric = false)) { lt =>
           once(r, opCol(r, numeric = false)) { rt =>
+            // round 15: integer/integer pairs compare EXACTLY through
+            // decimal(38,0) — §17.3 integer comparison is exact, and the
+            // double promotion rounds past 2^53 (distinct values compare
+            // equal, orderings invert). The double path now only covers
+            // pairs with a genuine float/double/decimal operand (its
+            // 2^53 bound is the floating lattice's own) and >38-digit
+            // integers (try_cast null → graceful double fallback).
+            val bothInt = graft.RdfTerms.isIntegerTerm(lt) &&
+              graft.RdfTerms.isIntegerTerm(rt)
             val bothNum = graft.RdfTerms.isNumericTerm(lt) &&
               graft.RdfTerms.isNumericTerm(rt)
+            val intCmp = cmpOp(
+              graft.RdfTerms.lex(lt).try_cast("decimal(38,0)"),
+              graft.RdfTerms.lex(rt).try_cast("decimal(38,0)"))
             val valueCmp = cmpOp(
               graft.RdfTerms.lex(lt).try_cast("double"),
               graft.RdfTerms.lex(rt).try_cast("double"))
@@ -1033,7 +1045,8 @@ object BgpPlanner {
               if (ordering)
                 cmpOp(graft.RdfTerms.lex(lt), graft.RdfTerms.lex(rt))
               else cmpOp(lt, rt)
-            when(bothNum, valueCmp).otherwise(termCmp)
+            when(bothInt, intCmp)
+              .when(bothNum, valueCmp).otherwise(termCmp)
           }
         }
       }

@@ -220,27 +220,74 @@ object StreamingOps {
     * batch dedup at batch-proportional cost, the corpus never
     * re-derived (spec-tested across explicit batches in DedupIndexSpec).
     *
-    * Ordering/consistency notes: the status relation is materialized
-    * (localCheckpoint) BEFORE the index append, so a batch never
-    * observes its own admissions mid-decision; the append is
-    * at-least-once under foreachBatch replay — duplicate key rows are
-    * harmless to every index query (membership semantics, min keep_id),
-    * the same property [[graft.operators.DedupIndex.appendToIndex]]
-    * documents. Runs synchronously over all currently-available input
-    * (AvailableNow) — call again as new files land, or swap the trigger
-    * for a continuous deployment. */
+    * `kind` selects the admission granularity (round 15): `"exact"`
+    * (normalized-text key membership, the round-14 behavior) or
+    * `"minhash"` (NEAR-dup admission —
+    * [[graft.operators.DedupIndex.admitNearDupAgainstIndex]]: LSH
+    * candidates against the persisted band index, verified by exact
+    * n-gram Jaccard at `thetaBp`). The minhash mode maintains TWO
+    * relations between batches: admitted docs' band rows append to the
+    * index, and their (id, text) rows append to `docStorePath` — the
+    * doc store later batches fetch candidate texts from (fetch ∝
+    * candidates, never a corpus scan).
+    *
+    * Replay/consistency contract (round 15 — replaces the round-14
+    * append-then-status order, whose crash window could flip a replayed
+    * batch's 'admitted' rows to 'dup_corpus' and double-append status
+    * rows): (1) admission IGNORES the batch's own prior appends (the
+    * admit operators exclude index rows keyed by this batch's ids), so
+    * a replay recomputes the byte-identical status relation; (2) the
+    * status relation is written FIRST, as an OVERWRITE of its
+    * `batch_id=` partition (dynamic partition overwrite — idempotent:
+    * a replay rewrites the same rows, never appends a second copy);
+    * (3) only then do the index (and doc store) appends run,
+    * at-least-once — duplicate key/band/doc-store rows are harmless to
+    * every index query (membership semantics, min keep_id, per-id
+    * shingle dedup). A crash at ANY point therefore replays to the
+    * exact same status output and a superset-by-duplicates index.
+    * The appends are derived by re-reading the just-written status
+    * partition, not from a localCheckpoint — nothing is pinned in
+    * executor storage. Runs synchronously over all currently-available
+    * input (AvailableNow) — call again as new files land, or swap the
+    * trigger for a continuous deployment. */
   def dedupIngestStream(docs: DataFrame, textCol: String, idCol: String,
-      indexPath: String, statusPath: String): Unit = {
+      indexPath: String, statusPath: String, kind: String = "exact",
+      docStorePath: String = null, k: Int = 64, bands: Int = 16,
+      shingleN: Int = 3, thetaBp: Long = 5000L): Unit = {
+    require(kind == "exact" || kind == "minhash",
+      s"dedupIngestStream: unknown kind '$kind' (exact | minhash)")
+    require(kind == "exact" || docStorePath != null,
+      "dedupIngestStream: kind=minhash needs a docStorePath (verification texts)")
     val handler: (DataFrame, Long) => Unit = { (batch, batchId) =>
-      val status = graft.operators.DedupIndex
-        .admitAgainstIndex(batch, textCol, idCol, indexPath)
-        .localCheckpoint()
-      status.filter(col("status") === "admitted")
-        .select(col("text_key"), col(idCol).cast("long").as("keep_id"),
-          lit(1L).as("n_copies"))
-        .write.mode("append").parquet(indexPath)
+      val spark = batch.sparkSession
+      val status = kind match {
+        case "exact" => graft.operators.DedupIndex
+          .admitAgainstIndex(batch, textCol, idCol, indexPath)
+        case "minhash" => graft.operators.DedupIndex
+          .admitNearDupAgainstIndex(batch, textCol, idCol, indexPath,
+            docStorePath, k, bands, shingleN, thetaBp)
+      }
       status.withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(s"$statusPath/status")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$statusPath/status")
+      val admitted = spark.read.parquet(s"$statusPath/status")
+        .filter(col("batch_id") === batchId && col("status") === "admitted")
+      kind match {
+        case "exact" =>
+          admitted
+            .select(col("text_key"), col(idCol).cast("long").as("keep_id"),
+              lit(1L).as("n_copies"))
+            .write.mode("append").parquet(indexPath)
+        case "minhash" =>
+          val admittedDocs = batch
+            .join(admitted.select(col(idCol)), Seq(idCol), "leftsemi")
+          graft.operators.DedupIndex.appendToIndex(admittedDocs, textCol,
+            idCol, indexPath, "minhash", k, bands, shingleN)
+          admittedDocs.select(col(idCol), col(textCol))
+            .write.mode("append").parquet(docStorePath)
+      }
     }
     val q = docs.writeStream
       .outputMode("update")

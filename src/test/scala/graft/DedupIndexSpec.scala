@@ -178,6 +178,116 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(spansAfter == spansBefore && spansAfter.nonEmpty)
   }
 
+  test("compactIndex is crash-safe: an orphan tmp is cleaned, a crash " +
+      "between the two swap renames is restored on the next call, and the " +
+      "live path always holds a complete index") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "one text"), (2L, "two text")).toDF("doc_id", "text")
+    val path = tmp("compact_atomic")
+    DedupIndex.writeExactIndex(docs, "text", "doc_id", path)
+    DedupIndex.appendToIndex(Seq((3L, "one text")).toDF("doc_id", "text"),
+      "text", "doc_id", path, kind = "exact")
+    def query() = DedupIndex.exactDuplicatesAgainstIndex(
+        Seq((9L, "ONE text")).toDF("doc_id", "text"), "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = query()
+    assert(expected == Set((9L, 1L)))
+    // (a) orphan tmp from a failed previous write must not leak into
+    // the compacted index (and must be gone afterwards)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq((999L, "garbage text")).toDF("doc_id", "text")
+      .withColumnRenamed("doc_id", "keep_id")
+      .select(md5(col("text")).as("text_key"), col("keep_id"),
+        lit(1L).as("n_copies"))
+      .write.parquet(s"$path._compact_tmp")
+    DedupIndex.compactIndex(s, path, kind = "exact")
+    assert(query() == expected)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._compact_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._compact_old")))
+    // (b) simulate a crash BETWEEN the two renames: live path gone, the
+    // previous index sitting at _compact_old — the next call restores
+    // it before compacting, so nothing is lost
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path._compact_old")))
+    DedupIndex.compactIndex(s, path, kind = "exact")
+    assert(query() == expected)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._compact_old")))
+  }
+
+  // ---- near-dup admission -----------------------------------------------
+
+  private def editDoc(base: String, at: Int, tok: String): String = {
+    val ts = base.split(" "); ts.updated(at, tok).mkString(" ")
+  }
+  private def synthDoc(seed: Int, n: Int): String =
+    (0 until n).map(j => s"w${seed}x${(j * 7 + seed) % 23}").mkString(" ")
+
+  test("near-dup admission: corpus near-dups, intra-batch near-dups and " +
+      "novel docs get the right statuses; a replayed batch (own appends " +
+      "already in index + doc store) recomputes byte-identical status") {
+    val s = spark; import s.implicits._
+    val corpusRows = (1L to 10L).map(i => (i, synthDoc(i.toInt, 30)))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx = tmp("nd_idx"); val store = tmp("nd_store")
+    DedupIndex.writeMinHashIndex(corpus, "text", "doc_id", idx,
+      k = 64, bands = 16, shingleN = 3)
+    corpus.write.parquet(store)
+    val novelBase = synthDoc(500, 30)
+    // 101: 1-token edit of corpus doc 3 → dup_corpus keep 3
+    // 102/103: edits of a shared NOVEL base → 102 admits, 103 dup_batch
+    // 104: novel, unlike anything → admitted
+    val batch = Seq(
+      (101L, editDoc(corpusRows(2)._2, 0, "EDIT")),
+      (102L, novelBase),
+      (103L, editDoc(novelBase, 29, "TAIL")),
+      (104L, synthDoc(901, 25))).toDF("doc_id", "text")
+    def admit() = DedupIndex.admitNearDupAgainstIndex(batch, "text",
+        "doc_id", idx, store, k = 64, bands = 16, shingleN = 3,
+        thetaBp = 5000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    val st = admit()
+    assert(st == Map(
+      101L -> (("dup_corpus", 3L)), 102L -> (("admitted", 102L)),
+      103L -> (("dup_batch", 102L)), 104L -> (("admitted", 104L))))
+    // maintenance after admission: admitted docs' band rows + texts
+    val admitted = batch.filter(col("doc_id").isin(102L, 104L))
+    DedupIndex.appendToIndex(admitted, "text", "doc_id", idx,
+      kind = "minhash")
+    admitted.write.mode("append").parquet(store)
+    // replay: the same batch admitted again now sees its OWN band rows
+    // and doc-store texts — the own-id exclusion keeps status identical
+    assert(admit() == st)
+    // a LATER batch near-dupping an admitted doc is dup_corpus
+    val later = Seq((201L, editDoc(novelBase, 5, "MID"))).toDF("doc_id", "text")
+    val st2 = DedupIndex.admitNearDupAgainstIndex(later, "text", "doc_id",
+        idx, store).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(st2 == Map(201L -> (("dup_corpus", 102L))))
+  }
+
+  test("exact admission replay safety: re-admitting a batch whose keys " +
+      "were already appended (at-least-once replay) recomputes the " +
+      "byte-identical status relation") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "alpha text one")).toDF("doc_id", "text")
+    val idx = tmp("replay_idx")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", idx)
+    val batch = Seq((11L, "ALPHA text one"), (12L, "novel gamma"),
+      (13L, "novel GAMMA")).toDF("doc_id", "text")
+    def admit() = DedupIndex.admitAgainstIndex(batch, "text", "doc_id", idx)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val st = admit()
+    assert(st == Set((11L, "dup_corpus", 1L), (12L, "admitted", 12L),
+      (13L, "dup_batch", 12L)))
+    // the crashed-after-append replay window: index already holds 12's key
+    DedupIndex.appendToIndex(
+      Seq((12L, "novel gamma")).toDF("doc_id", "text"),
+      "text", "doc_id", idx, kind = "exact")
+    assert(admit() == st) // NOT flipped to dup_corpus
+  }
+
   // ---- streaming dedup-ingest ------------------------------------------
 
   test("streaming dedup-ingest: per-doc statuses match the admission rule; " +
@@ -222,5 +332,53 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(st2.length == 6) // 4 old rows + 2 new, no replays
     assert(st2.toMap ++ Map() == st1.toMap ++ Map(
       21L -> (("dup_corpus", 12L)), 22L -> (("admitted", 22L))))
+  }
+
+  test("streaming NEAR-dup ingest (kind=minhash): per-doc statuses follow " +
+      "the verified-Jaccard admission rule, admitted docs extend the band " +
+      "index AND the doc store, and a later run dedups near-dups against " +
+      "the earlier run's admissions") {
+    val s = spark; import s.implicits._
+    val corpusRows = (1L to 8L).map(i => (i, synthDoc(i.toInt, 30)))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val idx = tmp("ndstream_idx"); val store = tmp("ndstream_store")
+    val srcDir = tmp("ndstream_src"); val outDir = tmp("ndstream_out")
+    DedupIndex.writeMinHashIndex(corpus, "text", "doc_id", idx)
+    corpus.write.parquet(store)
+    val novelBase = synthDoc(600, 30)
+    // batch 1: 101 near-dups corpus doc 2; 102 is a novel base (admits);
+    // 103 near-dups 102 within the batch (dup_batch); 104 novel
+    Seq((101L, editDoc(corpusRows(1)._2, 3, "EDIT")),
+      (102L, novelBase),
+      (103L, editDoc(novelBase, 0, "HEAD")),
+      (104L, synthDoc(777, 25)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def stream = s.readStream
+      .schema(s.read.parquet(srcDir).schema).parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir,
+      kind = "minhash", docStorePath = store)
+    def statuses() = s.read.parquet(s"$outDir/status").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("keep_id")))).toMap
+    assert(statuses() == Map(
+      101L -> (("dup_corpus", 2L)), 102L -> (("admitted", 102L)),
+      103L -> (("dup_batch", 102L)), 104L -> (("admitted", 104L))))
+    // batch 2: 201 near-dups batch 1's ADMITTED doc 102 → dup_corpus
+    // against the stream's own earlier admission (band rows + doc-store
+    // text both came from the run above); 202 novel
+    Seq((201L, editDoc(novelBase, 15, "MID")), (202L, synthDoc(888, 28)))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir,
+      kind = "minhash", docStorePath = store)
+    assert(statuses() == Map(
+      101L -> (("dup_corpus", 2L)), 102L -> (("admitted", 102L)),
+      103L -> (("dup_batch", 102L)), 104L -> (("admitted", 104L)),
+      201L -> (("dup_corpus", 102L)), 202L -> (("admitted", 202L))))
+    // the doc store grew by exactly the admitted docs
+    assert(s.read.parquet(store).count() == 8L + 2L + 1L)
   }
 }

@@ -226,6 +226,50 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("appendToIvfPqIndex: serving over base + appended batch is " +
+      "byte-identical to the in-memory IVF-PQ over the union corpus " +
+      "(flat and two-level); compactIvfPqCodes repairs a replayed append") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    // centroids/codebook trained ONCE (on the base era's corpus view) —
+    // appends must reuse them frozen, per the maintenance contract
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    val base = vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val batch = vecs.filter(pmod(col("vec_id"), lit(5)) === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    Seq(false, true).foreach { twoLevel =>
+      val path = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_annappend_spec_${twoLevel}_${java.util.UUID.randomUUID()}")
+      AnnIndex.writeIvfPqIndex(base, cents, cb, m = 2, dim = 4, path,
+        twoLevel = twoLevel)
+      AnnIndex.appendToIvfPqIndex(batch, path, m = 2, dim = 4,
+        twoLevel = twoLevel)
+      def served() = rows(AnnIndex.queryIvfPqIndex(queries, path, m = 2,
+        dim = 4, k = 4, nProbe = 2, twoLevel = twoLevel))
+      val mem = rows(Similarity.ivfPqTopK(vecs, queries, cents, cb, m = 2,
+        dim = 4, k = 4, nProbe = 2, twoLevel = twoLevel))
+      assert(served() == mem, s"twoLevel=$twoLevel")
+      // a replayed append duplicates (nid, j) code rows — these DOUBLE
+      // the duplicated vectors' ADC sums (not harmless, unlike the dedup
+      // indexes); compact dedupes and restores byte-identical serving
+      AnnIndex.appendToIvfPqIndex(batch, path, m = 2, dim = 4,
+        twoLevel = twoLevel)
+      AnnIndex.compactIvfPqCodes(s, path)
+      assert(served() == mem, s"twoLevel=$twoLevel after compact")
+      // compact preserved the cid= serving layout
+      assert(new java.io.File(s"$path/codes").listFiles()
+        .exists(_.getName.startsWith("cid=")))
+    }
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
