@@ -79,6 +79,29 @@ object IndexProbe {
       val m1 = time { mRows = mQuery().count() }
       val mW = time(mQuery().count())
       println(f"minhash$tag%-13s $nCorpus%8d $mBuild%9.1f $m1%8.2f $mW%9.2f $mRows%8d")
+      // ---- exact index + admission (round 15: q173/q174 shapes)
+      val ePath = TempDirs.register(s"/tmp/graft-indexprobe/exact-$tag")
+      val eBuild = time(operators.DedupIndex.writeExactIndex(
+        corpus, "text", "doc_id", ePath))
+      def eQuery() = operators.DedupIndex.admitAgainstIndex(
+        batch, "text", "doc_id", ePath)
+      var eRows = 0L
+      val e1 = time { eRows = eQuery().count() }
+      val eW = time(eQuery().count())
+      println(f"exact$tag%-15s $nCorpus%8d $eBuild%9.1f $e1%8.2f $eW%9.2f $eRows%8d")
+      // ---- near-dup admission (round 15: q180 shape — LSH probe +
+      // doc-store text fetch ∝ candidates + exact-Jaccard verify). The
+      // doc store is corpus-sized to WRITE (build cost, honest) but the
+      // admission only FETCHES candidate texts from it.
+      val dPath = TempDirs.register(s"/tmp/graft-indexprobe/docstore-$tag")
+      val dBuild = time(corpus.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(dPath))
+      def ndQuery() = operators.DedupIndex.admitNearDupAgainstIndex(
+        batch, "text", "doc_id", mPath, dPath, k = 64, bands = 16)
+      var ndRows = 0L
+      val nd1 = time { ndRows = ndQuery().count() }
+      val ndW = time(ndQuery().count())
+      println(f"neardup$tag%-13s $nCorpus%8d $dBuild%9.1f $nd1%8.2f $ndW%9.2f $ndRows%8d")
     }
 
     // ---- ANN index: serve a FIXED query batch against 1x and 10x
@@ -104,6 +127,22 @@ object IndexProbe {
       val v1 = time { vRows = vQuery().count() }
       val vW = time(vQuery().count())
       println(f"ann$tag%-14s $nCorpus%8d $vBuild%9.1f $v1%8.2f $vW%9.2f $vRows%8d")
+      // ---- ANN append (round 15, q179): a FIXED batch (sf0.1's 20%
+      // split, ids shifted clear of every corpus scale) encoded against
+      // the PERSISTED centroids/codebook and appended into codes/cid=.
+      // Claim: append wall ∝ batch (flat across index scales — only the
+      // √N centroid read grows), and warm serving is unchanged after
+      // the append (the probe set prunes to the same lists; the
+      // appended lists grow by batch/nlist rows each).
+      val aBatchAnn = emb1.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      val nAppend = aBatchAnn.count()
+      val apT = time(operators.AnnIndex.appendToIvfPqIndex(
+        aBatchAnn, vPath, m = 8, dim = 64, twoLevel = true))
+      val vWa = time(vQuery().count())
+      println(f"ann-append$tag%-7s $nCorpus%8d batch=$nAppend%7d " +
+        f"append=$apT%6.2f s  warm-serve-after=$vWa%6.2f s")
     }
 
     // ---- mega-source cell bound (two-phase tokenBudgetSelect) --------

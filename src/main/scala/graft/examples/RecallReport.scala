@@ -76,6 +76,53 @@ object RecallReport {
       recall(s"ivfpq resid nP=$p", Similarity.ivfPqResidualTopK(emb, queries,
         fcents, m = 8, dim = 64, k = k, nProbe = p))
     }
+
+    // round 15: the residual claim MEASURED, not asserted — a planted
+    // MANIFOLD corpus (clustered Gaussians: unit-norm centers, σ-noise)
+    // where the coarse stage explains most of each vector's energy, so
+    // residual encoding should spend the same codebook budget on the
+    // within-cluster structure the plain encoding wastes on cluster
+    // position. The synthetic-i.i.d. rows above remain as the honest
+    // negative (nothing centroid-explained to remove). Deterministic
+    // seed → reproducible rows for PLANS.md.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val (nClus, nVecs, dim, sigma) = (64, 16384, 64, 0.15)
+    val centers = Array.fill(nClus)(Array.fill(dim)(rnd.nextGaussian()))
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(x => (x / n).toFloat)
+      }
+    val clusEmb = (0 until nVecs).map { i =>
+      val c = centers(i % nClus)
+      (i.toLong, c.map(x => x + (sigma * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding").cache()
+    val cQueries = clusEmb.filter(col("vec_id") < nQueries)
+    val cExact = Similarity.bruteForceTopK(clusEmb, cQueries, k)
+      .select("qid", "nid").cache()
+    cExact.count()
+    def recallClus(name: String, approx: DataFrame): Unit = {
+      val hit = cExact.join(approx.select("qid", "nid"), Seq("qid", "nid")).count()
+      println(f"[recall] $name%-16s recall@$k = ${hit.toDouble / (nq * k)}%.3f  ($hit/${nq * k}) [clustered]")
+    }
+    // Centroids = the TRUE cluster centers (the instrument that makes
+    // the coarse stage near-perfect, so the rows isolate the ENCODING:
+    // both variants probe the same ~exact lists, and any recall gap is
+    // ADC resolution — plain PQ must spread its cells over the whole
+    // sphere while residual PQ spends them on the σ-ball). A mod-37
+    // corpus-sample centroid set was measured first and leaves list
+    // misses dominating (~0.25 both variants) — see PLANS.md.
+    val ccents = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("cid", "cvec")
+    val ccb = Similarity.pqCodebook(clusEmb, m = 8)
+    Seq(1, 2).foreach { p =>
+      recallClus(s"ivfpq clus nP=$p", Similarity.ivfPqTopK(clusEmb, cQueries,
+        ccents, ccb, m = 8, dim = 64, k = k, nProbe = p))
+    }
+    Seq(1, 2).foreach { p =>
+      recallClus(s"resid clus nP=$p", Similarity.ivfPqResidualTopK(clusEmb,
+        cQueries, ccents, m = 8, dim = 64, k = k, nProbe = p))
+    }
     spark.stop()
   }
 }

@@ -1300,6 +1300,40 @@ class W3cConformanceSpec extends AnyFunSuite {
       Seq(Seq(Some("false"))))
   }
 
+  test("integer/integer comparison is EXACT past 2^53 (round 15): distinct " +
+      "big integers stay distinct and order correctly; only genuine " +
+      "float/decimal mixes promote through double") {
+    // §17.3: integer/decimal comparison is exact. 2^53 and 2^53+1 are
+    // DISTINCT integers whose double images coincide — the round-14
+    // double-promoted dispatch called them equal and inverted orderings.
+    // The round-15 path compares integer-derived pairs through
+    // decimal(38,0).
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    def typed(l: String, dt: String) = RdfTerms.encodeTyped(l, xsd + dt)
+    val d = quads(
+      (ex("a"), ex("p"), typed("9007199254740992", "integer")),  // 2^53
+      (ex("b"), ex("p"), typed("9007199254740993", "long")),     // 2^53+1
+      (ex("c"), ex("p"), typed("9007199254740993", "integer")),
+      // 38-digit integers still compare exactly through decimal(38,0)
+      (ex("big1"), ex("p"),
+        typed("99999999999999999999999999999999999998", "integer")),
+      (ex("big2"), ex("p"),
+        typed("99999999999999999999999999999999999999", "integer")),
+      (ex("f"), ex("p"), typed("9007199254740992.0", "double")))
+    def ask(a: String, b: String, op: String) =
+      run(d, EX + s"ASK { <${ex(a)}> ex:p ?a . <${ex(b)}> ex:p ?b . " +
+        s"FILTER(?a $op ?b) }") == Seq(Seq(Some("true")))
+    assert(ask("a", "b", "!="))  // 2^53 != 2^53+1 (double says equal)
+    assert(ask("a", "b", "<"))   // and the ordering is right
+    assert(!ask("a", "b", "=") && !ask("a", "b", ">"))
+    assert(ask("b", "c", "="))   // cross-subtype (long/integer) exact too
+    assert(ask("big1", "big2", "<") && ask("big1", "big2", "!="))
+    // a genuine integer/double MIX promotes through double (its own
+    // lattice): 2^53+1 == 2^53.0e0 there — the documented 2^53 bound
+    // now applies ONLY to pairs with a floating operand
+    assert(ask("b", "f", "="))
+  }
+
   test("w3c data-r2/expr-equals eq-1/eq-2 (adapted): = across lexical forms of one numeric value") {
     // eq-1: xsd:integer "1" vs "01" — value-equal, term-distinct; eq-2:
     // the double/decimal spellings of 1 — all numeric-equal under the
