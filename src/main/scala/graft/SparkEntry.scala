@@ -91,6 +91,12 @@ object SparkEntry {
       // semi-join, never corpus-scanned
       corpus.select(col("doc_id"), col("text"))
         .write.mode("overwrite").parquet(s"$root/docstore")
+      // round 15: the benchmark-set bloom mask (reference = the src0
+      // slice, q82's construction) persisted once — batches probe it at
+      // zero reference-side cost
+      operators.DedupIndex.writeBloomIndex(
+        t(s, dir, "documents").filter(col("source") === "src0"),
+        "text", "doc_id", s"$root/bloom", n = 3)
       root
     })
 
@@ -142,6 +148,43 @@ object SparkEntry {
       operators.AnnIndex.appendToIvfPqIndex(
         emb.filter(pmod(col("vec_id"), lit(5)) === 0), root,
         m = 8, dim = 64, twoLevel = true)
+      root
+    })
+
+  /** Per-sf-dir STREAM-grown ANN index fixture (round 15, q183): base
+    * index over 80%, the rest arrives through a real file-source
+    * streaming query and lands as exactly-once `codes_stream/` codes
+    * ([[operators.AnnIndex.streamIvfPqIngest]] — partition overwrite
+    * per ingest batch, so replays rewrite rather than duplicate, which
+    * the q179 batch-append path cannot offer). Same frozen
+    * centroids/codebook derivation as [[annIndex]], so serving over
+    * base + streamed codes must hash-match q102's oracle verbatim —
+    * byte-identity of the STREAMING encode path. Re-running the stream
+    * against its checkpoint is a no-op (AvailableNow, exactly-once
+    * file source), so the cached fixture is stable across bench
+    * passes. TempDirs-registered for end-of-JVM cleanup. */
+  private val annStreamCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annStreamIndex(s: SparkSession, dir: String): String =
+    annStreamCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_annstream_${java.util.UUID.randomUUID()}")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), cents, cb,
+        m = 8, dim = 64, root, twoLevel = true)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val tablePath = s"$dir/embeddings.parquet"
+      val stream = (if (new java.io.File(tablePath).isDirectory)
+          s.readStream.schema(schema).parquet(tablePath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      operators.AnnIndex.streamIvfPqIngest(stream, root, m = 8, dim = 64,
+        twoLevel = true)
       root
     })
 
@@ -1477,6 +1520,40 @@ object SparkEntry {
       s.read.parquet(s"$root/out/status")
         .select(col("doc_id"), col("status"),
           col("keep_id").cast("long").as("keep_id"))
+        .orderBy("doc_id")
+    }),
+    "q183_ann_stream_ingest" -> ((s, dir) => {
+      // §2.9 × round-15 ANN story: STREAMING vector ingest — q179's
+      // 20% split arrives through a real file-source streaming query
+      // and is encoded exactly-once into codes_stream/ (per-batch
+      // partition overwrite — replays rewrite, never duplicate; the
+      // idempotence the batch append cannot offer). The timed body
+      // serves over base + streamed codes (two partition-pruned
+      // branches, one ranker); oracle = q102's VERBATIM, so the hash
+      // matches iff the streaming encode path is byte-identical to a
+      // one-shot build over the union.
+      val root = annStreamIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
+          root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
+    "q182_bloom_index_probe" -> ((s, dir) => {
+      // PERSISTED decontamination bloom mask + batch probe (round 15):
+      // q82's bloom semantics with the reference side amortized — the
+      // benchmark set's (src0) gram mask lives in the index (one 128 KB
+      // row, cached fixture), and the timed body is a pure batch scan:
+      // mask broadcasts, 4 codegen'd bit tests per gram, per-doc
+      // contamination report. No reference re-derivation, no
+      // gram-keyed shuffle anywhere. Oracle rebuilds the identical
+      // md5-position mask in DuckDB — false positives match too; false
+      // negatives are impossible.
+      val root = dedupIndexes(s, dir)
+      val docs = t(s, dir, "documents")
+      operators.DedupIndex.bloomContaminationAgainstIndex(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text",
+          "doc_id", s"$root/bloom", n = 3)
         .orderBy("doc_id")
     }),
     "q106_canonical_keep" -> ((s, dir) => {
@@ -4384,6 +4461,33 @@ object SparkEntry {
     // the oracle is q102's verbatim, so the hash matches iff the append
     // path encodes byte-identically to a one-shot build over the union
     "q179_ann_index_append" -> ivfPqAdcOracle(),
+    // q183: same verbatim-q102 gate over the STREAMING encode path
+    // (exactly-once codes_stream partition writes)
+    "q183_ann_stream_ingest" -> ivfPqAdcOracle(),
+    "q182_bloom_index_probe" ->
+      // q82's mask semantics with the probe side restricted to the
+      // batch split — the persisted mask is bit-identical to the inline
+      // build (same md5 slice positions), so the report matches FP-for-FP
+      """WITH tk AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
+        |refpos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(gram), 1 + 5*i, 5))::BIGINT AS pos
+        |  FROM (SELECT DISTINCT gram FROM sh WHERE source = 'src0') refg,
+        |       unnest([0, 1, 2, 3]) AS t(i)),
+        |hit AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5(gram), 1, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      AND ('0x' || substr(md5(gram), 6, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      AND ('0x' || substr(md5(gram), 11, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      AND ('0x' || substr(md5(gram), 16, 5))::BIGINT IN (SELECT pos FROM refpos)
+        |      THEN 1 ELSE 0 END AS h
+        |  FROM sh WHERE doc_id % 5 = 0)
+        |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
+        |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
+        |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q180_neardup_admit" -> nearDupAdmitOracle(
       """SELECT d.doc_id,
         |    CASE WHEN d.doc_id % 20 = 15 AND b.text IS NOT NULL THEN b.text

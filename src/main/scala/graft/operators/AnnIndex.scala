@@ -120,6 +120,66 @@ object AnnIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
   }
 
+  /** One micro-batch of the STREAMING ingest (round 15; factored so the
+    * replay spec can drive it directly): encode the batch against the
+    * persisted frozen centroids/codebook — identical derivation to
+    * [[appendToIvfPqIndex]] — and OVERWRITE the batch's own
+    * `ingest_batch=` partition under `codes_stream/` (dynamic partition
+    * overwrite). Unlike the append path's plain parquet append, this IS
+    * idempotent: an at-least-once foreachBatch replay rewrites the same
+    * partition with the same rows, so streamed codes can never
+    * double-count in the ADC sum. */
+  private[graft] def ingestVecBatch(
+      batch: DataFrame, batchId: Long, path: String, m: Int, dim: Int,
+      twoLevel: Boolean, idCol: String, vecCol: String): Unit = {
+    val spark = batch.sparkSession
+    val dsub = dim / m
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cb = broadcast(spark.read.parquet(s"$path/codebook"))
+    val assign =
+      if (twoLevel) {
+        val (supers, cmap) = Similarity.superStructure(cents)
+        Similarity.coarseAssignTwoLevel(batch, supers, cmap,
+          idCol, vecCol, carryVec = false)
+      } else Similarity.coarseAssign(batch, cents, idCol, vecCol,
+        carryVec = false)
+    Similarity.pqEncode(batch, cb, dsub, idCol, vecCol)
+      .join(assign, "nid")
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "cid")
+      .parquet(s"$path/codes_stream")
+  }
+
+  /** STREAMING vector ingest into a persisted index (round 15) — the
+    * online form of [[appendToIvfPqIndex]]: embedding batches arrive
+    * through a streaming query and land as PQ codes encoded against the
+    * index's frozen structure, exactly-once per batch (see
+    * [[ingestVecBatch]] — partition overwrite makes replays rewrite,
+    * not duplicate, which the plain append path cannot offer).
+    * [[queryIvfPqIndex]] serves over base + streamed codes
+    * transparently; each relation keeps its own partition-pruned scan.
+    * Assumes each vector id arrives in exactly one batch (upstream
+    * dedup — [[graft.streaming.StreamingOps.dedupIngestStream]]'s job);
+    * the same frozen-quantizer drift policy as the batch append
+    * applies. Runs synchronously over all currently-available input
+    * (AvailableNow) — call again as new files land. */
+  def streamIvfPqIngest(
+      newVecs: DataFrame, path: String, m: Int, dim: Int,
+      twoLevel: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    val q = newVecs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$path/_stream_chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, id: Long) =>
+        ingestVecBatch(b, id, path, m, dim, twoLevel, idCol, vecCol))
+      .start()
+    q.awaitTermination()
+  }
+
   /** Compact the `codes/` relation of an append-accumulated index:
     * dedupes (nid, j, code) rows — an accidentally-replayed append
     * would otherwise double-count in the ADC sum — and merges the small
@@ -157,12 +217,26 @@ object AnnIndex {
       } else Similarity.queryProbes(queries, cents, nProbe, idCol, vecCol))
         .select(col("qid"), col("cid"))
     val qtab = Similarity.pqQueryTable(queries, cb, dsub, idCol, vecCol)
-    val scored = spark.read.parquet(s"$path/codes")
-      .join(broadcast(probes), "cid") // DPP prunes to the probed lists
-      .join(broadcast(qtab), Seq("qid", "j", "code"))
-      .filter(col("nid") =!= col("qid"))
-      .groupBy(col("qid"), col("nid"))
-      .agg(sum(col("qdist")).as("adist"))
+    // base codes + (if present) the streaming ingest's codes_stream —
+    // scored as SEPARATE branches so each scan keeps its own partition
+    // pruning (a vector's rows live wholly in one relation, so the
+    // per-branch (qid, nid) partial sums are complete sums and the
+    // union feeds the ranker directly; pushing the probes join through
+    // a relation-level union would depend on DPP applying under Union)
+    val sPath = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
+    val hasStream = sPath.getFileSystem(
+      spark.sessionState.newHadoopConf()).exists(sPath)
+    val rels = Seq(spark.read.parquet(s"$path/codes")) ++
+      (if (hasStream) Seq(spark.read.parquet(sPath.toString)
+        .select(col("nid"), col("j"), col("code"), col("cid"))) else Nil)
+    val scored = rels.map { codes =>
+      codes
+        .join(broadcast(probes), "cid") // DPP prunes to the probed lists
+        .join(broadcast(qtab), Seq("qid", "j", "code"))
+        .filter(col("nid") =!= col("qid"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qdist")).as("adist"))
+    }.reduce(_ unionByName _)
       .select(col("qid"), col("nid"),
         (-col("adist")).cast("double").as("score"))
     Similarity.rankTopK(scored, k)

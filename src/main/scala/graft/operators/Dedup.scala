@@ -764,15 +764,29 @@ object Dedup {
   def bloomContamination(
       corpus: DataFrame, reference: DataFrame,
       textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    val mBits = 1 << 20
     val refPos = gramStrings(reference, textCol, idCol, n)
       .select(explode(array(bloomPositions(col("gram")): _*)).as("pos"))
     val mask = refPos
-      .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"), mBits).as("mask"))
-      .withColumn("_j", lit(1))
+      .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"), BloomMBits)
+        .as("mask"))
+    probeBloomMask(corpus, mask, textCol, idCol, n)
+  }
+
+  /** 2^20 bits = the fixed mask geometry [[bloomPositions]]' 20-bit
+    * md5 slices address — shared by the inline build above and the
+    * persisted index ([[DedupIndex.writeBloomIndex]]). */
+  private[operators] val BloomMBits: Int = 1 << 20
+
+  /** The probe half of [[bloomContamination]], factored (round 15) so
+    * the persisted-mask path reuses it verbatim: broadcast the one-row
+    * mask, codegen'd 4-bit-test per corpus gram, per-doc contamination
+    * report. */
+  private[operators] def probeBloomMask(
+      corpus: DataFrame, mask: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
     val cg = gramStrings(corpus, textCol, idCol, n)
     val hits = cg.withColumn("_j", lit(1))
-      .join(broadcast(mask), "_j")
+      .join(broadcast(mask.select(col("mask")).withColumn("_j", lit(1))), "_j")
       .withColumn("_hit",
         bloomPositions(col("gram"))
           .map(p => graft.functions.Bloom.bloom_contains(col("mask"), p))

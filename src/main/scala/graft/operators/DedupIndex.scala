@@ -284,20 +284,28 @@ object DedupIndex {
       .join(broadcast(cands.select(col("id_b").as(idCol)).distinct()),
         Seq(idCol), "leftsemi")
       .select(col(idCol), col(textCol))
-    val verified = Dedup.ngramJaccard(cands,
+    // intra-batch: LSH self-join over the batch only (id_a < id_b by
+    // construction) — re-oriented (later doc, earlier partner) so BOTH
+    // pair families run through ONE exact-Jaccard verification (one
+    // shingle-set derivation, one intersection join) instead of two;
+    // the `_src` tag rides through ngramJaccard untouched and splits
+    // the verdicts back out. Pair families can't collide: id_b is a
+    // corpus id in one and a batch id in the other, and ids are
+    // globally unique.
+    val intra = Dedup.minhashCandidates(batch, textCol, idCol,
+        k, bands, shingleN)
+      .select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+    val verified = Dedup.ngramJaccard(
+      cands.withColumn("_src", lit("corpus"))
+        .unionByName(intra.withColumn("_src", lit("batch"))),
       batch.unionByName(corpusTexts), textCol, idCol, shingleN,
       minThetaBp = Some(thetaBp))
-    val corpusKeep = verified.groupBy(col("id_a"))
-      .agg(min(col("id_b")).as("_corpus_keep"))
+    val corpusKeep = verified.filter(col("_src") === "corpus")
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("_corpus_keep"))
       .withColumnRenamed("id_a", "id")
-    // intra-batch: LSH self-join over the batch only (id_a < id_b by
-    // construction), verified with the same exact-Jaccard gate
-    val bcands = Dedup.minhashCandidates(batch, textCol, idCol,
-      k, bands, shingleN)
-    val batchKeep = Dedup.ngramJaccard(bcands, batch, textCol, idCol,
-        shingleN, minThetaBp = Some(thetaBp))
-      .groupBy(col("id_b")).agg(min(col("id_a")).as("_batch_keep"))
-      .withColumnRenamed("id_b", "id")
+    val batchKeep = verified.filter(col("_src") === "batch")
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("_batch_keep"))
+      .withColumnRenamed("id_a", "id")
     batch.select(col(idCol).as("id"))
       .join(broadcast(corpusKeep), Seq("id"), "left")
       .join(broadcast(batchKeep), Seq("id"), "left")
@@ -308,6 +316,41 @@ object DedupIndex {
         coalesce(col("_corpus_keep"), col("_batch_keep"), col("id"))
           .as("keep_id"))
   }
+
+  /** Persist the decontamination BLOOM mask of a reference/benchmark
+    * set (round 15 — the operational form of
+    * [[Dedup.bloomContamination]]): the reference's distinct word
+    * n-grams collapse through the mergeable mask aggregate into ONE
+    * 2^20-bit row (128 KB), written once. Every later batch then
+    * probes the persisted mask at ZERO reference-side cost — the gram
+    * explode + mask build that [[Dedup.bloomContamination]] re-derives
+    * per run is amortized like every other index here, and the probe
+    * itself is a pure batch scan (the 128 KB mask broadcasts; no
+    * shuffle keyed by gram anywhere). Bit positions are md5-derived
+    * ([[Dedup.bloomPositions]]), so the mask is engine-reproducible:
+    * the q182 oracle rebuilds it in DuckDB and matches false positives
+    * too, and false NEGATIVES are impossible (every reference gram's
+    * bits are set). Benchmark sets are small — 2^20 bits holds the
+    * usual eval-suite gram counts at single-digit-% FP; for a bigger
+    * reference, shard it over several masks and OR the probe results. */
+  def writeBloomIndex(
+      reference: DataFrame, textCol: String, idCol: String, path: String,
+      n: Int = 3): Unit =
+    Dedup.gramStrings(reference, textCol, idCol, n)
+      .select(explode(array(Dedup.bloomPositions(col("gram")): _*)).as("pos"))
+      .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"), Dedup.BloomMBits)
+        .as("mask"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-doc contamination report of a batch against the PERSISTED
+    * bloom mask — byte-identical output to [[Dedup.bloomContamination]]
+    * over the same (batch, reference) pair, at batch-only cost:
+    * (idCol, n_grams, n_maybe_dirty, contamination_bp). */
+  def bloomContaminationAgainstIndex(
+      newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, n: Int = 3): DataFrame =
+    Dedup.probeBloomMask(newDocs,
+      newDocs.sparkSession.read.parquet(indexPath), textCol, idCol, n)
 
   /** Append a new batch's keys to an existing index (parquet append —
     * new files only; existing index data is never rewritten). Call
@@ -382,6 +425,16 @@ object DedupIndex {
           s"compactIndex: unknown kind '$other' (exact | minhash | anchor)")
       }
     }
+
+  /** Compact the near-dup DOC STORE (the (id, text) relation
+    * [[admitNearDupAgainstIndex]] fetches verification texts from):
+    * drops the duplicate rows at-least-once appends accrete (harmless
+    * to verification — shingles dedupe per id — but they grow the
+    * fetch scan) and merges small files. Crash-safe via
+    * [[atomicRewrite]]. */
+  def compactDocStore(spark: SparkSession, path: String,
+      idCol: String = "doc_id"): Unit =
+    atomicRewrite(spark, path)(_.dropDuplicates(idCol))
 
   /** Crash-safe in-place parquet rewrite: read `path`, transform, write
     * the result to `path._compact_tmp` (a normal distributed job — the

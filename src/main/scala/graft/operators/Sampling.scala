@@ -185,7 +185,20 @@ object Sampling {
     * The relation is localCheckpointed once right after the range
     * shuffle: spark_partition_id() must agree across the two consumers
     * (local sums, cell totals), and the checkpoint pins the partition
-    * layout; the relation is 4 narrow columns, not the corpus. */
+    * layout; the relation is 4 narrow columns, not the corpus.
+    *
+    * Executor-storage sizing (round 15 — this is the ONE corpus-ROW-sized
+    * materialization in the operator set): the checkpoint holds one
+    * ~32-byte row per document on executor storage (MEMORY_AND_DISK —
+    * spills, never OOMs), i.e. ~320 GB across the cluster at 10¹⁰ docs —
+    * real but small next to the corpus (~1% of 100 TB), and partition
+    * loss before job end fails the stage (localCheckpoint truncates
+    * lineage) — rerun the job, nothing durable is involved. The
+    * alternative — a deterministic cell key (e.g. range-bucket number
+    * computed from sampled split bounds) instead of
+    * spark_partition_id() — removes the checkpoint but needs its own
+    * bounds-sampling pass; at one pass each, the checkpoint form is
+    * simpler and was kept. */
   def tokenBudgetSelect(
       df: DataFrame, textCol: String, idCol: String, domainCol: String,
       budgets: DataFrame): DataFrame = {

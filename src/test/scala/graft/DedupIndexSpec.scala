@@ -261,10 +261,17 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(admit() == st)
     // a LATER batch near-dupping an admitted doc is dup_corpus
     val later = Seq((201L, editDoc(novelBase, 5, "MID"))).toDF("doc_id", "text")
-    val st2 = DedupIndex.admitNearDupAgainstIndex(later, "text", "doc_id",
-        idx, store).collect()
+    def admitLater() = DedupIndex.admitNearDupAgainstIndex(later, "text",
+        "doc_id", idx, store).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
-    assert(st2 == Map(201L -> (("dup_corpus", 102L))))
+    assert(admitLater() == Map(201L -> (("dup_corpus", 102L))))
+    // doc-store compaction: plant a replayed (duplicate) append, compact,
+    // verification results unchanged and one row per id
+    admitted.write.mode("append").parquet(store)
+    DedupIndex.compactDocStore(s, store)
+    assert(admitLater() == Map(201L -> (("dup_corpus", 102L))))
+    val ids = s.read.parquet(store).groupBy("doc_id").count()
+    assert(ids.agg(max("count")).head().getLong(0) == 1L)
   }
 
   test("exact admission replay safety: re-admitting a batch whose keys " +

@@ -270,6 +270,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ANN ingest codes are exactly-once: a replayed batch " +
+      "rewrites its partition (no ADC double-count), batches compose, and " +
+      "serving over base + stream equals the in-memory union result") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    val path = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_annstream_spec_${java.util.UUID.randomUUID()}")
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, path, twoLevel = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def served() = rows(AnnIndex.queryIvfPqIndex(queries, path, m = 2,
+      dim = 4, k = 4, nProbe = 2, twoLevel = true))
+    val mem = rows(Similarity.ivfPqTopK(vecs, queries, cents, cb, m = 2,
+      dim = 4, k = 4, nProbe = 2, twoLevel = true))
+    // two stream batches carry the held-out 20%
+    val b0 = vecs.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val b1 = vecs.filter(pmod(col("vec_id"), lit(10)) === 5)
+    AnnIndex.ingestVecBatch(b0, 0L, path, m = 2, dim = 4,
+      twoLevel = true, "vec_id", "embedding")
+    AnnIndex.ingestVecBatch(b1, 1L, path, m = 2, dim = 4,
+      twoLevel = true, "vec_id", "embedding")
+    assert(served() == mem)
+    // at-least-once replay of batch 1: partition OVERWRITE, not append —
+    // byte-identical serving (the plain append path would double-count)
+    AnnIndex.ingestVecBatch(b1, 1L, path, m = 2, dim = 4,
+      twoLevel = true, "vec_id", "embedding")
+    assert(served() == mem)
+    val streamRows = s.read.parquet(s"$path/codes_stream")
+    assert(streamRows.groupBy("nid", "j").count()
+      .agg(max("count")).head().getLong(0) == 1L)
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(

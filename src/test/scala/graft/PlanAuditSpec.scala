@@ -29,12 +29,14 @@ class PlanAuditSpec extends AnyFunSuite {
     "q74_embed_pq", // ADC scoring: code relation × broadcast(query vectors)
     "q75_bm25", // per-(doc,term) tf × broadcast(1-row corpus totals)
     "q82_bloom_decontaminate", // corpus grams × broadcast(1-row bloom mask)
+    "q182_bloom_index_probe", // batch grams × broadcast(1-row PERSISTED bloom mask) — q82's probe shape
     "q96_gap_fill", // grid build: |types| × broadcast(|days|), both dimension-sized
     "q102_ivf_pq", // IVF assign + PQ encode: corpus × broadcast(centroids/codebook)
     "q104_hybrid_rrf", // dense list: corpus × broadcast(1 query vector), q22's shape
     "q175_pq_rerank", // ADC shortlist stage: corpus/queries × broadcast(codebook), q74's shape; the rerank itself is an equi-join
     "q176_ann_index_serve", // query probe + ADC table: queries × broadcast(supers/codebook), q102's shape; the codes scan itself joins by equi-keys
     "q179_ann_index_append", // q176's serve plan verbatim over the append-grown index (the append itself is a fixture, not the timed body)
+    "q183_ann_stream_ingest", // q176's serve shapes over base + codes_stream (two pruned branches, one ranker); the stream ingest is a fixture
     "q177_ivfpq_residual", // assign/encode/query-table: corpus/probes × broadcast(centroids/residual codebook), q102's shape
     "q178_ann_serve_rerank", // q176's serve stage shapes; the re-rank is an equi-join
     "q132_sparql_values_undef") // solutions × broadcast(2-row UNDEF VALUES): null-or-equal condition cannot be an equi-join (§10.2.2)
