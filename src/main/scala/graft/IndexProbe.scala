@@ -102,6 +102,17 @@ object IndexProbe {
       val nd1 = time { ndRows = ndQuery().count() }
       val ndW = time(ndQuery().count())
       println(f"neardup$tag%-13s $nCorpus%8d $dBuild%9.1f $nd1%8.2f $ndW%9.2f $ndRows%8d")
+      // ---- persisted bloom mask (round 15: q182 shape — the probe is a
+      // pure batch scan at ANY reference size; build ∝ reference)
+      val bPath = TempDirs.register(s"/tmp/graft-indexprobe/bloom-$tag")
+      val bBuild = time(operators.DedupIndex.writeBloomIndex(
+        docs.filter(col("source") === "src0"), "text", "doc_id", bPath))
+      def bQuery() = operators.DedupIndex.bloomContaminationAgainstIndex(
+        batch, "text", "doc_id", bPath)
+      var bRows = 0L
+      val b1 = time { bRows = bQuery().count() }
+      val bW = time(bQuery().count())
+      println(f"bloom$tag%-15s $nCorpus%8d $bBuild%9.1f $b1%8.2f $bW%9.2f $bRows%8d")
     }
 
     // ---- ANN index: serve a FIXED query batch against 1x and 10x
