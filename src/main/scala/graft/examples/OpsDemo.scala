@@ -1,0 +1,130 @@
+package graft.examples
+
+import graft.TempDirs
+import graft.operators.{AnnIndex, DedupIndex, Similarity, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Day-2 OPERATIONS demo — the round-14/15 operational layer end-to-end,
+  * the loop a production training-data pipeline runs daily:
+  *
+  *   1. indexes built ONCE over the corpus (exact keys, minhash bands,
+  *      winnowed anchors, benchmark bloom mask, doc store);
+  *   2. a new crawl batch admitted at batch-proportional cost — exact
+  *      re-fetch dedup, verified NEAR-dup dedup, substring-span cut
+  *      against the anchor index, benchmark-contamination report;
+  *   3. admitted docs appended (parquet append — no index rewrite);
+  *   4. crash-safe compaction (tmp write + two-rename swap);
+  *   5. the ANN side: IVF-PQ index built over the base era, the new
+  *      era APPENDED against the frozen centroids/codebook, query batch
+  *      served over both at probed-fraction cost.
+  *
+  * Run: sbt "runMain graft.examples.OpsDemo [sfDir]"   (default sf0.01)
+  * Everything printed is a count/time the PLANS.md probes measure at
+  * 10× and 100× (`graft.IndexProbe`). */
+object OpsDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[ops] $tag%-42s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    val root = TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_opsdemo_${java.util.UUID.randomUUID()}")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    // today's crawl: 20% novel docs, with one-in-ten a re-fetch of a
+    // known page (its corpus neighbor's text)
+    val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("_nt"))
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .join(neigh, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0 && col("_nt").isNotNull,
+          col("_nt")).otherwise(col("text")).as("text"))
+
+    // ---- 1. one-time index builds (corpus-proportional, amortized)
+    time("build: exact + minhash + anchor + store")(
+      { DedupIndex.writeExactIndex(corpus, "text", "doc_id", s"$root/exact")
+        DedupIndex.writeMinHashIndex(corpus, "text", "doc_id", s"$root/minhash")
+        DedupIndex.writeAnchorIndex(corpus, "text", "doc_id", s"$root/anchor",
+          k = 3, w = 4)
+        corpus.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$root/store") })
+    time("build: benchmark bloom mask")(
+      DedupIndex.writeBloomIndex(docs.filter(col("source") === "src0"),
+        "text", "doc_id", s"$root/bloom"))
+
+    // ---- 2. today's batch, admitted at batch-proportional cost
+    val exactSt = time("admit: exact (re-fetch dedup)")(
+      DedupIndex.admitAgainstIndex(batch, "text", "doc_id", s"$root/exact")
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    println(s"[ops]   exact statuses: $exactSt")
+    val ndSt = time("admit: near-dup (LSH -> verify)")(
+      DedupIndex.admitNearDupAgainstIndex(batch, "text", "doc_id",
+          s"$root/minhash", s"$root/store")
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    println(s"[ops]   near-dup statuses: $ndSt")
+    val spans = time("detect: substring spans vs anchor index")(
+      DedupIndex.duplicateSpansAgainstIndex(batch, "text", "doc_id",
+        s"$root/anchor", k = 3, w = 4))
+    val nSpans = spans.count()
+    val nCut = time("cut: remove duplicated spans")(
+      TextOps.cutSpans(batch, "text", "doc_id", spans).count())
+    println(s"[ops]   spans=$nSpans, docs after cut=$nCut")
+    val dirty = time("probe: benchmark bloom contamination")(
+      DedupIndex.bloomContaminationAgainstIndex(batch, "text", "doc_id",
+        s"$root/bloom").filter(col("n_maybe_dirty") > 0).count())
+    println(s"[ops]   bloom-flagged docs=$dirty (verify before dropping)")
+
+    // ---- 3. maintenance: append the admitted docs, then compact
+    val admitted = batch.join(
+      DedupIndex.admitAgainstIndex(batch, "text", "doc_id", s"$root/exact")
+        .filter(col("status") === "admitted").select("doc_id"),
+      Seq("doc_id"), "leftsemi")
+    time("append: admitted keys/bands/grams/texts")(
+      { DedupIndex.appendToIndex(admitted, "text", "doc_id", s"$root/exact", "exact")
+        DedupIndex.appendToIndex(admitted, "text", "doc_id", s"$root/minhash", "minhash")
+        DedupIndex.appendToIndex(admitted, "text", "doc_id", s"$root/anchor",
+          "anchor", anchorK = 3, anchorW = 4)
+        admitted.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(s"$root/store") })
+    time("compact: crash-safe swap, all four relations")(
+      { DedupIndex.compactIndex(spark, s"$root/exact", "exact")
+        DedupIndex.compactIndex(spark, s"$root/minhash", "minhash")
+        DedupIndex.compactIndex(spark, s"$root/anchor", "anchor")
+        DedupIndex.compactDocStore(spark, s"$root/store") })
+
+    // ---- 4. the ANN side: base build, era append, serve over both
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = emb.filter(
+        pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(emb, m = 8)
+    time("ann: build IVF-PQ over the base era")(
+      AnnIndex.writeIvfPqIndex(emb.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+        cents, cb, m = 8, dim = 64, s"$root/ann", twoLevel = true))
+    time("ann: append today's era (frozen quantizer)")(
+      AnnIndex.appendToIvfPqIndex(emb.filter(pmod(col("vec_id"), lit(5)) === 0),
+        s"$root/ann", m = 8, dim = 64, twoLevel = true))
+    val topk = time("ann: serve 8-query batch, probed lists only")(
+      AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8), s"$root/ann",
+        m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true).count())
+    time("ann: compact codes (crash-safe)")(
+      AnnIndex.compactIvfPqCodes(spark, s"$root/ann"))
+    println(s"[ops]   served top-k rows=$topk")
+    println("[ops] done — every stage above is oracled by q171-q183 and " +
+      "probed at 10x/100x in PLANS.md")
+    spark.stop()
+  }
+}

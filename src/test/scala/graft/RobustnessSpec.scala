@@ -749,4 +749,44 @@ class RobustnessSpec extends AnyFunSuite {
     }
     assert(attempts > 400, s"only $attempts mutations exercised")
   }
+
+  // --- Round-15 index-family degenerate inputs -----------------------------
+
+  test("index queries behave on degenerate inputs: empty reference bloom " +
+      "mask hits nothing, empty-corpus near-dup admission admits the whole " +
+      "batch, empty batch produces empty relations (no crashes)") {
+    val s = spark; import s.implicits._
+    val tmp = (t: String) => TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_robidx_${t}_${java.util.UUID.randomUUID()}")
+    val batch = Seq((1L, "alpha beta gamma delta eps"),
+      (2L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val empty = batch.filter(lit(false))
+    // empty REFERENCE → zero mask → nothing can be flagged (no-FN
+    // property holds trivially in both directions)
+    val bPath = tmp("bloom")
+    operators.DedupIndex.writeBloomIndex(empty, "text", "doc_id", bPath)
+    val rep = operators.DedupIndex.bloomContaminationAgainstIndex(
+      batch, "text", "doc_id", bPath).collect()
+    assert(rep.length == 2 && rep.forall(_.getAs[Long]("n_maybe_dirty") == 0L))
+    // empty CORPUS behind the band index + doc store → every batch doc
+    // admits (and intra-batch logic still runs: plant one batch dup)
+    val mPath = tmp("mh"); val dPath = tmp("store")
+    operators.DedupIndex.writeMinHashIndex(empty, "text", "doc_id", mPath)
+    empty.write.parquet(dPath)
+    val dupBatch = batch.union(
+      Seq((3L, "alpha beta gamma delta eps")).toDF("doc_id", "text"))
+    val st = operators.DedupIndex.admitNearDupAgainstIndex(dupBatch,
+        "text", "doc_id", mPath, dPath)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "admitted", 2L -> "admitted", 3L -> "dup_batch"))
+    // empty BATCH against a real index → empty outputs, no crash
+    val ePath = tmp("exact")
+    operators.DedupIndex.writeExactIndex(batch, "text", "doc_id", ePath)
+    assert(operators.DedupIndex.admitAgainstIndex(
+      empty, "text", "doc_id", ePath).count() == 0L)
+    assert(operators.DedupIndex.admitNearDupAgainstIndex(
+      empty, "text", "doc_id", mPath, dPath).count() == 0L)
+    assert(operators.DedupIndex.bloomContaminationAgainstIndex(
+      empty, "text", "doc_id", bPath).count() == 0L)
+  }
 }
