@@ -66,6 +66,42 @@ object SparkEntry {
       out
     })
 
+  /** Per-sf-dir REFRESH-maintained stats store (round 15, q184): the
+    * q111 store built in two eras — the even-user half written first
+    * and indexed by [[graft.sources.StatsIndex.build]], the odd half
+    * landing later as appended fragments picked up by
+    * [[graft.sources.StatsIndex.refresh]] (cost ∝ new files: listing +
+    * scan of the new fragments only). A pruned scan planned from the
+    * refresh-maintained table must equal the full recomputation —
+    * q184's oracle is q111's verbatim — so a refresh that misses a
+    * fragment or keeps a stale row breaks the hash. */
+  private val statsRefreshCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def statsRefreshStoreFor(s: SparkSession, dir: String): String =
+    statsRefreshCache.getOrElseUpdate(dir, {
+      val out = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_statsrefresh_${java.util.UUID.randomUUID()}")
+      val src = t(s, dir, "events")
+      val nRows = src.count()
+      val fact = src.select(
+        col("ts").as("time"), col("value"),
+        col("event_type").as("label"),
+        lit("bench").as("collection"),
+        format_string("00000000-0000-0000-0000-%012d",
+          pmod(col("user_id"), lit(100))).as("uuid"),
+        pmod(col("user_id"), lit(2)).as("_era"))
+      def write(era: Int, mode: String): Unit =
+        fact.filter(col("_era") === era).drop("_era")
+          .repartition(col("uuid")).sortWithinPartitions("uuid", "time")
+          .write.mode(mode).partitionBy("collection", "uuid")
+          .option("maxRecordsPerFile", math.max(10L, nRows / 100 / 3))
+          .parquet(out)
+      write(0, "overwrite")
+      graft.sources.StatsIndex.build(s, out, s"$out-stats")
+      write(1, "append") // the new era lands as appended fragments
+      graft.sources.StatsIndex.refresh(s, out, s"$out-stats")
+      out
+    })
+
   /** Persisted dedup indexes per (sf dir, JVM) — round 14 (q171–q173):
     * the CORPUS split's (doc_id % 5 != 0) three index families written
     * once; the timed query bodies are the incremental BATCH queries,
@@ -1521,6 +1557,25 @@ object SparkEntry {
         .select(col("doc_id"), col("status"),
           col("keep_id").cast("long").as("keep_id"))
         .orderBy("doc_id")
+    }),
+    "q184_stats_refresh_scan" -> ((s, dir) => {
+      // S5 maintained INCREMENTALLY (round 15): the q111 store written
+      // in two eras — stats built over era 0, era 1 landing later as
+      // appended fragments that StatsIndex.refresh picks up at
+      // new-files-only cost (listing + fragment scan, never a store
+      // re-scan). The timed body is q111's pruned-scan path planned
+      // from the refresh-maintained table; the oracle recomputes from
+      // raw events, so a refresh that misses a new fragment (wrong
+      // counts) or resurrects a stale row breaks the hash.
+      val out = statsRefreshStoreFor(s, dir)
+      val stats = s.read.parquet(s"$out-stats")
+      val uuids = (0 until 100 by 5)
+        .map(u => f"00000000-0000-0000-0000-$u%012d")
+      graft.sources.StatsIndex.prunedScan(s, stats, out, uuids,
+          "2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+        .groupBy("uuid")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("uuid")
     }),
     "q183_ann_stream_ingest" -> ((s, dir) => {
       // §2.9 × round-15 ANN story: STREAMING vector ingest — q179's
@@ -5430,6 +5485,17 @@ object SparkEntry {
         |WHERE n_regionkey = 2
         |ORDER BY n, c""".stripMargin,
     "q111_stats_pruned_scan" ->
+      """SELECT printf('00000000-0000-0000-0000-%012d', user_id % 100) AS uuid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id % 100 % 5 = 0
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q184 = q111's oracle VERBATIM: the refresh-maintained stats table
+    // must plan the identical pruned scan a full rebuild would
+    "q184_stats_refresh_scan" ->
       """SELECT printf('00000000-0000-0000-0000-%012d', user_id % 100) AS uuid,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -447,7 +447,7 @@ object DedupIndex {
     * the rewritten relation out partitioned (the ANN codes compaction
     * keeps its `cid=` serving layout). Shared by [[compactIndex]] and
     * [[AnnIndex.compactIvfPqCodes]]. */
-  private[operators] def atomicRewrite(
+  private[graft] def atomicRewrite(
       spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil)(
       transform: DataFrame => DataFrame): Unit = {

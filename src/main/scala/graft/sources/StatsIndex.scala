@@ -38,6 +38,69 @@ object StatsIndex {
     spark.read.parquet(statsPath)
   }
 
+  /** Incrementally MAINTAIN the stats table after the store changes
+    * (round 15 — the reference's own pattern applied to its own index:
+    * make-metadata.py:8-22 persists planning state once; a daily
+    * pipeline then lands new fragments and must not re-scan the store
+    * to keep it current). Cost ∝ changed fragments:
+    *
+    *   - discovery is a recursive FILE LISTING (the same metadata-only
+    *     operation Spark's InMemoryFileIndex performs at every
+    *     DataFrame creation over `root` — no data is read);
+    *   - NEW fragments (listed but absent from the stats table) are
+    *     scanned — only them, via an explicit path list with `basePath`
+    *     so the hive partition columns survive — and their stats rows
+    *     APPENDED (new parquet files only, no rewrite);
+    *   - STALE rows (stats entries whose fragment no longer exists —
+    *     a compacted or deleted file) are dropped by a crash-safe
+    *     atomic rewrite ([[graft.operators.DedupIndex.atomicRewrite]]
+    *     — tmp write + two-rename swap), which only runs when staleness
+    *     is actually present.
+    *
+    * File identity is compared on scheme-normalized paths (Hadoop
+    * listing says `file:/…`, `input_file_name()` says `file:///…`).
+    * Equivalent to a full [[build]] over the current store — the q184
+    * gate serves a pruned scan from a refresh-maintained table against
+    * the full-recompute oracle. Idempotent: a second refresh with no
+    * store change appends nothing and rewrites nothing. */
+  def refresh(spark: SparkSession, root: String, statsPath: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    def norm(s: String): String =
+      s.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val current = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.isFile && p.endsWith(".parquet")) current += p
+    }
+    val known = spark.read.parquet(statsPath).select("file")
+      .collect().map(r => norm(r.getString(0))).toSet
+    val currentByNorm = current.map(p => norm(p) -> p).toMap
+    val newFiles = currentByNorm.collect {
+      case (n, p) if !known(n) => p }.toSeq.sorted
+    val stale = known -- currentByNorm.keySet
+    if (stale.nonEmpty)
+      graft.operators.DedupIndex.atomicRewrite(spark, statsPath) { df =>
+        df.filter(!regexp_replace(col("file"), "^[a-zA-Z0-9+.-]+:/+", "/")
+          .isin(stale.toSeq: _*))
+      }
+    if (newFiles.nonEmpty)
+      spark.read.option("basePath", root).parquet(newFiles: _*)
+        .withColumn("file", input_file_name())
+        .groupBy(col("collection"), col("uuid"), col("file"))
+        .agg(
+          min("time").as("min_time"),
+          max("time").as("max_time"),
+          min("value").as("min_value"),
+          max("value").as("max_value"),
+          count(lit(1)).as("num_rows"))
+        .write.mode("append").parquet(statsPath)
+    spark.read.parquet(statsPath)
+  }
+
   /** Re-open and sanity-check the stats table, mirroring the reference's
     * self-validation reopen (make-metadata.py:20-22). */
   def validate(spark: SparkSession, statsPath: String): Boolean = {

@@ -97,6 +97,55 @@ class IngestSpec extends AnyFunSuite {
     assert(pruned.collect().map(_.getString(1)).toSet == Set(uuid1)) // uuid2 ends 2016-11-30
   }
 
+  test("stats refresh (round 15): new fragments are picked up at " +
+      "new-files-only cost, stale rows are dropped, the result equals a " +
+      "full rebuild, and a no-change refresh is a no-op") {
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory("graft-refresh").toString
+    val statsPath = s"$root-stats"
+    def fact(era: Int) = (0 until 100).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 60L + era * 100000L)), i.toDouble, "lbl",
+        "c1", s"u${i % 3 + era * 3}")
+    }.toDF("time", "value", "label", "collection", "uuid")
+    fact(0).write.mode("overwrite").partitionBy("collection", "uuid").parquet(root)
+    StatsIndex.build(s, root, statsPath)
+    val before = s.read.parquet(statsPath).count()
+    // era 1: new fragments in NEW uuid dirs land later
+    fact(1).write.mode("append").partitionBy("collection", "uuid").parquet(root)
+    StatsIndex.refresh(s, root, statsPath)
+    def canon() = s.read.parquet(statsPath)
+      .select(col("collection"), col("uuid"),
+        regexp_replace(col("file"), "^[a-zA-Z0-9+.-]+:/+", "/").as("f"),
+        col("min_time"), col("max_time"), col("num_rows"))
+      .collect().map(_.toSeq).toSet
+    val refreshed = canon()
+    assert(refreshed.size > before.toInt)
+    // equals a full rebuild over the current store
+    val rebuiltPath = s"$root-stats-rebuilt"
+    StatsIndex.build(s, root, rebuiltPath)
+    val rebuilt = s.read.parquet(rebuiltPath)
+      .select(col("collection"), col("uuid"),
+        regexp_replace(col("file"), "^[a-zA-Z0-9+.-]+:/+", "/").as("f"),
+        col("min_time"), col("max_time"), col("num_rows"))
+      .collect().map(_.toSeq).toSet
+    assert(refreshed == rebuilt)
+    // idempotent: no change → no new rows
+    StatsIndex.refresh(s, root, statsPath)
+    assert(canon() == refreshed)
+    // stale: delete one uuid directory (a compaction/retention event) —
+    // refresh drops its rows and matches a rebuild again
+    val gone = new java.io.File(s"$root/collection=c1/uuid=u0")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(gone)
+    StatsIndex.refresh(s, root, statsPath)
+    val after = canon()
+    assert(!after.exists(_.exists(v => v != null && v.toString.contains("uuid=u0"))))
+    assert(after.size < refreshed.size)
+  }
+
   test("prunedScan reads ONLY the stats-selected fragments (README.md:56 _metadata analogue)") {
     val statsPath = Files.createTempDirectory("graft-stats-ps").resolve("stats").toString
     val stats = StatsIndex.build(spark, destDir.toString, statsPath)
