@@ -88,7 +88,10 @@ object SparkEntry {
         lit("bench").as("collection"),
         format_string("00000000-0000-0000-0000-%012d",
           pmod(col("user_id"), lit(100))).as("uuid"),
-        pmod(col("user_id"), lit(2)).as("_era"))
+        // era keyed on event_id, NOT user_id: every uuid directory gets
+        // fragments from BOTH eras, so the refresh must discover new
+        // files inside EXISTING partition dirs, not just new dirs
+        pmod(col("event_id"), lit(2)).as("_era"))
       def write(era: Int, mode: String): Unit =
         fact.filter(col("_era") === era).drop("_era")
           .repartition(col("uuid")).sortWithinPartitions("uuid", "time")

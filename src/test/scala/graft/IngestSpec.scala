@@ -103,10 +103,12 @@ class IngestSpec extends AnyFunSuite {
     val s = spark; import s.implicits._
     val root = Files.createTempDirectory("graft-refresh").toString
     val statsPath = s"$root-stats"
+    // era 1 lands files in EXISTING uuid dirs (u1, u2) AND one new dir
+    // (u3) — refresh must discover both shapes
     def fact(era: Int) = (0 until 100).map { i =>
       (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
         .plusSeconds(i * 60L + era * 100000L)), i.toDouble, "lbl",
-        "c1", s"u${i % 3 + era * 3}")
+        "c1", s"u${i % 3 + era}")
     }.toDF("time", "value", "label", "collection", "uuid")
     fact(0).write.mode("overwrite").partitionBy("collection", "uuid").parquet(root)
     StatsIndex.build(s, root, statsPath)
