@@ -66,6 +66,8 @@ object AnnIndex {
     Similarity.pqEncode(corpus, broadcast(cb), dsub, idCol, vecCol)
       .join(assign, "nid")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    DedupIndex.writeMeta(corpus.sparkSession, path, "ivfpq",
+      Map("m" -> m, "dim" -> dim, "twoLevel" -> (if (twoLevel) 1 else 0)))
   }
 
   /** Append a NEW vector batch to a persisted index (round 15 — closes
@@ -105,6 +107,8 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
     val spark = newVecs.sparkSession
+    DedupIndex.checkMeta(spark, path, "ivfpq",
+      Map("m" -> m, "dim" -> dim, "twoLevel" -> (if (twoLevel) 1 else 0)))
     val dsub = dim / m
     val cents = spark.read.parquet(s"$path/centroids")
     val cb = broadcast(spark.read.parquet(s"$path/codebook"))
@@ -133,6 +137,8 @@ object AnnIndex {
       batch: DataFrame, batchId: Long, path: String, m: Int, dim: Int,
       twoLevel: Boolean, idCol: String, vecCol: String): Unit = {
     val spark = batch.sparkSession
+    DedupIndex.checkMeta(spark, path, "ivfpq",
+      Map("m" -> m, "dim" -> dim, "twoLevel" -> (if (twoLevel) 1 else 0)))
     val dsub = dim / m
     val cents = spark.read.parquet(s"$path/centroids")
     val cb = broadcast(spark.read.parquet(s"$path/codebook"))
@@ -206,6 +212,8 @@ object AnnIndex {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
     val spark = queries.sparkSession
+    DedupIndex.checkMeta(spark, path, "ivfpq",
+      Map("m" -> m, "dim" -> dim, "twoLevel" -> (if (twoLevel) 1 else 0)))
     val dsub = dim / m
     val cents = spark.read.parquet(s"$path/centroids")
     val cb = broadcast(spark.read.parquet(s"$path/codebook"))

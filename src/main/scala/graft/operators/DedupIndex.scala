@@ -50,6 +50,52 @@ import org.apache.spark.sql.functions._
 object DedupIndex {
 
   // ------------------------------------------------------------------
+  // Index build metadata (round 15): every parameterized index persists
+  // its builder parameters in a nested one-row parquet
+  // (`<path>/_graft_meta` — the underscore prefix makes it invisible to
+  // Spark's parquet listing, so the index dir stays a plain relation),
+  // and every query/append against it VALIDATES the caller's parameters
+  // — a minhash probe with the wrong (k, bands, shingleN) or an anchor
+  // query with the wrong (k, w) produces garbage-recall candidates
+  // SILENTLY otherwise (the winnowing guarantee and the LSH S-curve
+  // both hold only at the build parameters). [[atomicRewrite]] carries
+  // the meta through its swap. Absent meta (a pre-round-15 index) skips
+  // the check — validation is advisory-on-miss, loud-on-mismatch.
+  // ------------------------------------------------------------------
+
+  private[operators] def writeMeta(spark: SparkSession, path: String,
+      kind: String, params: Map[String, Int]): Unit = {
+    import spark.implicits._
+    // a sentinel row keeps the relation non-empty for param-less kinds
+    // (exact) — the kind column must survive for the kind check
+    ((("_kind", 0) +: params.toSeq.sortBy(_._1))
+      .map { case (k, v) => (kind, k, v) })
+      .toDF("kind", "param", "value")
+      .write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
+
+  /** Fail-loud parameter check: throws when a persisted meta exists and
+    * disagrees with the caller's parameters (kind or any value). */
+  private[operators] def checkMeta(spark: SparkSession, path: String,
+      kind: String, params: Map[String, Int]): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) return
+    val rows = spark.read.parquet(metaPath.toString).collect()
+    val storedKind = rows.headOption.map(_.getString(0)).getOrElse(kind)
+    val stored = rows.map(r => r.getString(1) -> r.getInt(2)).toMap
+    require(storedKind == kind,
+      s"index at $path was built as kind '$storedKind', queried as '$kind'")
+    val bad = params.collect {
+      case (p, v) if stored.get(p).exists(_ != v) =>
+        s"$p: built ${stored(p)}, passed $v"
+    }
+    require(bad.isEmpty,
+      s"index parameter mismatch at $path (${bad.mkString("; ")}) — " +
+        "query/append parameters must equal the build parameters")
+  }
+
+  // ------------------------------------------------------------------
   // Exact (normalized-text hash) index
   // ------------------------------------------------------------------
 
@@ -57,9 +103,11 @@ object DedupIndex {
     * text — (text_key, keep_id, n_copies), the [[Dedup.exactGroups]]
     * relation. Index size ∝ distinct corpus texts, never doc count. */
   def writeExactIndex(
-      df: DataFrame, textCol: String, idCol: String, path: String): Unit =
+      df: DataFrame, textCol: String, idCol: String, path: String): Unit = {
     Dedup.exactGroups(df, textCol, idCol)
       .write.mode("overwrite").parquet(path)
+    writeMeta(df.sparkSession, path, "exact", Map.empty)
+  }
 
   /** Batch docs that exact-duplicate the INDEXED corpus: (idCol,
     * text_key, keep_id) — the surviving corpus doc each batch doc
@@ -77,6 +125,7 @@ object DedupIndex {
       newDocs: DataFrame, textCol: String, idCol: String,
       indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
+    checkMeta(spark, indexPath, "exact", Map.empty)
     val batchKeys = newDocs.select(col(idCol),
       md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
     val matched = spark.read.parquet(indexPath)
@@ -108,6 +157,8 @@ object DedupIndex {
       .select(col("id"), posexplode_outer(col("bk")).as(Seq("band", "key")))
       .filter(col("band").isNotNull)
       .write.mode("overwrite").parquet(path)
+    writeMeta(df.sparkSession, path, "minhash",
+      Map("k" -> k, "bands" -> bands, "shingleN" -> shingleN))
   }
 
   /** Candidate near-dup pairs between a new batch and the INDEXED
@@ -125,6 +176,8 @@ object DedupIndex {
       k: Int = 64, bands: Int = 16, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val spark = newDocs.sparkSession
+    checkMeta(spark, indexPath, "minhash",
+      Map("k" -> k, "bands" -> bands, "shingleN" -> shingleN))
     val batchRows = newDocs.select(col(idCol).as("id"),
         Bridge.column(graft.functions.MinHashBandKeys(
           Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,
@@ -157,11 +210,13 @@ object DedupIndex {
     * index-vs-batch gram equality a detection. */
   def writeAnchorIndex(
       df: DataFrame, textCol: String, idCol: String, path: String,
-      k: Int = 5, w: Int = 4): Unit =
+      k: Int = 5, w: Int = 4): Unit = {
     TextOps.anchorOffsets(df, textCol, idCol, k, w)
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_doc_id"))
       .write.mode("overwrite").parquet(path)
+    writeMeta(df.sparkSession, path, "anchor", Map("k" -> k, "w" -> w))
+  }
 
   /** Duplicated CHAR spans of a new batch AGAINST the indexed corpus —
     * [[TextOps.duplicateSpansAnchoredChars]] with the corpus side
@@ -179,6 +234,7 @@ object DedupIndex {
       newDocs: DataFrame, textCol: String, idCol: String, indexPath: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val spark = newDocs.sparkSession
+    checkMeta(spark, indexPath, "anchor", Map("k" -> k, "w" -> w))
     val batchAnchors = TextOps.anchorOffsets(newDocs, textCol, idCol, k, w)
     val matched = spark.read.parquet(indexPath).select(col("g"))
       .join(broadcast(batchAnchors.select(col("g")).distinct()),
@@ -216,6 +272,7 @@ object DedupIndex {
       newDocs: DataFrame, textCol: String, idCol: String,
       indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
+    checkMeta(spark, indexPath, "exact", Map.empty)
     val keys = newDocs.select(col(idCol).as("id"),
       md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
     val corpusDup = spark.read.parquet(indexPath)
@@ -335,12 +392,14 @@ object DedupIndex {
     * reference, shard it over several masks and OR the probe results. */
   def writeBloomIndex(
       reference: DataFrame, textCol: String, idCol: String, path: String,
-      n: Int = 3): Unit =
+      n: Int = 3): Unit = {
     Dedup.gramStrings(reference, textCol, idCol, n)
       .select(explode(array(Dedup.bloomPositions(col("gram")): _*)).as("pos"))
       .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"), Dedup.BloomMBits)
         .as("mask"))
       .write.mode("overwrite").parquet(path)
+    writeMeta(reference.sparkSession, path, "bloom", Map("n" -> n))
+  }
 
   /** Per-doc contamination report of a batch against the PERSISTED
     * bloom mask — byte-identical output to [[Dedup.bloomContamination]]
@@ -348,9 +407,11 @@ object DedupIndex {
     * (idCol, n_grams, n_maybe_dirty, contamination_bp). */
   def bloomContaminationAgainstIndex(
       newDocs: DataFrame, textCol: String, idCol: String,
-      indexPath: String, n: Int = 3): DataFrame =
+      indexPath: String, n: Int = 3): DataFrame = {
+    checkMeta(newDocs.sparkSession, indexPath, "bloom", Map("n" -> n))
     Dedup.probeBloomMask(newDocs,
       newDocs.sparkSession.read.parquet(indexPath), textCol, idCol, n)
+  }
 
   /** Append a new batch's keys to an existing index (parquet append —
     * new files only; existing index data is never rewritten). Call
@@ -360,7 +421,13 @@ object DedupIndex {
   def appendToIndex(
       df: DataFrame, textCol: String, idCol: String, path: String,
       kind: String, k: Int = 64, bands: Int = 16, shingleN: Int = 3,
-      anchorK: Int = 5, anchorW: Int = 4): Unit = kind match {
+      anchorK: Int = 5, anchorW: Int = 4): Unit = {
+    checkMeta(df.sparkSession, path, kind, kind match {
+      case "minhash" => Map("k" -> k, "bands" -> bands, "shingleN" -> shingleN)
+      case "anchor" => Map("k" -> anchorK, "w" -> anchorW)
+      case _ => Map.empty
+    })
+    kind match {
     case "exact" =>
       Dedup.exactGroups(df, textCol, idCol)
         .write.mode("append").parquet(path)
@@ -380,6 +447,7 @@ object DedupIndex {
         .write.mode("append").parquet(path)
     case other => throw new IllegalArgumentException(
       s"appendToIndex: unknown kind '$other' (exact | minhash | anchor)")
+    }
   }
 
   /** Compact an append-accumulated index back to its canonical builder
@@ -409,7 +477,8 @@ object DedupIndex {
     * the whole rewrite to the two-rename metadata window — still run it
     * off the serving path; queries tolerate the uncompacted form
     * indefinitely. */
-  def compactIndex(spark: SparkSession, path: String, kind: String): Unit =
+  def compactIndex(spark: SparkSession, path: String, kind: String): Unit = {
+    checkMeta(spark, path, kind, Map.empty)
     atomicRewrite(spark, path) { df =>
       kind match {
         case "exact" =>
@@ -425,6 +494,7 @@ object DedupIndex {
           s"compactIndex: unknown kind '$other' (exact | minhash | anchor)")
       }
     }
+  }
 
   /** Compact the near-dup DOC STORE (the (id, text) relation
     * [[admitNearDupAgainstIndex]] fetches verification texts from):
@@ -474,6 +544,10 @@ object DedupIndex {
       throw new java.io.IOException(
         s"atomicRewrite: could not rename $tmp to $live; previous index restored")
     }
+    // carry the build-parameter meta (round 15) through the swap — the
+    // rewritten relation is the same logical index, same parameters
+    val oldMeta = new Path(old, "_graft_meta")
+    if (fs.exists(oldMeta)) fs.rename(oldMeta, new Path(live, "_graft_meta"))
     fs.delete(old, true)
   }
 }

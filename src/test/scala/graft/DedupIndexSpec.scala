@@ -295,6 +295,69 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(admit() == st) // NOT flipped to dup_corpus
   }
 
+  test("index build metadata: queries and appends with mismatched " +
+      "parameters or the wrong kind fail loudly; matching parameters and " +
+      "legacy meta-less indexes pass; compaction preserves the meta") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta eps zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val mh = tmp("meta_mh"); val an = tmp("meta_an")
+    DedupIndex.writeMinHashIndex(docs, "text", "doc_id", mh,
+      k = 64, bands = 16, shingleN = 3)
+    DedupIndex.writeAnchorIndex(docs, "text", "doc_id", an, k = 3, w = 4)
+    // wrong LSH geometry → loud failure (silent garbage recall otherwise)
+    val e1 = intercept[IllegalArgumentException](
+      DedupIndex.minhashCandidatesAgainstIndex(docs, "text", "doc_id", mh,
+        k = 32, bands = 8).collect())
+    assert(e1.getMessage.contains("parameter mismatch"))
+    // wrong winnowing window
+    val e2 = intercept[IllegalArgumentException](
+      DedupIndex.duplicateSpansAgainstIndex(docs, "text", "doc_id", an,
+        k = 5, w = 4).collect())
+    assert(e2.getMessage.contains("parameter mismatch"))
+    // wrong KIND against a typed index
+    val e3 = intercept[IllegalArgumentException](
+      DedupIndex.compactIndex(s, mh, kind = "anchor"))
+    assert(e3.getMessage.contains("kind"))
+    // appends validate too
+    val e4 = intercept[IllegalArgumentException](
+      DedupIndex.appendToIndex(docs, "text", "doc_id", an, "anchor",
+        anchorK = 7, anchorW = 2))
+    assert(e4.getMessage.contains("parameter mismatch"))
+    // matching parameters pass, and compaction carries the meta through
+    // its atomic swap (the check still fires afterwards)
+    assert(DedupIndex.minhashCandidatesAgainstIndex(docs, "text", "doc_id",
+      mh, k = 64, bands = 16).count() >= 0L)
+    DedupIndex.compactIndex(s, mh, kind = "minhash")
+    val e5 = intercept[IllegalArgumentException](
+      DedupIndex.minhashCandidatesAgainstIndex(docs, "text", "doc_id", mh,
+        k = 32, bands = 8).collect())
+    assert(e5.getMessage.contains("parameter mismatch"))
+    // legacy index (no meta) skips the check
+    val fs = new org.apache.hadoop.fs.Path(mh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$mh/_graft_meta"), true)
+    assert(DedupIndex.minhashCandidatesAgainstIndex(docs, "text", "doc_id",
+      mh, k = 32, bands = 8).count() >= 0L)
+    // ANN: serving with a different quantizer geometry fails loudly
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(4)(j => (i * 4 + j).toFloat / 80f)))
+      .toDF("vec_id", "embedding")
+    val cents = vecs.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 5)
+    val ann = tmp("meta_ann")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, ann,
+      twoLevel = false)
+    val e6 = intercept[IllegalArgumentException](
+      AnnIndex.queryIvfPqIndex(vecs.limit(2), ann, m = 2, dim = 4, k = 2,
+        twoLevel = true).collect())
+    assert(e6.getMessage.contains("parameter mismatch"))
+    val e7 = intercept[IllegalArgumentException](
+      AnnIndex.appendToIvfPqIndex(vecs, ann, m = 4, dim = 4))
+    assert(e7.getMessage.contains("parameter mismatch"))
+  }
+
   // ---- streaming dedup-ingest ------------------------------------------
 
   test("streaming dedup-ingest: per-doc statuses match the admission rule; " +
