@@ -197,8 +197,10 @@ object AnnIndex {
     * recoverable (the next call restores it). Run off the serving
     * path. */
   def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit =
+      path: String): Unit = {
+    DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
     DedupIndex.atomicRewrite(spark, s"$path/codes", Seq("cid"))(_.distinct())
+  }
 
   /** Serve a query batch against the persisted index: top-k per query,
     * identical output contract (qid, nid, rank, score) and identical
