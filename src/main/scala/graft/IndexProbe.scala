@@ -156,6 +156,35 @@ object IndexProbe {
         f"append=$apT%6.2f s  warm-serve-after=$vWa%6.2f s")
     }
 
+    // ---- stats refresh ∝ changed fragments (round 15, q184 shape) ----
+    // A FIXED daily increment (2000 sf0.1 rows) lands in a 1× and a
+    // N× partitioned store: the full (re)build scans the store, the
+    // refresh scans only the new fragments — rebuild grows ∝ store,
+    // refresh stays flat (listing is metadata-only).
+    val ev1 = spark.read.parquet(s"$src/events.parquet")
+    val evN = spark.read.parquet(s"$big/events.parquet")
+    def asFact(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("ts").as("time"), col("value"),
+      col("event_type").as("label"), lit("bench").as("collection"),
+      format_string("00000000-0000-0000-0000-%012d",
+        pmod(col("user_id"), lit(100))).as("uuid"))
+    val inc = asFact(ev1.limit(2000)).localCheckpoint()
+    Seq(("1x", ev1), (s"${mult}x", evN)).foreach { case (tag, ev) =>
+      val store = TempDirs.register(s"/tmp/graft-indexprobe/store-$tag")
+      val statsP = s"$store-stats"
+      val n = ev.count()
+      asFact(ev).repartition(col("uuid")).sortWithinPartitions("uuid", "time")
+        .write.mode("overwrite").partitionBy("collection", "uuid")
+        .option("maxRecordsPerFile", math.max(10L, n / 100 / 3)).parquet(store)
+      val sBuild = time(graft.sources.StatsIndex.build(spark, store, statsP))
+      inc.write.mode("append").partitionBy("collection", "uuid").parquet(store)
+      val sRefresh = time(
+        graft.sources.StatsIndex.refresh(spark, store, statsP))
+      val nStats = spark.read.parquet(statsP).count()
+      println(f"stats$tag%-15s $n%8d rows  rebuild=$sBuild%6.2f s  " +
+        f"refresh(+2000 rows)=$sRefresh%6.2f s  stats_rows=$nStats%6d")
+    }
+
     // ---- mega-source cell bound (two-phase tokenBudgetSelect) --------
     val mega = docsN.withColumn("source",
       when(pmod(col("doc_id"), lit(2)) === 0, lit("megacrawl"))
