@@ -190,6 +190,28 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir ADMISSION ANN index fixture (round 15, q185): the
+    * IVF-PQ structure with the CORPUS restricted to vec_id >= 16 —
+    * centroids/codebook still derive from the full table (the
+    * train-time view), so the q185 oracle's cents/cb CTEs stay the
+    * generators' defaults while codes cover only the corpus the batch
+    * is admitted against. TempDirs-registered for end-of-JVM cleanup. */
+  private val annAdmitCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annAdmitIndex(s: SparkSession, dir: String): String =
+    annAdmitCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_annadmit_${java.util.UUID.randomUUID()}")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(
+        emb.filter(col("vec_id") >= 16), cents, cb,
+        m = 8, dim = 64, root, twoLevel = true)
+      root
+    })
+
   /** Per-sf-dir STREAM-grown ANN index fixture (round 15, q183): base
     * index over 80%, the rest arrives through a real file-source
     * streaming query and lands as exactly-once `codes_stream/` codes
@@ -1560,6 +1582,32 @@ object SparkEntry {
         .select(col("doc_id"), col("status"),
           col("keep_id").cast("long").as("keep_id"))
         .orderBy("doc_id")
+    }),
+    "q185_embed_admit" -> ((s, dir) => {
+      // SemDeDup-style EMBEDDING near-dup admission (round 15 — the
+      // admission trilogy's semantic member, after exact q174 and
+      // text-near-dup q180/q181): a 16-vector batch — 8 natural novel
+      // vectors plus 8 RE-EMBEDDED corpus copies (vec 100–107's
+      // embeddings re-idied 8–15: the "same content re-crawled through
+      // the same embedding model" plant) — is admitted against the
+      // persisted corpus index: probed-fraction ADC shortlist (q176),
+      // top-1 EXACT cosine re-score on the raw vector store (q175),
+      // dup_corpus iff ≥ τ = 0.999. The oracle re-derives the whole
+      // serve+rerank pipeline and the rule, so a flagged dup is backed
+      // by an exact cosine both engines computed.
+      val root = annAdmitIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 16)
+      val batch = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id").between(100, 107))
+          .select((col("vec_id") - 92).as("vec_id"), col("embedding")))
+      operators.AnnIndex.admitEmbeddingsAgainstIndex(batch, corpus, root,
+          m = 8, dim = 64, shortK = 20, nProbe = 2, twoLevel = true,
+          tauBp = 9990L)
+        .select(col("vec_id"), col("status"),
+          col("keep_id").cast("long").as("keep_id"))
+        .orderBy("vec_id")
     }),
     "q184_stats_refresh_scan" -> ((s, dir) => {
       // S5 maintained INCREMENTALLY (round 15): the q111 store written
@@ -3329,6 +3377,97 @@ object SparkEntry {
        |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** q185 oracle, generated: EMBEDDING near-dup admission re-derived —
+    * the q176/q178 serve+rerank pipeline with the corpus restricted to
+    * vec_id >= 16 and the query batch constructed as 8 natural vectors
+    * (qid 0–7) plus 8 RE-EMBEDDED corpus copies (qid 8–15 carrying
+    * vec 100–107's embeddings — the semantic re-crawl plant), followed
+    * by the admission rule: top-1 exact cosine ≥ τ → dup_corpus (keep =
+    * matched corpus id, ties → smallest), else admitted (keep = self).
+    * Centroids/codebook derive from the FULL table (train-time view),
+    * codes only from the corpus — exactly the Spark fixture. */
+  private def embedAdmitOracle(dim: Int = 64, m: Int = 8,
+      pqMod: String = autoPqModSql("embeddings"),
+      ivfMod: String = autoModSql("embeddings"),
+      nProbe: Int = 2, shortK: Int = 20, tauBp: Long = 9990L): String = {
+    val dsub = dim / m
+    s"""WITH qmap AS (
+       |  SELECT CAST(q AS BIGINT) AS qid,
+       |    CAST(CASE WHEN q < 8 THEN q ELSE q + 92 END AS BIGINT) AS src
+       |  FROM generate_series(0, 15) t(q)),
+       |fp AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fp WHERE vec_id % $pqMod = 0),
+       |cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id % $ivfMod = 0),
+       |${twoLevelAssignSql("cents")},
+       |tl_qsup AS (
+       |  SELECT qid, sid, qvec FROM (
+       |    SELECT qm.qid, s.sid, e.embedding::DOUBLE[] AS qvec,
+       |      row_number() OVER (PARTITION BY qm.qid ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], s.svec) DESC, s.sid) AS r
+       |    FROM qmap qm JOIN embeddings e ON e.vec_id = qm.src, tl_supers s)
+       |  WHERE r = 1),
+       |query_probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT q.qid, mm.cid,
+       |      row_number() OVER (PARTITION BY q.qid ORDER BY
+       |        list_cosine_similarity(q.qvec, mm.cvec) DESC, mm.cid) AS cr
+       |    FROM tl_qsup q JOIN tl_cmap mm ON mm.sid = q.sid) WHERE cr <= $nProbe),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.vec_id AS nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM fp p, js, cb c WHERE p.vec_id >= 16),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |qfp AS (
+       |  SELECT qm.qid, p.f FROM qmap qm JOIN fp p ON p.vec_id = qm.src),
+       |qcd AS (
+       |  SELECT q.qid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (q.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (q.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS qdist
+       |  FROM qfp q, js, cb c),
+       |scored AS (
+       |  SELECT p.qid, codes.nid, CAST(-sum(q.qdist) AS DOUBLE) AS score
+       |  FROM query_probe p
+       |  JOIN corpus_assign a ON a.cid = p.cid
+       |  JOIN codes ON codes.nid = a.nid
+       |  JOIN qcd q ON q.qid = p.qid AND q.j = codes.j AND q.code = codes.code
+       |  GROUP BY p.qid, codes.nid),
+       |shortlist AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS r
+       |    FROM scored) WHERE r <= $shortK),
+       |top1 AS (
+       |  SELECT qid, nid, score FROM (
+       |    SELECT s.qid, s.nid,
+       |      list_cosine_similarity(q.qvec, en.embedding::DOUBLE[]) AS score,
+       |      row_number() OVER (PARTITION BY s.qid ORDER BY
+       |        list_cosine_similarity(q.qvec, en.embedding::DOUBLE[]) DESC, s.nid) AS r
+       |    FROM shortlist s
+       |    JOIN tl_qsup q ON q.qid = s.qid
+       |    JOIN embeddings en ON en.vec_id = s.nid) WHERE r = 1)
+       |SELECT qm.qid AS vec_id,
+       |  CASE WHEN t.score * 10000 >= $tauBp THEN 'dup_corpus'
+       |       ELSE 'admitted' END AS status,
+       |  CAST(CASE WHEN t.score * 10000 >= $tauBp THEN t.nid
+       |       ELSE qm.qid END AS BIGINT) AS keep_id
+       |FROM qmap qm LEFT JOIN top1 t ON t.qid = qm.qid
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** s16le sample `k` (an int expression) re-derived from the hex dump of
     * the WAV body — the q41 arithmetic, parameterized so the frame oracle
     * can reference sample k and k+1 in one row. */
@@ -4522,6 +4661,7 @@ object SparkEntry {
     // q183: same verbatim-q102 gate over the STREAMING encode path
     // (exactly-once codes_stream partition writes)
     "q183_ann_stream_ingest" -> ivfPqAdcOracle(),
+    "q185_embed_admit" -> embedAdmitOracle(),
     "q182_bloom_index_probe" ->
       // q82's mask semantics with the probe side restricted to the
       // batch split — the persisted mask is bit-identical to the inline

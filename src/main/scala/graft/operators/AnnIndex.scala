@@ -186,6 +186,50 @@ object AnnIndex {
     q.awaitTermination()
   }
 
+  /** SemDeDup-style EMBEDDING near-dup ADMISSION against the persisted
+    * index (round 15 — completes the admission trilogy: exact text
+    * [[DedupIndex.admitAgainstIndex]], verified text near-dup
+    * [[DedupIndex.admitNearDupAgainstIndex]], and now semantic/embedding
+    * near-dup): for every batch vector, the index proposes a `shortK`
+    * ADC shortlist at probed-fraction cost ([[queryIvfPqIndex]]), the
+    * top-1 is EXACTLY re-scored on raw vectors from `vecStore` (the
+    * embeddings analog of the doc store — fetch ∝ shortlist,
+    * [[Similarity.rerankTopK]]), and the doc is `dup_corpus` iff that
+    * exact cosine ≥ `tauBp`/10000 (`keep_id` = the matched corpus
+    * vector; ties → smallest nid), else `admitted` (`keep_id` = self).
+    * Output: (idCol, status, keep_id).
+    *
+    * Exactness contract: a flagged dup is backed by an EXACT cosine ≥ τ
+    * (the ADC approximation only proposes); a missed dup is the usual
+    * ANN recall trade — a true near-dup outside the probed lists /
+    * shortlist escapes, tuned by nProbe/shortK (RecallReport rows).
+    * An exact-duplicate vector cannot escape: its twin shares its
+    * coarse list and has ADC distance 0, so it tops the shortlist.
+    * Intra-batch semantic dedup is deliberately out of scope here — run
+    * the corpus-level SemDeDup ([[Dedup]] q52 machinery) on the batch
+    * first; admission is the batch-vs-CORPUS half. After admission,
+    * append the admitted vectors ([[appendToIvfPqIndex]] /
+    * [[streamIvfPqIngest]]) and their raw rows to the vector store. */
+  def admitEmbeddingsAgainstIndex(
+      newVecs: DataFrame, vecStore: DataFrame, path: String,
+      m: Int, dim: Int, shortK: Int = 20, nProbe: Int = 2,
+      twoLevel: Boolean = false, tauBp: Long = 9900L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val shortlist = queryIvfPqIndex(newVecs, path, m, dim, shortK,
+      nProbe, twoLevel, idCol, vecCol)
+    val top1 = Similarity.rerankTopK(vecStore, newVecs,
+        shortlist.select(col("qid"), col("nid")), k = 1, idCol, vecCol)
+      .select(col("qid").as("id"), col("nid").as("_match"),
+        col("score").as("_score"))
+    newVecs.select(col(idCol).as("id"))
+      .join(broadcast(top1), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("_score") * 10000 >= tauBp, lit("dup_corpus"))
+          .otherwise(lit("admitted")).as("status"),
+        when(col("_score") * 10000 >= tauBp, col("_match"))
+          .otherwise(col("id")).as("keep_id"))
+  }
+
   /** Compact the `codes/` relation of an append-accumulated index:
     * dedupes (nid, j, code) rows — an accidentally-replayed append
     * would otherwise double-count in the ADC sum — and merges the small

@@ -311,6 +311,50 @@ class OperatorsSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0) == 1L)
   }
 
+  test("embedding admission: an exact-copy vector is always flagged with " +
+      "its corpus twin (ADC distance 0 tops the shortlist), novel vectors " +
+      "admit at a tight threshold, and the threshold widens admission") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") >= 10)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    val path = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_annadmit_spec_${java.util.UUID.randomUUID()}")
+    AnnIndex.writeIvfPqIndex(corpus, cents, cb, m = 2, dim = 4, path,
+      twoLevel = true)
+    // batch: id 0 = exact copy of corpus vec 20; id 1 = its own (novel)
+    // ring point, nearest ring neighbors are ~cos(6°) ≈ 0.9945 away
+    val batch = vecs.filter(col("vec_id") === 20)
+      .select(lit(0L).as("vec_id"), col("embedding"))
+      .unionByName(vecs.filter(col("vec_id") === 1)
+        .select(col("vec_id"), col("embedding")))
+    def admit(tau: Long) = AnnIndex.admitEmbeddingsAgainstIndex(
+        batch, corpus, path, m = 2, dim = 4, shortK = 8, nProbe = 2,
+        twoLevel = true, tauBp = tau)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    val tight = admit(9990L)
+    assert(tight(0L) == (("dup_corpus", 20L))) // exact copy cannot escape
+    assert(tight(1L)._1 == "admitted")
+    // threshold semantics, self-calibrated: compute the pipeline's own
+    // top-1 exact score for the novel vector, then assert admission
+    // flips exactly at it (≥ τ flags, τ+1 admits)
+    val b1 = batch.filter(col("vec_id") === 1L)
+    val sl = AnnIndex.queryIvfPqIndex(b1, path, m = 2, dim = 4, k = 8,
+      nProbe = 2, twoLevel = true)
+    val t1 = Similarity.rerankTopK(corpus, b1,
+      sl.select(col("qid"), col("nid")), k = 1).head()
+    val sBp = math.floor(t1.getDouble(3) * 10000).toLong
+    val atTau = admit(sBp)
+    assert(atTau(1L) == (("dup_corpus", t1.getLong(1))))
+    assert(admit(sBp + 1)(1L)._1 == "admitted")
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
