@@ -120,10 +120,21 @@ object OpsDemo {
     val topk = time("ann: serve 8-query batch, probed lists only")(
       AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8), s"$root/ann",
         m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true).count())
+    // semantic admission: 8 "re-embedded re-crawls" (known vectors under
+    // new ids) must all flag dup_corpus against the index at τ = 0.999
+    val reEmb = emb.filter(col("vec_id").between(100, 107))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val admSt = time("ann: embedding near-dup admission")(
+      AnnIndex.admitEmbeddingsAgainstIndex(reEmb, emb, s"$root/ann",
+          m = 8, dim = 64, shortK = 20, nProbe = 2, twoLevel = true,
+          tauBp = 9990L)
+        .groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    println(s"[ops]   embedding admission statuses: $admSt")
     time("ann: compact codes (crash-safe)")(
       AnnIndex.compactIvfPqCodes(spark, s"$root/ann"))
     println(s"[ops]   served top-k rows=$topk")
-    println("[ops] done — every stage above is oracled by q171-q183 and " +
+    println("[ops] done — every stage above is oracled by q171-q185 and " +
       "probed at 10x/100x in PLANS.md")
     spark.stop()
   }
