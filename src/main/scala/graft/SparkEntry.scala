@@ -1609,6 +1609,49 @@ object SparkEntry {
           col("keep_id").cast("long").as("keep_id"))
         .orderBy("vec_id")
     }),
+    "q186_stream_embed_ingest" -> ((s, dir) => {
+      // §2.9 × round-15 semantic ingest: q185's admission THROUGH a real
+      // file-source streaming query — per micro-batch semantic near-dup
+      // admission against the current ANN index + vector store, admitted
+      // vectors extending both exactly-once/append between batches. Same
+      // corpus split and re-embedded-copy plants as q185 (stream-static
+      // join swaps ids 8–15's embeddings for vec 100–107's), one
+      // AvailableNow batch = deterministic; multi-batch cross-admission
+      // is spec-tested. Index + store built fresh per invocation (the
+      // stream appends — the shared q185 fixture must not mutate).
+      val root = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q186_${java.util.UUID.randomUUID()}")
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 16)
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(corpus, cents, cb, m = 8,
+        dim = 64, s"$root/ann", twoLevel = true)
+      corpus.select(col("vec_id"), col("embedding"))
+        .write.parquet(s"$root/store")
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val tablePath = s"$dir/embeddings.parquet"
+      val stream = (if (new java.io.File(tablePath).isDirectory)
+          s.readStream.schema(schema).parquet(tablePath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+        .filter(col("vec_id") < 16)
+      val repl = emb.filter(col("vec_id").between(100, 107))
+        .select((col("vec_id") - 92).as("vec_id"),
+          col("embedding").as("_re"))
+      val planted = stream.join(repl, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("_re"), col("embedding")).as("embedding"))
+      graft.streaming.StreamingOps.embedIngestStream(planted,
+        s"$root/ann", s"$root/store", s"$root/out", m = 8, dim = 64,
+        shortK = 20, nProbe = 2, twoLevel = true, tauBp = 9990L)
+      s.read.parquet(s"$root/out/status")
+        .select(col("vec_id"), col("status"),
+          col("keep_id").cast("long").as("keep_id"))
+        .orderBy("vec_id")
+    }),
     "q184_stats_refresh_scan" -> ((s, dir) => {
       // S5 maintained INCREMENTALLY (round 15): the q111 store written
       // in two eras — stats built over era 0, era 1 landing later as
@@ -4662,6 +4705,9 @@ object SparkEntry {
     // (exactly-once codes_stream partition writes)
     "q183_ann_stream_ingest" -> ivfPqAdcOracle(),
     "q185_embed_admit" -> embedAdmitOracle(),
+    // q186: q185's oracle VERBATIM — the one-AvailableNow-batch
+    // streaming ingest must reproduce the batch admission exactly
+    "q186_stream_embed_ingest" -> embedAdmitOracle(),
     "q182_bloom_index_probe" ->
       // q82's mask semantics with the probe side restricted to the
       // batch split — the persisted mask is bit-identical to the inline

@@ -214,9 +214,21 @@ object AnnIndex {
       newVecs: DataFrame, vecStore: DataFrame, path: String,
       m: Int, dim: Int, shortK: Int = 20, nProbe: Int = 2,
       twoLevel: Boolean = false, tauBp: Long = 9900L,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val shortlist = queryIvfPqIndex(newVecs, path, m, dim, shortK,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeIds: Option[DataFrame] = None): DataFrame = {
+    // excludeIds (round 15, replay safety for the streaming form): index
+    // ids dropped from the shortlist BEFORE the exact re-score — a
+    // replayed micro-batch excludes its own ids, so its earlier
+    // codes_stream/vector-store appends can never make a vector its own
+    // corpus match (the embedding analog of admitAgainstIndex's
+    // keep_id exclusion; batch-sized broadcast anti-join on the
+    // shortlist, which is already tiny)
+    val shortlist0 = queryIvfPqIndex(newVecs, path, m, dim, shortK,
       nProbe, twoLevel, idCol, vecCol)
+    val shortlist = excludeIds.fold(shortlist0)(ex =>
+      shortlist0.join(
+        broadcast(ex.select(ex.columns.head).toDF("_exid")),
+        col("nid") === col("_exid"), "left_anti"))
     val top1 = Similarity.rerankTopK(vecStore, newVecs,
         shortlist.select(col("qid"), col("nid")), k = 1, idCol, vecCol)
       .select(col("qid").as("id"), col("nid").as("_match"),

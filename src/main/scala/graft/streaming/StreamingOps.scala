@@ -298,6 +298,64 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** STREAMING EMBEDDING ingest with semantic near-dup admission
+    * (round 15 — the semantic member of the streaming-ingest family,
+    * after exact/minhash [[dedupIngestStream]]): embedding batches
+    * arrive through a streaming query; each micro-batch is admitted
+    * against the CURRENT persisted ANN index + raw vector store
+    * ([[graft.operators.AnnIndex.admitEmbeddingsAgainstIndex]] —
+    * probed-fraction ADC shortlist, top-1 exact cosine ≥ τ →
+    * dup_corpus), and admitted vectors extend BOTH relations between
+    * batches: their PQ codes land exactly-once in the index's
+    * `codes_stream/` ([[graft.operators.AnnIndex.ingestVecBatch]] —
+    * per-batch partition overwrite) and their raw rows append to the
+    * vector store (verification texts' analog). Later batches therefore
+    * near-dedup against earlier admissions at batch-proportional cost.
+    *
+    * Replay contract mirrors [[dedupIngestStream]]'s: admission
+    * excludes the batch's own ids from the shortlist (its earlier
+    * appends, visible on an at-least-once replay), status writes FIRST
+    * as an idempotent `batch_id=` partition overwrite, the codes write
+    * is itself idempotent (partition overwrite), and duplicate vector-
+    * store rows from a replayed append are harmless to admission
+    * (identical rows tie in the re-rank — same top-1 id and score).
+    * Requires globally-unique vector ids and the SAME (m, dim,
+    * twoLevel) as the index build (validated against the persisted
+    * build parameters). AvailableNow — call again as new files land. */
+  def embedIngestStream(vecs: DataFrame, indexPath: String,
+      vecStorePath: String, statusPath: String, m: Int, dim: Int,
+      shortK: Int = 20, nProbe: Int = 2, twoLevel: Boolean = false,
+      tauBp: Long = 9900L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val handler: (DataFrame, Long) => Unit = { (batch, batchId) =>
+      val spark = batch.sparkSession
+      val status = graft.operators.AnnIndex.admitEmbeddingsAgainstIndex(
+        batch, spark.read.parquet(vecStorePath), indexPath, m, dim,
+        shortK, nProbe, twoLevel, tauBp, idCol, vecCol,
+        excludeIds = Some(batch.select(col(idCol))))
+      status.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$statusPath/status")
+      val admittedIds = spark.read.parquet(s"$statusPath/status")
+        .filter(col("batch_id") === batchId && col("status") === "admitted")
+        .select(col(idCol))
+      val admittedVecs = batch.join(admittedIds, Seq(idCol), "leftsemi")
+      graft.operators.AnnIndex.ingestVecBatch(admittedVecs, batchId,
+        indexPath, m, dim, twoLevel, idCol, vecCol)
+      admittedVecs.select(col(idCol), col(vecCol))
+        .write.mode("append").parquet(vecStorePath)
+    }
+    val q = vecs.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$statusPath/_chk")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(handler)
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append",

@@ -355,6 +355,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(admit(sBp + 1)(1L)._1 == "admitted")
   }
 
+  test("streaming embedding ingest: a later batch's copy of an earlier " +
+      "batch's ADMITTED vector flags dup_corpus against it (codes + vector " +
+      "store both extended between batches); exactly-once file source") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") >= 10)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    def tmp(t: String) = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_embstream_${t}_${java.util.UUID.randomUUID()}")
+    val ann = tmp("ann"); val store = tmp("store")
+    val srcDir = tmp("src"); val outDir = tmp("out")
+    AnnIndex.writeIvfPqIndex(corpus, cents, cb, m = 2, dim = 4, ann,
+      twoLevel = true)
+    corpus.write.parquet(store)
+    def vec(i: Long) = vecs.filter(col("vec_id") === i)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    // batch 1: id 1 = novel ring point (nearest corpus cos ≈ 0.944 <
+    // τ → admits); id 100 = exact copy of corpus vec 20 → dup_corpus
+    Seq((1L, vec(1)), (100L, vec(20))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def stream = s.readStream
+      .schema(s.read.parquet(srcDir).schema).parquet(srcDir)
+    def run() = graft.streaming.StreamingOps.embedIngestStream(stream,
+      ann, store, outDir, m = 2, dim = 4, shortK = 8, nProbe = 2,
+      twoLevel = true, tauBp = 9990L)
+    run()
+    def statuses() = s.read.parquet(s"$outDir/status").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("keep_id")))).toMap
+    assert(statuses() == Map(
+      1L -> (("admitted", 1L)), 100L -> (("dup_corpus", 20L))))
+    // batch 2: id 200 = exact copy of batch 1's ADMITTED vector 1 →
+    // dup_corpus against the stream's own earlier admission; id 201 =
+    // another novel ring point → admits
+    Seq((200L, vec(1)), (201L, vec(4))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    run()
+    assert(statuses() == Map(
+      1L -> (("admitted", 1L)), 100L -> (("dup_corpus", 20L)),
+      200L -> (("dup_corpus", 1L)), 201L -> (("admitted", 201L))))
+    // maintenance invariants: admitted vectors (1, 201) are in the
+    // store and their codes are exactly-once
+    assert(s.read.parquet(store).count() == 50L + 2L)
+    assert(s.read.parquet(s"$ann/codes_stream")
+      .groupBy("nid", "j").count().agg(max("count")).head().getLong(0) == 1L)
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(

@@ -38,6 +38,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q179_ann_index_append", // q176's serve plan verbatim over the append-grown index (the append itself is a fixture, not the timed body)
     "q183_ann_stream_ingest", // q176's serve shapes over base + codes_stream (two pruned branches, one ranker); the stream ingest is a fixture
     "q185_embed_admit", // q176's serve shapes + q175's rerank (broadcast shortlist); the admission joins are equi-keyed
+    "q186_stream_embed_ingest", // q185's admission inside foreachBatch; the returned status relation is a plain scan but fixture probes share q185's shapes
     "q177_ivfpq_residual", // assign/encode/query-table: corpus/probes × broadcast(centroids/residual codebook), q102's shape
     "q178_ann_serve_rerank", // q176's serve stage shapes; the re-rank is an equi-join
     "q132_sparql_values_undef") // solutions × broadcast(2-row UNDEF VALUES): null-or-equal condition cannot be an equi-join (§10.2.2)
