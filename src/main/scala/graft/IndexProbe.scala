@@ -154,6 +154,19 @@ object IndexProbe {
       val vWa = time(vQuery().count())
       println(f"ann-append$tag%-7s $nCorpus%8d batch=$nAppend%7d " +
         f"append=$apT%6.2f s  warm-serve-after=$vWa%6.2f s")
+      // ---- embedding near-dup admission (round 15: q185 shape —
+      // shortlist serve + exact top-1 re-score on the raw store; cost ∝
+      // batch × probed fraction, the store touched only at shortlist ids)
+      val admBatch = emb1.filter(col("vec_id") < 8)
+        .select((col("vec_id") + 2000000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      def admQuery() = operators.AnnIndex.admitEmbeddingsAgainstIndex(
+        admBatch, emb, vPath, m = 8, dim = 64, shortK = 20, nProbe = 2,
+        twoLevel = true, tauBp = 9990L)
+      val ad1 = time(admQuery().count())
+      val adW = time(admQuery().count())
+      println(f"ann-admit$tag%-8s $nCorpus%8d admit1st=$ad1%6.2f s  " +
+        f"admit-warm=$adW%6.2f s")
     }
 
     // ---- stats refresh ∝ changed fragments (round 15, q184 shape) ----
