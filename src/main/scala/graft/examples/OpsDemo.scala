@@ -134,7 +134,7 @@ object OpsDemo {
     time("ann: compact codes (crash-safe)")(
       AnnIndex.compactIvfPqCodes(spark, s"$root/ann"))
     println(s"[ops]   served top-k rows=$topk")
-    println("[ops] done — every stage above is oracled by q171-q185 and " +
+    println("[ops] done — every stage above is oracled by q171-q186 and " +
       "probed at 10x/100x in PLANS.md")
     spark.stop()
   }
