@@ -124,6 +124,57 @@ object AnnIndex {
       .write.mode("append").partitionBy("cid").parquet(s"$path/codes")
   }
 
+  /** REBUILD a persisted index in place, atomically (round 15 — the
+    * mechanism behind the centroid-drift policy the append path
+    * documents: when the frozen quantizer's list balance degrades past
+    * the serving budget, re-train offline and CUT OVER). The new index
+    * — retrained `centroids`/`codebook`, `corpus` re-encoded — is built
+    * COMPLETELY at a sibling `._rebuild_tmp` root (a full
+    * [[writeIvfPqIndex]]; the live index serves untouched throughout),
+    * then two FS-metadata renames swap the roots and the old index is
+    * deleted LAST. Crash at any point leaves a complete index
+    * recoverable: before the swap the live root is untouched; between
+    * the renames the previous index sits at `._rebuild_old` and the
+    * next call restores it first. Serving unavailability is the
+    * two-rename metadata window.
+    *
+    * Pass the FULL current corpus — base plus every appended/streamed
+    * era — the rebuild replaces everything under `path`, including
+    * `codes_stream/`. The streaming checkpoint (`_stream_chk`) is
+    * CARRIED OVER from the old root: the rebuilt corpus already
+    * contains the streamed vectors, so the checkpoint correctly marks
+    * their source files processed and a post-rebuild
+    * [[streamIvfPqIngest]] resumes with only genuinely-new files. */
+  def rebuildIvfPqIndex(
+      corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, path: String, twoLevel: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(
+      corpus.sparkSession.sessionState.newHadoopConf())
+    val tmp = new Path(path + "._rebuild_tmp")
+    val old = new Path(path + "._rebuild_old")
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"rebuildIvfPqIndex: could not restore $old to $live")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    writeIvfPqIndex(corpus, centroids, codebook, m, dim, tmp.toString,
+      twoLevel, idCol, vecCol)
+    require(fs.rename(live, old),
+      s"rebuildIvfPqIndex: could not rename $live away (new index left at $tmp)")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live)
+      throw new java.io.IOException(
+        s"rebuildIvfPqIndex: could not rename $tmp to $live; previous index restored")
+    }
+    val chk = new Path(old, "_stream_chk")
+    if (fs.exists(chk)) fs.rename(chk, new Path(live, "_stream_chk"))
+    fs.delete(old, true)
+  }
+
   /** One micro-batch of the STREAMING ingest (round 15; factored so the
     * replay spec can drive it directly): encode the batch against the
     * persisted frozen centroids/codebook — identical derivation to

@@ -408,6 +408,67 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy("nid", "j").count().agg(max("count")).head().getLong(0) == 1L)
   }
 
+  test("rebuildIvfPqIndex: retrained index cuts over atomically — serving " +
+      "equals the in-memory result under the NEW quantizer, the streaming " +
+      "checkpoint survives (post-rebuild stream run is a no-op), and a " +
+      "crash between the swap renames is restored on the next call") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    def centsMod(mod: Int) = vecs.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val path = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_rebuild_spec_${java.util.UUID.randomUUID()}")
+    val srcDir = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_rebuild_src_${java.util.UUID.randomUUID()}")
+    // era 1: base index (old quantizer, mod-12 centroids) + one
+    // streamed batch (the held-out 20%)
+    val base = vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    AnnIndex.writeIvfPqIndex(base, centsMod(12), cb, m = 2, dim = 4, path,
+      twoLevel = true)
+    vecs.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def stream = s.readStream
+      .schema(s.read.parquet(srcDir).schema).parquet(srcDir)
+    AnnIndex.streamIvfPqIngest(stream, path, m = 2, dim = 4,
+      twoLevel = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def served() = rows(AnnIndex.queryIvfPqIndex(queries, path, m = 2,
+      dim = 4, k = 4, nProbe = 2, twoLevel = true))
+    // drift detected → retrain (mod-10 centroids) and rebuild over the
+    // FULL corpus (base + streamed); serving must equal the in-memory
+    // operator under the NEW quantizer
+    AnnIndex.rebuildIvfPqIndex(vecs, centsMod(10), cb, m = 2, dim = 4,
+      path, twoLevel = true)
+    val memNew = rows(Similarity.ivfPqTopK(vecs, queries, centsMod(10), cb,
+      m = 2, dim = 4, k = 4, nProbe = 2, twoLevel = true))
+    assert(served() == memNew)
+    // the rebuild subsumed codes_stream, and the carried-over streaming
+    // checkpoint makes a re-run a NO-OP (no re-ingest of processed files)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_stream")))
+    AnnIndex.streamIvfPqIngest(stream, path, m = 2, dim = 4,
+      twoLevel = true)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes_stream")))
+    assert(served() == memNew)
+    // crash between the two swap renames: live root gone, previous index
+    // at ._rebuild_old — the next call restores it before rebuilding
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path._rebuild_old")))
+    AnnIndex.rebuildIvfPqIndex(vecs, centsMod(10), cb, m = 2, dim = 4,
+      path, twoLevel = true)
+    assert(served() == memNew)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._rebuild_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._rebuild_tmp")))
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
