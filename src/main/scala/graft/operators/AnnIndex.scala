@@ -141,9 +141,10 @@ object AnnIndex {
     * Pass the FULL current corpus — base plus every appended/streamed
     * era — the rebuild replaces everything under `path`, including
     * `codes_stream/`. The streaming checkpoint (`_stream_chk`) is
-    * CARRIED OVER from the old root: the rebuilt corpus already
-    * contains the streamed vectors, so the checkpoint correctly marks
-    * their source files processed and a post-rebuild
+    * COPIED into the sibling build before the swap (so it travels with
+    * the renames and survives a crash at any point): the rebuilt corpus
+    * already contains the streamed vectors, so the checkpoint correctly
+    * marks their source files processed and a post-rebuild
     * [[streamIvfPqIngest]] resumes with only genuinely-new files. */
   def rebuildIvfPqIndex(
       corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
@@ -160,9 +161,31 @@ object AnnIndex {
         s"rebuildIvfPqIndex: could not restore $old to $live")
     }
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(old)) {
+      // leftover of a done swap. Salvage the streaming checkpoint first
+      // if the live root lacks one (round 16): the pre-fix code carried
+      // `_stream_chk` old → live only AFTER the swap, so a crash in that
+      // window left the ONLY checkpoint inside old — deleting it here
+      // would make the next streamIvfPqIngest start fresh and re-encode
+      // already-indexed vectors into codes_stream (ADC double-count).
+      val oldChk = new Path(old, "_stream_chk")
+      val liveChk = new Path(live, "_stream_chk")
+      if (fs.exists(oldChk) && !fs.exists(liveChk))
+        fs.rename(oldChk, liveChk)
+      fs.delete(old, true)
+    }
     writeIvfPqIndex(corpus, centroids, codebook, m, dim, tmp.toString,
       twoLevel, idCol, vecCol)
+    // carry the streaming checkpoint into tmp BEFORE the swap (round 16
+    // — closes the round-15 crash window): it then travels WITH the
+    // renames, so at every instant either live or old holds a copy and
+    // the entry cleanup can never delete the last one. COPY, not rename:
+    // until the swap commits, live stays the complete serving index.
+    val liveChk = new Path(live, "_stream_chk")
+    if (fs.exists(liveChk))
+      org.apache.hadoop.fs.FileUtil.copy(fs, liveChk, fs,
+        new Path(tmp, "_stream_chk"), false,
+        corpus.sparkSession.sessionState.newHadoopConf())
     require(fs.rename(live, old),
       s"rebuildIvfPqIndex: could not rename $live away (new index left at $tmp)")
     if (!fs.rename(tmp, live)) {
@@ -170,8 +193,6 @@ object AnnIndex {
       throw new java.io.IOException(
         s"rebuildIvfPqIndex: could not rename $tmp to $live; previous index restored")
     }
-    val chk = new Path(old, "_stream_chk")
-    if (fs.exists(chk)) fs.rename(chk, new Path(live, "_stream_chk"))
     fs.delete(old, true)
   }
 

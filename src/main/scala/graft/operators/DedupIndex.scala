@@ -533,10 +533,31 @@ object DedupIndex {
         s"atomicRewrite: could not restore $old to $live")
     }
     if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a failed write
-    if (fs.exists(old)) fs.delete(old, true) // leftover of a done swap
+    if (fs.exists(old)) {
+      // leftover of a done swap. Salvage `_graft_meta` first if the live
+      // root lacks one (round 16): the pre-fix code carried the meta
+      // old → live only AFTER the swap, so a crash in that window left
+      // the ONLY meta copy inside old — deleting it here would silently
+      // disable parameter validation forever (the exact failure mode the
+      // meta exists to prevent).
+      val oldMeta = new Path(old, "_graft_meta")
+      val liveMeta = new Path(live, "_graft_meta")
+      if (fs.exists(oldMeta) && !fs.exists(liveMeta))
+        fs.rename(oldMeta, liveMeta)
+      fs.delete(old, true)
+    }
     val writer = transform(spark.read.parquet(path)).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(tmp.toString)
+    // carry the build-parameter meta into tmp BEFORE the swap (round 16
+    // — closes the round-15 crash window): the meta then travels WITH
+    // the renames, so at every instant either live or old holds a copy
+    // and the entry cleanup can never delete the last one. COPY, not
+    // rename: until the swap commits, live stays the complete index.
+    val liveMeta = new Path(live, "_graft_meta")
+    if (fs.exists(liveMeta))
+      org.apache.hadoop.fs.FileUtil.copy(fs, liveMeta, fs,
+        new Path(tmp, "_graft_meta"), false, spark.sessionState.newHadoopConf())
     require(fs.rename(live, old),
       s"atomicRewrite: could not rename $live away (tmp left at $tmp)")
     if (!fs.rename(tmp, live)) {
@@ -544,10 +565,6 @@ object DedupIndex {
       throw new java.io.IOException(
         s"atomicRewrite: could not rename $tmp to $live; previous index restored")
     }
-    // carry the build-parameter meta (round 15) through the swap — the
-    // rewritten relation is the same logical index, same parameters
-    val oldMeta = new Path(old, "_graft_meta")
-    if (fs.exists(oldMeta)) fs.rename(oldMeta, new Path(live, "_graft_meta"))
     fs.delete(old, true)
   }
 }

@@ -215,6 +215,49 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._compact_old")))
   }
 
+  test("atomicRewrite crash ONE WINDOW LATER (round 16): a leftover " +
+      "._compact_old holding the ONLY _graft_meta copy is salvaged into " +
+      "the live root before deletion, so parameter validation still fires " +
+      "— and a normal compact carries the meta inside the swap itself") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta eps zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val mh = tmp("meta_salvage")
+    DedupIndex.writeMinHashIndex(docs, "text", "doc_id", mh,
+      k = 64, bands = 16, shingleN = 3)
+    val fs = new org.apache.hadoop.fs.Path(mh)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def p(x: String) = new org.apache.hadoop.fs.Path(x)
+    // simulate the pre-fix residue: crash happened after rename(tmp,
+    // live) but before the old→live meta carry — live index complete
+    // but meta-less, the only meta copy inside ._compact_old
+    fs.mkdirs(p(s"$mh._compact_old"))
+    assert(fs.rename(p(s"$mh/_graft_meta"), p(s"$mh._compact_old/_graft_meta")))
+    // without the salvage, this call would delete the only meta and the
+    // wrong-geometry query below would SILENTLY return garbage candidates
+    DedupIndex.compactIndex(s, mh, kind = "minhash")
+    assert(!fs.exists(p(s"$mh._compact_old")))
+    assert(fs.exists(p(s"$mh/_graft_meta")))
+    val e = intercept[IllegalArgumentException](
+      DedupIndex.minhashCandidatesAgainstIndex(docs, "text", "doc_id", mh,
+        k = 32, bands = 8).collect())
+    assert(e.getMessage.contains("parameter mismatch"))
+    // matching geometry still served throughout
+    assert(DedupIndex.minhashCandidatesAgainstIndex(docs, "text", "doc_id",
+      mh, k = 64, bands = 16).count() >= 0L)
+    // the fixed ordering: after ANOTHER compact, kill between the two
+    // renames (live gone, old present) — old now contains the meta COPY
+    // that traveled with the swap, so restore brings it back intact
+    DedupIndex.compactIndex(s, mh, kind = "minhash")
+    assert(fs.rename(p(mh), p(s"$mh._compact_old")))
+    DedupIndex.compactIndex(s, mh, kind = "minhash")
+    assert(fs.exists(p(s"$mh/_graft_meta")))
+    val e2 = intercept[IllegalArgumentException](
+      DedupIndex.minhashCandidatesAgainstIndex(docs, "text", "doc_id", mh,
+        k = 32, bands = 8).collect())
+    assert(e2.getMessage.contains("parameter mismatch"))
+  }
+
   // ---- near-dup admission -----------------------------------------------
 
   private def editDoc(base: String, at: Int, tok: String): String = {

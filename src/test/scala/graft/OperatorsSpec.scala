@@ -467,6 +467,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served() == memNew)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._rebuild_old")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path._rebuild_tmp")))
+    // crash ONE WINDOW LATER (round 16): under the pre-fix ordering a
+    // crash after rename(tmp, live) but before the old→live checkpoint
+    // carry left the ONLY _stream_chk inside ._rebuild_old. Simulate
+    // that residue; the next rebuild's entry cleanup must SALVAGE the
+    // checkpoint before deleting old — otherwise a later stream run
+    // starts fresh, re-encodes already-indexed vectors into
+    // codes_stream, and serving double-counts them in the ADC sum.
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    fs.mkdirs(hp(s"$path._rebuild_old"))
+    assert(fs.rename(hp(s"$path/_stream_chk"),
+      hp(s"$path._rebuild_old/_stream_chk")))
+    AnnIndex.rebuildIvfPqIndex(vecs, centsMod(10), cb, m = 2, dim = 4,
+      path, twoLevel = true)
+    assert(!fs.exists(hp(s"$path._rebuild_old")))
+    assert(fs.exists(hp(s"$path/_stream_chk"))) // salvaged + carried
+    // the checkpoint still marks the streamed files processed: a re-run
+    // ingests NOTHING (no codes_stream reappears, serving unchanged)
+    AnnIndex.streamIvfPqIngest(stream, path, m = 2, dim = 4,
+      twoLevel = true)
+    assert(!fs.exists(hp(s"$path/codes_stream")))
+    assert(served() == memNew)
   }
 
   test("language id picks the language with most stopword hits, alphabetical ties") {
