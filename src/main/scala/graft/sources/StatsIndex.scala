@@ -57,35 +57,57 @@ object StatsIndex {
     *     — tmp write + two-rename swap), which only runs when staleness
     *     is actually present.
     *
-    * File identity is compared on scheme-normalized paths (Hadoop
-    * listing says `file:/…`, `input_file_name()` says `file:///…`).
+    * File identity is compared on DECODED absolute paths (round 16):
+    * the Hadoop listing says `file:/…` with raw characters while
+    * `input_file_name()` says `file:///…` percent-encoded, so both
+    * sides normalize through `java.net.URI` path decoding — scheme
+    * stripping alone made every store path containing an encodable
+    * character (a space, a `%`) look perpetually new, appending a
+    * duplicate stats row per file per refresh. A missing stats table
+    * falls back to a full [[build]] (refresh-on-new-store just works).
     * Equivalent to a full [[build]] over the current store — the q184
     * gate serves a pruned scan from a refresh-maintained table against
     * the full-recompute oracle. Idempotent: a second refresh with no
-    * store change appends nothing and rewrites nothing. */
+    * store change appends nothing and rewrites nothing.
+    *
+    * Driver-side state is the file LIST (one string per store
+    * fragment) — the same order of memory Spark's own
+    * InMemoryFileIndex holds for any scan of `root`. */
   def refresh(spark: SparkSession, root: String, statsPath: String): DataFrame = {
     import org.apache.hadoop.fs.Path
+    // decoded-path identity: URI parse (handles the percent-encoded
+    // input_file_name form), falling back to scheme stripping for
+    // strings URI rejects (e.g. raw unencoded spaces from a listing)
     def norm(s: String): String =
-      s.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/")
+      (try Option(new java.net.URI(s).getPath).filter(_.nonEmpty)
+       catch { case _: java.net.URISyntaxException => None })
+        .getOrElse(s.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/"))
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(statsPath)))
+      return build(spark, root, statsPath)
     val current = scala.collection.mutable.ArrayBuffer[String]()
     val it = fs.listFiles(rootPath, true)
     while (it.hasNext) {
       val f = it.next()
-      val p = f.getPath.toString
-      if (f.isFile && p.endsWith(".parquet")) current += p
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        // Path.toString keeps the raw (decoded) form — the form Spark's
+        // reader expects back in the newFiles scan; norm() decodes the
+        // stats rows' percent-encoded form to the same identity
+        current += f.getPath.toString
     }
-    val known = spark.read.parquet(statsPath).select("file")
-      .collect().map(r => norm(r.getString(0))).toSet
+    val knownByNorm = spark.read.parquet(statsPath).select("file")
+      .collect().map(r => r.getString(0)).map(p => norm(p) -> p).toMap
     val currentByNorm = current.map(p => norm(p) -> p).toMap
     val newFiles = currentByNorm.collect {
-      case (n, p) if !known(n) => p }.toSeq.sorted
-    val stale = known -- currentByNorm.keySet
-    if (stale.nonEmpty)
+      case (n, p) if !knownByNorm.contains(n) => p }.toSeq.sorted
+    // stale rows are dropped by their ORIGINAL stored strings — exact
+    // equality, no re-normalization inside the SQL filter
+    val staleOrig = knownByNorm.collect {
+      case (n, orig) if !currentByNorm.contains(n) => orig }.toSeq
+    if (staleOrig.nonEmpty)
       graft.operators.DedupIndex.atomicRewrite(spark, statsPath) { df =>
-        df.filter(!regexp_replace(col("file"), "^[a-zA-Z0-9+.-]+:/+", "/")
-          .isin(stale.toSeq: _*))
+        df.filter(!col("file").isin(staleOrig: _*))
       }
     if (newFiles.nonEmpty)
       spark.read.option("basePath", root).parquet(newFiles: _*)

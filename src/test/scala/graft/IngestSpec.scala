@@ -148,6 +148,45 @@ class IngestSpec extends AnyFunSuite {
     assert(after.size < refreshed.size)
   }
 
+  test("stats refresh (round 16): percent-encodable store paths stay " +
+      "idempotent (listing vs input_file_name decode to one identity), " +
+      "and refresh on a store with NO stats table falls back to build") {
+    val s = spark; import s.implicits._
+    // a SPACE in the store root: input_file_name() reports %20 while the
+    // FS listing reports the raw char — pre-fix, every file looked new
+    // on every refresh and stats rows duplicated per file per call
+    val base = Files.createTempDirectory("graft-refresh-enc").toString
+    val root = s"$base/store with space"
+    val statsPath = s"$base/stats"
+    def fact(era: Int) = (0 until 60).map { i =>
+      (java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(i * 60L + era * 100000L)), i.toDouble, "lbl",
+        "c1", s"u${i % 2}")
+    }.toDF("time", "value", "label", "collection", "uuid")
+    fact(0).write.mode("overwrite").partitionBy("collection", "uuid").parquet(root)
+    StatsIndex.build(s, root, statsPath)
+    val built = s.read.parquet(statsPath).count()
+    // no store change → refresh must append NOTHING despite the encoding
+    StatsIndex.refresh(s, root, statsPath)
+    assert(s.read.parquet(statsPath).count() == built)
+    StatsIndex.refresh(s, root, statsPath)
+    assert(s.read.parquet(statsPath).count() == built)
+    // a new era still gets discovered exactly once
+    fact(1).write.mode("append").partitionBy("collection", "uuid").parquet(root)
+    StatsIndex.refresh(s, root, statsPath)
+    val grown = s.read.parquet(statsPath).count()
+    assert(grown > built)
+    StatsIndex.refresh(s, root, statsPath)
+    assert(s.read.parquet(statsPath).count() == grown)
+    // every stored file identity is unique (no duplicate stats rows)
+    assert(s.read.parquet(statsPath).groupBy("file").count()
+      .agg(max("count")).head().getLong(0) == 1L)
+    // missing stats table: refresh ≡ build, not a raw read error
+    val fresh = s"$base/fresh-stats"
+    StatsIndex.refresh(s, root, fresh)
+    assert(s.read.parquet(fresh).count() == grown)
+  }
+
   test("prunedScan reads ONLY the stats-selected fragments (README.md:56 _metadata analogue)") {
     val statsPath = Files.createTempDirectory("graft-stats-ps").resolve("stats").toString
     val stats = StatsIndex.build(spark, destDir.toString, statsPath)
