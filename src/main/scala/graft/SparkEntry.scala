@@ -3503,9 +3503,9 @@ object SparkEntry {
        |    JOIN tl_qsup q ON q.qid = s.qid
        |    JOIN embeddings en ON en.vec_id = s.nid) WHERE r = 1)
        |SELECT qm.qid AS vec_id,
-       |  CASE WHEN t.score * 10000 >= $tauBp THEN 'dup_corpus'
+       |  CASE WHEN CAST(floor(t.score * 10000) AS BIGINT) >= $tauBp THEN 'dup_corpus'
        |       ELSE 'admitted' END AS status,
-       |  CAST(CASE WHEN t.score * 10000 >= $tauBp THEN t.nid
+       |  CAST(CASE WHEN CAST(floor(t.score * 10000) AS BIGINT) >= $tauBp THEN t.nid
        |       ELSE qm.qid END AS BIGINT) AS keep_id
        |FROM qmap qm LEFT JOIN top1 t ON t.qid = qm.qid
        |ORDER BY vec_id""".stripMargin

@@ -301,16 +301,25 @@ object AnnIndex {
       shortlist0.join(
         broadcast(ex.select(ex.columns.head).toDF("_exid")),
         col("nid") === col("_exid"), "left_anti"))
+    // decision arithmetic (round 16): the threshold is an INTEGER
+    // basis-point comparison on the UNROUNDED exact cosine —
+    // floor(cos·10⁴) ≥ tauBp ⟺ cos·10⁴ ≥ tauBp for integer tauBp, with
+    // no display rounding in between (rankTopK's 4-decimal rounding
+    // would flip a cosine in [τ−5e-5, τ) across the boundary and
+    // diverge from any exact re-derivation — the q185/q186 oracles
+    // compare the raw cosine). This matches the rest of the index
+    // family's integer-exact boundaries.
     val top1 = Similarity.rerankTopK(vecStore, newVecs,
-        shortlist.select(col("qid"), col("nid")), k = 1, idCol, vecCol)
+        shortlist.select(col("qid"), col("nid")), k = 1, idCol, vecCol,
+        roundScore = false)
       .select(col("qid").as("id"), col("nid").as("_match"),
-        col("score").as("_score"))
+        floor(col("score") * 10000).cast("long").as("_cos_bp"))
     newVecs.select(col(idCol).as("id"))
       .join(broadcast(top1), Seq("id"), "left")
       .select(col("id").as(idCol),
-        when(col("_score") * 10000 >= tauBp, lit("dup_corpus"))
+        when(col("_cos_bp") >= tauBp, lit("dup_corpus"))
           .otherwise(lit("admitted")).as("status"),
-        when(col("_score") * 10000 >= tauBp, col("_match"))
+        when(col("_cos_bp") >= tauBp, col("_match"))
           .otherwise(col("id")).as("keep_id"))
   }
 

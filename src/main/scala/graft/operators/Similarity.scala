@@ -30,14 +30,21 @@ object Similarity {
     * window: the window would shuffle-and-sort every scored row, while
     * the aggregate's map-side partials put at most k rows per query per
     * input partition on the wire. Ties broken by ascending id, identical
-    * to `ORDER BY score DESC, nid`. */
-  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    * to `ORDER BY score DESC, nid`. `roundScore = false` surfaces the
+    * raw double (round 16): decision consumers — the embedding
+    * admission threshold — must compare the UNROUNDED cosine, or a
+    * score in [τ−5e-5, τ) rounds up across the boundary and diverges
+    * from any exact re-derivation. Ranking itself is identical either
+    * way (rounding happens after the heap). */
+  private[operators] def rankTopK(scored: DataFrame, k: Int,
+      roundScore: Boolean = true): DataFrame =
     scored.groupBy(col("qid"))
       .agg(graft.functions.TopK.top_k_by_score(
         col("nid").cast("long"), col("score"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("r", "e")))
       .select(col("qid"), col("e.nid").as("nid"), (col("r") + 1).as("rank"),
-        round(col("e.score"), 4).as("score"))
+        (if (roundScore) round(col("e.score"), 4) else col("e.score"))
+          .as("score"))
 
   /** Brute-force top-k cosine neighbors of each query vector.
     * Output: (qid, vec_id, score) with rank ≤ k per query; ties broken by
@@ -564,7 +571,8 @@ object Similarity {
     * aggregate. Input shortlist: (qid, nid). */
   def rerankTopK(corpus: DataFrame, queries: DataFrame,
       shortlist: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      roundScore: Boolean = true): DataFrame = {
     val sl = shortlist.select(col("qid"), col("nid"))
       .join(queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
         "qid")
@@ -573,7 +581,7 @@ object Similarity {
       .join(broadcast(sl), "nid")
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
-    rankTopK(scored, k)
+    rankTopK(scored, k, roundScore)
   }
 
   /** Reciprocal Rank Fusion of several retrieval rankings — the standard

@@ -341,14 +341,19 @@ class OperatorsSpec extends AnyFunSuite {
     val tight = admit(9990L)
     assert(tight(0L) == (("dup_corpus", 20L))) // exact copy cannot escape
     assert(tight(1L)._1 == "admitted")
-    // threshold semantics, self-calibrated: compute the pipeline's own
-    // top-1 exact score for the novel vector, then assert admission
-    // flips exactly at it (≥ τ flags, τ+1 admits)
+    // threshold semantics, self-calibrated AND integer-exact (round
+    // 16): the decision is floor(rawCosine·10⁴) ≥ τ on the UNROUNDED
+    // score — calibrate from the raw-score rerank (roundScore = false,
+    // the same relation the engine thresholds on) and assert admission
+    // flips exactly at the fixed-point boundary (≥ τ flags, τ+1
+    // admits). With the pre-fix rounded score, a cosine in
+    // [τ−5e-5, τ) would flip the wrong way.
     val b1 = batch.filter(col("vec_id") === 1L)
     val sl = AnnIndex.queryIvfPqIndex(b1, path, m = 2, dim = 4, k = 8,
       nProbe = 2, twoLevel = true)
     val t1 = Similarity.rerankTopK(corpus, b1,
-      sl.select(col("qid"), col("nid")), k = 1).head()
+      sl.select(col("qid"), col("nid")), k = 1,
+      roundScore = false).head()
     val sBp = math.floor(t1.getDouble(3) * 10000).toLong
     val atTau = admit(sBp)
     assert(atTau(1L) == (("dup_corpus", t1.getLong(1))))
