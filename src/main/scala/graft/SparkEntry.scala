@@ -212,6 +212,30 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir TOMBSTONED ANN index fixture (round 16, q188): the full
+    * q176 index with the vec_id % 7 == 3 slice taken down via
+    * [[operators.AnnIndex.deleteVectors]] — deletion is part of the
+    * fixture (built once); the timed body is the tombstone-filtered
+    * serve, whose oracle is q102's grammar restricted to the SURVIVING
+    * nids, so the hash matches iff the anti-join excludes exactly the
+    * deleted set and nothing else. TempDirs-registered for cleanup. */
+  private val annTombCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annTombIndex(s: SparkSession, dir: String): String =
+    annTombCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_anntomb_${java.util.UUID.randomUUID()}")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(emb, cents, cb, m = 8, dim = 64,
+        root, twoLevel = true)
+      operators.AnnIndex.deleteVectors(
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"), root)
+      root
+    })
+
   /** Per-sf-dir STREAM-grown ANN index fixture (round 15, q183): base
     * index over 80%, the rest arrives through a real file-source
     * streaming query and lands as exactly-once `codes_stream/` codes
@@ -1704,6 +1728,55 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text",
           "doc_id", s"$root/bloom", n = 3)
         .orderBy("doc_id")
+    }),
+    "q187_tombstone_admit" -> ((s, dir) => {
+      // INDEX DELETION / takedown (round 16): exact-dedup admission
+      // against an index with planted tombstones. Corpus = doc_id % 5
+      // != 0 indexed fresh per invocation (deletion mutates); the
+      // % 20 == 1 keepers are then taken down (deleteDocs). Batch =
+      // the q173 re-fetch plant (% 10 == 0 docs carry corpus neighbor
+      // doc_id + 1's text): batch docs % 20 == 0 re-fetch a DELETED
+      // neighbor (id % 20 == 1) and must now ADMIT — the takedown
+      // semantics — while % 20 == 10 re-fetches (neighbor % 20 == 11,
+      // alive) stay dup_corpus. The oracle re-derives the admission
+      // rule over the surviving keeper set, so the hash matches iff
+      // the tombstone anti-join excludes exactly the deleted keepers.
+      val root = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q187_${java.util.UUID.randomUUID()}")
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      operators.DedupIndex.writeExactIndex(corpus, "text", "doc_id",
+        s"$root/exact")
+      operators.DedupIndex.deleteDocs(
+        corpus.filter(pmod(col("doc_id"), lit(20)) === 1).select("doc_id"),
+        s"$root/exact")
+      val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_nt"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("_nt").isNotNull,
+            col("_nt")).otherwise(col("text")).as("text"))
+      operators.DedupIndex.admitAgainstIndex(batch, "text", "doc_id",
+          s"$root/exact")
+        .select(col("doc_id"), col("status"),
+          col("keep_id").cast("long").as("keep_id"))
+        .orderBy("doc_id")
+    }),
+    "q188_ann_tombstone_serve" -> ((s, dir) => {
+      // ANN takedown (round 16): q176's serve over an index whose
+      // vec_id % 7 == 3 slice was deleted (cached fixture — the
+      // tombstone write is index maintenance, the timed body is the
+      // filtered serve: one broadcast anti-join on the scored pairs).
+      // Oracle = q102's grammar restricted to surviving nids, so the
+      // hash matches iff served top-k equals a physically-rebuilt
+      // survivor index's — deletion changes results, not just rows.
+      val root = annTombIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
+          root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
     }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
@@ -3382,7 +3455,10 @@ object SparkEntry {
   private def ivfPqAdcOracle(dim: Int = 64, m: Int = 8,
       pqMod: String = autoPqModSql("embeddings"),
       ivfMod: String = autoModSql("embeddings"),
-      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
+      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8,
+      // q188: corpus-side survivor predicate (SQL over `codes.nid`) —
+      // the tombstone cut, applied where the engine's anti-join applies
+      extraNidPred: String = ""): String = {
     val dsub = dim / m
     s"""WITH fp AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
@@ -3412,7 +3488,7 @@ object SparkEntry {
        |  JOIN corpus_assign a ON a.cid = p.cid
        |  JOIN codes ON codes.nid = a.nid
        |  JOIN cd q ON q.j = codes.j AND q.code = codes.code AND q.nid = p.qid
-       |  WHERE codes.nid <> p.qid
+       |  WHERE codes.nid <> p.qid$extraNidPred
        |  GROUP BY p.qid, codes.nid)
        |SELECT qid, nid, rank, round(score, 4) AS score FROM (
        |  SELECT qid, nid, score,
@@ -4704,6 +4780,43 @@ object SparkEntry {
     // q183: same verbatim-q102 gate over the STREAMING encode path
     // (exactly-once codes_stream partition writes)
     "q183_ann_stream_ingest" -> ivfPqAdcOracle(),
+    // q188: q102's grammar over the SURVIVING corpus — the tombstoned
+    // vec_id % 7 == 3 slice excluded exactly where the engine's
+    // anti-join excludes it (the scored candidate pairs)
+    "q188_ann_tombstone_serve" ->
+      ivfPqAdcOracle(extraNidPred = " AND codes.nid % 7 <> 3"),
+    "q187_tombstone_admit" ->
+      // the q174 admission grammar with the % 20 == 1 keepers DELETED:
+      // the surviving keeper set is ckg minus those rows, so batch
+      // re-fetches of deleted content admit (or fall back to the batch
+      // rule) while everything else is unchanged
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |ckg0 AS (
+        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+        |    min(doc_id) AS keep_id
+        |  FROM corpus GROUP BY 1),
+        |ckg AS (SELECT * FROM ckg0 WHERE keep_id % 20 <> 1),
+        |batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+        |      THEN n.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 5 = 0),
+        |bk AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
+        |  FROM batch),
+        |bmin AS (SELECT text_key, min(doc_id) AS batch_keep FROM bk GROUP BY 1)
+        |SELECT k.doc_id,
+        |  CASE WHEN g.keep_id IS NOT NULL THEN 'dup_corpus'
+        |       WHEN k.doc_id <> m.batch_keep THEN 'dup_batch'
+        |       ELSE 'admitted' END AS status,
+        |  CAST(coalesce(g.keep_id, m.batch_keep) AS BIGINT) AS keep_id
+        |FROM bk k
+        |LEFT JOIN ckg g USING (text_key)
+        |JOIN bmin m USING (text_key)
+        |ORDER BY k.doc_id""".stripMargin,
     "q185_embed_admit" -> embedAdmitOracle(),
     // q186: q185's oracle VERBATIM — the one-AvailableNow-batch
     // streaming ingest must reproduce the batch admission exactly

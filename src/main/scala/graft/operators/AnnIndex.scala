@@ -138,9 +138,12 @@ object AnnIndex {
     * next call restores it first. Serving unavailability is the
     * two-rename metadata window.
     *
-    * Pass the FULL current corpus — base plus every appended/streamed
-    * era — the rebuild replaces everything under `path`, including
-    * `codes_stream/`. The streaming checkpoint (`_stream_chk`) is
+    * Pass the FULL current SURVIVING corpus — base plus every
+    * appended/streamed era, minus any tombstoned vectors — the rebuild
+    * replaces everything under `path`, including `codes_stream/` and
+    * the `_tombstones` set (a rebuild is the physical application of
+    * every pending deletion, provided the corpus you pass excludes
+    * them). The streaming checkpoint (`_stream_chk`) is
     * COPIED into the sibling build before the swap (so it travels with
     * the renames and survives a crash at any point): the rebuilt corpus
     * already contains the streamed vectors, so the checkpoint correctly
@@ -323,20 +326,51 @@ object AnnIndex {
           .otherwise(col("id")).as("keep_id"))
   }
 
+  /** Tombstone vectors out of a persisted index (round 16 — takedown /
+    * GDPR for the retrieval stack): `ids` (first column, cast long)
+    * append to `<path>/_tombstones`; [[queryIvfPqIndex]] (and therefore
+    * [[admitEmbeddingsAgainstIndex]]'s shortlist) anti-joins scored
+    * candidates against the set (broadcast ∝ deletions since the last
+    * compaction, never corpus-sized), and [[compactIvfPqCodes]] applies
+    * the deletions PHYSICALLY to `codes/` and `codes_stream/` and
+    * clears the set. Under globally-unique vector ids a tombstoned id
+    * never returns, so no un-delete exists. The raw-vector STORE the
+    * admission path re-scores against is a separate relation — take
+    * the vector down there too ([[DedupIndex.deleteDocs]] on the store
+    * path + [[DedupIndex.compactDocStore]] removes the bytes). */
+  def deleteVectors(ids: DataFrame, path: String): Unit =
+    DedupIndex.deleteDocs(ids, path)
+
   /** Compact the `codes/` relation of an append-accumulated index:
     * dedupes (nid, j, code) rows — an accidentally-replayed append
-    * would otherwise double-count in the ADC sum — and merges the small
-    * files appends accrete, preserving the `cid=` serving layout.
-    * Crash-safe via [[DedupIndex.atomicRewrite]]: the compacted
-    * relation is fully written to a sibling tmp directory before two
-    * FS-metadata renames swap it in, so the live index is never in a
-    * deleted state and a crash at any point leaves a complete copy
-    * recoverable (the next call restores it). Run off the serving
-    * path. */
+    * would otherwise double-count in the ADC sum — applies any
+    * [[deleteVectors]] tombstones physically (both `codes/` and
+    * `codes_stream/`, then clears the set — post-compaction the codes
+    * are byte-identical to a fresh encode of the surviving corpus,
+    * spec-asserted), and merges the small files appends accrete,
+    * preserving the `cid=` serving layout. Crash-safe via
+    * [[DedupIndex.atomicRewrite]]: the compacted relation is fully
+    * written to a sibling tmp directory before two FS-metadata renames
+    * swap it in, so the live index is never in a deleted state and a
+    * crash at any point leaves a complete copy recoverable (the next
+    * call restores it); a crash before the tombstone-set delete leaves
+    * the anti-join a harmless no-op that the next compaction clears.
+    * Run off the serving path. */
   def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
-    DedupIndex.atomicRewrite(spark, s"$path/codes", Seq("cid"))(_.distinct())
+    DedupIndex.atomicRewrite(spark, s"$path/codes", Seq("cid"))(df =>
+      DedupIndex.dropTombstoned(spark, df, path, "nid").distinct())
+    val sPath = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
+    val fs = sPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(sPath))
+      DedupIndex.atomicRewrite(spark, sPath.toString,
+        Seq("ingest_batch", "cid"))(df =>
+        DedupIndex.dropTombstoned(spark, df, path, "nid").distinct())
+    // deletions now physical everywhere → clear the set (idempotent:
+    // a crash before this line leaves a no-op anti-join behind)
+    val ts = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    if (fs.exists(ts)) fs.delete(ts, true)
   }
 
   /** Serve a query batch against the persisted index: top-k per query,
@@ -386,6 +420,11 @@ object AnnIndex {
     }.reduce(_ unionByName _)
       .select(col("qid"), col("nid"),
         (-col("adist")).cast("double").as("score"))
-    Similarity.rankTopK(scored, k)
+    // tombstoned vectors (deleteVectors — takedowns awaiting physical
+    // compaction) drop out HERE, on the per-query candidate pairs: one
+    // broadcast anti-join against the deletions-sized set, identical
+    // results to serving a physically-compacted index
+    Similarity.rankTopK(
+      DedupIndex.dropTombstoned(spark, scored, path, "nid"), k)
   }
 }

@@ -96,6 +96,60 @@ object DedupIndex {
   }
 
   // ------------------------------------------------------------------
+  // Tombstones (round 16): logical deletion for append-only indexes.
+  // Every persisted index here was append-or-rebuild only — a takedown
+  // / GDPR / retraction request forced a full rebuild. [[deleteDocs]]
+  // appends the removed ids to `<path>/_tombstones` (underscore prefix
+  // → invisible to parquet reads of the index relation, same trick as
+  // `_graft_meta`); every query anti-joins the index scan against the
+  // broadcast tombstone set (size ∝ deletions since the last
+  // compaction — a takedown stream, not a corpus — so the broadcast
+  // stays trivially bounded); compaction applies the deletions
+  // PHYSICALLY (the tombstoned rows drop out of the rewritten
+  // relation) and the tombstone set travels out with the swap, so the
+  // post-compaction index is byte-identical to one freshly built over
+  // the surviving corpus (spec-asserted for the per-doc-row kinds).
+  //
+  // Semantics per kind: a doc id is the EXACT index's keeper
+  // (`keep_id` — under admission-pipeline semantics the keeper IS the
+  // only corpus holder of that text, since dup copies were never
+  // admitted), the MINHASH index's band-row owner (`id`), or a doc-
+  // store row (`idCol`). Deleting a keeper removes its text key from
+  // the corpus — a later re-crawl of the same content ADMITS afresh
+  // (the intended takedown semantics), and under globally-unique ids a
+  // tombstoned id can never return, so the set needs no un-delete. The
+  // ANCHOR and BLOOM indexes are aggregate-valued (distinct grams /
+  // one mask row, no per-doc rows) and cannot be tombstoned row-wise —
+  // deletion there is a rebuild, documented honestly.
+  // ------------------------------------------------------------------
+
+  /** Tombstone `ids` (first column, cast to long) against the index /
+    * doc store at `path`. Append-only and idempotent (duplicate
+    * tombstone rows are harmless to the anti-join); takes effect on the
+    * next query, applied physically by the next compaction. */
+  def deleteDocs(ids: DataFrame, path: String): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+      .write.mode("append").parquet(s"$path/_tombstones")
+
+  /** The live tombstone set at `path`, if any. */
+  private[operators] def tombstones(
+      spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Drop `df` rows whose `idName` is tombstoned at `path` — the
+    * query-time form of deletion: a broadcast anti-join against the
+    * (deletions-sized) tombstone set, applied to every index scan. */
+  private[operators] def dropTombstoned(
+      spark: SparkSession, df: DataFrame, path: String,
+      idName: String): DataFrame =
+    tombstones(spark, path).fold(df)(ts =>
+      df.join(broadcast(ts.select(col("id").as("_ts_id")).distinct()),
+        df(idName) === col("_ts_id"), "left_anti"))
+
+  // ------------------------------------------------------------------
   // Exact (normalized-text hash) index
   // ------------------------------------------------------------------
 
@@ -128,7 +182,8 @@ object DedupIndex {
     checkMeta(spark, indexPath, "exact", Map.empty)
     val batchKeys = newDocs.select(col(idCol),
       md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
-    val matched = spark.read.parquet(indexPath)
+    val matched = dropTombstoned(spark,
+        spark.read.parquet(indexPath), indexPath, "keep_id")
       .join(broadcast(batchKeys.select(col("text_key")).distinct()),
         Seq("text_key"), "leftsemi")
       .groupBy(col("text_key")).agg(min(col("keep_id")).as("keep_id"))
@@ -184,7 +239,8 @@ object DedupIndex {
           bands)).as("bk"))
       .select(col("id"), posexplode_outer(col("bk")).as(Seq("band", "key")))
       .filter(col("band").isNotNull)
-    val matched = spark.read.parquet(indexPath)
+    val matched = dropTombstoned(spark,
+        spark.read.parquet(indexPath), indexPath, "id")
       .join(broadcast(batchRows.select(col("band"), col("key")).distinct()),
         Seq("band", "key"), "leftsemi")
     batchRows.join(broadcast(matched
@@ -235,6 +291,14 @@ object DedupIndex {
       k: Int = 5, w: Int = 4): DataFrame = {
     val spark = newDocs.sparkSession
     checkMeta(spark, indexPath, "anchor", Map("k" -> k, "w" -> w))
+    // the anchor index is aggregate-valued (one row per DISTINCT gram,
+    // n_docs/min_doc_id attribution only) — a deleted doc's grams may
+    // also occur in survivors, so row-wise tombstoning cannot be
+    // applied. Fail loudly instead of silently matching deleted content.
+    require(tombstones(spark, indexPath).isEmpty,
+      s"anchor index at $indexPath has tombstones, which the aggregate " +
+        "gram relation cannot apply row-wise — rebuild it with " +
+        "writeAnchorIndex over the surviving corpus")
     val batchAnchors = TextOps.anchorOffsets(newDocs, textCol, idCol, k, w)
     val matched = spark.read.parquet(indexPath).select(col("g"))
       .join(broadcast(batchAnchors.select(col("g")).distinct()),
@@ -275,7 +339,8 @@ object DedupIndex {
     checkMeta(spark, indexPath, "exact", Map.empty)
     val keys = newDocs.select(col(idCol).as("id"),
       md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
-    val corpusDup = spark.read.parquet(indexPath)
+    val corpusDup = dropTombstoned(spark,
+        spark.read.parquet(indexPath), indexPath, "keep_id")
       .join(broadcast(keys.select(col("text_key")).distinct()),
         Seq("text_key"), "leftsemi")
       .join(broadcast(keys.select(col("id").as("_bid"))),
@@ -337,7 +402,13 @@ object DedupIndex {
       .join(broadcast(batch.select(col(idCol).as("_bid"))),
         col("id_b") === col("_bid"), "left_anti")
       .localCheckpoint()
-    val corpusTexts = spark.read.parquet(docStorePath)
+    // tombstone belt-and-braces: the candidate set already excludes
+    // deleted corpus docs when the BAND INDEX was tombstoned (the
+    // documented takedown pattern tombstones index + store together);
+    // filtering the store fetch too means a store-only tombstone still
+    // suppresses the deleted text before its physical compaction
+    val corpusTexts = dropTombstoned(spark,
+        spark.read.parquet(docStorePath), docStorePath, idCol)
       .join(broadcast(cands.select(col("id_b").as(idCol)).distinct()),
         Seq(idCol), "leftsemi")
       .select(col(idCol), col(textCol))
@@ -409,6 +480,12 @@ object DedupIndex {
       newDocs: DataFrame, textCol: String, idCol: String,
       indexPath: String, n: Int = 3): DataFrame = {
     checkMeta(newDocs.sparkSession, indexPath, "bloom", Map("n" -> n))
+    // the mask is one aggregate row — per-doc deletion cannot unset
+    // bits (other reference docs may share them). Rebuild instead.
+    require(tombstones(newDocs.sparkSession, indexPath).isEmpty,
+      s"bloom index at $indexPath has tombstones, which a bit mask " +
+        "cannot apply — rebuild it with writeBloomIndex over the " +
+        "surviving reference set")
     Dedup.probeBloomMask(newDocs,
       newDocs.sparkSession.read.parquet(indexPath), textCol, idCol, n)
   }
@@ -479,13 +556,24 @@ object DedupIndex {
     * indefinitely. */
   def compactIndex(spark: SparkSession, path: String, kind: String): Unit = {
     checkMeta(spark, path, kind, Map.empty)
+    // tombstones are applied PHYSICALLY here (round 16): the dropped
+    // rows leave the rewritten relation, and because the rewritten tmp
+    // carries no `_tombstones` dir the set clears with the swap —
+    // post-compaction the index is byte-identical to a fresh build over
+    // the surviving corpus, and the query-time anti-join reverts to a
+    // no-op. The aggregate-valued anchor kind cannot apply row-wise
+    // deletion — fail loudly rather than silently dropping the set.
+    require(kind != "anchor" || tombstones(spark, path).isEmpty,
+      s"anchor index at $path has tombstones — rebuild it with " +
+        "writeAnchorIndex over the surviving corpus instead of compacting")
     atomicRewrite(spark, path) { df =>
       kind match {
         case "exact" =>
-          df.groupBy(col("text_key"))
+          dropTombstoned(spark, df, path, "keep_id")
+            .groupBy(col("text_key"))
             .agg(min(col("keep_id")).as("keep_id"),
               sum(col("n_copies")).as("n_copies"))
-        case "minhash" => df.distinct()
+        case "minhash" => dropTombstoned(spark, df, path, "id").distinct()
         case "anchor" =>
           df.groupBy(col("g"))
             .agg(sum(col("n_docs")).as("n_docs"),
@@ -500,11 +588,14 @@ object DedupIndex {
     * [[admitNearDupAgainstIndex]] fetches verification texts from):
     * drops the duplicate rows at-least-once appends accrete (harmless
     * to verification — shingles dedupe per id — but they grow the
-    * fetch scan) and merges small files. Crash-safe via
-    * [[atomicRewrite]]. */
+    * fetch scan), applies any [[deleteDocs]] tombstones physically
+    * (round 16 — the takedown actually REMOVES the text bytes from the
+    * store, which is the point of a takedown), and merges small files.
+    * Crash-safe via [[atomicRewrite]]. */
   def compactDocStore(spark: SparkSession, path: String,
       idCol: String = "doc_id"): Unit =
-    atomicRewrite(spark, path)(_.dropDuplicates(idCol))
+    atomicRewrite(spark, path)(df =>
+      dropTombstoned(spark, df, path, idCol).dropDuplicates(idCol))
 
   /** Crash-safe in-place parquet rewrite: read `path`, transform, write
     * the result to `path._compact_tmp` (a normal distributed job — the

@@ -258,6 +258,88 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("parameter mismatch"))
   }
 
+  // ---- tombstones (round 16) --------------------------------------------
+
+  test("tombstones: deleted corpus docs stop matching in exact and " +
+      "near-dup admission, re-crawled content re-admits, compaction " +
+      "applies deletions physically (minhash rows equal a fresh build " +
+      "over survivors, set cleared), and aggregate-valued indexes fail " +
+      "loudly instead of silently keeping deleted content") {
+    val s = spark; import s.implicits._
+    // -- exact ------------------------------------------------------
+    val corpus = Seq((1L, "alpha text one"), (2L, "beta text two"))
+      .toDF("doc_id", "text")
+    val ex = tmp("ts_exact")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", ex)
+    def admitEx(batch: org.apache.spark.sql.DataFrame) =
+      DedupIndex.admitAgainstIndex(batch, "text", "doc_id", ex)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val b1 = Seq((11L, "ALPHA text one")).toDF("doc_id", "text")
+    assert(admitEx(b1) == Set((11L, "dup_corpus", 1L)))
+    // takedown of doc 1: its key no longer matches — the re-crawl ADMITS
+    DedupIndex.deleteDocs(Seq(1L).toDF("doc_id"), ex)
+    assert(admitEx(b1) == Set((11L, "admitted", 11L)))
+    // re-admission lifecycle: 11 is admitted and appended; a later copy
+    // dups against the NEW keeper, not the deleted one
+    DedupIndex.appendToIndex(b1, "text", "doc_id", ex, kind = "exact")
+    assert(admitEx(Seq((21L, "alpha TEXT one")).toDF("doc_id", "text")) ==
+      Set((21L, "dup_corpus", 11L)))
+    // physical application: compaction drops the tombstoned row, clears
+    // the set, and the queries are unchanged afterwards
+    DedupIndex.compactIndex(s, ex, kind = "exact")
+    val fs = new org.apache.hadoop.fs.Path(ex)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ex/_tombstones")))
+    assert(!s.read.parquet(ex).collect().map(_.getLong(1)).contains(1L))
+    assert(admitEx(Seq((21L, "alpha TEXT one")).toDF("doc_id", "text")) ==
+      Set((21L, "dup_corpus", 11L)))
+    // -- minhash + doc store -----------------------------------------
+    val corpusRows = (1L to 10L).map(i => (i, synthDoc(i.toInt, 30)))
+    val mcorpus = corpusRows.toDF("doc_id", "text")
+    val mh = tmp("ts_mh"); val store = tmp("ts_store")
+    DedupIndex.writeMinHashIndex(mcorpus, "text", "doc_id", mh)
+    mcorpus.write.parquet(store)
+    val nd = Seq((101L, editDoc(corpusRows(2)._2, 0, "EDIT")))
+      .toDF("doc_id", "text")
+    def admitNd() = DedupIndex.admitNearDupAgainstIndex(nd, "text",
+        "doc_id", mh, store)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(admitNd() == Set((101L, "dup_corpus", 3L)))
+    // takedown of corpus doc 3 from index AND store (the documented
+    // pattern): the near-dup no longer matches anything
+    DedupIndex.deleteDocs(Seq(3L).toDF("doc_id"), mh)
+    DedupIndex.deleteDocs(Seq(3L).toDF("doc_id"), store)
+    assert(admitNd() == Set((101L, "admitted", 101L)))
+    // compaction applies physically: the band rows equal a FRESH build
+    // over the surviving corpus, byte-for-byte, and the set clears
+    DedupIndex.compactIndex(s, mh, kind = "minhash")
+    DedupIndex.compactDocStore(s, store)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mh/_tombstones")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/_tombstones")))
+    val fresh = tmp("ts_mh_fresh")
+    DedupIndex.writeMinHashIndex(
+      mcorpus.filter(col("doc_id") =!= 3L), "text", "doc_id", fresh)
+    def rows(p: String) = s.read.parquet(p)
+      .select("id", "band", "key").collect().map(_.toSeq).toSet
+    assert(rows(mh) == rows(fresh))
+    assert(s.read.parquet(store).count() == 9L) // text bytes removed
+    assert(admitNd() == Set((101L, "admitted", 101L)))
+    // -- aggregate-valued kinds refuse row-wise deletion ---------------
+    val an = tmp("ts_anchor")
+    val run = (0 until 12).map(j => s"tok$j").mkString(" ")
+    DedupIndex.writeAnchorIndex(Seq((1L, s"a $run")).toDF("doc_id", "text"),
+      "text", "doc_id", an, k = 3, w = 4)
+    DedupIndex.deleteDocs(Seq(1L).toDF("doc_id"), an)
+    val e1 = intercept[IllegalArgumentException](
+      DedupIndex.duplicateSpansAgainstIndex(
+        Seq((9L, s"x $run")).toDF("doc_id", "text"), "text", "doc_id", an,
+        k = 3, w = 4).collect())
+    assert(e1.getMessage.contains("tombstones"))
+    val e2 = intercept[IllegalArgumentException](
+      DedupIndex.compactIndex(s, an, kind = "anchor"))
+    assert(e2.getMessage.contains("tombstones"))
+  }
+
   // ---- near-dup admission -----------------------------------------------
 
   private def editDoc(base: String, at: Int, tok: String): String = {

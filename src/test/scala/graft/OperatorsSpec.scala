@@ -495,6 +495,74 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served() == memNew)
   }
 
+  test("ANN tombstones (round 16): deleted vectors drop out of served " +
+      "top-k (equals in-memory serving over the surviving corpus), an " +
+      "exact copy of a deleted vector re-admits, and compaction applies " +
+      "physically to codes AND codes_stream (equal to a fresh encode of " +
+      "the survivors) and clears the set") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    val path = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_anntomb_spec_${java.util.UUID.randomUUID()}")
+    // base codes over 80%, the rest through the streaming encode path —
+    // so the physical application must cover codes_stream too
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, path, twoLevel = true)
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, path, m = 2, dim = 4, twoLevel = true, "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def served() = rows(AnnIndex.queryIvfPqIndex(queries, path, m = 2,
+      dim = 4, k = 4, nProbe = 2, twoLevel = true))
+    // takedown set: %9==4 (disjoint from the query ids 0-2), hits both
+    // the base (5 ∤ 4,13,31,49,58... some) and streamed (%5==0: 40)
+    val deleted = vecs.filter(pmod(col("vec_id"), lit(9)) === 4)
+    val survivors = vecs.filter(pmod(col("vec_id"), lit(9)) =!= 4)
+    AnnIndex.deleteVectors(deleted.select("vec_id"), path)
+    val memSurv = rows(Similarity.ivfPqTopK(survivors, queries, cents, cb,
+      m = 2, dim = 4, k = 4, nProbe = 2, twoLevel = true))
+    assert(served() == memSurv)
+    assert(!served().exists(t => t._2 % 9 == 4))
+    // admission: an exact copy of a DELETED vector no longer matches its
+    // twin — ring neighbors are ~cos(6 deg) < tau, so it re-admits
+    val copyOf4 = vecs.filter(col("vec_id") === 4)
+      .select(lit(900L).as("vec_id"), col("embedding"))
+    val adm = AnnIndex.admitEmbeddingsAgainstIndex(copyOf4, vecs, path,
+        m = 2, dim = 4, shortK = 8, nProbe = 2, twoLevel = true,
+        tauBp = 9990L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(adm(900L) == "admitted")
+    // physical application: compaction rewrites codes + codes_stream to
+    // exactly a fresh encode of the survivors, clears the set, serving
+    // unchanged
+    AnnIndex.compactIvfPqCodes(s, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+    val freshPath = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+      s"/graft_anntomb_fresh_${java.util.UUID.randomUUID()}")
+    AnnIndex.writeIvfPqIndex(survivors, cents, cb, m = 2, dim = 4,
+      freshPath, twoLevel = true)
+    def codeRows(p: String, stream: Boolean) = {
+      val base = s.read.parquet(s"$p/codes")
+        .select("nid", "j", "code", "cid")
+      (if (stream && fs.exists(new org.apache.hadoop.fs.Path(s"$p/codes_stream")))
+        base.unionByName(s.read.parquet(s"$p/codes_stream")
+          .select("nid", "j", "code", "cid"))
+      else base).collect().map(_.toSeq).toSet
+    }
+    assert(codeRows(path, stream = true) == codeRows(freshPath, stream = false))
+    assert(served() == memSurv)
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
