@@ -27,6 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~190 heavy-codegen queries × 3 passes generate enough Janino
+  // classes to pressure the default 240 MB JIT code cache late in a
+  // shared-JVM suite (the recurring bench-tail ghost); headroom keeps
+  // the compiler on even in single-JVM mode
+  "-XX:ReservedCodeCacheSize=512m",
 )
 // The two differential-fuzz suites each execute hundreds of full query
 // plans; run each in its OWN forked JVM (and everything else in a third)

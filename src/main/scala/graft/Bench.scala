@@ -1,14 +1,135 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Round 16: the suite runs CHUNKED ACROSS FRESH CHILD
+  * JVMs (~40 entries each) instead of one shared JVM for all ~190
+  * entries × 3 passes. Three consecutive rounds of adjudication showed
+  * the shared JVM inflating the lexicographically-last q9x family 3-5×
+  * on untouched code (cpu_frac collapsed to ~1 on 32 cores, zero GC —
+  * late-suite JVM-state pollution: codegen-cache thrash pushing
+  * single-threaded Janino recompiles + JIT code-cache pressure after
+  * 180+ heavy-codegen queries and per-pass streaming-index builds),
+  * while the same queries in a fresh JVM ran at their recorded-round
+  * levels. Chunking makes the recorded run STRUCTURALLY the same as
+  * the fresh-JVM subset rerun that has exonerated the tail every
+  * round: no entry executes more than ~chunk-size suite positions deep.
+  * Child-JVM launch + session + table warm-up are untimed (amortized
+  * ~15 s per chunk of driver wall, zero effect on per-query medians).
+  *
+  * Modes: no args (driver) → parent forks children per chunk; args
+  * (local iteration, e.g. `runMain graft.Bench q90,q175`) → in-process
+  * prefix-filtered run, as before; SPARK_GRAFT_BENCH_CHUNK=0 → the
+  * pre-round-16 single-JVM whole-suite behavior.
+  */
 object Bench {
+  final case class PassStats(wall: Seq[Double], gc: Seq[Double],
+    cpuFrac: Seq[Double], load: Seq[Double])
+
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  private def fmt2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  private def arr(vs: Seq[Double]): String = vs.map(fmt).mkString("[", ",", "]")
+  // lower median: for the default 3 passes this is the true median, so
+  // one contended/JIT-warm-up pass per query never reaches the headline
+  private def med(vs: Seq[Double]): Double = {
+    val s = vs.sorted; s((s.length - 1) / 2)
+  }
+  private def shortKey(name: String): String =
+    if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name
+
+  private def passes: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+
+  /** The deterministic suite order (a Map reshuffles iteration order
+    * whenever an entry is added, silently moving residual warm-up cost
+    * onto different queries round-over-round). Flagship flow appended
+    * after the driver-table queries — the pair must stay adjacent and
+    * ordered (ingest feeds the scan). */
+  private def entryNames: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted ++
+      Seq("flagship_ingest", "flagship_sparql_scan")
+
   def main(args: Array[String]): Unit = {
+    val chunk = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "40").toInt
+    val child = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+    if (!child && args.isEmpty && chunk > 0) parentMain(chunk)
+    else inProcessMain(args, exact = child)
+  }
+
+  /** Parent: no SparkSession of its own — forks one child JVM per chunk
+    * (same java binary, JVM args, and classpath as this forked runner),
+    * collects per-query per-pass stats over a line protocol, and emits
+    * the same summary line + bench_detail.json as the single-JVM
+    * harness did. A child that dies records errors for its queries and
+    * the run continues. */
+  private def parentMain(chunkSize: Int): Unit = {
+    import scala.jdk.CollectionConverters._
+    val names = entryNames
+    // flagship pair rides with the last q-chunk so ingest→scan stay
+    // adjacent in one JVM
+    val qNames = names.dropRight(2)
+    val groups0 = qNames.grouped(chunkSize).toSeq
+    val groups =
+      if (groups0.isEmpty) Seq(names.takeRight(2))
+      else groups0.init :+ (groups0.last ++ names.takeRight(2))
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val results = scala.collection.mutable.LinkedHashMap[String, PassStats]()
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench") ++ g).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.redirectErrorStream(false)
+      // child stderr (spark logs) flows through; stdout carries the
+      // per-query stat lines
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val seen = scala.collection.mutable.Set[String]()
+      try {
+        val p = pb.start()
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+        var line = rd.readLine()
+        while (line != null) {
+          if (line.startsWith("BENCHQ\t")) {
+            // name \t walls \t gc \t cpu \t load \t errmsg
+            val f = line.split("\t", -1)
+            def ds(s: String): Seq[Double] =
+              if (s.isEmpty) Seq.empty
+              else s.split(",").toSeq.map(_.toDouble)
+            results(f(1)) = PassStats(ds(f(2)), ds(f(3)), ds(f(4)), ds(f(5)))
+            if (f.length > 6 && f(6).nonEmpty) errs(f(1)) = f(6)
+            seen += f(1)
+          }
+          line = rd.readLine()
+        }
+        val code = p.waitFor()
+        if (code != 0)
+          g.filterNot(seen).foreach(n => errs(n) = s"child JVM exit $code")
+      } catch {
+        case e: Throwable =>
+          g.filterNot(seen).foreach(n =>
+            errs(n) = s"child launch failed: ${e.getClass.getName}")
+      }
+      System.err.println(s"[bench] chunk ${gi + 1}/${groups.size} done " +
+        s"(${seen.size}/${g.size} entries)")
+    }
+    // preserve suite order in the report regardless of arrival order
+    val ordered = names.flatMap(n => results.get(n).map(n -> _))
+    emit(ordered, errs)
+  }
+
+  /** One JVM, one session, run the given entries (exact names from the
+    * parent protocol; startsWith prefixes for human local iteration;
+    * everything when empty). Child mode prints stat lines for the
+    * parent; standalone mode emits the full summary itself. */
+  private def inProcessMain(args: Array[String], exact: Boolean): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // 3 passes, median-of-3 (round 10): with 2 passes a single contended
-    // pass IS the reported number for every query it touches — the
-    // round-9 driver run diverged 47% from a same-HEAD sibling run that
-    // way. Median-of-3 tolerates one bad pass per query outright.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,45 +145,33 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").count()
       catch { case _: Throwable => () }
     }
-    // Deterministic execution order (a Map reshuffles iteration order
-    // whenever an entry is added, silently moving residual warm-up cost
-    // onto different queries round-over-round) + median over `passes`
-    // timed runs per query so one JIT/GC hiccup can't masquerade as a
-    // regression. Flagship flow appended after the driver-table queries.
     val allEntries: Seq[(String, SparkSession => Long)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> ((s: SparkSession) => fn(s, sfDir).count())
       } ++ Flagship.benchEntries(spark, sfDir)
-    // Optional local-iteration filter: `runMain graft.Bench q42,q94` times
-    // only queries whose name starts with a listed prefix. The driver
-    // invokes with no args → full suite, unchanged.
+    val wanted = args.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val all =
-      if (args.isEmpty) allEntries
-      else {
-        val wanted = args.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        allEntries.filter { case (n, _) => wanted.exists(n.startsWith) }
-      }
-    // A query that throws must NOT be recorded as a fast success (that would
-    // flatter the headline total): record the error message per query and a
-    // nonzero `errors` count in the summary line instead.
+      if (wanted.isEmpty) allEntries
+      else if (exact) {
+        val ws = wanted.toSet
+        allEntries.filter { case (n, _) => ws(n) }
+      } else allEntries.filter { case (n, _) => wanted.exists(n.startsWith) }
+    // A query that throws must NOT be recorded as a fast success (that
+    // would flatter the headline total): record the error message per
+    // query and a nonzero `errors` count in the summary line instead.
     val errs = scala.collection.mutable.LinkedHashMap[String, String]()
-    // GC wall time across all collectors, in seconds. The per-pass GC delta
-    // distinguishes "this query allocates/collects heavily" from "the host
-    // was contended during this pass" — the recurring cross-round bench
-    // ghost (rounds 3/6/7: 3-11x on untouched code, never reproducible)
-    // needs the artifact itself to carry that evidence.
+    // GC wall time across all collectors, in seconds. The per-pass GC
+    // delta distinguishes "this query allocates/collects heavily" from
+    // "the host was contended during this pass".
     def gcSec(): Double = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
     }
-    // Host-contention evidence (round 10): system load average and this
-    // JVM's own CPU seconds, recorded per pass. cpu_frac = JVM CPU s /
-    // wall s is the discriminator — a real regression keeps the JVM busy
-    // (cpu_frac near its usual level for that query), while external
-    // contention starves it (wall inflates, cpu_frac collapses, system
-    // load exceeds the core count). `load` is -1 where the platform
-    // doesn't report it.
+    // Host-contention evidence (round 10): cpu_frac = JVM CPU s / wall s
+    // is the discriminator — a real regression keeps the JVM busy, while
+    // external contention starves it (wall inflates, cpu_frac collapses,
+    // system load exceeds the core count).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def sysLoad(): Double = osBean.getSystemLoadAverage
     def procCpuSec(): Double = osBean match {
@@ -70,8 +179,6 @@ object Bench {
         math.max(0L, b.getProcessCpuTime) / 1e9
       case _ => -1.0
     }
-    final case class PassStats(wall: Seq[Double], gc: Seq[Double],
-      cpuFrac: Seq[Double], load: Seq[Double])
     val results: Seq[(String, PassStats)] = all.map { case (name, fn) =>
       val timed = (1 to math.max(1, passes)).map { _ =>
         val g0 = gcSec()
@@ -89,70 +196,64 @@ object Bench {
       name -> PassStats(timed.map(_._1), timed.map(_._2),
         timed.map(_._3), timed.map(_._4))
     }
-    // The summary consumer keeps only the last ~2000 chars of output; a
-    // 70-entry map at full double precision overflows that and truncates the
-    // line mid-JSON. Compact: qNN-prefix keys (unique by construction) and
-    // millisecond precision keep the whole line comfortably under the cap.
-    def shortKey(name: String): String =
-      if (name.matches("q\\d+_.*")) name.takeWhile(_ != '_') else name
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
-    // comma-decimal locale would render 93.5 as "93,500" — invalid JSON
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def arr(vs: Seq[Double]): String = vs.map(fmt).mkString("[", ",", "]")
-    // lower median: for the default 3 passes this is the true median, so
-    // one contended/JIT-warm-up pass per query never reaches the headline;
-    // for 2 passes it reports the steady-state (second) run
-    def med(vs: Seq[Double]): Double = {
-      val s = vs.sorted; s((s.length - 1) / 2)
-    }
-    // centisecond precision in the medians map: 10 ms resolution is noise-
-    // level for these 0.1-16 s queries and buys ~100 chars of line-cap
-    // margin; full-precision per-pass numbers live in the sidecar.
-    def fmt2(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, st) => "\"" + shortKey(k) + "\":" + fmt2(med(st.wall)) }
-      .mkString("{", ",", "}")
-    // Full per-pass evidence (every pass's wall time + GC delta + JVM CPU
-    // fraction + system load per query) goes to a sidecar file — it does
-    // not fit the consumer's line cap.
-    // The summary line carries (a) the sidecar path, (b) per-pass TOTALS,
-    // (c) total GC delta, and (d) the per-pass times of the worst
-    // spread-outlier queries, so a contended run is self-evident from the
-    // line alone: contention inflates one pass of many queries at once
-    // (large spreads, asymmetric pass totals), a real regression inflates
-    // every pass of the touched queries.
+    spark.stop()
+    if (exact) {
+      // parent protocol: one tab-separated line per query on stdout
+      def cs(vs: Seq[Double]): String = vs.map(fmt).mkString(",")
+      results.foreach { case (n, st) =>
+        println(s"BENCHQ\t$n\t${cs(st.wall)}\t${cs(st.gc)}\t" +
+          s"${cs(st.cpuFrac)}\t${cs(st.load)}\t${errs.getOrElse(n, "")}")
+      }
+      System.out.flush()
+    } else emit(results, errs)
+  }
+
+  /** The summary line + bench_detail.json sidecar (unchanged format).
+    * The summary consumer keeps only the last ~2000 chars of output:
+    * qNN-prefix keys and centisecond medians keep the line under the
+    * cap; full per-pass evidence goes to the sidecar. */
+  private def emit(results: Seq[(String, PassStats)],
+      errs: scala.collection.mutable.LinkedHashMap[String, String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nPasses = math.max(1, passes)
+    val qs = results.map { case (k, st) =>
+      "\"" + shortKey(k) + "\":" + fmt2(med(st.wall))
+    }.mkString("{", ",", "}")
     val detailPath = new java.io.File("bench_detail.json").getAbsolutePath
     val detail = results.map { case (k, st) =>
       "\"" + k + "\":{\"passes\":" + arr(st.wall) + ",\"gc\":" + arr(st.gc) +
         ",\"cpu_frac\":" + arr(st.cpuFrac) + ",\"load\":" + arr(st.load) + "}"
     }.mkString("{\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
+      ",\"chunk\":" + sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "40") +
       ",\"queries\":{", ",", "}}")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () } // bench output must not die on I/O
-    val passTotals = (0 until math.max(1, passes)).map { i =>
+    val passTotals = (0 until nPasses).map { i =>
       results.map(_._2.wall.lift(i).getOrElse(0.0)).sum
     }
     // wall-weighted mean CPU fraction + mean system load per pass: the
     // one-line contention verdict (cpu_frac well below its norm + load
     // above `cpus` = the host was busy, not the code)
-    val cpuFracByPass = (0 until math.max(1, passes)).map { i =>
+    val cpuFracByPass = (0 until nPasses).map { i =>
       val ws = results.map { case (_, st) =>
         (st.wall.lift(i).getOrElse(0.0), st.cpuFrac.lift(i).getOrElse(-1.0))
       }.filter(_._2 >= 0)
       val tw = ws.map(_._1).sum
       if (tw <= 0) -1.0 else ws.map { case (w, c) => w * c }.sum / tw
     }
-    val loadByPass = (0 until math.max(1, passes)).map { i =>
+    val loadByPass = (0 until nPasses).map { i =>
       val ls = results.map(_._2.load.lift(i).getOrElse(-1.0)).filter(_ >= 0)
       if (ls.isEmpty) -1.0 else ls.sum / ls.size
     }
     val gcTotal = results.map(_._2.gc.sum).sum
     val spread = results
       .map { case (k, st) => (k, st.wall) }
-      .filter { case (_, ts) => ts.max - ts.min > 0.25 && ts.max / math.max(ts.min, 1e-9) > 1.5 }
+      .filter { case (_, ts) =>
+        ts.nonEmpty && ts.max - ts.min > 0.25 &&
+          ts.max / math.max(ts.min, 1e-9) > 1.5 }
       .sortBy { case (_, ts) => -(ts.max - ts.min) }
       .take(8)
       .map { case (k, ts) => "\"" + shortKey(k) + "\":" + arr(ts) }
@@ -162,7 +263,6 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map { case (_, st) => med(st.wall) }.sum
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"pass_totals":${arr(passTotals)},"cpu_frac":${arr(cpuFracByPass)},"sys_load":${arr(loadByPass)},"gc_sec":${fmt(gcTotal)},"spread":$spread,"detail":"bench_detail.json","errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}"""
-    spark.stop()
     println(line)
   }
 }

@@ -136,6 +136,16 @@ object SparkEntry {
       operators.DedupIndex.writeBloomIndex(
         t(s, dir, "documents").filter(col("source") === "src0"),
         "text", "doc_id", s"$root/bloom", n = 3)
+      // round 16: the SHARDED mask (the scale path writeBloomIndex
+      // documents) — deliberately sized over-full for ONE mask
+      // (mBits = 2048 vs ~1.4k distinct src0 grams ≈ 5.4k positions:
+      // single-mask fill ≈ 0.93 → FP ≈ 75%; per-shard fill ≈ 0.49 →
+      // FP ≈ 5%) so q189's FP-for-FP oracle exercises the shard
+      // routing itself, not just membership
+      operators.DedupIndex.writeBloomIndexSharded(
+        t(s, dir, "documents").filter(col("source") === "src0"),
+        "text", "doc_id", s"$root/bloomsh", n = 3, shards = 4,
+        mBits = 2048)
       root
     })
 
@@ -1777,6 +1787,25 @@ object SparkEntry {
           root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
+    }),
+    "q189_bloom_sharded_probe" -> ((s, dir) => {
+      // SHARDED decontamination mask (round 16): q182's probe against
+      // the scale-path index — src0's reference grams shard over 4
+      // masks by an INDEPENDENT md5 slice (chars 21–25, disjoint from
+      // the four bit-position slices), each gram testing only its own
+      // shard's mask. The fixture mask is deliberately over-full for a
+      // single mask (see dedupIndexes), so the oracle's exact
+      // re-derivation of the sharded masks verifies the routing math
+      // FP-for-FP — a gram probed against the wrong shard would flip
+      // hits. The probe stays a pure batch scan: 4 × 256 B mask rows
+      // broadcast on the shard key, 4 codegen'd bit tests per gram, no
+      // gram-keyed shuffle at any corpus size.
+      val root = dedupIndexes(s, dir)
+      val docs = t(s, dir, "documents")
+      operators.DedupIndex.bloomContaminationAgainstShardedIndex(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text",
+          "doc_id", s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
+        .orderBy("doc_id")
     }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
@@ -4842,6 +4871,41 @@ object SparkEntry {
         |      AND ('0x' || substr(md5(gram), 16, 5))::BIGINT IN (SELECT pos FROM refpos)
         |      THEN 1 ELSE 0 END AS h
         |  FROM sh WHERE doc_id % 5 = 0)
+        |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
+        |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
+        |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q189_bloom_sharded_probe" ->
+      // the sharded masks re-derived exactly: shard = the independent
+      // 5th md5 slice mod 4, positions = the four bit slices mod 2048;
+      // a probe gram hits iff all four positions are set in ITS OWN
+      // shard's mask — FPs (frequent by the over-full sizing) match
+      // iff the engine's shard routing equals this construction
+      """WITH tk AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
+        |refpos AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(gram), 21, 5))::BIGINT % 4 AS shard,
+        |    ('0x' || substr(md5(gram), 1 + 5*i, 5))::BIGINT % 2048 AS pos
+        |  FROM (SELECT DISTINCT gram FROM sh WHERE source = 'src0') refg,
+        |       unnest([0, 1, 2, 3]) AS t(i)),
+        |probe AS (
+        |  SELECT doc_id, gram,
+        |    ('0x' || substr(md5(gram), 21, 5))::BIGINT % 4 AS shard,
+        |    ('0x' || substr(md5(gram), 1, 5))::BIGINT % 2048 AS p0,
+        |    ('0x' || substr(md5(gram), 6, 5))::BIGINT % 2048 AS p1,
+        |    ('0x' || substr(md5(gram), 11, 5))::BIGINT % 2048 AS p2,
+        |    ('0x' || substr(md5(gram), 16, 5))::BIGINT % 2048 AS p3
+        |  FROM sh WHERE doc_id % 5 = 0),
+        |hit AS (
+        |  SELECT doc_id,
+        |    CASE WHEN EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p0)
+        |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p1)
+        |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p2)
+        |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p3)
+        |      THEN 1 ELSE 0 END AS h
+        |  FROM probe)
         |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
         |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
         |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin,

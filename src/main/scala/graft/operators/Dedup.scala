@@ -777,6 +777,45 @@ object Dedup {
     * persisted index ([[DedupIndex.writeBloomIndex]]). */
   private[operators] val BloomMBits: Int = 1 << 20
 
+  /** A gram's mask SHARD (round 16): the FIFTH 5-hex-char md5 slice,
+    * mod `shards` — independent of the four bit-position slices (chars
+    * 1–20), so sharding never correlates with bit placement, and
+    * engine-reproducible the same way
+    * (`('0x' || substr(md5(g), 21, 5))::BIGINT % shards`). */
+  private[operators] def bloomShard(gram: Column, shards: Int): Column =
+    pmod(conv(substring(md5(gram), 21, 5), 16, 10).cast("long"),
+      lit(shards.toLong))
+
+  /** Probe a SHARDED mask relation (shard, mask) — each gram tests its
+    * own shard's mask only (gram-hash sharding: a gram lives in exactly
+    * one shard, so per-shard fill drops ∝ 1/shards and the FP rate
+    * collapses ≈ fill⁴ while membership stays exact — false negatives
+    * remain impossible). The masks relation is `shards` rows
+    * (shards × mBits/8 bytes) broadcast against one batch scan; a
+    * shard with no reference grams has no row and its grams are clean
+    * by the null-mask coalesce. Same output contract as
+    * [[probeBloomMask]]. */
+  private[operators] def probeBloomMaskSharded(
+      corpus: DataFrame, masks: DataFrame,
+      textCol: String, idCol: String, n: Int, shards: Int,
+      mBits: Int = BloomMBits): DataFrame = {
+    val cg = gramStrings(corpus, textCol, idCol, n)
+      .withColumn("shard", bloomShard(col("gram"), shards))
+    val hits = cg
+      .join(broadcast(masks.select(col("shard"), col("mask"))),
+        Seq("shard"), "left")
+      .withColumn("_hit",
+        coalesce(bloomPositions(col("gram"))
+          .map(p => graft.functions.Bloom.bloom_contains(col("mask"),
+            pmod(p, lit(mBits.toLong))))
+          .reduce(_ && _), lit(false)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("_hit").cast("long")).as("n_maybe_dirty"))
+    hits.select(col("id").as(idCol), col("n_grams"), col("n_maybe_dirty"),
+      expr("n_maybe_dirty * 10000 DIV n_grams").as("contamination_bp"))
+  }
+
   /** The probe half of [[bloomContamination]], factored (round 15) so
     * the persisted-mask path reuses it verbatim: broadcast the one-row
     * mask, codegen'd 4-bit-test per corpus gram, per-doc contamination

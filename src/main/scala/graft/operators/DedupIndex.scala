@@ -490,6 +490,56 @@ object DedupIndex {
       newDocs.sparkSession.read.parquet(indexPath), textCol, idCol, n)
   }
 
+  /** Persist a SHARDED decontamination bloom index (round 16 — the
+    * scale path [[writeBloomIndex]] documents): the reference grams
+    * shard by an independent md5 slice ([[Dedup.bloomShard]]) over
+    * `shards` masks, one (shard, mask) row each. Gram-hash sharding
+    * means a probe gram tests ONLY its own shard's mask, so per-shard
+    * fill — and with it the ≈fill⁴ false-positive rate — drops ∝
+    * 1/shards: a reference set that overflows one 2^20-bit mask into
+    * useless FP rates (a full modern eval-suite decontamination list)
+    * gets its single-digit-% FP back by raising `shards`, at
+    * `shards × 128 KB` broadcast cost and an unchanged pure-batch-scan
+    * probe. `shards = 1` IS the single-mask semantics. False negatives
+    * stay impossible (every reference gram's bits are set in its own
+    * shard). `mBits` is exposed for FP experiments (specs plant an
+    * over-full small mask); production keeps the 2^20 default. */
+  def writeBloomIndexSharded(
+      reference: DataFrame, textCol: String, idCol: String, path: String,
+      n: Int = 3, shards: Int = 4, mBits: Int = Dedup.BloomMBits): Unit = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    Dedup.gramStrings(reference, textCol, idCol, n)
+      .withColumn("shard", Dedup.bloomShard(col("gram"), shards))
+      .select(col("shard"),
+        explode(array(Dedup.bloomPositions(col("gram"))
+          .map(p => pmod(p, lit(mBits.toLong))): _*)).as("pos"))
+      .groupBy(col("shard"))
+      .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"), mBits)
+        .as("mask"))
+      .write.mode("overwrite").parquet(path)
+    writeMeta(reference.sparkSession, path, "bloomsharded",
+      Map("n" -> n, "shards" -> shards, "mBits" -> mBits))
+  }
+
+  /** Per-doc contamination report against the persisted SHARDED mask —
+    * same output contract as [[bloomContaminationAgainstIndex]], same
+    * pure-batch-scan probe (the shards × 128 KB relation broadcasts;
+    * no gram-keyed shuffle at any corpus size). */
+  def bloomContaminationAgainstShardedIndex(
+      newDocs: DataFrame, textCol: String, idCol: String,
+      indexPath: String, n: Int = 3, shards: Int = 4,
+      mBits: Int = Dedup.BloomMBits): DataFrame = {
+    val spark = newDocs.sparkSession
+    checkMeta(spark, indexPath, "bloomsharded",
+      Map("n" -> n, "shards" -> shards, "mBits" -> mBits))
+    require(tombstones(spark, indexPath).isEmpty,
+      s"sharded bloom index at $indexPath has tombstones, which a bit " +
+        "mask cannot apply — rebuild it with writeBloomIndexSharded " +
+        "over the surviving reference set")
+    Dedup.probeBloomMaskSharded(newDocs, spark.read.parquet(indexPath),
+      textCol, idCol, n, shards, mBits)
+  }
+
   /** Append a new batch's keys to an existing index (parquet append —
     * new files only; existing index data is never rewritten). Call
     * AFTER the batch is deduped and admitted, with the SAME builder

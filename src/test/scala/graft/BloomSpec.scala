@@ -63,4 +63,56 @@ class BloomSpec extends AnyFunSuite {
     // gram is ~(16/2^20)^4; any hit here would mean broken position math
     assert(out(3L) == ((4L, 0L)))
   }
+
+  test("sharded bloom index (round 16): no false negatives in any shard " +
+      "geometry, and a planted LARGER-than-one-mask reference whose single " +
+      "mask false-positives in double-digit % collapses back to near-zero " +
+      "when sharded — at an identical pure-batch-scan probe") {
+    val s = spark; import s.implicits._
+    import graft.operators.DedupIndex
+    def tmp(tag: String): String = TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bloomsh_${tag}_${java.util.UUID.randomUUID()}")
+    // reference: ~1000 distinct grams; probe: DISJOINT token space, so
+    // every reported dirty gram is a false positive by construction.
+    // mBits = 4096 models "reference overflowed the mask": single-mask
+    // fill ≈ 1 − e^(−4000/4096) ≈ 0.62 → FP ≈ fill⁴ ≈ 15%; 8 shards cut
+    // per-shard fill to ≈ 0.115 → FP ≈ 0.02% — the documented 1/shards
+    // fill, fill⁴ FP collapse.
+    val reference = Seq((1L, (0 until 1002).map(j => s"ref$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = (0 until 20).map(i =>
+      (100L + i, (0 until 52).map(j => s"novel${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val single = tmp("single"); val sharded = tmp("sharded")
+    DedupIndex.writeBloomIndexSharded(reference, "text", "doc_id", single,
+      n = 3, shards = 1, mBits = 4096)
+    DedupIndex.writeBloomIndexSharded(reference, "text", "doc_id", sharded,
+      n = 3, shards = 8, mBits = 4096)
+    def fpBp(path: String, shards: Int): Double = {
+      val r = DedupIndex.bloomContaminationAgainstShardedIndex(probe,
+          "text", "doc_id", path, n = 3, shards = shards, mBits = 4096)
+        .agg(sum("n_maybe_dirty"), sum("n_grams")).head()
+      r.getLong(0).toDouble * 10000 / r.getLong(1)
+    }
+    val singleFp = fpBp(single, 1)
+    val shardedFp = fpBp(sharded, 8)
+    assert(singleFp > 500.0, // the over-full mask IS useless (> 5% FP)
+      s"planted overflow should false-positive heavily, got $singleFp bp")
+    assert(shardedFp < 100.0, // sharding restores single-digit-% (≪ 1%)
+      s"sharded FP should collapse, got $shardedFp bp")
+    assert(shardedFp < singleFp / 5)
+    // no false negatives in EITHER geometry: the reference probes fully
+    // dirty against itself, shard by shard
+    for ((p, sh) <- Seq((single, 1), (sharded, 8))) {
+      val self = DedupIndex.bloomContaminationAgainstShardedIndex(reference,
+          "text", "doc_id", p, n = 3, shards = sh, mBits = 4096)
+        .head()
+      assert(self.getLong(1) == 1000L && self.getLong(2) == 1000L)
+    }
+    // parameter validation fires on wrong geometry
+    val e = intercept[IllegalArgumentException](
+      DedupIndex.bloomContaminationAgainstShardedIndex(probe, "text",
+        "doc_id", sharded, n = 3, shards = 4, mBits = 4096).collect())
+    assert(e.getMessage.contains("parameter mismatch"))
+  }
 }
