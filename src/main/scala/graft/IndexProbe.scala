@@ -113,6 +113,31 @@ object IndexProbe {
       val b1 = time { bRows = bQuery().count() }
       val bW = time(bQuery().count())
       println(f"bloom$tag%-15s $nCorpus%8d $bBuild%9.1f $b1%8.2f $bW%9.2f $bRows%8d")
+      // ---- SHARDED bloom mask (round 16: q189 shape — the scale path
+      // for references that overflow one mask). Claim: the probe stays
+      // a pure batch scan; 8× the mask bytes broadcast changes nothing
+      // measurable vs the single-mask row above.
+      val bsPath = TempDirs.register(s"/tmp/graft-indexprobe/bloomsh-$tag")
+      val bsBuild = time(operators.DedupIndex.writeBloomIndexSharded(
+        docs.filter(col("source") === "src0"), "text", "doc_id", bsPath,
+        n = 3, shards = 8))
+      def bsQuery() = operators.DedupIndex.bloomContaminationAgainstShardedIndex(
+        batch, "text", "doc_id", bsPath, n = 3, shards = 8)
+      var bsRows = 0L
+      val bs1 = time { bsRows = bsQuery().count() }
+      val bsW = time(bsQuery().count())
+      println(f"bloomsh8$tag%-12s $nCorpus%8d $bsBuild%9.1f $bs1%8.2f $bsW%9.2f $bsRows%8d")
+      // ---- backfill fallback differential (round 16): the SAME exact
+      // admission forced through the shuffle path (maxBroadcastBytes=0)
+      // — the memory-bounded plan a backfill-sized batch takes
+      // automatically. The daily-batch premium it pays (index shuffles
+      // on the key instead of streaming) is the honest cost; the point
+      // is it exists and is byte-identical, not that it is faster.
+      spark.conf.set(operators.DedupIndex.MaxBroadcastBytesKey, "0")
+      val eShuf = time(eQuery().count())
+      spark.conf.unset(operators.DedupIndex.MaxBroadcastBytesKey)
+      println(f"exact-shufmode$tag%-6s $nCorpus%8d admit-warm(shuffle-path)=$eShuf%6.2f s" +
+        f"  (broadcast-path above: ${eW}%.2f s)")
     }
 
     // ---- ANN index: serve a FIXED query batch against 1x and 10x
@@ -167,6 +192,26 @@ object IndexProbe {
       val adW = time(admQuery().count())
       println(f"ann-admit$tag%-8s $nCorpus%8d admit1st=$ad1%6.2f s  " +
         f"admit-warm=$adW%6.2f s")
+      // ---- list-balance report (round 16: the drift monitor). Claim:
+      // footer-scale — the aggregation reads only the cid partition
+      // column, so its wall tracks FILE COUNT, not corpus bytes (report
+      // the full-codes data-scan wall for contrast).
+      var nLists = 0L
+      val balT = time { nLists =
+        operators.AnnIndex.listBalanceReport(spark, vPath).count() }
+      val scanT = time(spark.read.parquet(s"$vPath/codes")
+        .agg(sum(col("code"))).head())
+      println(f"ann-balance$tag%-6s $nCorpus%8d report=$balT%6.2f s " +
+        f"($nLists lists)  vs codes data-scan=$scanT%6.2f s")
+      // ---- tombstone serving overhead (round 16): 1%% of vectors
+      // deleted → serving adds ONE broadcast anti-join against the
+      // deletions-sized set. Claim: warm serve unchanged.
+      operators.AnnIndex.deleteVectors(
+        emb.filter(pmod(col("vec_id"), lit(100)) === 7).select("vec_id"),
+        vPath)
+      val vWt = time(vQuery().count())
+      println(f"ann-tombserve$tag%-4s $nCorpus%8d warm-serve-with-tombstones=$vWt%6.2f s" +
+        f"  (pre-delete warm: ${vWa}%.2f s)")
     }
 
     // ---- stats refresh ∝ changed fragments (round 15, q184 shape) ----

@@ -133,6 +133,24 @@ object OpsDemo {
     println(s"[ops]   embedding admission statuses: $admSt")
     time("ann: compact codes (crash-safe)")(
       AnnIndex.compactIvfPqCodes(spark, s"$root/ann"))
+    // round 16: the drift-monitor → retrain cycle the append path's
+    // policy documents. The balance report reads only the cid partition
+    // column (footer-scale); the verdict gates the expensive cutover.
+    val bal = time("ann: list-balance report (footer-scale)")(
+      AnnIndex.listBalanceReport(spark, s"$root/ann")
+        .agg(max("hot_factor_bp"), count(lit(1))).head())
+    println(s"[ops]   hottest list ${bal.getLong(0)} bp of the mean " +
+      s"across ${bal.getLong(1)} lists")
+    if (AnnIndex.shouldRetrain(spark, s"$root/ann", hotFactor = 4.0))
+      println("[ops]   drift past budget — retrain + cutover due")
+    else println("[ops]   balance within budget — frozen quantizer holds")
+    // the cutover itself, fed from the maintained vector store (the
+    // admission pipelines keep it = the current corpus, so no stale
+    // caller-supplied snapshot can sneak in)
+    emb.write.mode("overwrite").parquet(s"$root/vecstore")
+    time("ann: retrain cutover from the vector store")(
+      AnnIndex.rebuildIvfPqIndexFromStore(spark, s"$root/vecstore",
+        cents, cb, m = 8, dim = 64, s"$root/ann", twoLevel = true))
     println(s"[ops]   served top-k rows=$topk")
     println("[ops] done — every stage above is oracled by q171-q186 and " +
       "probed at 10x/100x in PLANS.md")

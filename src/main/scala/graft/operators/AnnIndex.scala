@@ -199,6 +199,80 @@ object AnnIndex {
     fs.delete(old, true)
   }
 
+  /** Per-list occupancy report for a persisted index (round 16 — the
+    * MONITOR half of the centroid-drift policy [[appendToIvfPqIndex]]
+    * documents; [[rebuildIvfPqIndex]] is the act): one row per coarse
+    * list over `codes/` ∪ `codes_stream/` — (cid, n_codes, share_bp,
+    * hot_factor_bp) where share_bp is the list's fraction of all code
+    * rows in basis points and hot_factor_bp its size relative to the
+    * MEAN list (10000 = perfectly balanced). Serving cost ∝ the probed
+    * lists' sizes, so the operative drift signal is the hot-list
+    * factor: appends against a frozen quantizer that no longer fits
+    * the data pile into few lists, and the probe budget buys ever less
+    * recall.
+    *
+    * Cost: metadata-scale — the aggregation reads ONLY the `cid`
+    * partition column, so the scan decodes zero data pages (row counts
+    * come from parquet row-group metadata; IndexProbe has the
+    * corpus-independence row). */
+  def listBalanceReport(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
+    val sPath = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
+    val hasStream = sPath.getFileSystem(
+      spark.sessionState.newHadoopConf()).exists(sPath)
+    val rels = Seq(spark.read.parquet(s"$path/codes").select("cid")) ++
+      (if (hasStream) Seq(spark.read.parquet(sPath.toString).select("cid"))
+       else Nil)
+    val perList = rels.reduce(_ unionByName _)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_codes"))
+    // nLists/total are one tiny cross-joined aggregate row (≤ nlist
+    // input rows), not a driver collect
+    val totals = perList.agg(count(lit(1)).as("_n_lists"),
+      sum(col("n_codes")).as("_n_total"))
+    perList.crossJoin(broadcast(totals))
+      .select(col("cid"), col("n_codes"),
+        expr("n_codes * 10000 DIV _n_total").as("share_bp"),
+        expr("n_codes * 10000 * _n_lists DIV _n_total").as("hot_factor_bp"))
+  }
+
+  /** The one-number re-train verdict over [[listBalanceReport]]: true
+    * when the hottest list exceeds `hotFactor` × the mean list size —
+    * the documented threshold at which the frozen quantizer's drift has
+    * concentrated enough mass that probed-list serving cost/recall
+    * degrade and an offline re-train + [[rebuildIvfPqIndex]] cutover is
+    * due. 4× is a reasonable default for √N-ish list geometries; tune
+    * against the serving budget. */
+  def shouldRetrain(spark: org.apache.spark.sql.SparkSession,
+      path: String, hotFactor: Double = 4.0): Boolean = {
+    val row = listBalanceReport(spark, path)
+      .agg(max(col("hot_factor_bp"))).head()
+    !row.isNullAt(0) && row.getLong(0) > (hotFactor * 10000L).toLong
+  }
+
+  /** [[rebuildIvfPqIndex]] fed from the maintained VECTOR STORE instead
+    * of a caller-supplied corpus (round 16): the admission/streaming
+    * paths (q185/q186) already keep `vecStorePath` = the raw rows of
+    * exactly the admitted vectors, so the store IS the current corpus —
+    * passing it explicitly invited the stale-corpus misuse (rebuilding
+    * from a months-old snapshot silently drops every vector admitted
+    * since). Tombstones pending on the store AND on the index are both
+    * excluded, making this the one-call physical application of every
+    * pending deletion. Centroids/codebook stay caller-supplied — they
+    * are the RE-TRAINED quantizer, the reason the rebuild is happening. */
+  def rebuildIvfPqIndexFromStore(
+      spark: org.apache.spark.sql.SparkSession, vecStorePath: String,
+      centroids: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, path: String, twoLevel: Boolean = false,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val corpus = DedupIndex.dropTombstoned(spark,
+      DedupIndex.dropTombstoned(spark,
+        spark.read.parquet(vecStorePath), vecStorePath, idCol),
+      path, idCol)
+    rebuildIvfPqIndex(corpus, centroids, codebook, m, dim, path,
+      twoLevel, idCol, vecCol)
+  }
+
   /** One micro-batch of the STREAMING ingest (round 15; factored so the
     * replay spec can drive it directly): encode the batch against the
     * persisted frozen centroids/codebook — identical derivation to

@@ -37,8 +37,11 @@ import org.apache.spark.sql.functions._
   * column scan only (narrow key columns, dictionary-encoded parquet),
   * while every shuffle in the plan carries batch-sized relations. When
   * a batch is too large for one broadcast (a backfill, not a daily
-  * increment), split it into broadcastable chunks or fall back to a
-  * shuffle join — the semantics are join-order independent.
+  * increment), the probes fall back to a shuffle join AUTOMATICALLY
+  * (round 16): past the [[MaxBroadcastBytesKey]] budget the batch-side
+  * relations lose their broadcast hint and the joins shuffle on the key
+  * — memory-bounded at any batch size, byte-identical output (the
+  * semantics are join-order independent; spec-asserted differentially).
   *
   * Index maintenance is append-only: after a batch is deduped and
   * admitted, [[appendToIndex]] appends its keys (parquet append — new
@@ -62,6 +65,37 @@ object DedupIndex {
   // the meta through its swap. Absent meta (a pre-round-15 index) skips
   // the check — validation is advisory-on-miss, loud-on-mismatch.
   // ------------------------------------------------------------------
+
+  /** Session conf key bounding the batch-derived relations the probes
+    * below will broadcast-hint, in estimated bytes (Catalyst plan
+    * stats). The daily-increment shape broadcasts the batch key set and
+    * streams the index once unshuffled; a BACKFILL-sized batch (a month
+    * of backlog pointed at `admitAgainstIndex`) used to inherit that
+    * broadcast unconditionally and OOM the driver. Past the limit the
+    * probe relations lose their hint and the joins take the shuffle
+    * path — index and batch shuffle on the key, cost ∝ corpus + batch
+    * but memory-bounded, and the semantics are join-order independent
+    * (spec-asserted byte-identical). The default (512 MiB estimated ≈
+    * tens of millions of md5 keys hashed) is deliberately far above any
+    * daily batch; lower it per session to force the backfill plan. */
+  val MaxBroadcastBytesKey = "graft.index.maxBroadcastBytes"
+  private val MaxBroadcastBytesDefault: Long = 512L << 20
+
+  /** One broadcast decision per probe call, keyed on the BATCH
+    * relation's optimizer-estimated size (no Spark job — the same
+    * plan-stats signal Spark's own autoBroadcastJoinThreshold reads;
+    * text dominates the batch estimate and every broadcast relation in
+    * these probes is ∝ the batch, so the batch estimate is the shared
+    * yardstick — the derived relations' own estimates can't be used,
+    * they inherit corpus-scale guesses through the index joins).
+    * Returns the hinting function: `broadcast` under the budget,
+    * identity (→ shuffle-path joins) past it. */
+  private[operators] def probeHint(batch: DataFrame): DataFrame => DataFrame = {
+    val limit = batch.sparkSession.conf.getOption(MaxBroadcastBytesKey)
+      .map(_.toLong).getOrElse(MaxBroadcastBytesDefault)
+    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= limit) (df: DataFrame) => broadcast(df) else identity
+  }
 
   private[operators] def writeMeta(spark: SparkSession, path: String,
       kind: String, params: Map[String, Int]): Unit = {
@@ -180,14 +214,15 @@ object DedupIndex {
       indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
     checkMeta(spark, indexPath, "exact", Map.empty)
+    val bc = probeHint(newDocs)
     val batchKeys = newDocs.select(col(idCol),
       md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
     val matched = dropTombstoned(spark,
         spark.read.parquet(indexPath), indexPath, "keep_id")
-      .join(broadcast(batchKeys.select(col("text_key")).distinct()),
+      .join(bc(batchKeys.select(col("text_key")).distinct()),
         Seq("text_key"), "leftsemi")
       .groupBy(col("text_key")).agg(min(col("keep_id")).as("keep_id"))
-    batchKeys.join(broadcast(matched), Seq("text_key"))
+    batchKeys.join(bc(matched), Seq("text_key"))
       .select(col(idCol), col("text_key"), col("keep_id"))
   }
 
@@ -233,6 +268,7 @@ object DedupIndex {
     val spark = newDocs.sparkSession
     checkMeta(spark, indexPath, "minhash",
       Map("k" -> k, "bands" -> bands, "shingleN" -> shingleN))
+    val bc = probeHint(newDocs)
     val batchRows = newDocs.select(col(idCol).as("id"),
         Bridge.column(graft.functions.MinHashBandKeys(
           Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN,
@@ -241,9 +277,9 @@ object DedupIndex {
       .filter(col("band").isNotNull)
     val matched = dropTombstoned(spark,
         spark.read.parquet(indexPath), indexPath, "id")
-      .join(broadcast(batchRows.select(col("band"), col("key")).distinct()),
+      .join(bc(batchRows.select(col("band"), col("key")).distinct()),
         Seq("band", "key"), "leftsemi")
-    batchRows.join(broadcast(matched
+    batchRows.join(bc(matched
         .withColumnRenamed("id", "id_b")), Seq("band", "key"))
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
@@ -299,11 +335,12 @@ object DedupIndex {
       s"anchor index at $indexPath has tombstones, which the aggregate " +
         "gram relation cannot apply row-wise — rebuild it with " +
         "writeAnchorIndex over the surviving corpus")
+    val bc = probeHint(newDocs)
     val batchAnchors = TextOps.anchorOffsets(newDocs, textCol, idCol, k, w)
     val matched = spark.read.parquet(indexPath).select(col("g"))
-      .join(broadcast(batchAnchors.select(col("g")).distinct()),
+      .join(bc(batchAnchors.select(col("g")).distinct()),
         Seq("g"), "leftsemi")
-    val hits = batchAnchors.join(broadcast(matched), Seq("g"), "leftsemi")
+    val hits = batchAnchors.join(bc(matched), Seq("g"), "leftsemi")
       .select(col("id"), col("pos"), col("cs"), col("gce"))
     TextOps.anchoredCharIslands(hits, idCol, k, w)
   }
@@ -337,18 +374,19 @@ object DedupIndex {
       indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
     checkMeta(spark, indexPath, "exact", Map.empty)
+    val bc = probeHint(newDocs)
     val keys = newDocs.select(col(idCol).as("id"),
       md5(concat_ws(" ", TextOps.tokens(col(textCol)))).as("text_key"))
     val corpusDup = dropTombstoned(spark,
         spark.read.parquet(indexPath), indexPath, "keep_id")
-      .join(broadcast(keys.select(col("text_key")).distinct()),
+      .join(bc(keys.select(col("text_key")).distinct()),
         Seq("text_key"), "leftsemi")
-      .join(broadcast(keys.select(col("id").as("_bid"))),
+      .join(bc(keys.select(col("id").as("_bid"))),
         col("keep_id") === col("_bid"), "left_anti")
       .groupBy(col("text_key")).agg(min(col("keep_id")).as("_corpus_keep"))
     val batchMin = keys.groupBy(col("text_key"))
       .agg(min(col("id")).as("_batch_keep"))
-    keys.join(broadcast(corpusDup), Seq("text_key"), "left")
+    keys.join(bc(corpusDup), Seq("text_key"), "left")
       .join(batchMin, Seq("text_key"))
       .select(col("id").as(idCol), col("text_key"),
         when(col("_corpus_keep").isNotNull, lit("dup_corpus"))
@@ -394,12 +432,13 @@ object DedupIndex {
       k: Int = 64, bands: Int = 16, shingleN: Int = 3,
       thetaBp: Long = 5000L): DataFrame = {
     val spark = newDocs.sparkSession
+    val bc = probeHint(newDocs)
     val batch = newDocs.select(col(idCol), col(textCol))
     // candidate (batch, corpus) pairs, own-append ids excluded; the LSH
     // probe feeds two consumers (text fetch + verify) — materialize once
     val cands = minhashCandidatesAgainstIndex(newDocs, textCol, idCol,
         indexPath, k, bands, shingleN)
-      .join(broadcast(batch.select(col(idCol).as("_bid"))),
+      .join(bc(batch.select(col(idCol).as("_bid"))),
         col("id_b") === col("_bid"), "left_anti")
       .localCheckpoint()
     // tombstone belt-and-braces: the candidate set already excludes
@@ -409,7 +448,7 @@ object DedupIndex {
     // suppresses the deleted text before its physical compaction
     val corpusTexts = dropTombstoned(spark,
         spark.read.parquet(docStorePath), docStorePath, idCol)
-      .join(broadcast(cands.select(col("id_b").as(idCol)).distinct()),
+      .join(bc(cands.select(col("id_b").as(idCol)).distinct()),
         Seq(idCol), "leftsemi")
       .select(col(idCol), col(textCol))
     // intra-batch: LSH self-join over the batch only (id_a < id_b by
@@ -435,8 +474,8 @@ object DedupIndex {
       .groupBy(col("id_a")).agg(min(col("id_b")).as("_batch_keep"))
       .withColumnRenamed("id_a", "id")
     batch.select(col(idCol).as("id"))
-      .join(broadcast(corpusKeep), Seq("id"), "left")
-      .join(broadcast(batchKeep), Seq("id"), "left")
+      .join(bc(corpusKeep), Seq("id"), "left")
+      .join(bc(batchKeep), Seq("id"), "left")
       .select(col("id").as(idCol),
         when(col("_corpus_keep").isNotNull, lit("dup_corpus"))
           .when(col("_batch_keep").isNotNull, lit("dup_batch"))

@@ -576,4 +576,60 @@ class DedupIndexSpec extends AnyFunSuite {
     // the doc store grew by exactly the admitted docs
     assert(s.read.parquet(store).count() == 8L + 2L + 1L)
   }
+
+  // ---- backfill broadcast fallback (round 16) --------------------------
+
+  test("backfill fallback: forcing the shuffle path (maxBroadcastBytes=0) " +
+      "yields byte-identical results across the whole probe family, and " +
+      "the forced plans broadcast nothing") {
+    val s = spark; import s.implicits._
+    def synthDoc(seed: Int, n: Int): String =
+      (0 until n).map(j => s"w${seed}x${(j * 7 + seed) % 23}").mkString(" ")
+    val corpusRows = (1L to 12L).map(i => (i, synthDoc(i.toInt, 30)))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val nearA = corpusRows(2)._2.split(" ").updated(0, "EDIT").mkString(" ")
+    val batch = Seq(
+      (101L, corpusRows(0)._2),            // exact re-fetch of 1
+      (102L, nearA),                       // near-dup of 3
+      (103L, synthDoc(901, 30)),           // novel
+      (104L, synthDoc(901, 30))).toDF("doc_id", "text") // dup of 103 in-batch
+    val exact = tmp("bf_exact"); val mh = tmp("bf_mh")
+    val anc = tmp("bf_anchor"); val store = tmp("bf_store")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", exact)
+    DedupIndex.writeMinHashIndex(corpus, "text", "doc_id", mh,
+      k = 64, bands = 16)
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id", anc, k = 3, w = 4)
+    corpus.write.mode("overwrite").parquet(store)
+    def runAll(): (Set[Any], Set[Any], Set[Any], Set[Any]) = (
+      DedupIndex.admitAgainstIndex(batch, "text", "doc_id", exact)
+        .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)): Any).toSet,
+      DedupIndex.minhashCandidatesAgainstIndex(batch, "text", "doc_id", mh,
+        k = 64, bands = 16).collect()
+        .map(r => (r.getLong(0), r.getLong(1)): Any).toSet,
+      DedupIndex.duplicateSpansAgainstIndex(batch, "text", "doc_id", anc,
+        k = 3, w = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)): Any).toSet,
+      DedupIndex.admitNearDupAgainstIndex(batch, "text", "doc_id", mh,
+        store, k = 64, bands = 16).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)): Any).toSet)
+    val normal = runAll()
+    assert(normal._1.nonEmpty && normal._2.nonEmpty && normal._3.nonEmpty)
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set(DedupIndex.MaxBroadcastBytesKey, "0")
+    // kill un-hinted auto-broadcast too so the plan assertion below
+    // proves the batch key set takes the shuffle path
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forced = runAll()
+      assert(forced == normal) // join-order independence, byte-identical
+      val plan = DedupIndex.admitAgainstIndex(batch, "text", "doc_id", exact)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange") &&
+        !plan.contains("BroadcastHashJoin"),
+        s"forced backfill plan still broadcasts:\n$plan")
+    } finally {
+      s.conf.unset(DedupIndex.MaxBroadcastBytesKey)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
 }

@@ -563,6 +563,82 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served() == memSurv)
   }
 
+  test("listBalanceReport + shouldRetrain + rebuildIvfPqIndexFromStore " +
+      "(round 16): the footer-scale balance report matches a direct " +
+      "group-by over codes + codes_stream, a planted drift trips the " +
+      "retrain verdict, and the store-fed rebuild equals the explicit-" +
+      "corpus rebuild with index AND store tombstones applied") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    def centsMod(mod: Int) = vecs.filter(pmod(col("vec_id"), lit(mod)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def reg(tag: String) = TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bal_${tag}_${java.util.UUID.randomUUID()}")
+    val path = reg("idx"); val store = reg("store"); val path2 = reg("idx2")
+    // mod-6 centroids → 10 lists, roughly balanced over the ring; part
+    // of the corpus arrives through the streaming encode so the report
+    // must count codes_stream too
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      centsMod(6), cb, m = 2, dim = 4, path)
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, path, m = 2, dim = 4, twoLevel = false, "vec_id", "embedding")
+    def direct(): Map[String, Long] = {
+      val base = s.read.parquet(s"$path/codes").select("cid")
+      base.unionByName(s.read.parquet(s"$path/codes_stream").select("cid"))
+        .groupBy("cid").count().collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    }
+    def report(): Map[String, (Long, Long, Long)] =
+      AnnIndex.listBalanceReport(s, path).collect()
+        .map(r => r.get(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rep0 = report()
+    assert(rep0.view.mapValues(_._1).toMap == direct())
+    val total = rep0.values.map(_._1).sum
+    rep0.values.foreach { case (n, shareBp, hotBp) =>
+      assert(shareBp == n * 10000L / total)
+      assert(hotBp == n * 10000L * rep0.size / total)
+    }
+    assert(!AnnIndex.shouldRetrain(s, path, hotFactor = 4.0))
+    // drift: 200 new vectors pile onto one list through the frozen
+    // quantizer (the exact failure mode the monitor watches for)
+    val hot = (1000 until 1200).map(i =>
+      (i.toLong, Array(1.0f, 0.0f, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    AnnIndex.appendToIvfPqIndex(hot, path, m = 2, dim = 4)
+    assert(AnnIndex.shouldRetrain(s, path, hotFactor = 4.0))
+    // retrain + cutover FROM THE STORE: the store holds the full current
+    // corpus; tombstones pending on the index (7, 13) and on the store
+    // (21) must all be excluded — the rebuild is the physical
+    // application of every pending deletion
+    vecs.unionByName(hot).write.mode("overwrite").parquet(store)
+    AnnIndex.deleteVectors(Seq(7L, 13L).toDF("vec_id"), path)
+    DedupIndex.deleteDocs(Seq(21L).toDF("vec_id"), store)
+    AnnIndex.rebuildIvfPqIndexFromStore(s, store, centsMod(10), cb,
+      m = 2, dim = 4, path)
+    val surviving = vecs.unionByName(hot)
+      .filter(!col("vec_id").isin(7L, 13L, 21L))
+    AnnIndex.writeIvfPqIndex(surviving, centsMod(10), cb, m = 2, dim = 4,
+      path2)
+    def codeSet(p: String) = s.read.parquet(s"$p/codes")
+      .select("nid", "j", "code", "cid").collect().map(_.toSeq).toSet
+    assert(codeSet(path) == codeSet(path2))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+    val queries = vecs.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(rows(AnnIndex.queryIvfPqIndex(queries, path, m = 2, dim = 4,
+      k = 4, nProbe = 2)) ==
+      rows(AnnIndex.queryIvfPqIndex(queries, path2, m = 2, dim = 4,
+        k = 4, nProbe = 2)))
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
