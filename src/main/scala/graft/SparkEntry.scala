@@ -1807,6 +1807,49 @@ object SparkEntry {
           "doc_id", s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
         .orderBy("doc_id")
     }),
+    "q190_backfill_admit" -> ((s, dir) => {
+      // BACKFILL plan mode (round 16): q173's exact-membership probe
+      // with the broadcast budget forced to 0 at plan-construction
+      // time, so the batch key set takes the memory-bounded SHUFFLE
+      // path an oversized backfill batch switches to automatically
+      // (DedupIndex.probeHint). Oracle = q173's VERBATIM — the hash
+      // matches iff the shuffle-path plan is byte-identical to the
+      // broadcast plan, oracling the fallback's join-order
+      // independence, not just spec-asserting it.
+      val root = dedupIndexes(s, dir)
+      val docs = t(s, dir, "documents")
+      val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_nt"))
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("_nt").isNotNull,
+            col("_nt")).otherwise(col("text")).as("text"))
+      s.conf.set(operators.DedupIndex.MaxBroadcastBytesKey, "0")
+      try {
+        operators.DedupIndex.exactDuplicatesAgainstIndex(batch, "text",
+            "doc_id", s"$root/exact")
+          .select(col("doc_id"), col("text_key"),
+            col("keep_id").cast("long").as("keep_id"))
+          .orderBy("doc_id")
+      } finally s.conf.unset(operators.DedupIndex.MaxBroadcastBytesKey)
+    }),
+    "q191_ann_list_balance" -> ((s, dir) => {
+      // ANN drift monitor (round 16): per-list occupancy of the shared
+      // persisted index — the signal the documented re-train policy
+      // watches (frozen-quantizer appends degrade list balance, not
+      // correctness; rebuild cuts over when the hot-list factor breaks
+      // the serving budget). The report reads ONLY the cid partition
+      // column (footer-scale); the oracle re-derives the full two-level
+      // corpus assignment and the integer share arithmetic, so the hash
+      // matches iff the persisted lists hold exactly the vectors the
+      // quantizer assigns.
+      val root = annIndex(s, dir)
+      operators.AnnIndex.listBalanceReport(s, root)
+        .select(col("cid").cast("long").as("cid"), col("n_codes"),
+          col("share_bp"), col("hot_factor_bp"))
+        .orderBy("cid")
+    }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
@@ -2979,6 +3022,32 @@ object SparkEntry {
     * super, vector → nearest super → group-local nearest centroid, all
     * ties to the smallest id. Emits CTEs ending in `corpus_assign(nid,
     * cid)`. */
+  /** q173's oracle — also q190's VERBATIM (the backfill shuffle-path
+    * fallback must be byte-identical to the broadcast plan): index =
+    * corpus-side normalized-text keys with their keep ids; batch = the
+    * re-fetch plant (doc_id % 10 == 0 docs carry the corpus neighbor's
+    * text); output = batch docs the index holds. */
+  private val exactIndexBatchOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+      |batch AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+      |      THEN n.text ELSE d.text END AS text
+      |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+      |  WHERE d.doc_id % 5 = 0),
+      |ckg AS (
+      |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+      |    min(doc_id) AS keep_id
+      |  FROM corpus GROUP BY 1),
+      |bk AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
+      |  FROM batch)
+      |SELECT b.doc_id, b.text_key, CAST(g.keep_id AS BIGINT) AS keep_id
+      |FROM bk b JOIN ckg g USING (text_key)
+      |ORDER BY b.doc_id""".stripMargin
+
   private def twoLevelAssignSql(cents: String): String =
     s"""tl_smod AS (
        |  SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m
@@ -5471,29 +5540,25 @@ object SparkEntry {
         |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
         |SELECT id_a, id_b, n_inter, n_union, jaccard_bp
         |FROM stats WHERE jaccard_bp >= 5000 ORDER BY id_a, id_b""".stripMargin,
-    "q173_exact_index_batch" ->
-      // index = corpus-side normalized-text keys with their keep ids;
-      // batch = the re-fetch plant (doc_id % 10 == 0 docs carry the
-      // corpus neighbor's text); output = batch docs the index holds
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-        |batch AS (
-        |  SELECT d.doc_id,
-        |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
-        |      THEN n.text ELSE d.text END AS text
-        |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
-        |  WHERE d.doc_id % 5 = 0),
-        |ckg AS (
-        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
-        |    min(doc_id) AS keep_id
-        |  FROM corpus GROUP BY 1),
-        |bk AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
-        |  FROM batch)
-        |SELECT b.doc_id, b.text_key, CAST(g.keep_id AS BIGINT) AS keep_id
-        |FROM bk b JOIN ckg g USING (text_key)
-        |ORDER BY b.doc_id""".stripMargin,
+    "q173_exact_index_batch" -> exactIndexBatchOracle,
+    // the backfill shuffle-path run must produce the byte-identical
+    // relation — q173's oracle VERBATIM isolates the plan mode
+    "q190_backfill_admit" -> exactIndexBatchOracle,
+    "q191_ann_list_balance" ->
+      // per-list occupancy re-derived from first principles: the full
+      // two-level corpus assignment (every vector to its list through
+      // the super routing), m code rows per vector, integer bp shares
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+        |  FROM embeddings WHERE vec_id % ${autoModSql("embeddings")} = 0),
+        |${twoLevelAssignSql("cents")},
+        |per AS (SELECT cid, count(*) * 8 AS n_codes
+        |  FROM corpus_assign GROUP BY 1),
+        |tot AS (SELECT count(*) AS nl, CAST(sum(n_codes) AS BIGINT) AS nt
+        |  FROM per)
+        |SELECT CAST(cid AS BIGINT) AS cid, CAST(n_codes AS BIGINT) AS n_codes,
+        |  CAST(n_codes * 10000 // nt AS BIGINT) AS share_bp,
+        |  CAST(n_codes * 10000 * nl // nt AS BIGINT) AS hot_factor_bp
+        |FROM per, tot ORDER BY cid""".stripMargin,
     "q174_stream_dedup_ingest" ->
       // the streaming ingest's one AvailableNow batch re-derived: corpus
       // index keys (doc_id % 5 <> 0), the planted batch (re-fetch plant

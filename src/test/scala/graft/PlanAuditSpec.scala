@@ -41,6 +41,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "q186_stream_embed_ingest", // q185's admission inside foreachBatch; the returned status relation is a plain scan but fixture probes share q185's shapes
     "q177_ivfpq_residual", // assign/encode/query-table: corpus/probes × broadcast(centroids/residual codebook), q102's shape
     "q178_ann_serve_rerank", // q176's serve stage shapes; the re-rank is an equi-join
+    "q188_ann_tombstone_serve", // q176's serve shapes (queries × broadcast supers/codebook) over the tombstoned index; the tombstone anti-join itself is an equi-key broadcast
+    "q191_ann_list_balance", // per-list counts × broadcast(1-row totals): q73's share-arithmetic shape
     "q132_sparql_values_undef") // solutions × broadcast(2-row UNDEF VALUES): null-or-equal condition cannot be an equi-join (§10.2.2)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
