@@ -211,10 +211,15 @@ object AnnIndex {
     * the data pile into few lists, and the probe budget buys ever less
     * recall.
     *
-    * Cost: metadata-scale — the aggregation reads ONLY the `cid`
-    * partition column, so the scan decodes zero data pages (row counts
-    * come from parquet row-group metadata; IndexProbe has the
-    * corpus-independence row). */
+    * Cost: file-metadata bound — the aggregation reads ONLY the `cid`
+    * partition column, so it decodes zero data pages (row counts come
+    * from parquet row-group metadata). At production file sizes that
+    * is orders of magnitude below any data scan; at toy file sizes the
+    * per-file listing/footer overhead dominates BOTH and the report is
+    * no cheaper than a column scan (IndexProbe row, measured honestly:
+    * 11.4 s report vs 6.6 s data scan over 457 tiny-file lists at
+    * 100×) — the claim is about bytes-not-decoded, which only matters
+    * when files hold real data. */
   def listBalanceReport(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
