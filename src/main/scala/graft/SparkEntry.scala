@@ -1850,6 +1850,30 @@ object SparkEntry {
           col("share_bp"), col("hot_factor_bp"))
         .orderBy("cid")
     }),
+    "q192_bloom_append_probe" -> ((s, dir) => {
+      // GROWING decontamination reference (round 16): the sharded mask
+      // is built over HALF of src0 (doc_id % 2 == 0), the other half
+      // arrives later as an appendToBloomIndexSharded OR-merge (a newly
+      // released benchmark joining the reference set — no rebuild over
+      // the union). Fresh per invocation (append mutates). Oracle =
+      // q189's VERBATIM over the FULL src0 reference, so the hash
+      // matches iff the OR-append is byte-equivalent to the one-shot
+      // union build — any dropped or doubled bit flips an FP.
+      val root = TempDirs.register(s"${System.getProperty("java.io.tmpdir")}" +
+        s"/graft_q192_${java.util.UUID.randomUUID()}")
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("source") === "src0")
+      operators.DedupIndex.writeBloomIndexSharded(
+        ref.filter(pmod(col("doc_id"), lit(2)) === 0), "text", "doc_id",
+        s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
+      operators.DedupIndex.appendToBloomIndexSharded(
+        ref.filter(pmod(col("doc_id"), lit(2)) === 1), "text", "doc_id",
+        s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
+      operators.DedupIndex.bloomContaminationAgainstShardedIndex(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text",
+          "doc_id", s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
+        .orderBy("doc_id")
+    }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
@@ -3047,6 +3071,44 @@ object SparkEntry {
       |SELECT b.doc_id, b.text_key, CAST(g.keep_id AS BIGINT) AS keep_id
       |FROM bk b JOIN ckg g USING (text_key)
       |ORDER BY b.doc_id""".stripMargin
+
+  /** q189's oracle — also q192's VERBATIM (the OR-append path must
+    * probe identically to the one-shot union build): the sharded masks
+    * re-derived exactly — shard = the independent 5th md5 slice mod 4,
+    * positions = the four bit slices mod 2048; a probe gram hits iff
+    * all four positions are set in ITS OWN shard's mask, so the
+    * frequent FPs (by the over-full fixture sizing) match iff the
+    * engine's shard routing equals this construction. */
+  private val bloomShardedProbeOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |g AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
+      |sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
+      |refpos AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(gram), 21, 5))::BIGINT % 4 AS shard,
+      |    ('0x' || substr(md5(gram), 1 + 5*i, 5))::BIGINT % 2048 AS pos
+      |  FROM (SELECT DISTINCT gram FROM sh WHERE source = 'src0') refg,
+      |       unnest([0, 1, 2, 3]) AS t(i)),
+      |probe AS (
+      |  SELECT doc_id, gram,
+      |    ('0x' || substr(md5(gram), 21, 5))::BIGINT % 4 AS shard,
+      |    ('0x' || substr(md5(gram), 1, 5))::BIGINT % 2048 AS p0,
+      |    ('0x' || substr(md5(gram), 6, 5))::BIGINT % 2048 AS p1,
+      |    ('0x' || substr(md5(gram), 11, 5))::BIGINT % 2048 AS p2,
+      |    ('0x' || substr(md5(gram), 16, 5))::BIGINT % 2048 AS p3
+      |  FROM sh WHERE doc_id % 5 = 0),
+      |hit AS (
+      |  SELECT doc_id,
+      |    CASE WHEN EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p0)
+      |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p1)
+      |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p2)
+      |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p3)
+      |      THEN 1 ELSE 0 END AS h
+      |  FROM probe)
+      |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
+      |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
+      |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   private def twoLevelAssignSql(cents: String): String =
     s"""tl_smod AS (
@@ -4943,41 +5005,11 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
         |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
         |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "q189_bloom_sharded_probe" ->
-      // the sharded masks re-derived exactly: shard = the independent
-      // 5th md5 slice mod 4, positions = the four bit slices mod 2048;
-      // a probe gram hits iff all four positions are set in ITS OWN
-      // shard's mask — FPs (frequent by the over-full sizing) match
-      // iff the engine's shard routing equals this construction
-      """WITH tk AS (
-        |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents),
-        |g AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
-        |sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
-        |refpos AS (
-        |  SELECT DISTINCT ('0x' || substr(md5(gram), 21, 5))::BIGINT % 4 AS shard,
-        |    ('0x' || substr(md5(gram), 1 + 5*i, 5))::BIGINT % 2048 AS pos
-        |  FROM (SELECT DISTINCT gram FROM sh WHERE source = 'src0') refg,
-        |       unnest([0, 1, 2, 3]) AS t(i)),
-        |probe AS (
-        |  SELECT doc_id, gram,
-        |    ('0x' || substr(md5(gram), 21, 5))::BIGINT % 4 AS shard,
-        |    ('0x' || substr(md5(gram), 1, 5))::BIGINT % 2048 AS p0,
-        |    ('0x' || substr(md5(gram), 6, 5))::BIGINT % 2048 AS p1,
-        |    ('0x' || substr(md5(gram), 11, 5))::BIGINT % 2048 AS p2,
-        |    ('0x' || substr(md5(gram), 16, 5))::BIGINT % 2048 AS p3
-        |  FROM sh WHERE doc_id % 5 = 0),
-        |hit AS (
-        |  SELECT doc_id,
-        |    CASE WHEN EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p0)
-        |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p1)
-        |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p2)
-        |      AND EXISTS (SELECT 1 FROM refpos r WHERE r.shard = probe.shard AND r.pos = probe.p3)
-        |      THEN 1 ELSE 0 END AS h
-        |  FROM probe)
-        |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
-        |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
-        |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q189_bloom_sharded_probe" -> bloomShardedProbeOracle,
+    // the append-grown masks must probe identically to the one-shot
+    // build over the union reference — q189's oracle VERBATIM isolates
+    // the OR-append path (any dropped or doubled bit breaks FP parity)
+    "q192_bloom_append_probe" -> bloomShardedProbeOracle,
     "q180_neardup_admit" -> nearDupAdmitOracle(
       """SELECT d.doc_id,
         |    CASE WHEN d.doc_id % 20 = 15 AND b.text IS NOT NULL THEN b.text

@@ -73,6 +73,55 @@ object Bloom {
       copy(child = newChildren(0))
   }
 
+  /** bloom_mask_or_agg(mask): OR whole bitmasks together (round 16 — the
+    * APPEND half of the persisted decontamination index: a new
+    * benchmark's gram mask ORs into the existing mask because the bloom
+    * build is a pure set union over bit positions). Same buffer layout
+    * as [[BloomMaskAgg]]; masks of the wrong length fail loudly rather
+    * than silently truncating the reference. */
+  case class BloomMaskOrAgg(
+      child: Expression, mBits: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Byte]] {
+
+    require(mBits > 0 && mBits % 8 == 0, "mBits must be a positive multiple of 8")
+
+    override def prettyName: String = "bloom_mask_or_agg"
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](mBits / 8)
+
+    override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val m = v.asInstanceOf[Array[Byte]]
+        require(m.length == b.length,
+          s"bloom mask of ${m.length * 8} bits cannot OR into $mBits-bit aggregate")
+        merge(b, m)
+      } else b
+    }
+
+    override def merge(b: Array[Byte], other: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < b.length) { b(i) = (b(i) | other(i)).toByte; i += 1 }
+      b
+    }
+
+    override def eval(b: Array[Byte]): Any = b
+    override def serialize(b: Array[Byte]): Array[Byte] = b
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+    override def withNewMutableAggBufferOffset(o: Int): BloomMaskOrAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomMaskOrAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): BloomMaskOrAgg =
+      copy(child = newChildren(0))
+  }
+
   /** bloom_contains(mask, pos): bit `pos` set in `mask`? Codegen'd to two
     * array reads — stays inside whole-stage codegen on the corpus scan. */
   case class BloomContains(left: Expression, right: Expression)
@@ -105,6 +154,9 @@ object Bloom {
 
   def bloom_mask_agg(pos: Column, mBits: Int): Column =
     Bridge.column(BloomMaskAgg(Bridge.expression(pos), mBits).toAggregateExpression())
+
+  def bloom_mask_or_agg(mask: Column, mBits: Int): Column =
+    Bridge.column(BloomMaskOrAgg(Bridge.expression(mask), mBits).toAggregateExpression())
 
   def bloom_contains(mask: Column, pos: Column): Column =
     Bridge.column(BloomContains(Bridge.expression(mask), Bridge.expression(pos)))

@@ -560,6 +560,66 @@ object DedupIndex {
       Map("n" -> n, "shards" -> shards, "mBits" -> mBits))
   }
 
+  /** APPEND a new reference slice to a persisted bloom index (round 16 —
+    * the growing-reference story: a newly released benchmark joins the
+    * decontamination set without rebuilding the masks over the full
+    * reference). Bloom masks are pure position-set unions, so the
+    * append is exact: the new slice's gram mask ORs into the existing
+    * mask ([[graft.functions.Bloom.bloom_mask_or_agg]]) and the result
+    * is BYTE-IDENTICAL to a one-shot build over the union reference
+    * (spec-asserted on the mask bytes; q192 oracles the sharded form
+    * against the one-shot oracle). Crash-safe via [[atomicRewrite]]
+    * (the mask relation is tiny — the rewrite is FS-metadata bound). */
+  def appendToBloomIndex(
+      newReference: DataFrame, textCol: String, idCol: String,
+      path: String, n: Int = 3): Unit = {
+    val spark = newReference.sparkSession
+    checkMeta(spark, path, "bloom", Map("n" -> n))
+    require(tombstones(spark, path).isEmpty,
+      s"bloom index at $path has tombstones — a bit mask cannot apply " +
+        "them; rebuild over the surviving reference instead of appending")
+    atomicRewrite(spark, path)(df =>
+      df.select(col("mask"))
+        .unionByName(Dedup.gramStrings(newReference, textCol, idCol, n)
+          .select(explode(array(Dedup.bloomPositions(col("gram")): _*))
+            .as("pos"))
+          .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"),
+            Dedup.BloomMBits).as("mask")))
+        .agg(graft.functions.Bloom.bloom_mask_or_agg(col("mask"),
+          Dedup.BloomMBits).as("mask")))
+  }
+
+  /** [[appendToBloomIndex]] for the SHARDED kind: the new slice's grams
+    * shard by the same independent md5 slice, per-shard masks OR in
+    * (shards touched only where the slice has grams; untouched shards
+    * pass through the identity OR). Byte-identical to a one-shot
+    * [[writeBloomIndexSharded]] over the union reference. */
+  def appendToBloomIndexSharded(
+      newReference: DataFrame, textCol: String, idCol: String,
+      path: String, n: Int = 3, shards: Int = 4,
+      mBits: Int = Dedup.BloomMBits): Unit = {
+    val spark = newReference.sparkSession
+    checkMeta(spark, path, "bloomsharded",
+      Map("n" -> n, "shards" -> shards, "mBits" -> mBits))
+    require(tombstones(spark, path).isEmpty,
+      s"sharded bloom index at $path has tombstones — a bit mask cannot " +
+        "apply them; rebuild over the surviving reference instead")
+    atomicRewrite(spark, path) { df =>
+      val newRows = Dedup.gramStrings(newReference, textCol, idCol, n)
+        .withColumn("shard", Dedup.bloomShard(col("gram"), shards))
+        .select(col("shard"),
+          explode(array(Dedup.bloomPositions(col("gram"))
+            .map(p => pmod(p, lit(mBits.toLong))): _*)).as("pos"))
+        .groupBy(col("shard"))
+        .agg(graft.functions.Bloom.bloom_mask_agg(col("pos"), mBits)
+          .as("mask"))
+      df.select(col("shard"), col("mask")).unionByName(newRows)
+        .groupBy(col("shard"))
+        .agg(graft.functions.Bloom.bloom_mask_or_agg(col("mask"), mBits)
+          .as("mask"))
+    }
+  }
+
   /** Per-doc contamination report against the persisted SHARDED mask —
     * same output contract as [[bloomContaminationAgainstIndex]], same
     * pure-batch-scan probe (the shards × 128 KB relation broadcasts;

@@ -115,4 +115,51 @@ class BloomSpec extends AnyFunSuite {
         "doc_id", sharded, n = 3, shards = 4, mBits = 4096).collect())
     assert(e.getMessage.contains("parameter mismatch"))
   }
+
+  test("bloom index APPEND (round 16): OR-merging a new reference slice " +
+      "is byte-identical to the one-shot build over the union — single " +
+      "and sharded kinds — and fails loudly on wrong geometry or " +
+      "tombstones") {
+    val s = spark; import s.implicits._
+    import graft.operators.DedupIndex
+    def tmp(tag: String): String = TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bloomapp_${tag}_${java.util.UUID.randomUUID()}")
+    def slice(tag: String, from: Int, until: Int) =
+      (from until until).map(i =>
+        (i.toLong, (0 until 40).map(j => s"$tag${i}w$j").mkString(" ")))
+        .toDF("doc_id", "text")
+    val refA = slice("a", 0, 12); val refB = slice("b", 100, 112)
+    val union = refA.unionByName(refB)
+    // single-mask kind
+    val grown = tmp("grown"); val oneshot = tmp("oneshot")
+    DedupIndex.writeBloomIndex(refA, "text", "doc_id", grown)
+    DedupIndex.appendToBloomIndex(refB, "text", "doc_id", grown)
+    DedupIndex.writeBloomIndex(union, "text", "doc_id", oneshot)
+    def maskBytes(p: String): Seq[Seq[Byte]] = s.read.parquet(p)
+      .collect().map(_.getAs[Array[Byte]]("mask").toSeq).toSeq
+    assert(maskBytes(grown) == maskBytes(oneshot))
+    // sharded kind: per-shard byte identity
+    val grownSh = tmp("grownsh"); val oneshotSh = tmp("oneshotsh")
+    DedupIndex.writeBloomIndexSharded(refA, "text", "doc_id", grownSh,
+      n = 3, shards = 8, mBits = 4096)
+    DedupIndex.appendToBloomIndexSharded(refB, "text", "doc_id", grownSh,
+      n = 3, shards = 8, mBits = 4096)
+    DedupIndex.writeBloomIndexSharded(union, "text", "doc_id", oneshotSh,
+      n = 3, shards = 8, mBits = 4096)
+    def shardMasks(p: String): Map[Long, Seq[Byte]] = s.read.parquet(p)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        r.getAs[Array[Byte]]("mask").toSeq).toMap
+    assert(shardMasks(grownSh) == shardMasks(oneshotSh))
+    assert(shardMasks(grownSh).nonEmpty)
+    // wrong geometry fails loudly before touching the masks
+    val eGeo = intercept[IllegalArgumentException](
+      DedupIndex.appendToBloomIndexSharded(refB, "text", "doc_id",
+        grownSh, n = 3, shards = 4, mBits = 4096))
+    assert(eGeo.getMessage.contains("parameter mismatch"))
+    // a tombstoned mask cannot be appended to (bits are shared)
+    DedupIndex.deleteDocs(Seq(0L).toDF("doc_id"), grown)
+    val eTs = intercept[IllegalArgumentException](
+      DedupIndex.appendToBloomIndex(refB, "text", "doc_id", grown))
+    assert(eTs.getMessage.contains("tombstones"))
+  }
 }
