@@ -133,6 +133,11 @@ object OpsDemo {
     println(s"[ops]   embedding admission statuses: $admSt")
     time("ann: compact codes (crash-safe)")(
       AnnIndex.compactIvfPqCodes(spark, s"$root/ann"))
+    // round 16: the one-call index health check (metadata-only)
+    val desc = DedupIndex.describeIndex(spark, s"$root/ann").head()
+    println(s"[ops]   describe(ann): kind=${desc.getString(1)} " +
+      s"params=${desc.getString(2)} files=${desc.getLong(3)} " +
+      s"bytes=${desc.getLong(4)} tombstones=${desc.getLong(5)}")
     // round 16: the drift-monitor → retrain cycle the append path's
     // policy documents. The balance report reads only the cid partition
     // column (footer-scale); the verdict gates the expensive cutover.

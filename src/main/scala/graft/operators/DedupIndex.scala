@@ -183,6 +183,48 @@ object DedupIndex {
       df.join(broadcast(ts.select(col("id").as("_ts_id")).distinct()),
         df(idName) === col("_ts_id"), "left_anti"))
 
+  /** One-row health description of any persisted index (round 16 ops
+    * surface): kind + build parameters from `_graft_meta` (empty for a
+    * legacy meta-less index), data file/byte counts from a recursive
+    * listing (underscore sidecars — meta, tombstones, stream
+    * checkpoints — excluded from the data counts, reported separately),
+    * and the pending tombstone count. The check an operator runs before
+    * deciding append vs compact vs rebuild. Metadata-only: a listing
+    * plus the two tiny underscore relations; index DATA is never
+    * scanned. Output: (path, kind, params, n_data_files, data_bytes,
+    * n_tombstones, has_stream_checkpoint). */
+  def describeIndex(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"no index at $path")
+    var nFiles = 0L; var bytes = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = f.getPath.toString.stripPrefix(root.toString)
+      // any underscore-prefixed path segment = sidecar, not index data
+      val sidecar = rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!sidecar && f.isFile) { nFiles += 1; bytes += f.getLen }
+    }
+    val metaPath = new Path(root, "_graft_meta")
+    val (kind, params) =
+      if (fs.exists(metaPath)) {
+        val rows = spark.read.parquet(metaPath.toString).collect()
+        (rows.headOption.map(_.getString(0)).getOrElse("unknown"),
+          rows.filter(_.getString(1) != "_kind")
+            .map(r => s"${r.getString(1)}=${r.getInt(2)}")
+            .sorted.mkString(","))
+      } else ("legacy", "")
+    val nTs = tombstones(spark, path).fold(0L)(_.select(col("id")).distinct().count())
+    val hasChk = fs.exists(new Path(root, "_stream_chk"))
+    import spark.implicits._
+    Seq((path, kind, params, nFiles, bytes, nTs, hasChk))
+      .toDF("path", "kind", "params", "n_data_files", "data_bytes",
+        "n_tombstones", "has_stream_checkpoint")
+  }
+
   // ------------------------------------------------------------------
   // Exact (normalized-text hash) index
   // ------------------------------------------------------------------

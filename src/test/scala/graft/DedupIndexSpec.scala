@@ -577,6 +577,36 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(s.read.parquet(store).count() == 8L + 2L + 1L)
   }
 
+  // ---- describeIndex (round 16 ops surface) ----------------------------
+
+  test("describeIndex: kind/params from meta, data counts exclude " +
+      "sidecars, tombstone count live, legacy index reported as such") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val exact = tmp("desc_exact")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", exact)
+    def row(p: String) = DedupIndex.describeIndex(s, p).head()
+    val r0 = row(exact)
+    assert(r0.getString(1) == "exact" && r0.getString(2) == "")
+    assert(r0.getLong(3) > 0 && r0.getLong(4) > 0) // data files, bytes
+    assert(r0.getLong(5) == 0 && !r0.getBoolean(6))
+    DedupIndex.deleteDocs(Seq(1L, 2L).toDF("doc_id"), exact)
+    assert(row(exact).getLong(5) == 2) // tombstones counted, distinct
+    // data counts must not change when only sidecars were added
+    assert(row(exact).getLong(3) == r0.getLong(3))
+    val sh = tmp("desc_sh")
+    DedupIndex.writeBloomIndexSharded(corpus, "text", "doc_id", sh,
+      n = 3, shards = 8, mBits = 4096)
+    val r1 = row(sh)
+    assert(r1.getString(1) == "bloomsharded")
+    assert(r1.getString(2) == "mBits=4096,n=3,shards=8")
+    // legacy (meta-less) relation
+    val legacy = tmp("desc_legacy")
+    corpus.write.parquet(legacy)
+    assert(row(legacy).getString(1) == "legacy")
+  }
+
   // ---- backfill broadcast fallback (round 16) --------------------------
 
   test("backfill fallback: forcing the shuffle path (maxBroadcastBytes=0) " +
