@@ -89,10 +89,11 @@ object Bench {
       // per-query stat lines
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val seen = scala.collection.mutable.Set[String]()
+      var proc: Process = null
       try {
-        val p = pb.start()
+        proc = pb.start()
         val rd = new java.io.BufferedReader(
-          new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
         var line = rd.readLine()
         while (line != null) {
           if (line.startsWith("BENCHQ\t")) {
@@ -107,13 +108,21 @@ object Bench {
           }
           line = rd.readLine()
         }
-        val code = p.waitFor()
-        if (code != 0)
-          g.filterNot(seen).foreach(n => errs(n) = s"child JVM exit $code")
+        val code = proc.waitFor()
+        // an entry the child never reported is an ERROR even on exit 0
+        // (a name drift between parent and child entry lists must not
+        // silently shrink the headline total into a phantom speedup)
+        g.filterNot(seen).foreach(n =>
+          errs(n) = if (code != 0) s"child JVM exit $code"
+                    else "entry not reported by child")
       } catch {
         case e: Throwable =>
+          // kill the child before moving on — a live abandoned child
+          // would keep running its queries concurrently with the next
+          // chunk and contaminate its wall times
+          if (proc != null) { proc.destroyForcibly(); proc.waitFor() }
           g.filterNot(seen).foreach(n =>
-            errs(n) = s"child launch failed: ${e.getClass.getName}")
+            errs(n) = s"child failed: ${e.getClass.getName}")
       }
       System.err.println(s"[bench] chunk ${gi + 1}/${groups.size} done " +
         s"(${seen.size}/${g.size} entries)")

@@ -138,12 +138,13 @@ object AnnIndex {
     * next call restores it first. Serving unavailability is the
     * two-rename metadata window.
     *
-    * Pass the FULL current SURVIVING corpus — base plus every
-    * appended/streamed era, minus any tombstoned vectors — the rebuild
-    * replaces everything under `path`, including `codes_stream/` and
-    * the `_tombstones` set (a rebuild is the physical application of
-    * every pending deletion, provided the corpus you pass excludes
-    * them). The streaming checkpoint (`_stream_chk`) is
+    * Pass the FULL current corpus — base plus every appended/streamed
+    * era; the rebuild replaces everything under `path`, including
+    * `codes_stream/` and the `_tombstones` set, and pending tombstones
+    * are ENFORCED against the passed corpus (anti-join — a rebuild is
+    * the physical application of every pending deletion whether or not
+    * the caller remembered to exclude them). The streaming checkpoint
+    * (`_stream_chk`) is
     * COPIED into the sibling build before the swap (so it travels with
     * the renames and survives a crash at any point): the rebuilt corpus
     * already contains the streamed vectors, so the checkpoint correctly
@@ -177,7 +178,15 @@ object AnnIndex {
         fs.rename(oldChk, liveChk)
       fs.delete(old, true)
     }
-    writeIvfPqIndex(corpus, centroids, codebook, m, dim, tmp.toString,
+    // pending tombstones are APPLIED here, never destroyed (round 16
+    // follow-up): the swap deletes <path>/_tombstones with the old
+    // root, so relying on the caller to have excluded the deleted
+    // vectors would let a rebuild from a tombstone-unaware corpus
+    // RESURRECT taken-down content with no error. The anti-join is
+    // idempotent when the caller already excluded them.
+    val corpusSurv = DedupIndex.dropTombstoned(
+      corpus.sparkSession, corpus, path, idCol)
+    writeIvfPqIndex(corpusSurv, centroids, codebook, m, dim, tmp.toString,
       twoLevel, idCol, vecCol)
     // carry the streaming checkpoint into tmp BEFORE the swap (round 16
     // — closes the round-15 crash window): it then travels WITH the
@@ -238,7 +247,13 @@ object AnnIndex {
     perList.crossJoin(broadcast(totals))
       .select(col("cid"), col("n_codes"),
         expr("n_codes * 10000 DIV _n_total").as("share_bp"),
-        expr("n_codes * 10000 * _n_lists DIV _n_total").as("hot_factor_bp"))
+        // the hot-factor numerator is n_codes × 10⁴ × nlist — at a
+        // 10¹⁰-vector corpus with √N-ish nlist that product overflows
+        // Long and would corrupt the shouldRetrain verdict exactly when
+        // drift is worst; decimal(38,0) holds it at any physical scale
+        // (cast-to-long of the positive quotient = the same floor DIV)
+        expr("CAST(CAST(n_codes AS DECIMAL(38,0)) * 10000 * _n_lists " +
+          "/ _n_total AS BIGINT)").as("hot_factor_bp"))
   }
 
   /** The one-number re-train verdict over [[listBalanceReport]]: true

@@ -89,7 +89,22 @@ object DedupIndex {
     * yardstick — the derived relations' own estimates can't be used,
     * they inherit corpus-scale guesses through the index joins).
     * Returns the hinting function: `broadcast` under the budget,
-    * identity (→ shuffle-path joins) past it. */
+    * identity (→ shuffle-path joins) past it.
+    *
+    * Known estimate failure mode (documented trade): without CBO
+    * column stats, Catalyst does not reduce sizeInBytes through
+    * selective FILTERS and multiplies it through joins — a daily batch
+    * expressed as `corpus.filter(date === today)` over an unpartitioned
+    * store can carry a corpus-scale estimate and take the shuffle path
+    * unnecessarily (results identical, cost higher; AQE still
+    * re-broadcasts the relations it MEASURES small at runtime, which
+    * recovers most of it). The deliberate bias: a false
+    * shuffle-fallback costs a slower batch, a false broadcast costs a
+    * driver OOM. Operators with such batch shapes raise
+    * [[MaxBroadcastBytesKey]] for the session, or pre-materialize the
+    * batch so its estimate is its size; an exact runtime count was
+    * rejected — it would bolt a blocking job onto every probe call in
+    * the common path. */
   private[operators] def probeHint(batch: DataFrame): DataFrame => DataFrame = {
     val limit = batch.sparkSession.conf.getOption(MaxBroadcastBytesKey)
       .map(_.toLong).getOrElse(MaxBroadcastBytesDefault)
@@ -161,16 +176,35 @@ object DedupIndex {
     * doc store at `path`. Append-only and idempotent (duplicate
     * tombstone rows are harmless to the anti-join); takes effect on the
     * next query, applied physically by the next compaction. */
-  def deleteDocs(ids: DataFrame, path: String): Unit =
+  def deleteDocs(ids: DataFrame, path: String): Unit = {
+    // fail loudly on a mistyped/missing target (round 16 follow-up): a
+    // takedown that "succeeds" against a path with no index would leave
+    // the operator believing the deletion is in effect while the real
+    // index keeps serving the content.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(ids.sparkSession.sessionState.newHadoopConf())
+    require(fs.exists(root),
+      s"deleteDocs: no index/store at $path — tombstones must attach to " +
+        "an existing relation (check the path)")
     ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
       .write.mode("append").parquet(s"$path/_tombstones")
+  }
 
   /** The live tombstone set at `path`, if any. */
   private[operators] def tombstones(
       spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (!fs.exists(p)) return None
+    // a deleteDocs job that crashed between job setup and commit leaves
+    // the dir holding only `_temporary` — no committed footer, so a
+    // bare read would fail schema inference and BRICK every query on
+    // the index. No committed file = no committed deletion: treat as
+    // absent (the next deleteDocs overwrites the orphan normally).
+    val hasData = fs.listStatus(p).exists(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    if (hasData) Some(spark.read.parquet(p.toString)) else None
   }
 
   /** Drop `df` rows whose `idName` is tombstoned at `path` — the
@@ -199,11 +233,17 @@ object DedupIndex {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"no index at $path")
     var nFiles = 0L; var bytes = 0L
+    // qualify before stripping: the listing returns scheme-qualified
+    // paths (file:/…) while a caller-supplied `path` may be bare — an
+    // unmatched prefix would leave ancestor segments in `rel` and a
+    // dot/underscore ANCESTOR dir (…/.cache/…, …/_indexes/…) would
+    // misclassify every data file as a sidecar
+    val qroot = fs.makeQualified(root).toString
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val f = it.next()
-      val rel = f.getPath.toString.stripPrefix(root.toString)
-      // any underscore-prefixed path segment = sidecar, not index data
+      val rel = f.getPath.toString.stripPrefix(qroot)
+      // any underscore-prefixed segment BELOW the root = sidecar
       val sidecar = rel.split('/').exists(seg =>
         seg.startsWith("_") || seg.startsWith("."))
       if (!sidecar && f.isFile) { nFiles += 1; bytes += f.getLen }

@@ -58,12 +58,13 @@ object StatsIndex {
     *     is actually present.
     *
     * File identity is compared on DECODED absolute paths (round 16):
-    * the Hadoop listing says `file:/…` with raw characters while
-    * `input_file_name()` says `file:///…` percent-encoded, so both
-    * sides normalize through `java.net.URI` path decoding — scheme
-    * stripping alone made every store path containing an encodable
-    * character (a space, a `%`) look perpetually new, appending a
-    * duplicate stats row per file per refresh. A missing stats table
+    * the Hadoop listing is raw by construction (`Path.toUri.getPath`
+    * is the literal filename) while `input_file_name()` is a
+    * percent-encoded URI, so ONLY the stats-row side URI-decodes —
+    * scheme stripping alone made every store path containing an
+    * encodable character (a space, a `%`) look perpetually new, and
+    * URI-parsing the raw listing side would mis-decode literal `%XX`
+    * filename sequences. A missing stats table
     * falls back to a full [[build]] (refresh-on-new-store just works).
     * Equivalent to a full [[build]] over the current store — the q184
     * gate serves a pruned scan from a refresh-maintained table against
@@ -75,10 +76,17 @@ object StatsIndex {
     * InMemoryFileIndex holds for any scan of `root`. */
   def refresh(spark: SparkSession, root: String, statsPath: String): DataFrame = {
     import org.apache.hadoop.fs.Path
-    // decoded-path identity: URI parse (handles the percent-encoded
-    // input_file_name form), falling back to scheme stripping for
-    // strings URI rejects (e.g. raw unencoded spaces from a listing)
-    def norm(s: String): String =
+    // Decoded-path identity, decoding ONLY the side that is actually
+    // encoded (round 16 follow-up): the listing side is raw by
+    // construction — Hadoop Path unescapes its internal URI form, so
+    // `toUri.getPath` IS the literal filename (a file literally named
+    // `a%20b.parquet` stays `a%20b.parquet`); running the raw string
+    // through a URI *parse* instead would mis-decode that literal `%20`
+    // and collide it with a sibling named `a b.parquet`. The stats-row
+    // side comes from `input_file_name()`, which IS a percent-encoded
+    // URI (that literal `%` arrives as `%25`) → URI-decode it, with a
+    // scheme-strip fallback for malformed legacy strings.
+    def normRow(s: String): String =
       (try Option(new java.net.URI(s).getPath).filter(_.nonEmpty)
        catch { case _: java.net.URISyntaxException => None })
         .getOrElse(s.replaceFirst("^[a-zA-Z0-9+.-]+:/+", "/"))
@@ -86,19 +94,17 @@ object StatsIndex {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(statsPath)))
       return build(spark, root, statsPath)
-    val current = scala.collection.mutable.ArrayBuffer[String]()
+    // (normalized identity, raw Spark-readable path) per current fragment
+    val current = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val it = fs.listFiles(rootPath, true)
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        // Path.toString keeps the raw (decoded) form — the form Spark's
-        // reader expects back in the newFiles scan; norm() decodes the
-        // stats rows' percent-encoded form to the same identity
-        current += f.getPath.toString
+        current += ((f.getPath.toUri.getPath, f.getPath.toString))
     }
     val knownByNorm = spark.read.parquet(statsPath).select("file")
-      .collect().map(r => r.getString(0)).map(p => norm(p) -> p).toMap
-    val currentByNorm = current.map(p => norm(p) -> p).toMap
+      .collect().map(r => r.getString(0)).map(p => normRow(p) -> p).toMap
+    val currentByNorm = current.toMap
     val newFiles = currentByNorm.collect {
       case (n, p) if !knownByNorm.contains(n) => p }.toSeq.sorted
     // stale rows are dropped by their ORIGINAL stored strings — exact

@@ -605,6 +605,23 @@ class DedupIndexSpec extends AnyFunSuite {
     val legacy = tmp("desc_legacy")
     corpus.write.parquet(legacy)
     assert(row(legacy).getString(1) == "legacy")
+    // a crash-orphaned _tombstones dir (only _temporary, no committed
+    // file) must read as NO deletions, not brick the index
+    val orphan = tmp("desc_orphan")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", orphan)
+    val fs = new org.apache.hadoop.fs.Path(orphan)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$orphan/_tombstones/_temporary"))
+    assert(row(orphan).getLong(5) == 0)
+    val batch = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val st = DedupIndex.admitAgainstIndex(batch, "text", "doc_id", orphan)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(st(10L) == "dup_corpus") // index still serves
+    // a takedown against a nonexistent path fails loudly instead of
+    // silently "succeeding" while the real index keeps serving
+    val eMiss = intercept[IllegalArgumentException](
+      DedupIndex.deleteDocs(Seq(1L).toDF("doc_id"), tmp("desc_nowhere")))
+    assert(eMiss.getMessage.contains("no index/store"))
   }
 
   // ---- backfill broadcast fallback (round 16) --------------------------

@@ -493,6 +493,19 @@ class OperatorsSpec extends AnyFunSuite {
       twoLevel = true)
     assert(!fs.exists(hp(s"$path/codes_stream")))
     assert(served() == memNew)
+    // pending tombstones are ENFORCED against the passed corpus (round
+    // 16 follow-up): a rebuild from a tombstone-unaware corpus must NOT
+    // resurrect taken-down vectors — the swap destroys the _tombstones
+    // set, so the rebuild itself is the last line of defense
+    AnnIndex.deleteVectors(Seq(5L).toDF("vec_id"), path)
+    AnnIndex.rebuildIvfPqIndex(vecs /* still contains 5 */, centsMod(10),
+      cb, m = 2, dim = 4, path, twoLevel = true)
+    assert(!fs.exists(hp(s"$path/_tombstones"))) // applied + cleared
+    val memSansFive = rows(Similarity.ivfPqTopK(
+      vecs.filter(col("vec_id") =!= 5L), queries, centsMod(10), cb,
+      m = 2, dim = 4, k = 4, nProbe = 2, twoLevel = true))
+    assert(served() == memSansFive)
+    assert(!served().exists(_._2 == 5L))
   }
 
   test("ANN tombstones (round 16): deleted vectors drop out of served " +
