@@ -153,60 +153,31 @@ object AnnIndex {
   def rebuildIvfPqIndex(
       corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
       m: Int, dim: Int, path: String, twoLevel: Boolean = false,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(path)
-    val fs = live.getFileSystem(
-      corpus.sparkSession.sessionState.newHadoopConf())
-    val tmp = new Path(path + "._rebuild_tmp")
-    val old = new Path(path + "._rebuild_old")
-    if (!fs.exists(live) && fs.exists(old)) {
-      require(fs.rename(old, live),
-        s"rebuildIvfPqIndex: could not restore $old to $live")
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    // the swap protocol (entry recovery, old-sidecar salvage, pre-swap
+    // sidecar copy, two renames, delete-old-last) is the SHARED
+    // [[DedupIndex.atomicSwap]] — the round-15 checkpoint crash window
+    // existed because this used to be a hand-copy of it. Sidecars: the
+    // streaming checkpoint travels with the swap (so a post-rebuild
+    // ingest resumes with only genuinely-new files after a crash at any
+    // point); `_graft_meta` is listed for the salvage path only — the
+    // sibling build writes its own fresh meta, so the pre-swap copy is
+    // a no-op for it.
+    DedupIndex.atomicSwap(corpus.sparkSession, path, "rebuild",
+      Seq("_stream_chk", "_graft_meta")) { tmp =>
+      // pending tombstones are APPLIED here, never destroyed (round 16
+      // follow-up): the swap deletes <path>/_tombstones with the old
+      // root, so relying on the caller to have excluded the deleted
+      // vectors would let a rebuild from a tombstone-unaware corpus
+      // RESURRECT taken-down content with no error. The anti-join is
+      // idempotent when the caller already excluded them. (Inside the
+      // build callback: entry recovery has run, so a crash-restored
+      // live root's tombstones are seen too.)
+      val corpusSurv = DedupIndex.dropTombstoned(
+        corpus.sparkSession, corpus, path, idCol)
+      writeIvfPqIndex(corpusSurv, centroids, codebook, m, dim, tmp,
+        twoLevel, idCol, vecCol)
     }
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) {
-      // leftover of a done swap. Salvage the streaming checkpoint first
-      // if the live root lacks one (round 16): the pre-fix code carried
-      // `_stream_chk` old → live only AFTER the swap, so a crash in that
-      // window left the ONLY checkpoint inside old — deleting it here
-      // would make the next streamIvfPqIngest start fresh and re-encode
-      // already-indexed vectors into codes_stream (ADC double-count).
-      val oldChk = new Path(old, "_stream_chk")
-      val liveChk = new Path(live, "_stream_chk")
-      if (fs.exists(oldChk) && !fs.exists(liveChk))
-        fs.rename(oldChk, liveChk)
-      fs.delete(old, true)
-    }
-    // pending tombstones are APPLIED here, never destroyed (round 16
-    // follow-up): the swap deletes <path>/_tombstones with the old
-    // root, so relying on the caller to have excluded the deleted
-    // vectors would let a rebuild from a tombstone-unaware corpus
-    // RESURRECT taken-down content with no error. The anti-join is
-    // idempotent when the caller already excluded them.
-    val corpusSurv = DedupIndex.dropTombstoned(
-      corpus.sparkSession, corpus, path, idCol)
-    writeIvfPqIndex(corpusSurv, centroids, codebook, m, dim, tmp.toString,
-      twoLevel, idCol, vecCol)
-    // carry the streaming checkpoint into tmp BEFORE the swap (round 16
-    // — closes the round-15 crash window): it then travels WITH the
-    // renames, so at every instant either live or old holds a copy and
-    // the entry cleanup can never delete the last one. COPY, not rename:
-    // until the swap commits, live stays the complete serving index.
-    val liveChk = new Path(live, "_stream_chk")
-    if (fs.exists(liveChk))
-      org.apache.hadoop.fs.FileUtil.copy(fs, liveChk, fs,
-        new Path(tmp, "_stream_chk"), false,
-        corpus.sparkSession.sessionState.newHadoopConf())
-    require(fs.rename(live, old),
-      s"rebuildIvfPqIndex: could not rename $live away (new index left at $tmp)")
-    if (!fs.rename(tmp, live)) {
-      fs.rename(old, live)
-      throw new java.io.IOException(
-        s"rebuildIvfPqIndex: could not rename $tmp to $live; previous index restored")
-    }
-    fs.delete(old, true)
-  }
 
   /** Per-list occupancy report for a persisted index (round 16 — the
     * MONITOR half of the centroid-drift policy [[appendToIvfPqIndex]]

@@ -842,50 +842,68 @@ object DedupIndex {
   private[graft] def atomicRewrite(
       spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil)(
-      transform: DataFrame => DataFrame): Unit = {
+      transform: DataFrame => DataFrame): Unit =
+    atomicSwap(spark, path, "compact", Seq("_graft_meta")) { tmp =>
+      val writer = transform(spark.read.parquet(path)).write.mode("overwrite")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+       else writer).parquet(tmp)
+    }
+
+  /** The ONE two-rename atomic-swap protocol (round 16 refactor — the
+    * meta and stream-checkpoint crash windows had to be fixed twice in
+    * two hand-copies of this logic; now there is exactly one):
+    *
+    *  1. entry recovery: a live root missing with `old` present is the
+    *     crash window between the two renames of a PREVIOUS run —
+    *     restore it;
+    *  2. orphan cleanup: delete a leftover `tmp`; before deleting a
+    *     leftover `old` (a done swap), SALVAGE any listed sidecar the
+    *     live root lacks (a crash there would otherwise destroy the
+    *     only copy);
+    *  3. `build(tmp)` writes the complete replacement at the sibling
+    *     tmp root — the live root serves untouched throughout and is
+    *     the lineage source, so nothing is pinned in executor storage;
+    *  4. listed sidecars still only in live are COPIED into tmp (they
+    *     then travel WITH the renames — at every instant live or old
+    *     holds a copy; a build that already produced its own, e.g. a
+    *     fresh `_graft_meta` from writeIvfPqIndex, is left alone);
+    *  5. two FS-metadata renames swap the roots; old is deleted LAST.
+    *
+    * Unavailability is the two-rename metadata window; a crash at any
+    * point leaves a complete copy recoverable by the next call. */
+  private[graft] def atomicSwap(
+      spark: SparkSession, path: String, tag: String,
+      sidecars: Seq[String])(build: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(path + "._compact_tmp")
-    val old = new Path(path + "._compact_old")
+    val tmp = new Path(path + s"._${tag}_tmp")
+    val old = new Path(path + s"._${tag}_old")
     if (!fs.exists(live) && fs.exists(old)) {
-      // crash window between the two renames of a previous run: the
-      // previous index is intact at old — restore, then compact normally
       require(fs.rename(old, live),
-        s"atomicRewrite: could not restore $old to $live")
+        s"atomicSwap($tag): could not restore $old to $live")
     }
-    if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a failed write
+    if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a failed build
     if (fs.exists(old)) {
-      // leftover of a done swap. Salvage `_graft_meta` first if the live
-      // root lacks one (round 16): the pre-fix code carried the meta
-      // old → live only AFTER the swap, so a crash in that window left
-      // the ONLY meta copy inside old — deleting it here would silently
-      // disable parameter validation forever (the exact failure mode the
-      // meta exists to prevent).
-      val oldMeta = new Path(old, "_graft_meta")
-      val liveMeta = new Path(live, "_graft_meta")
-      if (fs.exists(oldMeta) && !fs.exists(liveMeta))
-        fs.rename(oldMeta, liveMeta)
+      sidecars.foreach { sc =>
+        val o = new Path(old, sc); val l = new Path(live, sc)
+        if (fs.exists(o) && !fs.exists(l)) fs.rename(o, l)
+      }
       fs.delete(old, true)
     }
-    val writer = transform(spark.read.parquet(path)).write.mode("overwrite")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
-     else writer).parquet(tmp.toString)
-    // carry the build-parameter meta into tmp BEFORE the swap (round 16
-    // — closes the round-15 crash window): the meta then travels WITH
-    // the renames, so at every instant either live or old holds a copy
-    // and the entry cleanup can never delete the last one. COPY, not
-    // rename: until the swap commits, live stays the complete index.
-    val liveMeta = new Path(live, "_graft_meta")
-    if (fs.exists(liveMeta))
-      org.apache.hadoop.fs.FileUtil.copy(fs, liveMeta, fs,
-        new Path(tmp, "_graft_meta"), false, spark.sessionState.newHadoopConf())
+    build(tmp.toString)
+    sidecars.foreach { sc =>
+      val l = new Path(live, sc); val t = new Path(tmp, sc)
+      if (fs.exists(l) && !fs.exists(t))
+        org.apache.hadoop.fs.FileUtil.copy(fs, l, fs, t, false,
+          spark.sessionState.newHadoopConf())
+    }
     require(fs.rename(live, old),
-      s"atomicRewrite: could not rename $live away (tmp left at $tmp)")
+      s"atomicSwap($tag): could not rename $live away (new data left at $tmp)")
     if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // undo: put the previous index back
+      fs.rename(old, live) // undo: put the previous data back
       throw new java.io.IOException(
-        s"atomicRewrite: could not rename $tmp to $live; previous index restored")
+        s"atomicSwap($tag): could not rename $tmp to $live; previous data restored")
     }
     fs.delete(old, true)
   }
