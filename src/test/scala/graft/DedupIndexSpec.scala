@@ -577,6 +577,59 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(s.read.parquet(store).count() == 8L + 2L + 1L)
   }
 
+  // ---- admission differential fuzz (round 16) --------------------------
+
+  test("admission fuzz: randomized dup-heavy corpora/batches with random " +
+      "keeper tombstones — admitAgainstIndex matches a naive recompute in " +
+      "BOTH broadcast and forced-shuffle modes") {
+    val s = spark; import s.implicits._
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed * 7919)
+      def text(k: Int): String =
+        (0 until 6).map(j => s"t${k}w${(j * 3 + k) % 11}").mkString(" ")
+      // corpus: 30 docs over ~10 distinct texts → real dup groups
+      val corpusRows = (1L to 30L).map(i => (i, text(rnd.nextInt(10))))
+      // batch: globally-unique ids; mix of corpus texts, novel texts
+      // (some repeated within the batch), one-off novels
+      val batchRows = (101L to 115L).map { i =>
+        val r = rnd.nextInt(10)
+        val t = if (r < 4) text(rnd.nextInt(10))        // corpus re-fetch
+                else if (r < 7) text(50 + rnd.nextInt(3)) // novel, dup-able
+                else text(100 + i.toInt)                  // novel one-off
+        (i, t)
+      }
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val batch = batchRows.toDF("doc_id", "text")
+      val path = tmp(s"fuzz$seed")
+      DedupIndex.writeExactIndex(corpus, "text", "doc_id", path)
+      // tombstone a random subset of KEEPERS (the only ids in the index)
+      val keepers = corpusRows.groupBy(_._2).map(_._2.map(_._1).min).toSeq
+      val dead = keepers.filter(_ => rnd.nextBoolean()).sorted
+      if (dead.nonEmpty) DedupIndex.deleteDocs(dead.toDF("doc_id"), path)
+      // naive recompute of the contract
+      val surviving = corpusRows.groupBy(_._2)
+        .map { case (t, rows) => t -> rows.map(_._1).min }
+        .filter { case (_, keep) => !dead.contains(keep) }
+      val batchMin = batchRows.groupBy(_._2)
+        .map { case (t, rows) => t -> rows.map(_._1).min }
+      val expected = batchRows.map { case (id, t) =>
+        id -> (surviving.get(t) match {
+          case Some(keep) => ("dup_corpus", keep)
+          case None if batchMin(t) != id => ("dup_batch", batchMin(t))
+          case None => ("admitted", id)
+        })
+      }.toMap
+      def got(): Map[Long, (String, Long)] =
+        DedupIndex.admitAgainstIndex(batch, "text", "doc_id", path)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getString(2), r.getLong(3)))).toMap
+      assert(got() == expected, s"seed $seed broadcast mode")
+      s.conf.set(DedupIndex.MaxBroadcastBytesKey, "0")
+      try assert(got() == expected, s"seed $seed shuffle mode")
+      finally s.conf.unset(DedupIndex.MaxBroadcastBytesKey)
+    }
+  }
+
   // ---- describeIndex (round 16 ops surface) ----------------------------
 
   test("describeIndex: kind/params from meta, data counts exclude " +
