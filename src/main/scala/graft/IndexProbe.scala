@@ -133,9 +133,13 @@ object IndexProbe {
       // automatically. The daily-batch premium it pays (index shuffles
       // on the key instead of streaming) is the honest cost; the point
       // is it exists and is byte-identical, not that it is faster.
+      // try/finally (round 17, ADVICE): a throwing probe must not leave
+      // the forced shuffle conf on the shared session — every later
+      // probe in the run would silently measure the shuffle plan
       spark.conf.set(operators.DedupIndex.MaxBroadcastBytesKey, "0")
-      val eShuf = time(eQuery().count())
-      spark.conf.unset(operators.DedupIndex.MaxBroadcastBytesKey)
+      val eShuf =
+        try time(eQuery().count())
+        finally spark.conf.unset(operators.DedupIndex.MaxBroadcastBytesKey)
       println(f"exact-shufmode$tag%-6s $nCorpus%8d admit-warm(shuffle-path)=$eShuf%6.2f s" +
         f"  (broadcast-path above: ${eW}%.2f s)")
     }

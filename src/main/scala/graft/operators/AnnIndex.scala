@@ -221,10 +221,14 @@ object AnnIndex {
         // the hot-factor numerator is n_codes × 10⁴ × nlist — at a
         // 10¹⁰-vector corpus with √N-ish nlist that product overflows
         // Long and would corrupt the shouldRetrain verdict exactly when
-        // drift is worst; decimal(38,0) holds it at any physical scale
-        // (cast-to-long of the positive quotient = the same floor DIV)
-        expr("CAST(CAST(n_codes AS DECIMAL(38,0)) * 10000 * _n_lists " +
-          "/ _n_total AS BIGINT)").as("hot_factor_bp"))
+        // drift is worst; decimal(38,0) holds it at any physical scale.
+        // DIV (IntegralDivide → long), not CAST(a/b AS BIGINT): decimal
+        // division rounds HALF_UP at the result scale before the cast,
+        // so a quotient within ~5e-7 below an integer would round up
+        // and diverge by 1 from the oracle's `//` floor (round 17,
+        // ADVICE)
+        expr("CAST(n_codes AS DECIMAL(38,0)) * 10000 * _n_lists " +
+          "DIV _n_total").as("hot_factor_bp"))
   }
 
   /** The one-number re-train verdict over [[listBalanceReport]]: true
@@ -422,20 +426,48 @@ object AnnIndex {
     * the anti-join a harmless no-op that the next compaction clears.
     * Run off the serving path. */
   def compactIvfPqCodes(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit =
+    compactIvfPqCodes(spark, path, () => ())
+
+  /** Test seam (round 17): `midCompaction` runs after the base-codes
+    * rewrite, before the tombstone clear — the window a concurrent
+    * [[deleteVectors]] lands in. Production callers use the public
+    * overload (no-op hook). */
+  private[graft] def compactIvfPqCodes(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, midCompaction: () => Unit): Unit = {
     DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
+    // snapshot the tombstone FILE list first (round 17): the set lives
+    // at the INDEX root — outside both swapped code relations — so the
+    // final clear below, not the swap, is where a concurrent
+    // deleteVectors used to be silently destroyed. Files in this
+    // snapshot are guaranteed visible to both rewrites' tombstone reads
+    // (which happen after it); only they are cleared — a takedown
+    // landing mid-compaction stays PENDING for queries and the next
+    // compaction.
+    val ts = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    val fs = ts.getFileSystem(spark.sessionState.newHadoopConf())
+    val tsSnapshot: Set[String] =
+      if (!fs.exists(ts)) Set.empty
+      else fs.listStatus(ts).filter(_.isFile).map(_.getPath.getName).toSet
     DedupIndex.atomicRewrite(spark, s"$path/codes", Seq("cid"))(df =>
       DedupIndex.dropTombstoned(spark, df, path, "nid").distinct())
+    midCompaction()
     val sPath = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
-    val fs = sPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(sPath))
       DedupIndex.atomicRewrite(spark, sPath.toString,
         Seq("ingest_batch", "cid"))(df =>
         DedupIndex.dropTombstoned(spark, df, path, "nid").distinct())
-    // deletions now physical everywhere → clear the set (idempotent:
-    // a crash before this line leaves a no-op anti-join behind)
-    val ts = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
-    if (fs.exists(ts)) fs.delete(ts, true)
+    // snapshotted deletions are now physical everywhere → clear exactly
+    // them (idempotent: a crash before this line leaves a no-op
+    // anti-join behind; newer files survive as pending)
+    if (fs.exists(ts)) {
+      tsSnapshot.foreach { n =>
+        val f = new org.apache.hadoop.fs.Path(ts, n)
+        if (fs.exists(f)) fs.delete(f, false)
+      }
+      if (fs.listStatus(ts).isEmpty) fs.delete(ts, true)
+    }
   }
 
   /** Serve a query batch against the persisted index: top-k per query,

@@ -210,7 +210,7 @@ object DedupIndex {
   /** Drop `df` rows whose `idName` is tombstoned at `path` — the
     * query-time form of deletion: a broadcast anti-join against the
     * (deletions-sized) tombstone set, applied to every index scan. */
-  private[operators] def dropTombstoned(
+  private[graft] def dropTombstoned(
       spark: SparkSession, df: DataFrame, path: String,
       idName: String): DataFrame =
     tombstones(spark, path).fold(df)(ts =>
@@ -867,7 +867,16 @@ object DedupIndex {
     *     then travel WITH the renames — at every instant live or old
     *     holds a copy; a build that already produced its own, e.g. a
     *     fresh `_graft_meta` from writeIvfPqIndex, is left alone);
-    *  5. two FS-metadata renames swap the roots; old is deleted LAST.
+    *  5. two FS-metadata renames swap the roots; old is deleted LAST;
+    *  6. (round 17) tombstone files that landed AFTER the entry
+    *     snapshot — a concurrent `deleteDocs`/`deleteVectors` racing
+    *     the swap — are MOVED from `old/_tombstones` into the new live
+    *     root before `old` is deleted, so they stay PENDING (queries
+    *     anti-join them; the next compaction applies them). Without
+    *     this the takedown traveled into `old` and was destroyed with
+    *     it — never applied, never pending, no error. Re-rescuing a
+    *     file the build's own read DID apply is harmless: the
+    *     anti-join of already-absent rows is a no-op.
     *
     * Unavailability is the two-rename metadata window; a crash at any
     * point leaves a complete copy recoverable by the next call. */
@@ -884,13 +893,49 @@ object DedupIndex {
         s"atomicSwap($tag): could not restore $old to $live")
     }
     if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a failed build
+    val tsName = "_tombstones"
+    def tsFiles(root: Path): Set[String] = {
+      val d = new Path(root, tsName)
+      if (!fs.exists(d)) Set.empty[String]
+      else fs.listStatus(d).filter(_.isFile).map(_.getPath.getName).toSet
+    }
+    // move tombstone DATA files from `from/_tombstones` into
+    // `into/_tombstones` unless `into` already holds them by name
+    def rescueTombstones(from: Path, into: Path, names: Set[String]): Unit =
+      if (names.nonEmpty) {
+        val src = new Path(from, tsName); val dst = new Path(into, tsName)
+        fs.mkdirs(dst)
+        val have = tsFiles(into)
+        (names -- have).foreach { n =>
+          require(fs.rename(new Path(src, n), new Path(dst, n)),
+            s"atomicSwap($tag): could not rescue tombstone $n from $src")
+        }
+      }
     if (fs.exists(old)) {
       sidecars.foreach { sc =>
         val o = new Path(old, sc); val l = new Path(live, sc)
-        if (fs.exists(o) && !fs.exists(l)) fs.rename(o, l)
+        // a failed salvage rename must abort BEFORE the delete below —
+        // on an object-store FS a silent false return here would let
+        // fs.delete(old) destroy the only copy of the sidecar, which is
+        // exactly the loss this path exists to prevent (round 17,
+        // ADVICE): every other rename in the protocol is require()d too
+        if (fs.exists(o) && !fs.exists(l))
+          require(fs.rename(o, l),
+            s"atomicSwap($tag): could not salvage sidecar $o to $l — " +
+              s"aborting before deleting $old (the only copy)")
       }
+      // a crash between rename(tmp, live) and the step-6 rescue below
+      // leaves un-rescued takedowns in old/_tombstones — rescue them
+      // ALL conservatively before the delete (an already-applied file
+      // resurfaces as a pending no-op; an unapplied one is saved)
+      rescueTombstones(old, live, tsFiles(old))
       fs.delete(old, true)
     }
+    // step-6 snapshot: tombstone files present HERE are guaranteed
+    // visible to the build's own tombstone read (listings happen inside
+    // build, after this point) — only files beyond this set can be a
+    // concurrent takedown the rewrite missed
+    val tsSnapshot = tsFiles(live)
     build(tmp.toString)
     sidecars.foreach { sc =>
       val l = new Path(live, sc); val t = new Path(tmp, sc)
@@ -905,6 +950,12 @@ object DedupIndex {
       throw new java.io.IOException(
         s"atomicSwap($tag): could not rename $tmp to $live; previous data restored")
     }
+    // step 6: tombstone files beyond the entry snapshot rode into `old`
+    // with the first rename — a concurrent takedown during the build.
+    // Move them into the new live root as PENDING deletions before old
+    // goes away. (A deleteDocs in the two-rename window itself fails
+    // loudly instead — its target-exists require sees no live root.)
+    rescueTombstones(old, live, tsFiles(old) -- tsSnapshot)
     fs.delete(old, true)
   }
 }

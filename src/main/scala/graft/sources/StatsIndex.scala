@@ -102,18 +102,35 @@ object StatsIndex {
       if (f.isFile && f.getPath.getName.endsWith(".parquet"))
         current += ((f.getPath.toUri.getPath, f.getPath.toString))
     }
-    val knownByNorm = spark.read.parquet(statsPath).select("file")
-      .collect().map(r => r.getString(0)).map(p => normRow(p) -> p).toMap
+    // group stored strings by NORMALIZED identity (round 17, ADVICE: a
+    // pre-fix table can hold one file under several encodings — toMap
+    // kept one arbitrary encoding per identity, so a stale file dropped
+    // only one of its rows per refresh and live-file duplicates were
+    // never repaired). distinct first: exact-duplicate strings must not
+    // masquerade as two encodings (the isin drop could not separate
+    // them and would remove both rows).
+    val knownGrouped: Map[String, Seq[String]] =
+      spark.read.parquet(statsPath).select("file")
+        .collect().map(_.getString(0)).toSeq.distinct.groupBy(normRow)
     val currentByNorm = current.toMap
     val newFiles = currentByNorm.collect {
-      case (n, p) if !knownByNorm.contains(n) => p }.toSeq.sorted
-    // stale rows are dropped by their ORIGINAL stored strings — exact
-    // equality, no re-normalization inside the SQL filter
-    val staleOrig = knownByNorm.collect {
-      case (n, orig) if !currentByNorm.contains(n) => orig }.toSeq
-    if (staleOrig.nonEmpty)
+      case (n, p) if !knownGrouped.contains(n) => p }.toSeq.sorted
+    // drops happen by ORIGINAL stored strings — exact equality, no
+    // re-normalization inside the SQL filter. Stale identity → ALL its
+    // encodings go; live identity with >1 encoding → its stats rows are
+    // duplicated (same file indexed twice pre-fix) → keep one
+    // deterministic survivor (smallest string), heal the rest.
+    val staleOrig = knownGrouped.collect {
+      case (n, origs) if !currentByNorm.contains(n) => origs
+    }.flatten.toSeq
+    val dupLiveOrig = knownGrouped.collect {
+      case (n, origs) if currentByNorm.contains(n) && origs.size > 1 =>
+        origs.sorted.tail
+    }.flatten.toSeq
+    val dropOrig = staleOrig ++ dupLiveOrig
+    if (dropOrig.nonEmpty)
       graft.operators.DedupIndex.atomicRewrite(spark, statsPath) { df =>
-        df.filter(!col("file").isin(staleOrig: _*))
+        df.filter(!col("file").isin(dropOrig: _*))
       }
     if (newFiles.nonEmpty)
       spark.read.option("basePath", root).parquet(newFiles: _*)

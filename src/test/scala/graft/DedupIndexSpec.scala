@@ -340,6 +340,124 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("tombstones"))
   }
 
+  test("takedown-vs-compaction race (round 17): a deleteDocs landing " +
+      "AFTER the rewrite's tombstone read but BEFORE the swap stays " +
+      "PENDING instead of being destroyed with the old root — exact, " +
+      "minhash, and doc-store kinds; the next compaction applies it") {
+    val s = spark; import s.implicits._
+    val fsOf = (p: String) => new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def tsDataFiles(p: String): Int = {
+      val d = new org.apache.hadoop.fs.Path(s"$p/_tombstones")
+      val fs = fsOf(p)
+      if (!fs.exists(d)) 0
+      else fs.listStatus(d).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    }
+    // -- exact: tombstone 1 applied by the rewrite; tombstone 2 lands
+    // inside the race window (after the compacted relation is written —
+    // i.e. after the rewrite's tombstone listing — before the renames)
+    val corpus = Seq((1L, "alpha text one"), (2L, "beta text two"),
+      (3L, "gamma text three")).toDF("doc_id", "text")
+    val ex = tmp("race_exact")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", ex)
+    DedupIndex.deleteDocs(Seq(1L).toDF("doc_id"), ex)
+    DedupIndex.atomicSwap(s, ex, "compact", Seq("_graft_meta")) { tmpDir =>
+      DedupIndex.dropTombstoned(s, s.read.parquet(ex), ex, "keep_id")
+        .groupBy(col("text_key"))
+        .agg(min(col("keep_id")).as("keep_id"),
+          sum(col("n_copies")).as("n_copies"))
+        .write.mode("overwrite").parquet(tmpDir)
+      // the concurrent takedown: doc 2 — a write the swap used to delete
+      DedupIndex.deleteDocs(Seq(2L).toDF("doc_id"), ex)
+    }
+    // doc 1 applied physically; doc 2 pending (file survived the swap)
+    assert(!s.read.parquet(ex).collect().map(_.getLong(1)).contains(1L))
+    assert(s.read.parquet(ex).collect().map(_.getLong(1)).contains(2L))
+    assert(tsDataFiles(ex) == 1)
+    def admitEx(batch: org.apache.spark.sql.DataFrame) =
+      DedupIndex.admitAgainstIndex(batch, "text", "doc_id", ex)
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(admitEx(Seq((21L, "beta TEXT two")).toDF("doc_id", "text")) ==
+      Set((21L, "admitted")))
+    // the NEXT compaction applies the pending takedown and clears the set
+    DedupIndex.compactIndex(s, ex, kind = "exact")
+    assert(tsDataFiles(ex) == 0)
+    assert(!s.read.parquet(ex).collect().map(_.getLong(1)).contains(2L))
+    assert(admitEx(Seq((22L, "BETA text two")).toDF("doc_id", "text")) ==
+      Set((22L, "admitted")))
+    // -- minhash + doc store: same interleave through the shared protocol
+    val corpusRows = (1L to 10L).map(i => (i, synthDoc(i.toInt, 30)))
+    val mcorpus = corpusRows.toDF("doc_id", "text")
+    val mh = tmp("race_mh"); val store = tmp("race_store")
+    DedupIndex.writeMinHashIndex(mcorpus, "text", "doc_id", mh)
+    mcorpus.write.parquet(store)
+    DedupIndex.atomicSwap(s, mh, "compact", Seq("_graft_meta")) { tmpDir =>
+      DedupIndex.dropTombstoned(s, s.read.parquet(mh), mh, "id")
+        .distinct().write.mode("overwrite").parquet(tmpDir)
+      DedupIndex.deleteDocs(Seq(3L).toDF("doc_id"), mh)
+    }
+    DedupIndex.atomicSwap(s, store, "compact", Seq("_graft_meta")) { tmpDir =>
+      DedupIndex.dropTombstoned(s, s.read.parquet(store), store, "doc_id")
+        .dropDuplicates("doc_id").write.mode("overwrite").parquet(tmpDir)
+      DedupIndex.deleteDocs(Seq(3L).toDF("doc_id"), store)
+    }
+    assert(tsDataFiles(mh) == 1 && tsDataFiles(store) == 1)
+    val nd = Seq((101L, editDoc(corpusRows(2)._2, 0, "EDIT")))
+      .toDF("doc_id", "text")
+    val adm = DedupIndex.admitNearDupAgainstIndex(nd, "text", "doc_id",
+        mh, store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(adm == Set((101L, "admitted"))) // 3 excluded though mid-swap
+    DedupIndex.compactIndex(s, mh, kind = "minhash")
+    DedupIndex.compactDocStore(s, store)
+    assert(tsDataFiles(mh) == 0 && tsDataFiles(store) == 0)
+    assert(s.read.parquet(store).count() == 9L)
+  }
+
+  test("takedown-vs-compaction race, ANN codes (round 17): a " +
+      "deleteVectors landing mid-compaction (after the base rewrite's " +
+      "read, before the tombstone clear) stays pending and the served " +
+      "top-k excludes it") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    val path = tmp("race_ann")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, path,
+      twoLevel = true)
+    AnnIndex.deleteVectors(Seq(4L).toDF("vec_id"), path) // pre-compaction
+    AnnIndex.compactIvfPqCodes(s, path, () =>
+      // the racing takedown: vector 3 — a certain top-4 neighbor of
+      // query 2 on the ring, so the serving exclusion below has teeth
+      AnnIndex.deleteVectors(Seq(3L).toDF("vec_id"), path))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    // 4 applied physically and cleared; 13 pending
+    val ts = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
+    assert(fs.exists(ts))
+    val pending = s.read.parquet(ts.toString).collect().map(_.getLong(0)).toSet
+    assert(pending == Set(3L))
+    val codeNids = s.read.parquet(s"$path/codes")
+      .select("nid").distinct().collect().map(_.getLong(0)).toSet
+    assert(!codeNids.contains(4L) && codeNids.contains(3L))
+    val served = AnnIndex.queryIvfPqIndex(queries, path, m = 2, dim = 4,
+        k = 4, nProbe = 2, twoLevel = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(!served.contains(4L) && !served.contains(3L))
+    // the next compaction applies 3 physically and clears the set
+    AnnIndex.compactIvfPqCodes(s, path)
+    assert(!fs.exists(ts))
+    assert(!s.read.parquet(s"$path/codes").select("nid").distinct()
+      .collect().map(_.getLong(0)).toSet.contains(3L))
+  }
+
   // ---- near-dup admission -----------------------------------------------
 
   private def editDoc(base: String, at: Int, tok: String): String = {
