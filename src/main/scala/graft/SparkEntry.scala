@@ -283,6 +283,64 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir ONE-CALL-TAKEDOWN pipeline fixture (round 17, q193):
+    * ALL FIVE index kinds plus their three stores built over the
+    * standard corpus splits, then ONE [[operators.Takedown]] call
+    * removes every id ≡ 1 (mod 20) — document AND vector — across the
+    * whole pipeline: the row-wise kinds (exact, minhash, doc store,
+    * ANN codes, vector store, reference store) are tombstoned, the
+    * aggregate kinds (anchor grams, sharded bloom masks) are rebuilt
+    * from their stores with the deletions applied. The timed body runs
+    * one probe per surface; the oracle re-derives every status from
+    * the SURVIVING corpus, so the hash matches iff no path anywhere
+    * still serves (or wrongly drops) the deleted content. Cached per
+    * (sf dir, JVM) — the takedown is deterministic, so repeat
+    * invocations probe the same post-takedown state. */
+  private val takedownCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def takedownPipeline(s: SparkSession, dir: String): String =
+    takedownCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_takedown_${java.util.UUID.randomUUID()}")
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      operators.DedupIndex.writeExactIndex(corpus, "text", "doc_id",
+        s"$root/exact")
+      operators.DedupIndex.writeMinHashIndex(corpus, "text", "doc_id",
+        s"$root/minhash", k = 64, bands = 16, shingleN = 3)
+      operators.DedupIndex.writeAnchorIndex(corpus, "text", "doc_id",
+        s"$root/anchor", k = 3, w = 4)
+      corpus.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/docstore")
+      val ref = docs.filter(col("source") === "src0")
+      ref.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/refstore")
+      operators.DedupIndex.writeBloomIndexSharded(ref, "text", "doc_id",
+        s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(emb, cents, cb, m = 8, dim = 64,
+        s"$root/ann", twoLevel = true)
+      emb.write.mode("overwrite").parquet(s"$root/vecstore")
+      val ids = docs.filter(pmod(col("doc_id"), lit(20)) === 1)
+        .select(col("doc_id").as("id"))
+        .unionByName(emb.filter(pmod(col("vec_id"), lit(20)) === 1)
+          .select(col("vec_id").as("id")))
+        .distinct()
+      operators.Takedown(ids, operators.PipelineRoots(
+        exactIndex = Some(s"$root/exact"),
+        minhashIndex = Some(s"$root/minhash"),
+        docStore = Some(s"$root/docstore"),
+        anchorIndex = Some(s"$root/anchor"),
+        bloomIndex = Some(s"$root/bloomsh"),
+        refStore = Some(s"$root/refstore"),
+        annIndex = Some(s"$root/ann"),
+        vecStore = Some(s"$root/vecstore")))
+      root
+    })
+
   /** TPC-H-derived RDF quads in one named graph: customer --p1--> nation
     * --p2--> region. With distinct predicates this is the BGP corpus; with
     * one shared predicate it exercises the `p*` closure path. */
@@ -1874,6 +1932,65 @@ object SparkEntry {
           "doc_id", s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
         .orderBy("doc_id")
     }),
+    "q193_takedown_pipeline" -> ((s, dir) => {
+      // ONE-CALL MULTI-INDEX TAKEDOWN (round 17): the fixture runs a
+      // single Takedown(ids ≡ 1 mod 20) across a pipeline holding ALL
+      // FIVE index kinds + three stores — row-wise kinds tombstoned,
+      // anchor + sharded-bloom REBUILT from their stores with the
+      // deletions applied. The timed body probes every surface once
+      // (exact admission, verified near-dup admission, anchored spans,
+      // sharded-bloom contamination, ANN top-k serve), results
+      // normalized to (surface, id, a, b, s); the oracle re-derives
+      // each surface's truth over the SURVIVING corpus, so the hash
+      // matches iff the one call scrubbed every path — nothing serves
+      // deleted content, nothing over-deletes survivors.
+      val root = takedownPipeline(s, dir)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val plain = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_nt"))
+      val exBatch = plain.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("_nt").isNotNull,
+            col("_nt")).otherwise(col("text")).as("text"))
+      val sib = docs.select((col("doc_id") + 10).as("doc_id"),
+        col("text").as("_bt"))
+      val ndBatch = plain.join(sib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(20)) === 15 && col("_bt").isNotNull,
+            col("_bt")).otherwise(col("text")).as("text"))
+      val ex = operators.DedupIndex.admitAgainstIndex(exBatch, "text",
+          "doc_id", s"$root/exact")
+        .select(lit("exact").as("surface"), col("doc_id").as("id"),
+          col("keep_id").cast("long").as("a"), lit(0L).as("b"),
+          col("status").as("s"))
+      val nd = operators.DedupIndex.admitNearDupAgainstIndex(ndBatch,
+          "text", "doc_id", s"$root/minhash", s"$root/docstore",
+          k = 64, bands = 16, shingleN = 3, thetaBp = 5000L)
+        .select(lit("neardup").as("surface"), col("doc_id").as("id"),
+          col("keep_id").cast("long").as("a"), lit(0L).as("b"),
+          col("status").as("s"))
+      val sp = operators.DedupIndex.duplicateSpansAgainstIndex(plain,
+          "text", "doc_id", s"$root/anchor", k = 3, w = 4)
+        .select(lit("spans").as("surface"), col("doc_id").as("id"),
+          col("span_start").cast("long").as("a"),
+          col("span_end").cast("long").as("b"), lit("").as("s"))
+      val bl = operators.DedupIndex.bloomContaminationAgainstShardedIndex(
+          plain, "text", "doc_id", s"$root/bloomsh", n = 3, shards = 4,
+          mBits = 2048)
+        .select(lit("bloom").as("surface"), col("doc_id").as("id"),
+          col("n_maybe_dirty").cast("long").as("a"),
+          col("contamination_bp").cast("long").as("b"), lit("").as("s"))
+      val an = operators.AnnIndex.queryIvfPqIndex(
+          emb.filter(col("vec_id") < 8), s"$root/ann", m = 8, dim = 64,
+          k = 5, nProbe = 2, twoLevel = true)
+        .select(lit("ann").as("surface"), col("qid").as("id"),
+          col("nid").cast("long").as("a"), col("rank").cast("long").as("b"),
+          lit("").as("s"))
+      ex.unionByName(nd).unionByName(sp).unionByName(bl).unionByName(an)
+        .orderBy("surface", "id", "a", "b")
+    }),
     "q106_canonical_keep" -> ((s, dir) => {
       // the keep rule after dedup clustering: one surviving doc per
       // component (best quality = longest, ties → smallest id) via a
@@ -3073,22 +3190,24 @@ object SparkEntry {
       |ORDER BY b.doc_id""".stripMargin
 
   /** q189's oracle — also q192's VERBATIM (the OR-append path must
-    * probe identically to the one-shot union build): the sharded masks
+    * probe identically to the one-shot union build), and q193's with
+    * the reference restricted to takedown survivors: the sharded masks
     * re-derived exactly — shard = the independent 5th md5 slice mod 4,
     * positions = the four bit slices mod 2048; a probe gram hits iff
     * all four positions are set in ITS OWN shard's mask, so the
     * frequent FPs (by the over-full fixture sizing) match iff the
     * engine's shard routing equals this construction. */
-  private val bloomShardedProbeOracle: String =
-    """WITH tk AS (
-      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  private def bloomShardedProbeOracle(
+      refPred: String = "source = 'src0'"): String =
+    s"""WITH tk AS (
+      |  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
       |  FROM documents),
       |g AS (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 2)) AS p FROM tk),
       |sh AS (SELECT DISTINCT doc_id, source, array_to_string(toks[p:p+2], ' ') AS gram FROM g),
       |refpos AS (
       |  SELECT DISTINCT ('0x' || substr(md5(gram), 21, 5))::BIGINT % 4 AS shard,
       |    ('0x' || substr(md5(gram), 1 + 5*i, 5))::BIGINT % 2048 AS pos
-      |  FROM (SELECT DISTINCT gram FROM sh WHERE source = 'src0') refg,
+      |  FROM (SELECT DISTINCT gram FROM sh WHERE $refPred) refg,
       |       unnest([0, 1, 2, 3]) AS t(i)),
       |probe AS (
       |  SELECT doc_id, gram,
@@ -3437,10 +3556,75 @@ object SparkEntry {
     * batch CTE body (the two queries plant differently). The engine
     * side only ever sees LSH candidates, so the hash matches iff LSH
     * recall is total at θ AND verification and the rule agree. */
+  /** q187's oracle — the q174 admission grammar with the % 20 == 1
+    * keepers DELETED: the surviving keeper set is ckg minus those rows,
+    * so batch re-fetches of deleted content admit (or fall back to the
+    * batch rule) while everything else is unchanged. Also q193's exact
+    * branch VERBATIM (the one-call takedown must leave the exact index
+    * in exactly this state). */
+  private val tombstoneAdmitOracle: String =
+    """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |ckg0 AS (
+        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+        |    min(doc_id) AS keep_id
+        |  FROM corpus GROUP BY 1),
+        |ckg AS (SELECT * FROM ckg0 WHERE keep_id % 20 <> 1),
+        |batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
+        |      THEN n.text ELSE d.text END AS text
+        |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+        |  WHERE d.doc_id % 5 = 0),
+        |bk AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
+        |  FROM batch),
+        |bmin AS (SELECT text_key, min(doc_id) AS batch_keep FROM bk GROUP BY 1)
+        |SELECT k.doc_id,
+        |  CASE WHEN g.keep_id IS NOT NULL THEN 'dup_corpus'
+        |       WHEN k.doc_id <> m.batch_keep THEN 'dup_batch'
+        |       ELSE 'admitted' END AS status,
+        |  CAST(coalesce(g.keep_id, m.batch_keep) AS BIGINT) AS keep_id
+        |FROM bk k
+        |LEFT JOIN ckg g USING (text_key)
+        |JOIN bmin m USING (text_key)
+        |ORDER BY k.doc_id""".stripMargin
+
+  /** q171's oracle, generated — the index path re-derived from first
+    * principles: corpus-side winnowed anchor grams (`corpusPred`,
+    * default the q171 corpus split) are the "index"; a batch anchor
+    * hits iff its gram text appears there; islands merge with the same
+    * gap-w grammar as q166. q193 passes the takedown-survivor
+    * predicate. */
+  private def anchorIndexBatchOracle(
+      corpusPred: String = "doc_id % 5 <> 0"): String =
+    s"""WITH $anchorDerivationCte,
+      |corpusg AS (SELECT DISTINCT gt FROM anch WHERE $corpusPred),
+      |bhits AS (
+      |  SELECT a.doc_id, a.i, a.cs, a.gce FROM anch a
+      |  WHERE a.doc_id % 5 = 0 AND a.gt IN (SELECT gt FROM corpusg)),
+      |flagged AS (
+      |  SELECT doc_id, i, cs, gce,
+      |    CASE WHEN i > coalesce(max(i + 2) OVER (
+      |        PARTITION BY doc_id ORDER BY i
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 4
+      |      THEN 1 ELSE 0 END AS new_island
+      |  FROM bhits),
+      |islands AS (
+      |  SELECT doc_id, cs, gce,
+      |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
+      |  FROM flagged)
+      |SELECT doc_id, CAST(min(cs) AS BIGINT) AS span_start,
+      |  CAST(max(gce) AS BIGINT) AS span_end
+      |FROM islands GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   private def nearDupAdmitOracle(plantedBatch: String,
-      thetaBp: Long = 5000L): String =
+      thetaBp: Long = 5000L,
+      corpusPred: String = "doc_id % 5 <> 0"): String =
     s"""WITH corpus AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |  SELECT doc_id, text FROM documents WHERE $corpusPred),
        |batch AS ($plantedBatch),
        |alltxt AS (SELECT doc_id, text FROM corpus
        |  UNION ALL SELECT doc_id, text FROM batch),
@@ -4945,38 +5129,7 @@ object SparkEntry {
     // anti-join excludes it (the scored candidate pairs)
     "q188_ann_tombstone_serve" ->
       ivfPqAdcOracle(extraNidPred = " AND codes.nid % 7 <> 3"),
-    "q187_tombstone_admit" ->
-      // the q174 admission grammar with the % 20 == 1 keepers DELETED:
-      // the surviving keeper set is ckg minus those rows, so batch
-      // re-fetches of deleted content admit (or fall back to the batch
-      // rule) while everything else is unchanged
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-        |ckg0 AS (
-        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
-        |    min(doc_id) AS keep_id
-        |  FROM corpus GROUP BY 1),
-        |ckg AS (SELECT * FROM ckg0 WHERE keep_id % 20 <> 1),
-        |batch AS (
-        |  SELECT d.doc_id,
-        |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
-        |      THEN n.text ELSE d.text END AS text
-        |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
-        |  WHERE d.doc_id % 5 = 0),
-        |bk AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
-        |  FROM batch),
-        |bmin AS (SELECT text_key, min(doc_id) AS batch_keep FROM bk GROUP BY 1)
-        |SELECT k.doc_id,
-        |  CASE WHEN g.keep_id IS NOT NULL THEN 'dup_corpus'
-        |       WHEN k.doc_id <> m.batch_keep THEN 'dup_batch'
-        |       ELSE 'admitted' END AS status,
-        |  CAST(coalesce(g.keep_id, m.batch_keep) AS BIGINT) AS keep_id
-        |FROM bk k
-        |LEFT JOIN ckg g USING (text_key)
-        |JOIN bmin m USING (text_key)
-        |ORDER BY k.doc_id""".stripMargin,
+    "q187_tombstone_admit" -> tombstoneAdmitOracle,
     "q185_embed_admit" -> embedAdmitOracle(),
     // q186: q185's oracle VERBATIM — the one-AvailableNow-batch
     // streaming ingest must reproduce the batch admission exactly
@@ -5005,11 +5158,43 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_grams, CAST(sum(h) AS BIGINT) AS n_maybe_dirty,
         |  CAST(sum(h) AS BIGINT) * 10000 // count(*) AS contamination_bp
         |FROM hit GROUP BY 1 ORDER BY doc_id""".stripMargin,
-    "q189_bloom_sharded_probe" -> bloomShardedProbeOracle,
+    "q189_bloom_sharded_probe" -> bloomShardedProbeOracle(),
+    "q193_takedown_pipeline" ->
+      // five surfaces, one relation: each branch is the corresponding
+      // single-surface oracle (q187 / q180 / q171 / q189 / q176's
+      // grammars) with its corpus/reference/nid predicate restricted to
+      // the takedown survivors (ids ≡ 1 mod 20 deleted) — the one-call
+      // takedown must leave every surface in exactly the state its
+      // dedicated takedown query family verifies
+      s"""SELECT * FROM (
+        |SELECT 'exact' AS surface, doc_id AS id, keep_id AS a,
+        |  CAST(0 AS BIGINT) AS b, status AS s
+        |FROM ( $tombstoneAdmitOracle )
+        |UNION ALL
+        |SELECT 'neardup', doc_id, keep_id, CAST(0 AS BIGINT), status
+        |FROM ( ${nearDupAdmitOracle(
+              """SELECT d.doc_id,
+                |    CASE WHEN d.doc_id % 20 = 15 AND b.text IS NOT NULL THEN b.text
+                |         ELSE d.text END AS text
+                |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 10
+                |  WHERE d.doc_id % 5 = 0""".stripMargin,
+              corpusPred = "doc_id % 5 <> 0 AND doc_id % 20 <> 1")} )
+        |UNION ALL
+        |SELECT 'spans', doc_id, span_start, span_end, ''
+        |FROM ( ${anchorIndexBatchOracle(
+              corpusPred = "doc_id % 5 <> 0 AND doc_id % 20 <> 1")} )
+        |UNION ALL
+        |SELECT 'bloom', doc_id, n_maybe_dirty, contamination_bp, ''
+        |FROM ( ${bloomShardedProbeOracle(
+              refPred = "source = 'src0' AND doc_id % 20 <> 1")} )
+        |UNION ALL
+        |SELECT 'ann', qid, nid, rank, ''
+        |FROM ( ${ivfPqAdcOracle(extraNidPred = " AND codes.nid % 20 <> 1")} )
+        |) ORDER BY surface, id, a, b""".stripMargin,
     // the append-grown masks must probe identically to the one-shot
     // build over the union reference — q189's oracle VERBATIM isolates
     // the OR-append path (any dropped or doubled bit breaks FP parity)
-    "q192_bloom_append_probe" -> bloomShardedProbeOracle,
+    "q192_bloom_append_probe" -> bloomShardedProbeOracle(),
     "q180_neardup_admit" -> nearDupAdmitOracle(
       """SELECT d.doc_id,
         |    CASE WHEN d.doc_id % 20 = 15 AND b.text IS NOT NULL THEN b.text
@@ -5522,31 +5707,7 @@ object SparkEntry {
     // not a semantics change — the capped pipeline answers to the SAME
     // anchored-cut grammar
     "q168_substring_cut_anchored_capped" -> anchoredCutOracle,
-    "q171_anchor_index_batch" ->
-      // the index path re-derived from first principles: corpus-side
-      // winnowed anchor grams (doc_id % 5 <> 0) are the "index"; a
-      // batch anchor hits iff its gram text appears there; islands
-      // merge with the same gap-w grammar as q166
-      s"""WITH $anchorDerivationCte,
-        |corpusg AS (SELECT DISTINCT gt FROM anch WHERE doc_id % 5 <> 0),
-        |bhits AS (
-        |  SELECT a.doc_id, a.i, a.cs, a.gce FROM anch a
-        |  WHERE a.doc_id % 5 = 0 AND a.gt IN (SELECT gt FROM corpusg)),
-        |flagged AS (
-        |  SELECT doc_id, i, cs, gce,
-        |    CASE WHEN i > coalesce(max(i + 2) OVER (
-        |        PARTITION BY doc_id ORDER BY i
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -8) + 4
-        |      THEN 1 ELSE 0 END AS new_island
-        |  FROM bhits),
-        |islands AS (
-        |  SELECT doc_id, cs, gce,
-        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY i) AS island
-        |  FROM flagged)
-        |SELECT doc_id, CAST(min(cs) AS BIGINT) AS span_start,
-        |  CAST(max(gce) AS BIGINT) AS span_end
-        |FROM islands GROUP BY doc_id, island
-        |ORDER BY doc_id, span_start""".stripMargin,
+    "q171_anchor_index_batch" -> anchorIndexBatchOracle(),
     "q172_minhash_index_batch" ->
       // TRUE cross-split pair set (batch × corpus, 3-gram Jaccard ≥
       // 0.5), computed exhaustively — the recall gate over the

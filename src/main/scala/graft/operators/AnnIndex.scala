@@ -253,13 +253,19 @@ object AnnIndex {
     * from a months-old snapshot silently drops every vector admitted
     * since). Tombstones pending on the store AND on the index are both
     * excluded, making this the one-call physical application of every
-    * pending deletion. Centroids/codebook stay caller-supplied — they
+    * pending deletion — and an index-only takedown is first PROPAGATED
+    * into the store's tombstone set (round 17: the rebuild clears the
+    * index's set by applying it, so without the durable store record
+    * the store — which still holds the raw vector until its own
+    * compaction — would resurrect the deleted content on the NEXT
+    * rebuild). Centroids/codebook stay caller-supplied — they
     * are the RE-TRAINED quantizer, the reason the rebuild is happening. */
   def rebuildIvfPqIndexFromStore(
       spark: org.apache.spark.sql.SparkSession, vecStorePath: String,
       centroids: DataFrame, codebook: DataFrame,
       m: Int, dim: Int, path: String, twoLevel: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    DedupIndex.propagateTombstones(spark, path, vecStorePath)
     val corpus = DedupIndex.dropTombstoned(spark,
       DedupIndex.dropTombstoned(spark,
         spark.read.parquet(vecStorePath), vecStorePath, idCol),

@@ -123,16 +123,27 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$path/_graft_meta")
   }
 
+  /** The persisted build metadata at `path`, if any: (kind, params).
+    * Round 17 — the store-fed rebuilds read their geometry from here
+    * instead of trusting the caller to re-supply it. */
+  private[graft] def readMeta(spark: SparkSession,
+      path: String): Option[(String, Map[String, Int])] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) return None
+    val rows = spark.read.parquet(metaPath.toString).collect()
+    Some((rows.headOption.map(_.getString(0)).getOrElse("unknown"),
+      rows.filter(_.getString(1) != "_kind")
+        .map(r => r.getString(1) -> r.getInt(2)).toMap))
+  }
+
   /** Fail-loud parameter check: throws when a persisted meta exists and
     * disagrees with the caller's parameters (kind or any value). */
   private[operators] def checkMeta(spark: SparkSession, path: String,
       kind: String, params: Map[String, Int]): Unit = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
-    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(metaPath)) return
-    val rows = spark.read.parquet(metaPath.toString).collect()
-    val storedKind = rows.headOption.map(_.getString(0)).getOrElse(kind)
-    val stored = rows.map(r => r.getString(1) -> r.getInt(2)).toMap
+    val meta = readMeta(spark, path)
+    if (meta.isEmpty) return
+    val (storedKind, stored) = meta.get
     require(storedKind == kind,
       s"index at $path was built as kind '$storedKind', queried as '$kind'")
     val bad = params.collect {
@@ -827,6 +838,112 @@ object DedupIndex {
       idCol: String = "doc_id"): Unit =
     atomicRewrite(spark, path)(df =>
       dropTombstoned(spark, df, path, idCol).dropDuplicates(idCol))
+
+  /** COPY tombstone data files from `fromRoot`'s set into `toRoot`'s
+    * (append semantics — parquet part files have unique names; files
+    * already present by name are skipped, so the copy is idempotent).
+    * Round 17: the store-fed rebuilds call this INDEX → STORE before
+    * applying deletions, making a takedown recorded on the index root
+    * alone DURABLE — the rebuild clears the index's set after applying
+    * it, and without the propagation the store (which still holds the
+    * doc) would resurrect the deleted content on the NEXT rebuild. */
+  private[operators] def propagateTombstones(spark: SparkSession,
+      fromRoot: String, toRoot: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val from = new Path(s"$fromRoot/_tombstones")
+    val fs = from.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(from)) return
+    val to = new Path(s"$toRoot/_tombstones")
+    val have: Set[String] =
+      if (!fs.exists(to)) { fs.mkdirs(to); Set.empty }
+      else fs.listStatus(to).filter(_.isFile).map(_.getPath.getName).toSet
+    fs.listStatus(from).foreach { f =>
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !have.contains(n))
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new Path(to, n), false, spark.sessionState.newHadoopConf())
+    }
+  }
+
+  /** REBUILD the anchor index from the maintained DOC STORE (round 17 —
+    * closes the aggregate-kind dead-end: the anchor relation is one row
+    * per DISTINCT gram, so a takedown cannot be applied row-wise and
+    * [[duplicateSpansAgainstIndex]]/[[compactIndex]] fail loudly on
+    * tombstones, directing here). The store already IS the current
+    * corpus — the admission pipeline appends every admitted doc to it —
+    * so feeding the rebuild from it removes the stale-corpus misuse a
+    * caller-supplied corpus invites (the [[AnnIndex.rebuildIvfPqIndexFromStore]]
+    * pattern). Surviving corpus = store rows minus the STORE's pending
+    * tombstones minus the INDEX's pending tombstones (a takedown
+    * recorded on either root is honored — the rebuild is the physical
+    * application of both), and an index-only takedown is first
+    * PROPAGATED into the store's tombstone set: the rebuild clears the
+    * index's set by applying it, so without the durable store record
+    * the store — which still holds the doc's bytes until its own
+    * compaction — would resurrect the deleted content on the NEXT
+    * rebuild. Build parameters (k, w) come from the
+    * index's own `_graft_meta` — never re-supplied, so the winnowing
+    * geometry cannot drift. Crash-safe via [[atomicSwap]]: the fresh
+    * index is built complete at a sibling root while the old one keeps
+    * failing loudly, then two renames cut over; the index's tombstone
+    * set clears with the swap (applied), and a takedown racing the
+    * swap is rescued as pending (step 6) — queries then fail loudly
+    * again until the next rebuild, never serving deleted content. */
+  def rebuildAnchorIndexFromStore(spark: SparkSession,
+      docStorePath: String, indexPath: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val (kind, params) = readMeta(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"rebuildAnchorIndexFromStore: no _graft_meta at $indexPath — " +
+          "a legacy meta-less index must be rebuilt explicitly with " +
+          "writeAnchorIndex(corpus, ..., k, w)"))
+    require(kind == "anchor",
+      s"index at $indexPath is kind '$kind', expected 'anchor'")
+    propagateTombstones(spark, indexPath, docStorePath)
+    atomicSwap(spark, indexPath, "rebuild", Seq("_graft_meta")) { tmp =>
+      val corpus = dropTombstoned(spark,
+        dropTombstoned(spark, spark.read.parquet(docStorePath),
+          docStorePath, idCol),
+        indexPath, idCol)
+      writeAnchorIndex(corpus, textCol, idCol, tmp,
+        k = params("k"), w = params("w"))
+    }
+  }
+
+  /** REBUILD a decontamination bloom index from the maintained
+    * REFERENCE STORE (round 17 — the bloom analog of
+    * [[rebuildAnchorIndexFromStore]]: a mask is a bit-set union, so a
+    * per-doc deletion cannot unset bits and every probe/append fails
+    * loudly on tombstones, directing here). `refStorePath` is the
+    * persisted (idCol, textCol) reference relation — benchmark /
+    * eval-suite text, small by nature — maintained alongside the mask;
+    * tombstones pending on the store AND on the index are both
+    * excluded. Handles both the single-mask and sharded kinds, reading
+    * n / shards / mBits from the index's own `_graft_meta`. */
+  def rebuildBloomIndexFromRef(spark: SparkSession,
+      refStorePath: String, indexPath: String,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val (kind, params) = readMeta(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"rebuildBloomIndexFromRef: no _graft_meta at $indexPath — " +
+          "a legacy meta-less index must be rebuilt explicitly with " +
+          "writeBloomIndex(reference, ...)"))
+    require(kind == "bloom" || kind == "bloomsharded",
+      s"index at $indexPath is kind '$kind', expected bloom/bloomsharded")
+    propagateTombstones(spark, indexPath, refStorePath)
+    atomicSwap(spark, indexPath, "rebuild", Seq("_graft_meta")) { tmp =>
+      val ref = dropTombstoned(spark,
+        dropTombstoned(spark, spark.read.parquet(refStorePath),
+          refStorePath, idCol),
+        indexPath, idCol)
+      if (kind == "bloom")
+        writeBloomIndex(ref, textCol, idCol, tmp, n = params("n"))
+      else
+        writeBloomIndexSharded(ref, textCol, idCol, tmp, n = params("n"),
+          shards = params("shards"), mBits = params("mBits"))
+    }
+  }
 
   /** Crash-safe in-place parquet rewrite: read `path`, transform, write
     * the result to `path._compact_tmp` (a normal distributed job — the

@@ -439,7 +439,7 @@ class DedupIndexSpec extends AnyFunSuite {
       AnnIndex.deleteVectors(Seq(3L).toDF("vec_id"), path))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sessionState.newHadoopConf())
-    // 4 applied physically and cleared; 13 pending
+    // 4 applied physically and cleared; 3 pending
     val ts = new org.apache.hadoop.fs.Path(s"$path/_tombstones")
     assert(fs.exists(ts))
     val pending = s.read.parquet(ts.toString).collect().map(_.getLong(0)).toSet
@@ -456,6 +456,199 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(!fs.exists(ts))
     assert(!s.read.parquet(s"$path/codes").select("nid").distinct()
       .collect().map(_.getLong(0)).toSet.contains(3L))
+  }
+
+  test("store-fed rebuilds (round 17): anchor and bloom rebuild-from-" +
+      "store equal a fresh build over the surviving corpus, honoring " +
+      "tombstones on the index AND on the store, clearing the index " +
+      "set; meta-less legacy indexes fail loudly") {
+    val s = spark; import s.implicits._
+    // -- anchor -------------------------------------------------------
+    val corpus = (1L to 6L).map(i => (i, synthDoc(i.toInt, 25)))
+      .toDF("doc_id", "text")
+    val an = tmp("rb_anchor"); val store = tmp("rb_store")
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id", an, k = 3, w = 4)
+    corpus.write.parquet(store)
+    // takedown recorded on the INDEX only: probes fail loudly until...
+    DedupIndex.deleteDocs(Seq(3L).toDF("doc_id"), an)
+    intercept[IllegalArgumentException](
+      DedupIndex.duplicateSpansAgainstIndex(
+        Seq((9L, synthDoc(3, 25))).toDF("doc_id", "text"),
+        "text", "doc_id", an, k = 3, w = 4).collect())
+    // ...the store-fed rebuild applies it (params come from _graft_meta)
+    DedupIndex.rebuildAnchorIndexFromStore(s, store, an)
+    def rows(p: String) = s.read.parquet(p)
+      .select("g", "n_docs", "min_doc_id").collect().map(_.toSeq).toSet
+    val fresh3 = tmp("rb_anchor_f3")
+    DedupIndex.writeAnchorIndex(corpus.filter(col("doc_id") =!= 3L),
+      "text", "doc_id", fresh3, k = 3, w = 4)
+    assert(rows(an) == rows(fresh3))
+    val fs = new org.apache.hadoop.fs.Path(an)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$an/_tombstones")))
+    // a batch repeating doc 3's text finds no spans; doc 2's still hits
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((9L, synthDoc(3, 25))).toDF("doc_id", "text"),
+      "text", "doc_id", an, k = 3, w = 4).count() == 0L)
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((9L, synthDoc(2, 25))).toDF("doc_id", "text"),
+      "text", "doc_id", an, k = 3, w = 4).count() > 0L)
+    // takedown recorded on the STORE only is honored too — AND the
+    // earlier index-only takedown of 3 must stay durable: the first
+    // rebuild propagated it into the store's set before clearing the
+    // index's, so this second rebuild CANNOT resurrect doc 3 (the
+    // resurrection bug this propagation exists to prevent)
+    DedupIndex.deleteDocs(Seq(5L).toDF("doc_id"), store)
+    DedupIndex.rebuildAnchorIndexFromStore(s, store, an)
+    val fresh35 = tmp("rb_anchor_f35")
+    DedupIndex.writeAnchorIndex(
+      corpus.filter(!col("doc_id").isin(3L, 5L)),
+      "text", "doc_id", fresh35, k = 3, w = 4)
+    assert(rows(an) == rows(fresh35))
+    // -- bloom (single-mask + sharded) ---------------------------------
+    val ref = Seq((101L, "alpha beta gamma delta"),
+      (102L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val refStore = tmp("rb_refstore")
+    ref.write.parquet(refStore)
+    def maskBytes(p: String) = s.read.parquet(p).select("mask")
+      .collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    val bl = tmp("rb_bloom")
+    DedupIndex.writeBloomIndex(ref, "text", "doc_id", bl, n = 3)
+    DedupIndex.deleteDocs(Seq(101L).toDF("doc_id"), bl)
+    intercept[IllegalArgumentException](
+      DedupIndex.bloomContaminationAgainstIndex(
+        ref, "text", "doc_id", bl, n = 3).collect())
+    DedupIndex.rebuildBloomIndexFromRef(s, refStore, bl)
+    val blFresh = tmp("rb_bloom_f")
+    DedupIndex.writeBloomIndex(ref.filter(col("doc_id") =!= 101L),
+      "text", "doc_id", blFresh, n = 3)
+    assert(maskBytes(bl) == maskBytes(blFresh))
+    // 101's gram no longer flags; 102's still does
+    val probe = DedupIndex.bloomContaminationAgainstIndex(
+        Seq((9L, "alpha beta gamma"), (10L, "epsilon zeta eta"))
+          .toDF("doc_id", "text"), "text", "doc_id", bl, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(probe(9L) == 0L && probe(10L) == 1L)
+    val bsh = tmp("rb_bloomsh")
+    DedupIndex.writeBloomIndexSharded(ref, "text", "doc_id", bsh,
+      n = 3, shards = 4, mBits = 2048)
+    DedupIndex.deleteDocs(Seq(101L).toDF("doc_id"), bsh)
+    DedupIndex.rebuildBloomIndexFromRef(s, refStore, bsh)
+    def shMasks(p: String) = s.read.parquet(p).select("shard", "mask")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toSet
+    val bshFresh = tmp("rb_bloomsh_f")
+    DedupIndex.writeBloomIndexSharded(ref.filter(col("doc_id") =!= 101L),
+      "text", "doc_id", bshFresh, n = 3, shards = 4, mBits = 2048)
+    assert(shMasks(bsh) == shMasks(bshFresh))
+    // -- legacy (meta-less) indexes fail loudly -------------------------
+    val legacy = tmp("rb_legacy")
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id", legacy,
+      k = 3, w = 4)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/_graft_meta"), true)
+    val e = intercept[IllegalArgumentException](
+      DedupIndex.rebuildAnchorIndexFromStore(s, store, legacy))
+    assert(e.getMessage.contains("_graft_meta"))
+  }
+
+  test("one-call Takedown (round 17): tombstones every row-wise root, " +
+      "rebuilds anchor+bloom from their stores, and NOTHING serves the " +
+      "deleted content in any path; without a store the aggregate kind " +
+      "is loudly queued (probes keep failing until rebuilt)") {
+    val s = spark; import s.implicits._
+    val corpus = (1L to 8L).map(i => (i, synthDoc(i.toInt, 25)))
+      .toDF("doc_id", "text")
+    val ref = Seq((101L, "alpha beta gamma delta"),
+      (102L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val vecs = (0 until 40).map { i =>
+      val a = 2 * math.Pi * i / 40.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val root = tmp("takedown")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", s"$root/exact")
+    DedupIndex.writeMinHashIndex(corpus, "text", "doc_id", s"$root/minhash")
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id", s"$root/anchor",
+      k = 3, w = 4)
+    corpus.write.parquet(s"$root/docstore")
+    ref.write.parquet(s"$root/refstore")
+    DedupIndex.writeBloomIndex(ref, "text", "doc_id", s"$root/bloom", n = 3)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(8)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 10)
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4,
+      s"$root/ann", twoLevel = true)
+    vecs.write.parquet(s"$root/vecstore")
+    val roots = PipelineRoots(
+      exactIndex = Some(s"$root/exact"),
+      minhashIndex = Some(s"$root/minhash"),
+      docStore = Some(s"$root/docstore"),
+      anchorIndex = Some(s"$root/anchor"),
+      bloomIndex = Some(s"$root/bloom"),
+      refStore = Some(s"$root/refstore"),
+      annIndex = Some(s"$root/ann"),
+      vecStore = Some(s"$root/vecstore"))
+    // ONE call takes down doc 3, reference doc 101, and vector 7
+    val report = Takedown(Seq(3L, 101L, 7L).toDF("doc_id"), roots)
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(report(s"$root/anchor") == "rebuilt")
+    assert(report(s"$root/bloom") == "rebuilt")
+    assert(report(s"$root/exact") == "tombstoned")
+    assert(report(s"$root/vecstore") == "tombstoned")
+    // exact: a re-crawl of doc 3's text ADMITS; doc 2's is still a dup
+    val adm = DedupIndex.admitAgainstIndex(
+        Seq((21L, synthDoc(3, 25)), (22L, synthDoc(2, 25)))
+          .toDF("doc_id", "text"), "text", "doc_id", s"$root/exact")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(adm(21L) == "admitted" && adm(22L) == "dup_corpus")
+    // near-dup: an edit of doc 3 admits; an edit of doc 2 still matches
+    val ndBatch = Seq((31L, editDoc(synthDoc(3, 25), 0, "EDIT")),
+      (32L, editDoc(synthDoc(2, 25), 0, "EDIT"))).toDF("doc_id", "text")
+    val nd = DedupIndex.admitNearDupAgainstIndex(ndBatch, "text",
+        "doc_id", s"$root/minhash", s"$root/docstore")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(nd(31L) == "admitted" && nd(32L) == "dup_corpus")
+    // spans: doc 3's runs no longer anchor-hit; doc 2's still do
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((41L, synthDoc(3, 25))).toDF("doc_id", "text"), "text",
+      "doc_id", s"$root/anchor", k = 3, w = 4).count() == 0L)
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((42L, synthDoc(2, 25))).toDF("doc_id", "text"), "text",
+      "doc_id", s"$root/anchor", k = 3, w = 4).count() > 0L)
+    // bloom: 101's grams clean, 102's still flag
+    val bp = DedupIndex.bloomContaminationAgainstIndex(
+        Seq((51L, "alpha beta gamma"), (52L, "epsilon zeta eta"))
+          .toDF("doc_id", "text"), "text", "doc_id", s"$root/bloom", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bp(51L) == 0L && bp(52L) == 1L)
+    // ANN: vector 7 never serves (ring neighbor of query 6)
+    val served = AnnIndex.queryIvfPqIndex(
+        vecs.filter(col("vec_id") === 6L), s"$root/ann", m = 2, dim = 4,
+        k = 4, nProbe = 2, twoLevel = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(!served.contains(7L) && !served.contains(3L))
+    // stores carry pending tombstones for their own compaction
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/vecstore/_tombstones")))
+    assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/docstore/_tombstones")))
+    // aggregate kinds without a store: LOUD queue — report says
+    // rebuild_required, probes fail until an operator rebuilds
+    val r2 = Takedown(Seq(4L).toDF("doc_id"),
+        PipelineRoots(anchorIndex = Some(s"$root/anchor")))
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(r2(s"$root/anchor") == "rebuild_required")
+    intercept[IllegalArgumentException](
+      DedupIndex.duplicateSpansAgainstIndex(
+        Seq((61L, synthDoc(4, 25))).toDF("doc_id", "text"), "text",
+        "doc_id", s"$root/anchor", k = 3, w = 4).collect())
+    // ...and the queued rebuild clears it
+    DedupIndex.rebuildAnchorIndexFromStore(s, s"$root/docstore",
+      s"$root/anchor")
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((61L, synthDoc(4, 25))).toDF("doc_id", "text"), "text",
+      "doc_id", s"$root/anchor", k = 3, w = 4).count() == 0L)
   }
 
   // ---- near-dup admission -----------------------------------------------

@@ -650,6 +650,13 @@ class OperatorsSpec extends AnyFunSuite {
       k = 4, nProbe = 2)) ==
       rows(AnnIndex.queryIvfPqIndex(queries, path2, m = 2, dim = 4,
         k = 4, nProbe = 2)))
+    // resurrection guard (round 17): the index-only takedowns (7, 13)
+    // were PROPAGATED into the store's tombstone set before the rebuild
+    // cleared them from the index — a SECOND store-fed rebuild (no new
+    // tombstones anywhere on the index) must not bring them back
+    AnnIndex.rebuildIvfPqIndexFromStore(s, store, centsMod(10), cb,
+      m = 2, dim = 4, path)
+    assert(codeSet(path) == codeSet(path2))
   }
 
   test("language id picks the language with most stopword hits, alphabetical ties") {
