@@ -207,6 +207,17 @@ object IndexProbe {
         .agg(sum(col("code"))).head())
       println(f"ann-balance$tag%-6s $nCorpus%8d report=$balT%6.2f s " +
         f"($nLists lists)  vs codes data-scan=$scanT%6.2f s")
+      // ---- FOOTER-metadata balance report (round 17): per-list counts
+      // from parquet row-group metadata, no Spark scan machinery.
+      // Claim: inverts the round-16 honest negative — cheap at ANY file
+      // granularity, beating both the scan report and the data scan
+      // even over this probe's many tiny files.
+      var nListsF = 0L
+      val balF = time { nListsF =
+        operators.AnnIndex.listBalanceReportFromFooters(spark, vPath)
+          .count() }
+      println(f"ann-balancefoot$tag%-2s $nCorpus%8d footer-report=$balF%6.2f s " +
+        f"($nListsF lists)  vs scan-report=$balT%6.2f s, data-scan=$scanT%6.2f s")
       // ---- tombstone serving overhead (round 16): 1%% of vectors
       // deleted → serving adds ONE broadcast anti-join against the
       // deletions-sized set. Claim: warm serve unchanged.

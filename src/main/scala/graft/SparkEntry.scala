@@ -1908,6 +1908,24 @@ object SparkEntry {
           col("share_bp"), col("hot_factor_bp"))
         .orderBy("cid")
     }),
+    "q194_ann_balance_footers" -> ((s, dir) => {
+      // FOOTER-METADATA drift monitor (round 17): q191's report
+      // computed from parquet row-group metadata alone — per-list
+      // counts come from each file's footer keyed by its cid=
+      // partition dir, read directly through the FS and distributed
+      // over the cluster; NO Spark scan machinery touches the files.
+      // The round-16 honest negative (the scan report was no cheaper
+      // than a data scan at toy file sizes) is inverted: footers cost
+      // one metadata read per file at ANY file granularity — the
+      // reference's footer-only planning (make-metadata.py:13-18).
+      // Oracle = q191's VERBATIM: the footer path must produce the
+      // byte-identical report.
+      val root = annIndex(s, dir)
+      operators.AnnIndex.listBalanceReportFromFooters(s, root)
+        .select(col("cid").cast("long").as("cid"), col("n_codes"),
+          col("share_bp"), col("hot_factor_bp"))
+        .orderBy("cid")
+    }),
     "q192_bloom_append_probe" -> ((s, dir) => {
       // GROWING decontamination reference (round 16): the sharded mask
       // is built over HALF of src0 (doc_id % 2 == 0), the other half
@@ -3556,6 +3574,24 @@ object SparkEntry {
     * batch CTE body (the two queries plant differently). The engine
     * side only ever sees LSH candidates, so the hash matches iff LSH
     * recall is total at θ AND verification and the rule agree. */
+  /** q191's oracle — also q194's VERBATIM (the footer-metadata report
+    * must be byte-identical to the scan report): per-list occupancy
+    * re-derived from first principles — the full two-level corpus
+    * assignment (every vector to its list through the super routing),
+    * m code rows per vector, integer bp shares. */
+  private lazy val annListBalanceOracle: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      |  FROM embeddings WHERE vec_id % ${autoModSql("embeddings")} = 0),
+      |${twoLevelAssignSql("cents")},
+      |per AS (SELECT cid, count(*) * 8 AS n_codes
+      |  FROM corpus_assign GROUP BY 1),
+      |tot AS (SELECT count(*) AS nl, CAST(sum(n_codes) AS BIGINT) AS nt
+      |  FROM per)
+      |SELECT CAST(cid AS BIGINT) AS cid, CAST(n_codes AS BIGINT) AS n_codes,
+      |  CAST(n_codes * 10000 // nt AS BIGINT) AS share_bp,
+      |  CAST(n_codes * 10000 * nl // nt AS BIGINT) AS hot_factor_bp
+      |FROM per, tot ORDER BY cid""".stripMargin
+
   /** q187's oracle — the q174 admission grammar with the % 20 == 1
     * keepers DELETED: the surviving keeper set is ckg minus those rows,
     * so batch re-fetches of deleted content admit (or fall back to the
@@ -5737,21 +5773,10 @@ object SparkEntry {
     // the backfill shuffle-path run must produce the byte-identical
     // relation — q173's oracle VERBATIM isolates the plan mode
     "q190_backfill_admit" -> exactIndexBatchOracle,
-    "q191_ann_list_balance" ->
-      // per-list occupancy re-derived from first principles: the full
-      // two-level corpus assignment (every vector to its list through
-      // the super routing), m code rows per vector, integer bp shares
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
-        |  FROM embeddings WHERE vec_id % ${autoModSql("embeddings")} = 0),
-        |${twoLevelAssignSql("cents")},
-        |per AS (SELECT cid, count(*) * 8 AS n_codes
-        |  FROM corpus_assign GROUP BY 1),
-        |tot AS (SELECT count(*) AS nl, CAST(sum(n_codes) AS BIGINT) AS nt
-        |  FROM per)
-        |SELECT CAST(cid AS BIGINT) AS cid, CAST(n_codes AS BIGINT) AS n_codes,
-        |  CAST(n_codes * 10000 // nt AS BIGINT) AS share_bp,
-        |  CAST(n_codes * 10000 * nl // nt AS BIGINT) AS hot_factor_bp
-        |FROM per, tot ORDER BY cid""".stripMargin,
+    "q191_ann_list_balance" -> annListBalanceOracle,
+    // q194: the FOOTER-metadata path must produce the byte-identical
+    // report — q191's oracle VERBATIM isolates the metadata-read path
+    "q194_ann_balance_footers" -> annListBalanceOracle,
     "q174_stream_dedup_ingest" ->
       // the streaming ingest's one AvailableNow batch re-derived: corpus
       // index keys (doc_id % 5 <> 0), the planted batch (re-fetch plant

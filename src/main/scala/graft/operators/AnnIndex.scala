@@ -211,8 +211,15 @@ object AnnIndex {
        else Nil)
     val perList = rels.reduce(_ unionByName _)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_codes"))
-    // nLists/total are one tiny cross-joined aggregate row (≤ nlist
-    // input rows), not a driver collect
+    balanceArithmetic(perList)
+  }
+
+  /** The shared share/hot-factor arithmetic over a per-list (cid,
+    * n_codes) relation — factored (round 17) so the scan-based and
+    * footer-based reports are identical by construction. nLists/total
+    * are one tiny cross-joined aggregate row (≤ nlist input rows), not
+    * a driver collect. */
+  private def balanceArithmetic(perList: DataFrame): DataFrame = {
     val totals = perList.agg(count(lit(1)).as("_n_lists"),
       sum(col("n_codes")).as("_n_total"))
     perList.crossJoin(broadcast(totals))
@@ -231,6 +238,83 @@ object AnnIndex {
           "DIV _n_total").as("hot_factor_bp"))
   }
 
+  /** Hadoop Configuration is not Serializable; this minimal wrapper
+    * ships it to the footer-reading tasks (the standard write/readFields
+    * round-trip). */
+  private class SerConf(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** [[listBalanceReport]] computed from PARQUET FOOTERS instead of a
+    * Spark scan (round 17 — the truly metadata-bound monitor): per-list
+    * row counts come from each file's row-group metadata, read directly
+    * through the FS, keyed by the `cid=` partition directory the file
+    * sits in. Byte-identical values to the scan report (the arithmetic
+    * is [[balanceArithmetic]], shared; spec-asserted, and q194's oracle
+    * is q191's verbatim).
+    *
+    * Why it exists: the scan report honestly measured NO cheaper than a
+    * data scan at toy file sizes (round-16 IndexProbe: 11.4 s vs 6.6 s
+    * over 457 tiny files at 100×) — Spark's per-file scan machinery
+    * (splits, readers, codegen) dominates when files are small, even
+    * though zero data pages decode. Footers skip all of it: one
+    * metadata read per file, distributed over the cluster (the file
+    * list partitions round-robin; each task opens only footers), so
+    * the report is cheap at ANY file granularity — exactly the
+    * reference's footer-only planning (make-metadata.py:13-18). The
+    * driver-side LISTING is the same FS-metadata walk
+    * [[DedupIndex.describeIndex]] does; at extreme nlist (10⁶+ physical
+    * partitions) list per cid-dir in parallel tasks instead. */
+  def listBalanceReportFromFooters(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
+    val hconf = spark.sessionState.newHadoopConf()
+    val codes = new Path(s"$path/codes")
+    val fs = codes.getFileSystem(hconf)
+    def dataFiles(base: Path): Seq[(Long, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          // the owning cid= partition directory carries the list id
+          f.getPath.toString.split('/').find(_.startsWith("cid="))
+            .foreach(seg =>
+              buf += ((seg.stripPrefix("cid=").toLong, f.getPath.toString)))
+        }
+      }
+      buf.toSeq
+    }
+    val sPath = new Path(s"$path/codes_stream")
+    val files = dataFiles(codes) ++
+      (if (fs.exists(sPath)) dataFiles(sPath) else Nil)
+    val ser = new SerConf(hconf)
+    import spark.implicits._
+    val slices = math.max(1, math.min(files.size,
+      spark.sparkContext.defaultParallelism))
+    val perFile = spark.sparkContext
+      .parallelize(files, slices)
+      .map { case (cid, p) =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(p), ser.conf))
+        try (cid, rd.getRecordCount) finally rd.close()
+      }
+      .toDF("cid", "n")
+    balanceArithmetic(
+      perFile.groupBy(col("cid")).agg(sum(col("n")).as("n_codes")))
+  }
+
   /** The one-number re-train verdict over [[listBalanceReport]]: true
     * when the hottest list exceeds `hotFactor` × the mean list size —
     * the documented threshold at which the frozen quantizer's drift has
@@ -240,7 +324,10 @@ object AnnIndex {
     * against the serving budget. */
   def shouldRetrain(spark: org.apache.spark.sql.SparkSession,
       path: String, hotFactor: Double = 4.0): Boolean = {
-    val row = listBalanceReport(spark, path)
+    // footer-based (round 17): the verdict is a maintenance-loop poll —
+    // it must stay wall-cheap at any file granularity; the footer
+    // report's values are byte-identical to the scan report's
+    val row = listBalanceReportFromFooters(spark, path)
       .agg(max(col("hot_factor_bp"))).head()
     !row.isNullAt(0) && row.getLong(0) > (hotFactor * 10000L).toLong
   }

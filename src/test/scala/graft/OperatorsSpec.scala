@@ -617,6 +617,14 @@ class OperatorsSpec extends AnyFunSuite {
       assert(shareBp == n * 10000L / total)
       assert(hotBp == n * 10000L * rep0.size / total)
     }
+    // footer-metadata path (round 17): byte-identical report from
+    // parquet row-group counts alone — covers base codes AND the
+    // streamed partitions this fixture planted
+    def footerReport(): Map[String, (Long, Long, Long)] =
+      AnnIndex.listBalanceReportFromFooters(s, path).collect()
+        .map(r => r.get(0).toString ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(footerReport() == rep0)
     assert(!AnnIndex.shouldRetrain(s, path, hotFactor = 4.0))
     // drift: 200 new vectors pile onto one list through the frozen
     // quantizer (the exact failure mode the monitor watches for)
