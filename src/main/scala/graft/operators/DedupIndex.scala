@@ -112,6 +112,33 @@ object DedupIndex {
     if (est <= limit) (df: DataFrame) => broadcast(df) else identity
   }
 
+  /** Pre-materialize a probe batch so its optimizer estimate equals its
+    * TRUE size (round 17 — the [[probeHint]] watch-list fix): writes
+    * the batch to a scratch parquet dir and reads it back, so the
+    * relation's plan stats are its actual file bytes. The foot-gun this
+    * removes: without CBO column stats Catalyst does not reduce
+    * sizeInBytes through selective filters, so a daily batch expressed
+    * as `corpus.filter(date === today)` over an unpartitioned store
+    * carries a corpus-scale estimate into [[probeHint]] and takes the
+    * slower shuffle plan unnecessarily (results identical — the bias
+    * direction is safe, this just reclaims the broadcast plan). A
+    * `localCheckpoint` was measured and rejected: its LogicalRDD
+    * INHERITS the pre-checkpoint estimate (probed: a 1000×-selective
+    * filter kept the full corpus-scale sizeInBytes through
+    * localCheckpoint; the parquet round-trip reported true bytes).
+    * `scratchDir` defaults to a session-temp dir registered for
+    * end-of-JVM cleanup; pass an explicit cluster-visible path on a
+    * real deployment (executors must read it). The write is one extra
+    * batch-sized pass — worth it whenever the batch probes more than
+    * one index, which the admission pipelines all do. */
+  def materializeBatch(df: DataFrame,
+      scratchDir: Option[String] = None): DataFrame = {
+    val dir = scratchDir.getOrElse(graft.TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_batch_${java.util.UUID.randomUUID()}"))
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   private[operators] def writeMeta(spark: SparkSession, path: String,
       kind: String, params: Map[String, Int]): Unit = {
     import spark.implicits._

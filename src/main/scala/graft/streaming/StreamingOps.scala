@@ -356,6 +356,48 @@ object StreamingOps {
     q.awaitTermination()
   }
 
+  /** RETENTION for the ingest streams' status relation (round 17): the
+    * `batch_id=` partitions under `statusPath/status` accrete one per
+    * micro-batch forever — at a year of daily batches the status dir is
+    * pure history, and at streaming cadence it is thousands of tiny
+    * partitions. Drops all but the newest `keepLastN` batch partitions
+    * (by batch id — the checkpoint's ids are monotonic) and returns how
+    * many were dropped.
+    *
+    * Replay safety is untouched, by construction: the cross-batch dedup
+    * STATE lives in the index/doc-store/vector-store relations, never
+    * in old status partitions — status is an audit output. A replayed
+    * micro-batch touches ONLY its own `batch_id=` partition (dynamic
+    * partition overwrite + a filter-read of that same partition), and
+    * the engine can only replay batches at the checkpoint frontier —
+    * always the newest — so any `keepLastN ≥ 1` keeps every partition a
+    * replay can touch. (Spec-asserted: prune → new batches still admit
+    * against everything earlier; checkpoint re-run is a no-op.) Works
+    * for [[dedupIngestStream]] and [[embedIngestStream]] alike — same
+    * layout. */
+  def pruneStatusPartitions(spark: org.apache.spark.sql.SparkSession,
+      statusPath: String, keepLastN: Int): Long = {
+    require(keepLastN >= 1,
+      s"keepLastN must be >= 1 (got $keepLastN) — the newest partition " +
+        "is the replay frontier and must survive")
+    val dir = new org.apache.hadoop.fs.Path(s"$statusPath/status")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return 0L
+    val parts = fs.listStatus(dir)
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id="))
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+            .map(_ -> st.getPath)
+        else None
+      }
+      .sortBy(_._1)
+    val drop = parts.dropRight(keepLastN)
+    drop.foreach { case (_, p) => fs.delete(p, true) }
+    drop.length.toLong
+  }
+
   /** Drive a streaming query to a named in-memory sink and process all
     * currently-available input synchronously (local smoke harness). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append",

@@ -838,6 +838,32 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(st2.length == 6) // 4 old rows + 2 new, no replays
     assert(st2.toMap ++ Map() == st1.toMap ++ Map(
       21L -> (("dup_corpus", 12L)), 22L -> (("admitted", 22L))))
+    // retention (round 17): drop all but the newest status partition.
+    // Replay safety holds because the DEDUP STATE lives in the index,
+    // not in old status partitions — after pruning, a third batch still
+    // dedups against batch 1's admissions, and re-running against the
+    // checkpoint with no new files is a no-op (nothing resurrects).
+    val dropped = graft.streaming.StreamingOps.pruneStatusPartitions(
+      s, outDir, keepLastN = 1)
+    assert(dropped == 1L)
+    // (partition-column inference reads batch_id back as int)
+    val partIds = s.read.parquet(s"$outDir/status")
+      .select("batch_id").distinct().collect().map(_.get(0).toString).toSet
+    assert(partIds.size == 1)
+    assert(statuses().length == 2) // only batch 1's rows remain
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir) // no new files → no-op
+    assert(statuses().length == 2)
+    Seq((31L, "NOVEL gamma"), (32L, "delta UNIQUE"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir)
+    val st3 = statuses().toMap
+    // 31 dups batch 1's admission (12), 32 dups batch 0's (14) — the
+    // pruned partition's ADMISSION survives in the index
+    assert(st3(31L) == (("dup_corpus", 12L)))
+    assert(st3(32L) == (("dup_corpus", 14L)))
   }
 
   test("streaming NEAR-dup ingest (kind=minhash): per-doc statuses follow " +
@@ -1038,6 +1064,52 @@ class DedupIndexSpec extends AnyFunSuite {
       assert(!plan.contains("BroadcastExchange") &&
         !plan.contains("BroadcastHashJoin"),
         s"forced backfill plan still broadcasts:\n$plan")
+    } finally {
+      s.conf.unset(DedupIndex.MaxBroadcastBytesKey)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("materializeBatch (round 17): a corpus-filter-shaped batch " +
+      "inherits the corpus-scale estimate into probeHint and takes the " +
+      "shuffle plan; materializing reclaims the broadcast plan — " +
+      "results byte-identical") {
+    val s = spark; import s.implicits._
+    val corpusDir = tmp("mb_corpus")
+    (1L to 40000L).map(i => (i, synthDoc((i % 97).toInt, 30)))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    val corpus = s.read.parquet(corpusDir)
+    val exact = tmp("mb_exact")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", exact)
+    // the daily batch expressed as a selective filter over the store —
+    // the documented foot-gun: without CBO column stats the filter does
+    // NOT reduce the optimizer estimate
+    val rawBatch = corpus.filter(pmod(col("doc_id"), lit(1000)) === 0)
+    val corpusEst =
+      corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(rawBatch.queryExecution.optimizedPlan.stats.sizeInBytes
+      == corpusEst)
+    val mat = DedupIndex.materializeBatch(rawBatch)
+    assert(mat.queryExecution.optimizedPlan.stats.sizeInBytes
+      < corpusEst / BigInt(10))
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // budget sits between the true batch size and the corpus estimate;
+    // auto-broadcast off so the plan assertion isolates probeHint
+    s.conf.set(DedupIndex.MaxBroadcastBytesKey, (corpusEst / 10).toString)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q(b: org.apache.spark.sql.DataFrame) =
+        DedupIndex.admitAgainstIndex(b, "text", "doc_id", exact)
+      val planRaw = q(rawBatch).queryExecution.executedPlan.toString
+      assert(!planRaw.contains("BroadcastHashJoin"),
+        s"raw filtered batch should take the shuffle plan:\n$planRaw")
+      val planMat = q(mat).queryExecution.executedPlan.toString
+      assert(planMat.contains("BroadcastHashJoin"),
+        s"materialized batch should take the broadcast plan:\n$planMat")
+      def rows(b: org.apache.spark.sql.DataFrame) = q(b).collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+      assert(rows(rawBatch) == rows(mat))
+      assert(rows(mat).nonEmpty)
     } finally {
       s.conf.unset(DedupIndex.MaxBroadcastBytesKey)
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
