@@ -283,6 +283,46 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir HOT-SPLIT ANN index fixture (round 17, q195): a
+    * SINGLE-LEVEL IVF-PQ index over the embeddings gets 300 planted
+    * re-embeddings of vector 0 appended through the frozen quantizer
+    * (ids 10⁹+i — the drift clump piles into vector 0's list and trips
+    * the 4× hot factor at every sf), then ONE
+    * [[operators.AnnIndex.splitHotLists]] call locally re-clusters the
+    * hot list: children seeded at its two smallest member ids, the
+    * parent centroid retires, codes rows move (PQ codes unchanged).
+    * The timed body serves a query batch at nProbe=2 against the
+    * post-split structure; the oracle re-derives EVERYTHING — plant,
+    * assignment, hot detection, seeding, child allocation, local
+    * re-assignment, post-split probe — from first principles. Cached
+    * per (sf dir, JVM): the split is deterministic. */
+  private val annSplitCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annSplitIndex(s: SparkSession, dir: String): String =
+    annSplitCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_annsplit_${java.util.UUID.randomUUID()}")
+      val store = TempDirs.register(s"$root-store")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(emb, cents, cb, m = 8, dim = 64,
+        root, twoLevel = false)
+      val planted = s.range(300)
+        .select((col("id") + 1000000000L).as("vec_id"))
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding"))))
+      operators.AnnIndex.appendToIvfPqIndex(planted, root, m = 8,
+        dim = 64, twoLevel = false)
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(planted.select(col("vec_id"), col("embedding")))
+        .write.mode("overwrite").parquet(store)
+      operators.AnnIndex.splitHotLists(s, store, root, m = 8, dim = 64,
+        hotFactorBp = 40000L, splitInto = 2)
+      root
+    })
+
   /** Per-sf-dir ONE-CALL-TAKEDOWN pipeline fixture (round 17, q193):
     * ALL FIVE index kinds plus their three stores built over the
     * standard corpus splits, then ONE [[operators.Takedown]] call
@@ -1907,6 +1947,23 @@ object SparkEntry {
         .select(col("cid").cast("long").as("cid"), col("n_codes"),
           col("share_bp"), col("hot_factor_bp"))
         .orderBy("cid")
+    }),
+    "q195_ann_hot_split" -> ((s, dir) => {
+      // HOT-LIST SPLIT (round 17): serving against the post-split
+      // structure — the list-proportional rebalance between full
+      // re-train cutovers (see annSplitIndex: a planted drift clump
+      // trips the 4× hot factor; splitHotLists re-clusters ONLY that
+      // list into two seeded children, PQ codes untouched). The oracle
+      // re-derives the whole post-split geometry from first principles,
+      // so the hash matches iff detection, seeding, child-id
+      // allocation, local re-assignment AND the post-split probe all
+      // agree exactly.
+      val root = annSplitIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
+          root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = false)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
     }),
     "q194_ann_balance_footers" -> ((s, dir) => {
       // FOOTER-METADATA drift monitor (round 17): q191's report
@@ -3574,6 +3631,101 @@ object SparkEntry {
     * batch CTE body (the two queries plant differently). The engine
     * side only ever sees LSH candidates, so the hash matches iff LSH
     * recall is total at θ AND verification and the rule agree. */
+  /** q195 oracle, generated: the ENTIRE hot-split pipeline re-derived
+    * — planted drift clump (300 copies of vector 0's embedding at ids
+    * 10^9+i), single-level assignment over base ∪ plant, per-list hot
+    * detection with the integer bp rule, seeds = the splitInto smallest
+    * member ids, child cids allocated densely past max(cid) in
+    * (parent, seed) order, local re-assignment to the nearest child
+    * seed (ties to the smallest child), then the nProbe-probed ADC
+    * serve against the post-split structure. */
+  private def ivfPqSplitServeOracle(dim: Int = 64, m: Int = 8,
+      pqMod: String = autoPqModSql("embeddings"),
+      ivfMod: String = autoModSql("embeddings"),
+      nPlant: Int = 300, hotBp: Long = 40000L, splitInto: Int = 2,
+      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
+    val dsub = dim / m
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT 1000000000 + t.i, e0.embedding
+       |  FROM generate_series(0, ${nPlant - 1}) t(i),
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) e0),
+       |fp AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
+       |  FROM base),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fp
+       |  WHERE vec_id < 1000000000 AND vec_id % $pqMod = 0),
+       |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id % $ivfMod = 0),
+       |a0 AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT b.vec_id AS nid, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        list_cosine_similarity(b.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS r
+       |    FROM base b, cents0 c) WHERE r = 1),
+       |per AS (SELECT cid, count(*) * $m AS n FROM a0 GROUP BY 1),
+       |tot AS (SELECT count(*) AS nl, CAST(sum(n) AS BIGINT) AS nt FROM per),
+       |hot AS (SELECT cid FROM per, tot WHERE n * 10000 * nl // nt > $hotBp),
+       |maxc AS (SELECT max(cid) AS mc FROM cents0),
+       |seeds AS (
+       |  SELECT cid AS parent, nid AS seed_nid FROM (
+       |    SELECT cid, nid, row_number() OVER (PARTITION BY cid ORDER BY nid) AS sr
+       |    FROM a0 WHERE cid IN (SELECT cid FROM hot)) WHERE sr <= $splitInto),
+       |children AS (
+       |  SELECT parent, seed_nid,
+       |    (SELECT mc FROM maxc) + row_number() OVER (ORDER BY parent, seed_nid) AS child_cid
+       |  FROM seeds),
+       |reassign AS (
+       |  SELECT nid, child_cid AS cid FROM (
+       |    SELECT v.nid, ch.child_cid,
+       |      row_number() OVER (PARTITION BY v.nid ORDER BY
+       |        list_cosine_similarity(bv.embedding::DOUBLE[], sv.embedding::DOUBLE[]) DESC, ch.child_cid) AS r
+       |    FROM a0 v
+       |    JOIN base bv ON bv.vec_id = v.nid
+       |    JOIN children ch ON ch.parent = v.cid
+       |    JOIN base sv ON sv.vec_id = ch.seed_nid) WHERE r = 1),
+       |post_assign AS (
+       |  SELECT nid, cid FROM a0 WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL SELECT nid, cid FROM reassign),
+       |post_cents AS (
+       |  SELECT cid, cvec FROM cents0 WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL SELECT ch.child_cid, b.embedding::DOUBLE[]
+       |  FROM children ch JOIN base b ON b.vec_id = ch.seed_nid),
+       |query_probe AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT e.vec_id AS qid, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
+       |    FROM embeddings e, post_cents c WHERE e.vec_id < $nQueries) WHERE cr <= $nProbe),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.vec_id AS nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM fp p, js, cb c),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |scored AS (
+       |  SELECT p.qid, codes.nid, CAST(-sum(q.dist) AS DOUBLE) AS score
+       |  FROM query_probe p
+       |  JOIN post_assign a2 ON a2.cid = p.cid
+       |  JOIN codes ON codes.nid = a2.nid
+       |  JOIN cd q ON q.j = codes.j AND q.code = codes.code AND q.nid = p.qid
+       |  WHERE codes.nid <> p.qid
+       |  GROUP BY p.qid, codes.nid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** q191's oracle — also q194's VERBATIM (the footer-metadata report
     * must be byte-identical to the scan report): per-list occupancy
     * re-derived from first principles — the full two-level corpus
@@ -5777,6 +5929,7 @@ object SparkEntry {
     // q194: the FOOTER-metadata path must produce the byte-identical
     // report — q191's oracle VERBATIM isolates the metadata-read path
     "q194_ann_balance_footers" -> annListBalanceOracle,
+    "q195_ann_hot_split" -> ivfPqSplitServeOracle(),
     "q174_stream_dedup_ingest" ->
       // the streaming ingest's one AvailableNow batch re-derived: corpus
       // index keys (doc_id % 5 <> 0), the planted batch (re-fetch plant

@@ -332,6 +332,173 @@ object AnnIndex {
     !row.isNullAt(0) && row.getLong(0) > (hotFactor * 10000L).toLong
   }
 
+  /** HOT-LIST SPLIT (round 17) — the list-proportional rebalance
+    * BETWEEN full re-train cutovers: when drift concentrates mass into
+    * a few lists but [[shouldRetrain]]'s global verdict has not tripped
+    * (or a full [[rebuildIvfPqIndex]] is not affordable yet), locally
+    * re-cluster ONLY the lists whose `hot_factor_bp` exceeds
+    * `hotFactorBp`: each hot list's vectors re-assign to `splitInto`
+    * child centroids seeded deterministically (the list's smallest
+    * `splitInto` vector ids — no training pass), the children join the
+    * coarse quantizer, the parent centroid retires. Jégou et al. (PAMI
+    * 2011) §V treat the coarse quantizer as fixed at add time; the
+    * practical variant splits overfull cells instead of retraining.
+    *
+    * Cost ∝ the HOT LISTS only: their raw vectors fetch from
+    * `vecStorePath` by broadcast id semi-join, re-assign against
+    * `splitInto` seeds, and their code rows rewrite with the new cid —
+    * PQ codes themselves are UNCHANGED (the codebook is global, not
+    * per-list, so ADC scores are bit-identical; only list routing
+    * moves). Every other list's data is untouched. Serving equality:
+    * a full-probe query (nProbe ≥ nlist) returns byte-identical top-k
+    * before and after (spec-asserted); at small nProbe the probe set
+    * changes exactly as the finer quantizer dictates (q195's oracle
+    * re-derives the whole post-split structure).
+    *
+    * Crash ordering: (1) child partitions write FIRST (idempotent —
+    * dynamic partition overwrite under deterministic child cids); they
+    * are unreachable until (2) the centroid relation atomically swaps
+    * (parent out, children in — [[DedupIndex.atomicRewrite]]); only
+    * then (3) the parent `cid=` dirs delete. A crash leaves either the
+    * pre-split index serving exactly as before (children unreachable)
+    * or the post-split index with an unreachable parent dir; entry
+    * cleanup removes any `cid=` dir not in the centroid relation, so a
+    * re-run converges. Pending tombstones ride along untouched (the
+    * split rewrites hot lists WITHOUT them — the partial physical
+    * application compaction would do anyway; the set stays for the
+    * other lists' anti-join).
+    *
+    * Scope limits (fail-loud): single-level indexes only — the
+    * two-level super structure re-derives from the WHOLE centroid set,
+    * so adding children would re-route unrelated lists' probes; and no
+    * `codes_stream/` — fold streamed codes in with a rebuild first.
+    * Returns a report (old_cid, new_cid, n_codes). */
+  def splitHotLists(spark: org.apache.spark.sql.SparkSession,
+      vecStorePath: String, path: String, m: Int, dim: Int,
+      hotFactorBp: Long = 40000L, splitInto: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
+    DedupIndex.checkMeta(spark, path, "ivfpq",
+      Map("m" -> m, "dim" -> dim))
+    DedupIndex.readMeta(spark, path).foreach { case (_, params) =>
+      require(params.getOrElse("twoLevel", 0) == 0,
+        s"splitHotLists: index at $path is two-level — the super " +
+          "structure re-derives from the whole centroid set, so a local " +
+          "split would re-route unrelated lists; re-train and " +
+          "rebuildIvfPqIndex instead")
+    }
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new Path(s"$path/codes_stream")),
+      s"splitHotLists: $path has codes_stream — rebuild (folds streamed " +
+        "codes into the base) before splitting")
+    // entry cleanup: cid= dirs not in the centroid relation are
+    // unreachable residue of a crashed previous split (children before
+    // their swap, parents after theirs) — remove them so counts and
+    // re-runs are clean. The centroid id set is nlist-sized (~√N longs,
+    // trivially driver-safe).
+    val centIds = spark.read.parquet(s"$path/centroids")
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    fs.listStatus(new Path(s"$path/codes")).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("cid=") &&
+          !centIds.contains(n.stripPrefix("cid=").toLong))
+        fs.delete(st.getPath, true)
+    }
+    // hot set from the footer report (wall-cheap at any file size)
+    val hot = listBalanceReportFromFooters(spark, path)
+      .filter(col("hot_factor_bp") > hotFactorBp)
+      .select(col("cid")).collect().map(_.getLong(0)).sorted
+    if (hot.isEmpty) return Seq.empty[(Long, Long, Long)]
+      .toDF("old_cid", "new_cid", "n_codes")
+    val hotSet = hot.toSet
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cid").isin(hot: _*))
+    // partial physical application of pending tombstones for the
+    // rewritten lists only — exactly what compaction would do
+    val liveRows = DedupIndex.dropTombstoned(spark, codes, path, "nid")
+    // partition-column inference reads cid back as int — normalize
+    val members = liveRows.select(col("cid").cast("long").as("cid"),
+      col("nid")).distinct()
+    val raw = spark.read.parquet(vecStorePath)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .join(members.select(col("nid")).distinct(), Seq("nid"), "leftsemi")
+    val nMembers = members.select(col("nid")).distinct().count()
+    val nRaw = raw.count()
+    require(nRaw == nMembers,
+      s"splitHotLists: vector store at $vecStorePath holds $nRaw of the " +
+        s"$nMembers live vectors in the hot lists — the store must carry " +
+        "every admitted vector (was it compacted against a different " +
+        "tombstone set?)")
+    // deterministic seeds: the splitInto smallest nids per hot list via
+    // the k-bounded heap aggregate (map-side partials — never a window
+    // sort or a whole-list collect_list over a list that is hot
+    // PRECISELY because it is huge). score = −nid as double is monotone
+    // non-increasing in nid and the heap tie-breaks ascending nid, so
+    // top-k-by-score = the k smallest ids even past 2^53. Seeds are
+    // (hot lists × splitInto) rows — driver-small by construction;
+    // child cids allocate densely after the current max centroid id in
+    // (parent, seed) order.
+    val maxCid = centIds.max
+    val seeds = Similarity.rankTopK(
+        members.select(col("cid").as("qid"), col("nid"),
+          (-col("nid")).cast("double").as("score")), splitInto)
+      .select(col("qid"), col("nid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    val children = seeds.zipWithIndex.map { case ((parent, seed), i) =>
+      (parent, maxCid + 1 + i, seed)
+    }.toSeq.toDF("parent", "child_cid", "seed_nid")
+    val childVecs = children
+      .join(raw.select(col("nid").as("seed_nid"), col("nvec").as("cvec")),
+        Seq("seed_nid"))
+    // local re-assignment: each hot-list vector to its OWN parent's
+    // nearest child seed (ties → smallest child cid) — the same
+    // aggregate argmax shape as coarseAssign, restricted by parent
+    val assign = members.join(raw, Seq("nid"))
+      .join(broadcast(childVecs.withColumnRenamed("parent", "cid")), Seq("cid"))
+      .withColumn("csim", Similarity.cosine(col("nvec"), col("cvec")))
+      .groupBy(col("nid"))
+      .agg(max_by(col("child_cid"),
+        struct(col("csim"), (-col("child_cid")).as("nc"))).as("new_cid"))
+    // (1) child partitions: write to a dot-scratch sibling (a direct
+    // dynamic-overwrite into codes/ would write the path being read),
+    // then MOVE each cid= dir into codes/ — FS metadata only, no second
+    // data pass. Unreachable until the centroid swap in (2); a crashed
+    // run's residue is cleared above (scratch) / at entry (orphan cids).
+    val scratch = new Path(s"$path/._split_tmp")
+    if (fs.exists(scratch)) fs.delete(scratch, true)
+    liveRows.join(assign, Seq("nid"))
+      .select(col("nid"), col("j"), col("code"), col("new_cid").as("cid"))
+      .write.mode("overwrite")
+      .partitionBy("cid")
+      .parquet(scratch.toString)
+    fs.listStatus(scratch).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("cid=")) {
+        val dst = new Path(s"$path/codes/${st.getPath.getName}")
+        if (fs.exists(dst)) fs.delete(dst, true) // crashed-run residue
+        require(fs.rename(st.getPath, dst),
+          s"splitHotLists: could not move ${st.getPath} into codes/")
+      }
+    }
+    fs.delete(scratch, true)
+    // (2) the coarse quantizer swaps atomically: parents out, children in
+    DedupIndex.atomicRewrite(spark, s"$path/centroids")(df =>
+      df.filter(!col("cid").isin(hot: _*))
+        .unionByName(childVecs.select(col("child_cid").as("cid"),
+          col("cvec"))))
+    // (3) the retired parents' dirs — unreachable since (2)
+    hot.foreach(c => fs.delete(new Path(s"$path/codes/cid=$c"), true))
+    spark.read.parquet(s"$path/codes")
+      .join(broadcast(children.select(col("parent"), col("child_cid"))),
+        col("cid") === col("child_cid"))
+      .groupBy(col("parent").as("old_cid"), col("child_cid").as("new_cid"))
+      .agg(count(lit(1)).as("n_codes"))
+      .select(col("old_cid"), col("new_cid"), col("n_codes"))
+      .orderBy(col("old_cid"), col("new_cid"))
+  }
+
   /** [[rebuildIvfPqIndex]] fed from the maintained VECTOR STORE instead
     * of a caller-supplied corpus (round 16): the admission/streaming
     * paths (q185/q186) already keep `vecStorePath` = the raw rows of

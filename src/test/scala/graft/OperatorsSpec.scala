@@ -667,6 +667,94 @@ class OperatorsSpec extends AnyFunSuite {
     assert(codeSet(path) == codeSet(path2))
   }
 
+  test("splitHotLists (round 17): hot lists split into seeded children " +
+      "— full-probe serving is byte-identical before and after (codes " +
+      "unchanged), the hot factor drops, pending tombstones stay " +
+      "applied, and two-level / codes_stream indexes fail loudly") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def reg(tag: String) = TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_split_${tag}_${java.util.UUID.randomUUID()}")
+    val path = reg("idx"); val store = reg("store")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, path)
+    // plant drift: two 75-copy sub-clumps (copies of vectors 7 and 8)
+    // pile into ONE list through the frozen quantizer — and because the
+    // list's two smallest ids ARE 7 and 8, the deterministic seeding
+    // puts one seed in each sub-clump, so the split genuinely separates
+    // them. The store carries base + plant (the raw rows the split
+    // fetches).
+    def ringVec(i: Int) = Array(
+      math.cos(2 * math.Pi * i / 60.0).toFloat,
+      math.sin(2 * math.Pi * i / 60.0).toFloat,
+      (math.cos(3 * 2 * math.Pi * i / 60.0) / 2).toFloat,
+      (math.sin(3 * 2 * math.Pi * i / 60.0) / 2).toFloat)
+    val plant = (0 until 150).map(i =>
+        (1000L + i, if (i < 75) ringVec(7) else ringVec(8)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.appendToIvfPqIndex(plant, path, m = 2, dim = 4)
+    vecs.unionByName(plant).write.parquet(store)
+    // a pending takedown in the hot list must stay applied post-split
+    AnnIndex.deleteVectors(Seq(1003L).toDF("vec_id"), path)
+    val queries = vecs.filter(col("vec_id") < 3)
+    def fullProbe(nP: Int) = AnnIndex.queryIvfPqIndex(queries, path,
+        m = 2, dim = 4, k = 6, nProbe = nP)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val preFull = fullProbe(20)
+    val preHot = AnnIndex.listBalanceReportFromFooters(s, path)
+      .agg(max(col("hot_factor_bp"))).head().getLong(0)
+    assert(preHot > 30000L)
+    val report = AnnIndex.splitHotLists(s, store, path, m = 2, dim = 4,
+        hotFactorBp = 30000L, splitInto = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(report.nonEmpty)
+    val parents = report.map(_._1).toSet
+    val childIds = report.map(_._2).toSet
+    assert(childIds.forall(_ > 48L)) // allocated past maxCid = 48
+    // the quantizer swapped: parents out, children in
+    val centsNow = s.read.parquet(s"$path/centroids")
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(parents.forall(!centsNow.contains(_)))
+    assert(childIds.forall(centsNow.contains))
+    // full-probe equality: codes unchanged, every list scored → the
+    // split can never change exhaustive results
+    assert(fullProbe(25) == preFull)
+    // the monitor improves
+    val postHot = AnnIndex.listBalanceReportFromFooters(s, path)
+      .agg(max(col("hot_factor_bp"))).head().getLong(0)
+    assert(postHot < preHot)
+    // pending tombstone applied physically in the rewritten lists and
+    // still excluded from serving
+    val nids = s.read.parquet(s"$path/codes").select("nid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(!nids.contains(1003L))
+    assert(!fullProbe(25).exists(_._2 == 1003L))
+    // idempotent re-run: nothing hot remains at the threshold → no-op
+    assert(AnnIndex.splitHotLists(s, store, path, m = 2, dim = 4,
+      hotFactorBp = 30000L).count() == 0L)
+    // fail-loud scope limits
+    val tl = reg("twolevel")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, tl,
+      twoLevel = true)
+    val e1 = intercept[IllegalArgumentException](
+      AnnIndex.splitHotLists(s, store, tl, m = 2, dim = 4))
+    assert(e1.getMessage.contains("two-level"))
+    val st = reg("stream")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, st)
+    AnnIndex.ingestVecBatch(plant, 0L, st, m = 2, dim = 4,
+      twoLevel = false, "vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException](
+      AnnIndex.splitHotLists(s, store, st, m = 2, dim = 4))
+    assert(e2.getMessage.contains("codes_stream"))
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(
