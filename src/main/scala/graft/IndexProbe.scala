@@ -218,6 +218,31 @@ object IndexProbe {
           .count() }
       println(f"ann-balancefoot$tag%-2s $nCorpus%8d footer-report=$balF%6.2f s " +
         f"($nListsF lists)  vs scan-report=$balT%6.2f s, data-scan=$scanT%6.2f s")
+      // ---- hot-list split (round 17): a FIXED 2000-copy drift clump
+      // planted into one list of a fresh single-level index, then
+      // splitHotLists at the 4x budget. Claim: split wall ∝ the HOT
+      // LIST (plant-sized at every scale), NOT the corpus — the flat
+      // row as the corpus grows 10x/100x is the point. Build reported
+      // for honesty; the split's own report/detection is the footer
+      // read probed above.
+      val sPath = TempDirs.register(s"/tmp/graft-indexprobe/annsplit-$tag")
+      val sStore = TempDirs.register(s"/tmp/graft-indexprobe/annsplit-store-$tag")
+      val sBuild = time(operators.AnnIndex.writeIvfPqIndex(
+        emb, cents, cb, m = 8, dim = 64, sPath, twoLevel = false))
+      val plant = spark.range(2000)
+        .select((col("id") + 3000000000L).as("vec_id"))
+        .crossJoin(broadcast(emb1.filter(col("vec_id") === 0)
+          .select(col("embedding"))))
+      operators.AnnIndex.appendToIvfPqIndex(plant, sPath, m = 8, dim = 64)
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(plant.select(col("vec_id"), col("embedding")))
+        .write.mode("overwrite").parquet(sStore)
+      var nChildren = 0L
+      val splitT = time { nChildren = operators.AnnIndex.splitHotLists(
+        spark, sStore, sPath, m = 8, dim = 64, hotFactorBp = 40000L,
+        splitInto = 2).count() }
+      println(f"ann-split$tag%-8s $nCorpus%8d build=$sBuild%6.2f s  " +
+        f"split=$splitT%6.2f s ($nChildren children; 2000-row clump)")
       // ---- tombstone serving overhead (round 16): 1%% of vectors
       // deleted → serving adds ONE broadcast anti-join against the
       // deletions-sized set. Claim: warm serve unchanged.
