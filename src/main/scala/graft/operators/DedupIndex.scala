@@ -1032,11 +1032,6 @@ object DedupIndex {
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(path + s"._${tag}_tmp")
     val old = new Path(path + s"._${tag}_old")
-    if (!fs.exists(live) && fs.exists(old)) {
-      require(fs.rename(old, live),
-        s"atomicSwap($tag): could not restore $old to $live")
-    }
-    if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a failed build
     val tsName = "_tombstones"
     def tsFiles(root: Path): Set[String] = {
       val d = new Path(root, tsName)
@@ -1055,6 +1050,25 @@ object DedupIndex {
             s"atomicSwap($tag): could not rescue tombstone $n from $src")
         }
       }
+    // entry recovery, narrow corner first (round 17): a deleteDocs whose
+    // exists-check passed just before rename(live, old) can commit its
+    // append AFTER it, recreating `live` as a bare `_tombstones`-only
+    // dir — which then strands the second rename. Detect the bare-live +
+    // old state, fold the stranded tombstones into old, and let the
+    // standard restore below bring old back as live.
+    if (fs.exists(live) && fs.exists(old) &&
+        !fs.listStatus(live).exists { f =>
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }) {
+      rescueTombstones(live, old, tsFiles(live))
+      fs.delete(live, true)
+    }
+    if (!fs.exists(live) && fs.exists(old)) {
+      require(fs.rename(old, live),
+        s"atomicSwap($tag): could not restore $old to $live")
+    }
+    if (fs.exists(tmp)) fs.delete(tmp, true) // orphan of a failed build
     if (fs.exists(old)) {
       sidecars.foreach { sc =>
         val o = new Path(old, sc); val l = new Path(live, sc)
@@ -1090,9 +1104,15 @@ object DedupIndex {
     require(fs.rename(live, old),
       s"atomicSwap($tag): could not rename $live away (new data left at $tmp)")
     if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // undo: put the previous data back
+      // undo: put the previous data back — and report TRUTHFULLY if even
+      // that failed (round 17: an unchecked undo could claim "restored"
+      // while the data sat stranded at old; the next call's entry
+      // recovery handles both shapes, but the operator must know)
+      val restored = fs.rename(old, live)
       throw new java.io.IOException(
-        s"atomicSwap($tag): could not rename $tmp to $live; previous data restored")
+        s"atomicSwap($tag): could not rename $tmp to $live; " +
+          (if (restored) "previous data restored"
+           else s"previous data left at $old — the next call restores it"))
     }
     // step 6: tombstone files beyond the entry snapshot rode into `old`
     // with the first rename — a concurrent takedown during the build.

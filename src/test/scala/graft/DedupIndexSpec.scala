@@ -458,6 +458,37 @@ class DedupIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet.contains(3L))
   }
 
+  test("takedown recreating a bare live root inside the two-rename " +
+      "window (round 17): entry recovery folds the stranded tombstones " +
+      "into the restored root and the next compaction applies them") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "alpha text one"), (2L, "beta text two"))
+      .toDF("doc_id", "text")
+    val ex = tmp("barelive")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", ex)
+    val fs = new org.apache.hadoop.fs.Path(ex)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    // simulate the stranded state: the swap renamed live away, then a
+    // racing deleteDocs (whose exists-check passed just before the
+    // rename) committed its append — recreating live as a BARE
+    // _tombstones-only dir — and the process died
+    assert(fs.rename(hp(ex), hp(s"$ex._compact_old")))
+    Seq(2L).toDF("id").write.parquet(s"$ex/_tombstones")
+    // next compaction: recovery folds the stranded takedown into the
+    // restored root, the rewrite applies it, queries exclude doc 2
+    DedupIndex.compactIndex(s, ex, kind = "exact")
+    assert(!fs.exists(hp(s"$ex._compact_old")))
+    assert(!fs.exists(hp(s"$ex/_tombstones"))) // applied + cleared
+    val keeps = s.read.parquet(ex).collect().map(_.getLong(1)).toSet
+    assert(keeps == Set(1L))
+    val adm = DedupIndex.admitAgainstIndex(
+        Seq((21L, "BETA text two")).toDF("doc_id", "text"),
+        "text", "doc_id", ex)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(adm == Set((21L, "admitted")))
+  }
+
   test("store-fed rebuilds (round 17): anchor and bloom rebuild-from-" +
       "store equal a fresh build over the surviving corpus, honoring " +
       "tombstones on the index AND on the store, clearing the index " +
