@@ -237,12 +237,22 @@ object IndexProbe {
       emb.select(col("vec_id"), col("embedding"))
         .unionByName(plant.select(col("vec_id"), col("embedding")))
         .write.mode("overwrite").parquet(sStore)
-      var nChildren = 0L
-      val splitT = time { nChildren = operators.AnnIndex.splitHotLists(
-        spark, sStore, sPath, m = 8, dim = 64, hotFactorBp = 40000L,
-        splitInto = 2).count() }
+      // moved volume printed WITH the wall: the multiplied synthetic
+      // table carries natural list skew of its own at Nx (duplicated
+      // embeddings concentrate), so several lists may trip the budget
+      // beyond the planted clump — the honest claim is wall ∝ REWRITTEN
+      // list volume, which the row itself evidences
+      var nChildren = 0L; var movedRows = 0L
+      val splitT = time {
+        val rep = operators.AnnIndex.splitHotLists(
+          spark, sStore, sPath, m = 8, dim = 64, hotFactorBp = 40000L,
+          splitInto = 2).collect()
+        nChildren = rep.length.toLong
+        movedRows = rep.map(_.getLong(2)).sum
+      }
       println(f"ann-split$tag%-8s $nCorpus%8d build=$sBuild%6.2f s  " +
-        f"split=$splitT%6.2f s ($nChildren children; 2000-row clump)")
+        f"split=$splitT%6.2f s ($nChildren children, $movedRows code rows " +
+        "moved; 2000-row clump planted)")
       // ---- tombstone serving overhead (round 16): 1%% of vectors
       // deleted → serving adds ONE broadcast anti-join against the
       // deletions-sized set. Claim: warm serve unchanged.
