@@ -154,6 +154,19 @@ object AnnIndex {
       corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
       m: Int, dim: Int, path: String, twoLevel: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    rebuildIvfPqIndexWithHook(corpus, centroids, codebook, m, dim, path,
+      twoLevel, idCol, vecCol, () => ())
+
+  /** [[rebuildIvfPqIndex]] with a `preBuild` hook that runs INSIDE the
+    * swap's build callback — i.e. after the entry tombstone snapshot.
+    * [[rebuildIvfPqIndexFromStore]] propagates index tombstones to the
+    * vector store there, so every file the swap clears has a durable
+    * store record and every later-landing file is rescued as pending
+    * (the round-17 resurrection-window closure). */
+  private def rebuildIvfPqIndexWithHook(
+      corpus: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, path: String, twoLevel: Boolean,
+      idCol: String, vecCol: String, preBuild: () => Unit): Unit =
     // the swap protocol (entry recovery, old-sidecar salvage, pre-swap
     // sidecar copy, two renames, delete-old-last) is the SHARED
     // [[DedupIndex.atomicSwap]] — the round-15 checkpoint crash window
@@ -165,6 +178,7 @@ object AnnIndex {
     // a no-op for it.
     DedupIndex.atomicSwap(corpus.sparkSession, path, "rebuild",
       Seq("_stream_chk", "_graft_meta")) { tmp =>
+      preBuild()
       // pending tombstones are APPLIED here, never destroyed (round 16
       // follow-up): the swap deletes <path>/_tombstones with the old
       // root, so relying on the caller to have excluded the deleted
@@ -463,9 +477,14 @@ object AnnIndex {
     // partition-column inference reads cid back as int — normalize
     val members = liveRows.select(col("cid").cast("long").as("cid"),
       col("nid")).distinct()
+    // the store legitimately accretes DUPLICATE rows from at-least-once
+    // appends (round-17 self-review: an equality check on the raw join
+    // count failed spuriously on such a store) — dedupe by id first; the
+    // duplicates are identical rows by the store contract
     val raw = spark.read.parquet(vecStorePath)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .join(members.select(col("nid")).distinct(), Seq("nid"), "leftsemi")
+      .dropDuplicates("nid")
     val nMembers = members.select(col("nid")).distinct().count()
     val nRaw = raw.count()
     require(nRaw == nMembers,
@@ -561,13 +580,13 @@ object AnnIndex {
       centroids: DataFrame, codebook: DataFrame,
       m: Int, dim: Int, path: String, twoLevel: Boolean = false,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    DedupIndex.propagateTombstones(spark, path, vecStorePath)
     val corpus = DedupIndex.dropTombstoned(spark,
       DedupIndex.dropTombstoned(spark,
         spark.read.parquet(vecStorePath), vecStorePath, idCol),
       path, idCol)
-    rebuildIvfPqIndex(corpus, centroids, codebook, m, dim, path,
-      twoLevel, idCol, vecCol)
+    rebuildIvfPqIndexWithHook(corpus, centroids, codebook, m, dim, path,
+      twoLevel, idCol, vecCol,
+      () => DedupIndex.propagateTombstones(spark, path, vecStorePath))
   }
 
   /** One micro-batch of the STREAMING ingest (round 15; factored so the

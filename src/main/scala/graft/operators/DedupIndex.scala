@@ -927,8 +927,14 @@ object DedupIndex {
           "writeAnchorIndex(corpus, ..., k, w)"))
     require(kind == "anchor",
       s"index at $indexPath is kind '$kind', expected 'anchor'")
-    propagateTombstones(spark, indexPath, docStorePath)
     atomicSwap(spark, indexPath, "rebuild", Seq("_graft_meta")) { tmp =>
+      // propagation INSIDE the callback (round-17 self-review): it runs
+      // after the swap's entry tombstone snapshot, so every file the
+      // swap will CLEAR is already copied to the store, and any file
+      // landing later is rescued as pending by the swap's step 6 —
+      // propagated-then-cleared and landed-then-pending together leave
+      // no window where a takedown is applied without a durable record
+      propagateTombstones(spark, indexPath, docStorePath)
       val corpus = dropTombstoned(spark,
         dropTombstoned(spark, spark.read.parquet(docStorePath),
           docStorePath, idCol),
@@ -958,8 +964,10 @@ object DedupIndex {
           "writeBloomIndex(reference, ...)"))
     require(kind == "bloom" || kind == "bloomsharded",
       s"index at $indexPath is kind '$kind', expected bloom/bloomsharded")
-    propagateTombstones(spark, indexPath, refStorePath)
     atomicSwap(spark, indexPath, "rebuild", Seq("_graft_meta")) { tmp =>
+      // inside the callback, after the entry snapshot — see
+      // rebuildAnchorIndexFromStore for the window this closes
+      propagateTombstones(spark, indexPath, refStorePath)
       val ref = dropTombstoned(spark,
         dropTombstoned(spark, spark.read.parquet(refStorePath),
           refStorePath, idCol),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** The index roots of ONE ingest pipeline — the relations a takedown
   * must hit together. A production pipeline maintains several coupled
@@ -59,10 +60,17 @@ object Takedown {
       rebuildAggregates: Boolean = true,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val spark = ids.sparkSession
+    // pin the id set ONCE (round-17 self-review): deleteDocs re-evaluates
+    // its input per root, so a non-deterministic ids relation (a sampled
+    // batch, a now()-filtered query) would tombstone DIFFERENT sets on
+    // different roots — the one inconsistency a takedown must never have.
+    // localCheckpoint materializes the evaluated rows; takedown-sized.
+    val idsPinned = ids.select(col(ids.columns.head).cast("long").as("id"))
+      .distinct().localCheckpoint()
     val report = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
     def ts(rootOpt: Option[String], kind: String): Unit =
       rootOpt.foreach { p =>
-        DedupIndex.deleteDocs(ids, p) // fail-loud on a missing root
+        DedupIndex.deleteDocs(idsPinned, p) // fail-loud on a missing root
         report += ((p, kind, "tombstoned"))
       }
     // phase 1: tombstone every root FIRST, aggregate kinds included —

@@ -699,7 +699,11 @@ class OperatorsSpec extends AnyFunSuite {
         (1000L + i, if (i < 75) ringVec(7) else ringVec(8)))
       .toDF("vec_id", "embedding")
     AnnIndex.appendToIvfPqIndex(plant, path, m = 2, dim = 4)
-    vecs.unionByName(plant).write.parquet(store)
+    // the store carries DUPLICATE rows (at-least-once append residue —
+    // the store contract says they are harmless; round-17 self-review:
+    // an equality check on the raw join count failed spuriously here)
+    vecs.unionByName(plant).unionByName(plant.limit(20))
+      .write.parquet(store)
     // a pending takedown in the hot list must stay applied post-split
     AnnIndex.deleteVectors(Seq(1003L).toDF("vec_id"), path)
     val queries = vecs.filter(col("vec_id") < 3)
