@@ -283,6 +283,42 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir FOLDED stream-grown ANN index fixture (round 17, q196):
+    * q183's construction — base index over 80%, the rest arriving
+    * through the exactly-once streaming encode into `codes_stream/` —
+    * followed by [[operators.AnnIndex.foldStreamIntoCodes]]: the
+    * streamed partitions retire into the base `cid=` layout under the
+    * marker protocol, restoring single-branch pruned serving. Serving
+    * must stay byte-identical through the fold, so q196's oracle is
+    * q102's VERBATIM (exactly like q183's). Cached per (sf dir, JVM);
+    * re-running the stream against its carried checkpoint is a no-op,
+    * so the folded fixture is stable across bench passes. */
+  private val annFoldCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annFoldIndex(s: SparkSession, dir: String): String =
+    annFoldCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_annfold_${java.util.UUID.randomUUID()}")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), cents, cb,
+        m = 8, dim = 64, root, twoLevel = true)
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val tablePath = s"$dir/embeddings.parquet"
+      val stream = (if (new java.io.File(tablePath).isDirectory)
+          s.readStream.schema(schema).parquet(tablePath)
+        else s.readStream.schema(schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir))
+        .filter(pmod(col("vec_id"), lit(5)) === 0)
+      operators.AnnIndex.streamIvfPqIngest(stream, root, m = 8, dim = 64,
+        twoLevel = true)
+      operators.AnnIndex.foldStreamIntoCodes(s, root)
+      root
+    })
+
   /** Per-sf-dir HOT-SPLIT ANN index fixture (round 17, q195): a
     * SINGLE-LEVEL IVF-PQ index over the embeddings gets 300 planted
     * re-embeddings of vector 0 appended through the frozen quantizer
@@ -1947,6 +1983,20 @@ object SparkEntry {
         .select(col("cid").cast("long").as("cid"), col("n_codes"),
           col("share_bp"), col("hot_factor_bp"))
         .orderBy("cid")
+    }),
+    "q196_ann_fold_serve" -> ((s, dir) => {
+      // STREAM-FOLD (round 17): q183's stream-grown index with the
+      // codes_stream partitions RETIRED into the base cid= layout
+      // (foldStreamIntoCodes — marker-protocol swap, no crash point
+      // double-counts or loses a streamed row). Serving is back to ONE
+      // partition-pruned scan branch; oracle = q102's VERBATIM, so the
+      // hash matches iff the fold preserved every code row exactly.
+      val root = annFoldIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
+          root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
     }),
     "q195_ann_hot_split" -> ((s, dir) => {
       // HOT-LIST SPLIT (round 17): serving against the post-split
@@ -5930,6 +5980,9 @@ object SparkEntry {
     // report — q191's oracle VERBATIM isolates the metadata-read path
     "q194_ann_balance_footers" -> annListBalanceOracle,
     "q195_ann_hot_split" -> ivfPqSplitServeOracle(),
+    // q196: serving must be byte-identical through the stream fold —
+    // q102's oracle VERBATIM (q183's), isolating the fold path
+    "q196_ann_fold_serve" -> ivfPqAdcOracle(),
     "q174_stream_dedup_ingest" ->
       // the streaming ingest's one AvailableNow batch re-derived: corpus
       // index keys (doc_id % 5 <> 0), the planted batch (re-fetch plant

@@ -218,11 +218,17 @@ object AnnIndex {
       path: String): DataFrame = {
     DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
     val sPath = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
-    val hasStream = sPath.getFileSystem(
-      spark.sessionState.newHadoopConf()).exists(sPath)
+    val sFs = sPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasStream = sFs.exists(sPath)
+    val folded = if (hasStream) foldedBatchIds(sFs, s"$path/codes").toSeq
+                 else Seq.empty
     val rels = Seq(spark.read.parquet(s"$path/codes").select("cid")) ++
-      (if (hasStream) Seq(spark.read.parquet(sPath.toString).select("cid"))
-       else Nil)
+      (if (hasStream) Seq({
+        val st = spark.read.parquet(sPath.toString)
+        (if (folded.isEmpty) st
+         else st.filter(!col("ingest_batch").isin(folded: _*)))
+          .select("cid")
+      }) else Nil)
     val perList = rels.reduce(_ unionByName _)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_codes"))
     balanceArithmetic(perList)
@@ -311,10 +317,14 @@ object AnnIndex {
             st.getPath.toString)
       }
     val sPath = new Path(s"$path/codes_stream")
+    val folded = foldedBatchIds(fs, codes.toString)
     val dirs = cidDirs(codes) ++
       (if (!fs.exists(sPath)) Nil
-       else fs.listStatus(sPath).toSeq.filter(st =>
-           st.isDirectory && st.getPath.getName.startsWith("ingest_batch="))
+       else fs.listStatus(sPath).toSeq.filter { st =>
+           val n = st.getPath.getName
+           st.isDirectory && n.startsWith("ingest_batch=") &&
+             !folded.contains(n.stripPrefix("ingest_batch=").toLong)
+         }
          .flatMap(st => cidDirs(st.getPath)))
     val ser = new SerConf(hconf)
     import spark.implicits._
@@ -447,8 +457,8 @@ object AnnIndex {
     }
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     require(!fs.exists(new Path(s"$path/codes_stream")),
-      s"splitHotLists: $path has codes_stream — rebuild (folds streamed " +
-        "codes into the base) before splitting")
+      s"splitHotLists: $path has codes_stream — run foldStreamIntoCodes " +
+        "(or a rebuild) first so every row lives in the base cid= layout")
     // entry cleanup: cid= dirs not in the centroid relation are
     // unreachable residue of a crashed previous split (children before
     // their swap, parents after theirs) — remove them so counts and
@@ -791,6 +801,99 @@ object AnnIndex {
     }
   }
 
+  /** The fold MARKER at `codes/_folded`: ingest-batch ids whose streamed
+    * codes have been folded into the base `cid=` layout but whose
+    * `codes_stream/ingest_batch=` partitions may still exist (the fold's
+    * cleanup is after its swap). Serving and the balance reports SKIP
+    * these stream partitions — the marker becomes visible atomically
+    * WITH the folded base (written inside the swap's tmp), so no crash
+    * point can double-count or lose a streamed row. Carried through
+    * codes compactions as an [[DedupIndex.atomicRewrite]] sidecar. */
+  private def foldedBatchIds(
+      fs: org.apache.hadoop.fs.FileSystem, codesPath: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$codesPath/_folded")
+    if (!fs.exists(p)) return Set.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(_.toLong).toSet
+    finally in.close()
+  }
+
+  private def writeFoldedMarker(fs: org.apache.hadoop.fs.FileSystem,
+      codesPath: String, ids: Seq[Long]): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$codesPath/_folded"), true)
+    try out.write(ids.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** FOLD streamed codes into the base layout (round 17): the streaming
+    * ingest accretes `codes_stream/ingest_batch=B/cid=…` partitions
+    * forever — every query serves TWO scan branches, and
+    * [[splitHotLists]] refuses to operate while they exist. This
+    * maintenance op rewrites `codes/` as base ∪ stream (preserving the
+    * `cid=` serving layout — the streamed rows finally land in their
+    * lists' own partitions) and retires the folded stream partitions.
+    *
+    * Crash safety is the marker protocol: the folded base and the
+    * `_folded` marker (the batch ids now contained in it) become
+    * visible in ONE rename — before the swap the stream partitions
+    * serve as always; after it they are skipped by marker; the cleanup
+    * deletes them at leisure. Every window re-serves byte-identical
+    * results: marker ∧ partitions-present → skipped (no double count);
+    * partitions deleted ∧ marker stale → the filter matches nothing.
+    * A replayed ingest micro-batch that rewrites an already-folded
+    * partition is likewise skipped by marker. NEW batches landing
+    * after the fold's listing keep serving from the stream (their ids
+    * are not in the marker) and fold next time. Single-maintainer op,
+    * like compaction — run it off the serving path. */
+  def foldStreamIntoCodes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    DedupIndex.checkMeta(spark, path, "ivfpq", Map.empty)
+    val codes = s"$path/codes"
+    val sPath = new Path(s"$path/codes_stream")
+    val fs = sPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def presentIds(): Set[Long] =
+      if (!fs.exists(sPath)) Set.empty
+      else fs.listStatus(sPath).toSeq.collect {
+        case st if st.isDirectory &&
+            st.getPath.getName.startsWith("ingest_batch=") =>
+          st.getPath.getName.stripPrefix("ingest_batch=").toLong
+      }.toSet
+    val already = foldedBatchIds(fs, codes)
+    val present = presentIds()
+    val toFold = (present -- already).toSeq.sorted
+    if (toFold.nonEmpty) {
+      // base ∪ the not-yet-folded stream partitions, swapped in WITH the
+      // marker naming every batch the new base now contains
+      DedupIndex.atomicSwap(spark, codes, "fold", Seq("_graft_meta")) { tmp =>
+        val stream = spark.read.parquet(sPath.toString)
+          .filter(col("ingest_batch").isin(toFold: _*))
+          .select(col("nid"), col("j"), col("code"), col("cid"))
+        spark.read.parquet(codes)
+          .unionByName(stream)
+          .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+        writeFoldedMarker(fs, tmp, (already ++ toFold).toSeq)
+      }
+    }
+    // cleanup: folded partitions go; marker goes once none remain; the
+    // empty stream dir goes last. Each step idempotent — any crash here
+    // leaves the marker protocol serving correctly until the next call.
+    val folded = foldedBatchIds(fs, codes)
+    folded.foreach { b =>
+      val d = new Path(sPath, s"ingest_batch=$b")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    if (folded.nonEmpty && (presentIds() intersect folded).isEmpty)
+      fs.delete(new Path(s"$codes/_folded"), false)
+    if (fs.exists(sPath) && presentIds().isEmpty &&
+        !fs.listStatus(sPath).exists(f =>
+          !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith(".")))
+      fs.delete(sPath, true)
+  }
+
   /** Serve a query batch against the persisted index: top-k per query,
     * identical output contract (qid, nid, rank, score) and identical
     * results to [[Similarity.ivfPqTopK]] over the same corpus/centroids/
@@ -823,11 +926,20 @@ object AnnIndex {
     // union feeds the ranker directly; pushing the probes join through
     // a relation-level union would depend on DPP applying under Union)
     val sPath = new org.apache.hadoop.fs.Path(s"$path/codes_stream")
-    val hasStream = sPath.getFileSystem(
-      spark.sessionState.newHadoopConf()).exists(sPath)
+    val sFs = sPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasStream = sFs.exists(sPath)
+    // stream partitions already FOLDED into the base are skipped by
+    // marker (round 17, foldStreamIntoCodes) — a partition-pruning
+    // filter, so the skipped batches' files are never touched
+    val folded = if (hasStream) foldedBatchIds(sFs, s"$path/codes").toSeq
+                 else Seq.empty
     val rels = Seq(spark.read.parquet(s"$path/codes")) ++
-      (if (hasStream) Seq(spark.read.parquet(sPath.toString)
-        .select(col("nid"), col("j"), col("code"), col("cid"))) else Nil)
+      (if (hasStream) Seq({
+        val st = spark.read.parquet(sPath.toString)
+        (if (folded.isEmpty) st
+         else st.filter(!col("ingest_batch").isin(folded: _*)))
+          .select(col("nid"), col("j"), col("code"), col("cid"))
+      }) else Nil)
     val scored = rels.map { codes =>
       codes
         .join(broadcast(probes), "cid") // DPP prunes to the probed lists

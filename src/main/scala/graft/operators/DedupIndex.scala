@@ -995,7 +995,10 @@ object DedupIndex {
       spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil)(
       transform: DataFrame => DataFrame): Unit =
-    atomicSwap(spark, path, "compact", Seq("_graft_meta")) { tmp =>
+    // `_folded` rides as a sidecar (round 17): a codes compaction must
+    // carry the fold marker, or still-present already-folded stream
+    // partitions would double-count the moment the marker vanished
+    atomicSwap(spark, path, "compact", Seq("_graft_meta", "_folded")) { tmp =>
       val writer = transform(spark.read.parquet(path)).write.mode("overwrite")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
        else writer).parquet(tmp)

@@ -759,6 +759,120 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("codes_stream"))
   }
 
+  test("foldStreamIntoCodes (round 17): streamed partitions retire into " +
+      "the base cid= layout with byte-identical serving; the marker " +
+      "window (crash between swap and cleanup) never double-counts; new " +
+      "batches after a crashed fold still serve and fold next time") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    def reg(tag: String) = TempDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/graft_fold_${tag}_${java.util.UUID.randomUUID()}")
+    def serve(p: String) = AnnIndex.queryIvfPqIndex(queries, p, m = 2,
+        dim = 4, k = 4, nProbe = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    // ---- happy path -------------------------------------------------
+    val p1 = reg("happy")
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, p1)
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, p1, m = 2, dim = 4, twoLevel = false, "vec_id", "embedding")
+    val fs = hp(p1).getFileSystem(s.sessionState.newHadoopConf())
+    val pre = serve(p1)
+    AnnIndex.foldStreamIntoCodes(s, p1)
+    assert(serve(p1) == pre) // byte-identical serving
+    assert(!fs.exists(hp(s"$p1/codes_stream"))) // stream retired
+    assert(!fs.exists(hp(s"$p1/codes/_folded"))) // marker cleaned
+    val baseNids = s.read.parquet(s"$p1/codes").select("nid").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((0 until 60 by 5).forall(i => baseNids.contains(i.toLong)))
+    // the balance reports agree post-fold, and a split is now allowed
+    val rep = AnnIndex.listBalanceReport(s, p1).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val repF = AnnIndex.listBalanceReportFromFooters(s, p1).collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(rep == repF)
+    AnnIndex.splitHotLists(s, { // store for the (no-op) split
+      val st = reg("store"); vecs.write.parquet(st); st
+    }, p1, m = 2, dim = 4, hotFactorBp = 1000000L)
+    // ---- marker window ----------------------------------------------
+    val p2 = reg("crash")
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, p2)
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, p2, m = 2, dim = 4, twoLevel = false, "vec_id", "embedding")
+    val pre2 = serve(p2)
+    assert(pre2 == pre)
+    // replicate the fold's swap stage EXACTLY, then "crash" before
+    // cleanup: base ∪ batch-0 lands in codes with the marker, while the
+    // batch-0 stream partition still exists on disk
+    DedupIndex.atomicSwap(s, s"$p2/codes", "fold", Seq("_graft_meta")) { tmp =>
+      s.read.parquet(s"$p2/codes")
+        .unionByName(s.read.parquet(s"$p2/codes_stream")
+          .filter(col("ingest_batch") === 0)
+          .select(col("nid"), col("j"), col("code"), col("cid")))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      val out = fs.create(hp(s"$tmp/_folded"), true)
+      try out.write("0\n".getBytes("UTF-8")) finally out.close()
+    }
+    assert(fs.exists(hp(s"$p2/codes_stream/ingest_batch=0")))
+    assert(serve(p2) == pre2) // marker skips the still-present partition
+    // a NEW batch lands while the crashed fold is unrepaired: vectors
+    // 100-104 (copies of 0-4's ring positions shifted) must SERVE
+    val late = (100 until 105).map { i =>
+      val a = 2 * math.Pi * (i - 100 + 0.5) / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    AnnIndex.ingestVecBatch(late, 1L, p2, m = 2, dim = 4,
+      twoLevel = false, "vec_id", "embedding")
+    // visibility probe: a late vector queried for its late SIBLINGS —
+    // they rank only if the batch-1 stream partitions are served (the
+    // fixed queries' top-k is tie-stable, so check from this side)
+    val lateServe = AnnIndex.queryIvfPqIndex(
+        late.filter(col("vec_id") === 100L), p2, m = 2, dim = 4,
+        k = 200, nProbe = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert((101L to 104L).forall(lateServe.contains),
+      s"batch-1 stream partitions skipped: $lateServe")
+    assert(!lateServe.contains(100L)) // self-exclusion intact
+    val withLate = serve(p2)
+    // the next fold call repairs: retires batch 0's leftovers AND folds
+    // batch 1; serving unchanged; everything clean
+    AnnIndex.foldStreamIntoCodes(s, p2)
+    assert(serve(p2) == withLate)
+    assert(!fs.exists(hp(s"$p2/codes_stream")))
+    assert(!fs.exists(hp(s"$p2/codes/_folded")))
+    // compaction carries the marker (sidecar): rebuild the window, then
+    // compact — the marker must survive or the leftover partition would
+    // double-count
+    val p3 = reg("compact")
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, p3)
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, p3, m = 2, dim = 4, twoLevel = false, "vec_id", "embedding")
+    DedupIndex.atomicSwap(s, s"$p3/codes", "fold", Seq("_graft_meta")) { tmp =>
+      s.read.parquet(s"$p3/codes")
+        .unionByName(s.read.parquet(s"$p3/codes_stream")
+          .select(col("nid"), col("j"), col("code"), col("cid")))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+      val out = fs.create(hp(s"$tmp/_folded"), true)
+      try out.write("0\n".getBytes("UTF-8")) finally out.close()
+    }
+    AnnIndex.compactIvfPqCodes(s, p3)
+    assert(fs.exists(hp(s"$p3/codes/_folded")))
+    assert(serve(p3) == pre)
+  }
+
   test("language id picks the language with most stopword hits, alphabetical ties") {
     val s = spark; import s.implicits._
     val docs = Seq(

@@ -46,6 +46,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q193_takedown_pipeline", // union of q176's serve shapes + q189's mask probe (batch grams × broadcast 4-row sharded mask) over the taken-down pipeline; every takedown anti-join is an equi-key broadcast
     "q194_ann_balance_footers", // per-list counts × broadcast(1-row totals): q191's share-arithmetic shape over footer-derived counts
     "q195_ann_hot_split", // single-level serve: queries × broadcast(post-split centroids/codebook), q176's probe shape
+    "q196_ann_fold_serve", // q176's serve shapes over the stream-folded index (the fold is a fixture, not the timed body)
     "q132_sparql_values_undef") // solutions × broadcast(2-row UNDEF VALUES): null-or-equal condition cannot be an equi-join (§10.2.2)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
