@@ -253,6 +253,23 @@ object IndexProbe {
       println(f"ann-split$tag%-8s $nCorpus%8d build=$sBuild%6.2f s  " +
         f"split=$splitT%6.2f s ($nChildren children, $movedRows code rows " +
         "moved; 2000-row clump planted)")
+      // ---- stream-fold (round 17): ingest a fixed 400-vector batch
+      // through the streaming encode, then fold it into the base
+      // layout. The fold is a compaction-class op — one full codes
+      // rewrite — so its wall is expected ∝ corpus; the claim worth
+      // checking is that it stays a plain partitioned rewrite (no
+      // blow-up beyond the build row above) and serving afterwards is
+      // the single-branch plan.
+      val fBatch = emb1.filter(col("vec_id") >= 1600)
+        .select((col("vec_id") + 4000000000L).as("vec_id"), col("embedding"))
+      operators.AnnIndex.ingestVecBatch(fBatch, 0L, sPath, m = 8,
+        dim = 64, twoLevel = false, "vec_id", "embedding")
+      val foldT = time(operators.AnnIndex.foldStreamIntoCodes(spark, sPath))
+      val servedF = time(operators.AnnIndex.queryIvfPqIndex(
+        qBatch, sPath, m = 8, dim = 64, k = 5, nProbe = 2,
+        twoLevel = false).count())
+      println(f"ann-fold$tag%-9s $nCorpus%8d fold=$foldT%6.2f s  " +
+        f"serve-after=$servedF%6.2f s (single-branch)")
       // ---- tombstone serving overhead (round 16): 1%% of vectors
       // deleted → serving adds ONE broadcast anti-join against the
       // deletions-sized set. Claim: warm serve unchanged.

@@ -198,6 +198,12 @@ object OpsDemo {
     emb.select(col("vec_id"), col("embedding"))
       .unionByName(clump.select(col("vec_id"), col("embedding")))
       .write.mode("overwrite").parquet(s"$root/split-store")
+    // stream-fold first: splitting requires every row in the base cid=
+    // layout (this demo index has no stream — the call is the no-op
+    // maintenance loop would hit most days; the q196 fixture exercises
+    // the real fold)
+    time("ann: fold streamed codes into base (no-op here)")(
+      AnnIndex.foldStreamIntoCodes(spark, splitIdx))
     val splitRep = time("ann: hot-list split (local rebalance)")(
       AnnIndex.splitHotLists(spark, s"$root/split-store", splitIdx,
         m = 8, dim = 64, hotFactorBp = 40000L, splitInto = 2)
@@ -207,7 +213,7 @@ object OpsDemo {
     // longer pay its list on every probe
     println(s"[ops]   split children (cid -> code rows): " +
       splitRep.map { case (c, n) => s"$c->$n" }.mkString(", "))
-    println("[ops] done — every stage above is oracled by q171-q195 and " +
+    println("[ops] done — every stage above is oracled by q171-q196 and " +
       "probed at 10x/100x in PLANS.md")
     spark.stop()
   }

@@ -945,6 +945,86 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(s.read.parquet(store).count() == 8L + 2L + 1L)
   }
 
+  test("takedown fuzz (round 17): after ONE Takedown call, every surface " +
+      "equals a FRESH pipeline built over the survivors — random corpora, " +
+      "random takedown sets, random probe batches") {
+    val s = spark; import s.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed * 104729)
+      // distinct texts per doc (the exact-index takedown contract assumes
+      // a deduped corpus: the keeper IS the only holder of its text)
+      val n = 10 + rnd.nextInt(6)
+      val corpusRows = (1L to n.toLong).map(i => (i, synthDoc(i.toInt, 22)))
+      val corpus = corpusRows.toDF("doc_id", "text")
+      val refRows = (101L to 104L).map(i =>
+        (i, synthDoc(i.toInt % 7 + 60, 8)))
+      val ref = refRows.toDF("doc_id", "text")
+      val dead = corpusRows.map(_._1).filter(_ => rnd.nextInt(3) == 0)
+      val deadRef = Seq(101L + rnd.nextInt(4))
+      val ids = dead ++ deadRef
+      if (ids.nonEmpty) {
+        def pipeline(tag: String, docs: org.apache.spark.sql.DataFrame,
+            refs: org.apache.spark.sql.DataFrame): String = {
+          val r = tmp(s"tdfuzz_${tag}_$seed")
+          DedupIndex.writeExactIndex(docs, "text", "doc_id", s"$r/exact")
+          DedupIndex.writeMinHashIndex(docs, "text", "doc_id", s"$r/minhash")
+          DedupIndex.writeAnchorIndex(docs, "text", "doc_id", s"$r/anchor",
+            k = 3, w = 4)
+          docs.write.parquet(s"$r/docstore")
+          refs.write.parquet(s"$r/refstore")
+          DedupIndex.writeBloomIndex(refs, "text", "doc_id", s"$r/bloom",
+            n = 3)
+          r
+        }
+        val live = pipeline("live", corpus, ref)
+        Takedown(ids.toDF("doc_id"), PipelineRoots(
+          exactIndex = Some(s"$live/exact"),
+          minhashIndex = Some(s"$live/minhash"),
+          docStore = Some(s"$live/docstore"),
+          anchorIndex = Some(s"$live/anchor"),
+          bloomIndex = Some(s"$live/bloom"),
+          refStore = Some(s"$live/refstore")))
+        val fresh = pipeline("fresh",
+          corpus.filter(!col("doc_id").isin(dead: _*)),
+          ref.filter(!col("doc_id").isin(deadRef: _*)))
+        // random probe batch: copies of corpus texts (dead ones
+        // included — the takedown's re-admission semantics), edits
+        // (near-dups), reference grams, and novel docs
+        val batch = (1 to 6).map { j =>
+          val id = 200L + j
+          rnd.nextInt(4) match {
+            case 0 => (id, corpusRows(rnd.nextInt(n))._2)
+            case 1 => (id, editDoc(corpusRows(rnd.nextInt(n))._2, 0, "ED"))
+            case 2 => (id, refRows(rnd.nextInt(4))._2)
+            case _ => (id, synthDoc(900 + j, 20))
+          }
+        }.toDF("doc_id", "text")
+        def surfaces(r: String): Seq[Set[Any]] = Seq(
+          DedupIndex.admitAgainstIndex(batch, "text", "doc_id", s"$r/exact")
+            .collect().map(x =>
+              (x.getLong(0), x.getString(2), x.getLong(3)): Any).toSet,
+          DedupIndex.minhashCandidatesAgainstIndex(batch, "text",
+              "doc_id", s"$r/minhash")
+            .collect().map(x => (x.getLong(0), x.getLong(1)): Any).toSet,
+          DedupIndex.admitNearDupAgainstIndex(batch, "text", "doc_id",
+              s"$r/minhash", s"$r/docstore")
+            .collect().map(x =>
+              (x.getLong(0), x.getString(1), x.getLong(2)): Any).toSet,
+          DedupIndex.duplicateSpansAgainstIndex(batch, "text", "doc_id",
+              s"$r/anchor", k = 3, w = 4)
+            .collect().map(x =>
+              (x.getLong(0), x.getLong(1), x.getLong(2)): Any).toSet,
+          DedupIndex.bloomContaminationAgainstIndex(batch, "text",
+              "doc_id", s"$r/bloom", n = 3)
+            .collect().map(x =>
+              (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)): Any)
+            .toSet)
+        assert(surfaces(live) == surfaces(fresh),
+          s"seed=$seed dead=$dead deadRef=$deadRef")
+      }
+    }
+  }
+
   // ---- admission differential fuzz (round 16) --------------------------
 
   test("admission fuzz: randomized dup-heavy corpora/batches with random " +
