@@ -263,8 +263,13 @@ object DedupIndex {
     * and the pending tombstone count. The check an operator runs before
     * deciding append vs compact vs rebuild. Metadata-only: a listing
     * plus the two tiny underscore relations; index DATA is never
-    * scanned. Output: (path, kind, params, n_data_files, data_bytes,
-    * n_tombstones, has_stream_checkpoint). */
+    * scanned. Cost note (round-17 measurement): the recursive listing
+    * itself has a per-FILE constant (~4 ms/file through Hadoop LocalFS)
+    * — at a 10k-file index this one-off ops check costs tens of
+    * seconds; the hot-path monitors ([[AnnIndex.listBalanceReportFromFooters]])
+    * distribute their listing per partition dir instead. Output:
+    * (path, kind, params, n_data_files, data_bytes, n_tombstones,
+    * has_stream_checkpoint). */
   def describeIndex(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
