@@ -50,8 +50,15 @@ object Bench {
     SparkEntry.queries.keys.toSeq.sorted ++
       Seq("flagship_ingest", "flagship_sparql_scan")
 
+  // one lenient parse of the chunk knob (round 18, ADVICE): the value is
+  // interpolated into two JSON outputs, so a non-numeric env ("off", "")
+  // must fall back to the default instead of emitting malformed JSON
+  private def chunkSetting: Int =
+    scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "40").trim.toInt)
+      .getOrElse(40)
+
   def main(args: Array[String]): Unit = {
-    val chunk = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "40").toInt
+    val chunk = chunkSetting
     val child = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
     if (!child && args.isEmpty && chunk > 0) parentMain(chunk)
     else inProcessMain(args, exact = child)
@@ -234,7 +241,7 @@ object Bench {
       "\"" + k + "\":{\"passes\":" + arr(st.wall) + ",\"gc\":" + arr(st.gc) +
         ",\"cpu_frac\":" + arr(st.cpuFrac) + ",\"load\":" + arr(st.load) + "}"
     }.mkString("{\"sf\":\"" + sfDir + "\",\"cpus\":" + cpus +
-      ",\"chunk\":" + sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "40") +
+      ",\"chunk\":" + chunkSetting +
       ",\"queries\":{", ",", "}}")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
@@ -275,8 +282,7 @@ object Bench {
     // it marks the harness REGIME — chunked fresh-JVM children vs legacy
     // single-JVM — so cross-round comparisons always compare like with
     // like without digging into the sidecar
-    val chunkEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_CHUNK", "40")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","chunk":$chunkEnv,"queries":$qs,"pass_totals":${arr(passTotals)},"cpu_frac":${arr(cpuFracByPass)},"sys_load":${arr(loadByPass)},"gc_sec":${fmt(gcTotal)},"spread":$spread,"detail":"bench_detail.json","errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","chunk":$chunkSetting,"queries":$qs,"pass_totals":${arr(passTotals)},"cpu_frac":${arr(cpuFracByPass)},"sys_load":${arr(loadByPass)},"gc_sec":${fmt(gcTotal)},"spread":$spread,"detail":"bench_detail.json","errors":${errs.size},"errs":$errJson,"sf":"$sfDir"}"""
     println(line)
   }
 }

@@ -843,10 +843,26 @@ object AnnIndex {
     * results: marker ∧ partitions-present → skipped (no double count);
     * partitions deleted ∧ marker stale → the filter matches nothing.
     * A replayed ingest micro-batch that rewrites an already-folded
-    * partition is likewise skipped by marker. NEW batches landing
-    * after the fold's listing keep serving from the stream (their ids
-    * are not in the marker) and fold next time. Single-maintainer op,
-    * like compaction — run it off the serving path. */
+    * partition is likewise skipped by marker — which is exactly why
+    * the marker is PERMANENT (round 18, ADVICE): the streaming ingest
+    * writes `codes_stream/ingest_batch=B` inside foreachBatch and the
+    * checkpoint commits AFTER, so a crash in that gap replays batch B
+    * on restart. If the fold had deleted the marker once the folded
+    * partitions were gone (round 17's cleanup), the replay recreated
+    * the partition with no marker and the batch's rows served from
+    * BOTH the folded base and the resurrected stream partition —
+    * doubled ADC sums, corrupt top-k. The marker is a small sorted id
+    * file (8 bytes/batch/fold-lifetime), already rides compactions as
+    * an atomicRewrite sidecar, and its serving-side filter is a
+    * planning-time partition-pruning predicate (an `IN`-set over batch
+    * ids — InSet above the conversion threshold), so keeping it
+    * forever costs nothing; the cleanup below deletes folded stream
+    * PARTITIONS only. A replayed already-folded partition is thus
+    * skipped by marker forever and physically removed by the next
+    * fold's cleanup pass. NEW batches landing after the fold's listing
+    * keep serving from the stream (their ids are not in the marker)
+    * and fold next time. Single-maintainer op, like compaction — run
+    * it off the serving path. */
   def foldStreamIntoCodes(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -877,7 +893,9 @@ object AnnIndex {
         writeFoldedMarker(fs, tmp, (already ++ toFold).toSeq)
       }
     }
-    // cleanup: folded partitions go; marker goes once none remain; the
+    // cleanup: folded partitions go; the MARKER STAYS (see scaladoc —
+    // deleting it reopened a replay window where a crashed-checkpoint
+    // ingest batch resurrected its folded partition unmarked); the
     // empty stream dir goes last. Each step idempotent — any crash here
     // leaves the marker protocol serving correctly until the next call.
     val folded = foldedBatchIds(fs, codes)
@@ -885,8 +903,6 @@ object AnnIndex {
       val d = new Path(sPath, s"ingest_batch=$b")
       if (fs.exists(d)) fs.delete(d, true)
     }
-    if (folded.nonEmpty && (presentIds() intersect folded).isEmpty)
-      fs.delete(new Path(s"$codes/_folded"), false)
     if (fs.exists(sPath) && presentIds().isEmpty &&
         !fs.listStatus(sPath).exists(f =>
           !f.getPath.getName.startsWith("_") &&

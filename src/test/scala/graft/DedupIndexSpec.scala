@@ -1226,4 +1226,98 @@ class DedupIndexSpec extends AnyFunSuite {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
   }
+
+  // ---- round 18: the between-renames window + the FS contract ---------
+
+  test("atomicSwap bare-live recreation BETWEEN the renames (round 18, " +
+      "ADVICE): a racing deleteDocs whose append commits after " +
+      "rename(live, old) must not make rename(tmp, live) nest — the " +
+      "new data serves readably and the takedown stays PENDING") {
+    val s = spark; import s.implicits._
+    val path = tmp("between_renames")
+    val corpus = Seq((1L, "alpha one"), (2L, "beta two"), (3L, "gamma three"))
+      .toDF("doc_id", "text")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    // the racing deleteDocs: its exists-check passed before the swap's
+    // first rename; its append commits in the two-rename window,
+    // recreating `live` as a bare _tombstones-only dir. Without the
+    // re-check, LocalFS rename(tmp, live) NESTS the new data at
+    // live/._compact_tmp (invisible to parquet) and returns true, and
+    // delete(old) then destroys the only readable copy of the index.
+    DedupIndex.testBetweenRenames = () =>
+      Seq(2L).toDF("id").write.mode("append").parquet(s"$path/_tombstones")
+    try {
+      DedupIndex.compactIndex(s, path, kind = "exact")
+    } finally DedupIndex.testBetweenRenames = () => ()
+    // the swap completed; the new data is AT live (not nested under it)
+    assert(fs.exists(hp(path)))
+    assert(!fs.exists(hp(s"$path/._compact_tmp")))
+    assert(!fs.exists(hp(s"$path/._compact_old")))
+    val keys = s.read.parquet(path).collect().map(_.getLong(1)).toSet
+    assert(keys == Set(1L, 2L, 3L)) // physically intact...
+    // ...with the race-window takedown rescued as PENDING: queries
+    // exclude doc 2 now, and the next compaction applies it physically
+    val adm = DedupIndex.admitAgainstIndex(
+        Seq((21L, "beta two")).toDF("doc_id", "text"), "text", "doc_id", path)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(adm == Set((21L, "admitted")))
+    DedupIndex.compactIndex(s, path, kind = "exact")
+    assert(!s.read.parquet(path).collect().map(_.getLong(1)).contains(2L))
+  }
+
+  test("atomicSwap NON-bare live recreation between the renames aborts " +
+      "loudly with old and tmp intact (single-maintainer violation, " +
+      "round 18) — nothing is deleted, nothing nests") {
+    val s = spark; import s.implicits._
+    val path = tmp("nonbare_recreate")
+    Seq((1L, "k1"), (2L, "k2")).toDF("doc_id", "text")
+      .write.parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+    DedupIndex.testBetweenRenames = () =>
+      Seq((9L, "foreign")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(path) // a foreign writer's data
+    val ex = try {
+      intercept[java.io.IOException](
+        DedupIndex.atomicSwap(s, path, "compact", Nil) { tmpDir =>
+          s.read.parquet(path).write.mode("overwrite").parquet(tmpDir)
+        })
+    } finally DedupIndex.testBetweenRenames = () => ()
+    assert(ex.getMessage.contains("concurrent writer"))
+    // previous data recoverable at old; new data still at tmp; the
+    // foreign live was NOT renamed into (no nesting)
+    assert(fs.exists(hp(s"$path._compact_old")))
+    assert(fs.exists(hp(s"$path._compact_tmp")))
+    assert(!fs.exists(hp(s"$path/._compact_tmp")))
+    assert(s.read.parquet(s"$path._compact_old").count() == 2L)
+  }
+
+  test("atomicSwap filesystem contract (round 18): an object-store " +
+      "scheme whose rename is non-atomic is rejected with a named " +
+      "error; the documented conf accepts the weakened semantics " +
+      "explicitly") {
+    val s = spark
+    val fakeS3a = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    val root = new org.apache.hadoop.fs.Path("s3a://bucket/idx")
+    val ex = intercept[IllegalStateException](
+      DedupIndex.requireAtomicRenameFs(s, fakeS3a, root, "compact"))
+    assert(ex.getMessage.contains("s3a"))
+    assert(ex.getMessage.contains("not atomic"))
+    assert(ex.getMessage.contains("spark.graft.index.allowNonAtomicRename"))
+    // the explicit opt-in lifts the guard (weakened semantics accepted)
+    s.conf.set("spark.graft.index.allowNonAtomicRename", "true")
+    try DedupIndex.requireAtomicRenameFs(s, fakeS3a, root, "compact")
+    finally s.conf.unset("spark.graft.index.allowNonAtomicRename")
+    // HDFS-class and local filesystems pass untouched
+    DedupIndex.requireAtomicRenameFs(s,
+      new org.apache.hadoop.fs.Path("/tmp").getFileSystem(
+        s.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path("/tmp/idx"), "compact")
+  }
 }

@@ -791,7 +791,20 @@ class OperatorsSpec extends AnyFunSuite {
     AnnIndex.foldStreamIntoCodes(s, p1)
     assert(serve(p1) == pre) // byte-identical serving
     assert(!fs.exists(hp(s"$p1/codes_stream"))) // stream retired
-    assert(!fs.exists(hp(s"$p1/codes/_folded"))) // marker cleaned
+    // the marker is PERMANENT (round 18, ADVICE): deleting it reopened
+    // a window where a crashed-checkpoint replay of batch 0 recreated
+    // its partition unmarked and served its rows twice
+    assert(fs.exists(hp(s"$p1/codes/_folded")))
+    // simulate exactly that replay: foreachBatch re-runs batch 0 after
+    // the fold — the resurrected partition must stay invisible
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, p1, m = 2, dim = 4, twoLevel = false, "vec_id", "embedding")
+    assert(fs.exists(hp(s"$p1/codes_stream/ingest_batch=0")))
+    assert(serve(p1) == pre) // no double-counted ADC sums
+    // and the next fold's cleanup physically retires the replayed copy
+    AnnIndex.foldStreamIntoCodes(s, p1)
+    assert(!fs.exists(hp(s"$p1/codes_stream")))
+    assert(serve(p1) == pre)
     val baseNids = s.read.parquet(s"$p1/codes").select("nid").distinct()
       .collect().map(_.getLong(0)).toSet
     assert((0 until 60 by 5).forall(i => baseNids.contains(i.toLong)))
@@ -851,7 +864,7 @@ class OperatorsSpec extends AnyFunSuite {
     AnnIndex.foldStreamIntoCodes(s, p2)
     assert(serve(p2) == withLate)
     assert(!fs.exists(hp(s"$p2/codes_stream")))
-    assert(!fs.exists(hp(s"$p2/codes/_folded")))
+    assert(fs.exists(hp(s"$p2/codes/_folded"))) // permanent (round 18)
     // compaction carries the marker (sidecar): rebuild the window, then
     // compact — the marker must survive or the leftover partition would
     // double-count
