@@ -52,8 +52,17 @@ final case class PipelineRoots(
   * compaction's job ([[DedupIndex.compactIndex]] /
   * [[DedupIndex.compactDocStore]] / [[AnnIndex.compactIvfPqCodes]]) —
   * run them on the maintenance schedule; correctness never waits for
-  * them. Returns a report relation (root, kind, action) with action ∈
-  * tombstoned | rebuilt | rebuild_required. */
+  * them. Returns a report relation (root, kind, action, detail) with
+  * action ∈ tombstoned | rebuilt | rebuild_required | rebuild_failed.
+  *
+  * Partial failure (round 18): a phase-2 rebuild that THROWS (a broken
+  * store path, a transient executor loss) no longer aborts the report —
+  * phase 1 already made every surface safe (anti-joined or fail-loud),
+  * so the correct posture is to finish the remaining rebuilds and tell
+  * the operator exactly which roots are still loudly queued. Such a
+  * root reports `rebuild_failed` with the exception in `detail`; its
+  * probes keep failing with the rebuild instruction until an operator
+  * re-runs one (the same loud queue as `rebuild_required`). */
 object Takedown {
 
   def apply(ids: DataFrame, roots: PipelineRoots,
@@ -67,11 +76,12 @@ object Takedown {
     // localCheckpoint materializes the evaluated rows; takedown-sized.
     val idsPinned = ids.select(col(ids.columns.head).cast("long").as("id"))
       .distinct().localCheckpoint()
-    val report = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val report =
+      scala.collection.mutable.ArrayBuffer[(String, String, String, String)]()
     def ts(rootOpt: Option[String], kind: String): Unit =
       rootOpt.foreach { p =>
         DedupIndex.deleteDocs(idsPinned, p) // fail-loud on a missing root
-        report += ((p, kind, "tombstoned"))
+        report += ((p, kind, "tombstoned", null))
       }
     // phase 1: tombstone every root FIRST, aggregate kinds included —
     // each surface is safe (anti-joined or fail-loud) from this point
@@ -85,22 +95,28 @@ object Takedown {
     ts(roots.anchorIndex, "anchor")
     ts(roots.bloomIndex, "bloom")
     // phase 2: store-fed rebuilds clear the aggregate kinds' tombstones
-    // by applying them physically
+    // by applying them physically. Each rebuild is caught per root
+    // (round 18): phase 1 already made this root fail-loud, so a throw
+    // here must not hide the OTHER roots' outcomes from the operator —
+    // it becomes a rebuild_failed report row instead.
+    def rebuild(p: String, kind: String, store: Option[String])(
+        run: String => Unit): Unit =
+      if (rebuildAggregates && store.isDefined)
+        try { run(store.get); report += ((p, kind, "rebuilt", null)) }
+        catch { case scala.util.control.NonFatal(e) =>
+          report += ((p, kind, "rebuild_failed",
+            s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        }
+      else report += ((p, kind, "rebuild_required", null))
     roots.anchorIndex.foreach { p =>
-      if (rebuildAggregates && roots.docStore.isDefined) {
-        DedupIndex.rebuildAnchorIndexFromStore(
-          spark, roots.docStore.get, p, textCol, idCol)
-        report += ((p, "anchor", "rebuilt"))
-      } else report += ((p, "anchor", "rebuild_required"))
+      rebuild(p, "anchor", roots.docStore)(st =>
+        DedupIndex.rebuildAnchorIndexFromStore(spark, st, p, textCol, idCol))
     }
     roots.bloomIndex.foreach { p =>
-      if (rebuildAggregates && roots.refStore.isDefined) {
-        DedupIndex.rebuildBloomIndexFromRef(
-          spark, roots.refStore.get, p, textCol, idCol)
-        report += ((p, "bloom", "rebuilt"))
-      } else report += ((p, "bloom", "rebuild_required"))
+      rebuild(p, "bloom", roots.refStore)(st =>
+        DedupIndex.rebuildBloomIndexFromRef(spark, st, p, textCol, idCol))
     }
     import spark.implicits._
-    report.toSeq.toDF("root", "kind", "action")
+    report.toSeq.toDF("root", "kind", "action", "detail")
   }
 }

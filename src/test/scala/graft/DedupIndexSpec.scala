@@ -682,6 +682,68 @@ class DedupIndexSpec extends AnyFunSuite {
       "doc_id", s"$root/anchor", k = 3, w = 4).count() == 0L)
   }
 
+  test("takedown partial failure (round 18): a phase-2 rebuild that " +
+      "throws becomes a rebuild_failed report row — phase-1 tombstones " +
+      "intact, the OTHER aggregate root still rebuilt, and a re-run " +
+      "after repairing the store clears the queue") {
+    val s = spark; import s.implicits._
+    val corpus = (1L to 8L).map(i => (i, synthDoc(i.toInt, 25)))
+      .toDF("doc_id", "text")
+    val ref = Seq((101L, "alpha beta gamma"), (102L, "epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val root = tmp("takedown_partial")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", s"$root/exact")
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id", s"$root/anchor",
+      k = 3, w = 4)
+    ref.write.parquet(s"$root/refstore")
+    DedupIndex.writeBloomIndex(ref, "text", "doc_id", s"$root/bloom", n = 3)
+    // the BROKEN store: the dir exists (phase-1 tombstoning succeeds)
+    // but holds no parquet, so the anchor rebuild's read throws
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/docstore"))
+    val report = Takedown(Seq(3L, 101L).toDF("doc_id"), PipelineRoots(
+        exactIndex = Some(s"$root/exact"),
+        docStore = Some(s"$root/docstore"),
+        anchorIndex = Some(s"$root/anchor"),
+        bloomIndex = Some(s"$root/bloom"),
+        refStore = Some(s"$root/refstore")))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(2), Option(r.getString(3)))).toMap
+    // the failed rebuild is REPORTED, not thrown — with the reason
+    assert(report(s"$root/anchor")._1 == "rebuild_failed")
+    assert(report(s"$root/anchor")._2.exists(_.nonEmpty))
+    // the other aggregate root was still rebuilt; row-wise tombstoned
+    assert(report(s"$root/bloom")._1 == "rebuilt")
+    assert(report(s"$root/exact")._1 == ("tombstoned"))
+    // phase-1 safety holds at the failed root: probes fail LOUDLY with
+    // the rebuild instruction (deleted content never serves)
+    intercept[IllegalArgumentException](
+      DedupIndex.duplicateSpansAgainstIndex(
+        Seq((61L, synthDoc(3, 25))).toDF("doc_id", "text"), "text",
+        "doc_id", s"$root/anchor", k = 3, w = 4).collect())
+    // the rebuilt bloom root serves: 101 clean, 102 still flags
+    val bp = DedupIndex.bloomContaminationAgainstIndex(
+        Seq((51L, "alpha beta gamma"), (52L, "epsilon zeta eta"))
+          .toDF("doc_id", "text"), "text", "doc_id", s"$root/bloom", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bp(51L) == 0L && bp(52L) == 1L)
+    // repair the store, re-run ONLY the queued root: queue clears
+    corpus.write.mode("overwrite").parquet(s"$root/docstore")
+    DedupIndex.deleteDocs(Seq(3L).toDF("doc_id"), s"$root/docstore")
+    val r2 = Takedown(Seq(3L).toDF("doc_id"), PipelineRoots(
+        docStore = Some(s"$root/docstore"),
+        anchorIndex = Some(s"$root/anchor")))
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(r2(s"$root/anchor") == "rebuilt")
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((62L, synthDoc(3, 25))).toDF("doc_id", "text"), "text",
+      "doc_id", s"$root/anchor", k = 3, w = 4).count() == 0L)
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((63L, synthDoc(2, 25))).toDF("doc_id", "text"), "text",
+      "doc_id", s"$root/anchor", k = 3, w = 4).count() > 0L)
+  }
+
   // ---- near-dup admission -----------------------------------------------
 
   private def editDoc(base: String, at: Int, tok: String): String = {
