@@ -99,11 +99,20 @@ object OpsDemo {
           "anchor", anchorK = 3, anchorW = 4)
         admitted.select(col("doc_id"), col("text"))
           .write.mode("append").parquet(s"$root/store") })
-    time("compact: crash-safe swap, all four relations")(
-      { DedupIndex.compactIndex(spark, s"$root/exact", "exact")
-        DedupIndex.compactIndex(spark, s"$root/minhash", "minhash")
-        DedupIndex.compactIndex(spark, s"$root/anchor", "anchor")
-        DedupIndex.compactDocStore(spark, s"$root/store") })
+    // round 18: maintenance is an AUTOPILOT — one tick per root reads
+    // the metadata-bound health surfaces and performs what is due (here:
+    // compaction of the appended small files where the budget breaches,
+    // `healthy` otherwise) instead of a hand-ordered runbook
+    time("maintenance tick: exact/minhash/anchor/store")(
+      Seq(s"$root/exact", s"$root/minhash", s"$root/anchor", s"$root/store")
+        .foreach { p =>
+          val acts = graft.operators.Maintenance
+            .maintenanceTick(spark, p,
+              policy = graft.operators.Maintenance.TickPolicy(
+                maxStoreFiles = 8L))
+            .collect().map(r => s"${r.getString(1)}").mkString(",")
+          println(s"[ops]   tick(${p.split('/').last}): $acts")
+        })
 
     // ---- 4. the ANN side: base build, era append, serve over both
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -131,8 +140,15 @@ object OpsDemo {
         .groupBy("status").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
     println(s"[ops]   embedding admission statuses: $admSt")
-    time("ann: compact codes (crash-safe)")(
-      AnnIndex.compactIvfPqCodes(spark, s"$root/ann"))
+    // round 18: the ANN root's compact/fold/split/retrain decision is
+    // the autopilot's too — here the single era append stays within the
+    // file budget and nothing is tombstoned, so the honest verdict is
+    // `healthy` (MaintenanceSpec drives the all-three-actions tick)
+    val annTick = time("ann: maintenance tick")(
+      graft.operators.Maintenance.maintenanceTick(spark, s"$root/ann")
+        .orderBy("seq").collect()
+        .map(r => s"${r.getString(1)}(performed=${r.getBoolean(4)})"))
+    println(s"[ops]   tick(ann): ${annTick.mkString(" -> ")}")
     // round 16: the one-call index health check (metadata-only)
     val desc = DedupIndex.describeIndex(spark, s"$root/ann").head()
     println(s"[ops]   describe(ann): kind=${desc.getString(1)} " +
@@ -198,21 +214,20 @@ object OpsDemo {
     emb.select(col("vec_id"), col("embedding"))
       .unionByName(clump.select(col("vec_id"), col("embedding")))
       .write.mode("overwrite").parquet(s"$root/split-store")
-    // stream-fold first: splitting requires every row in the base cid=
-    // layout (this demo index has no stream — the call is the no-op
-    // maintenance loop would hit most days; the q196 fixture exercises
-    // the real fold)
-    time("ann: fold streamed codes into base (no-op here)")(
-      AnnIndex.foldStreamIntoCodes(spark, splitIdx))
-    val splitRep = time("ann: hot-list split (local rebalance)")(
-      AnnIndex.splitHotLists(spark, s"$root/split-store", splitIdx,
-        m = 8, dim = 64, hotFactorBp = 40000L, splitInto = 2)
-        .collect().map(r => r.getLong(1) -> r.getLong(2)))
-    // an identical-copy clump cannot spread thinner than one child —
-    // the operational win is ISOLATION: queries not near the clump no
-    // longer pay its list on every probe
-    println(s"[ops]   split children (cid -> code rows): " +
-      splitRep.map { case (c, n) => s"$c->$n" }.mkString(", "))
+    // round 18: fold-if-needed → compact-if-due → split-if-hot is ONE
+    // maintenanceTick call now (the autopilot decides and orders; here
+    // the planted clump trips the hot rule and the tick performs the
+    // split — an identical-copy clump cannot spread thinner than one
+    // child, so the operational win is ISOLATION: queries not near the
+    // clump no longer pay its list on every probe)
+    val tickRep = time("ann: maintenance tick (fold/compact/split)")(
+      graft.operators.Maintenance.maintenanceTick(spark, splitIdx,
+          vecStore = Some(s"$root/split-store"))
+        .orderBy("seq").collect()
+        .map(r => s"${r.getString(1)}(performed=${r.getBoolean(4)})"))
+    println(s"[ops]   tick(ann-split): ${tickRep.mkString(" -> ")}")
+    println(s"[ops]   post-split children: " +
+      spark.read.parquet(s"$splitIdx/centroids").count() + " lists")
     println("[ops] done — every stage above is oracled by q171-q196 and " +
       "probed at 10x/100x in PLANS.md")
     spark.stop()

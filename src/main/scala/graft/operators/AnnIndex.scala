@@ -809,7 +809,7 @@ object AnnIndex {
     * WITH the folded base (written inside the swap's tmp), so no crash
     * point can double-count or lose a streamed row. Carried through
     * codes compactions as an [[DedupIndex.atomicRewrite]] sidecar. */
-  private def foldedBatchIds(
+  private[operators] def foldedBatchIds(
       fs: org.apache.hadoop.fs.FileSystem, codesPath: String): Set[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$codesPath/_folded")
     if (!fs.exists(p)) return Set.empty

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Day-N maintenance AUTOPILOT (round 18). The maintenance vocabulary
+  * was complete after round 17 — describe, fold, compact, split,
+  * retrain-verdict, store-fed rebuild — but deciding and ordering those
+  * calls was still a runbook (`OpsDemo` wired it by hand), the same
+  * critique that motivated [[Takedown]] for deletion. `maintenanceTick`
+  * is that runbook as ONE call per index root: read the cheap health
+  * surfaces ([[DedupIndex.describeIndex]], and for ANN roots
+  * [[AnnIndex.listBalanceReportFromFooters]] — both metadata-bound, the
+  * reference's own footer-only planning posture, make-metadata.py:13-18),
+  * decide the due actions in their one safe order, and either perform
+  * them (`dryRun = false`) or return them as a plan.
+  *
+  * The ORDER is load-bearing for ANN roots:
+  *
+  *  1. **fold** — unfolded `codes_stream` partitions exist. Must run
+  *     first: [[AnnIndex.splitHotLists]] fail-louds while stream
+  *     partitions exist, and a fold rewrites `codes/` wholesale, which
+  *     would waste a compaction run before it.
+  *  2. **compact** — tombstone debt (pending deletions become physical)
+  *     or file-count debt (avg data files per list above
+  *     `maxFilesPerList` — small-file accretion from appends). Runs
+  *     after the fold so the rewrite covers the folded layout; runs
+  *     before the balance check so hot-factor sees post-deletion counts.
+  *  3. **split / retrain verdict** — the footer balance report's
+  *     hottest list vs `hotFactor`× the mean: single-level roots get a
+  *     [[AnnIndex.splitHotLists]] (performed only when `vecStore` is
+  *     supplied — the split fetches raw vectors for seeding; otherwise
+  *     reported as `split_required`); two-level roots report
+  *     `retrain_required` — re-training needs fresh centroids from an
+  *     offline pass, which an autopilot must queue, not improvise.
+  *
+  * Dedup-family roots get the same treatment at their smaller
+  * vocabulary: row-wise kinds (exact, minhash) compact on tombstone or
+  * file debt; aggregate kinds (anchor, bloom) REBUILD from their
+  * maintained store when tombstoned (performed when the store path is
+  * supplied, else reported `rebuild_required` — the same loud queue as
+  * [[Takedown]] phase 1 leaves); meta-less roots (doc/vector stores)
+  * compact via [[DedupIndex.compactDocStore]].
+  *
+  * Scale posture: the DECISION reads are all metadata-bound (one
+  * recursive listing for describe; partition-dir listing + raw-thrift
+  * footer reads for balance — 0.56 s at 100×/9 537 files, PLANS.md).
+  * The performed actions have the costs their own scaladocs state
+  * (fold/compact ∝ rewritten volume, split ∝ hot lists); the tick adds
+  * nothing on top. Single-maintainer, like every op it orders — run it
+  * off the serving path on the maintenance schedule.
+  *
+  * Returns (seq, action, target, reason, performed): one row per due
+  * action in execution order, plus a single `healthy` row when nothing
+  * is due. `performed = false` rows are the dry-run plan or the
+  * missing-store queues. */
+object Maintenance {
+
+  /** The tick's thresholds. `hotFactor` mirrors
+    * [[AnnIndex.shouldRetrain]]'s default; `maxFilesPerList` is the
+    * small-file budget per `cid=` partition (appends accrete one file
+    * per append per touched list); `maxStoreFiles` bounds meta-less
+    * store roots where a per-list notion doesn't exist. */
+  final case class TickPolicy(
+      hotFactor: Double = 4.0,
+      splitInto: Int = 2,
+      maxFilesPerList: Long = 8L,
+      maxStoreFiles: Long = 64L)
+
+  def maintenanceTick(
+      spark: SparkSession, path: String,
+      vecStore: Option[String] = None,
+      docStore: Option[String] = None,
+      refStore: Option[String] = None,
+      dryRun: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text",
+      policy: TickPolicy = TickPolicy()): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"maintenanceTick: no index at $path")
+    val desc = DedupIndex.describeIndex(spark, path).head()
+    val kind = desc.getString(1)
+    val nFiles = desc.getLong(3)
+    val nTombstones = desc.getLong(5)
+    val report =
+      scala.collection.mutable.ArrayBuffer[(String, String, String, Boolean)]()
+    def act(action: String, reason: String, perform: Option[() => Unit]): Unit = {
+      val performed = !dryRun && perform.isDefined
+      if (performed) perform.get.apply()
+      report += ((action, reason, path, performed))
+    }
+
+    kind match {
+      case "ivfpq" =>
+        val meta = DedupIndex.readMeta(spark, path).get._2
+        val (m, dim) = (meta("m"), meta("dim"))
+        val twoLevel = meta.getOrElse("twoLevel", 0) == 1
+        // 1. fold: unfolded stream batches present?
+        val sPath = new Path(s"$path/codes_stream")
+        val unfolded =
+          (if (!fs.exists(sPath)) Set.empty[Long]
+           else fs.listStatus(sPath).toSeq.collect {
+             case st if st.isDirectory &&
+                 st.getPath.getName.startsWith("ingest_batch=") =>
+               st.getPath.getName.stripPrefix("ingest_batch=").toLong
+           }.toSet) -- AnnIndex.foldedBatchIds(fs, s"$path/codes")
+        if (unfolded.nonEmpty)
+          act("fold", s"${unfolded.size} unfolded stream batch(es): " +
+              s"${unfolded.toSeq.sorted.mkString(",")}",
+            Some(() => AnnIndex.foldStreamIntoCodes(spark, path)))
+        // 2. compact: tombstone debt, or small-file debt per list. The
+        // list count comes from the footer report (already needed for
+        // the hot check below) — n_data_files includes the centroid/
+        // codebook relations, a constant handful vs the codes volume.
+        val balance = AnnIndex.listBalanceReportFromFooters(spark, path)
+          .agg(count(lit(1)).as("n_lists"), max(col("hot_factor_bp"))).head()
+        val nLists = balance.getLong(0)
+        val hotBp = if (balance.isNullAt(1)) 0L else balance.getLong(1)
+        val fileDebt = nLists > 0 && nFiles / nLists > policy.maxFilesPerList
+        if (nTombstones > 0 || fileDebt)
+          act("compact",
+            s"$nTombstones pending tombstone id(s), " +
+              s"~${if (nLists > 0) nFiles / nLists else nFiles} files/list " +
+              s"(budget ${policy.maxFilesPerList})",
+            Some(() => AnnIndex.compactIvfPqCodes(spark, path)))
+        // 3. hot-factor rule. The decision reuses the pre-action footer
+        // report (the fold/compact above move bytes, not list totals —
+        // fold only RELOCATES stream rows into their lists' partitions,
+        // and the report already counts stream rows toward their cid;
+        // compaction only subtracts the tombstoned rows counted above).
+        if (hotBp > (policy.hotFactor * 10000L).toLong) {
+          if (twoLevel)
+            act("retrain_required",
+              s"hottest list at ${hotBp} bp of the mean (budget " +
+                s"${(policy.hotFactor * 10000L).toLong} bp); two-level " +
+                "index — local split would re-route unrelated probes; " +
+                "re-train offline and rebuildIvfPqIndexFromStore",
+              None)
+          else if (vecStore.isDefined)
+            act("split",
+              s"hottest list at ${hotBp} bp of the mean (budget " +
+                s"${(policy.hotFactor * 10000L).toLong} bp)",
+              Some(() => { AnnIndex.splitHotLists(spark, vecStore.get, path,
+                m = m, dim = dim,
+                hotFactorBp = (policy.hotFactor * 10000L).toLong,
+                splitInto = policy.splitInto); () }))
+          else
+            act("split_required",
+              s"hottest list at ${hotBp} bp of the mean; pass vecStore " +
+                "to let the tick perform the split", None)
+        }
+
+      case "exact" | "minhash" =>
+        if (nTombstones > 0 || nFiles > policy.maxStoreFiles)
+          act("compact",
+            s"$nTombstones pending tombstone id(s), $nFiles data files " +
+              s"(budget ${policy.maxStoreFiles})",
+            Some(() => DedupIndex.compactIndex(spark, path, kind)))
+
+      case "anchor" =>
+        if (nTombstones > 0) {
+          if (docStore.isDefined)
+            act("rebuild", s"$nTombstones tombstone id(s) on an " +
+                "aggregate-valued kind — store-fed rebuild",
+              Some(() => DedupIndex.rebuildAnchorIndexFromStore(
+                spark, docStore.get, path, textCol, idCol)))
+          else act("rebuild_required", s"$nTombstones tombstone id(s); " +
+            "pass docStore to let the tick perform the rebuild", None)
+        } else if (nFiles > policy.maxStoreFiles)
+          act("compact", s"$nFiles data files (budget " +
+              s"${policy.maxStoreFiles})",
+            Some(() => DedupIndex.compactIndex(spark, path, kind)))
+
+      case "bloom" | "bloomsharded" =>
+        if (nTombstones > 0) {
+          if (refStore.isDefined)
+            act("rebuild", s"$nTombstones tombstone id(s) on an " +
+                "aggregate-valued kind — store-fed rebuild",
+              Some(() => DedupIndex.rebuildBloomIndexFromRef(
+                spark, refStore.get, path, textCol, idCol)))
+          else act("rebuild_required", s"$nTombstones tombstone id(s); " +
+            "pass refStore to let the tick perform the rebuild", None)
+        }
+
+      case _ => // meta-less store roots (doc store, vector store, ...)
+        if (nTombstones > 0 || nFiles > policy.maxStoreFiles)
+          act("compact",
+            s"$nTombstones pending tombstone id(s), $nFiles data files " +
+              s"(budget ${policy.maxStoreFiles})",
+            Some(() => DedupIndex.compactDocStore(spark, path, idCol)))
+    }
+
+    if (report.isEmpty)
+      report += (("healthy", s"kind=$kind, $nFiles data files, " +
+        "no tombstones, no stream debt, balance within budget", path, false))
+    import spark.implicits._
+    report.toSeq.zipWithIndex
+      .map { case ((action, reason, target, performed), i) =>
+        (i + 1, action, target, reason, performed) }
+      .toDF("seq", "action", "target", "reason", "performed")
+  }
+}

@@ -1,0 +1,158 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round 18: the maintenance autopilot — ONE `maintenanceTick` call
+  * reads the metadata-bound health surfaces, decides the due actions in
+  * their safe order, and performs (or dry-run returns) them. The main
+  * spec drives a fixture that needs ALL of fold + compact + split in
+  * one tick and asserts full-probe serving is byte-identical through
+  * it. */
+class MaintenanceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def tmp(tag: String): String = TempDirs.register(
+    s"${System.getProperty("java.io.tmpdir")}/graft_maint_${tag}_${java.util.UUID.randomUUID()}")
+
+  private def hp(x: String) = new org.apache.hadoop.fs.Path(x)
+
+  test("maintenanceTick performs fold + compact + split in one ordered " +
+      "call; full-probe serving byte-identical before/after; dry-run " +
+      "returns the same plan and touches nothing; a second tick is " +
+      "healthy") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    val path = tmp("tick"); val store = tmp("store")
+    // base: 80% of the ring, single-level
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, path)
+    // FOLD debt: the other 20% arrives as a stream ingest batch
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, path, m = 2, dim = 4, twoLevel = false, "vec_id", "embedding")
+    // SPLIT debt: a straddled drift clump into vector 0's list — copies
+    // of vec 0's and vec 1's embeddings (the list's two smallest member
+    // ids 0 and 1 seed the children, one inside each sub-clump)
+    val clump = s.range(120)
+      .select((col("id") + 2000000000L).as("vec_id"))
+      .crossJoin(broadcast(vecs.filter(col("vec_id") === 0L)
+        .select(col("embedding"))))
+      .unionByName(s.range(120)
+        .select((col("id") + 3000000000L).as("vec_id"))
+        .crossJoin(broadcast(vecs.filter(col("vec_id") === 1L)
+          .select(col("embedding")))))
+    AnnIndex.appendToIvfPqIndex(clump, path, m = 2, dim = 4)
+    // COMPACT debt: take down two ring vectors
+    AnnIndex.deleteVectors(Seq(7L, 23L).toDF("vec_id"), path)
+    // the split's seed fetch reads the maintained vector store
+    vecs.unionByName(clump).write.parquet(store)
+    def serveFull(): Set[(Long, Long, Int, Double)] =
+      AnnIndex.queryIvfPqIndex(queries, path, m = 2, dim = 4, k = 4,
+          nProbe = 64)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val pre = serveFull()
+    assert(!pre.exists(_._2 == 7L)) // tombstones already anti-joined
+    val fs = hp(path).getFileSystem(s.sessionState.newHadoopConf())
+
+    // ---- dry run: the full plan, nothing touched ---------------------
+    val plan = Maintenance.maintenanceTick(s, path,
+        vecStore = Some(store), dryRun = true)
+      .orderBy("seq").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(4)))
+    assert(plan.map(_._2).toSeq == Seq("fold", "compact", "split"))
+    assert(plan.forall(!_._3)) // nothing performed
+    assert(fs.exists(hp(s"$path/codes_stream/ingest_batch=0")))
+    assert(fs.exists(hp(s"$path/_tombstones")))
+    assert(serveFull() == pre)
+
+    // ---- the tick: all three performed, in order ---------------------
+    val done = Maintenance.maintenanceTick(s, path, vecStore = Some(store))
+      .orderBy("seq").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(4)))
+    assert(done.map(_._2).toSeq == Seq("fold", "compact", "split"))
+    assert(done.forall(_._3)) // all performed
+    // physical postconditions: stream folded away, tombstones applied,
+    // the hot list split into children
+    assert(!fs.exists(hp(s"$path/codes_stream")))
+    assert(!fs.exists(hp(s"$path/_tombstones")))
+    assert(s.read.parquet(s"$path/centroids").count() > cents.count())
+    // serving: byte-identical at full probe (deletions were already
+    // anti-joined pre-tick; fold and split preserve every code row)
+    assert(serveFull() == pre)
+
+    // ---- a second tick finds a healthy index -------------------------
+    val again = Maintenance.maintenanceTick(s, path, vecStore = Some(store))
+      .collect().map(r => (r.getString(1), r.getBoolean(4)))
+    assert(again.toSeq == Seq(("healthy", false)), again.mkString(";"))
+  }
+
+  test("maintenanceTick on a two-level hot index reports retrain_required " +
+      "instead of splitting; on dedup kinds it compacts tombstone debt; " +
+      "aggregate kinds queue or perform store-fed rebuilds") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    // two-level + planted clump → retrain_required, NOT performed
+    val tl = tmp("twolevel")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, tl,
+      twoLevel = true)
+    val clump = s.range(300)
+      .select((col("id") + 2000000000L).as("vec_id"))
+      .crossJoin(broadcast(vecs.filter(col("vec_id") === 0L)
+        .select(col("embedding"))))
+    AnnIndex.appendToIvfPqIndex(clump, tl, m = 2, dim = 4, twoLevel = true)
+    val tlActions = Maintenance.maintenanceTick(s, tl)
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    assert(tlActions.contains(("retrain_required", false)), tlActions)
+    assert(!tlActions.exists(_._1 == "split"))
+    // exact index with a tombstone → compact performed, then healthy
+    val corpus = (1L to 6L).map(i => (i, s"doc number $i text"))
+      .toDF("doc_id", "text")
+    val ex = tmp("exact")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", ex)
+    DedupIndex.deleteDocs(Seq(3L).toDF("doc_id"), ex)
+    val exActions = Maintenance.maintenanceTick(s, ex)
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    assert(exActions == Seq(("compact", true)))
+    assert(!s.read.parquet(ex).collect().map(_.getLong(1)).contains(3L))
+    assert(Maintenance.maintenanceTick(s, ex).collect()
+      .map(_.getString(1)).toSeq == Seq("healthy"))
+    // anchor with a tombstone: queued without a store, performed with
+    val an = tmp("anchor"); val st = tmp("docstore")
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id", an, k = 3, w = 4)
+    corpus.write.parquet(st)
+    DedupIndex.deleteDocs(Seq(2L).toDF("doc_id"), an)
+    assert(Maintenance.maintenanceTick(s, an).collect()
+      .map(r => (r.getString(1), r.getBoolean(4))).toSeq ==
+      Seq(("rebuild_required", false)))
+    DedupIndex.deleteDocs(Seq(2L).toDF("doc_id"), st)
+    assert(Maintenance.maintenanceTick(s, an, docStore = Some(st)).collect()
+      .map(r => (r.getString(1), r.getBoolean(4))).toSeq ==
+      Seq(("rebuild", true)))
+    assert(DedupIndex.duplicateSpansAgainstIndex(
+      Seq((61L, "doc number 2 text")).toDF("doc_id", "text"), "text",
+      "doc_id", an, k = 3, w = 4).count() == 0L)
+    // meta-less store root with tombstone debt → compactDocStore
+    val stActions = Maintenance.maintenanceTick(s, st)
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    assert(stActions == Seq(("compact", true)))
+    assert(s.read.parquet(st).count() == 5L)
+  }
+}
