@@ -155,4 +155,85 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stActions == Seq(("compact", true)))
     assert(s.read.parquet(st).count() == 5L)
   }
+
+  test("lifecycle soak (round 18): ONE index driven through " +
+      "stream-ingest -> fold -> append -> split -> takedown -> compact " +
+      "-> store-fed rebuild; after EVERY step full-probe serving is " +
+      "byte-identical to a fresh build over the current survivor set") {
+    val s = spark; import s.implicits._
+    def ring(ids: Seq[Long], offset: Double): org.apache.spark.sql.DataFrame =
+      ids.zipWithIndex.map { case (id, i) =>
+        val a = 2 * math.Pi * (i + offset) / 60.0
+        (id, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+          (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+      }.toDF("vec_id", "embedding")
+    val base = ring(0L until 60L, 0.0)
+    val era = ring(100L until 120L, 0.31) // a later crawl, offset angles
+    val cents = base.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(base, m = 2, seedMod = 15)
+    val queries = base.filter(col("vec_id") < 3)
+    val path = tmp("soak"); val store = tmp("soakstore")
+    // the maintained vector store mirrors every admission up front (a
+    // superset during early steps is fine: the split semi-joins to live
+    // members; the final rebuild runs when index = store = survivors)
+    base.unionByName(era).write.parquet(store)
+    def serveFull(p: String): Set[(Long, Long, Int, Double)] =
+      AnnIndex.queryIvfPqIndex(queries, p, m = 2, dim = 4, k = 6,
+          nProbe = 64)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    var step = 0
+    // THE per-step oracle: a fresh single-shot build over exactly the
+    // rows the lifecycle index should now hold, served identically
+    def checkStep(tag: String, survivors: org.apache.spark.sql.DataFrame): Unit = {
+      step += 1
+      val fp = tmp(f"soak_fresh_$step%02d")
+      AnnIndex.writeIvfPqIndex(survivors, cents, cb, m = 2, dim = 4, fp)
+      assert(serveFull(path) == serveFull(fp),
+        s"step $step ($tag): lifecycle serving diverged from fresh build")
+    }
+    // 1. base build over 80%
+    AnnIndex.writeIvfPqIndex(base.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, path)
+    checkStep("base", base.filter(pmod(col("vec_id"), lit(5)) =!= 0))
+    // 2. stream-ingest the remaining 20% (the foreachBatch body)
+    AnnIndex.ingestVecBatch(base.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, path, m = 2, dim = 4, twoLevel = false, "vec_id", "embedding")
+    checkStep("stream-ingest", base)
+    // 3. fold the streamed partitions into the base layout
+    AnnIndex.foldStreamIntoCodes(s, path)
+    checkStep("fold", base)
+    // 4. append a new era against the frozen quantizer
+    AnnIndex.appendToIvfPqIndex(era, path, m = 2, dim = 4)
+    checkStep("append", base.unionByName(era))
+    // 5. split every above-mean list (hotFactorBp = 1x the mean) — the
+    // permanent _folded marker must ride through the split's entry
+    // cleanup and the centroid swap
+    val rep = AnnIndex.splitHotLists(s, store, path, m = 2, dim = 4,
+      hotFactorBp = 10000L)
+    assert(rep.count() > 0, "soak fixture: no list split")
+    checkStep("split", base.unionByName(era))
+    // 6. takedown: one call tombstones index + store together
+    Takedown(Seq(5L, 103L, 17L).toDF("vec_id"), PipelineRoots(
+      annIndex = Some(path), vecStore = Some(store)), idCol = "vec_id")
+    val survivors = base.unionByName(era)
+      .filter(!col("vec_id").isin(5L, 103L, 17L))
+    checkStep("takedown", survivors)
+    // 7. compaction applies the takedown physically
+    AnnIndex.compactIvfPqCodes(s, path)
+    val fsS = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fsS.exists(new org.apache.hadoop.fs.Path(s"$path/_tombstones")))
+    checkStep("compact", survivors)
+    // 8. store-fed rebuild (the retrain cutover shape): store tombstones
+    // still pending there are excluded by the rebuild
+    AnnIndex.rebuildIvfPqIndexFromStore(s, store, cents, cb, m = 2,
+      dim = 4, path)
+    checkStep("rebuild", survivors)
+    // the rebuilt index keeps serving appends (lifecycle continues)
+    val era2 = ring(200L until 210L, 0.77)
+    AnnIndex.appendToIvfPqIndex(era2, path, m = 2, dim = 4)
+    checkStep("append-after-rebuild", survivors.unionByName(era2))
+  }
 }
