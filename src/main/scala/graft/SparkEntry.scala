@@ -359,6 +359,61 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir MAINTENANCE-TICK fixture (round 18, q197): q195's
+    * single-level geometry accumulates ALL THREE debt kinds — the
+    * planted drift clump (split debt), the 20% slice arriving as a
+    * stream ingest batch (fold debt), and a vec_id ≡ 9 (mod 50)
+    * takedown (compaction debt) — then ONE
+    * [[operators.Maintenance.maintenanceTick]] call decides and
+    * performs fold → compact → split in order. The timed query serves
+    * the post-tick structure; the oracle is q195's full split
+    * re-derivation over the SURVIVOR set, so the hash matches iff the
+    * autopilot ordered and executed all three actions exactly as the
+    * hand-called operators would. Cached per (sf dir, JVM): every step
+    * is deterministic. */
+  private val annTickCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annTickIndex(s: SparkSession, dir: String): String =
+    annTickCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_anntick_${java.util.UUID.randomUUID()}")
+      val store = TempDirs.register(s"$root-store")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), cents, cb,
+        m = 8, dim = 64, root, twoLevel = false)
+      val planted = s.range(300)
+        .select((col("id") + 1000000000L).as("vec_id"))
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding"))))
+      operators.AnnIndex.appendToIvfPqIndex(planted, root, m = 8,
+        dim = 64, twoLevel = false)
+      // fold debt: the 20% slice lands as an ingest batch (the
+      // foreachBatch body — the streaming wrapper is q183/q196's path)
+      operators.AnnIndex.ingestVecBatch(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), 0L, root,
+        m = 8, dim = 64, twoLevel = false, "vec_id", "embedding")
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(planted.select(col("vec_id"), col("embedding")))
+        .write.mode("overwrite").parquet(store)
+      // compaction debt: a takedown of vec_id ≡ 9 (mod 50), plant included
+      operators.AnnIndex.deleteVectors(
+        emb.select(col("vec_id"))
+          .unionByName(planted.select(col("vec_id")))
+          .filter(pmod(col("vec_id"), lit(50)) === 9), root)
+      val actions = operators.Maintenance.maintenanceTick(s, root,
+          vecStore = Some(store))
+        .orderBy("seq").collect()
+        .map(r => (r.getString(1), r.getBoolean(4))).toSeq
+      require(actions == Seq(("fold", true), ("compact", true),
+          ("split", true)),
+        s"q197 fixture: tick was expected to fold+compact+split, did $actions")
+      root
+    })
+
   /** Per-sf-dir ONE-CALL-TAKEDOWN pipeline fixture (round 17, q193):
     * ALL FIVE index kinds plus their three stores built over the
     * standard corpus splits, then ONE [[operators.Takedown]] call
@@ -2009,6 +2064,22 @@ object SparkEntry {
       // allocation, local re-assignment AND the post-split probe all
       // agree exactly.
       val root = annSplitIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
+          root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = false)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
+    "q197_maintenance_tick_serve" -> ((s, dir) => {
+      // MAINTENANCE AUTOPILOT (round 18): an index with all three debt
+      // kinds — unfolded stream batch, pending takedown tombstones, a
+      // hot drift clump — resolved by ONE maintenanceTick call (fold →
+      // compact → split, decided and ordered by the tick; see
+      // annTickIndex). Serving the post-tick structure against q195's
+      // split grammar over the SURVIVORS: the hash matches iff the
+      // autopilot's ordering and each performed action are exactly the
+      // hand-called operators' semantics.
+      val root = annTickIndex(s, dir)
       val emb = t(s, dir, "embeddings")
       operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
           root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = false)
@@ -3693,19 +3764,28 @@ object SparkEntry {
       pqMod: String = autoPqModSql("embeddings"),
       ivfMod: String = autoModSql("embeddings"),
       nPlant: Int = 300, hotBp: Long = 40000L, splitInto: Int = 2,
-      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
+      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8,
+      // q197: SQL predicate over vec_id naming the takedown SURVIVORS.
+      // Applied to the corpus rows (assignment, hot counts, seeds,
+      // serving) but NOT to the codebook/centroid training views — the
+      // quantizers froze before the deletions, exactly like the engine
+      // (deleteVectors tombstones codes; compaction applies physically;
+      // centroids/codebook relations are untouched).
+      survivorWhere: String = "TRUE"): String = {
     val dsub = dim / m
-    s"""WITH base AS (
+    s"""WITH allv AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL
        |  SELECT 1000000000 + t.i, e0.embedding
        |  FROM generate_series(0, ${nPlant - 1}) t(i),
        |       (SELECT embedding FROM embeddings WHERE vec_id = 0) e0),
-       |fp AS (
+       |base AS (SELECT vec_id, embedding FROM allv WHERE $survivorWhere),
+       |fpall AS (
        |  SELECT vec_id, list_transform(embedding::DOUBLE[],
        |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
-       |  FROM base),
-       |cb AS (SELECT vec_id AS code, f AS cf FROM fp
+       |  FROM allv),
+       |fp AS (SELECT vec_id, f FROM fpall WHERE $survivorWhere),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fpall
        |  WHERE vec_id < 1000000000 AND vec_id % $pqMod = 0),
        |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
        |  FROM embeddings WHERE vec_id % $ivfMod = 0),
@@ -5980,6 +6060,13 @@ object SparkEntry {
     // report — q191's oracle VERBATIM isolates the metadata-read path
     "q194_ann_balance_footers" -> annListBalanceOracle,
     "q195_ann_hot_split" -> ivfPqSplitServeOracle(),
+    // q197: q195's full split re-derivation restricted to the takedown
+    // survivors (vec_id ≡ 9 mod 50 deleted, plant included) — the
+    // folded stream rows are part of the corpus assignment and the
+    // compacted deletions are excluded from counts, seeds, and serving,
+    // exactly what fold → compact → split must produce
+    "q197_maintenance_tick_serve" ->
+      ivfPqSplitServeOracle(survivorWhere = "vec_id % 50 <> 9"),
     // q196: serving must be byte-identical through the stream fold —
     // q102's oracle VERBATIM (q183's), isolating the fold path
     "q196_ann_fold_serve" -> ivfPqAdcOracle(),

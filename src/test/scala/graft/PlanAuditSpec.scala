@@ -47,6 +47,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q194_ann_balance_footers", // per-list counts × broadcast(1-row totals): q191's share-arithmetic shape over footer-derived counts
     "q195_ann_hot_split", // single-level serve: queries × broadcast(post-split centroids/codebook), q176's probe shape
     "q196_ann_fold_serve", // q176's serve shapes over the stream-folded index (the fold is a fixture, not the timed body)
+    "q197_maintenance_tick_serve", // q195's single-level serve shape over the post-tick structure (the tick is a fixture, not the timed body)
     "q132_sparql_values_undef") // solutions × broadcast(2-row UNDEF VALUES): null-or-equal condition cannot be an equi-join (§10.2.2)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
