@@ -359,6 +359,44 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir TWO-LEVEL HOT-SPLIT fixture (round 18, q198): q195's
+    * construction at twoLevel = true — possible since the build
+    * PERSISTS the super set (`supers/`), freezing the routing anchors
+    * like the centroids/codebook. The split's children enter exactly
+    * one super's group (the centroid→super map re-derives over the
+    * post-split centroid relation against the frozen supers); every
+    * other group's probes are untouched — the round-17 rejection
+    * (rank-derived supers shifting under the new centroid set) no
+    * longer applies. Cached per (sf dir, JVM). */
+  private val annTlSplitCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def annTlSplitIndex(s: SparkSession, dir: String): String =
+    annTlSplitCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_anntlsplit_${java.util.UUID.randomUUID()}")
+      val store = TempDirs.register(s"$root-store")
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      operators.AnnIndex.writeIvfPqIndex(emb, cents, cb, m = 8, dim = 64,
+        root, twoLevel = true)
+      val planted = s.range(300)
+        .select((col("id") + 1000000000L).as("vec_id"))
+        .crossJoin(broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("embedding"))))
+      operators.AnnIndex.appendToIvfPqIndex(planted, root, m = 8,
+        dim = 64, twoLevel = true)
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(planted.select(col("vec_id"), col("embedding")))
+        .write.mode("overwrite").parquet(store)
+      val rep = operators.AnnIndex.splitHotLists(s, store, root, m = 8,
+        dim = 64, hotFactorBp = 40000L, splitInto = 2)
+      require(rep.count() > 0,
+        "q198 fixture: the planted clump did not trip the hot rule")
+      root
+    })
+
   /** Per-sf-dir MAINTENANCE-TICK fixture (round 18, q197): q195's
     * single-level geometry accumulates ALL THREE debt kinds — the
     * planted drift clump (split debt), the 20% slice arriving as a
@@ -2067,6 +2105,22 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
           root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = false)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("qid", "rank")
+    }),
+    "q198_ann_twolevel_split" -> ((s, dir) => {
+      // TWO-LEVEL HOT-SPLIT (round 18): the production-scale geometry
+      // (two-level = the ~N^¼-broadcast configuration) gets the local
+      // rebalance too — sound because the build persists the super set,
+      // so the split's children enter one frozen super's group and no
+      // unrelated probe re-routes (see annTlSplitIndex). The oracle
+      // re-derives supers from the ORIGINAL centroid set, the baked
+      // two-level assignment, the whole split, and the post-split
+      // two-level probe over the re-derived centroid→super map.
+      val root = annTlSplitIndex(s, dir)
+      val emb = t(s, dir, "embeddings")
+      operators.AnnIndex.queryIvfPqIndex(emb.filter(col("vec_id") < 8),
+          root, m = 8, dim = 64, k = 5, nProbe = 2, twoLevel = true)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("qid", "rank")
     }),
@@ -3829,6 +3883,127 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |        list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC, c.cid) AS cr
        |    FROM embeddings e, post_cents c WHERE e.vec_id < $nQueries) WHERE cr <= $nProbe),
+       |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
+       |cd AS (
+       |  SELECT p.vec_id AS nid, js.j, c.code,
+       |    list_aggregate(list_transform(range(1, ${dsub + 1}), i ->
+       |      (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])
+       |      * (p.f[CAST($dsub * js.j + i AS INTEGER)] - c.cf[CAST($dsub * js.j + i AS INTEGER)])),
+       |      'sum') AS dist
+       |  FROM fp p, js, cb c),
+       |codes AS (
+       |  SELECT nid, j, code FROM (
+       |    SELECT nid, j, code,
+       |      row_number() OVER (PARTITION BY nid, j ORDER BY dist, code) AS r
+       |    FROM cd) WHERE r = 1),
+       |scored AS (
+       |  SELECT p.qid, codes.nid, CAST(-sum(q.dist) AS DOUBLE) AS score
+       |  FROM query_probe p
+       |  JOIN post_assign a2 ON a2.cid = p.cid
+       |  JOIN codes ON codes.nid = a2.nid
+       |  JOIN cd q ON q.j = codes.j AND q.code = codes.code AND q.nid = p.qid
+       |  WHERE codes.nid <> p.qid
+       |  GROUP BY p.qid, codes.nid)
+       |SELECT qid, nid, rank, round(score, 4) AS score FROM (
+       |  SELECT qid, nid, score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** q198 oracle, generated (round 18): the TWO-LEVEL hot-split serve
+    * re-derived — supers frozen from the ORIGINAL centroid set (the
+    * rank rule over cents0, exactly the persisted `supers/` relation),
+    * the baked two-level corpus assignment, q195's hot detection /
+    * seeding / child allocation / local re-assignment, and then the
+    * POST-split routing: the centroid→super map re-derives over the
+    * post-split centroid relation against the FROZEN supers (children
+    * enter one super's group by the nearest rule; every other routing
+    * unchanged), and queries probe nearest-super → nProbe nearest
+    * centroids within that group. Hash matches iff the persisted-super
+    * protocol keeps probe and list geometry consistent through the
+    * split. */
+  private def ivfPqTlSplitServeOracle(dim: Int = 64, m: Int = 8,
+      pqMod: String = autoPqModSql("embeddings"),
+      ivfMod: String = autoModSql("embeddings"),
+      nPlant: Int = 300, hotBp: Long = 40000L, splitInto: Int = 2,
+      nProbe: Int = 2, k: Int = 5, nQueries: Int = 8): String = {
+    val dsub = dim / m
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT 1000000000 + t.i, e0.embedding
+       |  FROM generate_series(0, ${nPlant - 1}) t(i),
+       |       (SELECT embedding FROM embeddings WHERE vec_id = 0) e0),
+       |fp AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |    x -> CAST(floor(x * 1000000) AS BIGINT)) AS f
+       |  FROM allv),
+       |cb AS (SELECT vec_id AS code, f AS cf FROM fp
+       |  WHERE vec_id < 1000000000 AND vec_id % $pqMod = 0),
+       |cents0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+       |  FROM embeddings WHERE vec_id % $ivfMod = 0),
+       |tl_smod AS (
+       |  SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS m
+       |  FROM cents0),
+       |tl_crk AS (
+       |  SELECT cid, cvec, row_number() OVER (ORDER BY cid) - 1 AS rk
+       |  FROM cents0),
+       |tl_supers AS (
+       |  SELECT cid AS sid, cvec AS svec FROM tl_crk
+       |  WHERE rk % (SELECT m FROM tl_smod) = 0),
+       |tl_cmap0 AS (
+       |  SELECT cid, sid, cvec FROM (
+       |    SELECT c.cid, s.sid, c.cvec,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY
+       |        list_cosine_similarity(c.cvec, s.svec) DESC, s.sid) AS r
+       |    FROM cents0 c, tl_supers s) WHERE r = 1),
+       |tl_v2s AS (
+       |  SELECT nid, sid, nvec FROM (
+       |    SELECT b.vec_id AS nid, s.sid, b.embedding::DOUBLE[] AS nvec,
+       |      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |        list_cosine_similarity(b.embedding::DOUBLE[], s.svec) DESC, s.sid) AS r
+       |    FROM allv b, tl_supers s) WHERE r = 1),
+       |a0 AS (
+       |  SELECT nid, cid FROM (
+       |    SELECT v.nid, mm.cid,
+       |      row_number() OVER (PARTITION BY v.nid ORDER BY
+       |        list_cosine_similarity(v.nvec, mm.cvec) DESC, mm.cid) AS r
+       |    FROM tl_v2s v JOIN tl_cmap0 mm ON mm.sid = v.sid) WHERE r = 1),
+       |per AS (SELECT cid, count(*) * $m AS n FROM a0 GROUP BY 1),
+       |tot AS (SELECT count(*) AS nl, CAST(sum(n) AS BIGINT) AS nt FROM per),
+       |hot AS (SELECT cid FROM per, tot WHERE n * 10000 * nl // nt > $hotBp),
+       |maxc AS (SELECT max(cid) AS mc FROM cents0),
+       |seeds AS (
+       |  SELECT cid AS parent, nid AS seed_nid FROM (
+       |    SELECT cid, nid, row_number() OVER (PARTITION BY cid ORDER BY nid) AS sr
+       |    FROM a0 WHERE cid IN (SELECT cid FROM hot)) WHERE sr <= $splitInto),
+       |children AS (
+       |  SELECT parent, seed_nid,
+       |    (SELECT mc FROM maxc) + row_number() OVER (ORDER BY parent, seed_nid) AS child_cid
+       |  FROM seeds),
+       |reassign AS (
+       |  SELECT nid, child_cid AS cid FROM (
+       |    SELECT v.nid, ch.child_cid,
+       |      row_number() OVER (PARTITION BY v.nid ORDER BY
+       |        list_cosine_similarity(bv.embedding::DOUBLE[], sv.embedding::DOUBLE[]) DESC, ch.child_cid) AS r
+       |    FROM a0 v
+       |    JOIN allv bv ON bv.vec_id = v.nid
+       |    JOIN children ch ON ch.parent = v.cid
+       |    JOIN allv sv ON sv.vec_id = ch.seed_nid) WHERE r = 1),
+       |post_assign AS (
+       |  SELECT nid, cid FROM a0 WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL SELECT nid, cid FROM reassign),
+       |post_cents AS (
+       |  SELECT cid, cvec FROM cents0 WHERE cid NOT IN (SELECT cid FROM hot)
+       |  UNION ALL SELECT ch.child_cid, b.embedding::DOUBLE[]
+       |  FROM children ch JOIN allv b ON b.vec_id = ch.seed_nid),
+       |tl_cmap AS (
+       |  SELECT cid, sid, cvec FROM (
+       |    SELECT c.cid, s.sid, c.cvec,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY
+       |        list_cosine_similarity(c.cvec, s.svec) DESC, s.sid) AS r
+       |    FROM post_cents c, tl_supers s) WHERE r = 1),
+       |${twoLevelProbeSql(nQueries = nQueries, nProbe = nProbe)},
        |js AS (SELECT CAST(j AS BIGINT) AS j FROM generate_series(0, ${m - 1}) t(j)),
        |cd AS (
        |  SELECT p.vec_id AS nid, js.j, c.code,
@@ -6067,6 +6242,10 @@ object SparkEntry {
     // exactly what fold → compact → split must produce
     "q197_maintenance_tick_serve" ->
       ivfPqSplitServeOracle(survivorWhere = "vec_id % 50 <> 9"),
+    // q198: the two-level split serve — frozen supers from the original
+    // centroid set, the split re-derived, and the post-split two-level
+    // probe through the re-derived centroid→super map
+    "q198_ann_twolevel_split" -> ivfPqTlSplitServeOracle(),
     // q196: serving must be byte-identical through the stream fold —
     // q102's oracle VERBATIM (q183's), isolating the fold path
     "q196_ann_fold_serve" -> ivfPqAdcOracle(),

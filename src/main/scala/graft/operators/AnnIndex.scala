@@ -56,6 +56,16 @@ object AnnIndex {
     val assign =
       if (twoLevel) {
         val (supers, cmap) = Similarity.superStructure(cents)
+        // PERSIST the super set (round 18): the routing anchors freeze
+        // at build time like the centroids/codebook. Deriving supers
+        // from the live centroid relation was what made two-level
+        // hot-list splits unsound — adding child centroids shifted the
+        // rank-based super selection and re-routed UNRELATED lists'
+        // probes. With `supers/` frozen, the centroid→super map
+        // re-derives cheaply per use ([[Similarity.superMap]]) and a
+        // split's children enter exactly one super's group while every
+        // other group is untouched.
+        supers.write.mode("overwrite").parquet(s"$path/supers")
         Similarity.coarseAssignTwoLevel(corpus, supers, cmap,
           idCol, vecCol, carryVec = false)
       } else Similarity.coarseAssign(corpus, cents, idCol, vecCol,
@@ -68,6 +78,28 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
     DedupIndex.writeMeta(corpus.sparkSession, path, "ivfpq",
       Map("m" -> m, "dim" -> dim, "twoLevel" -> (if (twoLevel) 1 else 0)))
+  }
+
+  /** The two-level routing structure for a persisted index root
+    * (round 18): prefer the PERSISTED super set at `path/supers` —
+    * frozen at build time, so the routing stays stable while the
+    * centroid relation evolves under [[splitHotLists]] — with the
+    * centroid→super map derived per use over the CURRENT centroids
+    * ([[Similarity.superMap]]: split children enter one group by the
+    * same nearest-super rule; all other routings unchanged). A legacy
+    * root without `supers/` falls back to the rank-derivation over the
+    * centroid relation — identical while the centroid set is the
+    * build-time one (the only state a legacy root can be in, since
+    * splits REQUIRE the persisted set). */
+  private def superStructureAt(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: DataFrame): (DataFrame, DataFrame) = {
+    val sp = new org.apache.hadoop.fs.Path(s"$path/supers")
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(sp)) {
+      val supers = spark.read.parquet(sp.toString)
+      (supers, Similarity.superMap(cents, supers))
+    } else Similarity.superStructure(cents)
   }
 
   /** Append a NEW vector batch to a persisted index (round 15 — closes
@@ -114,7 +146,7 @@ object AnnIndex {
     val cb = broadcast(spark.read.parquet(s"$path/codebook"))
     val assign =
       if (twoLevel) {
-        val (supers, cmap) = Similarity.superStructure(cents)
+        val (supers, cmap) = superStructureAt(spark, path, cents)
         Similarity.coarseAssignTwoLevel(newVecs, supers, cmap,
           idCol, vecCol, carryVec = false)
       } else Similarity.coarseAssign(newVecs, cents, idCol, vecCol,
@@ -448,14 +480,22 @@ object AnnIndex {
     require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
     DedupIndex.checkMeta(spark, path, "ivfpq",
       Map("m" -> m, "dim" -> dim))
-    DedupIndex.readMeta(spark, path).foreach { case (_, params) =>
-      require(params.getOrElse("twoLevel", 0) == 0,
-        s"splitHotLists: index at $path is two-level — the super " +
-          "structure re-derives from the whole centroid set, so a local " +
-          "split would re-route unrelated lists; re-train and " +
-          "rebuildIvfPqIndex instead")
-    }
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // two-level roots are splittable since round 18 IF the super set is
+    // PERSISTED (frozen routing anchors — children enter one super's
+    // group by the nearest rule, every other group untouched). A legacy
+    // two-level root derives supers from the live centroid relation, so
+    // a split would shift the rank-based super selection and re-route
+    // UNRELATED lists' probes — the round-17 rejection stands there.
+    DedupIndex.readMeta(spark, path).foreach { case (_, params) =>
+      if (params.getOrElse("twoLevel", 0) == 1)
+        require(fs.exists(new Path(s"$path/supers")),
+          s"splitHotLists: two-level index at $path has no persisted " +
+            "super set (built before round 18) — deriving supers from " +
+            "the post-split centroid relation would re-route unrelated " +
+            "lists' probes; rebuild once (rebuildIvfPqIndex*) to " +
+            "persist supers/ and enable local splits")
+    }
     require(!fs.exists(new Path(s"$path/codes_stream")),
       s"splitHotLists: $path has codes_stream — run foldStreamIntoCodes " +
         "(or a rebuild) first so every row lives in the base cid= layout")
@@ -619,7 +659,7 @@ object AnnIndex {
     val cb = broadcast(spark.read.parquet(s"$path/codebook"))
     val assign =
       if (twoLevel) {
-        val (supers, cmap) = Similarity.superStructure(cents)
+        val (supers, cmap) = superStructureAt(spark, path, cents)
         Similarity.coarseAssignTwoLevel(batch, supers, cmap,
           idCol, vecCol, carryVec = false)
       } else Similarity.coarseAssign(batch, cents, idCol, vecCol,
@@ -929,7 +969,7 @@ object AnnIndex {
     val cb = broadcast(spark.read.parquet(s"$path/codebook"))
     val probes =
       (if (twoLevel) {
-        val (supers, cmap) = Similarity.superStructure(cents)
+        val (supers, cmap) = superStructureAt(spark, path, cents)
         Similarity.queryProbesTwoLevel(queries, supers, cmap, nProbe,
           idCol, vecCol)
       } else Similarity.queryProbes(queries, cents, nProbe, idCol, vecCol))

@@ -81,6 +81,46 @@ object DedupIndex {
   val MaxBroadcastBytesKey = "graft.index.maxBroadcastBytes"
   private val MaxBroadcastBytesDefault: Long = 512L << 20
 
+  /** Opt-in conf key (round 18, the CBO option): when `true`,
+    * [[probeHint]] MEASURES the batch exactly — one lightweight
+    * aggregate job computing the exact row count and the exact
+    * string/binary byte volume — instead of trusting the optimizer's
+    * plan-stats estimate. This is the third point on the
+    * estimate-quality dial: plan stats are free but don't reduce
+    * through selective filters (a `corpus.filter(date === today)` batch
+    * carries a corpus-scale estimate and takes the shuffle plan
+    * unnecessarily); [[materializeBatch]] fixes the estimate with one
+    * batch-sized WRITE; this opt-in fixes it with one batch-sized READ
+    * (the aggregate scans the batch's lineage once, no scratch files) —
+    * right when the batch probes a single index, where materializing
+    * costs more than it saves. Off by default: the measurement is a
+    * blocking Spark job per probe call, wrong to bolt onto the common
+    * path where the plan estimate is already honest. */
+  val ExactProbeStatsKey = "graft.index.exactProbeStats"
+
+  /** Exact batch byte volume: octet_length for string/binary columns,
+    * element-width × cardinality for fixed-width arrays, schema default
+    * widths for the rest, plus Catalyst's 8-byte per-row overhead —
+    * the same quantity plan stats ESTIMATE, measured. */
+  private def exactBatchBytes(batch: DataFrame): BigInt = {
+    import org.apache.spark.sql.types._
+    val widths = batch.schema.fields.map { f =>
+      f.dataType match {
+        case StringType | BinaryType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L))
+        case ArrayType(et, _) =>
+          coalesce(size(col(f.name)).cast("long") * lit(et.defaultSize.toLong),
+            lit(0L))
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }
+    val row = batch
+      .select(sum(widths.reduce(_ + _)).as("bytes"), count(lit(1)).as("n"))
+      .head()
+    val bytes = if (row.isNullAt(0)) 0L else row.getLong(0)
+    BigInt(bytes) + BigInt(row.getLong(1)) * 8
+  }
+
   /** One broadcast decision per probe call, keyed on the BATCH
     * relation's optimizer-estimated size (no Spark job — the same
     * plan-stats signal Spark's own autoBroadcastJoinThreshold reads;
@@ -102,13 +142,19 @@ object DedupIndex {
     * shuffle-fallback costs a slower batch, a false broadcast costs a
     * driver OOM. Operators with such batch shapes raise
     * [[MaxBroadcastBytesKey]] for the session, or pre-materialize the
-    * batch so its estimate is its size; an exact runtime count was
-    * rejected — it would bolt a blocking job onto every probe call in
-    * the common path. */
+    * batch so its estimate is its size; an ALWAYS-ON exact runtime
+    * measurement was rejected — it would bolt a blocking job onto
+    * every probe call in the common path — but [[ExactProbeStatsKey]]
+    * opts a session into exactly that trade (round 18). */
   private[operators] def probeHint(batch: DataFrame): DataFrame => DataFrame = {
-    val limit = batch.sparkSession.conf.getOption(MaxBroadcastBytesKey)
+    val conf = batch.sparkSession.conf
+    val limit = conf.getOption(MaxBroadcastBytesKey)
       .map(_.toLong).getOrElse(MaxBroadcastBytesDefault)
-    val est = batch.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est: BigInt =
+      if (conf.getOption(ExactProbeStatsKey)
+            .exists(_.trim.equalsIgnoreCase("true")))
+        exactBatchBytes(batch)
+      else batch.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= limit) (df: DataFrame) => broadcast(df) else identity
   }
 

@@ -130,11 +130,16 @@ object Maintenance {
         // and the report already counts stream rows toward their cid;
         // compaction only subtracts the tombstoned rows counted above).
         if (hotBp > (policy.hotFactor * 10000L).toLong) {
-          if (twoLevel)
+          // two-level roots are locally splittable since round 18 IF
+          // the super set is persisted (frozen routing anchors); a
+          // LEGACY two-level root (no supers/) can only re-train —
+          // deriving supers from the post-split centroid set would
+          // re-route unrelated probes
+          if (twoLevel && !fs.exists(new Path(s"$path/supers")))
             act("retrain_required",
               s"hottest list at ${hotBp} bp of the mean (budget " +
-                s"${(policy.hotFactor * 10000L).toLong} bp); two-level " +
-                "index — local split would re-route unrelated probes; " +
+                s"${(policy.hotFactor * 10000L).toLong} bp); legacy " +
+                "two-level index without a persisted super set — " +
                 "re-train offline and rebuildIvfPqIndexFromStore",
               None)
           else if (vecStore.isDefined)

@@ -233,13 +233,23 @@ object Similarity {
       row_number().over(Window.orderBy(col("cid"))) - 1)
     val supers = ranked.filter(pmod(col("rk"), lit(smod)) === 0)
       .select(col("cid").as("sid"), col("cvec").as("svec"))
-    val cmap = cents.crossJoin(broadcast(supers))
+    (supers, superMap(cents, supers))
+  }
+
+  /** The centroid → super routing map for a GIVEN super set: each
+    * centroid to its nearest super (ties → smallest sid). Factored out
+    * (round 18) so a persisted super set ([[AnnIndex]] `supers/` —
+    * frozen at build time, stable under hot-list splits) derives its
+    * map over the CURRENT centroid relation: split children enter the
+    * map by the same rule, every other centroid's routing is unchanged
+    * by construction. Cost: nlist × nSupers kernel evaluations with the
+    * N^¼-row super side broadcast — ~N^¾ work, planning-scale. */
+  private[operators] def superMap(cents: DataFrame, supers: DataFrame): DataFrame =
+    cents.crossJoin(broadcast(supers))
       .withColumn("ssim", cosine(col("cvec"), col("svec")))
       .groupBy(col("cid"))
       .agg(max_by(col("sid"), struct(col("ssim"), (-col("sid")).as("ns"))).as("sid"),
         first(col("cvec")).as("cvec"))
-    (supers, cmap)
-  }
 
   /** Two-level coarse assignment (round 13) — the flat argmax is
     * corpus × nlist kernel evaluations; with the (correct) √N nlist that

@@ -1289,6 +1289,54 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("probeHint exact-stats opt-in (round 18): the same filtered " +
+      "batch takes the shuffle plan on the raw estimate and the " +
+      "broadcast plan under graft.index.exactProbeStats=true — results " +
+      "byte-identical, no scratch write") {
+    val s = spark; import s.implicits._
+    val corpusDir = tmp("cbo_corpus")
+    (1L to 40000L).map(i => (i, synthDoc((i % 97).toInt, 30)))
+      .toDF("doc_id", "text").write.parquet(corpusDir)
+    val corpus = s.read.parquet(corpusDir)
+    val exact = tmp("cbo_exact")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", exact)
+    val rawBatch = corpus.filter(pmod(col("doc_id"), lit(1000)) === 0)
+    val corpusEst = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the foot-gun precondition: the filter does not reduce the estimate
+    assert(rawBatch.queryExecution.optimizedPlan.stats.sizeInBytes
+      == corpusEst)
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set(DedupIndex.MaxBroadcastBytesKey, (corpusEst / 10).toString)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q() = DedupIndex.admitAgainstIndex(rawBatch, "text", "doc_id", exact)
+      val planRaw = q().queryExecution.executedPlan.toString
+      assert(!planRaw.contains("BroadcastHashJoin"),
+        s"raw estimate should take the shuffle plan:\n$planRaw")
+      val baseline = q().collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+      // the opt-in: ONE exact measurement of the batch per probe call
+      // (a read-only aggregate — no scratch parquet like materializeBatch)
+      s.conf.set(DedupIndex.ExactProbeStatsKey, "true")
+      val planExact = q().queryExecution.executedPlan.toString
+      assert(planExact.contains("BroadcastHashJoin"),
+        s"exact-measured batch should take the broadcast plan:\n$planExact")
+      val got = q().collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+      assert(got == baseline)
+      assert(got.nonEmpty)
+      // the measurement is honest in the other direction too: a budget
+      // below the TRUE batch size keeps the shuffle plan even opted-in
+      s.conf.set(DedupIndex.MaxBroadcastBytesKey, "64")
+      val planSmall = q().queryExecution.executedPlan.toString
+      assert(!planSmall.contains("BroadcastHashJoin"))
+    } finally {
+      s.conf.unset(DedupIndex.ExactProbeStatsKey)
+      s.conf.unset(DedupIndex.MaxBroadcastBytesKey)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
   // ---- round 18: the between-renames window + the FS contract ---------
 
   test("atomicSwap bare-live recreation BETWEEN the renames (round 18, " +

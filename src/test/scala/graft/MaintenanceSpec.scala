@@ -97,9 +97,10 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(again.toSeq == Seq(("healthy", false)), again.mkString(";"))
   }
 
-  test("maintenanceTick on a two-level hot index reports retrain_required " +
-      "instead of splitting; on dedup kinds it compacts tombstone debt; " +
-      "aggregate kinds queue or perform store-fed rebuilds") {
+  test("maintenanceTick on a LEGACY two-level hot index (no persisted " +
+      "supers) reports retrain_required; a round-18 two-level root " +
+      "splits; on dedup kinds it compacts tombstone debt; aggregate " +
+      "kinds queue or perform store-fed rebuilds") {
     val s = spark; import s.implicits._
     val vecs = (0 until 60).map { i =>
       val a = 2 * math.Pi * i / 60.0
@@ -118,7 +119,22 @@ class MaintenanceSpec extends AnyFunSuite {
       .crossJoin(broadcast(vecs.filter(col("vec_id") === 0L)
         .select(col("embedding"))))
     AnnIndex.appendToIvfPqIndex(clump, tl, m = 2, dim = 4, twoLevel = true)
-    val tlActions = Maintenance.maintenanceTick(s, tl)
+    // round-18 two-level roots persist supers/ — the tick SPLITS them
+    val tlStore = tmp("tlstore")
+    vecs.unionByName(clump).write.parquet(tlStore)
+    val tlSplit = Maintenance.maintenanceTick(s, tl,
+        vecStore = Some(tlStore))
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    assert(tlSplit == Seq(("split", true)), tlSplit)
+    // a LEGACY two-level root (no persisted supers) can only re-train
+    val tl2 = tmp("twolevel_legacy")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, tl2,
+      twoLevel = true)
+    AnnIndex.appendToIvfPqIndex(clump, tl2, m = 2, dim = 4, twoLevel = true)
+    hp(s"$tl2/supers").getFileSystem(s.sessionState.newHadoopConf())
+      .delete(hp(s"$tl2/supers"), true)
+    val tlActions = Maintenance.maintenanceTick(s, tl2,
+        vecStore = Some(tlStore))
       .collect().map(r => (r.getString(1), r.getBoolean(4))).toSeq
     assert(tlActions.contains(("retrain_required", false)), tlActions)
     assert(!tlActions.exists(_._1 == "split"))

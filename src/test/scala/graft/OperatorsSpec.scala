@@ -667,10 +667,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(codeSet(path) == codeSet(path2))
   }
 
-  test("splitHotLists (round 17): hot lists split into seeded children " +
-      "— full-probe serving is byte-identical before and after (codes " +
-      "unchanged), the hot factor drops, pending tombstones stay " +
-      "applied, and two-level / codes_stream indexes fail loudly") {
+  test("splitHotLists (round 17/18): hot lists split into seeded " +
+      "children — full-probe serving is byte-identical before and after " +
+      "(codes unchanged), the hot factor drops, pending tombstones stay " +
+      "applied; two-level roots split via the persisted super set while " +
+      "legacy two-level / codes_stream indexes fail loudly") {
     val s = spark; import s.implicits._
     val vecs = (0 until 60).map { i =>
       val a = 2 * math.Pi * i / 60.0
@@ -743,13 +744,39 @@ class OperatorsSpec extends AnyFunSuite {
     // idempotent re-run: nothing hot remains at the threshold → no-op
     assert(AnnIndex.splitHotLists(s, store, path, m = 2, dim = 4,
       hotFactorBp = 30000L).count() == 0L)
-    // fail-loud scope limits
+    // two-level (round 18): splittable WITH the persisted super set —
+    // the frozen routing anchors keep every other group's probes
+    // untouched; full-probe serving stays invariant through the split
     val tl = reg("twolevel")
     AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, tl,
       twoLevel = true)
+    AnnIndex.appendToIvfPqIndex(plant, tl, m = 2, dim = 4, twoLevel = true)
+    def tlFull(nP: Int) = AnnIndex.queryIvfPqIndex(queries, tl,
+        m = 2, dim = 4, k = 6, nProbe = nP, twoLevel = true)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val tlPre = tlFull(25)
+    val tlFs = new org.apache.hadoop.fs.Path(tl)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(tlFs.exists(new org.apache.hadoop.fs.Path(s"$tl/supers")))
+    val tlRep = AnnIndex.splitHotLists(s, store, tl, m = 2, dim = 4,
+      hotFactorBp = 30000L, splitInto = 2)
+    assert(tlRep.count() > 0)
+    assert(tlFull(25) == tlPre)
+    // the persisted super set itself is untouched by the split
+    val supersNow = s.read.parquet(s"$tl/supers").select("sid")
+      .collect().map(_.getLong(0)).toSet
+    assert(supersNow.subsetOf(cents.collect().map(_.getLong(0)).toSet))
+    // ...but a LEGACY two-level root (no persisted supers) still
+    // fail-louds: deriving supers from the post-split centroid set
+    // would re-route unrelated probes
+    val tl2 = reg("twolevel_legacy")
+    AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, tl2,
+      twoLevel = true)
+    tlFs.delete(new org.apache.hadoop.fs.Path(s"$tl2/supers"), true)
     val e1 = intercept[IllegalArgumentException](
-      AnnIndex.splitHotLists(s, store, tl, m = 2, dim = 4))
-    assert(e1.getMessage.contains("two-level"))
+      AnnIndex.splitHotLists(s, store, tl2, m = 2, dim = 4))
+    assert(e1.getMessage.contains("no persisted super set"))
     val st = reg("stream")
     AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, st)
     AnnIndex.ingestVecBatch(plant, 0L, st, m = 2, dim = 4,
