@@ -279,6 +279,48 @@ object IndexProbe {
       val vWt = time(vQuery().count())
       println(f"ann-tombserve$tag%-4s $nCorpus%8d warm-serve-with-tombstones=$vWt%6.2f s" +
         f"  (pre-delete warm: ${vWa}%.2f s)")
+      // ---- maintenanceTick decision read (round 18): the autopilot's
+      // dry-run plan over the tombstoned two-level index. Claim: the
+      // DECISION cost is metadata-bound — one recursive listing
+      // (describeIndex) + the raw-thrift footer balance report — so its
+      // wall tracks file count, never corpus bytes.
+      var tickPlan = ""
+      val tickT = time { tickPlan = operators.Maintenance.maintenanceTick(
+          spark, vPath, dryRun = true).collect()
+          .map(_.getString(1)).mkString("+") }
+      println(f"ann-tick$tag%-9s $nCorpus%8d dry-run-decision=$tickT%6.2f s " +
+        f"(plan: $tickPlan)")
+      // ---- TWO-LEVEL hot-list split (round 18): the production-scale
+      // geometry gets the local rebalance via the PERSISTED super set.
+      // Claim: wall ∝ rewritten list volume (plant-sized clump) plus
+      // one nlist × nSupers superMap derivation (planning-scale) — the
+      // same flat-at-Nx shape as the single-level ann-split row, on the
+      // index whose super routing used to force a full rebuild.
+      val plant2 = spark.range(2000)
+        .select((col("id") + 5000000000L).as("vec_id"))
+        .crossJoin(broadcast(emb1.filter(col("vec_id") === 1)
+          .select(col("embedding"))))
+      operators.AnnIndex.appendToIvfPqIndex(plant2, vPath, m = 8,
+        dim = 64, twoLevel = true)
+      // the store must carry every admitted vector: base corpus + the
+      // ann-append probe's batch (already in vPath) + this clump
+      val tlStore = TempDirs.register(s"/tmp/graft-indexprobe/anntl-store-$tag")
+      emb.select(col("vec_id"), col("embedding"))
+        .unionByName(aBatchAnn.select(col("vec_id"), col("embedding")))
+        .unionByName(plant2.select(col("vec_id"), col("embedding")))
+        .write.mode("overwrite").parquet(tlStore)
+      var nCh2 = 0L; var moved2 = 0L
+      val split2T = time {
+        val rep = operators.AnnIndex.splitHotLists(
+          spark, tlStore, vPath, m = 8, dim = 64, hotFactorBp = 40000L,
+          splitInto = 2).collect()
+        nCh2 = rep.length.toLong
+        moved2 = rep.map(_.getLong(2)).sum
+      }
+      val vW2 = time(vQuery().count())
+      println(f"ann-tlsplit$tag%-6s $nCorpus%8d split=$split2T%6.2f s " +
+        f"($nCh2 children, $moved2 code rows moved; 2000-row clump) " +
+        f"warm-serve-after=$vW2%6.2f s")
     }
 
     // ---- stats refresh ∝ changed fragments (round 15, q184 shape) ----

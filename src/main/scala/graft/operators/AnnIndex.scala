@@ -305,6 +305,53 @@ object AnnIndex {
     }
   }
 
+  /** Data-file count over the codes layout (round 18 — the
+    * maintenanceTick decision read): the driver lists only the `cid=`
+    * partition DIRECTORIES (plus unfolded stream batch dirs); the
+    * per-dir file listing runs inside tasks — the same posture as
+    * [[listBalanceReportFromFooters]]. The first tick implementation
+    * read [[DedupIndex.describeIndex]] instead, whose driver-side
+    * recursive `fs.listFiles` crawl measured ~4 ms/file on LocalFS:
+    * 39 s at 100× (9 000+ files) for a decision the footer report
+    * makes in 0.5 s — measured, then replaced with this. */
+  private[operators] def codesDataFileCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sessionState.newHadoopConf()
+    val codes = new Path(s"$path/codes")
+    val fs = codes.getFileSystem(hconf)
+    def cidDirs(base: Path): Seq[String] =
+      if (!fs.exists(base)) Nil
+      else fs.listStatus(base).toSeq.collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("cid=") =>
+          st.getPath.toString
+      }
+    val sPath = new Path(s"$path/codes_stream")
+    val folded = foldedBatchIds(fs, codes.toString)
+    val dirs = cidDirs(codes) ++
+      (if (!fs.exists(sPath)) Nil
+       else fs.listStatus(sPath).toSeq.filter { st =>
+           val n = st.getPath.getName
+           st.isDirectory && n.startsWith("ingest_batch=") &&
+             !folded.contains(n.stripPrefix("ingest_batch=").toLong)
+         }
+         .flatMap(st => cidDirs(st.getPath)))
+    if (dirs.isEmpty) return 0L
+    val ser = new SerConf(hconf)
+    val slices = math.max(1, math.min(dirs.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(dirs, slices)
+      .map { dir =>
+        val dp = new Path(dir)
+        dp.getFileSystem(ser.conf).listStatus(dp).count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !n.endsWith(".crc")
+        }.toLong
+      }
+      .fold(0L)(_ + _)
+  }
+
   /** [[listBalanceReport]] computed from PARQUET FOOTERS instead of a
     * Spark scan (round 17 — the truly metadata-bound monitor): per-list
     * row counts come from each file's footer `num_rows`, read directly

@@ -42,13 +42,21 @@ import org.apache.spark.sql.functions._
   * [[Takedown]] phase 1 leaves); meta-less roots (doc/vector stores)
   * compact via [[DedupIndex.compactDocStore]].
   *
-  * Scale posture: the DECISION reads are all metadata-bound (one
-  * recursive listing for describe; partition-dir listing + raw-thrift
-  * footer reads for balance — 0.56 s at 100×/9 537 files, PLANS.md).
-  * The performed actions have the costs their own scaladocs state
-  * (fold/compact ∝ rewritten volume, split ∝ hot lists); the tick adds
-  * nothing on top. Single-maintainer, like every op it orders — run it
-  * off the serving path on the maintenance schedule.
+  * Scale posture: the DECISION reads are metadata-bound AND
+  * distributed. The first implementation read
+  * [[DedupIndex.describeIndex]] for the ANN branch too — its
+  * driver-side recursive listing measured 39 s at 100× (9 000+ files
+  * at LocalFS's ~4 ms/file) for a decision the footer report makes in
+  * 0.5 s; the ANN branch now reads only `_graft_meta` (1 row), the
+  * tombstone id count (deletions-sized), the distributed per-dir file
+  * count ([[AnnIndex.codesDataFileCount]]) and the raw-thrift footer
+  * balance report — the driver never lists files, only partition dirs.
+  * Dedup-family roots keep the describe read (single-relation roots;
+  * file counts are compaction-bounded). The performed actions have the
+  * costs their own scaladocs state (fold/compact ∝ rewritten volume,
+  * split ∝ hot lists); the tick adds nothing on top. Single-maintainer,
+  * like every op it orders — run it off the serving path on the
+  * maintenance schedule.
   *
   * Returns (seq, action, target, reason, performed): one row per due
   * action in execution order, plus a single `healthy` row when nothing
@@ -79,10 +87,14 @@ object Maintenance {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(root), s"maintenanceTick: no index at $path")
-    val desc = DedupIndex.describeIndex(spark, path).head()
-    val kind = desc.getString(1)
-    val nFiles = desc.getLong(3)
-    val nTombstones = desc.getLong(5)
+    val kind = DedupIndex.readMeta(spark, path).map(_._1).getOrElse("legacy")
+    // dedup-family roots: one describe read (single-relation roots,
+    // compaction-bounded file counts). Lazy — the ANN branch must NOT
+    // pay describeIndex's driver-side recursive listing (measured 39 s
+    // at 100×; see the scaladoc) and reads its surfaces distributed.
+    lazy val desc = DedupIndex.describeIndex(spark, path).head()
+    lazy val nFiles = desc.getLong(3)
+    lazy val nTombstones = desc.getLong(5)
     val report =
       scala.collection.mutable.ArrayBuffer[(String, String, String, Boolean)]()
     def act(action: String, reason: String, perform: Option[() => Unit]): Unit = {
@@ -109,20 +121,26 @@ object Maintenance {
           act("fold", s"${unfolded.size} unfolded stream batch(es): " +
               s"${unfolded.toSeq.sorted.mkString(",")}",
             Some(() => AnnIndex.foldStreamIntoCodes(spark, path)))
-        // 2. compact: tombstone debt, or small-file debt per list. The
-        // list count comes from the footer report (already needed for
-        // the hot check below) — n_data_files includes the centroid/
-        // codebook relations, a constant handful vs the codes volume.
+        // 2. compact: tombstone debt, or small-file debt per list. All
+        // three reads stay off the driver's file-listing path: the
+        // tombstone id count is deletions-sized, the codes file count
+        // lists only partition DIRS on the driver (per-dir listing in
+        // tasks — codesDataFileCount), and the list count comes from
+        // the footer report (already needed for the hot check below).
+        val annTombstones = DedupIndex.tombstones(spark, path)
+          .fold(0L)(_.select(col("id")).distinct().count())
+        val codesFiles = AnnIndex.codesDataFileCount(spark, path)
         val balance = AnnIndex.listBalanceReportFromFooters(spark, path)
           .agg(count(lit(1)).as("n_lists"), max(col("hot_factor_bp"))).head()
         val nLists = balance.getLong(0)
         val hotBp = if (balance.isNullAt(1)) 0L else balance.getLong(1)
-        val fileDebt = nLists > 0 && nFiles / nLists > policy.maxFilesPerList
-        if (nTombstones > 0 || fileDebt)
+        val fileDebt =
+          nLists > 0 && codesFiles / nLists > policy.maxFilesPerList
+        if (annTombstones > 0 || fileDebt)
           act("compact",
-            s"$nTombstones pending tombstone id(s), " +
-              s"~${if (nLists > 0) nFiles / nLists else nFiles} files/list " +
-              s"(budget ${policy.maxFilesPerList})",
+            s"$annTombstones pending tombstone id(s), " +
+              s"~${if (nLists > 0) codesFiles / nLists else codesFiles} " +
+              s"files/list (budget ${policy.maxFilesPerList})",
             Some(() => AnnIndex.compactIvfPqCodes(spark, path)))
         // 3. hot-factor rule. The decision reuses the pre-action footer
         // report (the fold/compact above move bytes, not list totals —
@@ -197,8 +215,9 @@ object Maintenance {
     }
 
     if (report.isEmpty)
-      report += (("healthy", s"kind=$kind, $nFiles data files, " +
-        "no tombstones, no stream debt, balance within budget", path, false))
+      report += (("healthy", s"kind=$kind: no tombstone debt, no " +
+        "file-count debt, no stream debt, balance within budget",
+        path, false))
     import spark.implicits._
     report.toSeq.zipWithIndex
       .map { case ((action, reason, target, performed), i) =>
