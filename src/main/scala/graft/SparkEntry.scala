@@ -452,6 +452,82 @@ object SparkEntry {
       root
     })
 
+  /** Per-sf-dir PIPELINE-TICK fixture (round 18, q199): q193's
+    * five-kind pipeline, but the debts are left PENDING (direct
+    * deleteDocs/deleteVectors, ids ≡ 3 mod 20 — NOT a Takedown, whose
+    * phase 2 would do the rebuilds itself) plus an unfolded ANN stream
+    * batch — then ONE [[operators.Maintenance.pipelineTick]] call must
+    * compact the row-wise kinds, fold + compact the ANN root,
+    * store-feed-rebuild anchor + bloom, and compact the three stores
+    * LAST (absorbing the rebuilds' propagated tombstones), leaving
+    * zero pending residue. The timed query probes all five surfaces;
+    * the oracle re-derives each over the survivors, so the hash
+    * matches iff the autopilot's ordering and every performed action
+    * equal the hand-called operators'. Cached per (sf dir, JVM). */
+  private val pipeTickCache = scala.collection.concurrent.TrieMap[String, String]()
+  private def pipelineTickFixture(s: SparkSession, dir: String): String =
+    pipeTickCache.getOrElseUpdate(dir, {
+      val root = TempDirs.register(
+        s"${System.getProperty("java.io.tmpdir")}/graft_pipetick_${java.util.UUID.randomUUID()}")
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      operators.DedupIndex.writeExactIndex(corpus, "text", "doc_id",
+        s"$root/exact")
+      operators.DedupIndex.writeMinHashIndex(corpus, "text", "doc_id",
+        s"$root/minhash", k = 64, bands = 16, shingleN = 3)
+      operators.DedupIndex.writeAnchorIndex(corpus, "text", "doc_id",
+        s"$root/anchor", k = 3, w = 4)
+      corpus.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/docstore")
+      val ref = docs.filter(col("source") === "src0")
+      ref.select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$root/refstore")
+      operators.DedupIndex.writeBloomIndexSharded(ref, "text", "doc_id",
+        s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
+      val emb = t(s, dir, "embeddings")
+      val cents = emb.filter(
+          pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cb = Similarity.pqCodebook(emb, m = 8)
+      // base 80%; the other 20% arrives as an unfolded ingest batch —
+      // assignment parity through the frozen two-level super structure
+      // is q196/q198's proven guarantee
+      operators.AnnIndex.writeIvfPqIndex(
+        emb.filter(pmod(col("vec_id"), lit(5)) =!= 0), cents, cb,
+        m = 8, dim = 64, s"$root/ann", twoLevel = true)
+      operators.AnnIndex.ingestVecBatch(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), 0L, s"$root/ann",
+        m = 8, dim = 64, twoLevel = true, "vec_id", "embedding")
+      emb.write.mode("overwrite").parquet(s"$root/vecstore")
+      // pending debts, every root: doc ids ≡ 3 (mod 20), vec ids too
+      val delDocs = docs.filter(pmod(col("doc_id"), lit(20)) === 3)
+        .select(col("doc_id"))
+      Seq("exact", "minhash", "anchor", "bloomsh", "docstore", "refstore")
+        .foreach(k => operators.DedupIndex.deleteDocs(delDocs, s"$root/$k"))
+      val delVecs = emb.filter(pmod(col("vec_id"), lit(20)) === 3)
+        .select(col("vec_id"))
+      operators.AnnIndex.deleteVectors(delVecs, s"$root/ann")
+      operators.AnnIndex.deleteVectors(delVecs, s"$root/vecstore")
+      val actions = operators.Maintenance.pipelineTick(s,
+          operators.PipelineRoots(
+            exactIndex = Some(s"$root/exact"),
+            minhashIndex = Some(s"$root/minhash"),
+            docStore = Some(s"$root/docstore"),
+            anchorIndex = Some(s"$root/anchor"),
+            bloomIndex = Some(s"$root/bloomsh"),
+            refStore = Some(s"$root/refstore"),
+            annIndex = Some(s"$root/ann"),
+            vecStore = Some(s"$root/vecstore")),
+          policy = operators.Maintenance.TickPolicy(hotFactor = 1000.0))
+        .orderBy("seq").collect()
+        .map(r => (r.getString(1), r.getBoolean(4))).toSeq
+      val expected = Seq("compact", "compact", "fold", "compact",
+        "rebuild", "rebuild", "compact", "compact", "compact")
+      require(actions == expected.map((_, true)),
+        s"q199 fixture: pipelineTick was expected to do $expected, did $actions")
+      root
+    })
+
   /** Per-sf-dir ONE-CALL-TAKEDOWN pipeline fixture (round 17, q193):
     * ALL FIVE index kinds plus their three stores built over the
     * standard corpus splits, then ONE [[operators.Takedown]] call
@@ -2181,6 +2257,65 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text",
           "doc_id", s"$root/bloomsh", n = 3, shards = 4, mBits = 2048)
         .orderBy("doc_id")
+    }),
+    "q199_pipeline_tick" -> ((s, dir) => {
+      // PIPELINE-SCOPE MAINTENANCE AUTOPILOT (round 18): a five-kind
+      // pipeline with pending debts on EVERY root (deletions ≡ 3 mod
+      // 20, an unfolded ANN stream batch) resolved by ONE pipelineTick
+      // call — row-wise compactions, ANN fold + compact, store-fed
+      // anchor/bloom rebuilds, stores compacted LAST so the rebuilds'
+      // propagated tombstones are absorbed in the same pass (the
+      // fixture require()s the exact nine-action order and zero
+      // pending residue via the healthy re-tick in specs). The timed
+      // body probes all five surfaces (q193's grammar); the oracle
+      // re-derives each over the survivors, so the hash matches iff
+      // every autopilot action equals the hand-called operator's.
+      val root = pipelineTickFixture(s, dir)
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val plain = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val neigh = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_nt"))
+      val exBatch = plain.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(10)) === 0 && col("_nt").isNotNull,
+            col("_nt")).otherwise(col("text")).as("text"))
+      val sib = docs.select((col("doc_id") + 10).as("doc_id"),
+        col("text").as("_bt"))
+      val ndBatch = plain.join(sib, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(20)) === 15 && col("_bt").isNotNull,
+            col("_bt")).otherwise(col("text")).as("text"))
+      val ex = operators.DedupIndex.admitAgainstIndex(exBatch, "text",
+          "doc_id", s"$root/exact")
+        .select(lit("exact").as("surface"), col("doc_id").as("id"),
+          col("keep_id").cast("long").as("a"), lit(0L).as("b"),
+          col("status").as("s"))
+      val nd = operators.DedupIndex.admitNearDupAgainstIndex(ndBatch,
+          "text", "doc_id", s"$root/minhash", s"$root/docstore",
+          k = 64, bands = 16, shingleN = 3, thetaBp = 5000L)
+        .select(lit("neardup").as("surface"), col("doc_id").as("id"),
+          col("keep_id").cast("long").as("a"), lit(0L).as("b"),
+          col("status").as("s"))
+      val sp = operators.DedupIndex.duplicateSpansAgainstIndex(plain,
+          "text", "doc_id", s"$root/anchor", k = 3, w = 4)
+        .select(lit("spans").as("surface"), col("doc_id").as("id"),
+          col("span_start").cast("long").as("a"),
+          col("span_end").cast("long").as("b"), lit("").as("s"))
+      val bl = operators.DedupIndex.bloomContaminationAgainstShardedIndex(
+          plain, "text", "doc_id", s"$root/bloomsh", n = 3, shards = 4,
+          mBits = 2048)
+        .select(lit("bloom").as("surface"), col("doc_id").as("id"),
+          col("n_maybe_dirty").cast("long").as("a"),
+          col("contamination_bp").cast("long").as("b"), lit("").as("s"))
+      val an = operators.AnnIndex.queryIvfPqIndex(
+          emb.filter(col("vec_id") < 8), s"$root/ann", m = 8, dim = 64,
+          k = 5, nProbe = 2, twoLevel = true)
+        .select(lit("ann").as("surface"), col("qid").as("id"),
+          col("nid").cast("long").as("a"), col("rank").cast("long").as("b"),
+          lit("").as("s"))
+      ex.unionByName(nd).unionByName(sp).unionByName(bl).unionByName(an)
+        .orderBy("surface", "id", "a", "b")
     }),
     "q193_takedown_pipeline" -> ((s, dir) => {
       // ONE-CALL MULTI-INDEX TAKEDOWN (round 17): the fixture runs a
@@ -4056,13 +4191,20 @@ object SparkEntry {
     * branch VERBATIM (the one-call takedown must leave the exact index
     * in exactly this state). */
   private val tombstoneAdmitOracle: String =
-    """WITH corpus AS (
+    tombstoneAdmitOracleWith("keep_id % 20 <> 1")
+
+  /** q187's admission grammar with the corpus-keeper survivor predicate
+    * parameterized — q193 passes the mod-20≡1 takedown cut (via the
+    * fixed-predicate val above), q199 the mod-20≡3 one its pipelineTick
+    * fixture deletes (and physically compacts). */
+  private def tombstoneAdmitOracleWith(keepPred: String): String =
+    s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
         |ckg0 AS (
-        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key,
+        |  SELECT md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS text_key,
         |    min(doc_id) AS keep_id
         |  FROM corpus GROUP BY 1),
-        |ckg AS (SELECT * FROM ckg0 WHERE keep_id % 20 <> 1),
+        |ckg AS (SELECT * FROM ckg0 WHERE $keepPred),
         |batch AS (
         |  SELECT d.doc_id,
         |    CASE WHEN d.doc_id % 10 = 0 AND n.text IS NOT NULL
@@ -4071,7 +4213,7 @@ object SparkEntry {
         |  WHERE d.doc_id % 5 = 0),
         |bk AS (
         |  SELECT doc_id,
-        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS text_key
+        |    md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS text_key
         |  FROM batch),
         |bmin AS (SELECT text_key, min(doc_id) AS batch_keep FROM bk GROUP BY 1)
         |SELECT k.doc_id,
@@ -5683,6 +5825,37 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'ann', qid, nid, rank, ''
         |FROM ( ${ivfPqAdcOracle(extraNidPred = " AND codes.nid % 20 <> 1")} )
+        |) ORDER BY surface, id, a, b""".stripMargin,
+    "q199_pipeline_tick" ->
+      // q193's five-surface grammar with the pipelineTick fixture's
+      // survivor cut (ids ≡ 3 mod 20 deleted, then PHYSICALLY applied
+      // by the tick's compactions/rebuilds/folds — serving after the
+      // autopilot must equal the pending-tombstone anti-join semantics
+      // these oracles state)
+      s"""SELECT * FROM (
+        |SELECT 'exact' AS surface, doc_id AS id, keep_id AS a,
+        |  CAST(0 AS BIGINT) AS b, status AS s
+        |FROM ( ${tombstoneAdmitOracleWith("keep_id % 20 <> 3")} )
+        |UNION ALL
+        |SELECT 'neardup', doc_id, keep_id, CAST(0 AS BIGINT), status
+        |FROM ( ${nearDupAdmitOracle(
+              """SELECT d.doc_id,
+                |    CASE WHEN d.doc_id % 20 = 15 AND b.text IS NOT NULL THEN b.text
+                |         ELSE d.text END AS text
+                |  FROM documents d LEFT JOIN documents b ON b.doc_id = d.doc_id - 10
+                |  WHERE d.doc_id % 5 = 0""".stripMargin,
+              corpusPred = "doc_id % 5 <> 0 AND doc_id % 20 <> 3")} )
+        |UNION ALL
+        |SELECT 'spans', doc_id, span_start, span_end, ''
+        |FROM ( ${anchorIndexBatchOracle(
+              corpusPred = "doc_id % 5 <> 0 AND doc_id % 20 <> 3")} )
+        |UNION ALL
+        |SELECT 'bloom', doc_id, n_maybe_dirty, contamination_bp, ''
+        |FROM ( ${bloomShardedProbeOracle(
+              refPred = "source = 'src0' AND doc_id % 20 <> 3")} )
+        |UNION ALL
+        |SELECT 'ann', qid, nid, rank, ''
+        |FROM ( ${ivfPqAdcOracle(extraNidPred = " AND codes.nid % 20 <> 3")} )
         |) ORDER BY surface, id, a, b""".stripMargin,
     // the append-grown masks must probe identically to the one-shot
     // build over the union reference — q189's oracle VERBATIM isolates

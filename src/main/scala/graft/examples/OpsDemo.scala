@@ -99,20 +99,24 @@ object OpsDemo {
           "anchor", anchorK = 3, anchorW = 4)
         admitted.select(col("doc_id"), col("text"))
           .write.mode("append").parquet(s"$root/store") })
-    // round 18: maintenance is an AUTOPILOT — one tick per root reads
-    // the metadata-bound health surfaces and performs what is due (here:
-    // compaction of the appended small files where the budget breaches,
-    // `healthy` otherwise) instead of a hand-ordered runbook
-    time("maintenance tick: exact/minhash/anchor/store")(
-      Seq(s"$root/exact", s"$root/minhash", s"$root/anchor", s"$root/store")
-        .foreach { p =>
-          val acts = graft.operators.Maintenance
-            .maintenanceTick(spark, p,
-              policy = graft.operators.Maintenance.TickPolicy(
-                maxStoreFiles = 8L))
-            .collect().map(r => s"${r.getString(1)}").mkString(",")
-          println(s"[ops]   tick(${p.split('/').last}): $acts")
-        })
+    // round 18: maintenance is an AUTOPILOT — ONE pipelineTick call
+    // ticks every root in cross-root order (row-wise indexes, aggregate
+    // kinds, stores LAST) with the store wiring each kind needs, and
+    // performs what is due (here: compaction of the appended small
+    // files where the budget breaches, `healthy` otherwise) instead of
+    // a hand-ordered per-root runbook
+    time("maintenance: ONE pipelineTick over exact/minhash/anchor/store")(
+      graft.operators.Maintenance.pipelineTick(spark,
+          graft.operators.PipelineRoots(
+            exactIndex = Some(s"$root/exact"),
+            minhashIndex = Some(s"$root/minhash"),
+            anchorIndex = Some(s"$root/anchor"),
+            docStore = Some(s"$root/store")),
+          policy = graft.operators.Maintenance.TickPolicy(
+            maxStoreFiles = 8L))
+        .orderBy("seq").collect()
+        .foreach(r => println(s"[ops]   tick(${r.getString(2).split('/').last}): " +
+          s"${r.getString(1)}(performed=${r.getBoolean(4)})")))
 
     // ---- 4. the ANN side: base build, era append, serve over both
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -75,6 +75,83 @@ object Maintenance {
       maxFilesPerList: Long = 8L,
       maxStoreFiles: Long = 64L)
 
+  /** The autopilot at PIPELINE scope (round 18): one call ticks every
+    * root a [[PipelineRoots]] lists, in the one safe cross-root order,
+    * with the store wiring each kind needs — the same one-call posture
+    * [[Takedown]] gave deletion and [[maintenanceTick]] gave a single
+    * root. Day-N operations on a production pipeline become: takedowns
+    * via `Takedown(ids, roots)`, everything else via
+    * `pipelineTick(roots)` on the maintenance schedule.
+    *
+    * CROSS-ROOT ORDER (load-bearing in two places):
+    *
+    *  1. **row-wise indexes** (exact, minhash) and the **ANN root**
+    *     first — their compactions/folds are self-contained;
+    *  2. **aggregate kinds** (anchor, bloom) next — a store-fed rebuild
+    *     PROPAGATES the index's pending tombstones into its store's set
+    *     ([[DedupIndex.propagateTombstones]]) before applying them;
+    *  3. **stores last** (doc, ref, vector) — their compactions then
+    *     absorb BOTH their own pending set and anything the rebuilds
+    *     just propagated, leaving the whole pipeline with zero pending
+    *     residue after one tick. Stores-first would leave the
+    *     propagated files pending until the NEXT tick (harmless — the
+    *     anti-join of already-absent rows is a no-op — but a tick
+    *     should converge in one pass when nothing races it).
+    *
+    * Per-root failure isolation (the [[Takedown]] round-18 pattern): a
+    * root whose tick THROWS (broken store path, transient executor
+    * loss) becomes a `tick_failed` row with the exception in `reason`
+    * instead of hiding the other roots' outcomes — every index op is
+    * individually crash-safe ([[DedupIndex.atomicSwap]]), so the failed
+    * root is merely still-due, never corrupt. Rows are re-sequenced
+    * globally in execution order; per-root `healthy` rows are kept (the
+    * operator sees every root's state, not just the busy ones).
+    *
+    * Scale posture: identical to [[maintenanceTick]] per root — the
+    * decision reads are metadata-bound, the performed actions cost what
+    * their own scaladocs state; pipeline scope adds sequencing only.
+    * Roots are ticked sequentially on the caller's thread by design
+    * (single-maintainer per root; the heavy actions are themselves
+    * cluster-parallel jobs, so overlapping roots would contend for the
+    * same executors, not finish sooner). */
+  def pipelineTick(
+      spark: SparkSession, roots: PipelineRoots,
+      dryRun: Boolean = false,
+      idCol: String = "doc_id", textCol: String = "text",
+      vecIdCol: String = "vec_id",
+      policy: TickPolicy = TickPolicy()): DataFrame = {
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String, String, Boolean)]()
+    def tick(rootOpt: Option[String],
+        vecStore: Option[String] = None, docStore: Option[String] = None,
+        refStore: Option[String] = None, id: String = idCol): Unit =
+      rootOpt.foreach { p =>
+        try
+          maintenanceTick(spark, p, vecStore = vecStore,
+              docStore = docStore, refStore = refStore, dryRun = dryRun,
+              idCol = id, textCol = textCol, policy = policy)
+            .orderBy(col("seq")).collect()
+            .foreach(r => rows += ((r.getString(1), r.getString(3),
+              r.getString(2), r.getBoolean(4))))
+        catch { case scala.util.control.NonFatal(e) =>
+          rows += (("tick_failed",
+            s"${e.getClass.getSimpleName}: ${e.getMessage}", p, false))
+        }
+      }
+    tick(roots.exactIndex)
+    tick(roots.minhashIndex)
+    tick(roots.annIndex, vecStore = roots.vecStore)
+    tick(roots.anchorIndex, docStore = roots.docStore)
+    tick(roots.bloomIndex, refStore = roots.refStore)
+    tick(roots.docStore)
+    tick(roots.refStore)
+    tick(roots.vecStore, id = vecIdCol)
+    import spark.implicits._
+    rows.toSeq.zipWithIndex
+      .map { case ((action, reason, target, performed), i) =>
+        (i + 1, action, target, reason, performed) }
+      .toDF("seq", "action", "target", "reason", "performed")
+  }
+
   def maintenanceTick(
       spark: SparkSession, path: String,
       vecStore: Option[String] = None,

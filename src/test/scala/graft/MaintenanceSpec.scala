@@ -252,4 +252,143 @@ class MaintenanceSpec extends AnyFunSuite {
     AnnIndex.appendToIvfPqIndex(era2, path, m = 2, dim = 4)
     checkStep("append-after-rebuild", survivors.unionByName(era2))
   }
+
+  test("pipelineTick (round 18): ONE call ticks every root of a " +
+      "PipelineRoots in cross-root order (row-wise, ANN, aggregate " +
+      "rebuilds, stores LAST), converging to zero pending residue in " +
+      "one pass; dry-run plans without touching; second tick healthy") {
+    val s = spark; import s.implicits._
+    val root = tmp("pipe")
+    val corpus = (1L to 30L).map(i => (i, s"pipeline doc $i body " +
+      s"with shared tail ${i % 7}")).toDF("doc_id", "text")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", s"$root/exact")
+    DedupIndex.writeMinHashIndex(corpus, "text", "doc_id",
+      s"$root/minhash", k = 16, bands = 4, shingleN = 2)
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id",
+      s"$root/anchor", k = 3, w = 4)
+    corpus.write.parquet(s"$root/docstore")
+    val ref = corpus.filter(col("doc_id") <= 10)
+    ref.write.parquet(s"$root/refstore")
+    DedupIndex.writeBloomIndexSharded(ref, "text", "doc_id",
+      s"$root/bloomsh", n = 3, shards = 2, mBits = 512)
+    val vecs = (0 until 60).map { i =>
+      val a = 2 * math.Pi * i / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(pmod(col("vec_id"), lit(12)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 15)
+    AnnIndex.writeIvfPqIndex(vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0),
+      cents, cb, m = 2, dim = 4, s"$root/ann")
+    AnnIndex.ingestVecBatch(vecs.filter(pmod(col("vec_id"), lit(5)) === 0),
+      0L, s"$root/ann", m = 2, dim = 4, twoLevel = false,
+      "vec_id", "embedding") // fold debt
+    vecs.write.parquet(s"$root/vecstore")
+    // debts: doc-side deletions land on every doc-rooted relation
+    // directly (NOT via Takedown — the tick must do the rebuilds);
+    // vector deletions on the ANN pair
+    val delDocs = Seq(4L, 9L).toDF("doc_id")
+    Seq(s"$root/exact", s"$root/minhash", s"$root/anchor",
+      s"$root/bloomsh", s"$root/docstore", s"$root/refstore")
+      .foreach(p => DedupIndex.deleteDocs(delDocs, p))
+    AnnIndex.deleteVectors(Seq(8L, 21L).toDF("vec_id"), s"$root/ann")
+    AnnIndex.deleteVectors(Seq(8L, 21L).toDF("vec_id"), s"$root/vecstore")
+    val roots = PipelineRoots(
+      exactIndex = Some(s"$root/exact"),
+      minhashIndex = Some(s"$root/minhash"),
+      docStore = Some(s"$root/docstore"),
+      anchorIndex = Some(s"$root/anchor"),
+      bloomIndex = Some(s"$root/bloomsh"),
+      refStore = Some(s"$root/refstore"),
+      annIndex = Some(s"$root/ann"),
+      vecStore = Some(s"$root/vecstore"))
+    val noSplit = Maintenance.TickPolicy(hotFactor = 1000.0)
+    val expected = Seq(
+      (s"$root/exact", "compact"), (s"$root/minhash", "compact"),
+      (s"$root/ann", "fold"), (s"$root/ann", "compact"),
+      (s"$root/anchor", "rebuild"), (s"$root/bloomsh", "rebuild"),
+      (s"$root/docstore", "compact"), (s"$root/refstore", "compact"),
+      (s"$root/vecstore", "compact"))
+    val fs = hp(root).getFileSystem(s.sessionState.newHadoopConf())
+    // ---- dry run: the full cross-root plan, nothing touched ----------
+    val plan = Maintenance.pipelineTick(s, roots, dryRun = true,
+        policy = noSplit)
+      .orderBy("seq").collect()
+      .map(r => (r.getString(2), r.getString(1), r.getBoolean(4)))
+    assert(plan.map(p => (p._1, p._2)).toSeq == expected,
+      plan.mkString(";"))
+    assert(plan.forall(!_._3))
+    assert(fs.exists(hp(s"$root/ann/codes_stream")))
+    assert(fs.exists(hp(s"$root/exact/_tombstones")))
+    // ---- perform: every action lands, globally sequenced -------------
+    val done = Maintenance.pipelineTick(s, roots, policy = noSplit)
+      .orderBy("seq").collect()
+      .map(r => (r.getInt(0), r.getString(2), r.getString(1),
+        r.getBoolean(4)))
+    assert(done.map(d => (d._2, d._3)).toSeq == expected,
+      done.mkString(";"))
+    assert(done.forall(_._4))
+    assert(done.map(_._1).toSeq == (1 to expected.size))
+    // zero pending residue anywhere — the stores-LAST ordering claim:
+    // the aggregate rebuilds propagated their index tombstones into
+    // doc/ref stores, and the store compactions then absorbed them
+    // within the SAME tick
+    Seq("exact", "minhash", "ann", "anchor", "bloomsh", "docstore",
+      "refstore", "vecstore").foreach(k =>
+      assert(!fs.exists(hp(s"$root/$k/_tombstones")),
+        s"$k still has pending tombstones after one pipelineTick"))
+    // spot serving checks (the full five-surface proof is q199's oracle)
+    assert(s.read.parquet(s"$root/docstore").count() == 28L)
+    assert(s.read.parquet(s"$root/refstore").count() == 8L)
+    assert(DedupIndex.admitAgainstIndex(
+        corpus.filter(col("doc_id") === 4L)
+          .select(col("doc_id") + 100L as "doc_id", col("text")),
+        "text", "doc_id", s"$root/exact")
+      .filter(col("status") === "admitted").count() == 1L,
+      "deleted doc 4's text must re-admit after physical compaction")
+    assert(!AnnIndex.queryIvfPqIndex(vecs.filter(col("vec_id") < 2),
+        s"$root/ann", m = 2, dim = 4, k = 6, nProbe = 64)
+      .collect().map(_.getLong(1)).contains(8L))
+    // ---- second tick: every root healthy -----------------------------
+    val again = Maintenance.pipelineTick(s, roots, policy = noSplit)
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSet
+    assert(again == Set(("healthy", false)), again.mkString(";"))
+  }
+
+  test("pipelineTick per-root failure isolation: a root whose tick " +
+      "throws becomes a tick_failed row; the other roots' actions " +
+      "still land") {
+    val s = spark; import s.implicits._
+    val root = tmp("pipefail")
+    val corpus = (1L to 12L).map(i => (i, s"isolated doc $i payload"))
+      .toDF("doc_id", "text")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", s"$root/exact")
+    DedupIndex.writeAnchorIndex(corpus, "text", "doc_id",
+      s"$root/anchor", k = 3, w = 4)
+    val del = Seq(5L).toDF("doc_id")
+    DedupIndex.deleteDocs(del, s"$root/exact")
+    DedupIndex.deleteDocs(del, s"$root/anchor")
+    // the anchor's wired doc store does not exist: its rebuild throws
+    // INSIDE maintenanceTick; the pipeline must isolate it per root
+    val report = Maintenance.pipelineTick(s, PipelineRoots(
+        exactIndex = Some(s"$root/exact"),
+        anchorIndex = Some(s"$root/anchor"),
+        docStore = Some(s"$root/no_such_store")))
+      .orderBy("seq").collect()
+      .map(r => (r.getString(2), r.getString(1), r.getBoolean(4)))
+    assert(report.map(x => (x._1, x._2, x._3)).toSeq == Seq(
+      (s"$root/exact", "compact", true),
+      (s"$root/anchor", "tick_failed", false),
+      (s"$root/no_such_store", "tick_failed", false)), report.mkString(";"))
+    // the exact root's compaction really landed; the anchor root is
+    // still loudly queued (tombstoned, fail-loud on probe)
+    val fs = hp(root).getFileSystem(s.sessionState.newHadoopConf())
+    assert(!fs.exists(hp(s"$root/exact/_tombstones")))
+    assert(fs.exists(hp(s"$root/anchor/_tombstones")))
+    val ex = intercept[IllegalArgumentException](
+      DedupIndex.duplicateSpansAgainstIndex(corpus.limit(1), "text",
+        "doc_id", s"$root/anchor", k = 3, w = 4).count())
+    assert(ex.getMessage.contains("rebuild"))
+  }
 }

@@ -49,6 +49,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "q196_ann_fold_serve", // q176's serve shapes over the stream-folded index (the fold is a fixture, not the timed body)
     "q197_maintenance_tick_serve", // q195's single-level serve shape over the post-tick structure (the tick is a fixture, not the timed body)
     "q198_ann_twolevel_split", // q176's two-level serve shapes over the post-split structure (frozen persisted supers; the split is a fixture)
+    "q199_pipeline_tick", // q193's five-surface probe union over the post-pipelineTick state (the tick is a fixture, not the timed body)
     "q132_sparql_values_undef") // solutions × broadcast(2-row UNDEF VALUES): null-or-equal condition cannot be an equi-join (§10.2.2)
 
   test("no query plans a CartesianProduct; BNLJ only where a tiny side " +
