@@ -142,6 +142,33 @@ object IndexProbe {
         finally spark.conf.unset(operators.DedupIndex.MaxBroadcastBytesKey)
       println(f"exact-shufmode$tag%-6s $nCorpus%8d admit-warm(shuffle-path)=$eShuf%6.2f s" +
         f"  (broadcast-path above: ${eW}%.2f s)")
+      // ---- pipelineTick dry-run decision (round 18): ONE call plans
+      // the whole dedup-family pipeline — six roots, every one carrying
+      // a pending 2%-of-corpus deletion. Claim: pipeline scope adds
+      // SEQUENCING only — the decision wall is the sum of the per-root
+      // metadata-bound reads (describe listings over compaction-bounded
+      // file counts + deletions-sized tombstone counts), flat vs corpus
+      // bytes. Performed actions cost what their own ops cost (the
+      // build/compact/rebuild rows of this probe and PLANS.md).
+      val rPath = TempDirs.register(s"/tmp/graft-indexprobe/refstore-$tag")
+      docs.filter(col("source") === "src0").select("doc_id", "text")
+        .write.mode("overwrite").parquet(rPath)
+      val delIds = docs.filter(pmod(col("doc_id"), lit(50)) === 9)
+        .select("doc_id").localCheckpoint()
+      Seq(ePath, mPath, aPath, bsPath, dPath, rPath)
+        .foreach(p => operators.DedupIndex.deleteDocs(delIds, p))
+      var pipePlan = ""
+      val pipeT = time { pipePlan = operators.Maintenance.pipelineTick(
+          spark, operators.PipelineRoots(
+            exactIndex = Some(ePath), minhashIndex = Some(mPath),
+            anchorIndex = Some(aPath), bloomIndex = Some(bsPath),
+            docStore = Some(dPath), refStore = Some(rPath)),
+          dryRun = true).collect()
+          .map(r => s"${r.getString(2).split('/').last.takeWhile(_ != '-')}:" +
+            s"${r.getString(1)}")
+          .mkString(" ") }
+      println(f"pipe-tick$tag%-11s $nCorpus%8d dry-run-decision=$pipeT%6.2f s " +
+        f"($pipePlan)")
     }
 
     // ---- ANN index: serve a FIXED query batch against 1x and 10x

@@ -1072,7 +1072,12 @@ object DedupIndex {
     * users opt in via the conf below. */
   private val NonAtomicRenameSchemes: Set[String] =
     Set("s3", "s3a", "s3n", "gs", "oss", "cosn", "swift",
-      "wasb", "wasbs", "abfs", "abfss")
+      "wasb", "wasbs", "abfs", "abfss",
+      // the test harness emulating this store class (copy-then-delete
+      // dir renames with a mid-copy crash seam) — DedupIndexSpec drives
+      // a swap through it under the opt-out to DEMONSTRATE the silent
+      // data loss this guard prevents
+      "nar")
 
   /** Fail loudly when an index root sits on a filesystem that cannot
     * honor [[atomicSwap]]'s durability invariants (round 18, the

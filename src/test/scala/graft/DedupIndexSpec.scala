@@ -1430,4 +1430,65 @@ class DedupIndexSpec extends AnyFunSuite {
         s.sessionState.newHadoopConf()),
       new org.apache.hadoop.fs.Path("/tmp/idx"), "compact")
   }
+
+  test("atomicSwap on a SIMULATED object store (nar://, copy-then-" +
+      "delete dir renames): rejected by default; under the documented " +
+      "opt-out a crash mid-rename strands a partial root that the " +
+      "recovery protocol cannot recognize — the next compaction " +
+      "SILENTLY loses data. The executable case for the contract guard") {
+    val s = spark; import s.implicits._
+    // route the nar scheme to the harness (sqlConf entries propagate
+    // into every newHadoopConf, driver and task side)
+    s.conf.set("fs.nar.impl", classOf[NonAtomicRenameFs].getName)
+    val local = tmp("narstore")
+    val path = s"nar://$local/exact"
+    try {
+      def docsIn(r: Range) = r
+        .map(i => (i.toLong, s"nar doc $i distinct payload $i"))
+        .toDF("doc_id", "text")
+      DedupIndex.writeExactIndex(docsIn(1 to 400), "text", "doc_id", path)
+      // three appends → the index root holds ≥4 data files (the crash
+      // below must strand a PARTIAL data set, not a sidecar-only gap)
+      Seq(401 to 800, 801 to 1200, 1201 to 1600).foreach(r =>
+        DedupIndex.appendToIndex(docsIn(r), "text", "doc_id", path, "exact"))
+      val c0 = s.read.parquet(path).count()
+      assert(c0 == 1600L)
+      DedupIndex.deleteDocs(Seq(7L).toDF("doc_id"), path)
+      // 1. the DEFAULT posture: any swap-backed op rejects the scheme
+      // with the named error before touching anything
+      val g = intercept[IllegalStateException](
+        DedupIndex.compactIndex(s, path, "exact"))
+      assert(g.getMessage.contains("'nar'"))
+      assert(s.read.parquet(path).count() == c0) // untouched
+      // 2. the documented opt-out + a crash mid rename(live, old): the
+      // window is O(data) on this store class, and a crash inside it
+      // leaves BOTH roots partial — a shape none of the swap's
+      // crash-recovery cases (live-missing+old, bare-live) matches
+      s.conf.set("spark.graft.index.allowNonAtomicRename", "true")
+      NonAtomicRenameFs.crashWhenDstContains = "._compact_old"
+      val ex = intercept[java.io.IOException](
+        DedupIndex.compactIndex(s, path, "exact"))
+      assert(ex.getMessage.contains("simulated crash"),
+        s"wrong failure: ${ex.getMessage}")
+      NonAtomicRenameFs.crashWhenDstContains = null
+      // mixed state SERVES: the live root now holds a strict subset
+      val cPartial = s.read.parquet(path).count()
+      assert(cPartial > 0 && cPartial < c0,
+        s"expected a partial live root, got $cPartial of $c0")
+      // 3. the next compaction runs the recovery protocol — which was
+      // enumerated for atomic-rename crash shapes. It salvages the meta
+      // sidecar, then deletes `old` WITH the bulk of the data: the op
+      // reports success and the loss is permanent and silent.
+      DedupIndex.compactIndex(s, path, "exact")
+      val cFinal = s.read.parquet(path).count()
+      assert(cFinal > 0 && cFinal < c0 - 1,
+        s"silent-loss demonstration: expected < ${c0 - 1} rows to " +
+          s"survive, got $cFinal")
+      assert(cFinal <= cPartial)
+    } finally {
+      NonAtomicRenameFs.crashWhenDstContains = null
+      s.conf.unset("spark.graft.index.allowNonAtomicRename")
+      s.conf.unset("fs.nar.impl")
+    }
+  }
 }
