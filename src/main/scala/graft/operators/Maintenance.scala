@@ -60,8 +60,10 @@ import org.apache.spark.sql.functions._
   *
   * Returns (seq, action, target, reason, performed): one row per due
   * action in execution order, plus a single `healthy` row when nothing
-  * is due. `performed = false` rows are the dry-run plan or the
-  * missing-store queues. */
+  * is due. `performed = false` rows are the dry-run plan, the
+  * missing-store queues, or an `<action>_failed` row (the exception in
+  * `reason`) after which the root's remaining actions are skipped —
+  * the order is load-bearing, so a tick never acts past a failure. */
 object Maintenance {
 
   /** The tick's thresholds. `hotFactor` mirrors
@@ -98,11 +100,14 @@ object Maintenance {
     *     anti-join of already-absent rows is a no-op — but a tick
     *     should converge in one pass when nothing races it).
     *
-    * Per-root failure isolation (the [[Takedown]] round-18 pattern): a
-    * root whose tick THROWS (broken store path, transient executor
-    * loss) becomes a `tick_failed` row with the exception in `reason`
-    * instead of hiding the other roots' outcomes — every index op is
-    * individually crash-safe ([[DedupIndex.atomicSwap]]), so the failed
+    * Per-root failure isolation (the [[Takedown]] round-18 pattern): an
+    * ACTION that throws becomes that root's `<action>_failed` row (the
+    * per-action honesty [[maintenanceTick]] itself provides — earlier
+    * performed actions stay reported, later ones are skipped); a root
+    * whose DECISION phase throws (missing root, unreadable meta)
+    * becomes a `tick_failed` row with the exception in `reason`. Either
+    * way the other roots' outcomes are never hidden — every index op is
+    * individually crash-safe ([[DedupIndex.atomicSwap]]), so a failed
     * root is merely still-due, never corrupt. Rows are re-sequenced
     * globally in execution order; per-root `healthy` rows are kept (the
     * operator sees every root's state, not just the busy ones).
@@ -174,11 +179,30 @@ object Maintenance {
     lazy val nTombstones = desc.getLong(5)
     val report =
       scala.collection.mutable.ArrayBuffer[(String, String, String, Boolean)]()
-    def act(action: String, reason: String, perform: Option[() => Unit]): Unit = {
-      val performed = !dryRun && perform.isDefined
-      if (performed) perform.get.apply()
-      report += ((action, reason, path, performed))
-    }
+    // per-ACTION failure honesty (round 18, the Takedown pattern one
+    // level down): an action that throws must not erase the actions
+    // this tick already performed from the report. It becomes an
+    // `<action>_failed` row with the exception in `reason`, and the
+    // root's REMAINING actions are skipped — the order is load-bearing
+    // (fold before compact before split), so acting past a failure
+    // would run steps whose preconditions no longer hold; the next
+    // tick re-decides from the actual state. Decision-phase throws
+    // (missing root, unreadable meta) still propagate to the caller —
+    // there is no partial report to protect yet.
+    var abortedBy: String = null
+    def act(action: String, reason: String, perform: Option[() => Unit]): Unit =
+      if (abortedBy == null) {
+        val performed = !dryRun && perform.isDefined
+        if (performed)
+          try perform.get.apply()
+          catch { case scala.util.control.NonFatal(e) =>
+            abortedBy = action
+            report += ((s"${action}_failed",
+              s"${e.getClass.getSimpleName}: ${e.getMessage}", path, false))
+            return
+          }
+        report += ((action, reason, path, performed))
+      }
 
     kind match {
       case "ivfpq" =>

@@ -356,9 +356,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(again == Set(("healthy", false)), again.mkString(";"))
   }
 
-  test("pipelineTick per-root failure isolation: a root whose tick " +
-      "throws becomes a tick_failed row; the other roots' actions " +
-      "still land") {
+  test("pipelineTick failure honesty at both levels: an action throw " +
+      "becomes <action>_failed, a decision-phase throw tick_failed; " +
+      "the other roots' actions still land") {
     val s = spark; import s.implicits._
     val root = tmp("pipefail")
     val corpus = (1L to 12L).map(i => (i, s"isolated doc $i payload"))
@@ -369,18 +369,26 @@ class MaintenanceSpec extends AnyFunSuite {
     val del = Seq(5L).toDF("doc_id")
     DedupIndex.deleteDocs(del, s"$root/exact")
     DedupIndex.deleteDocs(del, s"$root/anchor")
-    // the anchor's wired doc store does not exist: its rebuild throws
-    // INSIDE maintenanceTick; the pipeline must isolate it per root
+    // three failure shapes in one pipeline: a root missing entirely
+    // (minhash) fails in its DECISION phase → tick_failed; the
+    // anchor's wired doc store is broken so its rebuild ACTION throws
+    // → rebuild_failed (per-action honesty — a performed action would
+    // stay reported); the "store" root itself exists by then (the
+    // failed rebuild's tombstone propagation created its _tombstones
+    // dir) but holds no data, so its compact action throws →
+    // compact_failed. The exact root's action still lands.
     val report = Maintenance.pipelineTick(s, PipelineRoots(
         exactIndex = Some(s"$root/exact"),
+        minhashIndex = Some(s"$root/missing_minhash"),
         anchorIndex = Some(s"$root/anchor"),
         docStore = Some(s"$root/no_such_store")))
       .orderBy("seq").collect()
       .map(r => (r.getString(2), r.getString(1), r.getBoolean(4)))
     assert(report.map(x => (x._1, x._2, x._3)).toSeq == Seq(
       (s"$root/exact", "compact", true),
-      (s"$root/anchor", "tick_failed", false),
-      (s"$root/no_such_store", "tick_failed", false)), report.mkString(";"))
+      (s"$root/missing_minhash", "tick_failed", false),
+      (s"$root/anchor", "rebuild_failed", false),
+      (s"$root/no_such_store", "compact_failed", false)), report.mkString(";"))
     // the exact root's compaction really landed; the anchor root is
     // still loudly queued (tombstoned, fail-loud on probe)
     val fs = hp(root).getFileSystem(s.sessionState.newHadoopConf())
