@@ -356,6 +356,165 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(again == Set(("healthy", false)), again.mkString(";"))
   }
 
+  test("pipeline lifecycle soak (round 18): a five-kind pipeline " +
+      "driven through direct deletions -> pipelineTick -> Takedown -> " +
+      "pipelineTick -> append era -> pipelineTick; after EVERY " +
+      "completing step each serving surface equals a fresh build over " +
+      "the current survivor set, and mid-lifecycle the aggregate kinds " +
+      "fail loudly exactly while tombstoned") {
+    val s = spark; import s.implicits._
+    val root = tmp("pipesoak")
+    // token-disjoint texts: no cross-doc grams/keys, so deletions can
+    // never collide with survivors through a shared text_key or anchor
+    // gram (fresh-build equality is then exact for every kind)
+    def docsFor(r: Range) = r.map(i => (i.toLong,
+      s"soak doc $i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    def ring(ids: Seq[Long], offset: Double) = ids.zipWithIndex.map {
+      case (id, j) =>
+        val a = 2 * math.Pi * (j + offset) / 40.0
+        (id, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+          (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val corpus0 = docsFor(1 to 40)
+    val era = docsFor(101 to 110)
+    val refs0 = corpus0.filter(col("doc_id") <= 12)
+    val vecs0 = ring(0L until 40L, 0.0)
+    val vecsEra = ring(200L until 210L, 0.37)
+    val cents = vecs0.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs0, m = 2, seedMod = 11)
+    // fixed probe batches: every original + era text under shifted ids
+    val probeDocs = corpus0.unionByName(era)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    val probeVecs = vecs0.filter(col("vec_id") < 3).localCheckpoint()
+    DedupIndex.writeExactIndex(corpus0, "text", "doc_id", s"$root/exact")
+    DedupIndex.writeMinHashIndex(corpus0, "text", "doc_id",
+      s"$root/minhash", k = 16, bands = 4, shingleN = 2)
+    DedupIndex.writeAnchorIndex(corpus0, "text", "doc_id",
+      s"$root/anchor", k = 3, w = 4)
+    corpus0.write.parquet(s"$root/docstore")
+    refs0.write.parquet(s"$root/refstore")
+    DedupIndex.writeBloomIndexSharded(refs0, "text", "doc_id",
+      s"$root/bloomsh", n = 3, shards = 2, mBits = 512)
+    AnnIndex.writeIvfPqIndex(vecs0, cents, cb, m = 2, dim = 4, s"$root/ann")
+    vecs0.write.parquet(s"$root/vecstore")
+    val roots = PipelineRoots(
+      exactIndex = Some(s"$root/exact"),
+      minhashIndex = Some(s"$root/minhash"),
+      docStore = Some(s"$root/docstore"),
+      anchorIndex = Some(s"$root/anchor"),
+      bloomIndex = Some(s"$root/bloomsh"),
+      refStore = Some(s"$root/refstore"),
+      annIndex = Some(s"$root/ann"),
+      vecStore = Some(s"$root/vecstore"))
+    val noSplit = Maintenance.TickPolicy(hotFactor = 1000.0,
+      maxStoreFiles = 1000L, maxFilesPerList = 1000L)
+    val fs = hp(root).getFileSystem(s.sessionState.newHadoopConf())
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    var step = 0
+    // THE per-step oracle: every surface probed against the lifecycle
+    // pipeline AND a fresh single-shot build over exactly the rows the
+    // pipeline should now hold
+    def checkAll(tag: String,
+        docs: org.apache.spark.sql.DataFrame,
+        refs: org.apache.spark.sql.DataFrame,
+        vecs: org.apache.spark.sql.DataFrame,
+        aggTombstoned: Boolean = false): Unit = {
+      step += 1
+      val f = tmp(f"pipesoak_fresh_$step%02d")
+      DedupIndex.writeExactIndex(docs, "text", "doc_id", s"$f/exact")
+      DedupIndex.writeMinHashIndex(docs, "text", "doc_id", s"$f/minhash",
+        k = 16, bands = 4, shingleN = 2)
+      docs.write.parquet(s"$f/docstore")
+      def ex(p: String) = rows(DedupIndex.admitAgainstIndex(
+        probeDocs, "text", "doc_id", s"$p/exact"))
+      def nd(p: String) = rows(DedupIndex.admitNearDupAgainstIndex(
+        probeDocs, "text", "doc_id", s"$p/minhash", s"$p/docstore",
+        k = 16, bands = 4, shingleN = 2, thetaBp = 5000L))
+      assert(ex(root) == ex(f), s"step $step ($tag): exact diverged")
+      assert(nd(root) == nd(f), s"step $step ($tag): neardup diverged")
+      def sp(p: String) = rows(DedupIndex.duplicateSpansAgainstIndex(
+        probeDocs, "text", "doc_id", s"$p/anchor", k = 3, w = 4))
+      def bl(p: String) = rows(DedupIndex.bloomContaminationAgainstShardedIndex(
+        probeDocs, "text", "doc_id", s"$p/bloomsh", n = 3, shards = 2,
+        mBits = 512))
+      if (aggTombstoned) {
+        // aggregate kinds must fail LOUDLY while tombstoned — deleted
+        // content is never served, even before the rebuild happens
+        assert(intercept[IllegalArgumentException](sp(root))
+          .getMessage.contains("rebuild"))
+        assert(intercept[IllegalArgumentException](bl(root))
+          .getMessage.contains("rebuild"))
+      } else {
+        DedupIndex.writeAnchorIndex(docs, "text", "doc_id", s"$f/anchor",
+          k = 3, w = 4)
+        DedupIndex.writeBloomIndexSharded(refs, "text", "doc_id",
+          s"$f/bloomsh", n = 3, shards = 2, mBits = 512)
+        assert(sp(root) == sp(f), s"step $step ($tag): spans diverged")
+        assert(bl(root) == bl(f), s"step $step ($tag): bloom diverged")
+      }
+      AnnIndex.writeIvfPqIndex(vecs, cents, cb, m = 2, dim = 4, s"$f/ann")
+      def an(p: String) = rows(AnnIndex.queryIvfPqIndex(probeVecs,
+        s"$p/ann", m = 2, dim = 4, k = 5, nProbe = 64))
+      assert(an(root) == an(f), s"step $step ($tag): ann diverged")
+    }
+    checkAll("base", corpus0, refs0, vecs0)
+    // ---- direct deletions on every root (ids 3, 17 hit docs AND refs
+    // AND vecs — one numeric id space, the takedown posture) ----------
+    val del1 = Seq(3L, 17L).toDF("doc_id")
+    Seq("exact", "minhash", "anchor", "bloomsh", "docstore", "refstore")
+      .foreach(k => DedupIndex.deleteDocs(del1, s"$root/$k"))
+    AnnIndex.deleteVectors(del1.select(col("doc_id").as("vec_id")),
+      s"$root/ann")
+    AnnIndex.deleteVectors(del1.select(col("doc_id").as("vec_id")),
+      s"$root/vecstore")
+    val docs1 = corpus0.filter(!col("doc_id").isin(3L, 17L))
+    val refs1 = refs0.filter(!col("doc_id").isin(3L, 17L))
+    val vecs1 = vecs0.filter(!col("vec_id").isin(3L, 17L))
+    checkAll("pending-deletions", docs1, refs1, vecs1, aggTombstoned = true)
+    // ---- ONE pipelineTick resolves every debt ------------------------
+    val t1 = Maintenance.pipelineTick(s, roots, policy = noSplit)
+      .collect().map(r => (r.getString(1), r.getBoolean(4)))
+    assert(t1.forall(_._2), t1.mkString(";")) // every action performed
+    checkAll("post-tick", docs1, refs1, vecs1)
+    Seq("exact", "minhash", "ann", "anchor", "bloomsh", "docstore",
+      "refstore", "vecstore").foreach(k =>
+      assert(!fs.exists(hp(s"$root/$k/_tombstones")),
+        s"$k has pending residue after the soak's first tick"))
+    // ---- ONE Takedown call (rebuilds the aggregate kinds itself) -----
+    val rep = Takedown(Seq(8L, 25L).toDF("id"), roots).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(rep.forall(x => x._2 == "tombstoned" || x._2 == "rebuilt"),
+      rep.mkString(";"))
+    val docs2 = docs1.filter(!col("doc_id").isin(8L, 25L))
+    val refs2 = refs1.filter(!col("doc_id").isin(8L, 25L))
+    val vecs2 = vecs1.filter(!col("vec_id").isin(8L, 25L))
+    checkAll("post-takedown", docs2, refs2, vecs2)
+    // ---- tick absorbs the takedown's row-wise pendings ---------------
+    Maintenance.pipelineTick(s, roots, policy = noSplit)
+    checkAll("post-takedown-tick", docs2, refs2, vecs2)
+    // ---- a new era appends into every surface ------------------------
+    DedupIndex.appendToIndex(era, "text", "doc_id", s"$root/exact", "exact")
+    DedupIndex.appendToIndex(era, "text", "doc_id", s"$root/minhash",
+      "minhash", k = 16, bands = 4, shingleN = 2)
+    DedupIndex.appendToIndex(era, "text", "doc_id", s"$root/anchor",
+      "anchor", anchorK = 3, anchorW = 4)
+    era.write.mode("append").parquet(s"$root/docstore")
+    AnnIndex.appendToIvfPqIndex(vecsEra, s"$root/ann", m = 2, dim = 4)
+    vecsEra.write.mode("append").parquet(s"$root/vecstore")
+    val docs3 = docs2.unionByName(era)
+    val vecs3 = vecs2.unionByName(vecsEra)
+    checkAll("post-append", docs3, refs2, vecs3)
+    // ---- final tick: nothing due beyond (maybe) small-file budgets ---
+    val t3 = Maintenance.pipelineTick(s, roots, policy = noSplit)
+      .collect().map(r => r.getString(1)).toSet
+    assert(t3.subsetOf(Set("healthy", "compact")), t3.mkString(";"))
+    checkAll("post-final-tick", docs3, refs2, vecs3)
+  }
+
   test("pipelineTick failure honesty at both levels: an action throw " +
       "becomes <action>_failed, a decision-phase throw tick_failed; " +
       "the other roots' actions still land") {
