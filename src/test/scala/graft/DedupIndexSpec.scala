@@ -959,6 +959,56 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(st3(32L) == (("dup_corpus", 14L)))
   }
 
+  test("maintenance + takedown BETWEEN streaming micro-batches (round " +
+      "18): a tick-performed compaction mid-stream neither replays the " +
+      "checkpoint nor loses surviving dedup state, and a taken-down " +
+      "admission re-admits — the GDPR story under a live ingest stream") {
+    val s = spark; import s.implicits._
+    val corpus = Seq((1L, "alpha text one"), (2L, "beta text two"))
+      .toDF("doc_id", "text")
+    val idx = tmp("mstream_idx")
+    val srcDir = tmp("mstream_src"); val outDir = tmp("mstream_out")
+    DedupIndex.writeExactIndex(corpus, "text", "doc_id", idx)
+    Seq((11L, "novel gamma"), (12L, "alpha text one"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    def stream = s.readStream
+      .schema(s.read.parquet(srcDir).schema).parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir)
+    def statuses() = s.read.parquet(s"$outDir/status").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("keep_id")))).toMap
+    assert(statuses() == Map(
+      11L -> (("admitted", 11L)), 12L -> (("dup_corpus", 1L))))
+    // takedown BETWEEN batches: the stream's own admission (11) and a
+    // base corpus doc (1) — then ONE maintenanceTick performs the
+    // compaction while the stream's checkpoint sits untouched (it
+    // lives under the status root, not the index root)
+    DedupIndex.deleteDocs(Seq(11L, 1L).toDF("doc_id"), idx)
+    val acts = Maintenance.maintenanceTick(s, idx)
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    assert(acts == Seq(("compact", true)), acts.mkString(";"))
+    // batch 2 after the mid-stream maintenance: 21 repeats the
+    // taken-down text → ADMITTED (the content is really gone); 22
+    // repeats surviving corpus doc 2 → still dup_corpus; batch 1's
+    // file is NOT reprocessed (4 rows total, old rows unchanged)
+    Seq((21L, "novel gamma"), (22L, "beta text two"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir)
+    assert(statuses() == Map(
+      11L -> (("admitted", 11L)), 12L -> (("dup_corpus", 1L)),
+      21L -> (("admitted", 21L)), 22L -> (("dup_corpus", 2L))))
+    // the re-admission is durable dedup state: batch 3 dups against it
+    Seq((31L, "NOVEL  gamma")).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    graft.streaming.StreamingOps.dedupIngestStream(
+      stream, "text", "doc_id", idx, outDir)
+    assert(statuses()(31L) == (("dup_corpus", 21L)))
+  }
+
   test("streaming NEAR-dup ingest (kind=minhash): per-doc statuses follow " +
       "the verified-Jaccard admission rule, admitted docs extend the band " +
       "index AND the doc store, and a later run dedups near-dups against " +
