@@ -515,6 +515,62 @@ class MaintenanceSpec extends AnyFunSuite {
     checkAll("post-final-tick", docs3, refs2, vecs3)
   }
 
+  test("ANN maintenance between streaming micro-batches (round 18): a " +
+      "tick-performed fold + compact mid-stream keeps the checkpoint " +
+      "(no replay of the folded batch), the next stream batch lands " +
+      "under a fresh id despite the permanent _folded marker, and " +
+      "serving equals a fresh build over all admitted survivors") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 40).map { i =>
+      val a = 2 * math.Pi * i / 40.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        (math.cos(3 * a) / 2).toFloat, (math.sin(3 * a) / 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = vecs.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cb = Similarity.pqCodebook(vecs, m = 2, seedMod = 11)
+    val path = tmp("annmstream"); val srcDir = tmp("annmstream_src")
+    val base = vecs.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+    val sliceA = vecs.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+      col("vec_id") < 20)
+    val sliceB = vecs.filter(pmod(col("vec_id"), lit(5)) === 0 &&
+      col("vec_id") >= 20)
+    AnnIndex.writeIvfPqIndex(base, cents, cb, m = 2, dim = 4, path)
+    sliceA.coalesce(1).write.mode("append").parquet(srcDir)
+    def stream = s.readStream
+      .schema(s.read.parquet(srcDir).schema).parquet(srcDir)
+    AnnIndex.streamIvfPqIngest(stream, path, m = 2, dim = 4)
+    val fs = hp(path).getFileSystem(s.sessionState.newHadoopConf())
+    assert(fs.exists(hp(s"$path/codes_stream/ingest_batch=0")))
+    // takedown + ONE tick between the micro-batches: fold retires the
+    // streamed partition into the base layout, compact applies the
+    // deletion — the stream checkpoint (under the index root) and the
+    // permanent _folded marker both ride through
+    AnnIndex.deleteVectors(Seq(7L).toDF("vec_id"), path)
+    val acts = Maintenance.maintenanceTick(s, path,
+        policy = Maintenance.TickPolicy(hotFactor = 1000.0))
+      .collect().map(r => (r.getString(1), r.getBoolean(4))).toSeq
+    assert(acts == Seq(("fold", true), ("compact", true)), acts.mkString(";"))
+    assert(!fs.exists(hp(s"$path/codes_stream")))
+    // the next batch: NOT a replay of the folded batch 0 (its file is
+    // checkpoint-committed), lands under the NEXT batch id, and serves
+    sliceB.coalesce(1).write.mode("append").parquet(srcDir)
+    AnnIndex.streamIvfPqIngest(stream, path, m = 2, dim = 4)
+    assert(fs.exists(hp(s"$path/codes_stream/ingest_batch=1")))
+    assert(!fs.exists(hp(s"$path/codes_stream/ingest_batch=0")))
+    val fresh = tmp("annmstream_fresh")
+    AnnIndex.writeIvfPqIndex(
+      base.unionByName(sliceA).unionByName(sliceB)
+        .filter(col("vec_id") =!= 7L),
+      cents, cb, m = 2, dim = 4, fresh)
+    def serve(p: String) = AnnIndex.queryIvfPqIndex(
+        vecs.filter(col("vec_id") < 3), p, m = 2, dim = 4, k = 5,
+        nProbe = 64)
+      .collect().map(_.mkString("|")).toSet
+    assert(serve(path) == serve(fresh),
+      "mid-stream maintenance diverged from the fresh build")
+  }
+
   test("pipelineTick failure honesty at both levels: an action throw " +
       "becomes <action>_failed, a decision-phase throw tick_failed; " +
       "the other roots' actions still land") {
