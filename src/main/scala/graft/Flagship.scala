@@ -73,7 +73,20 @@ object Flagship {
       fullValidate: Boolean = false): Long = {
     val fact = factSource(spark, sfDir)
     val n = fact.count()
-    fact.repartition(col("collection"), col("uuid"))
+    // A dynamic-partition write into one-dir-per-stream is FILE-CREATION
+    // bound, not CPU bound: each task opens/closes one parquet writer per
+    // stream it holds, serially. Oversubscribing the write stage keeps
+    // the layout byte-identical (every stream still hashes to exactly one
+    // task → one time-sorted file) while parallelizing the per-file
+    // latency — measured at sf0.1/local[32]: 1500 streams, 12.5 s at 32
+    // write tasks → 5.0 s at 128 (guide §2.6 idle-capacity; §6 small
+    // files). Scale-adaptive: factor × cores, floored by the session's
+    // shuffle partitions, so a tuned production setting is never reduced.
+    val writeTasks = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.conf.getOption("graft.ingest.writeTasksPerCore")
+        .map(_.toInt).getOrElse(4) * spark.sparkContext.defaultParallelism)
+    fact.repartition(writeTasks, col("collection"), col("uuid"))
       .sortWithinPartitions("uuid", "time")
       .write.mode("overwrite").partitionBy("collection", "uuid")
       .parquet(factRoot)

@@ -66,7 +66,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       k: Int = 64, shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    df.select(col(idCol).as("id"),
+    // the fused kernel runs the whole k×shingles signature inside the
+    // SCAN's codegen — a single-split scan would serialize the corpus
+    // through one core (FanOut scaladoc)
+    FanOut.fanOutSmall(df).select(col(idCol).as("id"),
       Bridge.column(graft.functions.MinHashSignature(
         Bridge.expression(TextOps.tokens(col(textCol))), k, shingleN)).as("sig"))
       .filter(col("sig").isNotNull)
@@ -84,7 +87,9 @@ object Dedup {
   private[operators] def shingleHashes(
       df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
+    // token explode + hash multiply work per input row; spread a small
+    // (single-split) scan before the dense stage (FanOut scaladoc)
+    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
       .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -467,7 +472,7 @@ object Dedup {
     * codegen'd conditional-sum aggregates (same scalable shape as
     * minhashSignatures — map-side combinable, no interpreted HOF loops). */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
+    val hashed = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
       .select(col("id"), TextOps.portableHash60(col("t")).as("h"))
     val aggs = (0 until SimBits).map { j =>
@@ -642,7 +647,7 @@ object Dedup {
   private[operators] def positionalGramHashes(
       df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
+    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
       .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -722,7 +727,7 @@ object Dedup {
   private[operators] def gramStrings(
       df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol).as("id"),
+    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>
@@ -882,7 +887,8 @@ object Dedup {
   def blockedCosinePairs(
       df: DataFrame, vecCol: String, idCol: String, blockCol: String,
       threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("vec"))
+    val v = FanOut.fanOutSmall(
+      df.select(col(idCol).as("id"), col(blockCol).as("blk"), col(vecCol).as("vec")))
     v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -918,7 +924,7 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val planeMatrix: Seq[Seq[Double]] =
       Seq.fill(nTables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val vecs = FanOut.fanOutSmall(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .localCheckpoint() // reused: bucket build + two pair-side re-joins
     val buckets = vecs
       .select(col("id"), posexplode(graft.functions.VectorExpressions
@@ -960,7 +966,7 @@ object Dedup {
       corpus: DataFrame, centroids: DataFrame, vecCol: String, idCol: String,
       threshold: Double, maxCluster: Long = 200000L): DataFrame = {
     val cents = centroids.select(col("cid"), col("cvec"))
-    val assigned = corpus
+    val assigned = FanOut.fanOutSmall(corpus)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", Similarity.cosine(col("vec"), col("cvec")))
@@ -1004,8 +1010,8 @@ object Dedup {
     // bucket: planesPerTable = nPlanes), no interpreted lambdas
     val bucket = element_at(graft.functions.VectorExpressions
       .vec_lsh_buckets(col(vecCol), typedLit(planeMatrix), nPlanes), 1)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      bucket.as("bucket"))
+    val bucketed = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
+      col(vecCol).as("vec"), bucket.as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -1053,7 +1059,7 @@ object Dedup {
         "pairing loses qualifying pairs")
     val cols = Seq(col(idCol).as("_id"), col(textCol).as("_txt"),
       length(col(textCol)).as("_len")) ++ blockCols.map(col)
-    val base = df.select(cols: _*)
+    val base = FanOut.fanOutSmall(df).select(cols: _*)
       .withColumn("_lb", expr(s"_len DIV $bandWidth"))
     val probe = base.withColumn("_lb", explode(array(col("_lb"), col("_lb") + 1)))
     val joinKeys = "_lb" +: blockCols

@@ -53,7 +53,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val scored = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val scored = FanOut.fanOutSmall(corpus)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
@@ -123,7 +124,7 @@ object Similarity {
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cvec"))
     for (_ <- 1 to iters) {
-      val assigned = trainSet
+      val assigned = FanOut.fanOutSmall(trainSet)
         .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
         .crossJoin(broadcast(cents))
         .withColumn("csim", cosine(col("nvec"), col("cvec")))
@@ -202,7 +203,7 @@ object Similarity {
     * rows by vector id. Shared by the raw-vector and PQ-scored paths. */
   private[operators] def coarseAssign(corpus: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
-    val scored = corpus
+    val scored = FanOut.fanOutSmall(corpus)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(cents))
       .withColumn("csim", cosine(col("nvec"), col("cvec")))
@@ -268,7 +269,8 @@ object Similarity {
   private[operators] def coarseAssignTwoLevel(corpus: DataFrame,
       supers: DataFrame, cmap: DataFrame,
       idCol: String, vecCol: String, carryVec: Boolean): DataFrame = {
-    val v2s = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    val v2s = FanOut.fanOutSmall(corpus)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(broadcast(supers))
       .withColumn("ssim", cosine(col("nvec"), col("svec")))
       .groupBy(col("nid"))
@@ -414,7 +416,7 @@ object Similarity {
     * One broadcast of the codebook + one map-side-combinable aggregate. */
   private[operators] def pqEncode(corpus: DataFrame, cb: DataFrame, dsub: Int,
       idCol: String, vecCol: String): DataFrame =
-    corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+    FanOut.fanOutSmall(corpus).select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .crossJoin(cb)
       .withColumn("dist", subDistOn(col("nvec"), dsub))
       .groupBy(col("nid"), col("j"))

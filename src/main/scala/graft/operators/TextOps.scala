@@ -477,7 +477,9 @@ object TextOps {
       "hotGramCap must be 0 (off) or >= 2 (a capped gram must still be a duplicate)")
     import org.apache.spark.sql.expressions.Window
     val L = minLen
-    val grams = df
+    // the stride-1 explode multiplies work ~L× per input CHAR; a small
+    // (single-split) doc scan would run it on one core (FanOut scaladoc)
+    val grams = FanOut.fanOutSmall(df)
       .filter(length(col(textCol)) >= L)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1L),
@@ -597,7 +599,7 @@ object TextOps {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val toks = df.select(col(idCol).as("id"),
+    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
     val withNexts = (1 until k).foldLeft(toks) { (acc, j) =>
       acc.withColumn(s"t$j", lead(col("t"), j).over(byDoc))
@@ -691,9 +693,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val sentinel = concat(lit("x "), col(textCol))
-    val toks = df.select(col(idCol).as("id"),
+    val dff = FanOut.fanOutSmall(df)
+    val toks = dff.select(col(idCol).as("id"),
       posexplode(split(sentinel, "\\s+")).as(Seq("pos", "t")))
-    val wss = df.select(col(idCol).as("id"),
+    val wss = dff.select(col(idCol).as("id"),
       posexplode(split(sentinel, "\\S+")).as(Seq("pos", "ws")))
       .select(col("id"), col("pos"), length(col("ws")).cast("long").as("wsl"))
     // aligned zip: ws_i is the whitespace run before tok_i (ws_0 = "",
@@ -827,7 +830,7 @@ object TextOps {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val toks = df.select(col(idCol).as("id"),
+    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
     val withNexts = (1 until k).foldLeft(toks) { (acc, j) =>
       acc.withColumn(s"t$j", lead(col("t"), j).over(byDoc))
