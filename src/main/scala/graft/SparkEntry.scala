@@ -452,6 +452,25 @@ object SparkEntry {
       root
     })
 
+  /** Construct independent probe relations in parallel driver threads
+    * (optimization round 18, guide §2.6 "overlap independent jobs"):
+    * each construction runs eager metadata / materialization work
+    * (probeHint stats, the LSH candidate localCheckpoint, meta checks)
+    * that otherwise serializes on the driver while executors idle. The
+    * returned DataFrames are identical to sequential construction —
+    * only the construction latency overlaps. */
+  private def parallelCons(thunks: (() => DataFrame)*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val fs = thunks.map(th => Future(th()))
+      fs.map(f => Await.result(f, 600.seconds))
+    } finally pool.shutdown()
+  }
+
   /** Per-sf-dir PIPELINE-TICK fixture (round 18, q199): q193's
     * five-kind pipeline, but the debts are left PENDING (direct
     * deleteDocs/deleteVectors, ids ≡ 3 mod 20 — NOT a Takedown, whose
@@ -2286,34 +2305,36 @@ object SparkEntry {
         .select(col("doc_id"),
           when(pmod(col("doc_id"), lit(20)) === 15 && col("_bt").isNotNull,
             col("_bt")).otherwise(col("text")).as("text"))
-      val ex = operators.DedupIndex.admitAgainstIndex(exBatch, "text",
+      val probes = parallelCons(
+        () => operators.DedupIndex.admitAgainstIndex(exBatch, "text",
           "doc_id", s"$root/exact")
         .select(lit("exact").as("surface"), col("doc_id").as("id"),
           col("keep_id").cast("long").as("a"), lit(0L).as("b"),
-          col("status").as("s"))
-      val nd = operators.DedupIndex.admitNearDupAgainstIndex(ndBatch,
+          col("status").as("s")),
+        () => operators.DedupIndex.admitNearDupAgainstIndex(ndBatch,
           "text", "doc_id", s"$root/minhash", s"$root/docstore",
           k = 64, bands = 16, shingleN = 3, thetaBp = 5000L)
         .select(lit("neardup").as("surface"), col("doc_id").as("id"),
           col("keep_id").cast("long").as("a"), lit(0L).as("b"),
-          col("status").as("s"))
-      val sp = operators.DedupIndex.duplicateSpansAgainstIndex(plain,
+          col("status").as("s")),
+        () => operators.DedupIndex.duplicateSpansAgainstIndex(plain,
           "text", "doc_id", s"$root/anchor", k = 3, w = 4)
         .select(lit("spans").as("surface"), col("doc_id").as("id"),
           col("span_start").cast("long").as("a"),
-          col("span_end").cast("long").as("b"), lit("").as("s"))
-      val bl = operators.DedupIndex.bloomContaminationAgainstShardedIndex(
+          col("span_end").cast("long").as("b"), lit("").as("s")),
+        () => operators.DedupIndex.bloomContaminationAgainstShardedIndex(
           plain, "text", "doc_id", s"$root/bloomsh", n = 3, shards = 4,
           mBits = 2048)
         .select(lit("bloom").as("surface"), col("doc_id").as("id"),
           col("n_maybe_dirty").cast("long").as("a"),
-          col("contamination_bp").cast("long").as("b"), lit("").as("s"))
-      val an = operators.AnnIndex.queryIvfPqIndex(
+          col("contamination_bp").cast("long").as("b"), lit("").as("s")),
+        () => operators.AnnIndex.queryIvfPqIndex(
           emb.filter(col("vec_id") < 8), s"$root/ann", m = 8, dim = 64,
           k = 5, nProbe = 2, twoLevel = true)
         .select(lit("ann").as("surface"), col("qid").as("id"),
           col("nid").cast("long").as("a"), col("rank").cast("long").as("b"),
-          lit("").as("s"))
+          lit("").as("s")))
+      val Seq(ex, nd, sp, bl, an) = probes: @unchecked
       ex.unionByName(nd).unionByName(sp).unionByName(bl).unionByName(an)
         .orderBy("surface", "id", "a", "b")
     }),
@@ -2345,34 +2366,36 @@ object SparkEntry {
         .select(col("doc_id"),
           when(pmod(col("doc_id"), lit(20)) === 15 && col("_bt").isNotNull,
             col("_bt")).otherwise(col("text")).as("text"))
-      val ex = operators.DedupIndex.admitAgainstIndex(exBatch, "text",
+      val probes = parallelCons(
+        () => operators.DedupIndex.admitAgainstIndex(exBatch, "text",
           "doc_id", s"$root/exact")
         .select(lit("exact").as("surface"), col("doc_id").as("id"),
           col("keep_id").cast("long").as("a"), lit(0L).as("b"),
-          col("status").as("s"))
-      val nd = operators.DedupIndex.admitNearDupAgainstIndex(ndBatch,
+          col("status").as("s")),
+        () => operators.DedupIndex.admitNearDupAgainstIndex(ndBatch,
           "text", "doc_id", s"$root/minhash", s"$root/docstore",
           k = 64, bands = 16, shingleN = 3, thetaBp = 5000L)
         .select(lit("neardup").as("surface"), col("doc_id").as("id"),
           col("keep_id").cast("long").as("a"), lit(0L).as("b"),
-          col("status").as("s"))
-      val sp = operators.DedupIndex.duplicateSpansAgainstIndex(plain,
+          col("status").as("s")),
+        () => operators.DedupIndex.duplicateSpansAgainstIndex(plain,
           "text", "doc_id", s"$root/anchor", k = 3, w = 4)
         .select(lit("spans").as("surface"), col("doc_id").as("id"),
           col("span_start").cast("long").as("a"),
-          col("span_end").cast("long").as("b"), lit("").as("s"))
-      val bl = operators.DedupIndex.bloomContaminationAgainstShardedIndex(
+          col("span_end").cast("long").as("b"), lit("").as("s")),
+        () => operators.DedupIndex.bloomContaminationAgainstShardedIndex(
           plain, "text", "doc_id", s"$root/bloomsh", n = 3, shards = 4,
           mBits = 2048)
         .select(lit("bloom").as("surface"), col("doc_id").as("id"),
           col("n_maybe_dirty").cast("long").as("a"),
-          col("contamination_bp").cast("long").as("b"), lit("").as("s"))
-      val an = operators.AnnIndex.queryIvfPqIndex(
+          col("contamination_bp").cast("long").as("b"), lit("").as("s")),
+        () => operators.AnnIndex.queryIvfPqIndex(
           emb.filter(col("vec_id") < 8), s"$root/ann", m = 8, dim = 64,
           k = 5, nProbe = 2, twoLevel = true)
         .select(lit("ann").as("surface"), col("qid").as("id"),
           col("nid").cast("long").as("a"), col("rank").cast("long").as("b"),
-          lit("").as("s"))
+          lit("").as("s")))
+      val Seq(ex, nd, sp, bl, an) = probes: @unchecked
       ex.unionByName(nd).unionByName(sp).unionByName(bl).unionByName(an)
         .orderBy("surface", "id", "a", "b")
     }),

@@ -87,9 +87,7 @@ object Dedup {
   private[operators] def shingleHashes(
       df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // token explode + hash multiply work per input row; spread a small
-    // (single-split) scan before the dense stage (FanOut scaladoc)
-    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
+    val toks = df.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
       .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -647,7 +645,7 @@ object Dedup {
   private[operators] def positionalGramHashes(
       df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
+    val toks = df.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t")))
       .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -727,7 +725,7 @@ object Dedup {
   private[operators] def gramStrings(
       df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
+    val toks = df.select(col(idCol).as("id"),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "t0")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val withNexts = (1 until n).foldLeft(toks) { (acc, j) =>

@@ -198,16 +198,43 @@ object DedupIndex {
 
   /** The persisted build metadata at `path`, if any: (kind, params).
     * Round 17 — the store-fed rebuilds read their geometry from here
-    * instead of trusting the caller to re-supply it. */
+    * instead of trusting the caller to re-supply it.
+    *
+    * Optimization round 18: read DIRECTLY with the parquet-hadoop row
+    * reader on the driver instead of `spark.read.parquet(...).collect()`.
+    * The meta relation is a handful of rows in 1–3 tiny part files, but
+    * the DataFrame path paid a listing + schema inference + plan + a
+    * 1-task Spark job (~100 ms) on EVERY probe/serve/maintenance call —
+    * the same per-call class the round-17 footer reports removed from
+    * the monitors. The direct read is low-single-digit ms and
+    * metadata-bound at any scale; the on-disk format is unchanged. */
   private[graft] def readMeta(spark: SparkSession,
       path: String): Option[(String, Map[String, Int])] = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
-    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = metaPath.getFileSystem(conf)
     if (!fs.exists(metaPath)) return None
-    val rows = spark.read.parquet(metaPath.toString).collect()
-    Some((rows.headOption.map(_.getString(0)).getOrElse("unknown"),
-      rows.filter(_.getString(1) != "_kind")
-        .map(r => r.getString(1) -> r.getInt(2)).toMap))
+    val parts = fs.listStatus(metaPath).filter(f => f.isFile && {
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+    parts.foreach { st =>
+      val rdr = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          st.getPath)
+        .withConf(conf).build()
+      try {
+        var g = rdr.read()
+        while (g != null) {
+          rows += ((g.getString("kind", 0), g.getString("param", 0),
+            g.getInteger("value", 0)))
+          g = rdr.read()
+        }
+      } finally rdr.close()
+    }
+    Some((rows.headOption.map(_._1).getOrElse("unknown"),
+      rows.filter(_._2 != "_kind").map(r => r._2 -> r._3).toMap))
   }
 
   /** Fail-loud parameter check: throws when a persisted meta exists and
@@ -337,15 +364,11 @@ object DedupIndex {
         seg.startsWith("_") || seg.startsWith("."))
       if (!sidecar && f.isFile) { nFiles += 1; bytes += f.getLen }
     }
-    val metaPath = new Path(root, "_graft_meta")
-    val (kind, params) =
-      if (fs.exists(metaPath)) {
-        val rows = spark.read.parquet(metaPath.toString).collect()
-        (rows.headOption.map(_.getString(0)).getOrElse("unknown"),
-          rows.filter(_.getString(1) != "_kind")
-            .map(r => s"${r.getString(1)}=${r.getInt(2)}")
-            .sorted.mkString(","))
-      } else ("legacy", "")
+    val (kind, params) = readMeta(spark, path) match {
+      case Some((k, ps)) =>
+        (k, ps.toSeq.map { case (p, v) => s"$p=$v" }.sorted.mkString(","))
+      case None => ("legacy", "")
+    }
     val nTs = tombstones(spark, path).fold(0L)(_.select(col("id")).distinct().count())
     val hasChk = fs.exists(new Path(root, "_stream_chk"))
     import spark.implicits._

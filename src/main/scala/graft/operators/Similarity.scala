@@ -276,7 +276,10 @@ object Similarity {
       .groupBy(col("nid"))
       .agg(max_by(col("sid"), struct(col("ssim"), (-col("sid")).as("ns"))).as("sid"),
         first(col("nvec")).as("nvec"))
-    val scored = v2s.join(cmap, "sid")
+    // second kernel round: v2s is an aggregate output that AQE coalesces
+    // to ~1 partition at small scale, re-serializing the member-group
+    // argmax — spread it again before the dense join (FanOut scaladoc)
+    val scored = FanOut.fanOutSmall(v2s).join(cmap, "sid")
       .withColumn("csim", cosine(col("nvec"), col("cvec")))
       .groupBy(col("nid"))
     val cid = max_by(col("cid"), struct(col("csim"), (-col("cid")).as("nc"))).as("cid")
@@ -353,7 +356,7 @@ object Similarity {
       } else
         (coarseAssign(corpus, cents, idCol, vecCol, carryVec = true),
           queryProbes(queries, cents, nProbe, idCol, vecCol))
-    val scored = probes.join(corpusAssigned, "cid")
+    val scored = probes.join(FanOut.fanOutSmall(corpusAssigned), "cid")
       .filter(col("nid") =!= col("qid"))
       .withColumn("score", cosine(col("qvec"), col("nvec")))
     rankTopK(scored, k)
@@ -546,7 +549,7 @@ object Similarity {
     // cid lookup back through `resid` would re-derive the whole
     // assignment subtree per consumer (measured: ~3× q102's wall at
     // 100× before this, 171.7 s → re-probed after)
-    val codes = resid.crossJoin(cbr)
+    val codes = FanOut.fanOutSmall(resid).crossJoin(cbr)
       .withColumn("dist", subDistOn(col("rvec"), dsub))
       .groupBy(col("nid"), col("cid"), col("j"))
       .agg(max_by(col("code"),
