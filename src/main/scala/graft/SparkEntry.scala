@@ -1906,10 +1906,11 @@ object SparkEntry {
         s"/graft_q181_${java.util.UUID.randomUUID()}")
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-      operators.DedupIndex.writeMinHashIndex(corpus, "text", "doc_id",
-        s"$root/minhash", k = 64, bands = 16, shingleN = 3)
-      corpus.select(col("doc_id"), col("text"))
-        .write.parquet(s"$root/docstore")
+      operators.FanOut.inParallel(
+        () => operators.DedupIndex.writeMinHashIndex(corpus, "text",
+          "doc_id", s"$root/minhash", k = 64, bands = 16, shingleN = 3),
+        () => corpus.select(col("doc_id"), col("text"))
+          .write.parquet(s"$root/docstore"))
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
       val tablePath = s"$dir/documents.parquet"
       val stream = (if (new java.io.File(tablePath).isDirectory)
@@ -1983,10 +1984,11 @@ object SparkEntry {
           pmod(col("vec_id"), lit(Similarity.autoCentroidMod(emb))) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
       val cb = Similarity.pqCodebook(emb, m = 8)
-      operators.AnnIndex.writeIvfPqIndex(corpus, cents, cb, m = 8,
-        dim = 64, s"$root/ann", twoLevel = true)
-      corpus.select(col("vec_id"), col("embedding"))
-        .write.parquet(s"$root/store")
+      operators.FanOut.inParallel(
+        () => operators.AnnIndex.writeIvfPqIndex(corpus, cents, cb, m = 8,
+          dim = 64, s"$root/ann", twoLevel = true),
+        () => corpus.select(col("vec_id"), col("embedding"))
+          .write.parquet(s"$root/store"))
       val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
       val tablePath = s"$dir/embeddings.parquet"
       val stream = (if (new java.io.File(tablePath).isDirectory)

@@ -50,10 +50,8 @@ object AnnIndex {
     require(m > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
     val dsub = dim / m
     val cents = centroids.select(col("cid"), col("cvec"))
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
     val cb = codebook.select(col("j"), col("code"), col("cvec"))
-    cb.write.mode("overwrite").parquet(s"$path/codebook")
-    val assign =
+    val (assign, supersWrite) =
       if (twoLevel) {
         val (supers, cmap) = Similarity.superStructure(cents)
         // PERSIST the super set (round 18): the routing anchors freeze
@@ -65,17 +63,27 @@ object AnnIndex {
         // re-derives cheaply per use ([[Similarity.superMap]]) and a
         // split's children enter exactly one super's group while every
         // other group is untouched.
-        supers.write.mode("overwrite").parquet(s"$path/supers")
-        Similarity.coarseAssignTwoLevel(corpus, supers, cmap,
-          idCol, vecCol, carryVec = false)
-      } else Similarity.coarseAssign(corpus, cents, idCol, vecCol,
-        carryVec = false)
-    // fuse codes + assignment at BUILD time (one corpus-keyed join here
-    // instead of one per query batch) and lay the result out by
-    // inverted list: the serving scan prunes to the probed cids
-    Similarity.pqEncode(corpus, broadcast(cb), dsub, idCol, vecCol)
-      .join(assign, "nid")
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+        (Similarity.coarseAssignTwoLevel(corpus, supers, cmap,
+          idCol, vecCol, carryVec = false),
+          Seq(() => supers.write.mode("overwrite").parquet(s"$path/supers")))
+      } else
+        (Similarity.coarseAssign(corpus, cents, idCol, vecCol,
+          carryVec = false), Seq.empty[() => Unit])
+    // the four relation writes are independent (the codes join consumes
+    // the IN-MEMORY cents/cb/supers, never the written files) — overlap
+    // them (FanOut.inParallel, guide §2.6); meta stays LAST so a crash
+    // mid-build never leaves a meta claiming a complete index
+    FanOut.inParallel(Seq(
+      () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
+      () => cb.write.mode("overwrite").parquet(s"$path/codebook")) ++
+      supersWrite ++ Seq(
+      // fuse codes + assignment at BUILD time (one corpus-keyed join here
+      // instead of one per query batch) and lay the result out by
+      // inverted list: the serving scan prunes to the probed cids
+      () => Similarity.pqEncode(corpus, broadcast(cb), dsub, idCol, vecCol)
+        .join(assign, "nid")
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+      ): _*)
     DedupIndex.writeMeta(corpus.sparkSession, path, "ivfpq",
       Map("m" -> m, "dim" -> dim, "twoLevel" -> (if (twoLevel) 1 else 0)))
   }

@@ -36,6 +36,24 @@ private[graft] object FanOut {
   private def thresholdBytes(cores: Int): Long =
     math.min(cores.toLong * (4L << 20), 1L << 30)
 
+  /** Run independent Spark ACTIONS (writes, materializations) from
+    * parallel driver threads (guide §2.6 "overlap independent jobs"):
+    * Spark's scheduler happily runs several jobs at once; sequential
+    * driver code is the only reason small independent writes serialize.
+    * Rethrows the first failure after all threads finish. */
+  private[graft] def inParallel(units: (() => Unit)*): Unit = {
+    if (units.sizeIs <= 1) { units.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(units.size)
+    try {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.DurationInt
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val fs = units.map(u => Future(u()))
+      fs.foreach(f => Await.result(f, 600.seconds))
+    } finally pool.shutdown()
+  }
+
   private[graft] def fanOutSmall(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
     val target = sc.defaultParallelism

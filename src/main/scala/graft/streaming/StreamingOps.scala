@@ -283,10 +283,14 @@ object StreamingOps {
         case "minhash" =>
           val admittedDocs = batch
             .join(admitted.select(col(idCol)), Seq(idCol), "leftsemi")
-          graft.operators.DedupIndex.appendToIndex(admittedDocs, textCol,
-            idCol, indexPath, "minhash", k, bands, shingleN)
-          admittedDocs.select(col(idCol), col(textCol))
-            .write.mode("append").parquet(docStorePath)
+          // the band-index and doc-store appends both derive from the
+          // already-written status partition and are independent of
+          // each other (replay tolerates either-first) — overlap them
+          graft.operators.FanOut.inParallel(
+            () => graft.operators.DedupIndex.appendToIndex(admittedDocs,
+              textCol, idCol, indexPath, "minhash", k, bands, shingleN),
+            () => admittedDocs.select(col(idCol), col(textCol))
+              .write.mode("append").parquet(docStorePath))
       }
     }
     val q = docs.writeStream
@@ -342,10 +346,15 @@ object StreamingOps {
         .filter(col("batch_id") === batchId && col("status") === "admitted")
         .select(col(idCol))
       val admittedVecs = batch.join(admittedIds, Seq(idCol), "leftsemi")
-      graft.operators.AnnIndex.ingestVecBatch(admittedVecs, batchId,
-        indexPath, m, dim, twoLevel, idCol, vecCol)
-      admittedVecs.select(col(idCol), col(vecCol))
-        .write.mode("append").parquet(vecStorePath)
+      // codes_stream ingest and vector-store append are independent
+      // given the written status (replay tolerates either-first; the
+      // codes write is a per-batch partition overwrite, duplicate store
+      // rows are harmless to admission) — overlap them
+      graft.operators.FanOut.inParallel(
+        () => graft.operators.AnnIndex.ingestVecBatch(admittedVecs, batchId,
+          indexPath, m, dim, twoLevel, idCol, vecCol),
+        () => admittedVecs.select(col(idCol), col(vecCol))
+          .write.mode("append").parquet(vecStorePath))
     }
     val q = vecs.writeStream
       .outputMode("update")
