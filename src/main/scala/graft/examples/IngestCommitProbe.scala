@@ -51,6 +51,12 @@ object IngestCommitProbe {
         .parquet(s"$root/v3")
     }
     // where does v1 time go? shuffle+sort only, no files:
+    t("write 256tasks v1") {
+      fact.repartition(256, col("collection"), col("uuid"))
+        .sortWithinPartitions("uuid", "time")
+        .write.mode("overwrite").partitionBy("collection", "uuid")
+        .parquet(s"$root/v6")
+    }
     t("write 128tasks v1") {
       fact.repartition(128, col("collection"), col("uuid"))
         .sortWithinPartitions("uuid", "time")
