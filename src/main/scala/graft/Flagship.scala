@@ -82,10 +82,16 @@ object Flagship {
     // write tasks → 5.0 s at 128 (guide §2.6 idle-capacity; §6 small
     // files). Scale-adaptive: factor × cores, floored by the session's
     // shuffle partitions, so a tuned production setting is never reduced.
+    val perCore = spark.conf.getOption("graft.ingest.writeTasksPerCore")
+      .map { v =>
+        val n = scala.util.Try(v.trim.toInt).getOrElse(-1)
+        require(n > 0, s"graft.ingest.writeTasksPerCore must be a " +
+          s"positive integer, got '$v'")
+        n
+      }.getOrElse(4)
     val writeTasks = math.max(
       spark.sessionState.conf.numShufflePartitions,
-      spark.conf.getOption("graft.ingest.writeTasksPerCore")
-        .map(_.toInt).getOrElse(4) * spark.sparkContext.defaultParallelism)
+      perCore * spark.sparkContext.defaultParallelism)
     fact.repartition(writeTasks, col("collection"), col("uuid"))
       .sortWithinPartitions("uuid", "time")
       .write.mode("overwrite").partitionBy("collection", "uuid")

@@ -461,13 +461,20 @@ object SparkEntry {
     * only the construction latency overlaps. */
   private def parallelCons(thunks: (() => DataFrame)*): Seq[DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     try {
+      // unbounded wait + await-all-before-rethrow (round 19, ADVICE —
+      // same contract as FanOut.inParallel): a construction that runs
+      // eager corpus-sized work must not die at an arbitrary timeout the
+      // sequential code never had, and the first failure must not leave
+      // sibling constructions racing a caller's cleanup/retry
       val fs = thunks.map(th => Future(th()))
-      fs.map(f => Await.result(f, 600.seconds))
+      val outcomes = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+      outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+      outcomes.map(_.get)
     } finally pool.shutdown()
   }
 

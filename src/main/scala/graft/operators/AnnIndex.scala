@@ -72,7 +72,19 @@ object AnnIndex {
     // the four relation writes are independent (the codes join consumes
     // the IN-MEMORY cents/cb/supers, never the written files) — overlap
     // them (FanOut.inParallel, guide §2.6); meta stays LAST so a crash
-    // mid-build never leaves a meta claiming a complete index
+    // mid-build never leaves a meta claiming a complete index.
+    // REBUILD-in-place safety (round 19, ADVICE): when overwriting an
+    // existing index, its OLD meta would keep validating via checkMeta
+    // while the relations are a mix of old and new — invalidate it
+    // FIRST, so any crash window between here and the final writeMeta
+    // fails loud at the meta check instead of serving an inconsistent
+    // index.
+    locally {
+      val mp = new org.apache.hadoop.fs.Path(s"$path/_graft_meta")
+      val mfs = mp.getFileSystem(
+        corpus.sparkSession.sessionState.newHadoopConf())
+      if (mfs.exists(mp)) mfs.delete(mp, true)
+    }
     FanOut.inParallel(Seq(
       () => cents.write.mode("overwrite").parquet(s"$path/centroids"),
       () => cb.write.mode("overwrite").parquet(s"$path/codebook")) ++

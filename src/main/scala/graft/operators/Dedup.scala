@@ -470,7 +470,11 @@ object Dedup {
     * codegen'd conditional-sum aggregates (same scalable shape as
     * minhashSignatures — map-side combinable, no interpreted HOF loops). */
   def simhashes(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val hashed = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
+    // NO fan-out (round 19, VERDICT r18): the map side is a cheap
+    // explode + hash and the 60 conditional sums combine map-side into
+    // the keyed groupBy(id) shuffle that follows — the round-18 extra
+    // exchange regressed q21 3× at 32 cores
+    val hashed = df.select(col(idCol).as("id"),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("t"))
       .select(col("id"), TextOps.portableHash60(col("t")).as("h"))
     val aggs = (0 until SimBits).map { j =>

@@ -599,7 +599,11 @@ object TextOps {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
+    // NO fan-out here (round 19, VERDICT r18 item 1): the dense phase —
+    // the lead/min window chain — runs AFTER the byDoc shuffle, which
+    // already spreads it; the round-18 fan-out ahead of the cheap
+    // posexplode was pure overhead (driver bench: q164 0.18× at 32c)
+    val toks = df.select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
     val withNexts = (1 until k).foldLeft(toks) { (acc, j) =>
       acc.withColumn(s"t$j", lead(col("t"), j).over(byDoc))
@@ -693,7 +697,10 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val sentinel = concat(lit("x "), col(textCol))
-    val dff = FanOut.fanOutSmall(df)
+    // NO fan-out (round 19): both explodes feed byDoc windows — the
+    // keyed shuffle spreads the dense lead/min chain; see
+    // duplicateSpansAnchored
+    val dff = df
     val toks = dff.select(col(idCol).as("id"),
       posexplode(split(sentinel, "\\s+")).as(Seq("pos", "t")))
     val wss = dff.select(col(idCol).as("id"),
@@ -830,7 +837,9 @@ object TextOps {
     require(k >= 1 && w >= 1, "k and w must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val toks = FanOut.fanOutSmall(df).select(col(idCol).as("id"),
+    // NO fan-out (round 19): the lead/min windows run after the byDoc
+    // shuffle — see duplicateSpansAnchored
+    val toks = df.select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
     val withNexts = (1 until k).foldLeft(toks) { (acc, j) =>
       acc.withColumn(s"t$j", lead(col("t"), j).over(byDoc))
