@@ -101,9 +101,13 @@ object Flagship {
       require(full == n, s"ingest wrote $full rows, source had $n")
       full
     } else {
-      // spot-check: one pruned stream must read back non-empty
-      val probe = spark.read.parquet(factRoot)
-        .filter(col("collection") === "bench" && col("uuid") === uuidOf(5))
+      // spot-check: one stream must read back non-empty. Read the stream
+      // DIRECTORY directly (round 19): `read.parquet(factRoot)` triggers
+      // partition discovery — a driver-side listing of ALL ~|streams|
+      // partition dirs (~3 s at 1500 dirs, O(store) at scale) — before
+      // any pruning applies; the single-dir read lists one directory.
+      val probe = spark.read.parquet(
+          s"$factRoot/collection=bench/uuid=${uuidOf(5)}")
         .limit(1).count()
       require(probe > 0, "ingest spot-check: pruned stream readback was empty")
       n

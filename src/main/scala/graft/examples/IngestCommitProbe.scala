@@ -75,6 +75,47 @@ object IngestCommitProbe {
         .sortWithinPartitions("uuid", "time")
         .write.format("noop").mode("overwrite").save()
     }
+    // round 19: where do the ~143 ms/file go? candidate levers:
+    // small row-group/page buffers (writer init allocation), dictionary
+    // off, and the Hadoop LocalFS checksum layer (.crc sidecar per file)
+    t("write 128tasks blocksize1m") {
+      fact.repartition(128, col("collection"), col("uuid"))
+        .sortWithinPartitions("uuid", "time")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (1L << 20).toString)
+        .option("parquet.page.size", (64 << 10).toString)
+        .partitionBy("collection", "uuid")
+        .parquet(s"$root/v7")
+    }
+    t("write 128tasks nodict") {
+      fact.repartition(128, col("collection"), col("uuid"))
+        .sortWithinPartitions("uuid", "time")
+        .write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .partitionBy("collection", "uuid")
+        .parquet(s"$root/v8")
+    }
+    t("write 512tasks v1") {
+      fact.repartition(512, col("collection"), col("uuid"))
+        .sortWithinPartitions("uuid", "time")
+        .write.mode("overwrite").partitionBy("collection", "uuid")
+        .parquet(s"$root/v9")
+    }
+    locally {
+      val hc = spark.sparkContext.hadoopConfiguration
+      val prev = hc.get("fs.file.impl")
+      hc.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      hc.setBoolean("fs.file.impl.disable.cache", true)
+      try t("write 128tasks rawfs") {
+        fact.repartition(128, col("collection"), col("uuid"))
+          .sortWithinPartitions("uuid", "time")
+          .write.mode("overwrite").partitionBy("collection", "uuid")
+          .parquet(s"$root/v10")
+      } finally {
+        if (prev == null) hc.unset("fs.file.impl") else hc.set("fs.file.impl", prev)
+        hc.setBoolean("fs.file.impl.disable.cache", false)
+      }
+    }
     spark.stop()
   }
 }

@@ -241,14 +241,20 @@ object Dedup {
     // rather than interpreted per-row array_intersect/array_union:
     // |A∩B| by equi-join on the hash, |A∪B| = |A|+|B|−|A∩B|.
     // materialize the candidate pairs once: they are referenced three times
-    // below, and `pairs` is typically itself a multi-stage LSH pipeline
-    val p = pairs.localCheckpoint()
+    // below, and `pairs` is typically itself a multi-stage LSH pipeline.
+    // LAZY checkpoints (round 19, guide §2.6): eager ones serialized a
+    // chain of blocking driver jobs at construction time (q180's warm
+    // profile: 3.8 s construction, 2.5 s job wall — the gap was the
+    // driver waiting between eager steps); lazy keeps the same
+    // compute-once reuse (the RDD caches on first computation inside the
+    // one real action) while letting independent subtrees overlap.
+    val p = pairs.localCheckpoint(false)
     val needed = p.select(col("id_a").as("id"))
       .union(p.select(col("id_b").as("id"))).distinct()
     val sets = shingleHashes(df.join(needed.withColumnRenamed("id", idCol),
         Seq(idCol), "left_semi"), textCol, idCol, shingleN)
       .dropDuplicates("id", "h")
-      .localCheckpoint() // reused 3×: two join sides + the size table
+      .localCheckpoint(false) // reused 3×: two join sides + the size table
     val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     minThetaBp match {
       case Some(theta) =>
@@ -264,7 +270,7 @@ object Dedup {
           .join(sizes.select(col("id").as("id_b"), col("sz").as("_szb")), "id_b")
           .filter(col("_sza") * 10000L >= col("_szb") * theta &&
             col("_szb") * 10000L >= col("_sza") * theta)
-          .localCheckpoint() // reused: intersection input + final report
+          .localCheckpoint(false) // reused: intersection input + final report
         val inter = sized.select(col("id_a"), col("id_b"))
           .join(sets.select(col("id").as("id_a"), col("h")), "id_a")
           .join(sets.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))

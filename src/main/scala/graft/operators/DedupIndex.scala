@@ -634,7 +634,9 @@ object DedupIndex {
         indexPath, k, bands, shingleN)
       .join(bc(batch.select(col(idCol).as("_bid"))),
         col("id_b") === col("_bid"), "left_anti")
-      .localCheckpoint()
+      // lazy (round 19): same compute-once reuse, no blocking
+      // construction-time job — see ngramJaccard's note
+      .localCheckpoint(false)
     // tombstone belt-and-braces: the candidate set already excludes
     // deleted corpus docs when the BAND INDEX was tombstoned (the
     // documented takedown pattern tombstones index + store together);
@@ -661,15 +663,18 @@ object DedupIndex {
         .unionByName(intra.withColumn("_src", lit("batch"))),
       batch.unionByName(corpusTexts), textCol, idCol, shingleN,
       minThetaBp = Some(thetaBp))
-    val corpusKeep = verified.filter(col("_src") === "corpus")
-      .groupBy(col("id_a")).agg(min(col("id_b")).as("_corpus_keep"))
-      .withColumnRenamed("id_a", "id")
-    val batchKeep = verified.filter(col("_src") === "batch")
-      .groupBy(col("id_a")).agg(min(col("id_b")).as("_batch_keep"))
+    // ONE conditional-min aggregate + ONE broadcast join for both keep
+    // families (round 19): the previous two filtered aggregates + two
+    // joins re-derived `verified` twice and cost an extra broadcast
+    // exchange per admit call — min() ignores the other family's nulls,
+    // so the fused form is byte-identical
+    val keeps = verified
+      .groupBy(col("id_a"))
+      .agg(min(when(col("_src") === "corpus", col("id_b"))).as("_corpus_keep"),
+        min(when(col("_src") === "batch", col("id_b"))).as("_batch_keep"))
       .withColumnRenamed("id_a", "id")
     batch.select(col(idCol).as("id"))
-      .join(bc(corpusKeep), Seq("id"), "left")
-      .join(bc(batchKeep), Seq("id"), "left")
+      .join(bc(keeps), Seq("id"), "left")
       .select(col("id").as(idCol),
         when(col("_corpus_keep").isNotNull, lit("dup_corpus"))
           .when(col("_batch_keep").isNotNull, lit("dup_batch"))

@@ -36,10 +36,14 @@ object Graph {
     // materialize the edge list ONCE: deg, ew and nodes all fan out from
     // it, and an unmaterialized upstream (e.g. a distinct over a fact
     // scan) would otherwise re-execute per consumer
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    // LAZY checkpoints (round 19): same compute-once reuse — the RDD
+    // caches at first computation — without three BLOCKING driver jobs
+    // before the loop; the materializations overlap inside the first
+    // action instead (guide §2.6)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(false)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val ew = e.join(deg, "src").localCheckpoint() // reused every iteration
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
+    val ew = e.join(deg, "src").localCheckpoint(false) // reused every iteration
+    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint(false)
     val baseM = (10000L - dampBp) * 1000L / 10000L
     var scores = nodes.withColumn("score_m", lit(1000L))
     for (i <- 0 until iters) {

@@ -124,7 +124,13 @@ object Similarity {
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cvec"))
     for (_ <- 1 to iters) {
-      val assigned = FanOut.fanOutSmall(trainSet)
+      // NO fan-out on the training loop (round 19): trainSet is the
+      // ~8·√N-row bounded sample — its kernel round is ~8·N work spread
+      // by the agg's map-side combine, and the per-iteration exchange
+      // regressed q23 at 32 cores (plan-stats estimates do not reduce
+      // through the sampling filter, so the fan-out fired on every
+      // bench-scale run and would never fire at production scale anyway)
+      val assigned = trainSet
         .select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
         .crossJoin(broadcast(cents))
         .withColumn("csim", cosine(col("nvec"), col("cvec")))
