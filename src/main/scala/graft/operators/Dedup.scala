@@ -386,7 +386,7 @@ object Dedup {
         bare.join(meta, "id")
           .select(col("id"), xxhash64(blockCols.map(col) :+ col("h"): _*).as("h"))
       })
-      .localCheckpoint() // reused 4×: freq, ranking, two verify sides
+      .localCheckpoint(false) // reused 4×: freq, ranking, two verify sides (lazy, round 19)
     val sizes = sets.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val freq = sets.groupBy(col("h")).agg(count(lit(1)).as("cf"))
     val ranked = sets.join(freq, "h")
@@ -933,7 +933,7 @@ object Dedup {
     val planeMatrix: Seq[Seq[Double]] =
       Seq.fill(nTables * planesPerTable)(Seq.fill(dim)(rnd.nextGaussian()))
     val vecs = FanOut.fanOutSmall(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
-      .localCheckpoint() // reused: bucket build + two pair-side re-joins
+      .localCheckpoint(false) // reused: bucket build + two pair-side re-joins (lazy, round 19)
     val buckets = vecs
       .select(col("id"), posexplode(graft.functions.VectorExpressions
         .vec_lsh_buckets(col("vec"), typedLit(planeMatrix), planesPerTable))

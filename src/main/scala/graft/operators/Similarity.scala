@@ -143,7 +143,8 @@ object Similarity {
         .agg(count(lit(1)).as("_n"), sumCols: _*)
         .select(col("cid"), array((0 until dim).map(i =>
           col(s"_s$i").cast("double") / col("_n") / lit(1e6)): _*).as("cvec"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy (round 19): truncates the plan per
+        // round either way; materializes inside the first real action
     }
     cents
   }

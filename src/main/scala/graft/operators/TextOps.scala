@@ -230,7 +230,7 @@ object TextOps {
     val big = toks.withColumn("t2", lead(col("t"), 1).over(w))
       .filter(col("t2").isNotNull)
       .select(col("id"), col("t"), col("t2"))
-      .localCheckpoint() // reused: doc-side scoring + both count aggregates
+      .localCheckpoint(false) // reused: doc-side scoring + both count aggregates (lazy, round 19)
     val c2 = big.groupBy(col("t"), col("t2")).agg(count(lit(1)).as("c2"))
     val c1 = big.groupBy(col("t")).agg(count(lit(1)).as("c1"))
     big.join(c2, Seq("t", "t2")).join(c1, Seq("t"))
@@ -1110,7 +1110,7 @@ object TextOps {
     val big = toks.withColumn("t2", lead(col("t"), 1).over(w))
       .filter(col("t2").isNotNull)
       .select(col("id"), col("tgt"), col("t"), col("t2"))
-      .localCheckpoint() // reused: target LM + pool LM + candidate scoring
+      .localCheckpoint(false) // reused: target LM + pool LM + candidate scoring (lazy, round 19)
     val tgt = big.filter(col("tgt"))
     val pool = big.filter(!col("tgt"))
     val tc2 = tgt.groupBy(col("t"), col("t2")).agg(count(lit(1)).as("tc2"))
